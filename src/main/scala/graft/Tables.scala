@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared table loaders + determinism helpers.
+  *
+  * Every oracle-checked query routes its reads through here so that the
+  * two cross-engine traps documented in SURVEY.md §1.2/§2.0 are handled
+  * uniformly:
+  *  - T1: `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark 4
+  *    refuses to read unless `spark.sql.legacy.parquet.nanosAsLong=true`;
+  *    after that `ts` is a raw-nanosecond Long and `ts div 1000` (integer
+  *    division — never `/1000`, which rounds) equals DuckDB `epoch_us(ts)`.
+  *  - float-sum nondeterminism: aggregate on DECIMAL(38,6), emit DOUBLE.
+  */
+object Tables {
+
+  /** Runtime confs every entry point needs. These are dynamic SQL confs,
+    * so setting them lazily here covers sessions built by the driver's
+    * Verify/Bench mains and by the test fixture alike. */
+  def prep(s: SparkSession): SparkSession = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s
+  }
+
+  def load(s: SparkSession, dir: String, name: String): DataFrame =
+    prep(s).read.parquet(s"$dir/$name.parquet")
+
+  /** events with `ts_us` = event time normalized to epoch microseconds,
+    * the only representation both engines agree on (SURVEY §1.2 T1). */
+  def events(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+
+  /** events with `ts_ts` as a real TimestampType (µs precision), for
+    * window/streaming operators that need time semantics. */
+  def eventsTs(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).withColumn("ts_ts", timestamp_micros(col("ts_us")))
+
+  val DEC: DecimalType = DecimalType(38, 6)
+
+  /** Exact, associative (partition-order-independent) aggregation input. */
+  def dec(c: Column): Column = c.cast(DEC)
+
+  /** Emit boundary for inexact aggregates: the decimal result is exact, and
+    * decimal→double conversion is correctly rounded in both engines, so the
+    * emitted double is bit-identical across Spark and DuckDB. */
+  def d(c: Column): Column = c.cast("double")
+
+  /** Round-to-4dp double emit, for similarity scores etc. (SURVEY §2.0-6). */
+  def r4(c: Column): Column = round(c.cast("double"), 4)
+}
