@@ -10,6 +10,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     CellQueries,
+    Relational,
+    Aggregates,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

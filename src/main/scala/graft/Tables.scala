@@ -39,6 +39,10 @@ object Tables {
   def eventsTs(s: SparkSession, dir: String): DataFrame =
     events(s, dir).withColumn("ts_ts", timestamp_micros(col("ts_us")))
 
+  /** Register temp views for `spark.sql`-path queries (idempotent). */
+  def views(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => load(s, dir, n).createOrReplaceTempView(n))
+
   val DEC: DecimalType = DecimalType(38, 6)
 
   /** Exact, associative (partition-order-independent) aggregation input. */

@@ -1,0 +1,245 @@
+package graft.operators
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** SURVEY.md §2.D — aggregations.
+  *
+  * Determinism contract (§2.0): every inexact sum goes through
+  * DECIMAL(38,6) (exact + associative ⇒ partition-order independent),
+  * and is emitted as DOUBLE (decimal→double is correctly rounded in
+  * both engines ⇒ bit-identical). Ratios are computed in double on
+  * both sides with the same expression shape, so IEEE gives identity.
+  *
+  * Scale note: all of these are single hash-aggregate plans —
+  * partial (map-side) aggregation before the exchange is confirmed in
+  * the physical plan, so the shuffle carries #groups × #partitions
+  * rows, not the input.
+  */
+object Aggregates extends QueryModule {
+
+  /** Typed UDAF (§2.J `udaf_weighted` twin): weighted mean of order
+    * totalprice weighted by days-since-1995. The buffer quantizes the
+    * per-row double product to DECIMAL-6dp exactly like the oracle's
+    * CAST, so the exact sum matches DuckDB's. */
+  object WeightedMean
+      extends Aggregator[(Double, Int), (java.math.BigDecimal, Long), Double] {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // JBD.valueOf (shortest-repr) mirrors Spark's Cast(double→decimal)
+    // and, empirically, DuckDB's — `new JBD(x)` (exact expansion) does not.
+    private def q(x: Double): JBD =
+      JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP)
+    def zero: (JBD, Long) = (JBD.ZERO, 0L)
+    def reduce(b: (JBD, Long), a: (Double, Int)): (JBD, Long) =
+      (b._1.add(q(a._1 * a._2)), b._2 + a._2)
+    def merge(x: (JBD, Long), y: (JBD, Long)): (JBD, Long) =
+      (x._1.add(y._1), x._2 + y._2)
+    def finish(b: (JBD, Long)): Double =
+      if (b._2 == 0L) 0.0 else b._1.doubleValue() / b._2
+    def bufferEncoder: Encoder[(JBD, Long)] =
+      Encoders.tuple(Encoders.DECIMAL, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  private val rollupSql =
+    """SELECT l_returnflag, l_linestatus,
+              CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+              CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
+              count(*) AS n
+       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  private val cubeSql =
+    """SELECT l_returnflag, l_linestatus,
+              CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+              count(*) AS n,
+              CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_price
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+       ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  private val groupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+              CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+              count(*) AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  val queries: Map[String, Q] = Map(
+    "agg_groupby" -> ((s, dir) =>
+      T.load(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          T.d(sum(T.dec(col("l_quantity")))).as("sum_qty"),
+          T.d(sum(T.dec(col("l_extendedprice")))).as("sum_base_price"),
+          T.d(sum(T.dec(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+            .as("sum_disc_price"),
+          (T.d(sum(T.dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "agg_global" -> ((s, dir) =>
+      T.load(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n"),
+             T.d(sum(T.dec(col("l_quantity")))).as("sum_qty"),
+             min(col("l_extendedprice")).as("min_price"),
+             max(col("l_extendedprice")).as("max_price"),
+             countDistinct(col("l_suppkey")).as("n_supp"))),
+
+    "agg_distinct" -> ((s, dir) =>
+      T.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             T.d(sum_distinct(T.dec(col("l_quantity")))).as("sum_dist_qty"))
+        .orderBy("l_returnflag")),
+
+    "agg_multi_distinct" -> ((s, dir) =>
+      T.load(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"),
+             count(lit(1)).as("n"))
+        .orderBy("l_linestatus")),
+
+    // No oracle: HLL sketches differ across engines (§2.0-5); spec-tested
+    // against exact counts with 2% relative error instead.
+    "agg_approx_hll" -> ((s, dir) =>
+      T.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")),
+
+    "agg_rollup" -> ((s, dir) => { T.views(s, dir, "lineitem"); s.sql(rollupSql) }),
+    "agg_cube" -> ((s, dir) => { T.views(s, dir, "lineitem"); s.sql(cubeSql) }),
+    "agg_grouping_sets" -> ((s, dir) =>
+      { T.views(s, dir, "lineitem"); s.sql(groupingSetsSql) }),
+
+    "agg_having" -> ((s, dir) =>
+      T.load(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"),
+             T.d(sum(T.dec(col("l_quantity")))).as("sum_qty"))
+        .filter(col("n") >= 35)
+        .orderBy("l_partkey")),
+
+    "agg_stats_manual" -> ((s, dir) => {
+      val li = T.load(s, dir, "lineitem")
+      val base = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        T.d(sum(T.dec(col("l_quantity")))).as("s1"),
+        T.d(sum(T.dec(col("l_quantity") * col("l_quantity")))).as("s2"))
+      base.select(col("l_returnflag"), col("n"),
+          (col("s1") / col("n")).as("mean"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+            .as("var_samp"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+            .as("stddev_samp"))
+        .orderBy("l_returnflag")
+    }),
+
+    "agg_collect_sorted" -> ((s, dir) =>
+      T.load(s, dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(sort_array(collect_list(col("n_name"))).as("names"))
+        .orderBy("n_regionkey")),
+
+    "agg_conditional" -> ((s, dir) =>
+      T.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).as("n_f"),
+             T.d(sum(when(col("l_quantity") > 25.0,
+                          T.dec(col("l_extendedprice")))
+                       .otherwise(T.dec(lit(0))))).as("big_qty_price"),
+             count(when(col("l_discount") > 0.05, lit(1))).as("n_disc"))
+        .orderBy("l_returnflag")),
+
+    "agg_typed_udaf" -> ((s, dir) => {
+      val wavg = udaf(WeightedMean,
+                      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaInt))
+      T.load(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"),
+                datediff(col("o_orderdate").cast("date"),
+                         lit("1995-01-01").cast("date")).as("w"))
+        .groupBy("o_orderpriority")
+        .agg(wavg(col("o_totalprice"), col("w")).as("wavg"),
+             count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_base_price,
+                CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_disc_price,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) / count(*) AS avg_qty,
+                count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "agg_global" ->
+      """SELECT count(*) AS n,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
+                min(l_extendedprice) AS min_price,
+                max(l_extendedprice) AS max_price,
+                count(DISTINCT l_suppkey) AS n_supp
+         FROM lineitem""",
+
+    "agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                CAST(CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_dist_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_multi_distinct" ->
+      """SELECT l_linestatus, count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "agg_rollup" -> rollupSql,
+    "agg_cube" -> cubeSql,
+    "agg_grouping_sets" -> groupingSetsSql,
+
+    "agg_having" ->
+      """SELECT l_partkey, count(*) AS n,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_partkey HAVING count(*) >= 35
+         ORDER BY l_partkey""",
+
+    "agg_stats_manual" ->
+      """WITH b AS (
+           SELECT l_returnflag, count(*) AS n,
+                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS s1,
+                  CAST(CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS s2
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n, s1 / n AS mean,
+                (s2 - s1 * s1 / n) / (n - 1) AS var_samp,
+                sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_samp
+         FROM b ORDER BY l_returnflag""",
+
+    "agg_collect_sorted" ->
+      """SELECT n_regionkey, list(n_name ORDER BY n_name) AS names
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    "agg_conditional" ->
+      """SELECT l_returnflag,
+                sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+                CAST(CAST(sum(CASE WHEN l_quantity > 25.0
+                              THEN CAST(l_extendedprice AS DECIMAL(38,6))
+                              ELSE CAST(0 AS DECIMAL(38,6)) END) AS VARCHAR(64)) AS DOUBLE) AS big_qty_price,
+                count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_typed_udaf" ->
+      """WITH t AS (
+           SELECT o_orderpriority, o_totalprice,
+                  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS w
+           FROM orders)
+         SELECT o_orderpriority,
+                CAST(CAST(sum(CAST(o_totalprice * w AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) / sum(w) AS wavg,
+                count(*) AS n
+         FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+  )
+}
