@@ -12,6 +12,8 @@ object SparkEntry {
     CellQueries,
     Relational,
     Aggregates,
+    Joins,
+    Windows,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

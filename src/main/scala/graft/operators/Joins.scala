@@ -1,0 +1,276 @@
+package graft.operators
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.C — joins: physical-strategy trio (broadcast / sort-merge
+  * / shuffled-hash), outer family, semi/anti, cross, theta, range,
+  * interval self-join, as-of, and a 5-table multiway chain.
+  *
+  * Scale notes:
+  *  - Dimension joins pin `broadcast()` explicitly — at 100 TB the fact
+  *    side never shuffles for a 25-row nation or 15 k-row customer dim.
+  *  - The as-of join avoids an O(n²) self-join entirely: union-tag +
+  *    running `max` window ⇒ one shuffle on user_id, O(n log n) sort.
+  *  - The theta join keeps the small side broadcast (nested-loop over
+  *    a broadcast build is the only non-quadratic-shuffle option).
+  */
+object Joins extends QueryModule {
+
+  private val topkSql = // shared Spark/DuckDB text
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) t
+       WHERE rn <= 3 ORDER BY o_custkey, rn"""
+
+  val queries: Map[String, Q] = Map(
+    "join_inner_bhj" -> ((s, dir) => {
+      val c = T.load(s, dir, "customer")
+      val n = T.load(s, dir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+             T.d(sum(T.dec(col("c_acctbal")))).as("sum_bal"))
+        .orderBy("n_name")
+    }),
+
+    "join_inner_smj" -> ((s, dir) => {
+      val li = T.load(s, dir, "lineitem").hint("merge")
+      val o = T.load(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             T.d(sum(T.dec(col("l_extendedprice")))).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "join_inner_shj" -> ((s, dir) => {
+      val p = T.load(s, dir, "part").hint("shuffle_hash")
+      val li = T.load(s, dir, "lineitem")
+      p.join(li, p("p_partkey") === li("l_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+             T.d(sum(T.dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
+    "join_left" -> ((s, dir) => {
+      val c = T.load(s, dir, "customer")
+      val o = T.load(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    }),
+
+    "join_right" -> ((s, dir) => {
+      val o = T.load(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      val c = T.load(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    }),
+
+    "join_full" -> ((s, dir) => {
+      val o = T.load(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_f")).withColumnRenamed("o_custkey", "k_f")
+      val p = o.filter(col("o_orderstatus") === "P").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_p")).withColumnRenamed("o_custkey", "k_p")
+      f.join(p, col("k_f") === col("k_p"), "full")
+        .select(coalesce(col("k_f"), col("k_p")).as("custkey"),
+                col("n_f"), col("n_p"))
+        .orderBy(col("custkey"), col("n_f").asc_nulls_first,
+                 col("n_p").asc_nulls_first)
+    }),
+
+    "join_semi" -> ((s, dir) => {
+      val c = T.load(s, dir, "customer")
+      val o = T.load(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name")).orderBy("c_custkey")
+    }),
+
+    "join_anti" -> ((s, dir) => {
+      val c = T.load(s, dir, "customer")
+      val o = T.load(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")).orderBy("c_custkey")
+    }),
+
+    "join_cross" -> ((s, dir) =>
+      T.load(s, dir, "region").select(col("r_name"))
+        .crossJoin(T.load(s, dir, "nation").select(col("n_name")))
+        .orderBy("r_name", "n_name")),
+
+    "join_theta" -> ((s, dir) => {
+      val sup = T.load(s, dir, "supplier")
+      val c = T.load(s, dir, "customer")
+      sup.join(c, sup("s_acctbal") > c("c_acctbal"))
+        .groupBy("s_suppkey").agg(count(lit(1)).as("n_poorer"))
+        .orderBy("s_suppkey")
+    }),
+
+    "join_range" -> ((s, dir) => {
+      val li = T.load(s, dir, "lineitem")
+      val o = T.load(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey") &&
+                 col("l_shipdate") >= col("o_orderdate") &&
+                 col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             T.d(sum(T.dec(col("l_extendedprice")))).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "join_interval_self" -> ((s, dir) => {
+      val a = T.events(s, dir).select(col("user_id").as("u"),
+        col("event_id").as("id_a"), col("ts_us").as("ts_a"))
+      val b = T.events(s, dir).select(col("user_id").as("u2"),
+        col("event_id").as("id_b"), col("ts_us").as("ts_b"))
+      a.join(b, col("u") === col("u2") && col("id_a") < col("id_b") &&
+                abs(col("ts_a") - col("ts_b")) <= lit(300000000L))
+        .select(col("u").as("user_id"), col("id_a"), col("id_b"))
+        .orderBy("user_id", "id_a", "id_b")
+    }),
+
+    "join_asof" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = T.events(s, dir)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"),
+                when(col("event_type") === "signup", col("ts_us")).as("signup_ts"))
+      // signups sort before purchases at equal ts ⇒ `<=` as-of semantics
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"),
+                 when(col("event_type") === "signup", 0).otherwise(1),
+                 col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("last_signup_ts", max(col("signup_ts")).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+                col("last_signup_ts"))
+        .orderBy("event_id")
+    }),
+
+    "join_multiway" -> ((s, dir) => {
+      val r = T.load(s, dir, "region")
+      val n = T.load(s, dir, "nation")
+      val c = T.load(s, dir, "customer")
+      val o = T.load(s, dir, "orders")
+      val li = T.load(s, dir, "lineitem")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(T.d(sum(T.dec(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+               .as("revenue"),
+             count(lit(1)).as("n"))
+        .orderBy("r_name")
+    }),
+
+    "win_topk_group" -> ((s, dir) => { T.views(s, dir, "orders"); s.sql(topkSql) }),
+  )
+
+  private def dsum(inner: String) =
+    s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "join_inner_bhj" ->
+      s"""SELECT n_name, count(*) AS n_cust, ${dsum("c_acctbal")} AS sum_bal
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name ORDER BY n_name""",
+
+    "join_inner_smj" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+                 ${dsum("l_extendedprice")} AS sum_price
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "join_inner_shj" ->
+      s"""SELECT p_brand, count(*) AS n, ${dsum("l_quantity")} AS sum_qty
+          FROM part JOIN lineitem ON p_partkey = l_partkey
+          GROUP BY p_brand ORDER BY p_brand""",
+
+    "join_left" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer LEFT JOIN
+              (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+              ON c_custkey = o_custkey
+         ORDER BY c_custkey, o_orderkey NULLS FIRST""",
+
+    "join_right" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+              RIGHT JOIN customer ON o_custkey = c_custkey
+         ORDER BY c_custkey, o_orderkey NULLS FIRST""",
+
+    "join_full" ->
+      """WITH f AS (SELECT o_custkey AS k_f, count(*) AS n_f FROM orders
+                    WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+              p AS (SELECT o_custkey AS k_p, count(*) AS n_p FROM orders
+                    WHERE o_orderstatus = 'P' GROUP BY o_custkey)
+         SELECT coalesce(k_f, k_p) AS custkey, n_f, n_p
+         FROM f FULL JOIN p ON k_f = k_p
+         ORDER BY custkey, n_f NULLS FIRST, n_p NULLS FIRST""",
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders
+                             WHERE o_totalprice > 450000.0)
+         ORDER BY c_custkey""",
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         ORDER BY c_custkey""",
+
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name""",
+
+    "join_theta" ->
+      """SELECT s_suppkey, count(*) AS n_poorer
+         FROM supplier JOIN customer ON s_acctbal > c_acctbal
+         GROUP BY s_suppkey ORDER BY s_suppkey""",
+
+    "join_range" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+                 ${dsum("l_extendedprice")} AS sum_price
+          FROM lineitem JOIN orders
+               ON l_orderkey = o_orderkey
+              AND l_shipdate >= o_orderdate
+              AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "join_interval_self" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+         FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+         ORDER BY a.user_id, id_a, id_b""",
+
+    "join_asof" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                (SELECT max(epoch_us(s.ts)) FROM events s
+                 WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+                   AND epoch_us(s.ts) <= epoch_us(p.ts)) AS last_signup_ts
+         FROM events p WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
+
+    "join_multiway" ->
+      s"""SELECT r_name,
+                 ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+                 count(*) AS n
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name ORDER BY r_name""",
+
+    "win_topk_group" -> topkSql,
+  )
+}

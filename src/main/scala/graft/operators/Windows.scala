@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.E — window functions: ranking family, lag/lead,
+  * running/row frames, time-range frames, first/last over full frame.
+  * (`win_topk_group` lives in Joins as a shared-SQL query.)
+  *
+  * Determinism: every window orders by a unique-key tiebreak so
+  * rank == row_number and frames are stable (§2.0). Ranking-family SQL
+  * is shared text between engines; decimal running sums hop through
+  * VARCHAR on emit (see Aggregates).
+  */
+object Windows extends QueryModule {
+
+  private val rankingSql = // shared Spark/DuckDB text
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+              row_number() OVER w AS rn,
+              rank() OVER w AS rnk,
+              dense_rank() OVER w AS drnk,
+              ntile(4) OVER w AS quartile,
+              percent_rank() OVER w AS prnk,
+              cume_dist() OVER w AS cdist
+       FROM customer
+       WINDOW w AS (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal DESC, c_custkey)
+       ORDER BY c_mktsegment, rn"""
+
+  private val rangeFrameSql = // shared text: 30-day trailing sum
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+              CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate
+                RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+              ) AS VARCHAR(64)) AS DOUBLE) AS trailing_30d
+       FROM orders
+       ORDER BY o_custkey, o_orderdate, o_orderkey"""
+
+  private val firstLastSql = // shared text
+    """SELECT o_orderkey, o_custkey,
+              first_value(o_orderkey) OVER w AS first_ok,
+              last_value(o_orderkey) OVER w AS last_ok,
+              nth_value(o_orderkey, 2) OVER w AS second_ok
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ORDER BY o_custkey, o_orderkey"""
+
+  val queries: Map[String, Q] = Map(
+    "win_ranking" -> ((s, dir) =>
+      { T.views(s, dir, "customer"); s.sql(rankingSql) }),
+
+    "win_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      T.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+        .withColumn("next_ts", lead(col("ts_us"), 1).over(w))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    "win_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+                T.d(sum(T.dec(col("o_totalprice"))).over(w)).as("running_total"),
+                count(lit(1)).over(w).as("running_n"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    "win_range_frame" -> ((s, dir) =>
+      { T.views(s, dir, "orders"); s.sql(rangeFrameSql) }),
+
+    "win_first_last" -> ((s, dir) =>
+      { T.views(s, dir, "orders"); s.sql(firstLastSql) }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "win_ranking" -> rankingSql,
+
+    "win_lag_lead" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+                    FROM events)
+         SELECT event_id, user_id, ts_us, value,
+                lag(value, 1) OVER w AS prev_value,
+                value - lag(value, 1) OVER w AS delta,
+                lead(ts_us, 1) OVER w AS next_ts
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         ORDER BY user_id, ts_us, event_id""",
+
+    "win_running" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w
+                     AS VARCHAR(64)) AS DOUBLE) AS running_total,
+                count(*) OVER w AS running_n
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderdate, o_orderkey""",
+
+    "win_range_frame" -> rangeFrameSql,
+    "win_first_last" -> firstLastSql,
+  )
+}
