@@ -14,6 +14,7 @@ object SparkEntry {
     Aggregates,
     Joins,
     Windows,
+    Functions,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,287 @@
+package graft.operators
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.H — scalar function families: string, date, math,
+  * conditional, cast lattice, hash, array (+ higher-order folds), map,
+  * JSON, explode. One query per family, several functions per query.
+  *
+  * Cross-engine dialect notes (each verified by probe before use):
+  *  - DuckDB `regexp_replace` replaces the first match unless the 'g'
+  *    flag is passed; Spark always replaces all.
+  *  - Spark `ceil`/`floor` return BIGINT, DuckDB return DOUBLE — the
+  *    oracle casts. Spark `length`/`instr`/`year`/... return INT vs
+  *    DuckDB BIGINT — the Spark side casts to long so parquet schemas
+  *    agree.
+  *  - DuckDB list indexing is 1-based, same as Spark `element_at`;
+  *    never use Spark's 0-based `getItem`/`[ ]` against an oracle.
+  *  - Per-row double arithmetic (abs, sqrt, +,*) is IEEE-identical
+  *    across engines; libm-backed fns (ln, exp, log10) agree to <1 ULP
+  *    and are rounded to 6 dp on both sides.
+  *  - Float folds (dot products) cast each element to double inside the
+  *    lambda so both engines accumulate the same left-to-right double
+  *    sequence; emitted rounded to 4 dp (§2.0-6).
+  */
+object Functions extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> ((s, dir) =>
+      T.load(s, dir, "customer").select(
+        col("c_custkey"),
+        concat(col("c_name"), lit("_"), col("c_mktsegment")).as("cat"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        upper(col("c_mktsegment")).as("up"),
+        lower(col("c_name")).as("lo"),
+        trim(concat(lit("  "), col("c_name"), lit("  "))).as("trimmed"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("pad"),
+        length(col("c_name")).cast("long").as("len"),
+        regexp_replace(col("c_name"), "[0-9]", "").as("nodigits"),
+        expr("replace(c_name, 'Customer', 'Cust')").as("repl"),
+        expr("try_element_at(split(c_name, '#'), 2)").as("tok"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        instr(col("c_name"), "#").cast("long").as("pos"))
+        .orderBy("c_custkey")),
+
+    "fn_date" -> ((s, dir) =>
+      T.load(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dy"),
+        expr("weekday(o_orderdate) + 1").cast("long").as("dow_iso"),
+        // DuckDB date_trunc('month', ts) yields DATE; match it
+        date_trunc("month", col("o_orderdate")).cast("date").as("mon_start"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_98"),
+        last_day(col("o_orderdate").cast("date")).as("eom"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1))
+          .as("m1"))
+        .orderBy("o_orderkey")),
+
+    "fn_math" -> ((s, dir) =>
+      T.load(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_d"),
+        // round() tie-handling differs across engines (Spark HALF_UP on the
+        // shortest decimal string vs DuckDB half-away on the binary value);
+        // floor(x*100+0.5)/100 is pure IEEE arithmetic — identical in both
+        (floor(col("l_extendedprice") * 0.01 * 100 + 0.5).cast("double") / 100)
+          .as("rnd"),
+        ceil(col("l_extendedprice")).cast("long").as("ceil_p"),
+        floor(col("l_extendedprice")).cast("long").as("floor_p"),
+        pow(col("l_quantity"), 2.0).as("pw"),
+        round(sqrt(col("l_extendedprice")), 6).as("sq"),
+        round(log(col("l_extendedprice")), 6).as("lg"),
+        round(log10(col("l_extendedprice")), 6).as("l10"),
+        round(exp(col("l_discount")), 6).as("ex"),
+        signum(col("l_discount") - 0.05).cast("long").as("sg"),
+        expr("l_orderkey % 7").as("md"),
+        greatest(col("l_quantity"), col("l_discount") * 100.0).as("gr"),
+        least(col("l_quantity"), col("l_discount") * 100.0).as("le"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "fn_cond" -> ((s, dir) =>
+      T.load(s, dir, "customer").select(
+        col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_null"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("ZZZ"))
+          .as("seg_co"),
+        when(col("c_acctbal") > 5000.0, "hi").otherwise("lo").as("flag"),
+        expr("try_cast(c_mktsegment AS BIGINT)").as("tc_bad"),
+        expr("try_cast(try_element_at(split(c_name, '#'), 2) AS BIGINT)")
+          .as("tc_ok"))
+        .orderBy("c_custkey")),
+
+    "fn_cast" -> ((s, dir) =>
+      T.load(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderkey").cast("string").as("s1"),
+        col("o_orderkey").cast("string").cast("long").as("rt"),
+        col("o_totalprice").cast(T.DEC).cast("string").as("dec_s"),
+        col("o_totalprice").cast(T.DEC).cast("double").as("d2"),
+        col("o_orderdate").cast("date").cast("string").as("ds"),
+        (col("o_orderkey") % 2).cast("boolean").as("b1"),
+        expr("try_cast('12x' AS BIGINT)").as("bad"))
+        .orderBy("o_orderkey")),
+
+    "fn_hash" -> ((s, dir) =>
+      T.load(s, dir, "customer").select(
+        col("c_custkey"),
+        md5(col("c_name")).as("h_md5"),
+        sha2(col("c_name"), 256).as("h_sha256"),
+        md5(concat(col("c_name"), lit("|"), col("c_mktsegment"))).as("h_cat"))
+        .orderBy("c_custkey")),
+
+    "fn_array" -> ((s, dir) =>
+      T.load(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("n"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
+        transform(slice(col("embedding"), 1, 3),
+                  x => round(x.cast("double"), 4)).as("sl"),
+        transform(slice(sort_array(col("embedding")), 1, 3),
+                  x => round(x.cast("double"), 4)).as("srt"),
+        size(array_distinct(col("embedding"))).cast("long").as("n_dist"),
+        round(aggregate(col("embedding"), lit(0.0),
+                        (acc, x) => acc + x.cast("double") * x.cast("double")),
+              4).as("ss"),
+        round(aggregate(transform(col("embedding"), x => x.cast("double") * 2),
+                        lit(0.0), (acc, x) => acc + x), 4).as("s2"))
+        .orderBy("vec_id")),
+
+    "fn_map" -> ((s, dir) => {
+      val e = T.events(s, dir)
+        .withColumn("kv", get_json_object(col("props"), "$.k").cast("long"))
+      e.select(
+        col("event_id"),
+        map_from_arrays(array(lit("k"), lit("k2")),
+                        array(col("kv"), col("kv") * 2)).as("m"))
+        .select(
+          col("event_id"),
+          map_keys(col("m")).as("ks"),
+          map_values(col("m")).as("vs"),
+          element_at(col("m"), "k").as("v1"))
+        .orderBy("event_id")
+    }),
+
+    "fn_json" -> ((s, dir) => {
+      val e = T.load(s, dir, "events")
+      e.select(col("event_id"), col("props"),
+               json_tuple(col("props"), "k").as("jt"))
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k1"),
+          col("jt").cast("long").as("k2"),
+          from_json(col("props"), lit("k BIGINT")).getField("k").as("k3"),
+          to_json(struct(get_json_object(col("props"), "$.k").cast("long")
+            .as("k"))).as("js"))
+        .orderBy("event_id")
+    }),
+
+    "fn_explode" -> ((s, dir) =>
+      T.load(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+                col("col").as("word"))
+        .orderBy("doc_id", "pos")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT c_custkey,
+                concat(c_name, '_', c_mktsegment) AS cat,
+                substring(c_name, 1, 8) AS sub,
+                upper(c_mktsegment) AS up,
+                lower(c_name) AS lo,
+                trim('  ' || c_name || '  ') AS trimmed,
+                lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS pad,
+                length(c_name) AS len,
+                regexp_replace(c_name, '[0-9]', '', 'g') AS nodigits,
+                replace(c_name, 'Customer', 'Cust') AS repl,
+                string_split(c_name, '#')[2] AS tok,
+                regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+                strpos(c_name, '#') AS pos
+         FROM customer ORDER BY c_custkey""",
+
+    "fn_date" ->
+      """SELECT o_orderkey,
+                year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+                day(o_orderdate) AS dy, isodow(o_orderdate) AS dow_iso,
+                date_trunc('month', o_orderdate) AS mon_start,  -- DATE
+                CAST(o_orderdate AS DATE) + 30 AS plus30,
+                date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '1998-01-01') AS days_to_98,
+                last_day(CAST(o_orderdate AS DATE)) AS eom,
+                make_date(year(o_orderdate), month(o_orderdate), 1) AS m1
+         FROM orders ORDER BY o_orderkey""",
+
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+                abs(l_discount - 0.05) AS abs_d,
+                floor(l_extendedprice * 0.01 * 100 + 0.5) / 100 AS rnd,
+                CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+                CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+                pow(l_quantity, 2.0) AS pw,
+                round(sqrt(l_extendedprice), 6) AS sq,
+                round(ln(l_extendedprice), 6) AS lg,
+                round(log10(l_extendedprice), 6) AS l10,
+                round(exp(l_discount), 6) AS ex,
+                CAST(sign(l_discount - 0.05) AS BIGINT) AS sg,
+                l_orderkey % 7 AS md,
+                greatest(l_quantity, l_discount * 100.0) AS gr,
+                least(l_quantity, l_discount * 100.0) AS le
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "fn_cond" ->
+      """SELECT c_custkey,
+                nullif(c_mktsegment, 'BUILDING') AS seg_null,
+                coalesce(nullif(c_mktsegment, 'BUILDING'), 'ZZZ') AS seg_co,
+                CASE WHEN c_acctbal > 5000.0 THEN 'hi' ELSE 'lo' END AS flag,
+                TRY_CAST(c_mktsegment AS BIGINT) AS tc_bad,
+                TRY_CAST(string_split(c_name, '#')[2] AS BIGINT) AS tc_ok
+         FROM customer ORDER BY c_custkey""",
+
+    "fn_cast" ->
+      """SELECT o_orderkey,
+                CAST(o_orderkey AS VARCHAR) AS s1,
+                CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS rt,
+                CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR) AS dec_s,
+                CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS DOUBLE) AS d2,
+                CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS ds,
+                CAST(o_orderkey % 2 AS BOOLEAN) AS b1,
+                TRY_CAST('12x' AS BIGINT) AS bad
+         FROM orders ORDER BY o_orderkey""",
+
+    "fn_hash" ->
+      """SELECT c_custkey,
+                md5(c_name) AS h_md5,
+                sha256(c_name) AS h_sha256,
+                md5(c_name || '|' || c_mktsegment) AS h_cat
+         FROM customer ORDER BY c_custkey""",
+
+    "fn_array" ->
+      """SELECT vec_id,
+                len(embedding) AS n,
+                round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
+                list_transform(embedding[1:3],
+                               x -> round(CAST(x AS DOUBLE), 4)) AS sl,
+                list_transform(list_sort(embedding)[1:3],
+                               x -> round(CAST(x AS DOUBLE), 4)) AS srt,
+                len(list_distinct(embedding)) AS n_dist,
+                round(list_aggregate(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4)
+                  AS ss,
+                round(list_aggregate(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * 2), 'sum'), 4) AS s2
+         FROM embeddings ORDER BY vec_id""",
+
+    "fn_map" ->
+      """SELECT event_id,
+                ['k', 'k2'] AS ks,
+                [kv, kv * 2] AS vs,
+                kv AS v1
+         FROM (SELECT event_id,
+                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+               FROM events)
+         ORDER BY event_id""",
+
+    "fn_json" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k1,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k3,
+                CAST(json_object('k',
+                     CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS VARCHAR) AS js
+         FROM events ORDER BY event_id""",
+
+    "fn_explode" ->
+      """SELECT doc_id,
+                unnest(generate_series(1, len(w))) AS pos,
+                unnest(w) AS word
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         ORDER BY doc_id, pos""",
+  )
+}
