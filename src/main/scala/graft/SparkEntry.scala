@@ -15,6 +15,9 @@ object SparkEntry {
     Joins,
     Windows,
     Functions,
+    Sources,
+    TextOps,
+    Similarity,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.K — similarity search over the `embeddings` table
+  * (64-dim float vectors) and the MinHash-LSH near-dup path.
+  *
+  * Float determinism: every fold casts elements to double inside the
+  * lambda, so Spark's `aggregate` and DuckDB's `list_aggregate('sum')`
+  * accumulate the identical left-to-right double sequence; scores are
+  * rounded to 4 dp and every ranking tie-breaks on the id (§2.0-6).
+  *
+  * Scale notes:
+  *  - `sim_topk` broadcasts the probe set; the corpus side streams
+  *    through a BroadcastNestedLoopJoin + per-probe top-k — the
+  *    brute-force baseline. The scale path for large probe sets is LSH
+  *    bucketing (`dedup_minhash` shows the machinery).
+  *  - `sim_knn_join` shuffles once on the label (an IVF-style coarse
+  *    partition), then is quadratic only within each cell.
+  */
+object Similarity extends QueryModule {
+
+  private def sumSq(c: Column): Column =
+    aggregate(c, lit(0.0),
+              (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(sumSq(a)) * sqrt(sumSq(b))), 4)
+
+  // DuckDB twin of `cosine` — explicit double fold, NOT the built-in
+  // list_cosine_similarity (whose accumulation precision is unspecified).
+  private def duckSumSq(c: String) =
+    s"list_aggregate(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+  private def duckCos(a: String, b: String) =
+    s"""round(list_aggregate(list_transform(list_zip($a, $b),
+            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+          / (sqrt(${duckSumSq(a)}) * sqrt(${duckSumSq(b)})), 4)"""
+
+  val queries: Map[String, Q] = Map(
+    "sim_topk" -> ((s, dir) => {
+      val e = T.load(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q"))
+      val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+      corpus.crossJoin(broadcast(probes))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cos", cosine(col("q"), col("c")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn").cast("long").as("rn"), col("c_id"),
+                col("cos"))
+        .orderBy("q_id", "rn")
+    }),
+
+    "sim_knn_join" -> ((s, dir) => {
+      val e = T.load(s, dir, "embeddings")
+      val a = e.select(col("label"), col("vec_id").as("a_id"),
+                       col("embedding").as("a"))
+      val b = e.select(col("label").as("label_b"), col("vec_id").as("b_id"),
+                       col("embedding").as("b"))
+      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+      a.join(b, col("label") === col("label_b") && col("a_id") =!= col("b_id"))
+        .withColumn("cos", cosine(col("a"), col("b")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("label").cast("long").as("label"), col("a_id"),
+                col("rn").cast("long").as("rn"), col("b_id"), col("cos"))
+        .orderBy("a_id", "rn")
+    }),
+
+    "dedup_minhash" -> ((s, dir) => {
+      // Scalable near-dup candidates: 3-shingles -> HashingTF (stateless,
+      // deterministic — no fitted vocabulary ordering to drift) ->
+      // MinHashLSH banded buckets -> approx similarity join. No DuckDB
+      // oracle (sketch-based); gated by the recall unit test vs
+      // dedup_near on sf0.001 (SimilaritySpec).
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+      val docs = T.load(s, dir, "documents")
+        .select(col("doc_id"),
+                filter(transform(
+                  sequence(lit(1), greatest(size(split(col("text"), " ")) - 2,
+                                            lit(1))),
+                  i => array_join(slice(split(col("text"), " "), i, lit(3)), " ")),
+                  sh => sh.isNotNull).as("shingles"))
+      val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+        .setBinary(true).setNumFeatures(1 << 18)
+      val feat = tf.transform(docs)
+      val lsh = new MinHashLSH().setInputCol("features")
+        .setOutputCol("hashes").setNumHashTables(8).setSeed(42L)
+      val model = lsh.fit(feat)
+      model.approxSimilarityJoin(feat, feat, 0.6, "jacc_dist")
+        .select(col("datasetA.doc_id").as("id_a"),
+                col("datasetB.doc_id").as("id_b"),
+                round(col("jacc_dist"), 4).as("dist"))
+        .filter(col("id_a") < col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk" ->
+      s"""WITH p AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings
+                     WHERE vec_id < 10),
+               c AS (SELECT vec_id AS c_id, embedding AS c FROM embeddings),
+               scored AS (SELECT q_id, c_id, ${duckCos("q", "c")} AS cos
+                          FROM p CROSS JOIN c WHERE q_id != c_id)
+          SELECT q_id, rn, c_id, cos
+          FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                          ORDER BY cos DESC, c_id) AS rn FROM scored)
+          WHERE rn <= 5 ORDER BY q_id, rn""",
+
+    "sim_knn_join" ->
+      s"""WITH a AS (SELECT label, vec_id AS a_id, embedding AS va
+                     FROM embeddings),
+               b AS (SELECT label AS label_b, vec_id AS b_id, embedding AS vb
+                     FROM embeddings),
+               scored AS (SELECT CAST(label AS BIGINT) AS label, a_id, b_id,
+                                 ${duckCos("va", "vb")} AS cos
+                          FROM a JOIN b
+                               ON label = label_b AND a_id != b_id)
+          SELECT label, a_id, rn, b_id, cos
+          FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+                          ORDER BY cos DESC, b_id) AS rn FROM scored)
+          WHERE rn <= 3 ORDER BY a_id, rn""",
+  )
+}
