@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (the operator inventory
   * is the contract; every declared key has an implementation here and,
@@ -18,6 +19,7 @@ object SparkEntry {
     Sources,
     TextOps,
     Similarity,
+    Streaming,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

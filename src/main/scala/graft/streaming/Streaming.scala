@@ -1,0 +1,263 @@
+package graft.streaming
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import java.nio.file.Files
+
+/** Per-event row shape used by the stateful operator (top-level for a
+  * stable Encoder). */
+case class Ev(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+
+/** SURVEY.md §2.I — Structured Streaming: tumbling/sliding/session
+  * windows, watermark late-data drop, streaming dedup, arbitrary
+  * stateful processing, stream-stream and stream-static joins.
+  *
+  * Harness shape: each query stages the events table (ns timestamps
+  * normalized to µs per SURVEY §1.2 T1) as parquet under /tmp, reads it
+  * back as a file-source STREAM, runs the streaming plan to completion
+  * with Trigger.AvailableNow into a memory sink, and returns the drained
+  * table. Because event time is bounded and each run drains fully, the
+  * result equals the batch twin — which is exactly what the DuckDB
+  * oracles check (complete/append modes are deterministic here).
+  *
+  * `stream_late_drop` instead crafts explicit out-of-order batches with
+  * MemoryStream so the watermark actually advances between batches and
+  * provably drops a late row (no SQL oracle — rows-only + unit test).
+  *
+  * Scale notes: all aggregations here are keyed state (window ×
+  * event_type, user session, user counter) — state size is bounded by
+  * key cardinality, not stream length, and the watermark bounds
+  * out-of-order buffering; shuffle is one exchange on the state key per
+  * micro-batch, identical to the batch plan.
+  */
+object Streaming extends QueryModule {
+
+  private val ctr = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val streamSchema =
+    "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts_us BIGINT"
+
+  /** Stage normalized events once per sf-dir; single file ⇒ AvailableNow
+    * drains in one deterministic micro-batch. */
+  private def stageEvents(s: SparkSession, dir: String,
+                          copies: Int = 1): String = {
+    val tmp = s"/tmp/graft_stream_${copies}x_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val e = T.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value", "ts_us")
+    Seq.fill(copies)(e).reduce(_ unionAll _)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    tmp
+  }
+
+  private def readStream(s: SparkSession, staged: String): DataFrame =
+    s.readStream.schema(streamSchema).parquet(staged)
+      .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+
+  /** Run a streaming DF to completion (AvailableNow) into a memory sink
+    * and return the drained table. */
+  private def drain(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_mem_${ctr.incrementAndGet()}"
+    val cp = Files.createTempDirectory("graft_ckpt_").toString
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cp).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  private def dsum(inner: String) =
+    s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)"
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling" -> ((s, dir) => {
+      val in = readStream(s, stageEvents(s, dir))
+      val agg = in
+        .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), T.d(sum(T.dec(col("value")))).as("sum_value"))
+      drain(s, agg, "complete")
+        .select(unix_micros(col("window.start")).as("win_us"),
+                col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_us", "event_type")
+    }),
+
+    "stream_sliding" -> ((s, dir) => {
+      val in = readStream(s, stageEvents(s, dir))
+      val agg = in
+        .groupBy(window(col("ts_ts"), "1 hour", "15 minutes"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      drain(s, agg, "complete")
+        .select(unix_micros(col("window.start")).as("win_us"),
+                col("event_type"), col("n"))
+        .orderBy("win_us", "event_type")
+    }),
+
+    "stream_session" -> ((s, dir) => {
+      val in = readStream(s, stageEvents(s, dir))
+      val agg = in
+        .groupBy(session_window(col("ts_ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      drain(s, agg, "complete")
+        .select(col("user_id"),
+                unix_micros(col("session_window.start")).as("sess_start_us"),
+                col("n"))
+        .orderBy("user_id", "sess_start_us")
+    }),
+
+    "stream_dedup" -> ((s, dir) => {
+      // Input staged TWICE -> exactly-once by event_id must halve it.
+      val in = readStream(s, stageEvents(s, dir, copies = 2))
+        .withWatermark("ts_ts", "90 days")
+        .dropDuplicatesWithinWatermark("event_id")
+      val agg = in.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), T.d(sum(T.dec(col("value")))).as("sum_value"))
+      drain(s, agg, "complete").orderBy("event_type")
+    }),
+
+    "stream_stateful" -> ((s, dir) => {
+      import s.implicits._
+      val in = readStream(s, stageEvents(s, dir))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+                col("event_type")).as[Ev]
+      val out = in.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update,
+                                GroupStateTimeout.NoTimeout) {
+          (uid: Long, evs: Iterator[Ev],
+           state: GroupState[(Long, Long, String)]) =>
+            val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val n0 = state.getOption.map(_._1).getOrElse(0L)
+            val last = sorted.last
+            val next = (n0 + sorted.size, last.ts_us, last.event_type)
+            state.update(next)
+            Iterator((uid, next._1, next._2, next._3))
+        }.toDF("user_id", "n_events", "last_ts_us", "last_type")
+      drain(s, out, "update").orderBy("user_id")
+    }),
+
+    "stream_stream_join" -> ((s, dir) => {
+      val staged = stageEvents(s, dir)
+      val p = readStream(s, staged).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+                col("ts_ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val g = readStream(s, staged).filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+                col("ts_ts").as("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+      val j = p.join(g, col("p_user") === col("s_user") &&
+                        col("s_ts") <= col("p_ts") &&
+                        col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("p_id"), col("s_id"))
+      drain(s, j, "append").orderBy("p_id", "s_id")
+    }),
+
+    "stream_static_join" -> ((s, dir) => {
+      val dim = T.load(s, dir, "nation") // static side, broadcast
+      val in = readStream(s, stageEvents(s, dir))
+      val agg = in.join(broadcast(dim),
+                        expr("user_id % 25") === dim("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), T.d(sum(T.dec(col("value")))).as("sum_value"))
+      drain(s, agg, "complete").orderBy("n_name")
+    }),
+
+    "stream_late_drop" -> ((s, dir) => {
+      // Crafted out-of-order batches; watermark = max event time - 10 min
+      // advances between batches and must DROP the 3-hour-late row for
+      // event_id=4: the t0 window is appended with n=1, not 2. Emitted
+      // windows: t0+0h,+1h,+2h,+3h and the +25h flush sentinel (flushed
+      // in turn by the +50h batch), each n=1.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val t0 = 1700000000000000L // µs
+      val h = 3600L * 1000000L
+      val ms = MemoryStream[(Long, Long)]
+      val agg = ms.toDF().toDF("event_id", "ts_us")
+        .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts_ts", "10 minutes")
+        .groupBy(window(col("ts_ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+      val name = s"graft_mem_${ctr.incrementAndGet()}"
+      val cp = Files.createTempDirectory("graft_ckpt_").toString
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", cp).start()
+      def push(batch: (Long, Long)*): Unit = {
+        ms.addData(batch); q.processAllAvailable()
+      }
+      push((1L, t0), (2L, t0 + h), (3L, t0 + 2 * h))
+      push((4L, t0), (5L, t0 + 3 * h)) // id=4 is 3h late -> dropped
+      push((6L, t0 + 25 * h))          // flush windows up to +3h
+      push((7L, t0 + 50 * h))
+      q.stop()
+      s.table(name)
+        .select(unix_micros(col("window.start")).as("win_us"), col("n"))
+        .orderBy("win_us")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling" ->
+      s"""SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
+                 count(*) AS n, ${dsum("value")} AS sum_value
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "stream_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type,
+                           unnest(generate_series(0, 3)) AS k
+                    FROM events)
+         SELECT ts_us - (ts_us % 900000000) - k * 900000000 AS win_us,
+                event_type, count(*) AS n
+         FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "stream_session" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+              g AS (SELECT user_id, ts_us,
+                      CASE WHEN ts_us - lag(ts_us) OVER
+                             (PARTITION BY user_id ORDER BY ts_us)
+                           >= 1800000000 THEN 1 ELSE 0 END AS brk
+                    FROM e),
+              sid AS (SELECT user_id, ts_us,
+                        sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS sess
+                      FROM g)
+         SELECT user_id, min(ts_us) AS sess_start_us, count(*) AS n
+         FROM sid GROUP BY user_id, sess
+         ORDER BY user_id, sess_start_us""",
+
+    "stream_dedup" ->
+      s"""SELECT event_type, count(*) AS n, ${dsum("value")} AS sum_value
+          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "stream_stateful" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           event_type FROM events),
+              r AS (SELECT user_id, ts_us, event_type,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts_us DESC, event_id DESC) AS rn,
+                      count(*) OVER (PARTITION BY user_id) AS n_events
+                    FROM e)
+         SELECT user_id, n_events, ts_us AS last_ts_us,
+                event_type AS last_type
+         FROM r WHERE rn = 1 ORDER BY user_id""",
+
+    "stream_stream_join" ->
+      """SELECT p.event_id AS p_id, s.event_id AS s_id
+         FROM events p JOIN events s
+              ON p.user_id = s.user_id
+             AND epoch_us(s.ts) <= epoch_us(p.ts)
+             AND epoch_us(p.ts) - epoch_us(s.ts) <= 3600000000
+         WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
+         ORDER BY p_id, s_id""",
+
+    "stream_static_join" ->
+      s"""SELECT n_name, count(*) AS n, ${dsum("value")} AS sum_value
+          FROM events JOIN nation ON user_id % 25 = n_nationkey
+          GROUP BY 1 ORDER BY 1""",
+    // stream_late_drop: no SQL twin (watermark semantics) — rows-only +
+    // StreamingSpec asserts the exact four windows.
+  )
+}
