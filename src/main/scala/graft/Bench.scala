@@ -12,6 +12,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: pay first-query JIT/codegen once so it isn't
+    // charged to whichever query sorts first alphabetically.
+    locally {
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      n.groupBy("n_regionkey").count()
+        .join(n, "n_regionkey").orderBy("n_name")
+        .write.mode("overwrite").format("noop").save()
+    }
     // noop sink forces full physical execution (count() would let the
     // optimizer drop sorts/projections and under-measure).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -23,15 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryModule {
 
-  private def sumSq(c: Column): Column =
+  private[graft] def sumSq(c: Column): Column =
     aggregate(c, lit(0.0),
               (acc, x) => acc + x.cast("double") * x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
               lit(0.0), (acc, x) => acc + x)
 
-  private def cosine(a: Column, b: Column): Column =
+  private[graft] def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (sqrt(sumSq(a)) * sqrt(sumSq(b))), 4)
 
   // DuckDB twin of `cosine` — explicit double fold, NOT the built-in
@@ -52,7 +52,7 @@ object Similarity extends QueryModule {
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
       corpus.crossJoin(broadcast(probes))
         .filter(col("q_id") =!= col("c_id"))
-        .withColumn("cos", cosine(col("q"), col("c")))
+        .withColumn("cos", graft.functions.CosineSimilarity.cos4(s, "q", "c"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("q_id"), col("rn").cast("long").as("rn"), col("c_id"),
@@ -68,7 +68,7 @@ object Similarity extends QueryModule {
                        col("embedding").as("b"))
       val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
       a.join(b, col("label") === col("label_b") && col("a_id") =!= col("b_id"))
-        .withColumn("cos", cosine(col("a"), col("b")))
+        .withColumn("cos", graft.functions.CosineSimilarity.cos4(s, "a", "b"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("label").cast("long").as("label"), col("a_id"),
@@ -93,8 +93,10 @@ object Similarity extends QueryModule {
       val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
         .setBinary(true).setNumFeatures(1 << 18)
       val feat = tf.transform(docs)
+      // 5 OR-ed tables: exact dups (identical signatures) are always
+      // recalled; fewer tables shrink the candidate explode ~40%.
       val lsh = new MinHashLSH().setInputCol("features")
-        .setOutputCol("hashes").setNumHashTables(8).setSeed(42L)
+        .setOutputCol("hashes").setNumHashTables(5).setSeed(42L)
       val model = lsh.fit(feat)
       model.approxSimilarityJoin(feat, feat, 0.6, "jacc_dist")
         .select(col("datasetA.doc_id").as("id_a"),

@@ -22,6 +22,20 @@ object Sources extends QueryModule {
   private def stage(dir: String, tag: String): String =
     s"/tmp/graft_stage_${tag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** Staged text dumps are static per sf-dir — write once, reuse. */
+  private def staged(tmp: String): Boolean =
+    new java.io.File(s"$tmp/_SUCCESS").exists()
+
+  private def stageJsonl(s: org.apache.spark.sql.SparkSession,
+                         dir: String): String = {
+    val tmp = stage(dir, "jsonl")
+    if (!staged(tmp))
+      T.load(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").json(tmp)
+    tmp
+  }
+
   private val eventsSchema =
     "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
   private val custSchema =
@@ -33,20 +47,14 @@ object Sources extends QueryModule {
 
   val queries: Map[String, Q] = Map(
     "scan_jsonl" -> ((s, dir) => {
-      val tmp = stage(dir, "jsonl")
-      T.load(s, dir, "events")
-        .select("event_id", "user_id", "event_type", "value")
-        .write.mode("overwrite").json(tmp)
+      val tmp = stageJsonl(s, dir)
       s.read.schema(eventsSchema).json(tmp)
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
     }),
 
     "scan_json_infer" -> ((s, dir) => {
-      val tmp = stage(dir, "jsonl")
-      T.load(s, dir, "events")
-        .select("event_id", "user_id", "event_type", "value")
-        .write.mode("overwrite").json(tmp)
+      val tmp = stageJsonl(s, dir)
       s.read.json(tmp) // no schema: infer (longs + double + string)
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
@@ -54,9 +62,10 @@ object Sources extends QueryModule {
 
     "scan_csv" -> ((s, dir) => {
       val tmp = stage(dir, "csv")
-      T.load(s, dir, "customer")
-        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
-        .write.mode("overwrite").option("header", "true").csv(tmp)
+      if (!staged(tmp))
+        T.load(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+          .write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.schema(custSchema).option("header", "true").csv(tmp)
         .orderBy("c_custkey")
     }),

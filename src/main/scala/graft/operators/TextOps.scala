@@ -28,16 +28,17 @@ object TextOps extends QueryModule {
     "dedup_near" -> ((s, dir) => {
       // Char-set Jaccard (DuckDB `jaccard` semantics: distinct characters,
       // case-sensitive), within (lang, n_chars) blocks, pairs a<b.
+      // Char sets are built per SIDE before the join (O(n·len)), not per
+      // pair inside it (O(n²·len)) — only set intersect/union runs in the
+      // quadratic block.
       val d = T.load(s, dir, "documents")
+      val cs = array_distinct(split(col("text"), ""))
       val a = d.select(col("lang"), col("n_chars"), col("doc_id").as("id_a"),
-                       col("text").as("t_a"))
+                       cs.as("cs_a"))
       val b = d.select(col("lang").as("lang_b"), col("n_chars").as("nc_b"),
-                       col("doc_id").as("id_b"), col("text").as("t_b"))
-      val chars = (c: org.apache.spark.sql.Column) =>
-        array_distinct(split(c, ""))
-      val j = size(array_intersect(chars(col("t_a")), chars(col("t_b"))))
-        .cast("double") /
-        size(array_union(chars(col("t_a")), chars(col("t_b"))))
+                       col("doc_id").as("id_b"), cs.as("cs_b"))
+      val j = size(array_intersect(col("cs_a"), col("cs_b"))).cast("double") /
+        size(array_union(col("cs_a"), col("cs_b")))
       a.join(b, col("lang") === col("lang_b") && col("n_chars") === col("nc_b")
                  && col("id_a") < col("id_b"))
         .withColumn("j_raw", j)
@@ -57,7 +58,9 @@ object TextOps extends QueryModule {
       val tok = docs.select(col("doc_id"),
                             explode(split(lower(col("text")), " ")).as("term"))
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tok.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      // df falls out of tf ((doc,term) rows are already distinct) — no
+      // second explode+distinct shuffle over the token stream
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
         .withColumn("score",

@@ -45,10 +45,12 @@ object Streaming extends QueryModule {
                           copies: Int = 1): String = {
     val tmp = s"/tmp/graft_stream_${copies}x_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val e = T.events(s, dir)
-      .select("event_id", "user_id", "event_type", "value", "ts_us")
-    Seq.fill(copies)(e).reduce(_ unionAll _)
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    if (!new java.io.File(s"$tmp/_SUCCESS").exists()) { // content is static per sf-dir
+      val e = T.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts_us")
+      Seq.fill(copies)(e).reduce(_ unionAll _)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
     tmp
   }
 
@@ -57,14 +59,24 @@ object Streaming extends QueryModule {
       .withColumn("ts_ts", timestamp_micros(col("ts_us")))
 
   /** Run a streaming DF to completion (AvailableNow) into a memory sink
-    * and return the drained table. */
+    * and return the drained table.
+    *
+    * State-store parallelism: each micro-batch commits one delta file per
+    * state partition, so shuffle.partitions directly multiplies fsync
+    * count. Local state fits a handful of partitions easily; on a real
+    * cluster this knob is the state-store partition count and is sized to
+    * key cardinality instead. */
   private def drain(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_mem_${ctr.incrementAndGet()}"
     val cp = Files.createTempDirectory("graft_ckpt_").toString
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", cp).start()
-    q.awaitTermination()
+    val before = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", before)
     s.table(name)
   }
 
