@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.CellFlatten
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+  val sf = SparkFixture.sf001
+
+  /** Manual property driver (the scalatest-scalacheck bridge is not in
+    * the offline cache): fixed seeds keep failures reproducible. */
+  private def forAllSeeded[A](gen: Gen[A], samples: Int = 5)(body: A => Unit): Unit =
+    (1 to samples).foreach { i =>
+      gen(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  private val rowGen = for {
+    id   <- Gen.choose(0L, 1000000L)
+    s    <- Gen.alphaNumStr.map(_.take(12))
+    d    <- Gen.option(Gen.choose(-1e6, 1e6))
+    arr  <- Gen.listOfN(3, Gen.choose(-100, 100))
+  } yield (id, s, d, arr)
+
+  test("flatten round-trip: every non-null leaf appears once and re-parses " +
+       "(SURVEY §5.3 — the core json2hbase semantic)") {
+    forAllSeeded(Gen.listOfN(40, rowGen)) { rowsRaw =>
+      // unique rowkeys (HBase semantics: rowkey identifies the row)
+      val rows = rowsRaw.zipWithIndex
+        .map { case ((_, s, d, a), i) => (i.toLong, s, d, a) }
+      locally {
+        val df = rows.toDF("id", "s", "d", "arr")
+        val cells = CellFlatten
+          .flatten(df, col("id"), "f", lit(0L), exclude = Set("id"))
+          .select("rowkey", "qualifier", "value")
+          .as[(String, String, String)].collect()
+          .groupBy(_._1).view.mapValues(_.map(c => c._2 -> c._3).toMap).toMap
+        rows.foreach { case (id, s, d, arr) =>
+          val got = cells.getOrElse(id.toString, Map.empty)
+          val wantLeaves =
+            (if (s != null) Seq("s" -> s) else Nil) ++
+            d.map(v => "d" -> v).toSeq.map { case (q, _) => q -> "" } ++
+            arr.zipWithIndex.map { case (v, i) => s"arr[$i]" -> v.toString }
+          // every non-null scalar leaf present exactly once, values re-parse
+          assert(got.get("s").contains(s))
+          d match {
+            case Some(v) =>
+              assert(math.abs(BigDecimal(got("d")).toDouble - v) < 1e-6)
+            case None => assert(!got.contains("d"))
+          }
+          arr.zipWithIndex.foreach { case (v, i) =>
+            assert(got(s"arr[$i]") == v.toString)
+          }
+          assert(got.size == wantLeaves.size)
+        }
+      }
+    }
+  }
+
+  test("join_asof window formulation equals an independent correlated-" +
+       "subquery formulation (SURVEY §5.3)") {
+    val viaWindow = SparkEntry.queries("join_asof")(spark, sf).collect().toSeq
+    Tables.events(spark, sf).createOrReplaceTempView("ev_asof")
+    val viaSubquery = spark.sql(
+      """SELECT p.event_id, p.user_id, p.ts_us,
+               (SELECT max(s.ts_us) FROM ev_asof s
+                WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+                  AND s.ts_us <= p.ts_us) AS last_signup_ts
+         FROM ev_asof p WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""").collect().toSeq
+    assert(viaWindow == viaSubquery)
+  }
+
+  test("decimal aggregation is partition-count-invariant on documents too") {
+    val d = Tables.load(spark, sf, "documents")
+    def s(parts: Int) = d.repartition(parts)
+      .agg(sum(Tables.dec(col("n_chars")))).collect()(0).getDecimal(0)
+    assert(s(2) == s(9))
+  }
+}
