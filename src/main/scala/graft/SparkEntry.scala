@@ -18,6 +18,7 @@ object SparkEntry {
     Functions,
     Sources,
     TextOps,
+    DedupOps,
     Similarity,
     Streaming,
   )

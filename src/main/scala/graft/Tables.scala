@@ -55,4 +55,13 @@ object Tables {
 
   /** Round-to-4dp double emit, for similarity scores etc. (SURVEY §2.0-6). */
   def r4(c: Column): Column = round(c.cast("double"), 4)
+
+  /** Mode-independent 4-dp rounding for ratio-of-small-integer outputs:
+    * pure IEEE arithmetic identical in both engines. Engine-native
+    * round() diverges on exact decimal ties (Spark HALF_UP on the
+    * shortest string vs DuckDB half-away on the binary value), and
+    * k/n ratios DO land on such ties. SQL twin: `stable4Sql`. */
+  def stable4(c: Column): Column =
+    floor(c * 10000 + 0.5).cast("double") / 10000.0
+  def stable4Sql(x: String): String = s"floor(($x) * 10000 + 0.5) / 10000.0"
 }

@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.K extension — the remaining large-corpus dedup family:
+  * word-n-gram Jaccard, SimHash with banded LSH self-join, and
+  * embedding-cosine near-dup. (`dedup_exact`/`dedup_near`/`dedup_minhash`
+  * live in TextOps/Similarity.)
+  *
+  * Scale notes:
+  *  - `dedup_ngram` follows the dedup_near shape: shingle sets built per
+  *    SIDE (linear), quadratic work confined to (lang, n_chars) blocks.
+  *  - `dedup_simhash` is the classic scale path: one aggregation to a
+  *    16-bit SimHash per doc, then a banded self-join (2 bands × 8 bits)
+  *    — candidates meet only when a band collides, never all-pairs. The
+  *    token hash derives from md5 hex so Spark and DuckDB agree bit-for-
+  *    bit (no engine-native hash is portable).
+  *  - `dedup_embedding` reuses the native cosine expression within
+  *    label blocks (IVF-style cells).
+  */
+object DedupOps extends QueryModule {
+
+  private val B = 16 // simhash bits; bands = 2 × 8 bits
+
+  private def st4(c: Column): Column = T.stable4(c)
+  private def st4s(x: String) = T.stable4Sql(x)
+
+  private def shingles(text: Column): Column = {
+    val w = split(lower(text), " ")
+    array_distinct(transform(sequence(lit(1), size(w) - 2),
+      i => array_join(slice(w, i, lit(3)), " ")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_ngram" -> ((s, dir) => {
+      val d = T.load(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 3)
+      val a = d.select(col("lang"), col("n_chars"), col("doc_id").as("id_a"),
+                       shingles(col("text")).as("sg_a"))
+      val b = d.select(col("lang").as("lang_b"), col("n_chars").as("nc_b"),
+                       col("doc_id").as("id_b"), shingles(col("text")).as("sg_b"))
+      val j = size(array_intersect(col("sg_a"), col("sg_b"))).cast("double") /
+        size(array_union(col("sg_a"), col("sg_b")))
+      a.join(b, col("lang") === col("lang_b") && col("n_chars") === col("nc_b")
+                 && col("id_a") < col("id_b"))
+        .withColumn("j_raw", j).filter(col("j_raw") >= 0.8)
+        .select(col("id_a"), col("id_b"), st4(col("j_raw")).as("j"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      val tok = T.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+                explode(split(lower(col("text")), " ")).as("t"))
+        .withColumn("th", conv(substring(md5(col("t")), 1, 15), 16, 10)
+          .cast("long"))
+      val cnts = (0 until B).map(j =>
+        sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"c$j"))
+      val agg = tok.groupBy("doc_id", "lang").agg(cnts.head, cnts.tail: _*)
+      val sh = (0 until B).map(j =>
+        when(col(s"c$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val bands = agg.select(col("doc_id"), col("lang"), sh.as("sh"))
+        .select(col("doc_id"), col("lang"), col("sh"),
+                explode(array(
+                  struct(lit(0).as("b"), expr("sh % 256").as("v")),
+                  struct(lit(1).as("b"), expr("sh div 256").as("v"))))
+                  .as("band"))
+        .select(col("doc_id"), col("lang"), col("sh"),
+                col("band.b").as("b"), col("band.v").as("v"))
+      val l = bands.select(col("b"), col("v"), col("lang"),
+                           col("doc_id").as("id_a"), col("sh").as("h_a"))
+      val r = bands.select(col("b").as("b2"), col("v").as("v2"),
+                           col("lang").as("lang_b"),
+                           col("doc_id").as("id_b"), col("sh").as("h_b"))
+      l.join(r, col("b") === col("b2") && col("v") === col("v2") &&
+                col("lang") === col("lang_b") && col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b").distinct()
+        .withColumn("hamming",
+                    bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
+        .filter(col("hamming") <= 2)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_embedding" -> ((s, dir) => {
+      // Threshold 0.4 suits the synthetic uniform embeddings (max pair
+      // cosine ≈ 0.47); a real corpus would use ≈0.95.
+      val e = T.load(s, dir, "embeddings")
+      val a = e.select(col("label"), col("vec_id").as("id_a"),
+                       col("embedding").as("va"))
+      val b = e.select(col("label").as("label_b"), col("vec_id").as("id_b"),
+                       col("embedding").as("vb"))
+      a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+        .withColumn("cos", graft.functions.CosineSimilarity.cos4(s, "va", "vb"))
+        .filter(col("cos") >= 0.4)
+        .select(col("label").cast("long").as("label"), col("id_a"),
+                col("id_b"), col("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+  )
+
+  // ---- oracle SQL -------------------------------------------------------
+
+  private val simhashSums = (0 until B)
+    .map(j => s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j")
+    .mkString(", ")
+  private val simhashBits = (0 until B)
+    .map(j => s"(CASE WHEN c$j >= 0 THEN ${1L << j} ELSE 0 END)")
+    .mkString(" + ")
+
+  private def duckSumSq(c: String) =
+    s"list_aggregate(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+  private def duckCos(a: String, b: String) =
+    s"""round(list_aggregate(list_transform(list_zip($a, $b),
+            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+          / (sqrt(${duckSumSq(a)}) * sqrt(${duckSumSq(b)})), 4)"""
+
+  val oracles: Map[String, String] = Map(
+    "dedup_ngram" -> {
+      val j = "CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) / len(list_distinct(a.sg || b.sg))"
+      s"""WITH d AS (SELECT doc_id, lang, n_chars,
+                            string_split(lower(text), ' ') AS w
+                     FROM documents),
+               s AS (SELECT doc_id, lang, n_chars,
+                            list_distinct(list_transform(
+                              generate_series(1, len(w) - 2),
+                              i -> array_to_string(w[i:i+2], ' '))) AS sg
+                     FROM d WHERE len(w) >= 3)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${st4s(j)} AS j
+          FROM s a JOIN s b ON a.lang = b.lang AND a.n_chars = b.n_chars
+                           AND a.doc_id < b.doc_id
+          WHERE $j >= 0.8
+          ORDER BY id_a, id_b"""
+    },
+
+    "dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, lang,
+                              unnest(string_split(lower(text), ' ')) AS t
+                       FROM documents),
+               th AS (SELECT doc_id, lang,
+                             TRY_CAST('0x' || substring(md5(t), 1, 15)
+                                      AS BIGINT) AS th
+                      FROM tok),
+               cnt AS (SELECT doc_id, lang, $simhashSums
+                       FROM th GROUP BY doc_id, lang),
+               sh AS (SELECT doc_id, lang, $simhashBits AS sh FROM cnt),
+               bands AS (SELECT doc_id, lang, sh,
+                                unnest([0, 1]) AS b,
+                                unnest([sh % 256, sh // 256]) AS v
+                         FROM sh),
+               pairs AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+                                a.sh AS h_a, bb.sh AS h_b
+                         FROM bands a JOIN bands bb
+                              ON a.b = bb.b AND a.v = bb.v
+                             AND a.lang = bb.lang AND a.doc_id < bb.doc_id)
+          SELECT id_a, id_b,
+                 CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+          FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 2
+          ORDER BY id_a, id_b""",
+
+    "dedup_embedding" ->
+      s"""WITH a AS (SELECT label, vec_id AS id_a, embedding AS va
+                     FROM embeddings),
+               b AS (SELECT label AS label_b, vec_id AS id_b, embedding AS vb
+                     FROM embeddings),
+               scored AS (SELECT CAST(label AS BIGINT) AS label, id_a, id_b,
+                                 ${duckCos("va", "vb")} AS cos
+                          FROM a JOIN b
+                               ON label = label_b AND id_a < id_b)
+          SELECT label, id_a, id_b, cos FROM scored
+          WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+  )
+}

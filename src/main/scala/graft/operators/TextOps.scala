@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -72,6 +73,83 @@ object TextOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    "text_langid" -> ((s, dir) => {
+      // Self-trained word-profile language ID: top-10 tokens per labeled
+      // lang form the profile; each doc classifies to the profile with
+      // the highest token-set Jaccard. The profile table is tiny and
+      // broadcast; the corpus side never shuffles for scoring.
+      val tok = T.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+                explode(split(lower(col("text")), " ")).as("t"))
+      val prof = tok.groupBy("lang", "t").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("cnt").desc, col("t"))))
+        .filter(col("rn") <= 10)
+        .groupBy("lang").agg(sort_array(collect_list("t")).as("ptoks"))
+        .withColumnRenamed("lang", "cand_lang")
+      val dt = tok.groupBy("doc_id")
+        .agg(sort_array(array_distinct(collect_list("t"))).as("dtoks"))
+      val scored = dt.crossJoin(broadcast(prof))
+        .withColumn("score", T.stable4(
+          size(array_intersect(col("dtoks"), col("ptoks"))).cast("double") /
+            size(array_union(col("dtoks"), col("ptoks")))))
+      scored.withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc,
+                                               col("cand_lang"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("score"))
+        .orderBy("doc_id")
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      val d = T.load(s, dir, "documents")
+      val toks = split(lower(col("text")), " ")
+      val nTok = size(toks)
+      val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+        .cast("double")
+      val stops = size(filter(toks,
+        w => w.isin("a", "the", "of", "to", "and", "in", "is"))).cast("double")
+      d.select(col("doc_id"),
+        nTok.cast("long").as("n_tok"),
+        T.stable4((col("n_chars") - (nTok - 1)).cast("double") / nTok)
+          .as("avg_tok_len"),
+        T.stable4(alpha / col("n_chars")).as("alpha_ratio"),
+        T.stable4(stops / nTok).as("stop_ratio"),
+        T.stable4(lit(0.4) * (stops / nTok) + lit(0.4) * (alpha / col("n_chars"))
+                  + lit(0.2) * least(nTok.cast("double") / 100.0, lit(1.0)))
+          .as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "text_tokens" -> ((s, dir) => {
+      val d = T.load(s, dir, "documents")
+      val re = "[a-z]+|[0-9]+|[^a-z0-9 ]" // BPE-style pre-tokenizer classes
+      val reToks = size(regexp_extract_all(lower(col("text")), lit(re), lit(0)))
+      d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        reToks.cast("long").as("re_tokens"),
+        T.stable4(col("n_chars").cast("double") / reToks)
+          .as("chars_per_token"))
+        .orderBy("doc_id")
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      // Polynomial rolling hash over the token sequence (and its
+      // order-insensitive twin over the sorted distinct token set).
+      // Token values derive from md5 hex — the only hash both engines
+      // share — kept under 2^32 so every fold step stays exact.
+      val d = T.load(s, dir, "documents")
+      def hv(t: Column): Column =
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1000003L
+      val w = split(lower(col("text")), " ")
+      def fold(vals: Column): Column =
+        aggregate(vals, lit(0L), (acc, v) => (acc * 31 + v) % 2147483647L)
+      d.select(col("doc_id"),
+        fold(transform(w, hv(_))).as("fp"),
+        fold(transform(array_sort(array_distinct(w)), hv(_))).as("fp_set"))
+        .orderBy("doc_id")
+    }),
+
     "text_stats" -> ((s, dir) =>
       T.load(s, dir, "documents")
         .groupBy("lang")
@@ -124,6 +202,69 @@ object TextOps extends QueryModule {
          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                          ORDER BY score DESC, term) AS rn FROM scored)
          WHERE rn = 1 ORDER BY doc_id""",
+
+    "text_langid" ->
+      s"""WITH tok AS (SELECT doc_id, lang,
+                              unnest(string_split(lower(text), ' ')) AS t
+                       FROM documents),
+               lc AS (SELECT lang, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+               pr AS (SELECT lang, t FROM
+                        (SELECT lang, t, row_number() OVER
+                           (PARTITION BY lang ORDER BY cnt DESC, t) AS rn
+                         FROM lc) WHERE rn <= 10),
+               prof AS (SELECT lang AS cand_lang, list_sort(list(t)) AS ptoks
+                        FROM pr GROUP BY lang),
+               dt AS (SELECT doc_id,
+                             list_sort(list_distinct(list(t))) AS dtoks
+                      FROM tok GROUP BY doc_id),
+               scored AS (SELECT doc_id, cand_lang,
+                                 ${T.stable4Sql(
+                                   "CAST(len(list_intersect(dtoks, ptoks)) AS DOUBLE)" +
+                                   " / len(list_distinct(dtoks || ptoks))")} AS score
+                          FROM dt CROSS JOIN prof)
+          SELECT doc_id, cand_lang AS pred_lang, score
+          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, cand_lang) AS rn FROM scored)
+          WHERE rn = 1 ORDER BY doc_id""",
+
+    "text_quality" -> {
+      val stops = "CAST(len(list_filter(string_split(lower(text), ' '), " +
+        "w -> w IN ('a','the','of','to','and','in','is'))) AS DOUBLE)"
+      val nTok = "len(string_split(lower(text), ' '))"
+      val alpha = "CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)"
+      s"""SELECT doc_id,
+                 $nTok AS n_tok,
+                 ${T.stable4Sql(s"CAST(n_chars - ($nTok - 1) AS DOUBLE) / $nTok")} AS avg_tok_len,
+                 ${T.stable4Sql(s"$alpha / n_chars")} AS alpha_ratio,
+                 ${T.stable4Sql(s"$stops / $nTok")} AS stop_ratio,
+                 ${T.stable4Sql(s"0.4 * ($stops / $nTok) + 0.4 * ($alpha / n_chars)" +
+                                s" + 0.2 * least($nTok / 100.0, 1.0)")} AS quality
+          FROM documents ORDER BY doc_id"""
+    },
+
+    "text_tokens" -> {
+      val re = "'[a-z]+|[0-9]+|[^a-z0-9 ]'"
+      s"""SELECT doc_id,
+                 len(string_split(text, ' ')) AS ws_tokens,
+                 len(regexp_extract_all(lower(text), $re)) AS re_tokens,
+                 ${T.stable4Sql(
+                   s"CAST(n_chars AS DOUBLE) / len(regexp_extract_all(lower(text), $re))")}
+                   AS chars_per_token
+          FROM documents ORDER BY doc_id"""
+    },
+
+    "text_fingerprint" -> {
+      def hv(t: String) =
+        s"TRY_CAST('0x' || substring(md5($t), 1, 8) AS BIGINT) % 1000003"
+      def fold(vals: String) =
+        s"list_reduce(list_prepend(0, $vals), (acc, v) -> (acc * 31 + v) % 2147483647)"
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                     FROM documents)
+          SELECT doc_id,
+                 ${fold(s"list_transform(w, t -> ${hv("t")})")} AS fp,
+                 ${fold(s"list_transform(list_sort(list_distinct(w)), t -> ${hv("t")})")} AS fp_set
+          FROM d ORDER BY doc_id"""
+    },
 
     "text_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
