@@ -27,10 +27,18 @@ object DedupOps extends QueryModule {
   private def st4(c: Column): Column = T.stable4(c)
   private def st4s(x: String) = T.stable4Sql(x)
 
-  private def shingles(text: Column): Column = {
+  /** Word-trigram shingle set in O(words): two zip_with passes over
+    * shifted views of the token array (the sequence+slice formulation is
+    * O(words²) — each slice rescans the array). zip_with pads the longer
+    * side with null and concat propagates it, so the trailing partials
+    * vanish with the final slice. */
+  private[operators] def shingles(text: Column): Column = {
     val w = split(lower(text), " ")
-    array_distinct(transform(sequence(lit(1), size(w) - 2),
-      i => array_join(slice(w, i, lit(3)), " ")))
+    val s2 = zip_with(w, slice(w, lit(2), size(w)),
+                      (x, y) => concat(x, lit(" "), y))
+    val s3 = zip_with(s2, slice(w, lit(3), size(w)),
+                      (x, y) => concat(x, lit(" "), y))
+    array_distinct(slice(s3, lit(1), greatest(size(w) - 2, lit(0))))
   }
 
   val queries: Map[String, Q] = Map(

@@ -84,12 +84,7 @@ object Similarity extends QueryModule {
       // dedup_near on sf0.001 (SimilaritySpec).
       import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
       val docs = T.load(s, dir, "documents")
-        .select(col("doc_id"),
-                filter(transform(
-                  sequence(lit(1), greatest(size(split(col("text"), " ")) - 2,
-                                            lit(1))),
-                  i => array_join(slice(split(col("text"), " "), i, lit(3)), " ")),
-                  sh => sh.isNotNull).as("shingles"))
+        .select(col("doc_id"), DedupOps.shingles(col("text")).as("shingles"))
       val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
         .setBinary(true).setNumFeatures(1 << 18)
       val feat = tf.transform(docs)
