@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 93-query shared session: 8g showed multi-second GC variance on
+  // individual queries; 16g keeps the old-gen churn off the timings.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 93 queries generate hundreds of whole-stage-codegen classes; the
+  // default 240m code cache overflows mid-run, the JIT stops compiling,
+  // and random queries degrade 10-20x (observed: same query 1s-39s
+  // across runs). 1g keeps every generated class compiled.
+  "-XX:ReservedCodeCacheSize=1g",
 )
