@@ -19,6 +19,7 @@ object SparkEntry {
     Sources,
     TextOps,
     DedupOps,
+    Multimodal,
     Similarity,
     Streaming,
   )

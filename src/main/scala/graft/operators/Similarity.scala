@@ -76,6 +76,34 @@ object Similarity extends QueryModule {
         .orderBy("a_id", "rn")
     }),
 
+    "sim_ivf" -> ((s, dir) => {
+      // LSH-bucketed ANN — the scale path next to brute-force sim_topk:
+      // coarse-quantize every vector by the sign pattern of its first 8
+      // dims (8 fixed hyperplanes -> 256 cells), join probes only to
+      // their own cell, rank within it. At 100 TB the corpus shuffles
+      // once on the bucket id and each probe touches ~1/256 of it.
+      val e = T.load(s, dir, "embeddings")
+      val bucket = (0 until 8).map(j =>
+        when(element_at(col("embedding"), j + 1) >= 0f, lit(1 << j))
+          .otherwise(lit(0))).reduce(_ + _)
+      val withB = e.withColumn("bucket", bucket)
+      val probes = withB.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q"),
+                col("bucket").as("qb"))
+      val corpus = withB
+        .select(col("vec_id").as("c_id"), col("embedding").as("c"),
+                col("bucket").as("cb"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+      corpus.join(broadcast(probes),
+                  col("qb") === col("cb") && col("q_id") =!= col("c_id"))
+        .withColumn("cos", graft.functions.CosineSimilarity.cos4(s, "q", "c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn").cast("long").as("rn"), col("c_id"),
+                col("cos"))
+        .orderBy("q_id", "rn")
+    }),
+
     "dedup_minhash" -> ((s, dir) => {
       // Scalable near-dup candidates: 3-shingles -> HashingTF (stateless,
       // deterministic — no fitted vocabulary ordering to drift) ->
@@ -102,7 +130,25 @@ object Similarity extends QueryModule {
     }),
   )
 
+  private val duckBucket = (0 until 8).map(j =>
+    s"(CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
+    .mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "sim_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $duckBucket AS bucket
+                     FROM embeddings),
+               p AS (SELECT vec_id AS q_id, embedding AS q, bucket AS qb
+                     FROM e WHERE vec_id < 10),
+               c AS (SELECT vec_id AS c_id, embedding AS c, bucket AS cb
+                     FROM e),
+               scored AS (SELECT q_id, c_id, ${duckCos("q", "c")} AS cos
+                          FROM p JOIN c ON qb = cb AND q_id != c_id)
+          SELECT q_id, rn, c_id, cos
+          FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                          ORDER BY cos DESC, c_id) AS rn FROM scored)
+          WHERE rn <= 3 ORDER BY q_id, rn""",
+
     "sim_topk" ->
       s"""WITH p AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings
                      WHERE vec_id < 10),
