@@ -154,6 +154,21 @@ object Joins extends QueryModule {
         .orderBy("event_id")
     }),
 
+    "join_asof_native" -> ((s, dir) => {
+      // Custom-operator twin of join_asof: AsOfJoin logical node +
+      // Strategy + co-partitioned merge exec (graft.plans.AsOfJoinPlan).
+      // Same oracle as the window formulation — same answer, one merge
+      // pass instead of a full-partition window buffer.
+      val e = T.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val signups = e.filter(col("event_type") === "signup")
+        .select("user_id", "ts_us")
+      graft.plans.AsOfJoinPlan
+        .asOf(s, purchases, signups, "user_id", "ts_us", "last_signup_ts")
+        .orderBy("event_id")
+    }),
+
     "join_multiway" -> ((s, dir) => {
       val r = T.load(s, dir, "region")
       val n = T.load(s, dir, "nation")
@@ -251,6 +266,14 @@ object Joins extends QueryModule {
               ON a.user_id = b.user_id AND a.event_id < b.event_id
              AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
          ORDER BY a.user_id, id_a, id_b""",
+
+    "join_asof_native" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                (SELECT max(epoch_us(s.ts)) FROM events s
+                 WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+                   AND epoch_us(s.ts) <= epoch_us(p.ts)) AS last_signup_ts
+         FROM events p WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
 
     "join_asof" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,

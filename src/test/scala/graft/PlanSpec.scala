@@ -60,4 +60,18 @@ class PlanSpec extends AnyFunSuite {
   test("topk_global plans as TakeOrderedAndProject (no full global sort)") {
     assert(plan("topk_global").contains("TakeOrderedAndProject"))
   }
+
+  test("join_asof_native plans the custom AsOfJoinExec (strategy fired)") {
+    val p = plan("join_asof_native")
+    assert(p.contains("AsOfJoin"), p)
+    // co-partitioned: exactly one exchange per side feeding the merge
+    assert(p.sliding("Exchange hashpartitioning".length)
+            .count(_ == "Exchange hashpartitioning") >= 2, p)
+  }
+
+  test("join_asof_native equals the composed window formulation") {
+    val native = SparkEntry.queries("join_asof_native")(spark, sf).collect()
+    val window = SparkEntry.queries("join_asof")(spark, sf).collect()
+    assert(native.toSeq == window.toSeq)
+  }
 }
