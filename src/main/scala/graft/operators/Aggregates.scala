@@ -68,6 +68,18 @@ object Aggregates extends QueryModule {
        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
 
   val queries: Map[String, Q] = Map(
+    "agg_pivot" -> ((s, dir) =>
+      // Pivot with an EXPLICIT value list: no extra distinct-values scan,
+      // and the output schema is static (required at scale — an implicit
+      // pivot collects the key domain to the driver first).
+      T.load(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(T.d(sum(T.dec(col("o_totalprice")))))
+        .withColumnsRenamed(Map("F" -> "f_total", "O" -> "o_total",
+                                "P" -> "p_total"))
+        .orderBy("o_orderpriority")),
+
     "agg_groupby" -> ((s, dir) =>
       T.load(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
@@ -170,6 +182,19 @@ object Aggregates extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+                CAST(CAST(sum(CAST(CASE WHEN o_orderstatus = 'F'
+                       THEN o_totalprice END AS DECIMAL(38,6)))
+                     AS VARCHAR(64)) AS DOUBLE) AS f_total,
+                CAST(CAST(sum(CAST(CASE WHEN o_orderstatus = 'O'
+                       THEN o_totalprice END AS DECIMAL(38,6)))
+                     AS VARCHAR(64)) AS DOUBLE) AS o_total,
+                CAST(CAST(sum(CAST(CASE WHEN o_orderstatus = 'P'
+                       THEN o_totalprice END AS DECIMAL(38,6)))
+                     AS VARCHAR(64)) AS DOUBLE) AS p_total
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
