@@ -154,6 +154,29 @@ object Joins extends QueryModule {
         .orderBy("event_id")
     }),
 
+    "join_salted" -> ((s, dir) => {
+      // Skew-mitigation pattern: deterministic 8-way salt on the probe
+      // side, build side replicated per salt value — one hot key spreads
+      // over 8 reducers instead of stalling one. Salt-invariant result,
+      // so the oracle is the plain join. (Salt must be deterministic,
+      // not rand() — §2.0-5; a real pipeline keys it off stable row
+      // attributes exactly like this.)
+      val S = 8
+      // hint("merge") pins a shuffle-based physical so the salt actually
+      // governs the exchange keys (at test scale the replicated build
+      // side would otherwise broadcast and make the salt a no-op).
+      val li = T.load(s, dir, "lineitem").hint("merge")
+        .withColumn("salt", pmod(col("l_orderkey") + col("l_linenumber"), lit(S)))
+      val o = T.load(s, dir, "orders")
+        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+      li.join(o, li("l_orderkey") === o("o_orderkey") &&
+                 li("salt") === o("salt"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+             T.d(sum(T.dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     "join_asof_native" -> ((s, dir) => {
       // Custom-operator twin of join_asof: AsOfJoin logical node +
       // Strategy + co-partitioned merge exec (graft.plans.AsOfJoinPlan).
@@ -266,6 +289,11 @@ object Joins extends QueryModule {
               ON a.user_id = b.user_id AND a.event_id < b.event_id
              AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
          ORDER BY a.user_id, id_a, id_b""",
+
+    "join_salted" ->
+      s"""SELECT o_orderstatus, count(*) AS n, ${dsum("l_quantity")} AS sum_qty
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "join_asof_native" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
