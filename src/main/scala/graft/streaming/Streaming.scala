@@ -3,12 +3,38 @@ package graft.streaming
 import graft.{QueryModule, Tables => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import java.nio.file.Files
 
-/** Per-event row shape used by the stateful operator (top-level for a
+/** Per-event row shape used by the stateful operators (top-level for a
   * stable Encoder). */
 case class Ev(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+
+/** transformWithState processor: per-user running count + last event,
+  * the Spark 4 arbitrary-state API twin of the flatMapGroupsWithState
+  * formulation in `stream_stateful`. Requires the RocksDB state store. */
+class RunningStateProcessor
+    extends StatefulProcessor[Long, Ev, (Long, Long, Long, String)] {
+  @transient private var st: ValueState[(Long, Long, String)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState("st",
+      Encoders.product[(Long, Long, String)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      tv: TimerValues): Iterator[(Long, Long, Long, String)] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val n0 = if (st.exists()) st.get()._1 else 0L
+      val last = sorted.last
+      val next = (n0 + sorted.size, last.ts_us, last.event_type)
+      st.update(next)
+      Iterator((key, next._1, next._2, next._3))
+    }
+  }
+}
 
 /** SURVEY.md §2.I — Structured Streaming: tumbling/sliding/session
   * windows, watermark late-data drop, streaming dedup, arbitrary
@@ -149,6 +175,30 @@ object Streaming extends QueryModule {
       drain(s, out, "update").orderBy("user_id")
     }),
 
+    "stream_stateful_tws" -> ((s, dir) => {
+      // Same semantics as stream_stateful via the Spark 4
+      // transformWithState API (typed ValueState handle + per-batch
+      // input iterator); needs the RocksDB state store provider.
+      import s.implicits._
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val before = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = readStream(s, stageEvents(s, dir))
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+                  col("event_type")).as[Ev]
+        val out = in.groupByKey(_.user_id)
+          .transformWithState(new RunningStateProcessor,
+                              TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "n_events", "last_ts_us", "last_type")
+        drain(s, out, "update").orderBy("user_id")
+      } finally before match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    }),
+
     "stream_stream_join" -> ((s, dir) => {
       val staged = stageEvents(s, dir)
       val p = readStream(s, staged).filter(col("event_type") === "purchase")
@@ -245,6 +295,18 @@ object Streaming extends QueryModule {
           FROM events GROUP BY 1 ORDER BY 1""",
 
     "stream_stateful" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           event_type FROM events),
+              r AS (SELECT user_id, ts_us, event_type,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts_us DESC, event_id DESC) AS rn,
+                      count(*) OVER (PARTITION BY user_id) AS n_events
+                    FROM e)
+         SELECT user_id, n_events, ts_us AS last_ts_us,
+                event_type AS last_type
+         FROM r WHERE rn = 1 ORDER BY user_id""",
+
+    "stream_stateful_tws" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
                            event_type FROM events),
               r AS (SELECT user_id, ts_us, event_type,
