@@ -135,6 +135,32 @@ object Joins extends QueryModule {
         .orderBy("user_id", "id_a", "id_b")
     }),
 
+    "join_interval_bucketed" -> ((s, dir) => {
+      // Scale path for join_interval_self: bucket time into window-sized
+      // cells and equi-join on (user, bucket) with the right side
+      // replicated to its ±1 neighbor buckets — every |Δts| <= W pair
+      // lands in exactly one bucket match (the left row's bucket), so
+      // the unbounded range condition becomes a hash-partitionable
+      // equi-join plus a cheap exact filter. Same oracle as the naive
+      // formulation.
+      val W = 300000000L // 5 min in µs
+      val e = T.events(s, dir).select(col("user_id"), col("event_id"),
+                                      col("ts_us"))
+      val a = e.select(col("user_id").as("u"), col("event_id").as("id_a"),
+                       col("ts_us").as("ts_a"))
+        .withColumn("bk", expr(s"ts_a div $W"))
+      val b = e.select(col("user_id").as("u2"), col("event_id").as("id_b"),
+                       col("ts_us").as("ts_b"))
+        .withColumn("bk2", explode(array(
+          expr(s"ts_b div $W - 1"), expr(s"ts_b div $W"),
+          expr(s"ts_b div $W + 1"))))
+      a.join(b, col("u") === col("u2") && col("bk") === col("bk2") &&
+                col("id_a") < col("id_b") &&
+                abs(col("ts_a") - col("ts_b")) <= W)
+        .select(col("u").as("user_id"), col("id_a"), col("id_b"))
+        .orderBy("user_id", "id_a", "id_b")
+    }),
+
     "join_asof" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = T.events(s, dir)
@@ -302,6 +328,13 @@ object Joins extends QueryModule {
                    AND epoch_us(s.ts) <= epoch_us(p.ts)) AS last_signup_ts
          FROM events p WHERE p.event_type = 'purchase'
          ORDER BY p.event_id""",
+
+    "join_interval_bucketed" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+         FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+         ORDER BY a.user_id, id_a, id_b""",
 
     "join_asof" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
