@@ -106,6 +106,18 @@ object Functions extends QueryModule {
         expr("try_cast('12x' AS BIGINT)").as("bad"))
         .orderBy("o_orderkey")),
 
+    "fn_bitwise" -> ((s, dir) =>
+      T.load(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
+        col("o_orderkey").bitwiseOR(lit(7L)).as("bor"),
+        col("o_orderkey").bitwiseXOR(lit(170L)).as("bxor"),
+        shiftleft(col("o_orderkey") % 16, 2).as("shl"),
+        shiftright(col("o_orderkey"), 3).as("shr"),
+        bit_count(col("o_orderkey")).cast("long").as("bcnt"),
+        bitwise_not(col("o_orderkey")).as("bnot"))
+        .orderBy("o_orderkey")),
+
     "fn_hash" -> ((s, dir) =>
       T.load(s, dir, "customer").select(
         col("c_custkey"),
@@ -232,6 +244,17 @@ object Functions extends QueryModule {
                 CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS ds,
                 CAST(o_orderkey % 2 AS BOOLEAN) AS b1,
                 TRY_CAST('12x' AS BIGINT) AS bad
+         FROM orders ORDER BY o_orderkey""",
+
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+                o_orderkey & 255 AS band,
+                o_orderkey | 7 AS bor,
+                xor(o_orderkey, 170) AS bxor,
+                (o_orderkey % 16) << 2 AS shl,
+                o_orderkey >> 3 AS shr,
+                CAST(bit_count(o_orderkey) AS BIGINT) AS bcnt,
+                ~o_orderkey AS bnot
          FROM orders ORDER BY o_orderkey""",
 
     "fn_hash" ->

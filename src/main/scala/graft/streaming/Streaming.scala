@@ -216,6 +216,32 @@ object Streaming extends QueryModule {
       drain(s, j, "append").orderBy("p_id", "s_id")
     }),
 
+    "stream_sink_foreachbatch" -> ((s, dir) => {
+      // foreachBatch sink: per-micro-batch custom writer (the idiom for
+      // sinks Spark lacks — JDBC upserts, HBase puts, ...). Here each
+      // batch appends its purchases to a parquet dir; the drained dir
+      // must equal the batch filter (oracle).
+      val outDir = new java.io.File("/tmp/graft_fb_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(): Unit
+      }
+      if (outDir.exists()) rmrf(outDir) // idempotent re-runs
+      val in = readStream(s, stageEvents(s, dir))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "value")
+      val cp = Files.createTempDirectory("graft_ckpt_").toString
+      val q = in.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir.getPath)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp).start()
+      q.awaitTermination()
+      s.read.parquet(outDir.getPath).orderBy("event_id")
+    }),
+
     "stream_static_join" -> ((s, dir) => {
       val dim = T.load(s, dir, "nation") // static side, broadcast
       val in = readStream(s, stageEvents(s, dir))
@@ -326,6 +352,10 @@ object Streaming extends QueryModule {
              AND epoch_us(p.ts) - epoch_us(s.ts) <= 3600000000
          WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
          ORDER BY p_id, s_id""",
+
+    "stream_sink_foreachbatch" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_type = 'purchase' ORDER BY event_id""",
 
     "stream_static_join" ->
       s"""SELECT n_name, count(*) AS n, ${dsum("value")} AS sum_value
