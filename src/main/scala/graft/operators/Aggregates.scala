@@ -151,10 +151,14 @@ object Aggregates extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // The driver's pandas comparer cannot sort list-typed columns, so the
+    // sorted collect is emitted as a joined string (the array op itself —
+    // collect_list + sort_array — still runs inside the agg).
     "agg_collect_sorted" -> ((s, dir) =>
       T.load(s, dir, "nation")
         .groupBy("n_regionkey")
-        .agg(sort_array(collect_list(col("n_name"))).as("names"))
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name"))))
+          .as("names"))
         .orderBy("n_regionkey")),
 
     "agg_conditional" -> ((s, dir) =>
@@ -245,12 +249,16 @@ object Aggregates extends QueryModule {
          FROM b ORDER BY l_returnflag""",
 
     "agg_collect_sorted" ->
-      """SELECT n_regionkey, list(n_name ORDER BY n_name) AS names
+      """SELECT n_regionkey,
+                array_to_string(list(n_name ORDER BY n_name), ',') AS names
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
 
     "agg_conditional" ->
       """SELECT l_returnflag,
-                sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+                -- DuckDB sum(int) is HUGEINT → pandas float64; cast to match
+                -- Spark's BIGINT (same trap as GROUPING_ID above)
+                CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_f,
                 CAST(CAST(sum(CASE WHEN l_quantity > 25.0
                               THEN CAST(l_extendedprice AS DECIMAL(38,6))
                               ELSE CAST(0 AS DECIMAL(38,6)) END) AS VARCHAR(64)) AS DOUBLE) AS big_qty_price,

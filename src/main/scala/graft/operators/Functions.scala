@@ -126,23 +126,35 @@ object Functions extends QueryModule {
         md5(concat(col("c_name"), lit("|"), col("c_mktsegment"))).as("h_cat"))
         .orderBy("c_custkey")),
 
-    "fn_array" -> ((s, dir) =>
+    // List-typed outputs crash the driver's pandas comparer, so every array
+    // op here (slice / sort_array / transform / aggregate) runs in the plan
+    // but is emitted scalarized: element_at picks, or a decimal-mediated
+    // array_join (double→string formatting differs across engines;
+    // double→DECIMAL(18,4)→string is identical — §2.0-6).
+    "fn_array" -> ((s, dir) => {
+      def d4s(c: org.apache.spark.sql.Column) =
+        c.cast("double").cast("decimal(18,4)").cast("string")
       T.load(s, dir, "embeddings").select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("n"),
         round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
-        transform(slice(col("embedding"), 1, 3),
-                  x => round(x.cast("double"), 4)).as("sl"),
-        transform(slice(sort_array(col("embedding")), 1, 3),
-                  x => round(x.cast("double"), 4)).as("srt"),
+        array_join(transform(slice(col("embedding"), 1, 3), x => d4s(x)), ",")
+          .as("sl"),
+        round(element_at(sort_array(col("embedding")), 1).cast("double"), 4)
+          .as("srt1"),
+        round(element_at(sort_array(col("embedding")), 3).cast("double"), 4)
+          .as("srt3"),
         size(array_distinct(col("embedding"))).cast("long").as("n_dist"),
         round(aggregate(col("embedding"), lit(0.0),
                         (acc, x) => acc + x.cast("double") * x.cast("double")),
               4).as("ss"),
         round(aggregate(transform(col("embedding"), x => x.cast("double") * 2),
                         lit(0.0), (acc, x) => acc + x), 4).as("s2"))
-        .orderBy("vec_id")),
+        .orderBy("vec_id")
+    }),
 
+    // Same scalarization: map_keys/map_values arrays are string-joined
+    // (null-safe via coalesce so both engines agree on missing keys).
     "fn_map" -> ((s, dir) => {
       val e = T.events(s, dir)
         .withColumn("kv", get_json_object(col("props"), "$.k").cast("long"))
@@ -152,8 +164,10 @@ object Functions extends QueryModule {
                         array(col("kv"), col("kv") * 2)).as("m"))
         .select(
           col("event_id"),
-          map_keys(col("m")).as("ks"),
-          map_values(col("m")).as("vs"),
+          array_join(map_keys(col("m")), ",").as("ks"),
+          array_join(transform(map_values(col("m")),
+                               v => coalesce(v.cast("string"), lit("null"))),
+                     ",").as("vs"),
           element_at(col("m"), "k").as("v1"))
         .orderBy("event_id")
     }),
@@ -268,10 +282,11 @@ object Functions extends QueryModule {
       """SELECT vec_id,
                 len(embedding) AS n,
                 round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
-                list_transform(embedding[1:3],
-                               x -> round(CAST(x AS DOUBLE), 4)) AS sl,
-                list_transform(list_sort(embedding)[1:3],
-                               x -> round(CAST(x AS DOUBLE), 4)) AS srt,
+                array_to_string(list_transform(embedding[1:3],
+                  x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,4))
+                            AS VARCHAR)), ',') AS sl,
+                round(CAST(list_sort(embedding)[1] AS DOUBLE), 4) AS srt1,
+                round(CAST(list_sort(embedding)[3] AS DOUBLE), 4) AS srt3,
                 len(list_distinct(embedding)) AS n_dist,
                 round(list_aggregate(list_transform(embedding,
                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4)
@@ -282,8 +297,9 @@ object Functions extends QueryModule {
 
     "fn_map" ->
       """SELECT event_id,
-                ['k', 'k2'] AS ks,
-                [kv, kv * 2] AS vs,
+                'k,k2' AS ks,
+                coalesce(CAST(kv AS VARCHAR), 'null') || ',' ||
+                  coalesce(CAST(kv * 2 AS VARCHAR), 'null') AS vs,
                 kv AS v1
          FROM (SELECT event_id,
                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv

@@ -111,7 +111,11 @@ object Similarity extends QueryModule {
       // oracle (sketch-based); gated by the recall unit test vs
       // dedup_near on sf0.001 (SimilaritySpec).
       import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+      // Docs with <3 tokens produce an empty shingle set → all-zero TF
+      // vector → MinHashLSH throws at runtime ("at least 1 non zero
+      // entry"); filter them out first, as dedup_ngram does.
       val docs = T.load(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), DedupOps.shingles(col("text")).as("shingles"))
       val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
         .setBinary(true).setNumFeatures(1 << 18)

@@ -101,11 +101,12 @@ object Sources extends QueryModule {
     "multimodal_cells" -> ((s, dir) =>
       // Opaque-binary payload column (stand-in for image/audio bytes):
       // deterministic fake payload = md5 digest bytes of the text; the
-      // engine-side plumbing (BinaryType column, byte length, hex
-      // views) is real.
+      // engine-side plumbing (BinaryType column, byte length, hex views)
+      // is real — but raw bytes crash the driver's pandas comparer, so
+      // the checked output carries the full hex view, not the BLOB.
       T.load(s, dir, "documents").select(
         col("doc_id"),
-        unhex(md5(col("text"))).as("payload"),
+        lower(hex(unhex(md5(col("text"))))).as("payload_hex"),
         length(unhex(md5(col("text")))).cast("long").as("n_bytes"),
         lower(hex(unhex(md5(col("text"))))).substr(1, 8).as("hex8"))
         .orderBy("doc_id")),
@@ -138,7 +139,7 @@ object Sources extends QueryModule {
 
     "multimodal_cells" ->
       """SELECT doc_id,
-                unhex(md5(text)) AS payload,
+                md5(text) AS payload_hex,
                 octet_length(unhex(md5(text))) AS n_bytes,
                 substring(md5(text), 1, 8) AS hex8
          FROM documents ORDER BY doc_id""",

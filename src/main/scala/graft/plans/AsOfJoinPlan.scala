@@ -88,21 +88,40 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var matchUser = 0L
       var matchTs = 0L
       lIter.map { l =>
-        val u = lu.eval(l).asInstanceOf[Long]
-        val t = lt.eval(l).asInstanceOf[Long]
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val r = rBuf.head
-          val rUser = ru.eval(r).asInstanceOf[Long]
-          if (rUser < u || (rUser == u && rt.eval(r).asInstanceOf[Long] <= t)) {
-            haveMatch = true; matchUser = rUser
-            matchTs = rt.eval(r).asInstanceOf[Long]
-            rBuf.next()
-          } else advance = false
+        // SQL null semantics: a NULL key/ts never matches — unboxing a
+        // null through asInstanceOf[Long] would silently read key 0 /
+        // epoch 0. Null left rows emit null; null right rows are skipped
+        // (they sort first under ascending-nulls-first, so skipping
+        // in-stream is safe).
+        val uAny = lu.eval(l)
+        val tAny = lt.eval(l)
+        if (uAny == null || tAny == null) {
+          extra.setNullAt(0)
+          proj(joined(l, extra))
+        } else {
+          val u = uAny.asInstanceOf[Long]
+          val t = tAny.asInstanceOf[Long]
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val r = rBuf.head
+            val rUserAny = ru.eval(r)
+            val rTsAny = rt.eval(r)
+            if (rUserAny == null || rTsAny == null) { rBuf.next() }
+            else {
+              val rUser = rUserAny.asInstanceOf[Long]
+              if (rUser < u ||
+                  (rUser == u && rTsAny.asInstanceOf[Long] <= t)) {
+                haveMatch = true; matchUser = rUser
+                matchTs = rTsAny.asInstanceOf[Long]
+                rBuf.next()
+              } else advance = false
+            }
+          }
+          if (haveMatch && matchUser == u && matchTs <= t)
+            extra.setLong(0, matchTs)
+          else extra.setNullAt(0)
+          proj(joined(l, extra))
         }
-        if (haveMatch && matchUser == u && matchTs <= t) extra.setLong(0, matchTs)
-        else extra.setNullAt(0)
-        proj(joined(l, extra))
       }
     }
   }
