@@ -171,6 +171,32 @@ object Aggregates extends QueryModule {
              count(when(col("l_discount") > 0.05, lit(1))).as("n_disc"))
         .orderBy("l_returnflag")),
 
+    // Exact per-group percentiles (sort-based, linear interpolation —
+    // Spark `percentile` and DuckDB `quantile_cont` share the
+    // lower + (upper-lower)*frac formula, so doubles match bit-for-bit).
+    // Exact percentile shuffles whole groups; the 100 TB path is
+    // fn_percentile_approx below.
+    "fn_percentile" -> ((s, dir) =>
+      T.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+             expr("percentile(l_quantity, 0.9)").as("p90"),
+             expr("percentile(l_extendedprice, 0.5)").as("med_price"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // Sketch-based percentile (KLL-style, mergeable ⇒ partial agg before
+    // the exchange — the scale path). No oracle: sketch internals differ
+    // across engines; gated by AggregateSpec's ±1%-of-exact bound.
+    "fn_percentile_approx" -> ((s, dir) =>
+      T.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+               .as("ap50"),
+             percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
+               .as("ap90"))
+        .orderBy("l_returnflag")),
+
     "agg_typed_udaf" -> ((s, dir) => {
       val wavg = udaf(WeightedMean,
                       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaInt))
@@ -263,6 +289,14 @@ object Aggregates extends QueryModule {
                               THEN CAST(l_extendedprice AS DECIMAL(38,6))
                               ELSE CAST(0 AS DECIMAL(38,6)) END) AS VARCHAR(64)) AS DOUBLE) AS big_qty_price,
                 count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "fn_percentile" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.5) AS p50,
+                quantile_cont(l_quantity, 0.9) AS p90,
+                quantile_cont(l_extendedprice, 0.5) AS med_price,
+                count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "agg_typed_udaf" ->

@@ -13,16 +13,23 @@ import org.apache.spark.sql.functions._
   *  - `dedup_ngram` follows the dedup_near shape: shingle sets built per
   *    SIDE (linear), quadratic work confined to (lang, n_chars) blocks.
   *  - `dedup_simhash` is the classic scale path: one aggregation to a
-  *    16-bit SimHash per doc, then a banded self-join (2 bands × 8 bits)
-  *    — candidates meet only when a band collides, never all-pairs. The
-  *    token hash derives from md5 hex so Spark and DuckDB agree bit-for-
-  *    bit (no engine-native hash is portable).
+  *    60-bit SimHash per doc, then a banded self-join (4 bands × 15 bits)
+  *    — candidates meet only when a band collides, never all-pairs. By
+  *    pigeonhole, any pair with hamming ≤ 3 shares at least one of the 4
+  *    bands, so the ≤3 filter after the join loses nothing. 15-bit band
+  *    cells (32 k values each) keep collision rates workable at corpus
+  *    scale, unlike the 8-bit cells a 16-bit signature forces. The token
+  *    hash derives from md5 hex so Spark and DuckDB agree bit-for-bit
+  *    (no engine-native hash is portable).
   *  - `dedup_embedding` reuses the native cosine expression within
   *    label blocks (IVF-style cells).
   */
 object DedupOps extends QueryModule {
 
-  private val B = 16 // simhash bits; bands = 2 × 8 bits
+  private val B = 60     // simhash bits (all of conv(md5[1..15], 16, 10))
+  private val NB = 4     // LSH bands
+  private val BW = B / NB // band width (15 bits)
+  private val BM = (1L << BW) - 1 // band mask
 
   private def st4(c: Column): Column = T.stable4(c)
   private def st4s(x: String) = T.stable4Sql(x)
@@ -73,9 +80,10 @@ object DedupOps extends QueryModule {
         .reduce(_ + _)
       val bands = agg.select(col("doc_id"), col("lang"), sh.as("sh"))
         .select(col("doc_id"), col("lang"), col("sh"),
-                explode(array(
-                  struct(lit(0).as("b"), expr("sh % 256").as("v")),
-                  struct(lit(1).as("b"), expr("sh div 256").as("v"))))
+                explode(array((0 until NB).map(b =>
+                  struct(lit(b).as("b"),
+                         shiftright(col("sh"), BW * b).bitwiseAND(lit(BM))
+                           .as("v"))): _*))
                   .as("band"))
         .select(col("doc_id"), col("lang"), col("sh"),
                 col("band.b").as("b"), col("band.v").as("v"))
@@ -89,7 +97,7 @@ object DedupOps extends QueryModule {
         .select("id_a", "id_b", "h_a", "h_b").distinct()
         .withColumn("hamming",
                     bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
-        .filter(col("hamming") <= 2)
+        .filter(col("hamming") <= 3) // recall-exact with 4 bands (pigeonhole)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     }),
@@ -157,8 +165,9 @@ object DedupOps extends QueryModule {
                        FROM th GROUP BY doc_id, lang),
                sh AS (SELECT doc_id, lang, $simhashBits AS sh FROM cnt),
                bands AS (SELECT doc_id, lang, sh,
-                                unnest([0, 1]) AS b,
-                                unnest([sh % 256, sh // 256]) AS v
+                                unnest([${(0 until NB).mkString(", ")}]) AS b,
+                                unnest([${(0 until NB).map(b =>
+                                  s"(sh >> ${BW * b}) & $BM").mkString(", ")}]) AS v
                          FROM sh),
                pairs AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
                                 a.sh AS h_a, bb.sh AS h_b
@@ -167,7 +176,7 @@ object DedupOps extends QueryModule {
                              AND a.lang = bb.lang AND a.doc_id < bb.doc_id)
           SELECT id_a, id_b,
                  CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
-          FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 2
+          FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 3
           ORDER BY id_a, id_b""",
 
     "dedup_embedding" ->

@@ -79,9 +79,14 @@ object Similarity extends QueryModule {
     "sim_ivf" -> ((s, dir) => {
       // LSH-bucketed ANN — the scale path next to brute-force sim_topk:
       // coarse-quantize every vector by the sign pattern of its first 8
-      // dims (8 fixed hyperplanes -> 256 cells), join probes only to
-      // their own cell, rank within it. At 100 TB the corpus shuffles
-      // once on the bucket id and each probe touches ~1/256 of it.
+      // dims (8 fixed hyperplanes -> 256 cells), join probes to their
+      // own cell PLUS the 8 one-bit-flip neighbor cells (multi-probe:
+      // a vector near hyperplane j sits on the boundary of the cell
+      // differing only in bit j, so probing the flips recovers the
+      // boundary-vector recall single-probe LSH loses). Cells are
+      // disjoint, so the 9 probes never duplicate a candidate pair.
+      // At 100 TB the corpus shuffles once on the bucket id and each
+      // probe touches ~9/256 of it.
       val e = T.load(s, dir, "embeddings")
       val bucket = (0 until 8).map(j =>
         when(element_at(col("embedding"), j + 1) >= 0f, lit(1 << j))
@@ -89,7 +94,8 @@ object Similarity extends QueryModule {
       val withB = e.withColumn("bucket", bucket)
       val probes = withB.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q"),
-                col("bucket").as("qb"))
+                explode(array(col("bucket") +: (0 until 8).map(j =>
+                  col("bucket").bitwiseXOR(lit(1 << j))): _*)).as("qb"))
       val corpus = withB
         .select(col("vec_id").as("c_id"), col("embedding").as("c"),
                 col("bucket").as("cb"))
@@ -142,7 +148,9 @@ object Similarity extends QueryModule {
     "sim_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding, $duckBucket AS bucket
                      FROM embeddings),
-               p AS (SELECT vec_id AS q_id, embedding AS q, bucket AS qb
+               p AS (SELECT vec_id AS q_id, embedding AS q,
+                            unnest([bucket, ${(0 until 8).map(j =>
+                              s"xor(bucket, ${1 << j})").mkString(", ")}]) AS qb
                      FROM e WHERE vec_id < 10),
                c AS (SELECT vec_id AS c_id, embedding AS c, bucket AS cb
                      FROM e),

@@ -36,6 +36,37 @@ object Sources extends QueryModule {
     tmp
   }
 
+  /** Hive-style partitioned parquet staging: events written
+    * `partitionBy(event_type)` — the layout that makes partition pruning
+    * (the #1 scan-cost lever at 100 TB) possible at all. */
+  private def stagePartitioned(s: org.apache.spark.sql.SparkSession,
+                               dir: String): String = {
+    val tmp = stage(dir, "pqpart")
+    if (!staged(tmp))
+      T.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts_us")
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    tmp
+  }
+
+  /** JSONL staging with a known number of injected malformed lines. */
+  private val badLines = Seq(
+    """{"event_id": oops""", "not json at all", """{"event_id":}""",
+    "[1,2", "{", "}{", "\"")
+  private def stageCorrupt(s: org.apache.spark.sql.SparkSession,
+                           dir: String): String = {
+    val tmp = stage(dir, "jsonc")
+    if (!staged(tmp)) {
+      import s.implicits._
+      val good = T.load(s, dir, "events")
+        .select(to_json(struct(col("event_id"), col("user_id"),
+                               col("event_type"), col("value"))).as("value"))
+      good.unionAll(badLines.toDF("value"))
+        .write.mode("overwrite").text(tmp)
+    }
+    tmp
+  }
+
   private val eventsSchema =
     "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
   private val custSchema =
@@ -68,6 +99,49 @@ object Sources extends QueryModule {
           .write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.schema(custSchema).option("header", "true").csv(tmp)
         .orderBy("c_custkey")
+    }),
+
+    "sink_parquet_partitioned" -> ((s, dir) => {
+      // Write partitioned, read the whole layout back and aggregate per
+      // partition value — proves the round trip preserves rows and the
+      // partition column rehydrates from directory names.
+      val tmp = stagePartitioned(s, dir)
+      s.read.parquet(tmp)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             T.d(sum(T.dec(col("value")))).as("sum_value"),
+             countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
+    "scan_pruned" -> ((s, dir) => {
+      // Read ONE partition back: the event_type predicate is resolved
+      // against directory names (PartitionFilters in the plan — see
+      // PLANS.md), so 4/5 of the data is never opened. At 100 TB this
+      // is the difference between a full scan and touching one
+      // partition's files.
+      val tmp = stagePartitioned(s, dir)
+      s.read.parquet(tmp)
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "event_type", "value", "ts_us")
+        .orderBy("event_id")
+    }),
+
+    "scan_json_corrupt" -> ((s, dir) => {
+      // Dirty-ingest robustness: PERMISSIVE mode parks unparseable lines
+      // in _corrupt_record instead of failing the job — the first thing
+      // a production JSON ingest meets. Output = good/bad line counts
+      // plus a payload checksum over the good rows (proves the good rows
+      // actually parsed, not just counted).
+      val tmp = stageCorrupt(s, dir)
+      s.read
+        .schema(eventsSchema + ", _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(tmp)
+        .agg(count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+             count(col("_corrupt_record")).as("n_bad"),
+             T.d(sum(T.dec(col("value")))).as("sum_value"))
     }),
 
     "udf_rowkey" -> ((s, dir) => {
@@ -119,6 +193,22 @@ object Sources extends QueryModule {
     "scan_csv" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
          FROM customer ORDER BY c_custkey""",
+
+    "sink_parquet_partitioned" ->
+      s"""SELECT event_type, count(*) AS n,
+                 CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_value,
+                 count(DISTINCT user_id) AS n_users
+          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "scan_pruned" ->
+      """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+         FROM events WHERE event_type = 'purchase' ORDER BY event_id""",
+
+    "scan_json_corrupt" ->
+      s"""SELECT count(*) AS n_good,
+                 CAST(${badLines.size} AS BIGINT) AS n_bad,
+                 CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
+          FROM events""",
 
     "udf_rowkey" ->
       """SELECT o_orderkey,
