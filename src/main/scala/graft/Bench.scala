@@ -43,17 +43,35 @@ object Bench {
     // 1.5 s or 39 s across runs with idle CPU); the min reports
     // steady-state cost, which is what a cluster deployment sees.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val pass1 = ordered.flatMap { case (n, f) => once(n, f).map(n -> _) }
-    val pass2 = ordered.flatMap { case (n, f) => once(n, f).map(n -> _) }
-    val results = (pass1 ++ pass2).groupBy(_._1)
-      .map { case (n, ts) => n -> ts.map(_._2).min }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val pass1 = ordered.flatMap { case (n, f) => once(n, f).map(n -> _) }.toMap
+    val pass2 = ordered.flatMap { case (n, f) => once(n, f).map(n -> _) }.toMap
+    // A query counts as passed only if BOTH passes succeeded: a
+    // single-pass timing has no stall filter, and counting it in both
+    // n_pass and n_fail would make the two non-exclusive.
+    val results = ordered.collect {
+      case (n, _) if pass1.contains(n) && pass2.contains(n) =>
+        n -> math.min(pass1(n), pass2(n))
+    }.toMap
+    // JSON string escaping: quotes, backslash, and ALL control chars
+    // (< 0x20) — Spark exception messages embed newlines/tabs that would
+    // otherwise break the single-line metric object exactly when a query
+    // fails.
+    def jstr(s: String): String = {
+      val sb = new StringBuilder("\"")
+      s.foreach {
+        case '"'           => sb.append("\\\"")
+        case '\\'          => sb.append("\\\\")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c             => sb.append(c)
+      }
+      sb.append('"').toString
+    }
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val fj = failed.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'") + "\"" }
+    val fj = failed.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_pass":${results.size},"n_fail":${failed.size},"failed":$fj,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_pass":${results.size},"n_fail":${failed.size},"failed":$fj,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

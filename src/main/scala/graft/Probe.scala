@@ -6,6 +6,11 @@ import org.apache.spark.sql.SparkSession
   * times one contract query in isolation (noop sink, like Bench). */
 object Probe {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty || !SparkEntry.queries.contains(args(0)) ||
+        (args.length > 1 && scala.util.Try(args(1).toInt).isFailure)) {
+      System.err.println("usage: runMain graft.Probe <query> [reps] [sfDir]")
+      sys.exit(1)
+    }
     val name = args(0)
     val reps = if (args.length > 1) args(1).toInt else 3
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"

@@ -187,7 +187,8 @@ object Aggregates extends QueryModule {
 
     // Sketch-based percentile (KLL-style, mergeable ⇒ partial agg before
     // the exchange — the scale path). No oracle: sketch internals differ
-    // across engines; gated by AggregateSpec's ±1%-of-exact bound.
+    // across engines; gated by AggregatesSpec's ±1%-of-exact bound
+    // ("fn_percentile_approx within 1% of exact percentile per group").
     "fn_percentile_approx" -> ((s, dir) =>
       T.load(s, dir, "lineitem")
         .groupBy("l_returnflag")

@@ -39,7 +39,7 @@ object DedupOps extends QueryModule {
     * O(words²) — each slice rescans the array). zip_with pads the longer
     * side with null and concat propagates it, so the trailing partials
     * vanish with the final slice. */
-  private[operators] def shingles(text: Column): Column = {
+  private[graft] def shingles(text: Column): Column = {
     val w = split(lower(text), " ")
     val s2 = zip_with(w, slice(w, lit(2), size(w)),
                       (x, y) => concat(x, lit(" "), y))

@@ -43,6 +43,39 @@ object Similarity extends QueryModule {
             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
           / (sqrt(${duckSumSq(a)}) * sqrt(${duckSumSq(b)})), 4)"""
 
+  /** MinHash-LSH near-dup candidate pairs over (doc_id, text) rows:
+    * 3-shingles -> HashingTF (stateless, deterministic — no fitted
+    * vocabulary ordering to drift) -> MinHashLSH banded buckets ->
+    * approx similarity join, keeping pairs with exact shingle-Jaccard
+    * distance ≤ `maxDist`. Factored out so SimilaritySpec can run the
+    * SAME pipeline on a corpus with known near-dups (the recall gate).
+    *
+    * Recall model: Spark's MinHashLSH buckets on `numHashTables` OR-ed
+    * width-1 bands and then filters on the EXACT Jaccard distance of the
+    * candidate pair, so the only recall loss is band non-collision:
+    * P(candidate | sim s) = 1 - (1 - s)^5 (≥ 0.92 at s = 0.4). */
+  private[graft] def minhashCandidates(docs: DataFrame,
+                                       maxDist: Double): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    // Docs with <3 tokens produce an empty shingle set → all-zero TF
+    // vector → MinHashLSH throws at runtime ("at least 1 non zero
+    // entry"); filter them out first, as dedup_ngram does.
+    val shingled = docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), DedupOps.shingles(col("text")).as("shingles"))
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setBinary(true).setNumFeatures(1 << 18)
+    val feat = tf.transform(shingled)
+    val lsh = new MinHashLSH().setInputCol("features")
+      .setOutputCol("hashes").setNumHashTables(5).setSeed(42L)
+    val model = lsh.fit(feat)
+    model.approxSimilarityJoin(feat, feat, maxDist, "jacc_dist")
+      .select(col("datasetA.doc_id").as("id_a"),
+              col("datasetB.doc_id").as("id_b"),
+              round(col("jacc_dist"), 4).as("dist"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk" -> ((s, dir) => {
       val e = T.load(s, dir, "embeddings")
@@ -110,34 +143,14 @@ object Similarity extends QueryModule {
         .orderBy("q_id", "rn")
     }),
 
-    "dedup_minhash" -> ((s, dir) => {
-      // Scalable near-dup candidates: 3-shingles -> HashingTF (stateless,
-      // deterministic — no fitted vocabulary ordering to drift) ->
-      // MinHashLSH banded buckets -> approx similarity join. No DuckDB
-      // oracle (sketch-based); gated by the recall unit test vs
-      // dedup_near on sf0.001 (SimilaritySpec).
-      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-      // Docs with <3 tokens produce an empty shingle set → all-zero TF
-      // vector → MinHashLSH throws at runtime ("at least 1 non zero
-      // entry"); filter them out first, as dedup_ngram does.
-      val docs = T.load(s, dir, "documents")
-        .filter(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id"), DedupOps.shingles(col("text")).as("shingles"))
-      val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
-        .setBinary(true).setNumFeatures(1 << 18)
-      val feat = tf.transform(docs)
-      // 5 OR-ed tables: exact dups (identical signatures) are always
-      // recalled; fewer tables shrink the candidate explode ~40%.
-      val lsh = new MinHashLSH().setInputCol("features")
-        .setOutputCol("hashes").setNumHashTables(5).setSeed(42L)
-      val model = lsh.fit(feat)
-      model.approxSimilarityJoin(feat, feat, 0.6, "jacc_dist")
-        .select(col("datasetA.doc_id").as("id_a"),
-                col("datasetB.doc_id").as("id_b"),
-                round(col("jacc_dist"), 4).as("dist"))
-        .filter(col("id_a") < col("id_b"))
-        .orderBy("id_a", "id_b")
-    }),
+    "dedup_minhash" -> ((s, dir) =>
+      // Scalable near-dup candidates (see minhashCandidates above). No
+      // DuckDB oracle (sketch-based); gated by SimilaritySpec's two
+      // recall tests: 100% of exact-dup pairs on sf0.1, and ≥0.9 of
+      // brute-force shingle-Jaccard ≥ 0.4 pairs on a corpus with known
+      // near-dups run through this same pipeline.
+      minhashCandidates(T.load(s, dir, "documents"), maxDist = 0.6)
+        .orderBy("id_a", "id_b")),
   )
 
   private val duckBucket = (0 until 8).map(j =>

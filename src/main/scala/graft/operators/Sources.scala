@@ -58,7 +58,15 @@ object Sources extends QueryModule {
     val tmp = stage(dir, "jsonc")
     if (!staged(tmp)) {
       import s.implicits._
+      // Only finite (or NULL) doubles round-trip as parseable JSON —
+      // NaN/Infinity would serialize to an extra unparseable line and
+      // silently break the n_bad = badLines.size contract, so enforce
+      // the invariant here (the oracle applies the same filter).
+      val finite = col("value").isNull ||
+        (!isnan(col("value")) &&
+         !col("value").isin(Double.PositiveInfinity, Double.NegativeInfinity))
       val good = T.load(s, dir, "events")
+        .filter(finite)
         .select(to_json(struct(col("event_id"), col("user_id"),
                                col("event_type"), col("value"))).as("value"))
       good.unionAll(badLines.toDF("value"))
@@ -208,7 +216,7 @@ object Sources extends QueryModule {
       s"""SELECT count(*) AS n_good,
                  CAST(${badLines.size} AS BIGINT) AS n_bad,
                  CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
-          FROM events""",
+          FROM events WHERE value IS NULL OR isfinite(value)""",
 
     "udf_rowkey" ->
       """SELECT o_orderkey,

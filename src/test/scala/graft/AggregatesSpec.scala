@@ -38,6 +38,28 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("fn_percentile_approx within 1% of exact percentile per group (no-oracle gate)") {
+    // The sketch query has no DuckDB oracle (sketch internals differ across
+    // engines); this is its promised gate: each group's ap50/ap90 of
+    // l_extendedprice within 1% of the exact sort-based percentile on
+    // sf0.01 (~60k rows; accuracy=10000 bounds rank error to n/10000 ≈ 6
+    // rows, far inside 1% of the value on this distribution).
+    val sf01 = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("fn_percentile_approx")(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.load(spark, sf01, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+           expr("percentile(l_extendedprice, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (e50, e90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - e50) / e50 < 0.01, s"$k: ap50 $a50 vs exact $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.01, s"$k: ap90 $a90 vs exact $e90")
+    }
+  }
+
   test("decimal sums are repartition-invariant (determinism rule §2.0)") {
     val li = Tables.load(spark, sf, "lineitem")
     def total(parts: Int): java.math.BigDecimal =
