@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.{QueryModule, Tables => T}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.K extension — the remaining large-corpus dedup family:
@@ -48,18 +49,76 @@ object DedupOps extends QueryModule {
     array_distinct(slice(s3, lit(1), greatest(size(w) - 2, lit(0))))
   }
 
+  /** Skew-safe blocked a<b self-join over (lang, n_chars) blocks.
+    *
+    * The plain formulation shuffles once on the block key, but block
+    * sizes are data-dependent and unbounded — at corpus scale one hot
+    * block lands its whole O(B²) pair space on a single reducer. This
+    * routes by block size (one cheap windowed count on the same shuffle):
+    *  - blocks ≤ cap rows: the plain equi-join path, unchanged;
+    *  - blocks > cap rows: "triangle" salted sub-blocking — each row gets
+    *    a deterministic salt s ∈ [0,k) and is replicated to the k reducer
+    *    cells {(min(s,t), max(s,t)) : t ∈ [0,k)}; cell (i,j) evaluates
+    *    exactly the pairs whose salt set is {i,j}, so every a<b pair is
+    *    produced exactly once and the hot block's B² comparisons spread
+    *    over k(k+1)/2 reducer cells (~4B²/k² per cell, at k× row
+    *    replication — the standard fragment-replicate trade).
+    * Input must have columns (lang, n_chars, doc_id, feat). Output pairs
+    * (id_a, id_b, f_a, f_b) are IDENTICAL to the plain join's (exact
+    * scoring happens on every surviving pair), so the DuckDB oracle is
+    * unchanged; DedupSpec proves pair-set equality on a synthetic hot
+    * block that forces the salted branch.
+    */
+  private[graft] def skewSafeSelfPairs(d: DataFrame, cap: Int,
+                                       k: Int): DataFrame = {
+    val withCnt = d.withColumn(
+      "bn", count(lit(1)).over(Window.partitionBy("lang", "n_chars")))
+    val small = withCnt.filter(col("bn") <= cap)
+    val smallPairs = small
+      .select(col("lang"), col("n_chars"),
+              col("doc_id").as("id_a"), col("feat").as("f_a"))
+      .join(small.select(col("lang").as("lang_b"), col("n_chars").as("nc_b"),
+                         col("doc_id").as("id_b"), col("feat").as("f_b")),
+            col("lang") === col("lang_b") && col("n_chars") === col("nc_b") &&
+              col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "f_a", "f_b")
+    val salted = withCnt.filter(col("bn") > cap)
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(k)).cast("int"))
+      .withColumn("t", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("ci", least(col("salt"), col("t")))
+      .withColumn("cj", greatest(col("salt"), col("t")))
+    // In cell (i,j) both sides hold only salts {i,j}; the salt-role filter
+    // pins same-salt pairs to their diagonal cell (s,s) and cross-salt
+    // pairs to the unique cell (min,max) — exactly-once without distinct.
+    val bigPairs = salted
+      .select(col("lang"), col("n_chars"), col("ci"), col("cj"),
+              col("salt").as("sa"),
+              col("doc_id").as("id_a"), col("feat").as("f_a"))
+      .join(salted.select(col("lang").as("lang_b"), col("n_chars").as("nc_b"),
+                          col("ci").as("ci_b"), col("cj").as("cj_b"),
+                          col("salt").as("sb"),
+                          col("doc_id").as("id_b"), col("feat").as("f_b")),
+            col("lang") === col("lang_b") && col("n_chars") === col("nc_b") &&
+              col("ci") === col("ci_b") && col("cj") === col("cj_b") &&
+              col("id_a") < col("id_b") &&
+              ((col("sa") === col("ci") && col("sb") === col("cj")) ||
+               (col("sa") === col("cj") && col("sb") === col("ci"))))
+      .select("id_a", "id_b", "f_a", "f_b")
+    smallPairs.unionByName(bigPairs)
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_ngram" -> ((s, dir) => {
-      val d = T.load(s, dir, "documents")
+      // Shingle sets built per SIDE before the pairing (O(words)); the
+      // quadratic pair space is blocked by (lang, n_chars) and skew-capped
+      // by skewSafeSelfPairs (hot blocks go through salted sub-blocking).
+      val feat = T.load(s, dir, "documents")
         .filter(size(split(col("text"), " ")) >= 3)
-      val a = d.select(col("lang"), col("n_chars"), col("doc_id").as("id_a"),
-                       shingles(col("text")).as("sg_a"))
-      val b = d.select(col("lang").as("lang_b"), col("n_chars").as("nc_b"),
-                       col("doc_id").as("id_b"), shingles(col("text")).as("sg_b"))
-      val j = size(array_intersect(col("sg_a"), col("sg_b"))).cast("double") /
-        size(array_union(col("sg_a"), col("sg_b")))
-      a.join(b, col("lang") === col("lang_b") && col("n_chars") === col("nc_b")
-                 && col("id_a") < col("id_b"))
+        .select(col("lang"), col("n_chars"), col("doc_id"),
+                shingles(col("text")).as("feat"))
+      val j = size(array_intersect(col("f_a"), col("f_b"))).cast("double") /
+        size(array_union(col("f_a"), col("f_b")))
+      skewSafeSelfPairs(feat, cap = 2000, k = 8)
         .withColumn("j_raw", j).filter(col("j_raw") >= 0.8)
         .select(col("id_a"), col("id_b"), st4(col("j_raw")).as("j"))
         .orderBy("id_a", "id_b")

@@ -31,17 +31,15 @@ object TextOps extends QueryModule {
       // case-sensitive), within (lang, n_chars) blocks, pairs a<b.
       // Char sets are built per SIDE before the join (O(n·len)), not per
       // pair inside it (O(n²·len)) — only set intersect/union runs in the
-      // quadratic block.
-      val d = T.load(s, dir, "documents")
-      val cs = array_distinct(split(col("text"), ""))
-      val a = d.select(col("lang"), col("n_chars"), col("doc_id").as("id_a"),
-                       cs.as("cs_a"))
-      val b = d.select(col("lang").as("lang_b"), col("n_chars").as("nc_b"),
-                       col("doc_id").as("id_b"), cs.as("cs_b"))
-      val j = size(array_intersect(col("cs_a"), col("cs_b"))).cast("double") /
-        size(array_union(col("cs_a"), col("cs_b")))
-      a.join(b, col("lang") === col("lang_b") && col("n_chars") === col("nc_b")
-                 && col("id_a") < col("id_b"))
+      // quadratic block, and hot blocks (> cap rows) are spread over k²/2
+      // reducer cells by DedupOps.skewSafeSelfPairs (salted sub-blocking —
+      // identical pairs, no single-reducer O(B²) hotspot).
+      val feat = T.load(s, dir, "documents")
+        .select(col("lang"), col("n_chars"), col("doc_id"),
+                array_distinct(split(col("text"), "")).as("feat"))
+      val j = size(array_intersect(col("f_a"), col("f_b"))).cast("double") /
+        size(array_union(col("f_a"), col("f_b")))
+      DedupOps.skewSafeSelfPairs(feat, cap = 2000, k = 8)
         .withColumn("j_raw", j)
         .filter(col("j_raw") >= 0.9)
         .select(col("id_a"), col("id_b"), round(col("j_raw"), 4).as("j"))

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  val sf = SparkFixture.sf001
+
+  test("skewSafeSelfPairs: salted branch fires on a hot block and equals brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // One hot block (60 rows in a single (lang, n_chars) cell — far over
+    // cap=10, so ONLY the salted triangle branch can produce its pairs),
+    // one small block, and a singleton block (no pairs).
+    val rows =
+      (1L to 60L).map(i => ("xx", 100, i, Seq("a", "b", s"w${rnd.nextInt(5)}"))) ++
+      (61L to 70L).map(i => ("yy", 50, i, Seq("c", s"w${rnd.nextInt(5)}"))) ++
+      Seq(("zz", 7, 71L, Seq("d")))
+    val d = rows.toDF("lang", "n_chars", "doc_id", "feat")
+    val expect = (for {
+      (la, na, a, _) <- rows; (lb, nb, b, _) <- rows
+      if la == lb && na == nb && a < b
+    } yield (a, b)).toSet
+    val pairs = operators.DedupOps.skewSafeSelfPairs(d, cap = 10, k = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.toSet.size, "a pair was emitted more than once")
+    assert(pairs.toSet == expect,
+           s"missing=${expect -- pairs.toSet} extra=${pairs.toSet -- expect}")
+  }
+
+  test("dedup_near result is invariant to the skew cap (fallback = plain path)") {
+    // Same query shape with a cap of 0 (every block goes through the
+    // salted branch) must produce byte-identical pairs to the shipped
+    // cap=2000 version (which routes everything through the plain branch
+    // at this SF) — the two branches are interchangeable by construction.
+    val feat = Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("n_chars"), col("doc_id"),
+              array_distinct(split(col("text"), "")).as("feat"))
+    def pairs(cap: Int) =
+      operators.DedupOps.skewSafeSelfPairs(feat, cap, k = 4)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(0) == pairs(2000))
+  }
+}
