@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.C — joins: physical-strategy trio (broadcast / sort-merge
@@ -25,7 +26,59 @@ object Joins extends QueryModule {
          FROM orders) t
        WHERE rn <= 3 ORDER BY o_custkey, rn"""
 
+  /** Bucketed-table staging for the storage-partitioned join pair: write
+    * once per (session, sfDir) as an EXTERNAL bucketed+sorted table
+    * (explicit /tmp path — metadata lives in the in-memory catalog, so no
+    * Hive metastore is needed). `bucketBy(8, key)` hash-partitions the
+    * FILES by the join key at write time; a later join on that key reads
+    * bucket-aligned splits and needs NO exchange — the biggest remaining
+    * scan/shuffle lever after partition pruning at 100 TB, where
+    * re-shuffling the fact table on every query dwarfs the query itself. */
+  private def bucketedTable(s: SparkSession, dir: String, short: String,
+                            key: String, df: => DataFrame): String = {
+    val tbl = short + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(tbl))
+      df.write.mode("overwrite")
+        .option("path", s"/tmp/graft_bkt_$tbl")
+        .bucketBy(8, key).sortBy(key)
+        .saveAsTable(tbl)
+    tbl
+  }
+
+  private def liBucketed(s: SparkSession, dir: String): String =
+    bucketedTable(s, dir, "graft_li_bkt_", "l_orderkey",
+      T.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice"))
+
   val queries: Map[String, Q] = Map(
+    "sink_parquet_bucketed" -> ((s, dir) => {
+      // Write side of the bucketed pair; the readback aggregate proves the
+      // bucketed layout round-trips every row (oracle = plain lineitem).
+      val t = liBucketed(s, dir)
+      s.table(t)
+        .agg(count(lit(1)).as("n"),
+             T.d(sum(T.dec(col("l_quantity")))).as("sum_qty"),
+             T.d(sum(T.dec(col("l_extendedprice")))).as("sum_price"))
+    }),
+
+    "join_bucketed" -> ((s, dir) => {
+      // Storage-partitioned join: both sides pre-bucketed on the join key
+      // with the same bucket count, so the SortMergeJoin consumes
+      // bucket-aligned file splits directly — zero exchange below the
+      // join (PlanSpec asserts it; the only shuffle left is the post-join
+      // groupBy). Compare join_inner_smj, which re-shuffles both sides
+      // on every run.
+      val li = liBucketed(s, dir)
+      val ord = bucketedTable(s, dir, "graft_ord_bkt_", "o_orderkey",
+        T.load(s, dir, "orders").select("o_orderkey", "o_orderpriority"))
+      s.table(li).hint("merge")
+        .join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             T.d(sum(T.dec(col("l_extendedprice")))).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     "join_inner_bhj" -> ((s, dir) => {
       val c = T.load(s, dir, "customer")
       val n = T.load(s, dir, "nation")
@@ -279,6 +332,17 @@ object Joins extends QueryModule {
     s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "sink_parquet_bucketed" ->
+      s"""SELECT count(*) AS n, ${dsum("l_quantity")} AS sum_qty,
+                 ${dsum("l_extendedprice")} AS sum_price
+          FROM lineitem""",
+
+    "join_bucketed" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+                 ${dsum("l_extendedprice")} AS sum_price
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "join_inner_bhj" ->
       s"""SELECT n_name, count(*) AS n_cust, ${dsum("c_acctbal")} AS sum_bal
           FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -42,6 +42,15 @@ class PlanSpec extends AnyFunSuite {
             .count(_ == "BroadcastHashJoin") >= 2, p)
   }
 
+  test("join_bucketed: storage-bucketed SMJ, no exchange below the join") {
+    val p = plan("join_bucketed")
+    assert(p.contains("SortMergeJoin"), p)
+    // both scans read bucket-aligned splits; the ONLY hash exchange in the
+    // whole plan is the post-join groupBy (join_inner_smj has three)
+    assert(p.sliding("Exchange hashpartitioning".length)
+            .count(_ == "Exchange hashpartitioning") == 1, p)
+  }
+
   test("agg_groupby is partial+final (map-side combine before the shuffle)") {
     val p = plan("agg_groupby")
     assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
