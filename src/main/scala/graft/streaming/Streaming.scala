@@ -109,6 +109,26 @@ object Streaming extends QueryModule {
   private def dsum(inner: String) =
     s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)"
 
+  /** Exactly-once foreachBatch writer: each micro-batch owns the
+    * directory `outDir/batch_id=<id>` and commits it with a `_COMMITTED`
+    * marker written only after a successful overwrite.
+    *  - Retry after a mid-write crash: no marker yet → mode("overwrite")
+    *    replaces the partial attempt. No duplicates.
+    *  - Retry after a successful write (e.g. driver restart replaying the
+    *    checkpointed batch): marker present → skip. No duplicates.
+    * Readers see the run as a batch_id-partitioned parquet layout and
+    * ignore the `_`-prefixed marker. StreamingSpec replays a batch both
+    * ways and asserts the row set is unchanged. */
+  private[graft] def exactlyOnceBatchWrite(outDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val part = new java.io.File(outDir, s"batch_id=$batchId")
+    val marker = new java.io.File(part, "_COMMITTED")
+    if (!marker.exists()) {
+      batch.write.mode("overwrite").parquet(part.getPath)
+      marker.createNewFile(): Unit
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> ((s, dir) => {
       val in = readStream(s, stageEvents(s, dir))
@@ -218,9 +238,12 @@ object Streaming extends QueryModule {
 
     "stream_sink_foreachbatch" -> ((s, dir) => {
       // foreachBatch sink: per-micro-batch custom writer (the idiom for
-      // sinks Spark lacks — JDBC upserts, HBase puts, ...). Here each
-      // batch appends its purchases to a parquet dir; the drained dir
-      // must equal the batch filter (oracle).
+      // sinks Spark lacks — JDBC upserts, HBase puts, ...). Each batch
+      // lands EXACTLY ONCE via exactlyOnceBatchWrite below — a retried
+      // micro-batch (routine at scale: executor loss, driver restart
+      // replaying from the checkpoint) must not duplicate rows, which a
+      // blind append would. The drained dir equals the batch filter
+      // (oracle).
       val outDir = new java.io.File("/tmp/graft_fb_" +
         dir.replaceAll("[^A-Za-z0-9.]", "_"))
       def rmrf(f: java.io.File): Unit = {
@@ -233,13 +256,15 @@ object Streaming extends QueryModule {
         .select("event_id", "user_id", "value")
       val cp = Files.createTempDirectory("graft_ckpt_").toString
       val q = in.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(outDir.getPath)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          exactlyOnceBatchWrite(outDir.getPath)(b, id)
         }
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", cp).start()
       q.awaitTermination()
-      s.read.parquet(outDir.getPath).orderBy("event_id")
+      s.read.parquet(outDir.getPath)
+        .select("event_id", "user_id", "value") // drop the batch_id partition col
+        .orderBy("event_id")
     }),
 
     "stream_static_join" -> ((s, dir) => {

@@ -28,6 +28,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("foreachBatch sink is exactly-once under micro-batch replay") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_eo_").toString
+    val batch = Seq((1L, 10L, 1.5), (2L, 20L, 2.5), (3L, 30L, 3.5))
+      .toDF("event_id", "user_id", "value")
+    val write = streaming.Streaming.exactlyOnceBatchWrite(out) _
+    // Replay case 1: a PARTIAL first attempt (data landed, no commit
+    // marker — the crash-mid-write shape) must be overwritten, not
+    // appended to.
+    batch.limit(1).write.mode("overwrite").parquet(s"$out/batch_id=7")
+    write(batch, 7L)
+    // Replay case 2: a COMMITTED batch re-delivered (driver restart
+    // replaying the checkpoint) must be skipped.
+    write(batch, 7L)
+    write(batch, 7L)
+    val got = spark.read.parquet(out).select("event_id", "user_id", "value")
+    assert(got.count() == 3, s"replay duplicated rows: ${got.count()}")
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("streaming dedup halves a doubled input back to the original set") {
     val deduped = SparkEntry.queries("stream_dedup")(spark, sf)
       .agg(sum("n")).collect()(0).getLong(0)
