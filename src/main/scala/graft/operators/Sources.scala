@@ -75,6 +75,27 @@ object Sources extends QueryModule {
     tmp
   }
 
+  /** Two parquet "generations" of the same table with drifted schemas —
+    * v=1 lacks the later-added event_type column — in partition dirs, the
+    * layout a long-lived ingest job actually produces. (Primitive type
+    * WIDENING across files is not mergeable by Spark's StructType.merge —
+    * int vs bigint throws — so the evolution modeled here is the
+    * add-a-column kind; widening needs an explicit read schema.) */
+  private def stageEvolve(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String = {
+    val tmp = stage(dir, "evolve")
+    if (!new java.io.File(s"$tmp/v=2/_SUCCESS").exists()) {
+      val e = T.load(s, dir, "events")
+      e.filter(col("event_id") % 2 === 0)
+        .select("event_id", "user_id", "value")
+        .write.mode("overwrite").parquet(s"$tmp/v=1")
+      e.filter(col("event_id") % 2 === 1)
+        .select("event_id", "user_id", "value", "event_type")
+        .write.mode("overwrite").parquet(s"$tmp/v=2")
+    }
+    tmp
+  }
+
   private val eventsSchema =
     "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
   private val custSchema =
@@ -152,6 +173,19 @@ object Sources extends QueryModule {
              T.d(sum(T.dec(col("value")))).as("sum_value"))
     }),
 
+    "scan_schema_evolve" -> ((s, dir) => {
+      // Schema-drift read path: mergeSchema unions the per-file schemas
+      // (event_type exists only in the v=2 generation; v=1 rows get
+      // NULL), and the generation id rehydrates from the partition dir.
+      // Without mergeSchema the scan would pin whichever footer it
+      // sampled first and silently drop the added column.
+      val tmp = stageEvolve(s, dir)
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .select(col("event_id"), col("user_id"), col("value"),
+                col("event_type"), col("v").cast("int").as("v"))
+        .orderBy("event_id")
+    }),
+
     "udf_rowkey" -> ((s, dir) => {
       // Reference-style salted rowkey (bucket prefix defeats hotspotting
       // on monotonically increasing keys at scale). Registered Scala UDF
@@ -217,6 +251,12 @@ object Sources extends QueryModule {
                  CAST(${badLines.size} AS BIGINT) AS n_bad,
                  CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
           FROM events WHERE value IS NULL OR isfinite(value)""",
+
+    "scan_schema_evolve" ->
+      """SELECT event_id, user_id, value,
+                CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type,
+                CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS v
+         FROM events ORDER BY event_id""",
 
     "udf_rowkey" ->
       """SELECT o_orderkey,
