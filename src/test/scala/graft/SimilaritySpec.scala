@@ -84,6 +84,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sim_ivf_kmeans recalls >= 0.9 of brute-force top-3 (adaptive-IVF gate)") {
+    // The adaptive-centroid IVF has no oracle (k-means internals aren't
+    // portable); its gate is recall against the oracle-green brute-force
+    // sim_topk on sf0.01. Everything is seeded, so the number is stable.
+    val sfDir = "/root/testdata/sf0.01"
+    def top3(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, sfDir)
+        .filter(col("rn") <= 3).select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = top3("sim_topk")
+    assert(truth.size == 30, s"expected 10 probes x top-3, got ${truth.size}")
+    val got = top3("sim_ivf_kmeans")
+    val recall = (truth & got).size.toDouble / truth.size
+    info(f"recall $recall%.3f (${(truth & got).size}/${truth.size})")
+    assert(recall >= 0.9, f"adaptive IVF recall $recall%.3f < 0.9")
+  }
+
   test("dedup_exact is idempotent (SURVEY §5.3)") {
     val once = SparkEntry.queries("dedup_exact")(spark, sf001)
     assert(once.groupBy("h").count().filter(col("count") > 1).count() == 0)
