@@ -47,22 +47,50 @@ object CellQueries extends QueryModule {
              min(col("version")).as("min_version"),
              max(col("version")).as("max_version"))
         .orderBy("family", "qualifier")),
+
+    "cell_versions" -> ((s, dir) => {
+      // HBase multi-version semantics: a second batch re-writes the cells
+      // of every purchase event (value doubled) at version ts+1s; the
+      // readback is latest-per-(rowkey, family, qualifier) — the default
+      // HBase read. One window over the cell key does the version
+      // resolution; at 100 TB this is a single shuffle on the cell key
+      // with WindowGroupLimit pushing the top-1 below the exchange.
+      import org.apache.spark.sql.expressions.Window
+      val v1 = eventCells(s, dir)
+      val updated = eventsNested(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2)
+      val v2 = CellFlatten.flatten(updated, col("event_id"), "d",
+                                   col("ts_us") + 1000000L,
+                                   exclude = Set("event_id", "ts_us"))
+      val w = Window.partitionBy("rowkey", "family", "qualifier")
+        .orderBy(col("version").desc)
+      v1.unionByName(v2)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("rowkey", "family", "qualifier", "version", "value")
+        .orderBy("rowkey", "qualifier")
+    }),
   )
 
-  /** DuckDB twin of the cell flatten over events: a UNION ALL per leaf. */
-  private val eventCellsSql =
-    """SELECT CAST(event_id AS VARCHAR) AS rowkey, 'd' AS family,
-              'event_type' AS qualifier, epoch_us(ts) AS version,
-              event_type AS value FROM events
+  /** DuckDB twin of the cell flatten over events: a UNION ALL per leaf.
+    * Parameterized so the multi-version oracle can emit a shifted-version
+    * update batch from the same template. */
+  private def eventCellsSqlWith(where: String, vshift: Long,
+                                valueExpr: String) =
+    s"""SELECT CAST(event_id AS VARCHAR) AS rowkey, 'd' AS family,
+              'event_type' AS qualifier, epoch_us(ts) + $vshift AS version,
+              event_type AS value FROM events $where
        UNION ALL
-       SELECT CAST(event_id AS VARCHAR), 'd', 'props.k', epoch_us(ts),
-              CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR) FROM events
+       SELECT CAST(event_id AS VARCHAR), 'd', 'props.k', epoch_us(ts) + $vshift,
+              CAST(CAST(json_extract(props, '$$.k') AS BIGINT) AS VARCHAR) FROM events $where
        UNION ALL
-       SELECT CAST(event_id AS VARCHAR), 'd', 'user_id', epoch_us(ts),
-              CAST(user_id AS VARCHAR) FROM events
+       SELECT CAST(event_id AS VARCHAR), 'd', 'user_id', epoch_us(ts) + $vshift,
+              CAST(user_id AS VARCHAR) FROM events $where
        UNION ALL
-       SELECT CAST(event_id AS VARCHAR), 'd', 'value', epoch_us(ts),
-              CAST(CAST(value AS DECIMAL(28,6)) AS VARCHAR) FROM events"""
+       SELECT CAST(event_id AS VARCHAR), 'd', 'value', epoch_us(ts) + $vshift,
+              CAST(CAST($valueExpr AS DECIMAL(28,6)) AS VARCHAR) FROM events $where"""
+
+  private val eventCellsSql = eventCellsSqlWith("", 0L, "value")
 
   val oracles: Map[String, String] = Map(
     "scan_parquet" ->
@@ -95,5 +123,17 @@ object CellQueries extends QueryModule {
                  min(version) AS min_version, max(version) AS max_version
           FROM cells GROUP BY family, qualifier
           ORDER BY family, qualifier""",
+
+    "cell_versions" ->
+      s"""WITH v1 AS ($eventCellsSql),
+               v2 AS (${eventCellsSqlWith(
+                 "WHERE event_type = 'purchase'", 1000000L, "value * 2")}),
+               allc AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+               r AS (SELECT *, row_number() OVER (
+                       PARTITION BY rowkey, family, qualifier
+                       ORDER BY version DESC) AS rn
+                     FROM allc)
+          SELECT rowkey, family, qualifier, version, value
+          FROM r WHERE rn = 1 ORDER BY rowkey, qualifier""",
   )
 }
