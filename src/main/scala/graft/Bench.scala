@@ -66,12 +66,18 @@ object Bench {
       }
       sb.append('"').toString
     }
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+    // ms precision keeps the single-line JSON compact enough that the
+    // driver's log tail doesn't truncate it (r2's full-precision doubles
+    // pushed the 107-query line past the captured tail).
+    def ms3(v: Double): String = // Locale.ROOT: '.' decimal sep always
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + ms3(v) }
       .mkString("{", ",", "}")
     val fj = failed.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_pass":${results.size},"n_fail":${failed.size},"failed":$fj,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"n_pass":${results.size},"n_fail":${failed.size},"failed":$fj,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
