@@ -19,6 +19,7 @@ object SparkEntry {
     Sources,
     TextOps,
     DedupOps,
+    PipelineOps,
     Multimodal,
     Similarity,
     Streaming,

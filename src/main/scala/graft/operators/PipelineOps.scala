@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.K (round-3 extension) — the remaining operators a
+  * large-scale training-data pipeline runs between dedup and training:
+  * deterministic corpus splitting, eval-set decontamination, PII
+  * scrubbing, and sequence packing.
+  *
+  * Scale notes:
+  *  - `split_train_test` hashes each doc id to a bucket — a pure
+  *    projection, no shuffle besides the readback agg; the md5-derived
+  *    bucket is the only hash Spark and DuckDB share bit-for-bit, and at
+  *    100 TB the split is stable under re-runs, repartitioning, and
+  *    engine changes (re-ingesting a shard never flips another shard's
+  *    assignment, unlike rand()-based splits).
+  *  - `dedup_blocklist` is the decontamination guard against benchmark
+  *    leakage: anti-join on content hash with the (small) eval corpus
+  *    broadcast — the corpus side never shuffles.
+  *  - `text_pii_scrub` is one codegen'd projection (regexp_replace +
+  *    regexp_extract_all); no shuffle at all before the readback sort.
+  *  - `text_pack_sequences` packs docs into fixed-capacity bins by
+  *    running token count per lang partition — the window shuffles once
+  *    on lang, and no reducer ever holds more than one lang's docs.
+  */
+object PipelineOps extends QueryModule {
+
+  /** Portable deterministic bucket in [0, 100): first 8 md5 hex chars of
+    * the stringified id, mod 100 (same recipe as text_fingerprint). */
+  private def bucket100(id: org.apache.spark.sql.Column) =
+    (conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 100)
+      .cast("int")
+
+  private val bucket100Sql =
+    "CAST(TRY_CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS INT)"
+
+  // Deterministic synthetic PII appended per doc (the fixture corpus has
+  // none), so the scrub provably fires on every row in both engines.
+  private def dirty(text: org.apache.spark.sql.Column,
+                    id: org.apache.spark.sql.Column) =
+    concat(text, lit(" contact user"), id, lit("@example.com tel 555-"),
+           lpad((id % 10000).cast("string"), 4, "0"))
+
+  private val emailRe = "[a-z0-9]+@[a-z0-9.]+"
+  private val phoneRe = "[0-9]{3}-[0-9]{4}"
+
+  val queries: Map[String, Q] = Map(
+    "split_train_test" -> ((s, dir) =>
+      // 90/5/5 train/valid/test split by content-independent id hash;
+      // readback = per-split doc and char totals.
+      T.load(s, dir, "documents")
+        .withColumn("bucket", bucket100(col("doc_id")))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "valid").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+             T.d(sum(T.dec(col("n_chars")))).as("sum_chars"))
+        .orderBy("split")),
+
+    "dedup_blocklist" -> ((s, dir) => {
+      // Decontamination: every doc whose exact text hash appears in the
+      // "eval set" (here: doc_id % 10 == 0) is dropped from the corpus.
+      val d = T.load(s, dir, "documents")
+      val block = d.filter(col("doc_id") % 10 === 0)
+        .select(md5(col("text")).as("bh"))
+      d.join(broadcast(block), md5(col("text")) === col("bh"), "left_anti")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    "text_pii_scrub" -> ((s, dir) => {
+      val d = T.load(s, dir, "documents")
+        .withColumn("dirty", dirty(col("text"), col("doc_id")))
+      d.select(col("doc_id"),
+        regexp_replace(regexp_replace(col("dirty"), emailRe, "<email>"),
+                       phoneRe, "<phone>").as("clean"),
+        size(regexp_extract_all(col("dirty"), lit(emailRe), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("dirty"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phone"))
+        .orderBy("doc_id")
+    }),
+
+    "text_pack_sequences" -> ((s, dir) => {
+      // Greedy-by-order packing: bin id = floor(start_offset / CAP) of
+      // each doc's running token count within its lang. Emits per-bin
+      // fill stats — the shape a sequence-packing pre-tokenizer needs.
+      val CAP = 2048
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      T.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+                size(split(col("text"), " ")).as("n_tok"))
+        .withColumn("bin",
+          floor((sum("n_tok").over(w) - col("n_tok")) / CAP).cast("long"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("lang", "bin")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "split_train_test" ->
+      s"""WITH b AS (SELECT n_chars, $bucket100Sql AS bucket FROM documents)
+          SELECT CASE WHEN bucket < 90 THEN 'train'
+                      WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
+                 count(*) AS n_docs,
+                 CAST(CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_chars
+          FROM b GROUP BY 1 ORDER BY 1""",
+
+    "dedup_blocklist" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE md5(text) NOT IN
+               (SELECT md5(text) FROM documents WHERE doc_id % 10 = 0)
+         ORDER BY doc_id""",
+
+    "text_pii_scrub" -> {
+      val dirtySql = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+      s"""WITH d AS (SELECT doc_id, $dirtySql AS dirty FROM documents)
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(dirty, '$emailRe', '<email>', 'g'),
+                                '$phoneRe', '<phone>', 'g') AS clean,
+                 len(regexp_extract_all(dirty, '$emailRe')) AS n_email,
+                 len(regexp_extract_all(dirty, '$phoneRe')) AS n_phone
+          FROM d ORDER BY doc_id"""
+    },
+
+    "text_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang,
+                           len(string_split(text, ' ')) AS n_tok
+                    FROM documents),
+              c AS (SELECT lang, n_tok,
+                           CAST(sum(n_tok) OVER (PARTITION BY lang
+                             ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                             AS BIGINT) AS cum
+                    FROM t)
+         SELECT lang, CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS bin,
+                count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+  )
+}

