@@ -70,6 +70,32 @@ object CellQueries extends QueryModule {
         .select("rowkey", "family", "qualifier", "version", "value")
         .orderBy("rowkey", "qualifier")
     }),
+
+    "cell_tombstone" -> ((s, dir) => {
+      // HBase delete semantics: a DELETE marker written at a newer
+      // version hides the cell, and compaction physically drops it. A
+      // second batch tombstones the 'value' cell of every error event;
+      // the compacted readback keeps all other cells (including the
+      // error rows' other qualifiers) and contains NO cell for the
+      // tombstoned (rowkey, qualifier) pairs. Same single window shuffle
+      // on the cell key as cell_versions.
+      import org.apache.spark.sql.expressions.Window
+      val TOMB = "__TOMBSTONE__"
+      val v1 = eventCells(s, dir)
+      val tomb = eventsNested(s, dir)
+        .filter(col("event_type") === "error")
+        .select(col("event_id").cast("string").as("rowkey"),
+                lit("d").as("family"), lit("value").as("qualifier"),
+                (col("ts_us") + 1000000L).as("version"),
+                lit(TOMB).as("value"))
+      val w = Window.partitionBy("rowkey", "family", "qualifier")
+        .orderBy(col("version").desc)
+      v1.unionByName(tomb)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .filter(col("value") =!= TOMB) // compaction: drop hidden cells
+        .select("rowkey", "family", "qualifier", "version", "value")
+        .orderBy("rowkey", "qualifier")
+    }),
   )
 
   /** DuckDB twin of the cell flatten over events: a UNION ALL per leaf.
@@ -135,5 +161,21 @@ object CellQueries extends QueryModule {
                      FROM allc)
           SELECT rowkey, family, qualifier, version, value
           FROM r WHERE rn = 1 ORDER BY rowkey, qualifier""",
+
+    "cell_tombstone" ->
+      s"""WITH v1 AS ($eventCellsSql),
+               tomb AS (SELECT CAST(event_id AS VARCHAR) AS rowkey,
+                               'd' AS family, 'value' AS qualifier,
+                               epoch_us(ts) + 1000000 AS version,
+                               '__TOMBSTONE__' AS value
+                        FROM events WHERE event_type = 'error'),
+               allc AS (SELECT * FROM v1 UNION ALL SELECT * FROM tomb),
+               r AS (SELECT *, row_number() OVER (
+                       PARTITION BY rowkey, family, qualifier
+                       ORDER BY version DESC) AS rn
+                     FROM allc)
+          SELECT rowkey, family, qualifier, version, value
+          FROM r WHERE rn = 1 AND value != '__TOMBSTONE__'
+          ORDER BY rowkey, qualifier""",
   )
 }

@@ -161,6 +161,59 @@ object DedupOps extends QueryModule {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_cluster" -> ((s, dir) => {
+      // Cluster materialization for EXACT dedup: one hash shuffle on
+      // md5(text), canonical = min(doc_id) per hash, joined back so every
+      // doc knows its keeper — the "keep one copy" step that follows
+      // candidate generation in every corpus dedup run.
+      val d = T.load(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val canon = d.groupBy("h").agg(min("doc_id").as("canonical"))
+      d.join(canon, "h")
+        .select(col("doc_id"), col("canonical"),
+                (col("doc_id") === col("canonical")).as("is_keeper"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_cc" -> ((s, dir) => {
+      // Connected components over the NEAR-dup pair graph — the step that
+      // turns pairwise candidates into transitive dedup clusters (a~b and
+      // b~c put a,c in one cluster even when a!~c). Pointer-jumping
+      // min-label propagation, fully declarative (no driver-side data
+      // collection): each round takes the min label over neighbors, then
+      // label := label(label) (path doubling), so convergence needs
+      // O(log diameter) rounds — 4 rounds covers diameter 16, far above
+      // any near-dup cluster here (oracle equality proves sufficiency).
+      // Each round is two hash joins + one agg on the (tiny) edge set;
+      // the doc side shuffles on doc_id/label only.
+      // localCheckpoint = the Pregel-style lineage truncation: without it
+      // every round re-embeds (and the self-join re-executes) the whole
+      // prior plan, and optimization time grows exponentially with
+      // rounds (measured: 110 s -> ~5 s at sf0.01).
+      val pairs = TextOps.queries("dedup_near")(s, dir)
+      val docs = T.load(s, dir, "documents").select(col("doc_id"))
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint()
+      var lbl = docs.select(col("doc_id").as("node"),
+                            col("doc_id").as("label"))
+      for (_ <- 1 to 4) {
+        val nmin = edges.join(lbl, col("dst") === col("node"))
+          .groupBy("src").agg(min("label").as("nl"))
+        val stepped = lbl.join(nmin, col("node") === col("src"), "left")
+          .select(col("node"),
+                  least(col("label"), coalesce(col("nl"), col("label")))
+                    .as("label"))
+          .localCheckpoint()
+        lbl = stepped.as("a")
+          .join(stepped.select(col("node").as("n2"), col("label").as("l2")),
+                col("label") === col("n2"))
+          .select(col("node"), col("l2").as("label"))
+      }
+      lbl.select(col("node").as("doc_id"), col("label").as("canonical"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_embedding" -> ((s, dir) => {
       // Threshold 0.4 suits the synthetic uniform embeddings (max pair
       // cosine ≈ 0.47); a real corpus would use ≈0.95.
@@ -194,7 +247,38 @@ object DedupOps extends QueryModule {
             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
           / (sqrt(${duckSumSq(a)}) * sqrt(${duckSumSq(b)})), 4)"""
 
+  // dedup_near's oracle SQL (TextOps) inlined as a CTE body for dedup_cc.
+  private val nearPairsSql =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM documents a JOIN documents b
+            ON a.lang = b.lang AND a.n_chars = b.n_chars
+           AND a.doc_id < b.doc_id
+       WHERE jaccard(a.text, b.text) >= 0.9"""
+
   val oracles: Map[String, String] = Map(
+    "dedup_cluster" ->
+      """SELECT doc_id,
+                min(doc_id) OVER (PARTITION BY md5(text)) AS canonical,
+                doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                  AS is_keeper
+         FROM documents ORDER BY doc_id""",
+
+    "dedup_cc" ->
+      s"""WITH RECURSIVE
+            pairs AS ($nearPairsSql),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (SELECT a, b FROM edges
+                      UNION
+                      SELECT r.a, e.b FROM reach r
+                      JOIN edges e ON r.b = e.a),
+            comp AS (SELECT d.doc_id,
+                            least(d.doc_id, coalesce(min(r.b), d.doc_id))
+                              AS canonical
+                     FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+                     GROUP BY d.doc_id)
+          SELECT doc_id, canonical FROM comp ORDER BY doc_id""",
+
     "dedup_ngram" -> {
       val j = "CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) / len(list_distinct(a.sg || b.sg))"
       s"""WITH d AS (SELECT doc_id, lang, n_chars,
