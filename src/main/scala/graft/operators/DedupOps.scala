@@ -214,6 +214,22 @@ object DedupOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    "pipeline_dedup_e2e" -> ((s, dir) => {
+      // The dedup stack end-to-end as ONE job: near-dup pair graph →
+      // connected components → keep only cluster canonicals → per-lang
+      // corpus stats of what survives. This is the §2.K product shape: a
+      // user points the library at a corpus and gets the deduplicated
+      // corpus profile back.
+      val comp = queries("dedup_cc")(s, dir) // (doc_id, canonical)
+      val d = T.load(s, dir, "documents")
+      d.join(comp, "doc_id")
+        .filter(col("doc_id") === col("canonical")) // cluster keepers
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+             T.d(sum(T.dec(col("n_chars")))).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     "dedup_embedding" -> ((s, dir) => {
       // Threshold 0.4 suits the synthetic uniform embeddings (max pair
       // cosine ≈ 0.47); a real corpus would use ≈0.95.
@@ -278,6 +294,26 @@ object DedupOps extends QueryModule {
                      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
                      GROUP BY d.doc_id)
           SELECT doc_id, canonical FROM comp ORDER BY doc_id""",
+
+    "pipeline_dedup_e2e" ->
+      s"""WITH RECURSIVE
+            pairs AS ($nearPairsSql),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (SELECT a, b FROM edges
+                      UNION
+                      SELECT r.a, e.b FROM reach r
+                      JOIN edges e ON r.b = e.a),
+            comp AS (SELECT d.doc_id,
+                            least(d.doc_id, coalesce(min(r.b), d.doc_id))
+                              AS canonical
+                     FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+                     GROUP BY d.doc_id)
+          SELECT lang, count(*) AS n_kept,
+                 CAST(CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_chars
+          FROM documents JOIN comp USING (doc_id)
+          WHERE doc_id = canonical
+          GROUP BY lang ORDER BY lang""",
 
     "dedup_ngram" -> {
       val j = "CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) / len(list_distinct(a.sg || b.sg))"
