@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
 object Probe {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty || !SparkEntry.queries.contains(args(0)) ||
-        (args.length > 1 && scala.util.Try(args(1).toInt).isFailure)) {
+        (args.length > 1 &&
+         !scala.util.Try(args(1).toInt).toOption.exists(_ > 0))) {
       System.err.println("usage: runMain graft.Probe <query> [reps] [sfDir]")
       sys.exit(1)
     }

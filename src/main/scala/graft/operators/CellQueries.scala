@@ -151,10 +151,15 @@ object CellQueries extends QueryModule {
           ORDER BY family, qualifier""",
 
     "cell_versions" ->
+      // The WHERE value IS NOT NULL mirrors CellFlatten's null-skip: a
+      // NULL leaf never becomes a cell on the Spark side, so it must not
+      // become a version candidate here either.
       s"""WITH v1 AS ($eventCellsSql),
                v2 AS (${eventCellsSqlWith(
                  "WHERE event_type = 'purchase'", 1000000L, "value * 2")}),
-               allc AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+               allc AS (SELECT * FROM (SELECT * FROM v1 UNION ALL
+                                       SELECT * FROM v2)
+                        WHERE value IS NOT NULL),
                r AS (SELECT *, row_number() OVER (
                        PARTITION BY rowkey, family, qualifier
                        ORDER BY version DESC) AS rn
@@ -169,7 +174,9 @@ object CellQueries extends QueryModule {
                                epoch_us(ts) + 1000000 AS version,
                                '__TOMBSTONE__' AS value
                         FROM events WHERE event_type = 'error'),
-               allc AS (SELECT * FROM v1 UNION ALL SELECT * FROM tomb),
+               allc AS (SELECT * FROM (SELECT * FROM v1 UNION ALL
+                                       SELECT * FROM tomb)
+                        WHERE value IS NOT NULL),
                r AS (SELECT *, row_number() OVER (
                        PARTITION BY rowkey, family, qualifier
                        ORDER BY version DESC) AS rn

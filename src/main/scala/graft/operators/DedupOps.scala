@@ -107,6 +107,50 @@ object DedupOps extends QueryModule {
     smallPairs.unionByName(bigPairs)
   }
 
+  /** Connected components of the undirected pair graph over `docs`
+    * (column doc_id) with edges `pairs` (columns id_a, id_b); returns
+    * (doc_id, canonical) where canonical = min doc_id of the component.
+    * Pointer-jumping min-label propagation run UNTIL a fixpoint
+    * (changed == 0 — one cheap count per round, the standard Pregel
+    * driver loop; no data rows ever reach the driver), hard-capped at 12
+    * rounds (covers diameter 2^12 with path doubling) with a require()
+    * so silent under-iteration is impossible at any diameter. DedupSpec
+    * gates it on a 30-node chain — the shape a fixed round count
+    * silently splits. */
+  private[graft] def connectedComponents(docs: DataFrame,
+                                         pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var lbl = docs.select(col("doc_id").as("node"),
+                          col("doc_id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 12) {
+      val nmin = edges.join(lbl, col("dst") === col("node"))
+        .groupBy("src").agg(min("label").as("nl"))
+      val stepped = lbl
+        .select(col("node"), col("label").as("prev"))
+        .join(nmin, col("node") === col("src"), "left")
+        .select(col("node"), col("prev"),
+                least(col("prev"), coalesce(col("nl"), col("prev")))
+                  .as("label"))
+        .localCheckpoint()
+      val next = stepped.as("a")
+        .join(stepped.select(col("node").as("n2"), col("label").as("l2")),
+              col("label") === col("n2"))
+        .select(col("node"), col("prev"), col("l2").as("label"))
+        .localCheckpoint()
+      changed = next.filter(col("label") =!= col("prev")).count()
+      lbl = next.select("node", "label")
+      rounds += 1
+    }
+    require(changed == 0,
+            s"connectedComponents did not converge after $rounds rounds")
+    lbl.select(col("node").as("doc_id"), col("label").as("canonical"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_ngram" -> ((s, dir) => {
       // Shingle sets built per SIDE before the pairing (O(words)); the
@@ -178,40 +222,16 @@ object DedupOps extends QueryModule {
     "dedup_cc" -> ((s, dir) => {
       // Connected components over the NEAR-dup pair graph — the step that
       // turns pairwise candidates into transitive dedup clusters (a~b and
-      // b~c put a,c in one cluster even when a!~c). Pointer-jumping
-      // min-label propagation, fully declarative (no driver-side data
-      // collection): each round takes the min label over neighbors, then
-      // label := label(label) (path doubling), so convergence needs
-      // O(log diameter) rounds — 4 rounds covers diameter 16, far above
-      // any near-dup cluster here (oracle equality proves sufficiency).
-      // Each round is two hash joins + one agg on the (tiny) edge set;
-      // the doc side shuffles on doc_id/label only.
-      // localCheckpoint = the Pregel-style lineage truncation: without it
-      // every round re-embeds (and the self-join re-executes) the whole
-      // prior plan, and optimization time grows exponentially with
-      // rounds (measured: 110 s -> ~5 s at sf0.01).
+      // b~c put a,c in one cluster even when a!~c). See
+      // connectedComponents above for the fixpoint/pointer-jumping
+      // mechanics; each round is two hash joins + one agg on the (tiny)
+      // edge set, the doc side shuffles on doc_id/label only, and
+      // localCheckpoint is the Pregel-style lineage truncation (without
+      // it every round re-embeds and re-executes the whole prior plan —
+      // measured 110 s -> ~5 s at sf0.01).
       val pairs = TextOps.queries("dedup_near")(s, dir)
       val docs = T.load(s, dir, "documents").select(col("doc_id"))
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-        .localCheckpoint()
-      var lbl = docs.select(col("doc_id").as("node"),
-                            col("doc_id").as("label"))
-      for (_ <- 1 to 4) {
-        val nmin = edges.join(lbl, col("dst") === col("node"))
-          .groupBy("src").agg(min("label").as("nl"))
-        val stepped = lbl.join(nmin, col("node") === col("src"), "left")
-          .select(col("node"),
-                  least(col("label"), coalesce(col("nl"), col("label")))
-                    .as("label"))
-          .localCheckpoint()
-        lbl = stepped.as("a")
-          .join(stepped.select(col("node").as("n2"), col("label").as("l2")),
-                col("label") === col("n2"))
-          .select(col("node"), col("l2").as("label"))
-      }
-      lbl.select(col("node").as("doc_id"), col("label").as("canonical"))
-        .orderBy("doc_id")
+      connectedComponents(docs, pairs).orderBy("doc_id")
     }),
 
     "pipeline_dedup_e2e" -> ((s, dir) => {

@@ -36,7 +36,12 @@ object Joins extends QueryModule {
     * re-shuffling the fact table on every query dwarfs the query itself. */
   private def bucketedTable(s: SparkSession, dir: String, short: String,
                             key: String, df: => DataFrame): String = {
-    val tbl = short + dir.replaceAll("[^A-Za-z0-9]", "_")
+    // Identifier-safe name ('.' is a db separator in table names) made
+    // collision-free with a dir-hash suffix: two data dirs differing only
+    // in punctuation must never share a catalog table or /tmp path.
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString
+    val tbl = short + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + h
     if (!s.catalog.tableExists(tbl))
       df.write.mode("overwrite")
         .option("path", s"/tmp/graft_bkt_$tbl")

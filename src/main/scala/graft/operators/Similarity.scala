@@ -149,7 +149,7 @@ object Similarity extends QueryModule {
       // badly on clustered real-world embeddings. Seeded k-means|| fits
       // k=16 centroids on L2-NORMALIZED vectors (unit sphere ⇒ L2 rank
       // order == cosine rank order), every corpus vector joins its
-      // nearest cell once, and each probe fans out to its nprobe=6
+      // nearest cell once, and each probe fans out to its nprobe
       // nearest cells (multi-probe: a probe near a cell boundary finds
       // its neighbors in the adjacent cells). Corpus shuffles once on the
       // cell id; probes touch nprobe/k of it. No DuckDB oracle (k-means

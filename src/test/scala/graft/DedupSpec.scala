@@ -29,6 +29,19 @@ class DedupSpec extends AnyFunSuite {
            s"missing=${expect -- pairs.toSet} extra=${pairs.toSet -- expect}")
   }
 
+  test("connectedComponents converges on a 30-node chain (diameter >> fixed-round reach)") {
+    // A transitive chain 1~2~...~30 is the shape a fixed round count
+    // silently splits; the fixpoint loop must label the whole chain with
+    // its minimum. Isolated nodes stay their own canonical.
+    import spark.implicits._
+    val docs = (1L to 35L).toDF("doc_id")
+    val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = operators.DedupOps.connectedComponents(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 30L).foreach(i => assert(got(i) == 1L, s"node $i -> ${got(i)}"))
+    (31L to 35L).foreach(i => assert(got(i) == i, s"isolated $i -> ${got(i)}"))
+  }
+
   test("dedup_near result is invariant to the skew cap (fallback = plain path)") {
     // Same query shape with a cap of 0 (every block goes through the
     // salted branch) must produce byte-identical pairs to the shipped
