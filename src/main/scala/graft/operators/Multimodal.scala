@@ -55,6 +55,34 @@ object Multimodal extends QueryModule {
         .toDF()
         .orderBy("doc_id")
     }),
+
+    "multimodal_frames" -> ((s, dir) => {
+      // Frame-sampling + resize plumbing: each payload expands to its
+      // n_frames deterministic frame fingerprints, sampled at stride 2
+      // (sequence(1, n, 2) — the "every k-th frame" pattern), and the
+      // "resize" emits an 8-char thumb per sampled frame. Pure-Column
+      // generator: the explode pipelines with the scan inside
+      // whole-stage codegen; a real video decoder would swap the md5
+      // chain for frame bytes inside the same row shape (and move to
+      // multimodal_features' per-partition init for codec state).
+      val h = md5(col("text"))
+      T.load(s, dir, "documents")
+        .select(col("doc_id"), h.as("h"),
+                (conv(substring(h, 7, 2), 16, 10).cast("long") % 8 + 1)
+                  .as("n_frames"))
+        .select(col("doc_id"), col("n_frames"),
+                explode(transform(
+                  sequence(lit(1L), col("n_frames"), lit(2L)),
+                  i => struct(
+                    i.as("frame_idx"),
+                    md5(concat(col("h"), i.cast("string")))
+                      .as("frame_hash")))).as("f"))
+        .select(col("doc_id"), col("n_frames"),
+                col("f.frame_idx").as("frame_idx"),
+                col("f.frame_hash").as("frame_hash"),
+                substring(col("f.frame_hash"), 1, 8).as("thumb"))
+        .orderBy("doc_id", "frame_idx")
+    }),
   )
 
   // Oracle re-derives the payload bytes from the md5 hex string:
@@ -74,5 +102,20 @@ object Multimodal extends QueryModule {
                  substring(md5(text), 1, 8) AS thumb_hex,
                  1 + ${byteAt(3)} % 8 AS n_frames
           FROM documents ORDER BY doc_id""",
+
+    "multimodal_frames" ->
+      s"""WITH d AS (SELECT doc_id, md5(text) AS h,
+                            ${byteAt(3)} % 8 + 1 AS n_frames
+                     FROM documents),
+               f AS (SELECT doc_id, n_frames,
+                            unnest(generate_series(1, n_frames, 2))
+                              AS frame_idx
+                     FROM d)
+          SELECT f.doc_id, f.n_frames, f.frame_idx,
+                 md5(d.h || CAST(f.frame_idx AS VARCHAR)) AS frame_hash,
+                 substring(md5(d.h || CAST(f.frame_idx AS VARCHAR)), 1, 8)
+                   AS thumb
+          FROM f JOIN d ON f.doc_id = d.doc_id
+          ORDER BY f.doc_id, f.frame_idx""",
   )
 }
