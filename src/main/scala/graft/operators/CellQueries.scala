@@ -71,6 +71,26 @@ object CellQueries extends QueryModule {
         .orderBy("rowkey", "qualifier")
     }),
 
+    "sink_cells_multifamily" -> ((s, dir) => {
+      // json2hbase-style column-family routing: scalar leaves land in
+      // family 'd', the parsed props subtree in family 'p' — one flatten
+      // per family over disjoint payload columns, unioned. HBase column
+      // families are physically separate stores, so this routing is the
+      // reference's schema-design knob (hot scalars cheap to scan, cold
+      // nested payloads isolated).
+      val base = eventsNested(s, dir)
+      val scalars = CellFlatten.flatten(
+        base.select("event_id", "ts_us", "user_id", "event_type", "value"),
+        col("event_id"), "d", col("ts_us"),
+        exclude = Set("event_id", "ts_us"))
+      val props = CellFlatten.flatten(
+        base.select("event_id", "ts_us", "props"),
+        col("event_id"), "p", col("ts_us"),
+        exclude = Set("event_id", "ts_us"))
+      scalars.unionByName(props)
+        .orderBy("rowkey", "family", "qualifier")
+    }),
+
     "cell_tombstone" -> ((s, dir) => {
       // HBase delete semantics: a DELETE marker written at a newer
       // version hides the cell, and compaction physically drops it. A
@@ -166,6 +186,24 @@ object CellQueries extends QueryModule {
                      FROM allc)
           SELECT rowkey, family, qualifier, version, value
           FROM r WHERE rn = 1 ORDER BY rowkey, qualifier""",
+
+    "sink_cells_multifamily" ->
+      """WITH cells AS (
+           SELECT CAST(event_id AS VARCHAR) AS rowkey, 'd' AS family,
+                  'event_type' AS qualifier, epoch_us(ts) AS version,
+                  event_type AS value FROM events
+           UNION ALL
+           SELECT CAST(event_id AS VARCHAR), 'd', 'user_id', epoch_us(ts),
+                  CAST(user_id AS VARCHAR) FROM events
+           UNION ALL
+           SELECT CAST(event_id AS VARCHAR), 'd', 'value', epoch_us(ts),
+                  CAST(CAST(value AS DECIMAL(28,6)) AS VARCHAR) FROM events
+           UNION ALL
+           SELECT CAST(event_id AS VARCHAR), 'p', 'props.k', epoch_us(ts),
+                  CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
+           FROM events)
+         SELECT * FROM cells WHERE value IS NOT NULL
+         ORDER BY rowkey, family, qualifier""",
 
     "cell_tombstone" ->
       s"""WITH v1 AS ($eventCellsSql),

@@ -74,6 +74,35 @@ class PropertySpec extends AnyFunSuite {
     assert(viaWindow == viaSubquery)
   }
 
+  test("skewSafeSelfPairs equals brute force for random blocks, caps and salts") {
+    // Property form of DedupSpec's hot-block test: random block-key
+    // layouts (including blocks straddling the cap in both directions)
+    // must always yield exactly the brute-force a<b pair set, for any
+    // cap and salt fan-out.
+    val cfgGen = for {
+      n    <- Gen.choose(20, 80)
+      keys <- Gen.listOfN(n, Gen.choose(0, 3)) // few block keys → big blocks
+      cap  <- Gen.choose(0, 30)
+      k    <- Gen.choose(2, 6)
+    } yield (keys, cap, k)
+    forAllSeeded(cfgGen) { case (keys, cap, k) =>
+      val rows = keys.zipWithIndex.map { case (key, i) =>
+        (s"l$key", 10 + key, i.toLong, Seq(s"f$i"))
+      }
+      val d = rows.toDF("lang", "n_chars", "doc_id", "feat")
+      val expect = (for {
+        (la, na, a, _) <- rows; (lb, nb, b, _) <- rows
+        if la == lb && na == nb && a < b
+      } yield (a, b)).toSet
+      val got = operators.DedupOps.skewSafeSelfPairs(d, cap, k)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size, s"dup pairs at cap=$cap k=$k")
+      assert(got.toSet == expect, s"cap=$cap k=$k: " +
+             s"missing=${expect -- got.toSet} extra=${got.toSet -- expect}")
+    }
+  }
+
   test("decimal aggregation is partition-count-invariant on documents too") {
     val d = Tables.load(spark, sf, "documents")
     def s(parts: Int) = d.repartition(parts)
