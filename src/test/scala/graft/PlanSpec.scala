@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape assertions (SURVEY §4): the declarative plans must keep the
@@ -68,6 +69,45 @@ class PlanSpec extends AnyFunSuite {
 
   test("topk_global plans as TakeOrderedAndProject (no full global sort)") {
     assert(plan("topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("AQE splits a skewed SMJ partition at runtime (skew=true in final plan)") {
+    // The runtime half of the skew story (join_salted is the manual
+    // half): one key holds ~95% of the left side, thresholds are scaled
+    // to fixture size, and after execution AQE's final plan must show
+    // the skewed partition split (skew=true on the SortMergeJoin).
+    import spark.implicits._
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.5",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force SMJ
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // v = xxhash64(id): incompressible payload, so the hot partition's
+      // SHUFFLE BYTES (what skew detection measures) reflect its row
+      // count — a constant-key-only row compresses away the skew.
+      val left = spark.range(300000)
+        .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id"))
+                  .as("k"), xxhash64(col("id")).as("v"))
+      val right = spark.range(1000)
+        .select(col("id").as("k2"), (col("id") * 2).as("w"))
+      val joined = left.hint("merge").join(right, col("k") === col("k2"))
+        .agg(count(lit(1)).as("n"), max("v").as("mv"), sum("w").as("sw"))
+      // collect() (1 row) executes THIS QueryExecution — a write action
+      // would clone the plan and leave this one isFinalPlan=false.
+      // 285000 rows share k=7 (matching k2=7) + ids 0,20,...,980 match
+      // their own k2 = 285050 joined rows.
+      assert(joined.collect().head.getLong(0) == 285050L)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE did not split the skew:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   test("join_asof_native plans the custom AsOfJoinExec (strategy fired)") {
