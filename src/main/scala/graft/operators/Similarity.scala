@@ -65,7 +65,10 @@ object Similarity extends QueryModule {
       .select(col("doc_id"), DedupOps.shingles(col("text")).as("shingles"))
     val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
       .setBinary(true).setNumFeatures(1 << 18)
-    val feat = tf.transform(shingled)
+    // Cache the featurized set: the LSH fit scans it once and the
+    // self-join consumes it on BOTH sides — uncached, the shingle build
+    // and hashing run three times.
+    val feat = tf.transform(shingled).persist()
     val lsh = new MinHashLSH().setInputCol("features")
       .setOutputCol("hashes").setNumHashTables(5).setSeed(42L)
     val model = lsh.fit(feat)
