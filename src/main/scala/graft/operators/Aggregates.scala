@@ -198,6 +198,29 @@ object Aggregates extends QueryModule {
                .as("ap90"))
         .orderBy("l_returnflag")),
 
+    "q1_pricing" -> ((s, dir) =>
+      // TPC-H Q1 verbatim shape — the canonical pricing-summary report a
+      // reference user runs as-is: one partial+final hash aggregation
+      // over the filtered fact scan, products decimal-cast per row so
+      // the sums stay partition-order-invariant.
+      T.load(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") <=
+                  lit("2001-08-06").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          T.d(sum(T.dec(col("l_quantity")))).as("sum_qty"),
+          T.d(sum(T.dec(col("l_extendedprice")))).as("sum_base_price"),
+          T.d(sum(T.dec(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+            .as("sum_disc_price"),
+          T.d(sum(T.dec(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                          * (lit(1) + col("l_tax"))))).as("sum_charge"),
+          T.stable4(T.d(sum(T.dec(col("l_quantity")))) / count(lit(1)))
+            .as("avg_qty"),
+          T.stable4(T.d(sum(T.dec(col("l_discount")))) / count(lit(1)))
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
     "agg_typed_udaf" -> ((s, dir) => {
       val wavg = udaf(WeightedMean,
                       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaInt))
@@ -212,7 +235,24 @@ object Aggregates extends QueryModule {
     }),
   )
 
+  private def q1d(inner: String) =
+    s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)"
+
   val oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+                 ${q1d("l_quantity")} AS sum_qty,
+                 ${q1d("l_extendedprice")} AS sum_base_price,
+                 ${q1d("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+                 ${q1d("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+                 ${T.stable4Sql(s"${q1d("l_quantity")} / count(*)")} AS avg_qty,
+                 ${T.stable4Sql(s"${q1d("l_discount")} / count(*)")} AS avg_disc,
+                 count(*) AS count_order
+          FROM lineitem
+          WHERE CAST(l_shipdate AS DATE) <= DATE '2001-08-06'
+          GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
+
     "agg_pivot" ->
       """SELECT o_orderpriority,
                 CAST(CAST(sum(CAST(CASE WHEN o_orderstatus = 'F'

@@ -84,6 +84,31 @@ object Joins extends QueryModule {
         .orderBy("o_orderpriority")
     }),
 
+    "q3_shipping" -> ((s, dir) => {
+      // TPC-H Q3 verbatim shape — shipping-priority top-10: filtered
+      // dims, lineitem joined on the shuffle key, the (small) filtered
+      // customer side broadcast, revenue summed on decimals, and the
+      // top-10 taken under a total order (revenue desc, date, orderkey)
+      // so the limit is deterministic.
+      val c = T.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = T.load(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") <
+                  lit("1998-06-01").cast("date"))
+      val l = T.load(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") >
+                  lit("1998-06-01").cast("date"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+                 col("o_orderdate").cast("date").as("o_orderdate"),
+                 col("o_orderpriority"))
+        .agg(T.d(sum(T.dec(col("l_extendedprice") *
+                             (lit(1) - col("l_discount"))))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
     "join_inner_bhj" -> ((s, dir) => {
       val c = T.load(s, dir, "customer")
       val n = T.load(s, dir, "nation")
@@ -337,6 +362,20 @@ object Joins extends QueryModule {
     s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q3_shipping" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+                 o_orderpriority,
+                 ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+            AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+          GROUP BY 1, 2, 3
+          ORDER BY revenue DESC, o_orderdate, l_orderkey
+          LIMIT 10""",
+
     "sink_parquet_bucketed" ->
       s"""SELECT count(*) AS n, ${dsum("l_quantity")} AS sum_qty,
                  ${dsum("l_extendedprice")} AS sum_price
