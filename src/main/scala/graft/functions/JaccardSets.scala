@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: Jaccard similarity of two SORTED DISTINCT
+  * string arrays by a single merge pass — the fused form of
+  * `size(array_intersect(a,b)) / size(array_union(a,b))`.
+  *
+  * Why a custom Expression: that composed form materializes two
+  * intermediate arrays (plus their hash sets) per PAIR, and the pair
+  * loop is the quadratic inner loop of the blocked dedups — the hottest
+  * code in the engine at corpus scale. The merge pass allocates nothing,
+  * compares UTF8String bytes directly, and inlines into whole-stage
+  * codegen.
+  *
+  * Contract: both inputs must be sorted by Spark's binary string order
+  * (`array_sort`) and duplicate-free (`array_distinct`) — then
+  * intersection/union COUNTS equal the composed form's exactly, so the
+  * emitted double (|∩| / (n + m - |∩|)) is bit-identical to it and to
+  * the DuckDB oracles. Two empty arrays give 0/0 = NaN, matching the
+  * composed form's behavior under a >= threshold filter (dropped).
+  */
+case class JaccardSets(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val m = ys.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < n && j < m) {
+      val c = xs.getUTF8String(i).compareTo(ys.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / (n + m - inter)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0; int $j = 0; long $inter = 0L;
+         |while ($i < $n && $j < $m) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $inter++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = ((double) $inter) / ($n + $m - $inter);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSets =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardSets {
+  /** Register as a SQL function and return the raw similarity Column
+    * (callers apply their own emit rounding). Idempotent per session. */
+  def jac(s: SparkSession, a: String, b: String): Column = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaccard", es => JaccardSets(es.head, es(1)), "built-in")
+    expr(s"graft_jaccard($a, $b)")
+  }
+}

@@ -153,15 +153,16 @@ object DedupOps extends QueryModule {
 
   val queries: Map[String, Q] = Map(
     "dedup_ngram" -> ((s, dir) => {
-      // Shingle sets built per SIDE before the pairing (O(words)); the
-      // quadratic pair space is blocked by (lang, n_chars) and skew-capped
-      // by skewSafeSelfPairs (hot blocks go through salted sub-blocking).
+      // Shingle sets built per SIDE before the pairing (O(words)), sorted
+      // once so the pair scoring is the fused merge-count graft_jaccard
+      // (zero per-pair allocation); the quadratic pair space is blocked
+      // by (lang, n_chars) and skew-capped by skewSafeSelfPairs (hot
+      // blocks go through salted sub-blocking).
       val feat = T.load(s, dir, "documents")
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("lang"), col("n_chars"), col("doc_id"),
-                shingles(col("text")).as("feat"))
-      val j = size(array_intersect(col("f_a"), col("f_b"))).cast("double") /
-        size(array_union(col("f_a"), col("f_b")))
+                array_sort(shingles(col("text"))).as("feat"))
+      val j = graft.functions.JaccardSets.jac(s, "f_a", "f_b")
       skewSafeSelfPairs(feat, cap = 2000, k = 8)
         .withColumn("j_raw", j).filter(col("j_raw") >= 0.8)
         .select(col("id_a"), col("id_b"), st4(col("j_raw")).as("j"))

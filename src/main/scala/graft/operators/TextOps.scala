@@ -30,15 +30,15 @@ object TextOps extends QueryModule {
       // Char-set Jaccard (DuckDB `jaccard` semantics: distinct characters,
       // case-sensitive), within (lang, n_chars) blocks, pairs a<b.
       // Char sets are built per SIDE before the join (O(n·len)), not per
-      // pair inside it (O(n²·len)) — only set intersect/union runs in the
+      // pair inside it (O(n²·len)) — only the fused merge-count
+      // graft_jaccard (sorted sets, zero per-pair allocation) runs in the
       // quadratic block, and hot blocks (> cap rows) are spread over k²/2
       // reducer cells by DedupOps.skewSafeSelfPairs (salted sub-blocking —
       // identical pairs, no single-reducer O(B²) hotspot).
       val feat = T.load(s, dir, "documents")
         .select(col("lang"), col("n_chars"), col("doc_id"),
-                array_distinct(split(col("text"), "")).as("feat"))
-      val j = size(array_intersect(col("f_a"), col("f_b"))).cast("double") /
-        size(array_union(col("f_a"), col("f_b")))
+                array_sort(array_distinct(split(col("text"), ""))).as("feat"))
+      val j = graft.functions.JaccardSets.jac(s, "f_a", "f_b")
       DedupOps.skewSafeSelfPairs(feat, cap = 2000, k = 8)
         .withColumn("j_raw", j)
         .filter(col("j_raw") >= 0.9)
