@@ -84,6 +84,28 @@ object PipelineOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    "pipeline_quality_e2e" -> ((s, dir) => {
+      // Quality-filter stage of corpus curation (the other half next to
+      // dedup): score every doc with text_quality's formula, keep docs
+      // with n_tok >= 20 AND quality >= 0.45 (thresholds sized to split
+      // this fixture ~55/45), and report per-lang totals, survivors and
+      // DISJOINT rejection reasons — the report a curation run ships.
+      // One scan + one agg; the scoring is all codegen'd projections.
+      val q = TextOps.queries("text_quality")(s, dir)
+      val keep = col("n_tok") >= 20 && col("quality") >= 0.45
+      T.load(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .join(q, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+             sum(when(col("n_tok") < 20, 1L).otherwise(0L)).as("n_short"),
+             sum(when(col("n_tok") >= 20 && col("quality") < 0.45, 1L)
+               .otherwise(0L)).as("n_lowq"),
+             sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+             T.d(sum(when(keep, T.dec(col("n_chars")))
+               .otherwise(T.dec(lit(0))))).as("kept_chars"))
+        .orderBy("lang")
+    }),
+
     "text_pack_sequences" -> ((s, dir) => {
       // Greedy-by-order packing: bin id = floor(start_offset / CAP) of
       // each doc's running token count within its lang. Emits per-bin
@@ -126,6 +148,33 @@ object PipelineOps extends QueryModule {
                  len(regexp_extract_all(dirty, '$emailRe')) AS n_email,
                  len(regexp_extract_all(dirty, '$phoneRe')) AS n_phone
           FROM d ORDER BY doc_id"""
+    },
+
+    "pipeline_quality_e2e" -> {
+      // Same score construction as text_quality's oracle (stable4'd, so
+      // the >= 0.45 comparison lands identically in both engines).
+      val stops = "CAST(len(list_filter(string_split(lower(text), ' '), " +
+        "w -> w IN ('a','the','of','to','and','in','is'))) AS DOUBLE)"
+      val nTok = "len(string_split(lower(text), ' '))"
+      val alpha = "CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)"
+      val qual = graft.Tables.stable4Sql(
+        s"0.4 * ($stops / $nTok) + 0.4 * ($alpha / n_chars)" +
+          s" + 0.2 * least($nTok / 100.0, 1.0)")
+      s"""WITH q AS (SELECT doc_id, lang, n_chars, $nTok AS n_tok,
+                            $qual AS quality
+                     FROM documents)
+          SELECT lang, count(*) AS n_total,
+                 CAST(sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_short,
+                 CAST(sum(CASE WHEN n_tok >= 20 AND quality < 0.45
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_lowq,
+                 CAST(sum(CASE WHEN n_tok >= 20 AND quality >= 0.45
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(CAST(sum(CAST(CASE WHEN n_tok >= 20 AND quality >= 0.45
+                                    THEN n_chars ELSE 0 END
+                               AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)
+                   AS kept_chars
+          FROM q GROUP BY lang ORDER BY lang"""
     },
 
     "text_pack_sequences" ->
