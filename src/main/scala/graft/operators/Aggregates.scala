@@ -198,6 +198,23 @@ object Aggregates extends QueryModule {
                .as("ap90"))
         .orderBy("l_returnflag")),
 
+    "agg_mode" -> ((s, dir) => {
+      // Per-group mode (most frequent value): count + top-1 window — the
+      // distributed formulation of SQL mode(), with a deterministic
+      // tie-break on the value itself. Two shuffles (group count, then
+      // the per-group top-1 with WindowGroupLimit below the exchange).
+      import org.apache.spark.sql.expressions.Window
+      val cnt = T.load(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("cnt").desc, col("l_linestatus"))
+      cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_linestatus").as("mode_status"),
+                col("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
     "q1_pricing" -> ((s, dir) =>
       // TPC-H Q1 verbatim shape — the canonical pricing-summary report a
       // reference user runs as-is: one partial+final hash aggregation
@@ -239,6 +256,14 @@ object Aggregates extends QueryModule {
     s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "agg_mode" ->
+      """SELECT l_returnflag, l_linestatus AS mode_status, cnt
+         FROM (SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                      row_number() OVER (PARTITION BY l_returnflag
+                        ORDER BY count(*) DESC, l_linestatus) AS rn
+               FROM lineitem GROUP BY 1, 2)
+         WHERE rn = 1 ORDER BY l_returnflag""",
+
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
                  ${q1d("l_quantity")} AS sum_qty,

@@ -267,6 +267,48 @@ object Streaming extends QueryModule {
         .orderBy("event_id")
     }),
 
+    "stream_incremental" -> ((s, dir) => {
+      // Incremental batch ETL: Trigger.AvailableNow + a PERSISTENT
+      // checkpoint turn the file source into an incremental ingest —
+      // each invocation processes only files that arrived since the
+      // last run (the 100 TB pattern: hourly job, no reprocessing).
+      // Two generations are staged between two runs sharing checkpoint
+      // and the exactly-once sink; the final table equals the one-shot
+      // batch filter (oracle), and StreamingSpec asserts from the
+      // batch_id layout that run 2 wrote only generation 2's rows.
+      val stem = "/tmp/graft_incr_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val inDir = s"$stem/in"; val outDir = s"$stem/out"
+      val cp = s"$stem/ckpt"
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(): Unit
+      }
+      rmrf(new java.io.File(stem)) // fresh state per invocation
+      val e = T.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts_us")
+      def run(): Unit = {
+        val q = s.readStream.schema(streamSchema).parquet(inDir)
+          .filter(col("event_type") === "signup")
+          .select("event_id", "user_id", "value")
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            exactlyOnceBatchWrite(outDir)(b, id)
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", cp).start()
+        q.awaitTermination()
+      }
+      e.filter(col("event_id") % 2 === 0)
+        .write.mode("overwrite").parquet(inDir)
+      run() // generation 1
+      e.filter(col("event_id") % 2 === 1)
+        .write.mode("append").parquet(inDir)
+      run() // generation 2: only the new files are processed
+      s.read.parquet(outDir)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
     "stream_static_join" -> ((s, dir) => {
       val dim = T.load(s, dir, "nation") // static side, broadcast
       val in = readStream(s, stageEvents(s, dir))
@@ -381,6 +423,10 @@ object Streaming extends QueryModule {
     "stream_sink_foreachbatch" ->
       """SELECT event_id, user_id, value FROM events
          WHERE event_type = 'purchase' ORDER BY event_id""",
+
+    "stream_incremental" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_type = 'signup' ORDER BY event_id""",
 
     "stream_static_join" ->
       s"""SELECT n_name, count(*) AS n, ${dsum("value")} AS sum_value

@@ -48,6 +48,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("AvailableNow + checkpoint is incremental: run 2 writes only new files' rows") {
+    val rows = SparkEntry.queries("stream_incremental")(spark, sf).collect()
+    val signups = Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+    assert(rows.length == signups.count(), "final table != batch filter")
+    // The exactly-once sink partitions output by micro-batch; generation
+    // 2 (odd event_ids) must live entirely in batches AFTER generation
+    // 1's — proving the checkpoint skipped the already-processed files.
+    val out = spark.read
+      .parquet("/tmp/graft_incr__root_testdata_sf0.001/out")
+      .select(col("batch_id").cast("long").as("batch_id"), col("event_id"))
+    val maxGen1Batch = out.filter(col("event_id") % 2 === 0)
+      .agg(max("batch_id")).collect()(0).getLong(0)
+    val minGen2Batch = out.filter(col("event_id") % 2 === 1)
+      .agg(min("batch_id")).collect()(0).getLong(0)
+    assert(minGen2Batch > maxGen1Batch,
+           s"gen2 rows landed in gen1's batches ($minGen2Batch <= $maxGen1Batch)")
+  }
+
   test("streaming dedup halves a doubled input back to the original set") {
     val deduped = SparkEntry.queries("stream_dedup")(spark, sf)
       .agg(sum("n")).collect()(0).getLong(0)
