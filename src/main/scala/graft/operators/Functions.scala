@@ -192,6 +192,18 @@ object Functions extends QueryModule {
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
                 col("col").as("word"))
         .orderBy("doc_id", "pos")),
+
+    "fn_explode_outer" -> ((s, dir) =>
+      // Null-preserving generator: docs whose long-word array is EMPTY
+      // must survive as a (doc_id, NULL) row — explode would silently
+      // drop them, which at pipeline scale is data loss, not filtering.
+      T.load(s, dir, "documents")
+        .select(col("doc_id"),
+                filter(split(col("text"), " "), w => length(w) > 7)
+                  .as("longw"))
+        .select(col("doc_id"), size(col("longw")).cast("long").as("n_long"),
+                explode_outer(col("longw")).as("word"))
+        .orderBy(col("doc_id"), col("word").asc_nulls_first)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -322,5 +334,17 @@ object Functions extends QueryModule {
                 unnest(w) AS word
          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
          ORDER BY doc_id, pos""",
+
+    "fn_explode_outer" ->
+      // outer-unnest emulation: an empty array becomes [NULL] so the row
+      // survives with a NULL word, matching Spark's explode_outer.
+      """SELECT doc_id, len(longw) AS n_long,
+                unnest(CASE WHEN len(longw) = 0 THEN [NULL]
+                       ELSE longw END) AS word
+         FROM (SELECT doc_id,
+                      list_filter(string_split(text, ' '),
+                                  w -> length(w) > 7) AS longw
+               FROM documents)
+         ORDER BY doc_id, word NULLS FIRST""",
   )
 }

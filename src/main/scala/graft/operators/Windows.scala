@@ -78,6 +78,32 @@ object Windows extends QueryModule {
 
     "win_first_last" -> ((s, dir) =>
       { T.views(s, dir, "orders"); s.sql(firstLastSql) }),
+
+    "win_sessionize" -> ((s, dir) =>
+      // BATCH sessionization: session_window works outside streaming too
+      // — one shuffle on (gap-merged window, user), same operator the
+      // streaming twin (stream_session) uses, no state store needed.
+      T.eventsTs(s, dir)
+        .groupBy(session_window(col("ts_ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+                unix_micros(col("session_window.start")).as("sess_start_us"),
+                col("n"))
+        .orderBy("user_id", "sess_start_us")),
+
+    "agg_argmax" -> ((s, dir) =>
+      // Deterministic arg-max: the order with the highest totalprice per
+      // priority. max(struct(price, key)) breaks price ties by key —
+      // unlike bare max_by, whose tie choice is undefined — and stays a
+      // single partial+final aggregation (no window, no second shuffle).
+      T.load(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"),
+             count(lit(1)).as("n"))
+        .select(col("o_orderpriority"),
+                col("m.o_orderkey").as("best_order"),
+                col("m.o_totalprice").as("best_price"), col("n"))
+        .orderBy("o_orderpriority")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -106,5 +132,30 @@ object Windows extends QueryModule {
 
     "win_range_frame" -> rangeFrameSql,
     "win_first_last" -> firstLastSql,
+
+    "win_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+              g AS (SELECT user_id, ts_us,
+                      CASE WHEN ts_us - lag(ts_us) OVER
+                             (PARTITION BY user_id ORDER BY ts_us)
+                           >= 1800000000 THEN 1 ELSE 0 END AS brk
+                    FROM e),
+              sid AS (SELECT user_id, ts_us,
+                        sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS sess
+                      FROM g)
+         SELECT user_id, min(ts_us) AS sess_start_us, count(*) AS n
+         FROM sid GROUP BY user_id, sess
+         ORDER BY user_id, sess_start_us""",
+
+    "agg_argmax" ->
+      """SELECT o_orderpriority, o_orderkey AS best_order,
+                o_totalprice AS best_price, n
+         FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                      count(*) OVER (PARTITION BY o_orderpriority) AS n,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+               FROM orders)
+         WHERE rn = 1 ORDER BY o_orderpriority""",
   )
 }
