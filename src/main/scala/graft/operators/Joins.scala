@@ -38,13 +38,18 @@ object Joins extends QueryModule {
                             key: String, df: => DataFrame): String = {
     // Identifier-safe name ('.' is a db separator in table names) made
     // collision-free with a dir-hash suffix: two data dirs differing only
-    // in punctuation must never share a catalog table or /tmp path.
+    // in punctuation must never share a catalog table or /tmp path. The
+    // staging path also carries this JVM's pid: the catalog is in-memory
+    // (per-process), so two concurrent JVMs (sbt test + Bench) would
+    // otherwise both see tableExists=false and race overwriting the same
+    // directory, corrupting the bucketed files mid-read.
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString
     val tbl = short + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + h
     if (!s.catalog.tableExists(tbl))
       df.write.mode("overwrite")
-        .option("path", s"/tmp/graft_bkt_$tbl")
+        .option("path",
+                s"/tmp/graft_bkt_${ProcessHandle.current().pid()}_$tbl")
         .bucketBy(8, key).sortBy(key)
         .saveAsTable(tbl)
     tbl

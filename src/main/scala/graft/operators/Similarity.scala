@@ -67,16 +67,23 @@ object Similarity extends QueryModule {
       .setBinary(true).setNumFeatures(1 << 18)
     // Cache the featurized set: the LSH fit scans it once and the
     // self-join consumes it on BOTH sides — uncached, the shingle build
-    // and hashing run three times.
+    // and hashing run three times. The cache's lifetime is bounded to
+    // THIS call: the (small) candidate-pair set is materialized eagerly
+    // via localCheckpoint, which truncates the lineage so `feat` is no
+    // longer referenced, and the finally unpersists it — repeated
+    // invocations (Bench runs every query twice) leak nothing.
     val feat = tf.transform(shingled).persist()
-    val lsh = new MinHashLSH().setInputCol("features")
-      .setOutputCol("hashes").setNumHashTables(5).setSeed(42L)
-    val model = lsh.fit(feat)
-    model.approxSimilarityJoin(feat, feat, maxDist, "jacc_dist")
-      .select(col("datasetA.doc_id").as("id_a"),
-              col("datasetB.doc_id").as("id_b"),
-              round(col("jacc_dist"), 4).as("dist"))
-      .filter(col("id_a") < col("id_b"))
+    try {
+      val lsh = new MinHashLSH().setInputCol("features")
+        .setOutputCol("hashes").setNumHashTables(5).setSeed(42L)
+      val model = lsh.fit(feat)
+      model.approxSimilarityJoin(feat, feat, maxDist, "jacc_dist")
+        .select(col("datasetA.doc_id").as("id_a"),
+                col("datasetB.doc_id").as("id_b"),
+                round(col("jacc_dist"), 4).as("dist"))
+        .filter(col("id_a") < col("id_b"))
+        .localCheckpoint(true)
+    } finally feat.unpersist()
   }
 
   val queries: Map[String, Q] = Map(
@@ -170,12 +177,14 @@ object Similarity extends QueryModule {
       import s.implicits._
       val k = 16
       val nprobe = 10
-      val unit = {
-        val d = col("embedding").cast("array<double>")
-        transform(d, x => x / sqrt(sumSq(col("embedding"))))
-      }
+      // Norm computed ONCE into its own column — dividing by an inline
+      // sqrt(sumSq(...)) inside the transform lambda would re-evaluate
+      // the 64-element fold per element (O(d²) per row).
       val e = T.load(s, dir, "embeddings")
-        .withColumn("u", unit)
+        .withColumn("nrm", sqrt(sumSq(col("embedding"))))
+        .withColumn("u", transform(col("embedding").cast("array<double>"),
+                                   x => x / col("nrm")))
+        .drop("nrm")
         .withColumn("fv", array_to_vector(col("u")))
       // Cache ONLY the fit input: each k-means iteration rescans it, and
       // without the cache every pass re-reads parquet and re-normalizes.

@@ -119,6 +119,12 @@ object Streaming extends QueryModule {
     * Readers see the run as a batch_id-partitioned parquet layout and
     * ignore the `_`-prefixed marker. StreamingSpec replays a batch both
     * ways and asserts the row set is unchanged. */
+  /** Staging stem for stream_incremental, shared with StreamingSpec so
+    * the test reads EXACTLY the directory the query wrote (no duplicated
+    * sanitization logic that could silently drift). */
+  private[graft] def incrStem(dir: String): String =
+    "/tmp/graft_incr_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
   private[graft] def exactlyOnceBatchWrite(outDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val part = new java.io.File(outDir, s"batch_id=$batchId")
@@ -276,7 +282,7 @@ object Streaming extends QueryModule {
       // and the exactly-once sink; the final table equals the one-shot
       // batch filter (oracle), and StreamingSpec asserts from the
       // batch_id layout that run 2 wrote only generation 2's rows.
-      val stem = "/tmp/graft_incr_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val stem = incrStem(dir)
       val inDir = s"$stem/in"; val outDir = s"$stem/out"
       val cp = s"$stem/ckpt"
       def rmrf(f: java.io.File): Unit = {

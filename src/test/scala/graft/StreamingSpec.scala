@@ -57,7 +57,7 @@ class StreamingSpec extends AnyFunSuite {
     // 2 (odd event_ids) must live entirely in batches AFTER generation
     // 1's — proving the checkpoint skipped the already-processed files.
     val out = spark.read
-      .parquet("/tmp/graft_incr__root_testdata_sf0.001/out")
+      .parquet(streaming.Streaming.incrStem(sf) + "/out")
       .select(col("batch_id").cast("long").as("batch_id"), col("event_id"))
     val maxGen1Batch = out.filter(col("event_id") % 2 === 0)
       .agg(max("batch_id")).collect()(0).getLong(0)
