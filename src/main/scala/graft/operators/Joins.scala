@@ -89,6 +89,57 @@ object Joins extends QueryModule {
         .orderBy("o_orderpriority")
     }),
 
+    "join_bloom" -> ((s, dir) => {
+      // Runtime bloom-filter pushdown: the orders side keeps ~1/35 of
+      // its rows (priority + modulo predicate), so Catalyst's
+      // InjectRuntimeFilter builds a bloom filter over the surviving
+      // o_orderkeys and plants `might_contain(...)` on the lineitem
+      // scan — the probe side drops non-matching rows BEFORE the
+      // shuffle instead of after the join. At 100 TB this is the
+      // shuffle-volume lever for selective fact-fact joins that are too
+      // big to broadcast (where DPP doesn't apply because the probe
+      // side isn't partitioned by the key). The application-side size
+      // threshold defaults to 10GB — far above any local fixture — so
+      // it is lowered once here; results are unaffected (a bloom filter
+      // only prunes candidates, the join still tests equality exactly).
+      // PlanSpec asserts might_contain lands on the probe-side scan.
+      //
+      // Fixture-scale note: injection requires BOTH join sides to be
+      // non-broadcastable (InjectRuntimeFilter.isProbablyShuffleJoin —
+      // when the dim fits in a broadcast, Catalyst rightly prefers plain
+      // BHJ and skips the bloom). The local fixtures are megabytes, so
+      // the demo scopes broadcast-by-size off plus the two size
+      // thresholds, pins the injected plan by forcing physical planning
+      // eagerly, and restores the confs — leaving every other query's
+      // planning untouched. At real scale none of these overrides exist:
+      // two >10MB sides with a selective creation-side predicate inject
+      // by default.
+      val confs = Map(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+      try {
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        val o = T.load(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+                  col("o_orderkey") % 7 === 0)
+        val l = T.load(s, dir, "lineitem")
+        val joined = l.hint("merge")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_linestatus")
+          .agg(count(lit(1)).as("n"),
+               T.d(sum(T.dec(col("l_extendedprice")))).as("sum_price"))
+          .orderBy("l_linestatus")
+        joined.queryExecution.executedPlan // pin the bloom-injected plan
+        joined
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }),
+
     "q3_shipping" -> ((s, dir) => {
       // TPC-H Q3 verbatim shape — shipping-priority top-10: filtered
       // dims, lineitem joined on the shuffle key, the (small) filtered
@@ -367,6 +418,13 @@ object Joins extends QueryModule {
     s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "join_bloom" ->
+      s"""SELECT l_linestatus, count(*) AS n,
+                 ${dsum("l_extendedprice")} AS sum_price
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0
+          GROUP BY l_linestatus ORDER BY l_linestatus""",
+
     "q3_shipping" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
                  o_orderpriority,

@@ -96,6 +96,38 @@ object Sources extends QueryModule {
     tmp
   }
 
+  /** Tiny event_type dimension (5 rows) staged as a REAL parquet
+    * relation: dynamic partition pruning only fires against a join to an
+    * actual relation — an in-memory LocalRelation would constant-fold. */
+  private def stageDim(s: org.apache.spark.sql.SparkSession,
+                       dir: String): String = {
+    val tmp = stage(dir, "typedim")
+    if (!staged(tmp))
+      T.events(s, dir).select("event_type").distinct()
+        .withColumn("category",
+          when(col("event_type").isin("purchase", "signup"), "conversion")
+            .otherwise("traffic"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    tmp
+  }
+
+  /** Range-clustered, sorted-within-file layout: each output file covers
+    * a narrow disjoint l_orderkey range and its parquet row groups carry
+    * tight min/max stats on the sort key — the data-layout lever that
+    * turns selective scans into a handful of row-group reads at 100 TB
+    * (the single-column special case of Z-ordering). */
+  private def stageSorted(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String = {
+    val tmp = stage(dir, "pqsorted")
+    if (!staged(tmp))
+      T.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .write.mode("overwrite").parquet(tmp)
+    tmp
+  }
+
   private val eventsSchema =
     "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
   private val custSchema =
@@ -154,6 +186,42 @@ object Sources extends QueryModule {
         .filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "event_type", "value", "ts_us")
         .orderBy("event_id")
+    }),
+
+    "scan_dpp" -> ((s, dir) => {
+      // Dynamic partition pruning: the partition predicate is NOT in the
+      // query — it only emerges at runtime from the dim-side filter
+      // (category = 'conversion' selects 2 of 5 event_types). Catalyst
+      // plants a dynamicpruningexpression subquery on the fact scan's
+      // PartitionFilters (reusing the dim's broadcast), so 3/5 of the
+      // partitioned fact is never opened even though no literal
+      // event_type predicate exists. At 100 TB this is THE mechanism
+      // that makes star-schema joins against partitioned facts cheap;
+      // static pruning (scan_pruned) can't help when the filter lives
+      // on the dimension. PlanSpec asserts the dynamic filter is planted.
+      val fact = s.read.parquet(stagePartitioned(s, dir))
+      val dim = s.read.parquet(stageDim(s, dir))
+        .filter(col("category") === "conversion")
+      fact.join(dim, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             T.d(sum(T.dec(col("value")))).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    "sink_parquet_sorted" -> ((s, dir) => {
+      // Read a narrow key range back from the range-clustered layout
+      // (stageSorted): the between-predicate reaches the scan as
+      // PushedFilters, and because files/row-groups are disjoint in
+      // l_orderkey, footer min/max stats skip all but ~1/8 of the data
+      // before any page is decoded. Same rows as an unsorted scan —
+      // the oracle proves layout never changes results, only cost.
+      val tmp = stageSorted(s, dir)
+      s.read.parquet(tmp)
+        .filter(col("l_orderkey").between(1000, 3000))
+        .agg(count(lit(1)).as("n"),
+             T.d(sum(T.dec(col("l_quantity")))).as("sum_qty"),
+             T.d(sum(T.dec(col("l_extendedprice")))).as("sum_price"))
     }),
 
     "scan_json_corrupt" -> ((s, dir) => {
@@ -245,6 +313,18 @@ object Sources extends QueryModule {
     "scan_pruned" ->
       """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
          FROM events WHERE event_type = 'purchase' ORDER BY event_id""",
+
+    "scan_dpp" ->
+      s"""SELECT event_type, count(*) AS n,
+                 CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
+          FROM events WHERE event_type IN ('purchase', 'signup')
+          GROUP BY event_type ORDER BY event_type""",
+
+    "sink_parquet_sorted" ->
+      s"""SELECT count(*) AS n,
+                 CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
+                 CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_price
+          FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000""",
 
     "scan_json_corrupt" ->
       s"""SELECT count(*) AS n_good,

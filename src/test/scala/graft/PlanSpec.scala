@@ -110,6 +110,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("scan_dpp plants a dynamic-pruning subquery on the fact scan") {
+    // No literal event_type predicate exists in the query; the partition
+    // filter must be the runtime subquery derived from the dim filter.
+    val p = plan("scan_dpp")
+    assert(p.contains("dynamicpruningexpression"),
+           s"no dynamic partition pruning on the partitioned scan:\n$p")
+  }
+
+  test("join_bloom plants might_contain on the probe-side scan") {
+    // The query pins its physical plan under scoped confs; AQE may still
+    // re-shape the join at runtime, but the injected bloom filter lives
+    // in the logical plan and must survive into the executed plan.
+    val df = SparkEntry.queries("join_bloom")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+           s"no runtime bloom filter on the probe side:\n$p")
+    assert(p.contains("bloom_filter_agg"),
+           s"no bloom build side in the plan:\n$p")
+  }
+
+  test("sink_parquet_sorted pushes the range predicate into the scan") {
+    val p = plan("sink_parquet_sorted")
+    assert(p.contains("GreaterThanOrEqual(l_orderkey,1000"), p)
+    assert(p.contains("LessThanOrEqual(l_orderkey,3000"), p)
+  }
+
   test("join_asof_native plans the custom AsOfJoinExec (strategy fired)") {
     val p = plan("join_asof_native")
     assert(p.contains("AsOfJoin"), p)
