@@ -151,6 +151,34 @@ object Aggregates extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    "agg_corr" -> ((s, dir) => {
+      // Pearson correlation + population covariance per group WITHOUT
+      // the built-in corr/covar_pop: those accumulate doubles in
+      // partition order (nondeterministic under repartitioning), so the
+      // five moments are summed as exact DECIMALs (associative ⇒
+      // partition-count-invariant), converted once to double, and the
+      // closed-form combination is a fixed IEEE expression tree both
+      // engines evaluate identically. Same single-shuffle shape as the
+      // built-ins: one partial+final agg, O(1) state per group.
+      import org.apache.spark.sql.types.DecimalType
+      def d18(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      val m = T.load(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        T.d(sum(d18(x))).as("sx"), T.d(sum(d18(y))).as("sy"),
+        T.d(sum(d18(x) * d18(x))).as("sxx"),
+        T.d(sum(d18(y) * d18(y))).as("syy"),
+        T.d(sum(d18(x) * d18(y))).as("sxy"))
+      m.select(col("l_returnflag"), col("n"),
+          T.stable4((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qp"),
+          T.stable4((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"))
+            .as("covar_pop_qp"))
+        .orderBy("l_returnflag")
+    }),
+
     // The driver's pandas comparer cannot sort list-typed columns, so the
     // sorted collect is emitted as a joined string (the array op itself —
     // collect_list + sort_array — still runs inside the agg).
@@ -328,6 +356,24 @@ object Aggregates extends QueryModule {
                 CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY l_partkey HAVING count(*) >= 35
          ORDER BY l_partkey""",
+
+    "agg_corr" ->
+      // DECIMAL(19,6) on the DuckDB side forces int128 storage: DuckDB
+      // multiplies p<=18 decimals in their int64 representation and
+      // overflows before widening; the products are exact integers in
+      // both engines either way, so the width difference is invisible.
+      s"""WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,6))) AS VARCHAR(64)) AS DOUBLE) AS sx,
+                  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR(64)) AS DOUBLE) AS sy,
+                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS VARCHAR(64)) AS DOUBLE) AS sxx,
+                  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR(64)) AS DOUBLE) AS syy,
+                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR(64)) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+                ${T.stable4Sql("(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))")} AS corr_qp,
+                ${T.stable4Sql("(sxy - sx * sy / n) / n")} AS covar_pop_qp
+         FROM m ORDER BY l_returnflag""",
 
     "agg_stats_manual" ->
       """WITH b AS (

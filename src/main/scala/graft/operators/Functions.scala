@@ -118,6 +118,47 @@ object Functions extends QueryModule {
         bitwise_not(col("o_orderkey")).as("bnot"))
         .orderBy("o_orderkey")),
 
+    "fn_regex" -> ((s, dir) =>
+      // Deeper regex family than fn_string's extract/replace: occurrence
+      // counting, extract-all (scalarized via array_join for the
+      // comparer), boolean match, and first-match substring with NULL
+      // no-match semantics. All codegen'd Column ops — regex over text
+      // columns is the backbone of corpus filtering and PII scrubbing.
+      T.load(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("[aeiou]{2}")).cast("long").as("n_vv"),
+        array_join(regexp_extract_all(col("text"), lit("\\b(s[a-z]+)\\b"),
+                                      lit(1)), ",").as("s_words"),
+        col("text").rlike("vector").cast("int").as("has_vector"),
+        regexp_substr(col("text"), lit("w[a-z]{3,}")).as("first_w"))
+        .orderBy("doc_id")),
+
+    "fn_struct" -> ((s, dir) =>
+      // Nested-type round trip: build a struct, read fields back out,
+      // compute through a field, and serialize the whole struct to JSON
+      // (the wire shape of the reference's document model).
+      T.load(s, dir, "nation")
+        .select(col("n_nationkey"),
+                struct(col("n_name").as("name"),
+                       col("n_regionkey").as("rk")).as("st"))
+        .select(col("n_nationkey"),
+                col("st.name").as("name"),
+                (col("st.rk") + 100).as("rk_plus"),
+                to_json(col("st")).as("js"))
+        .orderBy("n_nationkey")),
+
+    "fn_sequence" -> ((s, dir) =>
+      // Range generator: per-row sequence materialized by explode —
+      // the fan-out primitive (calendar spines, retry schedules,
+      // per-row enumerations) that at scale must stay a generator
+      // inside the scan pipeline, never a driver-side loop.
+      T.load(s, dir, "nation")
+        .select(col("n_nationkey"),
+                explode(sequence(lit(0), col("n_nationkey") % 5)).as("i"))
+        .select(col("n_nationkey"), col("i").cast("long").as("i"),
+                (col("n_nationkey") + col("i")).cast("long").as("key_i"))
+        .orderBy("n_nationkey", "i")),
+
     "fn_hash" -> ((s, dir) =>
       T.load(s, dir, "customer").select(
         col("c_custkey"),
@@ -282,6 +323,36 @@ object Functions extends QueryModule {
                 CAST(bit_count(o_orderkey) AS BIGINT) AS bcnt,
                 ~o_orderkey AS bnot
          FROM orders ORDER BY o_orderkey""",
+
+    "fn_regex" ->
+      // RE2 (DuckDB) and java.util.regex (Spark) agree on these ASCII
+      // character-class/boundary patterns; regexp_substr's NULL-on-no-
+      // match maps to nullif(regexp_extract(...), '') since DuckDB's
+      // extract returns '' where Spark returns NULL, and DuckDB's
+      // array_to_string over an empty match list returns NULL where
+      // Spark's array_join returns '' (hence the coalesce).
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '[aeiou]{2}')) AS n_vv,
+                coalesce(array_to_string(
+                  regexp_extract_all(text, '\b(s[a-z]+)\b', 1), ','), '')
+                  AS s_words,
+                CAST(regexp_matches(text, 'vector') AS INT) AS has_vector,
+                nullif(regexp_extract(text, 'w[a-z]{3,}'), '') AS first_w
+         FROM documents ORDER BY doc_id""",
+
+    "fn_struct" ->
+      """SELECT n_nationkey,
+                struct_pack(name := n_name, rk := n_regionkey).name AS name,
+                struct_pack(name := n_name, rk := n_regionkey).rk + 100 AS rk_plus,
+                CAST(to_json(struct_pack(name := n_name, rk := n_regionkey))
+                     AS VARCHAR) AS js
+         FROM nation ORDER BY n_nationkey""",
+
+    "fn_sequence" ->
+      """SELECT n_nationkey,
+                unnest(generate_series(0, n_nationkey % 5)) AS i,
+                n_nationkey + unnest(generate_series(0, n_nationkey % 5)) AS key_i
+         FROM nation ORDER BY n_nationkey, i""",
 
     "fn_hash" ->
       """SELECT c_custkey,
