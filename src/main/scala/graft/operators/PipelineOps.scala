@@ -106,6 +106,53 @@ object PipelineOps extends QueryModule {
         .orderBy("lang")
     }),
 
+    "sample_mixture" -> ((s, dir) => {
+      // Target-mixture downsampling: each language stratum keeps a
+      // different fraction (the domain-reweighting step every training
+      // corpus runs: upweight scarce langs, downweight dominant ones).
+      // The keep decision compares the doc's md5 hex prefix against a
+      // per-stratum threshold string — hex chars are uniform, so
+      // P(md5_4 < threshold) = int(threshold,16)/65536 — giving a
+      // sample that is (a) a pure codegen'd projection with no shuffle
+      // before the readback agg, (b) exactly reproducible across
+      // engines, runs and repartitioning (unlike rand()-based
+      // sampleBy), and (c) stable per document: re-ingesting a shard
+      // never flips another shard's keep decision.
+      // Rates: en 1/2, de 1/4, es 3/4, fr ~1/10, zh 7/8.
+      val rate = when(col("lang") === "en", "8000")
+        .when(col("lang") === "de", "4000")
+        .when(col("lang") === "es", "c000")
+        .when(col("lang") === "fr", "1999")
+        .otherwise("e000")
+      T.load(s, dir, "documents")
+        .withColumn("hx", substring(md5(col("doc_id").cast("string")), 1, 4))
+        .filter(col("hx") < rate)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+             T.d(sum(T.dec(col("n_chars")))).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
+    "scd2_intervals" -> ((s, dir) => {
+      // Slowly-changing-dimension (type 2) build from an event stream:
+      // collapse consecutive identical states per user (lag), then
+      // derive each surviving state's validity interval (lead) with an
+      // open-ended current row. Two windows over ONE shuffle on
+      // user_id — Catalyst plans both window frames on the same
+      // partitioning, so the 100 TB cost is a single exchange + sort.
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val ch = T.events(s, dir)
+        .select("user_id", "event_id", "ts_us", "event_type")
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      ch.withColumn("valid_to", lead("ts_us", 1).over(w) - 1)
+        .withColumn("is_current", col("valid_to").isNull.cast("int"))
+        .select(col("user_id"), col("event_type").as("state"),
+                col("ts_us").as("valid_from"), col("valid_to"),
+                col("is_current"))
+        .orderBy("user_id", "valid_from", "state")
+    }),
+
     "text_pack_sequences" -> ((s, dir) => {
       // Greedy-by-order packing: bin id = floor(start_offset / CAP) of
       // each doc's running token count within its lang. Emits per-bin
@@ -176,6 +223,37 @@ object PipelineOps extends QueryModule {
                    AS kept_chars
           FROM q GROUP BY lang ORDER BY lang"""
     },
+
+    "sample_mixture" ->
+      s"""WITH h AS (SELECT lang, n_chars,
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+          FROM documents)
+          SELECT lang, count(*) AS n_kept,
+                 CAST(CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_chars
+          FROM h
+          WHERE hx < CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
+                               WHEN 'es' THEN 'c000' WHEN 'fr' THEN '1999'
+                               ELSE 'e000' END
+          GROUP BY lang ORDER BY lang""",
+
+    "scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                           event_type
+                    FROM events),
+              ch AS (SELECT user_id, event_id, ts_us, event_type
+                     FROM (SELECT *, lag(event_type) OVER
+                             (PARTITION BY user_id
+                              ORDER BY ts_us, event_id) AS prev
+                           FROM e)
+                     WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type AS state, ts_us AS valid_from,
+                lead(ts_us) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) - 1 AS valid_to,
+                CAST(CASE WHEN lead(ts_us) OVER
+                       (PARTITION BY user_id
+                        ORDER BY ts_us, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS INT) AS is_current
+         FROM ch ORDER BY user_id, valid_from, state""",
 
     "text_pack_sequences" ->
       """WITH t AS (SELECT doc_id, lang,

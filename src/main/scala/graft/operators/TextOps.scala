@@ -46,6 +46,33 @@ object TextOps extends QueryModule {
         .orderBy("id_a", "id_b")
     }),
 
+    "text_lm_score" -> ((s, dir) => {
+      // Corpus-LM fluency score: each doc's average corpus frequency of
+      // its word bigrams — docs full of rare transitions score low (the
+      // cheap stand-in for perplexity-based quality filtering, no model
+      // needed). Bigram build is O(words) via one zip_with over shifted
+      // views; the corpus count table is vocab²-bounded (tiny next to
+      // the corpus) so the re-join broadcasts — at 100 TB the token
+      // stream shuffles once for the counts and never again. Counts are
+      // integers and the per-doc mean is an exact-decimal-sum / count,
+      // so the score is bit-stable across engines and partitionings.
+      val bi = T.load(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"),
+                explode(zip_with(col("w"),
+                                 slice(col("w"), lit(2), size(col("w"))),
+                                 (x, y) => concat(x, lit(" "), y))).as("bg"))
+        .filter(col("bg").isNotNull) // zip_with's trailing null pad
+      val counts = bi.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      bi.join(broadcast(counts), "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+             T.stable4(T.d(sum(T.dec(col("cnt")))) / count(lit(1)))
+               .as("lm_score"))
+        .orderBy("doc_id")
+    }),
+
     "text_wordcount" -> ((s, dir) =>
       T.load(s, dir, "documents")
         .select(explode(split(lower(col("text")), " ")).as("token"))
@@ -163,6 +190,21 @@ object TextOps extends QueryModule {
     s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "text_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                     FROM documents),
+               b AS (SELECT doc_id,
+                            unnest(list_transform(
+                              generate_series(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i + 1])) AS bg
+                     FROM t WHERE len(w) >= 2),
+               c AS (SELECT bg, count(*) AS cnt FROM b GROUP BY bg)
+          SELECT doc_id, count(*) AS n_bigrams,
+                 ${graft.Tables.stable4Sql(
+                   s"${dsum("cnt")} / count(*)")} AS lm_score
+          FROM b JOIN c USING (bg)
+          GROUP BY doc_id ORDER BY doc_id""",
+
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY h""",

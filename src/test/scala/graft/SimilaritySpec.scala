@@ -101,6 +101,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, f"adaptive IVF recall $recall%.3f < 0.9")
   }
 
+  test("sim_quantized recalls >= 0.9 of full-precision top-3 (int8 gate)") {
+    // Quantization is oracle-checked for exactness; this gates the thing
+    // exactness can't show — that 8-bit codes preserve the NEIGHBORHOOD
+    // structure of the full-precision space (uniform [-0.25,0.25] dims
+    // quantize to ~1/1000 resolution, so ranks should barely move).
+    val sfDir = "/root/testdata/sf0.01"
+    def top3(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, sfDir)
+        .filter(col("rn") <= 3).select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = top3("sim_topk")
+    val got = top3("sim_quantized")
+    val recall = (truth & got).size.toDouble / truth.size
+    info(f"recall $recall%.3f (${(truth & got).size}/${truth.size})")
+    assert(recall >= 0.9, f"int8 quantized recall $recall%.3f < 0.9")
+  }
+
   test("dedup_exact is idempotent (SURVEY §5.3)") {
     val once = SparkEntry.queries("dedup_exact")(spark, sf001)
     assert(once.groupBy("h").count().filter(col("count") > 1).count() == 0)
