@@ -139,6 +139,16 @@ object AsOfJoinPlan {
     if (!s.experimental.extraStrategies.contains(AsOfStrategy))
       s.experimental.extraStrategies =
         s.experimental.extraStrategies :+ AsOfStrategy
+    build(s, l, r, userCol, tsCol, outName)
+  }
+
+  /** Node construction WITHOUT installing the strategy — the path for
+    * sessions that carry AsOfStrategy via `spark.sql.extensions`
+    * (GraftExtensions); planning fails loudly if neither registration
+    * happened, which is what ExtensionsSpec leans on. */
+  private[graft] def build(s: SparkSession, l: DataFrame, r: DataFrame,
+                           userCol: String, tsCol: String,
+                           outName: String): DataFrame = {
     val lp = l.queryExecution.analyzed
     // Fresh aliases give the right side new exprIds: a left/right pair
     // derived from the same base table would otherwise share ids, and
