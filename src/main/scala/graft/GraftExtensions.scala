@@ -19,7 +19,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    from `spark.sql(...)` text, not just the Column API;
   *  - the AsOfJoin planner strategy, so `AsOfJoinPlan.build` plans the
   *    custom co-partitioned merge without touching
-  *    `experimental.extraStrategies`.
+  *    `experimental.extraStrategies`;
+  *  - the FuseJaccard optimizer rule, which rewrites the composed
+  *    `size(array_intersect)/size(array_union)` set-Jaccard into the
+  *    fused single-pass `graft_jaccard` wherever it is provably safe.
   *
   * This is the idiomatic packaging for a third-party Spark library
   * (injection over mutation: `experimental.extraStrategies` mutates live
@@ -46,5 +49,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[functions.JaccardSets],
       es => functions.JaccardSets(es.head, es(1))))
     e.injectPlannerStrategy(_ => plans.AsOfStrategy)
+    e.injectOptimizerRule(_ => plans.FuseJaccard)
   }
 }

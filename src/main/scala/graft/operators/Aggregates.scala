@@ -151,6 +151,30 @@ object Aggregates extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    "agg_hll_partitioned" -> ((s, dir) => {
+      // Mergeable-sketch rollup — the 100 TB cardinality pattern: build
+      // a Datasketches HLL per fine partition (nation) ONCE, then answer
+      // any coarser rollup (region) by UNIONING STORED SKETCHES instead
+      // of re-scanning the fact table; countDistinct at region level
+      // would re-shuffle every row, hll_union_agg moves 5 sketch blobs.
+      // Sketch register updates are max-based (input-order-independent),
+      // so results survive the determinism sweep. No DuckDB oracle (the
+      // sketch binary isn't portable); gated by AggregatesSpec's
+      // region-level ±5%-of-exact bound, with the exact per-nation
+      // distincts summing exactly at region level (custkeys are unique).
+      val c = T.load(s, dir, "customer")
+      val n = T.load(s, dir, "nation")
+      val perNation = c.groupBy("c_nationkey")
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"),
+             countDistinct(col("c_custkey")).as("exact_n"))
+      perNation.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_regionkey")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+               .cast("long").as("approx_custs"),
+             sum("exact_n").as("exact_custs"))
+        .orderBy("n_regionkey")
+    }),
+
     "agg_corr" -> ((s, dir) => {
       // Pearson correlation + population covariance per group WITHOUT
       // the built-in corr/covar_pop: those accumulate doubles in

@@ -152,6 +152,49 @@ object DedupOps extends QueryModule {
   }
 
   val queries: Map[String, Q] = Map(
+    "dedup_minhash_portable" -> ((s, dir) => {
+      // MinHash-LSH with a fully ORACLE-CHECKED pipeline — the portable
+      // twin of dedup_minhash (whose MLlib signatures can only be
+      // recall-gated, never cross-engine-verified). K=12 hash functions
+      // h_i(shingle) = int(md5("i:"+shingle)[0:8]) derive from md5 hex,
+      // the one hash both engines share bit-for-bit; per-doc signature =
+      // K column-wise set-mins (order-independent folds); 6 bands × 2
+      // rows bucket docs by md5(band slice); candidate pairs meet ONLY
+      // on band-key equality (one hash shuffle — never all-pairs, the
+      // same 100 TB shape as dedup_minhash/dedup_simhash) and are then
+      // exactly re-scored with the fused merge-pass Jaccard. Rows,
+      // schema and every hashed value check against DuckDB.
+      val K = 12; val R = 2; val B = K / R
+      val docs = T.load(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+      def sig(i: Int) = aggregate(col("sh"), lit(Long.MaxValue),
+        (acc, shingle) => least(acc,
+          conv(substring(md5(concat(lit(s"$i:"), shingle)), 1, 8), 16, 10)
+            .cast("long")))
+      val sigs = docs.select(col("doc_id") +:
+        (0 until K).map(i => sig(i).as(s"s$i")): _*)
+      val bkeys = (0 until B).map(b =>
+        concat(lit(s"$b:"), md5(concat_ws("_",
+          (b * R until (b + 1) * R).map(r => col(s"s$r")): _*))))
+      val banded = sigs
+        .select(col("doc_id"), explode(array(bkeys: _*)).as("bkey"))
+      val pairs = banded.as("x").join(banded.as("y"),
+          col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      val sets = docs.select(col("doc_id"), array_sort(col("sh")).as("sg"))
+      val j = graft.functions.JaccardSets.jac(s, "sa", "sb")
+      pairs
+        .join(sets.select(col("doc_id").as("id_a"), col("sg").as("sa")),
+              "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("sg").as("sb")),
+              "id_b")
+        .select(col("id_a"), col("id_b"), st4(j).as("j"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_ngram" -> ((s, dir) => {
       // Shingle sets built per SIDE before the pairing (O(words)), sorted
       // once so the pair scoring is the fused merge-count graft_jaccard
@@ -335,6 +378,36 @@ object DedupOps extends QueryModule {
           FROM documents JOIN comp USING (doc_id)
           WHERE doc_id = canonical
           GROUP BY lang ORDER BY lang""",
+
+    "dedup_minhash_portable" -> {
+      val j = "CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) / len(list_distinct(a.sg || b.sg))"
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                     FROM documents),
+               sgs AS (SELECT doc_id,
+                              list_distinct(list_transform(
+                                generate_series(1, len(w) - 2),
+                                i -> array_to_string(w[i:i+2], ' '))) AS sg
+                       FROM d WHERE len(w) >= 3),
+               ex AS (SELECT doc_id, unnest(sg) AS sh FROM sgs),
+               sig AS (SELECT doc_id, i,
+                              min(TRY_CAST('0x' ||
+                                substring(md5(CAST(i AS VARCHAR) || ':' || sh),
+                                          1, 8) AS BIGINT)) AS sig
+                       FROM ex, (SELECT unnest(generate_series(0, 11)) AS i)
+                       GROUP BY doc_id, i),
+               bands AS (SELECT doc_id,
+                                CAST(i // 2 AS VARCHAR) || ':' ||
+                                  md5(string_agg(CAST(sig AS VARCHAR), '_'
+                                                 ORDER BY i)) AS bkey
+                         FROM sig GROUP BY doc_id, i // 2),
+               p AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                     FROM bands x JOIN bands y
+                          ON x.bkey = y.bkey AND x.doc_id < y.doc_id)
+          SELECT id_a, id_b, ${st4s(j)} AS j
+          FROM p JOIN sgs a ON a.doc_id = id_a
+                 JOIN sgs b ON b.doc_id = id_b
+          ORDER BY id_a, id_b"""
+    },
 
     "dedup_ngram" -> {
       val j = "CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) / len(list_distinct(a.sg || b.sg))"

@@ -106,6 +106,38 @@ object PipelineOps extends QueryModule {
         .orderBy("lang")
     }),
 
+    "merge_upsert" -> ((s, dir) => {
+      // MERGE INTO semantics on plain parquet tables (no table-format
+      // dependency): a deterministic change set of updates (matched ⇒
+      // new values), deletes (matched ⇒ drop) and inserts (unmatched ⇒
+      // append) is applied to a base snapshot in ONE full outer join.
+      // At 100 TB this is copy-on-write maintenance: the base shuffles
+      // once on the key (or not at all when bucketed on it — see
+      // join_bucketed) and the typically-tiny change set broadcasts;
+      // the change-capture pattern behind dimension refresh and GDPR
+      // deletes.
+      val base = T.load(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+                col("c_acctbal").as("bal"))
+      val updates = base.filter(col("k") % 7 === 0 && col("k") % 11 =!= 0)
+        .select(lit("U").as("op"), col("k"), col("name"),
+                (col("bal") + 100.0).as("bal"))
+      val deletes = base.filter(col("k") % 11 === 0)
+        .select(lit("D").as("op"), col("k"), col("name"), col("bal"))
+      val inserts = T.load(s, dir, "nation")
+        .select(lit("I").as("op"),
+                (col("n_nationkey") + 900000).cast("long").as("k"),
+                col("n_name").as("name"), lit(0.0).as("bal"))
+      val changes = updates.unionByName(deletes).unionByName(inserts)
+      base.as("b")
+        .join(broadcast(changes.as("c")), col("b.k") === col("c.k"), "full")
+        .filter(coalesce(col("c.op"), lit("")) =!= "D")
+        .select(coalesce(col("c.k"), col("b.k")).as("k"),
+                coalesce(col("c.name"), col("b.name")).as("name"),
+                coalesce(col("c.bal"), col("b.bal")).as("bal"))
+        .orderBy("k")
+    }),
+
     "sample_mixture" -> ((s, dir) => {
       // Target-mixture downsampling: each language stratum keeps a
       // different fraction (the domain-reweighting step every training
@@ -223,6 +255,26 @@ object PipelineOps extends QueryModule {
                    AS kept_chars
           FROM q GROUP BY lang ORDER BY lang"""
     },
+
+    "merge_upsert" ->
+      """WITH base AS (SELECT c_custkey AS k, c_name AS name,
+                              c_acctbal AS bal
+                       FROM customer),
+              changes AS (
+                SELECT 'U' AS op, k, name, bal + 100.0 AS bal
+                FROM base WHERE k % 7 = 0 AND k % 11 <> 0
+                UNION ALL
+                SELECT 'D', k, name, bal FROM base WHERE k % 11 = 0
+                UNION ALL
+                SELECT 'I', CAST(n_nationkey + 900000 AS BIGINT), n_name,
+                       0.0
+                FROM nation)
+         SELECT coalesce(c.k, b.k) AS k,
+                coalesce(c.name, b.name) AS name,
+                coalesce(c.bal, b.bal) AS bal
+         FROM base b FULL JOIN changes c ON b.k = c.k
+         WHERE coalesce(c.op, '') <> 'D'
+         ORDER BY k""",
 
     "sample_mixture" ->
       s"""WITH h AS (SELECT lang, n_chars,

@@ -1,0 +1,83 @@
+package graft.plans
+
+import graft.functions.JaccardSets
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Optimizer rule (injected by GraftExtensions): rewrite the composed
+  * set-Jaccard
+  *
+  * {{{ size(array_intersect(a, b)) / size(array_union(a, b)) }}}
+  *
+  * into the fused single-merge-pass `graft_jaccard(a, b)` expression —
+  * the composed form materializes two intermediate arrays plus their
+  * hash sets PER PAIR, which is the inner loop of every blocked dedup at
+  * corpus scale (see JaccardSets).
+  *
+  * The fusion is only semantics-preserving when both inputs are provably
+  * sorted, duplicate-free, null-free string arrays, so the rule fires
+  * solely on the canonical `array_sort(array_distinct(e))` /
+  * `sort_array(array_distinct(e))` shape with a null-free element type —
+  * exactly the shape the engine's own dedup features use. Everything
+  * else is left untouched. Numerically exact: both forms compute
+  * |∩| / (n + m − |∩|) as a double ratio of the same two ints, both are
+  * null-safe, and both give NaN on two empty sets.
+  */
+object FuseJaccard extends Rule[LogicalPlan] {
+
+  private def strip(e: Expression): Expression = e match {
+    case c: Cast => strip(c.child)
+    case o       => o
+  }
+
+  /** The analyzer resolves array_sort's default comparator into a
+    * concrete `if (l < r) -1 else if (l > r) 1 else 0` lambda with fresh
+    * variables per call site, so it is recognized structurally (a
+    * semanticEquals against the unresolved default can never match). */
+  private def isDefaultCmp(f: Expression): Boolean = f match {
+    case LambdaFunction(
+          If(LessThan(l1, r1), Literal(m, _),
+             If(GreaterThan(l2, r2), Literal(p, _), Literal(z, _))),
+          Seq(a, b), false)
+        if m == -1 && p == 1 && z == 0 &&
+          l1.semanticEquals(a) && r1.semanticEquals(b) &&
+          l2.semanticEquals(a) && r2.semanticEquals(b) => true
+    case _ => false
+  }
+
+  /** Provably binary-sorted, duplicate-free, null-free DEFAULT-collation
+    * string array; yields the lambda-free ArrayDistinct child, which IS
+    * semanticEquals-comparable across call sites (per-site lambda
+    * variable ids make the full array_sort trees incomparable).
+    * sort_array ASC and array_sort's default comparator agree on
+    * null-free binary-collation strings — both are the UTF8 byte order. */
+  private object SortedDistinct {
+    def unapply(e: Expression): Option[Expression] = {
+      val inner = e match {
+        case ArraySort(ad: ArrayDistinct, f, _) if isDefaultCmp(f) => Some(ad)
+        case SortArray(ad: ArrayDistinct, Literal(true, _))        => Some(ad)
+        case _                                                     => None
+      }
+      inner.filter(_ => e.dataType match {
+        case ArrayType(StringType, containsNull) => !containsNull
+        case _                                   => false
+      })
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case d @ Divide(l, r, _) =>
+        (strip(l), strip(r)) match {
+          case (Size(ArrayIntersect(a1 @ SortedDistinct(x1),
+                                    b1 @ SortedDistinct(y1)), _),
+                Size(ArrayUnion(SortedDistinct(x2),
+                                SortedDistinct(y2)), _))
+              if x1.semanticEquals(x2) && y1.semanticEquals(y2) =>
+            JaccardSets(a1, b1)
+          case _ => d
+        }
+    }
+}

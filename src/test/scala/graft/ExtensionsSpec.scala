@@ -50,6 +50,32 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("FuseJaccard rewrites composed set-Jaccard into graft_jaccard") {
+    withExtSession { s =>
+      def sd(c: org.apache.spark.sql.Column) =
+        array_sort(array_distinct(split(c, " ")))
+      // Parquet-backed input (a literal LocalRelation would be folded by
+      // ConvertToLocalRelation before the plan could show the rewrite).
+      val a = sd(col("text"))
+      val b = sd(concat(col("text"), lit(" zzqq")))
+      val df = s.read.parquet(SparkFixture.sf001 + "/documents.parquet")
+        .select(col("doc_id"),
+                (size(array_intersect(a, b)).cast("double") /
+                  size(array_union(a, b))).as("j"),
+                size(sd(col("text"))).as("n"))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_jaccard"),
+             s"composed Jaccard not fused:\n$plan")
+      assert(!plan.contains("array_intersect"), plan)
+      // b = a ∪ {zzqq} ⇒ jaccard must be exactly n/(n+1) per row
+      df.collect().foreach { r =>
+        val n = r.getInt(2).toDouble
+        assert(r.getDouble(1) == n / (n + 1),
+               s"doc ${r.getLong(0)}: ${r.getDouble(1)} != $n/(n+1)")
+      }
+    }
+  }
+
   test("AsOfStrategy fires via extensions (no experimental registration)") {
     withExtSession { s =>
       import s.implicits._
