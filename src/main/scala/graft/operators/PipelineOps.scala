@@ -111,11 +111,12 @@ object PipelineOps extends QueryModule {
       // dependency): a deterministic change set of updates (matched ⇒
       // new values), deletes (matched ⇒ drop) and inserts (unmatched ⇒
       // append) is applied to a base snapshot in ONE full outer join.
-      // At 100 TB this is copy-on-write maintenance: the base shuffles
-      // once on the key (or not at all when bucketed on it — see
-      // join_bucketed) and the typically-tiny change set broadcasts;
-      // the change-capture pattern behind dimension refresh and GDPR
-      // deletes.
+      // At 100 TB this is copy-on-write maintenance: a FULL OUTER join
+      // cannot be broadcast (BroadcastHashJoin has no full-outer mode),
+      // so both sides hash-shuffle on the key — but the base pays that
+      // shuffle only once (or not at all when bucketed on it — see
+      // join_bucketed), and the tiny change set's shuffle is free; the
+      // change-capture pattern behind dimension refresh and GDPR deletes.
       val base = T.load(s, dir, "customer")
         .select(col("c_custkey").as("k"), col("c_name").as("name"),
                 col("c_acctbal").as("bal"))
@@ -130,7 +131,7 @@ object PipelineOps extends QueryModule {
                 col("n_name").as("name"), lit(0.0).as("bal"))
       val changes = updates.unionByName(deletes).unionByName(inserts)
       base.as("b")
-        .join(broadcast(changes.as("c")), col("b.k") === col("c.k"), "full")
+        .join(changes.as("c"), col("b.k") === col("c.k"), "full")
         .filter(coalesce(col("c.op"), lit("")) =!= "D")
         .select(coalesce(col("c.k"), col("b.k")).as("k"),
                 coalesce(col("c.name"), col("b.name")).as("name"),

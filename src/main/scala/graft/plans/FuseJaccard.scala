@@ -4,7 +4,7 @@ import graft.functions.JaccardSets
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
 /** Optimizer rule (injected by GraftExtensions): rewrite the composed
   * set-Jaccard
@@ -22,8 +22,20 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   * `sort_array(array_distinct(e))` shape with a null-free element type —
   * exactly the shape the engine's own dedup features use. Everything
   * else is left untouched. Numerically exact: both forms compute
-  * |∩| / (n + m − |∩|) as a double ratio of the same two ints, both are
-  * null-safe, and both give NaN on two empty sets.
+  * |∩| / (n + m − |∩|) as a double ratio of the same two ints and both
+  * are null-safe. Two edge guards keep the rewrite strictly
+  * semantics-preserving: (a) it fires only when the Divide's result
+  * type is DoubleType — a decimal-typed divide (operands cast to
+  * decimal) must keep its decimal schema; (b) on two EMPTY inputs the
+  * composed 0/0 yields NULL (non-ANSI) or a DIVIDE_BY_ZERO error
+  * (ANSI) while bare JaccardSets yields NaN, so the emitted expression
+  * wraps the fused call in `If(size(raw_a)+size(raw_b) = 0, NULL,
+  * jaccard)` over the RAW array children (an O(1) length read — no
+  * distinct/sort materialization). NULL is the engine's documented
+  * result for the degenerate empty-vs-empty pair in BOTH modes
+  * (undefined similarity ⇒ NULL, never a NaN that breaks comparisons
+  * and never a job-killing error deep inside a 100 TB dedup stage);
+  * NULL inputs flow through the else-branch unchanged.
   */
 object FuseJaccard extends Rule[LogicalPlan] {
 
@@ -69,14 +81,25 @@ object FuseJaccard extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case d @ Divide(l, r, _) =>
+      // DoubleType guard: a Divide whose operands were cast to DECIMAL
+      // has DecimalType — replacing it with the double-typed JaccardSets
+      // would change the analyzed schema. Only the double form fuses.
+      case d @ Divide(l, r, _) if d.dataType == DoubleType =>
         (strip(l), strip(r)) match {
           case (Size(ArrayIntersect(a1 @ SortedDistinct(x1),
                                     b1 @ SortedDistinct(y1)), _),
                 Size(ArrayUnion(SortedDistinct(x2),
                                 SortedDistinct(y2)), _))
               if x1.semanticEquals(x2) && y1.semanticEquals(y2) =>
-            JaccardSets(a1, b1)
+            // x1/y1 are the ArrayDistinct nodes; size their RAW children
+            // (plain length reads; distinct(e) is empty iff e is empty).
+            // Both empty ⇒ NULL (see scaladoc); a NULL input makes the
+            // condition NULL → else-branch → JaccardSets propagates the
+            // NULL exactly as the composed form does.
+            If(EqualTo(Add(Size(x1.children.head, legacySizeOfNull = false),
+                           Size(y1.children.head, legacySizeOfNull = false)),
+                       Literal(0)),
+               Literal(null, DoubleType), JaccardSets(a1, b1))
           case _ => d
         }
     }

@@ -60,6 +60,19 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_hll_partitioned: unioned sketches within 5% of exact per region (no-oracle gate)") {
+    // The query emits BOTH the sketch-union estimate and the exact count
+    // (per-nation distincts sum exactly at region level — custkeys are
+    // unique), so the gate reads one result set: |approx − exact| / exact
+    // < 5% per region. This is the promised region-level bound.
+    SparkEntry.queries("agg_hll_partitioned")(spark, sf)
+      .collect().foreach { r =>
+        val (approx, exact) = (r.getLong(1), r.getLong(2))
+        assert(math.abs(approx - exact).toDouble / exact < 0.05,
+               s"region ${r.get(0)}: approx $approx vs exact $exact")
+      }
+  }
+
   test("decimal sums are repartition-invariant (determinism rule §2.0)") {
     val li = Tables.load(spark, sf, "lineitem")
     def total(parts: Int): java.math.BigDecimal =

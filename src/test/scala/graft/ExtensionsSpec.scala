@@ -30,8 +30,12 @@ class ExtensionsSpec extends AnyFunSuite {
         .withExtensions(ext)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .getOrCreate()
-      try f(s)
-      finally if (s ne orig) s.sessionState.catalog.reset()
+      // No catalog cleanup: the external catalog is SharedState-scoped
+      // (per SparkContext, shared with the fixture session), so a reset
+      // here would drop OTHER suites' staged tables (e.g. Joins'
+      // bucketed tables) under sbt's parallel suite execution. This spec
+      // creates no catalog objects, so there is nothing to drop.
+      f(s)
     } finally {
       SparkSession.setActiveSession(orig)
       SparkSession.setDefaultSession(orig)
@@ -73,6 +77,37 @@ class ExtensionsSpec extends AnyFunSuite {
         assert(r.getDouble(1) == n / (n + 1),
                s"doc ${r.getLong(0)}: ${r.getDouble(1)} != $n/(n+1)")
       }
+    }
+  }
+
+  test("FuseJaccard guards: decimal divide untouched, empty sets give NULL") {
+    withExtSession { s =>
+      def sd(c: org.apache.spark.sql.Column) =
+        array_sort(array_distinct(split(c, " ")))
+      val docs = s.read.parquet(SparkFixture.sf001 + "/documents.parquet")
+      // (a) a DECIMAL-typed divide over the same composed shape must NOT
+      // fuse: JaccardSets is double-typed and would change the schema.
+      val a = sd(col("text")); val b = sd(concat(col("text"), lit(" zzqq")))
+      val dec = docs.select(
+        (size(array_intersect(a, b)).cast("decimal(20,10)") /
+          size(array_union(a, b))).as("j"))
+      assert(!dec.queryExecution.optimizedPlan.toString.contains("graft_jaccard"),
+             "decimal divide was fused")
+      assert(dec.schema("j").dataType
+               .isInstanceOf[org.apache.spark.sql.types.DecimalType])
+      // (b) two empty input sets: the fused plan must emit NULL (the
+      // engine's documented 0/0 result), not JaccardSets' bare NaN.
+      def sdEmpty(c: org.apache.spark.sql.Column) =
+        array_sort(array_distinct(filter(split(c, " "),
+                                         w => length(w) > 10000)))
+      val ea = sdEmpty(col("text"))
+      val eb = sdEmpty(concat(col("text"), lit(" x")))
+      val emp = docs.limit(3).select(
+        (size(array_intersect(ea, eb)).cast("double") /
+          size(array_union(ea, eb))).as("j"))
+      assert(emp.queryExecution.optimizedPlan.toString.contains("graft_jaccard"),
+             "empty-capable shape did not fuse")
+      emp.collect().foreach(r => assert(r.isNullAt(0), s"expected NULL, got $r"))
     }
   }
 
