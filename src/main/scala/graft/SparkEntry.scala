@@ -20,6 +20,7 @@ object SparkEntry {
     TextOps,
     DedupOps,
     PipelineOps,
+    Layout,
     Multimodal,
     Similarity,
     Streaming,

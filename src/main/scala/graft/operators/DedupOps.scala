@@ -249,6 +249,35 @@ object DedupOps extends QueryModule {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // Incremental ingest dedup — the steady-state shape at 100 TB: a
+      // new batch arrives, and only NEW content may enter the corpus. A
+      // deterministic batch is staged from the fixture itself: "fresh"
+      // docs (doc_id%10==3, text perturbed so they are genuinely new)
+      // plus "replayed" crawls (doc_id%10==7, text unchanged — exact
+      // duplicates of corpus rows). Dedup = LEFT ANTI join of the batch
+      // against the corpus on the content hash. The anti join shuffles
+      // only on md5 (or rides the corpus's bucketing on a real
+      // deployment — see join_bucketed); the batch side is ingest-sized,
+      // so at scale Spark plans the corpus probe as a broadcast of the
+      // BATCH hash set, never a corpus re-shuffle.
+      val d = T.load(s, dir, "documents")
+      val fresh = d.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 1000000L).as("new_id"),
+                concat(col("text"), lit(" batchmark")).as("text"))
+      val replayed = d.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 2000000L).as("new_id"), col("text"))
+      val batch = fresh.unionByName(replayed)
+        .withColumn("h", md5(col("text")))
+      val kept = batch.join(
+        d.select(md5(col("text")).as("h")), Seq("h"), "left_anti")
+      batch.select(col("new_id"))
+        .join(kept.select(col("new_id"), lit(1).as("kept")),
+              Seq("new_id"), "left")
+        .select(col("new_id"), coalesce(col("kept"), lit(0)).as("kept"))
+        .orderBy("new_id")
+    }),
+
     "dedup_cluster" -> ((s, dir) => {
       // Cluster materialization for EXACT dedup: one hash shuffle on
       // md5(text), canonical = min(doc_id) per hash, joined back so every
@@ -336,6 +365,18 @@ object DedupOps extends QueryModule {
        WHERE jaccard(a.text, b.text) >= 0.9"""
 
   val oracles: Map[String, String] = Map(
+    "dedup_incremental" ->
+      """WITH batch AS (
+           SELECT doc_id + 1000000 AS new_id, text || ' batchmark' AS text
+           FROM documents WHERE doc_id % 10 = 3
+           UNION ALL
+           SELECT doc_id + 2000000 AS new_id, text
+           FROM documents WHERE doc_id % 10 = 7)
+         SELECT b.new_id,
+                CAST(NOT EXISTS (SELECT 1 FROM documents d
+                                 WHERE md5(d.text) = md5(b.text)) AS INT) AS kept
+         FROM batch b ORDER BY b.new_id""",
+
     "dedup_cluster" ->
       """SELECT doc_id,
                 min(doc_id) OVER (PARTITION BY md5(text)) AS canonical,

@@ -166,6 +166,27 @@ object PipelineOps extends QueryModule {
         .orderBy("lang")
     }),
 
+    "sample_stratified" -> ((s, dir) => {
+      // Uniform k-per-stratum sample (the reservoir-sampling contract,
+      // distributed): rank docs inside each language by a
+      // content-independent hash and keep the k smallest. One shuffle on
+      // the stratum key; Spark's WindowGroupLimit pushes the k-filter
+      // below the exchange, so each map task forwards at most k rows per
+      // stratum — at 100 TB the shuffle moves k×|strata| rows, not the
+      // corpus. Hash-rank sampling is exactly reproducible across runs,
+      // engines and repartitionings (a true random reservoir is not) and
+      // stays uniform because md5 is uniform on distinct doc_ids.
+      val rk = row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+      T.load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", rk).filter(col("rk") <= 5)
+        .select(col("lang"), col("rk").cast("long").as("rk"),
+                col("doc_id"), col("n_chars"))
+        .orderBy("lang", "rk")
+    }),
+
     "scd2_intervals" -> ((s, dir) => {
       // Slowly-changing-dimension (type 2) build from an event stream:
       // collapse consecutive identical states per user (lag), then
@@ -288,6 +309,14 @@ object PipelineOps extends QueryModule {
                                WHEN 'es' THEN 'c000' WHEN 'fr' THEN '1999'
                                ELSE 'e000' END
           GROUP BY lang ORDER BY lang""",
+
+    "sample_stratified" ->
+      """SELECT lang, rk, doc_id, n_chars
+         FROM (SELECT lang, doc_id, n_chars,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+               FROM documents)
+         WHERE rk <= 5 ORDER BY lang, rk""",
 
     "scd2_intervals" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -158,6 +158,68 @@ object TextOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    "text_repetition" -> ((s, dir) => {
+      // Repetition-based quality signals (the Gopher/MassiveText family):
+      // duplicate-word fraction and most-frequent-word fraction per doc.
+      // Shuffle-free 100 TB shape: everything is a per-row projection —
+      // the most-frequent-word count equals the longest equal-run of the
+      // SORTED token array, folded in one `aggregate` pass over the
+      // array, so no explode → groupBy(doc, word) shuffle ever happens.
+      val w = split(lower(col("text")), " ")
+      val n = size(w)
+      // state = (prev token, current run, best run); tokens are non-null.
+      val run = aggregate(
+        array_sort(w),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val r = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), r.as("run"),
+                 greatest(acc("best"), r).as("best"))
+        },
+        acc => acc("best"))
+      T.load(s, dir, "documents").select(
+        col("doc_id"),
+        n.cast("long").as("n_tok"),
+        size(array_distinct(w)).cast("long").as("n_distinct"),
+        run.as("top_word_n"),
+        T.stable4(lit(1.0) - size(array_distinct(w)).cast("double") / n)
+          .as("dup_frac"),
+        T.stable4(run.cast("double") / n).as("top_word_frac"))
+        .orderBy("doc_id")
+    }),
+
+    "text_decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination — the training-corpus step that removes
+      // documents sharing long n-grams with an evaluation set. Benchmark
+      // = every 97th doc; a training doc is contaminated when any of its
+      // 4-word shingles appears in the benchmark shingle set. The
+      // benchmark set is corpus-tiny by construction (eval suites are
+      // KBs, corpora are TBs), so it BROADCASTS, and the broadcast
+      // hash-probe runs BEFORE any exchange: the full training shingle
+      // stream is filtered down to actual hits (rare) inside the scan
+      // stage, and only the surviving hits pay the distinct/agg shuffle
+      // — at 100 TB the expensive stream never shuffles at all.
+      val d = T.load(s, dir, "documents")
+      def shingles(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 4)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("w")) - 3),
+          i => array_join(slice(col("w"), i, lit(4)), " "))).as("sh"))
+      val bench = shingles(d.filter(col("doc_id") % 97 === 0))
+        .select(col("sh")).distinct()
+      val hits = shingles(d.filter(col("doc_id") % 97 =!= 0))
+        .join(broadcast(bench), "sh")   // narrow: probe inside scan stage
+        .distinct()                     // per-doc distinct shared shingles
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      d.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+                (coalesce(col("n_hits"), lit(0L)) === 0).cast("int").as("keep"))
+        .orderBy("doc_id")
+    }),
+
     "text_fingerprint" -> ((s, dir) => {
       // Polynomial rolling hash over the token sequence (and its
       // order-insensitive twin over the sorted distinct token set).
@@ -292,6 +354,42 @@ object TextOps extends QueryModule {
                    AS chars_per_token
           FROM documents ORDER BY doc_id"""
     },
+
+    "text_repetition" ->
+      // Max equal-run of the sorted array == most-frequent-word count,
+      // which SQL states directly as max(per-word count).
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                     FROM documents),
+              c AS (SELECT doc_id, w, count(*) AS cnt
+                    FROM t GROUP BY doc_id, w),
+              a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok,
+                           count(*) AS n_distinct, max(cnt) AS top_word_n
+                    FROM c GROUP BY doc_id)
+          SELECT doc_id, n_tok, n_distinct, top_word_n,
+                 ${T.stable4Sql("1.0 - CAST(n_distinct AS DOUBLE) / n_tok")} AS dup_frac,
+                 ${T.stable4Sql("CAST(top_word_n AS DOUBLE) / n_tok")} AS top_word_frac
+          FROM a ORDER BY doc_id""",
+
+    "text_decontaminate" ->
+      """WITH sh AS (SELECT doc_id,
+                            unnest(list_transform(
+                              generate_series(1, len(w) - 3),
+                              i -> array_to_string(w[i:i+3], ' '))) AS sh
+                     FROM (SELECT doc_id, string_split(text, ' ') AS w
+                           FROM documents)
+                     WHERE len(w) >= 4),
+              bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+              hits AS (SELECT DISTINCT s.doc_id, s.sh
+                       FROM sh s JOIN bench b USING (sh)
+                       WHERE s.doc_id % 97 <> 0),
+              nh AS (SELECT doc_id, count(*) AS n_hits
+                     FROM hits GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(nh.n_hits, 0) AS n_hits,
+                CAST(coalesce(nh.n_hits, 0) = 0 AS INT) AS keep
+         FROM documents d LEFT JOIN nh ON d.doc_id = nh.doc_id
+         WHERE d.doc_id % 97 <> 0
+         ORDER BY d.doc_id""",
 
     "text_fingerprint" -> {
       def hv(t: String) =

@@ -344,16 +344,25 @@ object Streaming extends QueryModule {
         .agg(count(lit(1)).as("n"))
       val name = s"graft_mem_${ctr.incrementAndGet()}"
       val cp = Files.createTempDirectory("graft_ckpt_").toString
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("append").option("checkpointLocation", cp).start()
-      def push(batch: (Long, Long)*): Unit = {
-        ms.addData(batch); q.processAllAvailable()
-      }
-      push((1L, t0), (2L, t0 + h), (3L, t0 + 2 * h))
-      push((4L, t0), (5L, t0 + 3 * h)) // id=4 is 3h late -> dropped
-      push((6L, t0 + 25 * h))          // flush windows up to +3h
-      push((7L, t0 + 50 * h))
-      q.stop()
+      // Same state-store parallelism cap as drain(): each of the FOUR
+      // micro-batches here commits one state delta per shuffle partition,
+      // so running at the bench's 32 partitions costs 4×32 tiny fsynced
+      // files for 7 rows of state (measured 8.7 s at sf0.1 — the whole
+      // cost was state-store commits, not data).
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("append").option("checkpointLocation", cp).start()
+        def push(batch: (Long, Long)*): Unit = {
+          ms.addData(batch); q.processAllAvailable()
+        }
+        push((1L, t0), (2L, t0 + h), (3L, t0 + 2 * h))
+        push((4L, t0), (5L, t0 + 3 * h)) // id=4 is 3h late -> dropped
+        push((6L, t0 + 25 * h))          // flush windows up to +3h
+        push((7L, t0 + 50 * h))
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
       s.table(name)
         .select(unix_micros(col("window.start")).as("win_us"), col("n"))
         .orderBy("win_us")
