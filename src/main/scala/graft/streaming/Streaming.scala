@@ -84,25 +84,33 @@ object Streaming extends QueryModule {
     s.readStream.schema(streamSchema).parquet(staged)
       .withColumn("ts_ts", timestamp_micros(col("ts_us")))
 
-  /** Run a streaming DF to completion (AvailableNow) into a memory sink
-    * and return the drained table.
+  /** Session clone for streaming queries: same SparkContext/SharedState,
+    * but a PRIVATE SQLConf so per-query knobs never leak to (or race
+    * with) concurrent queries on the shared session.
     *
     * State-store parallelism: each micro-batch commits one delta file per
     * state partition, so shuffle.partitions directly multiplies fsync
     * count. Local state fits a handful of partitions easily; on a real
     * cluster this knob is the state-store partition count and is sized to
     * key cardinality instead. */
-  private def drain(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+  private def streamSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "2")
+    s2
+  }
+
+  /** Run a streaming DF to completion (AvailableNow) into a memory sink
+    * and return the drained table. The memory sink registers on the DF's
+    * own session (the streamSession clone), so the drained table is read
+    * back from there. */
+  private def drain(df: DataFrame, mode: String): DataFrame = {
+    val s = df.sparkSession
     val name = s"graft_mem_${ctr.incrementAndGet()}"
     val cp = Files.createTempDirectory("graft_ckpt_").toString
-    val before = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "2")
-    try {
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", cp).start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", before)
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cp).start()
+    q.awaitTermination()
     s.table(name)
   }
 
@@ -136,52 +144,57 @@ object Streaming extends QueryModule {
   }
 
   val queries: Map[String, Q] = Map(
-    "stream_tumbling" -> ((s, dir) => {
+    "stream_tumbling" -> ((s0, dir) => {
+      val s = streamSession(s0)
       val in = readStream(s, stageEvents(s, dir))
       val agg = in
         .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), T.d(sum(T.dec(col("value")))).as("sum_value"))
-      drain(s, agg, "complete")
+      drain(agg, "complete")
         .select(unix_micros(col("window.start")).as("win_us"),
                 col("event_type"), col("n"), col("sum_value"))
         .orderBy("win_us", "event_type")
     }),
 
-    "stream_sliding" -> ((s, dir) => {
+    "stream_sliding" -> ((s0, dir) => {
+      val s = streamSession(s0)
       val in = readStream(s, stageEvents(s, dir))
       val agg = in
         .groupBy(window(col("ts_ts"), "1 hour", "15 minutes"),
                  col("event_type"))
         .agg(count(lit(1)).as("n"))
-      drain(s, agg, "complete")
+      drain(agg, "complete")
         .select(unix_micros(col("window.start")).as("win_us"),
                 col("event_type"), col("n"))
         .orderBy("win_us", "event_type")
     }),
 
-    "stream_session" -> ((s, dir) => {
+    "stream_session" -> ((s0, dir) => {
+      val s = streamSession(s0)
       val in = readStream(s, stageEvents(s, dir))
       val agg = in
         .groupBy(session_window(col("ts_ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n"))
-      drain(s, agg, "complete")
+      drain(agg, "complete")
         .select(col("user_id"),
                 unix_micros(col("session_window.start")).as("sess_start_us"),
                 col("n"))
         .orderBy("user_id", "sess_start_us")
     }),
 
-    "stream_dedup" -> ((s, dir) => {
+    "stream_dedup" -> ((s0, dir) => {
+      val s = streamSession(s0)
       // Input staged TWICE -> exactly-once by event_id must halve it.
       val in = readStream(s, stageEvents(s, dir, copies = 2))
         .withWatermark("ts_ts", "90 days")
         .dropDuplicatesWithinWatermark("event_id")
       val agg = in.groupBy("event_type")
         .agg(count(lit(1)).as("n"), T.d(sum(T.dec(col("value")))).as("sum_value"))
-      drain(s, agg, "complete").orderBy("event_type")
+      drain(agg, "complete").orderBy("event_type")
     }),
 
-    "stream_stateful" -> ((s, dir) => {
+    "stream_stateful" -> ((s0, dir) => {
+      val s = streamSession(s0)
       import s.implicits._
       val in = readStream(s, stageEvents(s, dir))
         .select(col("user_id"), col("ts_us"), col("event_id"),
@@ -198,34 +211,30 @@ object Streaming extends QueryModule {
             state.update(next)
             Iterator((uid, next._1, next._2, next._3))
         }.toDF("user_id", "n_events", "last_ts_us", "last_type")
-      drain(s, out, "update").orderBy("user_id")
+      drain(out, "update").orderBy("user_id")
     }),
 
-    "stream_stateful_tws" -> ((s, dir) => {
+    "stream_stateful_tws" -> ((s0, dir) => {
       // Same semantics as stream_stateful via the Spark 4
       // transformWithState API (typed ValueState handle + per-batch
-      // input iterator); needs the RocksDB state store provider.
+      // input iterator); needs the RocksDB state store provider — set
+      // only on this query's private session clone.
+      val s = streamSession(s0)
       import s.implicits._
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val before = s.conf.getOption(provKey)
-      s.conf.set(provKey,
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val in = readStream(s, stageEvents(s, dir))
-          .select(col("user_id"), col("ts_us"), col("event_id"),
-                  col("event_type")).as[Ev]
-        val out = in.groupByKey(_.user_id)
-          .transformWithState(new RunningStateProcessor,
-                              TimeMode.None(), OutputMode.Update())
-          .toDF("user_id", "n_events", "last_ts_us", "last_type")
-        drain(s, out, "update").orderBy("user_id")
-      } finally before match {
-        case Some(v) => s.conf.set(provKey, v)
-        case None    => s.conf.unset(provKey)
-      }
+      val in = readStream(s, stageEvents(s, dir))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+                col("event_type")).as[Ev]
+      val out = in.groupByKey(_.user_id)
+        .transformWithState(new RunningStateProcessor,
+                            TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events", "last_ts_us", "last_type")
+      drain(out, "update").orderBy("user_id")
     }),
 
-    "stream_stream_join" -> ((s, dir) => {
+    "stream_stream_join" -> ((s0, dir) => {
+      val s = streamSession(s0)
       val staged = stageEvents(s, dir)
       val p = readStream(s, staged).filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
@@ -239,7 +248,7 @@ object Streaming extends QueryModule {
                         col("s_ts") <= col("p_ts") &&
                         col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
         .select(col("p_id"), col("s_id"))
-      drain(s, j, "append").orderBy("p_id", "s_id")
+      drain(j, "append").orderBy("p_id", "s_id")
     }),
 
     "stream_sink_foreachbatch" -> ((s, dir) => {
@@ -315,22 +324,30 @@ object Streaming extends QueryModule {
         .orderBy("event_id")
     }),
 
-    "stream_static_join" -> ((s, dir) => {
+    "stream_static_join" -> ((s0, dir) => {
+      val s = streamSession(s0)
       val dim = T.load(s, dir, "nation") // static side, broadcast
       val in = readStream(s, stageEvents(s, dir))
       val agg = in.join(broadcast(dim),
                         expr("user_id % 25") === dim("n_nationkey"))
         .groupBy("n_name")
         .agg(count(lit(1)).as("n"), T.d(sum(T.dec(col("value")))).as("sum_value"))
-      drain(s, agg, "complete").orderBy("n_name")
+      drain(agg, "complete").orderBy("n_name")
     }),
 
-    "stream_late_drop" -> ((s, dir) => {
+    "stream_late_drop" -> ((s0, dir) => {
       // Crafted out-of-order batches; watermark = max event time - 10 min
       // advances between batches and must DROP the 3-hour-late row for
       // event_id=4: the t0 window is appended with n=1, not 2. Emitted
       // windows: t0+0h,+1h,+2h,+3h and the +25h flush sentinel (flushed
       // in turn by the +50h batch), each n=1.
+      //
+      // Runs on a private session clone (streamSession): each of the FOUR
+      // micro-batches here commits one state delta per shuffle partition,
+      // so running at the bench's 32 partitions costs 4×32 tiny fsynced
+      // files for 7 rows of state (measured 8.7 s at sf0.1 — the whole
+      // cost was state-store commits, not data).
+      val s = streamSession(s0)
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -344,25 +361,16 @@ object Streaming extends QueryModule {
         .agg(count(lit(1)).as("n"))
       val name = s"graft_mem_${ctr.incrementAndGet()}"
       val cp = Files.createTempDirectory("graft_ckpt_").toString
-      // Same state-store parallelism cap as drain(): each of the FOUR
-      // micro-batches here commits one state delta per shuffle partition,
-      // so running at the bench's 32 partitions costs 4×32 tiny fsynced
-      // files for 7 rows of state (measured 8.7 s at sf0.1 — the whole
-      // cost was state-store commits, not data).
-      val before = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      try {
-        val q = agg.writeStream.format("memory").queryName(name)
-          .outputMode("append").option("checkpointLocation", cp).start()
-        def push(batch: (Long, Long)*): Unit = {
-          ms.addData(batch); q.processAllAvailable()
-        }
-        push((1L, t0), (2L, t0 + h), (3L, t0 + 2 * h))
-        push((4L, t0), (5L, t0 + 3 * h)) // id=4 is 3h late -> dropped
-        push((6L, t0 + 25 * h))          // flush windows up to +3h
-        push((7L, t0 + 50 * h))
-        q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", cp).start()
+      def push(batch: (Long, Long)*): Unit = {
+        ms.addData(batch); q.processAllAvailable()
+      }
+      push((1L, t0), (2L, t0 + h), (3L, t0 + 2 * h))
+      push((4L, t0), (5L, t0 + 3 * h)) // id=4 is 3h late -> dropped
+      push((6L, t0 + 25 * h))          // flush windows up to +3h
+      push((7L, t0 + 50 * h))
+      q.stop()
       s.table(name)
         .select(unix_micros(col("window.start")).as("win_us"), col("n"))
         .orderBy("win_us")
