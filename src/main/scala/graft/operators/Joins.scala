@@ -356,6 +356,30 @@ object Joins extends QueryModule {
         .orderBy("event_id")
     }),
 
+    "join_asof_fwd" -> ((s, dir) => {
+      // FORWARD as-of: for each signup, the first purchase at-or-after
+      // it (conversion lag). Same union-window trick as join_asof with
+      // the frame reversed: purchases sort before signups at equal ts
+      // so `>=` picks up a same-instant purchase, and min over the
+      // forward frame is the next purchase ts. One shuffle on user_id,
+      // no per-row subquery, no range join.
+      import org.apache.spark.sql.expressions.Window
+      val e = T.events(s, dir)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"),
+                when(col("event_type") === "purchase", col("ts_us")).as("purchase_ts"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"),
+                 when(col("event_type") === "purchase", 0).otherwise(1),
+                 col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      e.withColumn("next_purchase_ts", min(col("purchase_ts")).over(w))
+        .filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+                col("next_purchase_ts"))
+        .orderBy("event_id")
+    }),
+
     "join_salted" -> ((s, dir) => {
       // Skew-mitigation pattern: deterministic 8-way salt on the probe
       // side, build side replicated per salt value — one hot key spreads
@@ -551,6 +575,14 @@ object Joins extends QueryModule {
                    AND epoch_us(s.ts) <= epoch_us(p.ts)) AS last_signup_ts
          FROM events p WHERE p.event_type = 'purchase'
          ORDER BY p.event_id""",
+
+    "join_asof_fwd" ->
+      """SELECT g.event_id, g.user_id, epoch_us(g.ts) AS ts_us,
+                (SELECT min(epoch_us(p.ts)) FROM events p
+                 WHERE p.user_id = g.user_id AND p.event_type = 'purchase'
+                   AND epoch_us(p.ts) >= epoch_us(g.ts)) AS next_purchase_ts
+         FROM events g WHERE g.event_type = 'signup'
+         ORDER BY g.event_id""",
 
     "join_multiway" ->
       s"""SELECT r_name,

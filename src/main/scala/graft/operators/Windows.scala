@@ -91,6 +91,24 @@ object Windows extends QueryModule {
                 col("n"))
         .orderBy("user_id", "sess_start_us")),
 
+    "win_fill_forward" -> ((s, dir) => {
+      // Forward-fill (LOCF): sensor/event streams carry nulls where a
+      // reading is missing — here synthesized deterministically (error
+      // events report no value) — and each null takes the latest
+      // preceding non-null within its key. last(ignoreNulls) over a
+      // running row frame is one window over ONE shuffle on user_id;
+      // at 100 TB this is the same single-exchange cost as any
+      // per-key window, with no self-join and no gaps-and-islands
+      // detour.
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+                when(col("event_type") =!= "error", col("value")).as("v"))
+        .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     "agg_argmax" -> ((s, dir) =>
       // Deterministic arg-max: the order with the highest totalprice per
       // priority. max(struct(price, key)) breaks price ties by key —
@@ -157,5 +175,16 @@ object Windows extends QueryModule {
                         ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
                FROM orders)
          WHERE rn = 1 ORDER BY o_orderpriority""",
+
+    "win_fill_forward" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                           CASE WHEN event_type <> 'error' THEN value END AS v
+                    FROM events)
+         SELECT event_id, user_id, ts_us, v,
+                last_value(v IGNORE NULLS) OVER w AS v_filled
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, ts_us, event_id""",
   )
 }
