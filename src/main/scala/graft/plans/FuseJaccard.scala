@@ -28,14 +28,16 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
   * type is DoubleType — a decimal-typed divide (operands cast to
   * decimal) must keep its decimal schema; (b) on two EMPTY inputs the
   * composed 0/0 yields NULL (non-ANSI) or a DIVIDE_BY_ZERO error
-  * (ANSI) while bare JaccardSets yields NaN, so the emitted expression
-  * wraps the fused call in `If(size(raw_a)+size(raw_b) = 0, NULL,
-  * jaccard)` over the RAW array children (an O(1) length read — no
-  * distinct/sort materialization). NULL is the engine's documented
-  * result for the degenerate empty-vs-empty pair in BOTH modes
-  * (undefined similarity ⇒ NULL, never a NaN that breaks comparisons
-  * and never a job-killing error deep inside a 100 TB dedup stage);
-  * NULL inputs flow through the else-branch unchanged.
+  * (ANSI — Spark 4's default) while bare JaccardSets yields NaN, so
+  * the emitted expression wraps the fused call in
+  * `If(size(raw_a)+size(raw_b) = 0, raw_a/raw_b, jaccard)` over the
+  * RAW array children (O(1) length reads — no distinct/sort
+  * materialization). That inner divide inherits the original Divide's
+  * evalMode, so the degenerate pair reproduces the unfused behavior
+  * bit-for-bit in WHICHEVER mode the session runs: NULL in legacy
+  * mode, the same DIVIDE_BY_ZERO error under ANSI — the optimizer
+  * rule never changes observable semantics. NULL inputs flow through
+  * the else-branch unchanged.
   */
 object FuseJaccard extends Rule[LogicalPlan] {
 
@@ -93,13 +95,20 @@ object FuseJaccard extends Rule[LogicalPlan] {
               if x1.semanticEquals(x2) && y1.semanticEquals(y2) =>
             // x1/y1 are the ArrayDistinct nodes; size their RAW children
             // (plain length reads; distinct(e) is empty iff e is empty).
-            // Both empty ⇒ NULL (see scaladoc); a NULL input makes the
-            // condition NULL → else-branch → JaccardSets propagates the
-            // NULL exactly as the composed form does.
-            If(EqualTo(Add(Size(x1.children.head, legacySizeOfNull = false),
-                           Size(y1.children.head, legacySizeOfNull = false)),
-                       Literal(0)),
-               Literal(null, DoubleType), JaccardSets(a1, b1))
+            // Both empty ⇒ evaluate a 0.0/0.0 divide that inherits the
+            // original Divide's evalMode, so the degenerate pair behaves
+            // EXACTLY like the unfused form in the session's mode: NULL
+            // in legacy, DIVIDE_BY_ZERO under ANSI. The raw-size operands
+            // keep this inner Divide out of the rule's own match shape
+            // (no re-fusion under the optimizer's fixpoint). A NULL input
+            // makes the condition NULL → else-branch → JaccardSets
+            // propagates the NULL exactly as the composed form does.
+            val rawA = Size(x1.children.head, legacySizeOfNull = false)
+            val rawB = Size(y1.children.head, legacySizeOfNull = false)
+            If(EqualTo(Add(rawA, rawB), Literal(0)),
+               d.copy(left = Cast(rawA, DoubleType),
+                      right = Cast(rawB, DoubleType)),
+               JaccardSets(a1, b1))
           case _ => d
         }
     }

@@ -80,7 +80,7 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
-  test("FuseJaccard guards: decimal divide untouched, empty sets give NULL") {
+  test("FuseJaccard guards: decimal divide untouched, empty sets keep composed semantics") {
     withExtSession { s =>
       def sd(c: org.apache.spark.sql.Column) =
         array_sort(array_distinct(split(c, " ")))
@@ -95,19 +95,38 @@ class ExtensionsSpec extends AnyFunSuite {
              "decimal divide was fused")
       assert(dec.schema("j").dataType
                .isInstanceOf[org.apache.spark.sql.types.DecimalType])
-      // (b) two empty input sets: the fused plan must emit NULL (the
-      // engine's documented 0/0 result), not JaccardSets' bare NaN.
+      // (b) two empty input sets must behave EXACTLY like the unfused
+      // composed 0/0 in the session's mode — never JaccardSets' bare
+      // NaN: DIVIDE_BY_ZERO under ANSI (Spark 4's default), NULL in
+      // legacy mode.
       def sdEmpty(c: org.apache.spark.sql.Column) =
         array_sort(array_distinct(filter(split(c, " "),
                                          w => length(w) > 10000)))
-      val ea = sdEmpty(col("text"))
-      val eb = sdEmpty(concat(col("text"), lit(" x")))
-      val emp = docs.limit(3).select(
-        (size(array_intersect(ea, eb)).cast("double") /
-          size(array_union(ea, eb))).as("j"))
-      assert(emp.queryExecution.optimizedPlan.toString.contains("graft_jaccard"),
+      def empDf = {
+        val ea = sdEmpty(col("text"))
+        val eb = sdEmpty(concat(col("text"), lit(" x")))
+        docs.limit(3).select(
+          (size(array_intersect(ea, eb)).cast("double") /
+            size(array_union(ea, eb))).as("j"))
+      }
+      assert(s.conf.get("spark.sql.ansi.enabled") == "true",
+             "precondition: Spark 4 defaults to ANSI mode")
+      assert(empDf.queryExecution.optimizedPlan.toString.contains("graft_jaccard"),
              "empty-capable shape did not fuse")
-      emp.collect().foreach(r => assert(r.isNullAt(0), s"expected NULL, got $r"))
+      // The DIVIDE_BY_ZERO may arrive bare or wrapped in a task-failure
+      // SparkException depending on where the task ran — walk the chain.
+      val err = intercept[Exception] { empDf.collect() }
+      val chain = Iterator.iterate(err: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(chain.contains("DIVIDE_BY_ZERO"),
+             s"fused empty pair must keep ANSI's composed-form error: $chain")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      try {
+        assert(empDf.queryExecution.optimizedPlan.toString.contains("graft_jaccard"),
+               "empty-capable shape did not fuse (legacy mode)")
+        empDf.collect().foreach(r =>
+          assert(r.isNullAt(0), s"legacy-mode 0/0 must be NULL, got $r"))
+      } finally s.conf.set("spark.sql.ansi.enabled", "true")
     }
   }
 
