@@ -245,6 +245,49 @@ object Functions extends QueryModule {
         .select(col("doc_id"), size(col("longw")).cast("long").as("n_long"),
                 explode_outer(col("longw")).as("word"))
         .orderBy(col("doc_id"), col("word").asc_nulls_first)),
+
+    "fn_url" -> ((s, dir) =>
+      // URL parsing family over a deterministically SYNTHESIZED url (the
+      // fixtures carry no URL column): Spark's parse_url / url_decode are
+      // codegen'd built-ins — the web-corpus ingest path (host-level
+      // dedup, path routing, query-param extraction) runs per-row with
+      // no UDF. DuckDB has no parse_url, so the oracle recomputes each
+      // part with exact string algebra on the same synthesized shape.
+      T.load(s, dir, "documents")
+        .withColumn("url",
+          concat(lit("https://"), col("source"), lit(".example.org/"),
+                 col("lang"), lit("/doc/"), col("doc_id"),
+                 lit("?ref="), col("source"), lit("&n="), col("n_chars")))
+        .select(col("doc_id"), col("url"),
+                expr("parse_url(url, 'PROTOCOL')").as("proto"),
+                expr("parse_url(url, 'HOST')").as("host"),
+                expr("parse_url(url, 'PATH')").as("path"),
+                expr("parse_url(url, 'QUERY')").as("query"),
+                expr("parse_url(url, 'QUERY', 'ref')").as("ref"),
+                expr("url_decode(concat(lang, '%20', source))").as("dec"))
+        .orderBy("doc_id")),
+
+    "fn_interval" -> ((s, dir) =>
+      // Calendar/interval arithmetic beyond fn_date's extraction family:
+      // month adds CLAMP at month end (add_months semantics match
+      // DuckDB's +INTERVAL MONTH), quarter/week truncation (both engines
+      // start weeks on Monday), strictly-after next-weekday, raw
+      // timestamp + hour interval, and the epoch-seconds round-trip
+      // (session TZ pinned UTC so both engines agree). All pure per-row
+      // projection — codegen, no shuffle.
+      T.load(s, dir, "orders")
+        .withColumn("d", col("o_orderdate").cast("date"))
+        .select(
+          col("o_orderkey"),
+          add_months(col("d"), 3).as("plus3mo"),
+          add_months(col("d"), -1).as("minus1mo"),
+          date_sub(col("d"), 14).as("minus2wk"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("qtr"),
+          date_trunc("week", col("o_orderdate")).cast("date").as("wk"),
+          next_day(col("d"), "FR").as("next_fri"),
+          (col("o_orderdate") + expr("INTERVAL 36 HOURS")).as("plus36h"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy("o_orderkey")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -417,5 +460,35 @@ object Functions extends QueryModule {
                                   w -> length(w) > 7) AS longw
                FROM documents)
          ORDER BY doc_id, word NULLS FIRST""",
+
+    "fn_url" ->
+      // The synthesized URL shape is unambiguous, so every parse_url
+      // part equals a direct string recomposition — exact, no regex.
+      """SELECT doc_id,
+                'https://' || source || '.example.org/' || lang || '/doc/'
+                  || doc_id || '?ref=' || source || '&n=' || n_chars AS url,
+                'https' AS proto,
+                source || '.example.org' AS host,
+                '/' || lang || '/doc/' || doc_id AS path,
+                'ref=' || source || '&n=' || n_chars AS query,
+                source AS ref,
+                lang || ' ' || source AS dec
+         FROM documents ORDER BY doc_id""",
+
+    "fn_interval" ->
+      """SELECT o_orderkey,
+                CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+                  AS plus3mo,
+                CAST(CAST(o_orderdate AS DATE) - INTERVAL 1 MONTH AS DATE)
+                  AS minus1mo,
+                CAST(o_orderdate AS DATE) - 14 AS minus2wk,
+                CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+                CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+                CAST(o_orderdate AS DATE)
+                  + CAST(((5 - isodow(o_orderdate) + 6) % 7) + 1 AS INT)
+                  AS next_fri,
+                o_orderdate + INTERVAL 36 HOUR AS plus36h,
+                CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+         FROM orders ORDER BY o_orderkey""",
   )
 }

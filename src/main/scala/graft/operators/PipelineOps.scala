@@ -187,6 +187,36 @@ object PipelineOps extends QueryModule {
         .orderBy("lang", "rk")
     }),
 
+    "sample_weighted" -> ((s, dir) => {
+      // Weighted k-per-stratum sampling WITHOUT replacement — the
+      // Efraimidis–Spirakis A-Res scheme, distributed: each doc draws a
+      // deterministic uniform u from its md5 (portable across engines,
+      // runs and repartitionings), its priority ln(u)/w is an Exp(w)
+      // variate negated, and the k LARGEST priorities per stratum are
+      // exactly a w-weighted sample without replacement (here w =
+      // n_chars: longer docs proportionally likelier — the "sample by
+      // token count" step of corpus mixing). Same WindowGroupLimit
+      // shape as sample_stratified: the k-filter runs below the
+      // exchange, so the shuffle moves k×|strata| rows at 100 TB, not
+      // the corpus. Priorities are rounded to fixed micro-units
+      // (exact floor arithmetic) before ranking so the ln() libm ULP
+      // gap between engines cannot reorder ranks; ties break on doc_id.
+      val h = conv(substring(md5(concat(lit("ws:"),
+                                        col("doc_id").cast("string"))),
+                             1, 8), 16, 10).cast("double")
+      val u = (h + lit(1.0)) / lit(4294967296.0) // (0, 1]
+      val prio = floor(log(u) / col("n_chars") * 1e6 + 0.5).cast("long")
+      val rk = row_number().over(
+        Window.partitionBy("lang").orderBy(col("prio").desc, col("doc_id")))
+      T.load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("prio", prio)
+        .withColumn("rk", rk).filter(col("rk") <= 5)
+        .select(col("lang"), col("rk").cast("long").as("rk"),
+                col("doc_id"), col("n_chars"), col("prio"))
+        .orderBy("lang", "rk")
+    }),
+
     "scd2_intervals" -> ((s, dir) => {
       // Slowly-changing-dimension (type 2) build from an event stream:
       // collapse consecutive identical states per user (lag), then
@@ -316,6 +346,18 @@ object PipelineOps extends QueryModule {
                       row_number() OVER (PARTITION BY lang
                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
                FROM documents)
+         WHERE rk <= 5 ORDER BY lang, rk""",
+
+    "sample_weighted" ->
+      """WITH p AS (SELECT lang, doc_id, n_chars,
+                CAST(floor(ln((TRY_CAST('0x' ||
+                       substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) + 1.0) / 4294967296.0)
+                     / n_chars * 1e6 + 0.5) AS BIGINT) AS prio
+              FROM documents)
+         SELECT lang, rk, doc_id, n_chars, prio
+         FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                         ORDER BY prio DESC, doc_id) AS rk FROM p)
          WHERE rk <= 5 ORDER BY lang, rk""",
 
     "scd2_intervals" ->

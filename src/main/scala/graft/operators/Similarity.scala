@@ -86,6 +86,31 @@ object Similarity extends QueryModule {
     } finally feat.unpersist()
   }
 
+  /** int8 scalar-quantized then DEQUANTIZED corpus `(c_id, dqc)` —
+    * per-dim [min,max] from one global agg defines 255 uniform levels;
+    * floor-rounded level midpoints reconstruct each value. Exact IEEE
+    * arithmetic end-to-end (stable floor rounding, no engine round()),
+    * so consumers stay oracle-checkable. Shared by sim_quantized and
+    * sim_rerank's coarse pass. */
+  private def dequantizedCorpus(e: DataFrame): DataFrame = {
+    val mm = e.agg(
+      array((0 until 64).map(i =>
+        min(element_at(col("embedding"), i + 1))): _*)
+        .cast("array<double>").as("mn"),
+      array((0 until 64).map(i =>
+        max(element_at(col("embedding"), i + 1))): _*)
+        .cast("array<double>").as("mx"))
+    val dq = transform(sequence(lit(1), lit(64)), i => {
+      val x = element_at(col("embedding"), i).cast("double")
+      val lo = element_at(col("mn"), i)
+      val r = (element_at(col("mx"), i) - lo) / 255.0
+      when(r === 0, lo)
+        .otherwise(lo + floor((x - lo) / r + 0.5) * r)
+    })
+    e.crossJoin(broadcast(mm))
+      .select(col("vec_id").as("c_id"), dq.as("dqc"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk" -> ((s, dir) => {
       val e = T.load(s, dir, "embeddings")
@@ -234,24 +259,8 @@ object Similarity extends QueryModule {
       // (no engine round()), so the whole thing — including the top-3
       // ranking — is oracle-checked against DuckDB, not just gated.
       // SimilaritySpec additionally gates recall vs exact sim_topk.
-      val e = T.load(s, dir, "embeddings")
-      val mm = e.agg(
-        array((0 until 64).map(i =>
-          min(element_at(col("embedding"), i + 1))): _*)
-          .cast("array<double>").as("mn"),
-        array((0 until 64).map(i =>
-          max(element_at(col("embedding"), i + 1))): _*)
-          .cast("array<double>").as("mx"))
-      val dq = transform(sequence(lit(1), lit(64)), i => {
-        val x = element_at(col("embedding"), i).cast("double")
-        val lo = element_at(col("mn"), i)
-        val r = (element_at(col("mx"), i) - lo) / 255.0
-        when(r === 0, lo)
-          .otherwise(lo + floor((x - lo) / r + 0.5) * r)
-      })
-      val corpus = e.crossJoin(broadcast(mm))
-        .select(col("vec_id").as("c_id"), dq.as("dqc"))
-      val probes = e.filter(col("vec_id") < 10)
+      val corpus = dequantizedCorpus(T.load(s, dir, "embeddings"))
+      val probes = T.load(s, dir, "embeddings").filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
       corpus.crossJoin(broadcast(probes))
@@ -262,6 +271,76 @@ object Similarity extends QueryModule {
         .select(col("q_id"), col("rn").cast("long").as("rn"), col("c_id"),
                 col("cos"))
         .orderBy("q_id", "rn")
+    }),
+
+    "sim_rerank" -> ((s, dir) => {
+      // Two-stage retrieval — the production ANN serving shape: a CHEAP
+      // first pass over the whole corpus (int8-dequantized cosine, the
+      // 75%-less-bandwidth scan of sim_quantized) keeps only the top-20
+      // candidates per probe, then the EXACT full-precision cosine
+      // reranks those ≤20 rows per probe into the final top-3. The
+      // expensive exact kernel thus touches k·|probes| rows instead of
+      // the corpus; the candidate→full-vector fetch is a hash join on
+      // c_id — at 100 TB that is the classic "coarse scan + gather"
+      // plan, and every stage here is oracle-checked (both passes are
+      // exact IEEE arithmetic — no sketch, no seed).
+      val e = T.load(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q"))
+      val wq = Window.partitionBy("q_id").orderBy(col("qcos").desc,
+                                                  col("c_id"))
+      val cand = dequantizedCorpus(e).crossJoin(broadcast(probes))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("qcos", cosine(col("q"), col("dqc")))
+        .withColumn("qrn", row_number().over(wq))
+        .filter(col("qrn") <= 20)
+        .select(col("q_id"), col("q"), col("c_id"))
+      val full = e.select(col("vec_id").as("c_id"), col("embedding").as("c"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+      cand.join(full, "c_id")
+        .withColumn("cos", graft.functions.CosineSimilarity.cos4(s, "q", "c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn").cast("long").as("rn"), col("c_id"),
+                col("cos"))
+        .orderBy("q_id", "rn")
+    }),
+
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      // Embedding near-dup WITHOUT a label/block column — random-
+      // hyperplane (sign-bit) LSH: 16 fixed axis hyperplanes give every
+      // vector a 16-bit sign signature, banded 2×8; near-identical
+      // vectors agree on almost all sign bits so they collide on at
+      // least one whole band w.h.p., while random pairs collide with
+      // p ≈ 2·2⁻⁸. Candidates meet ONLY on band-key equality (one hash
+      // shuffle, never all-pairs — the same 100 TB shape as
+      // dedup_simhash, transplanted from text to vectors), then exact
+      // cosine rescoring keeps pairs ≥ 0.25 — fully oracle-checked
+      // (sign bits and cosine are exact arithmetic, no seed).
+      val e = T.load(s, dir, "embeddings")
+      def bits(lo: Int): Column = (lo until lo + 8).map(j =>
+        when(element_at(col("embedding"), j + 1) >= 0f,
+             lit(1 << (j - lo))).otherwise(lit(0))).reduce(_ + _)
+      val banded = e.select(col("vec_id"), explode(array(
+          concat(lit("0:"), bits(0).cast("string")),
+          concat(lit("1:"), bits(8).cast("string")))).as("bkey"))
+      val pairs = banded.as("x")
+        .join(banded.as("y"),
+              col("x.bkey") === col("y.bkey") &&
+                col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .distinct()
+      val v = e.select(col("vec_id"), col("embedding"))
+      pairs
+        .join(v.select(col("vec_id").as("id_a"), col("embedding").as("va")),
+              "id_a")
+        .join(v.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
+              "id_b")
+        .withColumn("cos",
+                    graft.functions.CosineSimilarity.cos4(s, "va", "vb"))
+        .filter(col("cos") >= 0.25)
+        .select(col("id_a"), col("id_b"), col("cos"))
+        .orderBy("id_a", "id_b")
     }),
 
     "dedup_minhash" -> ((s, dir) =>
@@ -294,6 +373,61 @@ object Similarity extends QueryModule {
           FROM (SELECT *, row_number() OVER (PARTITION BY q_id
                           ORDER BY cos DESC, c_id) AS rn FROM scored)
           WHERE rn <= 3 ORDER BY q_id, rn""",
+
+    "sim_rerank" -> {
+      val r = "((mx[i] - mn[i]) / 255.0)"
+      s"""WITH mm AS (SELECT list(mn ORDER BY i) AS mn,
+                             list(mx ORDER BY i) AS mx
+                      FROM (SELECT i,
+                                   CAST(min(embedding[i]) AS DOUBLE) AS mn,
+                                   CAST(max(embedding[i]) AS DOUBLE) AS mx
+                            FROM embeddings,
+                                 (SELECT unnest(generate_series(1, 64)) AS i)
+                            GROUP BY i)),
+               corpus AS (SELECT vec_id AS c_id,
+                                 list_transform(generate_series(1, 64),
+                                   i -> CASE WHEN $r = 0 THEN mn[i]
+                                        ELSE mn[i] +
+                                             floor((CAST(embedding[i] AS DOUBLE)
+                                                    - mn[i]) / $r + 0.5) * $r
+                                        END) AS dqc
+                          FROM embeddings, mm),
+               p AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings
+                     WHERE vec_id < 10),
+               coarse AS (SELECT q_id, q, c_id, ${duckCos("q", "dqc")} AS qcos
+                          FROM p CROSS JOIN corpus WHERE q_id != c_id),
+               cand AS (SELECT q_id, q, c_id
+                        FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                ORDER BY qcos DESC, c_id) AS qrn FROM coarse)
+                        WHERE qrn <= 20),
+               exact AS (SELECT q_id, cand.c_id,
+                                ${duckCos("q", "embedding")} AS cos
+                         FROM cand JOIN embeddings
+                              ON embeddings.vec_id = cand.c_id)
+          SELECT q_id, rn, c_id, cos
+          FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                          ORDER BY cos DESC, c_id) AS rn FROM exact)
+          WHERE rn <= 3 ORDER BY q_id, rn"""
+    },
+
+    "dedup_embedding_lsh" -> {
+      def bits(lo: Int) = (lo until lo + 8).map(j =>
+        s"(CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << (j - lo)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH banded AS (SELECT vec_id,
+                 unnest(['0:' || CAST(${bits(0)} AS VARCHAR),
+                         '1:' || CAST(${bits(8)} AS VARCHAR)]) AS bkey
+               FROM embeddings),
+               pairs AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                         FROM banded x JOIN banded y
+                              ON x.bkey = y.bkey AND x.vec_id < y.vec_id),
+               scored AS (SELECT id_a, id_b, ${duckCos("a.embedding",
+                                                       "b.embedding")} AS cos
+                          FROM pairs JOIN embeddings a ON a.vec_id = id_a
+                                     JOIN embeddings b ON b.vec_id = id_b)
+          SELECT id_a, id_b, cos FROM scored
+          WHERE cos >= 0.25 ORDER BY id_a, id_b"""
+    },
 
     "sim_quantized" -> {
       val r = "((mx[i] - mn[i]) / 255.0)"
