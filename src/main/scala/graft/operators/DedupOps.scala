@@ -156,11 +156,16 @@ object DedupOps extends QueryModule {
       // MinHash-LSH with a fully ORACLE-CHECKED pipeline — the portable
       // twin of dedup_minhash (whose MLlib signatures can only be
       // recall-gated, never cross-engine-verified). K=12 hash functions
-      // h_i(shingle) = int(md5("i:"+shingle)[0:8]) derive from md5 hex,
-      // the one hash both engines share bit-for-bit; per-doc signature =
-      // K column-wise set-mins (order-independent folds); 6 bands × 2
-      // rows bucket docs by md5(band slice); candidate pairs meet ONLY
-      // on band-key equality (one hash shuffle — never all-pairs, the
+      // h_{4i+j}(shingle) = int(md5("i:"+shingle)[8j:8j+8]): THREE md5s
+      // per shingle, each yielding FOUR independent 32-bit slices — md5
+      // is the portable cost center (it is the one hash both engines
+      // share bit-for-bit), so slicing its 32 hex chars cuts the hash
+      // work 4× vs one md5 per signature lane. Shingles explode once
+      // and the 12 per-doc signature mins aggregate MAP-SIDE (partial
+      // min before the exchange — at 100 TB the shuffle carries one
+      // 12-long row per doc, not the shingle stream). 6 bands × 2 rows
+      // bucket docs by md5(band slice); candidate pairs meet ONLY on
+      // band-key equality (one hash shuffle — never all-pairs, the
       // same 100 TB shape as dedup_minhash/dedup_simhash) and are then
       // exactly re-scored with the fused merge-pass Jaccard. Rows,
       // schema and every hashed value check against DuckDB.
@@ -168,12 +173,14 @@ object DedupOps extends QueryModule {
       val docs = T.load(s, dir, "documents")
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), shingles(col("text")).as("sh"))
-      def sig(i: Int) = aggregate(col("sh"), lit(Long.MaxValue),
-        (acc, shingle) => least(acc,
-          conv(substring(md5(concat(lit(s"$i:"), shingle)), 1, 8), 16, 10)
-            .cast("long")))
-      val sigs = docs.select(col("doc_id") +:
-        (0 until K).map(i => sig(i).as(s"s$i")): _*)
+      val sigCols = for { i <- 0 until K / 4; j <- 0 until 4 } yield
+        min(conv(substring(col(s"m$i"), j * 8 + 1, 8), 16, 10)
+              .cast("long")).as(s"s${i * 4 + j}")
+      val sigs = docs
+        .select(col("doc_id"), explode(col("sh")).as("shg"))
+        .select(col("doc_id") +: (0 until K / 4).map(i =>
+          md5(concat(lit(s"$i:"), col("shg"))).as(s"m$i")): _*)
+        .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       val bkeys = (0 until B).map(b =>
         concat(lit(s"$b:"), md5(concat_ws("_",
           (b * R until (b + 1) * R).map(r => col(s"s$r")): _*))))
@@ -430,17 +437,18 @@ object DedupOps extends QueryModule {
                                 i -> array_to_string(w[i:i+2], ' '))) AS sg
                        FROM d WHERE len(w) >= 3),
                ex AS (SELECT doc_id, unnest(sg) AS sh FROM sgs),
-               sig AS (SELECT doc_id, i,
-                              min(TRY_CAST('0x' ||
-                                substring(md5(CAST(i AS VARCHAR) || ':' || sh),
-                                          1, 8) AS BIGINT)) AS sig
-                       FROM ex, (SELECT unnest(generate_series(0, 11)) AS i)
-                       GROUP BY doc_id, i),
-               bands AS (SELECT doc_id,
-                                CAST(i // 2 AS VARCHAR) || ':' ||
-                                  md5(string_agg(CAST(sig AS VARCHAR), '_'
-                                                 ORDER BY i)) AS bkey
-                         FROM sig GROUP BY doc_id, i // 2),
+               hx AS (SELECT doc_id,
+                             md5('0:' || sh) AS m0, md5('1:' || sh) AS m1,
+                             md5('2:' || sh) AS m2
+                      FROM ex),
+               sig AS (SELECT doc_id, ${(for { i <- 0 until 3; j <- 0 until 4 }
+                         yield s"min(TRY_CAST('0x' || substring(m$i, ${j * 8 + 1}, 8) AS BIGINT)) AS s${i * 4 + j}")
+                         .mkString(", ")}
+                       FROM hx GROUP BY doc_id),
+               bands AS (SELECT doc_id, unnest([${(0 until 6).map(b =>
+                           s"'$b:' || md5(CAST(s${2 * b} AS VARCHAR) || '_' || CAST(s${2 * b + 1} AS VARCHAR))")
+                           .mkString(", ")}]) AS bkey
+                         FROM sig),
                p AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
                      FROM bands x JOIN bands y
                           ON x.bkey = y.bkey AND x.doc_id < y.doc_id)
