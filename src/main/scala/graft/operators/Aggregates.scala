@@ -250,6 +250,23 @@ object Aggregates extends QueryModule {
                .as("ap90"))
         .orderBy("l_returnflag")),
 
+    "agg_histogram" -> ((s, dir) => {
+      // Fixed-width histogram per group — the profiling agg every data
+      // audit runs first. The bin id is exact IEEE floor arithmetic
+      // (width 50.0 is a power-of-2-free but exactly representable
+      // divisor; floor(x/50) is identical in both engines), clamped to
+      // a final overflow bin, so the whole histogram is oracle-checked.
+      // One partial+final hash agg on (event_type, bin): the map side
+      // pre-collapses to ≤ |types|×|bins| rows per task — at 100 TB the
+      // shuffle carries histograms, not events.
+      val bin = least(floor(col("value") / 50.0), lit(9.0)).cast("long")
+      T.events(s, dir)
+        .groupBy(col("event_type"), bin.as("bin"))
+        .agg(count(lit(1)).as("n"),
+             T.d(sum(T.dec(col("value")))).as("sum_v"))
+        .orderBy("event_type", "bin")
+    }),
+
     "agg_mode" -> ((s, dir) => {
       // Per-group mode (most frequent value): count + top-1 window — the
       // distributed formulation of SQL mode(), with a deterministic
@@ -308,6 +325,12 @@ object Aggregates extends QueryModule {
     s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "agg_histogram" ->
+      s"""SELECT event_type,
+                 CAST(least(floor(value / 50.0), 9.0) AS BIGINT) AS bin,
+                 count(*) AS n, ${q1d("value")} AS sum_v
+          FROM events GROUP BY 1, 2 ORDER BY event_type, bin""",
+
     "agg_mode" ->
       """SELECT l_returnflag, l_linestatus AS mode_status, cnt
          FROM (SELECT l_returnflag, l_linestatus, count(*) AS cnt,

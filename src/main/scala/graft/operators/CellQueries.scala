@@ -91,6 +91,38 @@ object CellQueries extends QueryModule {
         .orderBy("rowkey", "family", "qualifier")
     }),
 
+    "cell_ttl" -> ((s, dir) => {
+      // HBase TTL semantics: at compaction every cell VERSION older than
+      // (newest version in the store − TTL) is expired — reads never see
+      // it. A cell re-written after the horizon survives through its
+      // fresh version even though its original write has expired; a cell
+      // whose only versions predate the horizon disappears entirely.
+      // Here purchases are re-written (value doubled) 25 days after
+      // their original write and the TTL is 10 days over a 30-day event
+      // span, so all three outcomes occur. The horizon is one global
+      // max — a broadcast single-row join — and version resolution is
+      // the same single window shuffle on the cell key as cell_versions.
+      import org.apache.spark.sql.expressions.Window
+      val TTL_US = 10L * 86400L * 1000000L
+      val REFRESH_US = 25L * 86400L * 1000000L
+      val v1 = eventCells(s, dir)
+      val updated = eventsNested(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2)
+      val v2 = CellFlatten.flatten(updated, col("event_id"), "d",
+                                   col("ts_us") + REFRESH_US,
+                                   exclude = Set("event_id", "ts_us"))
+      val allc = v1.unionByName(v2)
+      val horizon = allc.agg((max(col("version")) - TTL_US).as("horizon"))
+      val w = Window.partitionBy("rowkey", "family", "qualifier")
+        .orderBy(col("version").desc)
+      allc.crossJoin(broadcast(horizon))
+        .filter(col("version") >= col("horizon")) // compaction TTL expiry
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("rowkey", "family", "qualifier", "version", "value")
+        .orderBy("rowkey", "qualifier")
+    }),
+
     "cell_tombstone" -> ((s, dir) => {
       // HBase delete semantics: a DELETE marker written at a newer
       // version hides the cell, and compaction physically drops it. A
@@ -204,6 +236,23 @@ object CellQueries extends QueryModule {
            FROM events)
          SELECT * FROM cells WHERE value IS NOT NULL
          ORDER BY rowkey, family, qualifier""",
+
+    "cell_ttl" ->
+      s"""WITH v1 AS ($eventCellsSql),
+               v2 AS (${eventCellsSqlWith(
+                 "WHERE event_type = 'purchase'", 2160000000000L,
+                 "value * 2")}),
+               allc AS (SELECT * FROM (SELECT * FROM v1 UNION ALL
+                                       SELECT * FROM v2)
+                        WHERE value IS NOT NULL),
+               r AS (SELECT *, row_number() OVER (
+                       PARTITION BY rowkey, family, qualifier
+                       ORDER BY version DESC) AS rn
+                     FROM allc
+                     WHERE version >= (SELECT max(version) FROM allc)
+                                      - 864000000000)
+          SELECT rowkey, family, qualifier, version, value
+          FROM r WHERE rn = 1 ORDER BY rowkey, qualifier""",
 
     "cell_tombstone" ->
       s"""WITH v1 AS ($eventCellsSql),

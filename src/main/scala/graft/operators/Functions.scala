@@ -246,6 +246,41 @@ object Functions extends QueryModule {
                 explode_outer(col("longw")).as("word"))
         .orderBy(col("doc_id"), col("word").asc_nulls_first)),
 
+    "fn_unpivot" -> ((s, dir) =>
+      // Wide→long melt — the inverse of agg_pivot: four metric columns
+      // become (metric, val) rows. Spark's native unpivot is a pure
+      // generator (Expand node — each input row emits 4 output rows in
+      // the same task, no shuffle, no UDF); at 100 TB the melt is free
+      // relative to the scan that feeds it.
+      T.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+                 Array(col("l_quantity"), col("l_extendedprice"),
+                       col("l_discount"), col("l_tax")),
+                 "metric", "val")
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture, so
+        // `val` completes the total order for the row-wise compare.
+        .orderBy("l_orderkey", "l_linenumber", "metric", "val")),
+
+    "fn_fuzzy" -> ((s, dir) =>
+      // Edit-distance family — the fuzzy-match primitive behind entity
+      // resolution / name dedup. levenshtein is a codegen'd built-in in
+      // both engines and exact (integer DP), so unlike the sketch-based
+      // dedups this one is fully oracle-checked. The thresholded form
+      // (Spark's 3-arg levenshtein returns -1 past the bound) is the
+      // 100 TB variant: the DP can abort a row after the band exceeds
+      // the threshold instead of filling the full O(n·m) table.
+      T.load(s, dir, "customer").select(
+        col("c_custkey"),
+        levenshtein(col("c_name"), translate(col("c_name"), "0", "O"))
+          .cast("long").as("lev_zero"),
+        levenshtein(col("c_name"), col("c_mktsegment"))
+          .cast("long").as("lev_seg"),
+        levenshtein(col("c_name"), col("c_mktsegment"), 10)
+          .cast("long").as("lev_cap"))
+        .orderBy("c_custkey")),
+
     "fn_url" -> ((s, dir) =>
       // URL parsing family over a deterministically SYNTHESIZED url (the
       // fixtures carry no URL column): Spark's parse_url / url_decode are
@@ -460,6 +495,23 @@ object Functions extends QueryModule {
                                   w -> length(w) > 7) AS longw
                FROM documents)
          ORDER BY doc_id, word NULLS FIRST""",
+
+    "fn_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val
+         FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+                               l_extendedprice, l_discount, l_tax
+                        FROM lineitem)
+               ON l_quantity, l_extendedprice, l_discount, l_tax
+               INTO NAME metric VALUE val)
+         ORDER BY l_orderkey, l_linenumber, metric, val""",
+
+    "fn_fuzzy" ->
+      """SELECT c_custkey,
+                levenshtein(c_name, replace(c_name, '0', 'O')) AS lev_zero,
+                levenshtein(c_name, c_mktsegment) AS lev_seg,
+                CASE WHEN levenshtein(c_name, c_mktsegment) > 10 THEN -1
+                     ELSE levenshtein(c_name, c_mktsegment) END AS lev_cap
+         FROM customer ORDER BY c_custkey""",
 
     "fn_url" ->
       // The synthesized URL shape is unambiguous, so every parse_url
