@@ -91,6 +91,27 @@ object Windows extends QueryModule {
                 col("n"))
         .orderBy("user_id", "sess_start_us")),
 
+    "win_gaps" -> ((s, dir) => {
+      // Gaps-and-islands over an integer sequence: runs of CONSECUTIVE
+      // event_ids per user collapse to (start, end, length) islands via
+      // the classic id − row_number() group key — consecutive ids share
+      // a constant difference, so the island id falls out of one window
+      // over one shuffle on user_id plus a partial-aggregated groupBy on
+      // the same partitioning (Catalyst reuses the exchange; no second
+      // shuffle). The batch twin of sessionization for sequence data —
+      // finding missing-id gaps in a 100 TB ingest ledger is exactly
+      // this query.
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      T.events(s, dir)
+        .select(col("user_id"), col("event_id"))
+        .withColumn("grp", col("event_id") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(min("event_id").as("start_id"), max("event_id").as("end_id"),
+             count(lit(1)).as("n"))
+        .select(col("user_id"), col("start_id"), col("end_id"), col("n"))
+        .orderBy("user_id", "start_id")
+    }),
+
     "win_fill_forward" -> ((s, dir) => {
       // Forward-fill (LOCF): sensor/event streams carry nulls where a
       // reading is missing — here synthesized deterministically (error
@@ -175,6 +196,15 @@ object Windows extends QueryModule {
                         ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
                FROM orders)
          WHERE rn = 1 ORDER BY o_orderpriority""",
+
+    "win_gaps" ->
+      """SELECT user_id, min(event_id) AS start_id, max(event_id) AS end_id,
+                count(*) AS n
+         FROM (SELECT user_id, event_id,
+                      event_id - row_number() OVER (PARTITION BY user_id
+                                                    ORDER BY event_id) AS grp
+               FROM events)
+         GROUP BY user_id, grp ORDER BY user_id, start_id""",
 
     "win_fill_forward" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,

@@ -11,6 +11,10 @@ import java.nio.file.Files
   * stable Encoder). */
 case class Ev(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
 
+/** Changelog row for stream_cdc (top-level for a stable Encoder). */
+case class CdcOp(user_id: Long, ts_us: Long, event_id: Long,
+                 op: String, value: Double)
+
 /** transformWithState processor: per-user running count + last event,
   * the Spark 4 arbitrary-state API twin of the flatMapGroupsWithState
   * formulation in `stream_stateful`. Requires the RocksDB state store. */
@@ -214,6 +218,43 @@ object Streaming extends QueryModule {
       drain(out, "update").orderBy("user_id")
     }),
 
+    "stream_cdc" -> ((s0, dir) => {
+      // Changelog (CDC) apply — materialized-view maintenance as a
+      // stream: I/U ops upsert a key's value, D deletes it, and the
+      // maintained table is the per-key fold of ops in (ts, event_id)
+      // order — deletes hide the key, a later I/U resurrects it. The op
+      // code derives deterministically from event_type (signup→I,
+      // error→D, else U). Keyed ValueState bounds memory by |keys|, not
+      // stream length; one exchange on the key per micro-batch — the
+      // streaming twin of merge_upsert, and the shape a 100 TB
+      // table-maintenance pipeline (Delta/Hudi-style MERGE) runs
+      // continuously.
+      val s = streamSession(s0)
+      import s.implicits._
+      val in = readStream(s, stageEvents(s, dir))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+                when(col("event_type") === "signup", "I")
+                  .when(col("event_type") === "error", "D")
+                  .otherwise("U").as("op"),
+                col("value")).as[CdcOp]
+      val out = in.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update,
+                                GroupStateTimeout.NoTimeout) {
+          (uid: Long, ops: Iterator[CdcOp],
+           state: GroupState[(Boolean, Double, Long)]) =>
+            val sorted = ops.toSeq.sortBy(o => (o.ts_us, o.event_id))
+            var (alive, v, n) = state.getOption.getOrElse((false, 0.0, 0L))
+            sorted.foreach { o =>
+              n += 1
+              if (o.op == "D") alive = false
+              else { alive = true; v = o.value }
+            }
+            state.update((alive, v, n))
+            if (alive) Iterator((uid, v, n)) else Iterator.empty
+        }.toDF("user_id", "v", "n_ops")
+      drain(out, "update").orderBy("user_id")
+    }),
+
     "stream_stateful_tws" -> ((s0, dir) => {
       // Same semantics as stream_stateful via the Spark 4
       // transformWithState API (typed ValueState handle + per-batch
@@ -409,6 +450,22 @@ object Streaming extends QueryModule {
     "stream_dedup" ->
       s"""SELECT event_type, count(*) AS n, ${dsum("value")} AS sum_value
           FROM events GROUP BY 1 ORDER BY 1""",
+
+    "stream_cdc" ->
+      // Latest-op-wins equals the sequential fold: the key survives iff
+      // its newest op is not a delete, and carries that op's value.
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+                           CASE WHEN event_type = 'signup' THEN 'I'
+                                WHEN event_type = 'error' THEN 'D'
+                                ELSE 'U' END AS op
+                    FROM events),
+              r AS (SELECT user_id, op, value,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts_us DESC, event_id DESC) AS rn,
+                           count(*) OVER (PARTITION BY user_id) AS n_ops
+                    FROM e)
+         SELECT user_id, value AS v, n_ops
+         FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""",
 
     "stream_stateful" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
