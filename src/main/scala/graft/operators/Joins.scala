@@ -380,6 +380,27 @@ object Joins extends QueryModule {
         .orderBy("event_id")
     }),
 
+    "join_nullsafe" -> ((s, dir) => {
+      // Null-safe equality join (<=>): rows whose key is NULL — here
+      // error events, whose attribution is unknown — must still attach
+      // to the NULL group's aggregate instead of silently vanishing,
+      // which is what a plain `=` join does to NULL keys. <=> is a
+      // first-class equi-join key for Catalyst (hash-partitionable:
+      // all NULLs co-locate in one group), NOT a theta join — the plan
+      // is an ordinary shuffled hash/broadcast join, so the 100 TB cost
+      // equals the plain equi-join.
+      val key = when(col("event_type") === "error", lit(null).cast("long"))
+        .otherwise(col("user_id"))
+      val e = T.events(s, dir)
+        .select(col("event_id"), key.as("key"), col("value"))
+      val totals = e.groupBy(col("key").as("tkey"))
+        .agg(count(lit(1)).as("n_grp"),
+             T.d(sum(T.dec(col("value")))).as("sum_grp"))
+      e.join(broadcast(totals), col("key") <=> col("tkey"))
+        .select(col("event_id"), col("key"), col("n_grp"), col("sum_grp"))
+        .orderBy("event_id")
+    }),
+
     "join_salted" -> ((s, dir) => {
       // Skew-mitigation pattern: deterministic 8-way salt on the probe
       // side, build side replicated per salt value — one hot key spreads
@@ -575,6 +596,19 @@ object Joins extends QueryModule {
                    AND epoch_us(s.ts) <= epoch_us(p.ts)) AS last_signup_ts
          FROM events p WHERE p.event_type = 'purchase'
          ORDER BY p.event_id""",
+
+    "join_nullsafe" ->
+      s"""WITH e AS (SELECT event_id,
+                            CASE WHEN event_type = 'error' THEN NULL
+                                 ELSE user_id END AS key,
+                            value
+                     FROM events),
+               t AS (SELECT key AS tkey, count(*) AS n_grp,
+                            ${dsum("value")} AS sum_grp
+                     FROM e GROUP BY key)
+          SELECT event_id, key, n_grp, sum_grp
+          FROM e JOIN t ON e.key IS NOT DISTINCT FROM t.tkey
+          ORDER BY event_id""",
 
     "join_asof_fwd" ->
       """SELECT g.event_id, g.user_id, epoch_us(g.ts) AS ts_us,

@@ -152,6 +152,22 @@ object Relational extends QueryModule {
       val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
       a.exceptAll(b).orderBy("o_custkey")
     }),
+
+    "set_union_byname" -> ((s, dir) => {
+      // Schema-drift union — the ingest reality at 100 TB: two crawl
+      // generations carry different column sets (the older has `lang`,
+      // the newer `source`), and unionByName(allowMissingColumns=true)
+      // aligns by NAME with NULL fill — a positional unionAll would
+      // silently pair lang with source. Pure Expand/Project, no shuffle
+      // before the final sort.
+      val d = T.load(s, dir, "documents")
+      val gen1 = d.filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val gen2 = d.filter(col("lang") =!= "en")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      gen1.unionByName(gen2, allowMissingColumns = true)
+        .orderBy("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -232,5 +248,13 @@ object Relational extends QueryModule {
          EXCEPT ALL
          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
          ORDER BY o_custkey""",
+
+    "set_union_byname" ->
+      """SELECT doc_id, lang, n_chars, NULL AS source
+         FROM documents WHERE lang = 'en'
+         UNION ALL
+         SELECT doc_id, NULL AS lang, n_chars, source
+         FROM documents WHERE lang <> 'en'
+         ORDER BY doc_id""",
   )
 }
