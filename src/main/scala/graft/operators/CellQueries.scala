@@ -148,6 +148,45 @@ object CellQueries extends QueryModule {
         .select("rowkey", "family", "qualifier", "version", "value")
         .orderBy("rowkey", "qualifier")
     }),
+
+    "cell_scan_range" -> ((s, dir) =>
+      // HBase Scan(startRow, stopRow): rowkeys are compared as BYTES, so
+      // the range is LEXICOGRAPHIC over the string key — "30" < "4" —
+      // exactly what string comparison gives on ASCII keys in both
+      // engines. At 100 TB the cell store is written rowkey-sorted
+      // (sink_parquet_sorted), so this predicate prunes to the files
+      // whose min/max rowkey straddle the range instead of scanning the
+      // table — the HBase region-seek, re-expressed as parquet
+      // min/max file skipping.
+      eventCells(s, dir)
+        .filter(col("rowkey") >= "30" && col("rowkey") < "50")
+        .orderBy("rowkey", "qualifier")),
+
+    "cell_prefix_scan" -> ((s, dir) =>
+      // HBase PrefixFilter + explicit column selection
+      // (scan.addColumn(family, qualifier)): prefix on the rowkey plus a
+      // qualifier IN-list. The prefix is equivalent to the rowkey range
+      // ["10", "11") so the same sorted-layout file skipping applies; the
+      // qualifier filter drops whole cells before any shuffle.
+      eventCells(s, dir)
+        .filter(col("rowkey").startsWith("10") &&
+                col("qualifier").isin("event_type", "value"))
+        .orderBy("rowkey", "qualifier")),
+
+    "cell_region_stats" -> ((s, dir) =>
+      // Coprocessor-style per-region aggregate: HBase splits the table
+      // into regions by rowkey range and runs server-side aggregation
+      // per region. Region id here = first byte of the rowkey; the agg
+      // is a plain partial-aggregable groupBy, so at 100 TB each
+      // "region server" combines locally and ships one row per
+      // (region, qualifier) — the coprocessor pushdown, Spark-style.
+      eventCells(s, dir)
+        .groupBy(substring(col("rowkey"), 1, 1).as("region"),
+                 col("qualifier"))
+        .agg(count(lit(1)).as("n_cells"),
+             countDistinct(col("rowkey")).as("n_rows"),
+             max(col("version")).as("max_version"))
+        .orderBy("region", "qualifier")),
   )
 
   /** DuckDB twin of the cell flatten over events: a UNION ALL per leaf.
@@ -271,5 +310,23 @@ object CellQueries extends QueryModule {
           SELECT rowkey, family, qualifier, version, value
           FROM r WHERE rn = 1 AND value != '__TOMBSTONE__'
           ORDER BY rowkey, qualifier""",
+
+    "cell_scan_range" ->
+      s"""WITH cells AS ($eventCellsSql)
+          SELECT * FROM cells WHERE rowkey >= '30' AND rowkey < '50'
+          ORDER BY rowkey, qualifier""",
+
+    "cell_prefix_scan" ->
+      s"""WITH cells AS ($eventCellsSql)
+          SELECT * FROM cells
+          WHERE rowkey LIKE '10%' AND qualifier IN ('event_type', 'value')
+          ORDER BY rowkey, qualifier""",
+
+    "cell_region_stats" ->
+      s"""WITH cells AS ($eventCellsSql)
+          SELECT substr(rowkey, 1, 1) AS region, qualifier,
+                 count(*) AS n_cells, count(DISTINCT rowkey) AS n_rows,
+                 max(version) AS max_version
+          FROM cells GROUP BY 1, 2 ORDER BY region, qualifier""",
   )
 }
