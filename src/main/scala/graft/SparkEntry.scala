@@ -20,6 +20,7 @@ object SparkEntry {
     TextOps,
     DedupOps,
     PipelineOps,
+    Profiling,
     Layout,
     Multimodal,
     Similarity,
