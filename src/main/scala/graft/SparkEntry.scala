@@ -21,6 +21,7 @@ object SparkEntry {
     DedupOps,
     PipelineOps,
     Profiling,
+    TimeSeries,
     Layout,
     Multimodal,
     Similarity,
