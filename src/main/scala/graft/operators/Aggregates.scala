@@ -267,6 +267,52 @@ object Aggregates extends QueryModule {
         .orderBy("event_type", "bin")
     }),
 
+    "agg_histogram_equidepth" -> ((s, dir) => {
+      // Equi-depth (ntile) histogram over o_totalprice — WITHOUT the
+      // single-partition global window that a bare ntile() lowers to.
+      // Global rank = the range-bucketed-CDF pattern (join_theta): fixed
+      // value buckets, per-bucket counts → broadcast cumulative offsets,
+      // within-bucket row_number + offset; then the exact SQL NTILE
+      // assignment (first N%k tiles get one extra row) computed from the
+      // rank in integer arithmetic. The only data-sized shuffle is the
+      // per-bucket window; the ≤64-row offset/total tables broadcast.
+      import org.apache.spark.sql.expressions.Window
+      val K = 10
+      val B = 64
+      val o = T.load(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val dom = o.agg(min(col("o_totalprice")).as("lo"),
+                      max(col("o_totalprice")).as("hi"))
+      val bucketed = o.crossJoin(broadcast(dom))
+        .withColumn("bk", least(lit(B - 1), floor(
+          (col("o_totalprice") - col("lo")) /
+            ((col("hi") - col("lo")) / B + lit(1e-9))).cast("int")))
+        .drop("lo", "hi")
+      val counts = bucketed.groupBy("bk").agg(count(lit(1)).as("c"))
+      // ≤64 rows: the unpartitioned window is a broadcast-sized table
+      val wOff = Window.orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = counts
+        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+        .select("bk", "off")
+      val tot = counts.agg(sum(col("c")).as("n_tot"))
+      val wIn = Window.partitionBy("bk")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      bucketed.join(broadcast(offsets), "bk")
+        .withColumn("rk", row_number().over(wIn) + col("off"))
+        .crossJoin(broadcast(tot))
+        .withColumn("qq", expr(s"n_tot div $K"))
+        .withColumn("r", col("n_tot") % K)
+        .withColumn("cut", col("r") * (col("qq") + 1))
+        .withColumn("bucket",
+          when(col("rk") <= col("cut"), expr("(rk - 1) div (qq + 1) + 1"))
+            .otherwise(expr("r + (rk - cut - 1) div qq + 1")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+             T.r4(min(col("o_totalprice"))).as("lo_v"),
+             T.r4(max(col("o_totalprice"))).as("hi_v"))
+        .orderBy("bucket")
+    }),
+
     "agg_mode" -> ((s, dir) => {
       // Per-group mode (most frequent value): count + top-1 window — the
       // distributed formulation of SQL mode(), with a deterministic
@@ -330,6 +376,16 @@ object Aggregates extends QueryModule {
                  CAST(least(floor(value / 50.0), 9.0) AS BIGINT) AS bin,
                  count(*) AS n, ${q1d("value")} AS sum_v
           FROM events GROUP BY 1, 2 ORDER BY event_type, bin""",
+
+    "agg_histogram_equidepth" ->
+      """WITH r AS (SELECT o_totalprice,
+                           ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                             AS bucket
+                    FROM orders)
+         SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+                round(min(o_totalprice), 4) AS lo_v,
+                round(max(o_totalprice), 4) AS hi_v
+         FROM r GROUP BY bucket ORDER BY bucket""",
 
     "agg_mode" ->
       """SELECT l_returnflag, l_linestatus AS mode_status, cnt

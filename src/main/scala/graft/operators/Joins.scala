@@ -457,7 +457,27 @@ object Joins extends QueryModule {
     }),
 
     "win_topk_group" -> ((s, dir) => { T.views(s, dir, "orders"); s.sql(topkSql) }),
+
+    "join_lateral" -> ((s, dir) => {
+      // Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+      // "top-2 orders for each customer" idiom. Catalyst decorrelates
+      // the DomainJoin into a ranked window over the orders side, so the
+      // physical plan is one shuffle on o_custkey with WindowGroupLimit
+      // pruning to 2 rows per key below the exchange — no per-customer
+      // re-execution, which is what makes LATERAL survivable at 100 TB.
+      T.views(s, dir, "customer", "orders")
+      s.sql(lateralSql)
+    }),
   )
+
+  private val lateralSql =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+       FROM customer,
+       LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_custkey = c_custkey
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) AS t
+       WHERE c_mktsegment = 'BUILDING'
+       ORDER BY c_custkey, o_orderkey"""
 
   private def dsum(inner: String) =
     s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)"
@@ -630,5 +650,7 @@ object Joins extends QueryModule {
           GROUP BY r_name ORDER BY r_name""",
 
     "win_topk_group" -> topkSql,
+
+    "join_lateral" -> lateralSql,
   )
 }

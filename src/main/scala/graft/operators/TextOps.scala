@@ -246,6 +246,20 @@ object TextOps extends QueryModule {
                .as("avg_chars"),
              countDistinct("source").as("n_sources"))
         .orderBy("lang")),
+
+    "text_ngram_top" -> ((s, dir) =>
+      // Corpus-level bigram counts (the n-gram LM / contamination-check
+      // building block). The bigram build is a per-row array transform
+      // inside codegen — the only shuffle is the final partial-aggregated
+      // groupBy on the bigram key; top-20 is a TakeOrdered, not a sort.
+      T.load(s, dir, "documents")
+        .select(split(lower(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram")).limit(20)),
   )
 
   private def dsum(inner: String) =
@@ -409,5 +423,14 @@ object TextOps extends QueryModule {
                  round(${dsum("n_chars")} / count(*), 4) AS avg_chars,
                  count(DISTINCT source) AS n_sources
           FROM documents GROUP BY lang ORDER BY lang""",
+
+    "text_ngram_top" ->
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS ws
+                    FROM documents WHERE len(string_split(text, ' ')) >= 2),
+          b AS (SELECT ws[t.i] || ' ' || ws[t.i + 1] AS bigram
+                FROM w CROSS JOIN generate_series(1, 1000) AS t(i)
+                WHERE t.i <= len(ws) - 1)
+          SELECT bigram, count(*) AS cnt FROM b
+          GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""",
   )
 }
