@@ -22,6 +22,7 @@ object SparkEntry {
     PipelineOps,
     Profiling,
     TimeSeries,
+    Graph,
     Layout,
     Multimodal,
     Similarity,

@@ -187,6 +187,51 @@ object CellQueries extends QueryModule {
              countDistinct(col("rowkey")).as("n_rows"),
              max(col("version")).as("max_version"))
         .orderBy("region", "qualifier")),
+
+    "cell_timerange_scan" -> ((s, dir) => {
+      // HBase Scan.setTimeRange + setMaxVersions(1): snapshot-as-of read.
+      // Two versions exist for purchase cells (the cell_versions update
+      // batch); reading with the time range capped at the MIDPOINT must
+      // return the ORIGINAL values — the newer version is outside the
+      // range, so the older one is surfaced (time travel, HBase-style).
+      // Version filter is a scan predicate (pushable); resolution is the
+      // one window shuffle on the cell key.
+      import org.apache.spark.sql.expressions.Window
+      val v1 = eventCells(s, dir)
+      val updated = eventsNested(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2)
+      val SHIFT_US = 40L * 86400L * 1000000L // past every original version
+      val v2 = CellFlatten.flatten(updated, col("event_id"), "d",
+                                   col("ts_us") + SHIFT_US,
+                                   exclude = Set("event_id", "ts_us"))
+      val all = v1.unionByName(v2)
+      val cutoff = v1.agg(max(col("version")).as("cut")) // as-of: end of batch 1
+      val w = Window.partitionBy("rowkey", "family", "qualifier")
+        .orderBy(col("version").desc)
+      all.crossJoin(broadcast(cutoff))
+        .filter(col("version") <= col("cut"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("rowkey", "family", "qualifier", "version", "value")
+        .orderBy("rowkey", "qualifier")
+    }),
+
+    "cell_inverted_index" -> ((s, dir) =>
+      // Secondary-index emulation: HBase has no native secondary index;
+      // the standard pattern is an index TABLE keyed by (qualifier,
+      // value) listing the rowkeys. Build the inverted index for the
+      // event_type qualifier: one groupBy on the (qualifier, value)
+      // pair, rowkey postings kept as count + min/max (posting-list
+      // summary) so the output stays scalar and oracle-comparable. At
+      // 100 TB this is the index-build job: partial-agg per region,
+      // shuffle one posting summary per distinct value.
+      eventCells(s, dir)
+        .filter(col("qualifier") === "event_type")
+        .groupBy(col("qualifier"), col("value"))
+        .agg(count(lit(1)).as("n_rows"),
+             min(col("rowkey")).as("first_rowkey"),
+             max(col("rowkey")).as("last_rowkey"))
+        .orderBy("qualifier", "value")),
   )
 
   /** DuckDB twin of the cell flatten over events: a UNION ALL per leaf.
@@ -328,5 +373,32 @@ object CellQueries extends QueryModule {
                  count(*) AS n_cells, count(DISTINCT rowkey) AS n_rows,
                  max(version) AS max_version
           FROM cells GROUP BY 1, 2 ORDER BY region, qualifier""",
+
+    "cell_timerange_scan" ->
+      // Batch-2 versions sit 40 days past every batch-1 version, and the
+      // as-of cutoff = max batch-1 version, so the filter keeps exactly
+      // batch 1 — i.e. the snapshot read returns the original cells.
+      s"""WITH v1 AS ($eventCellsSql),
+               v2 AS (${eventCellsSqlWith(
+                 "WHERE event_type = 'purchase'", 40L * 86400L * 1000000L,
+                 "value * 2")}),
+               allc AS (SELECT * FROM (SELECT * FROM v1 UNION ALL
+                                       SELECT * FROM v2)
+                        WHERE value IS NOT NULL),
+               cut AS (SELECT max(version) AS cut
+                       FROM (SELECT * FROM v1) WHERE value IS NOT NULL),
+               r AS (SELECT allc.*, row_number() OVER (
+                       PARTITION BY rowkey, family, qualifier
+                       ORDER BY version DESC) AS rn
+                     FROM allc, cut WHERE version <= cut)
+          SELECT rowkey, family, qualifier, version, value
+          FROM r WHERE rn = 1 ORDER BY rowkey, qualifier""",
+
+    "cell_inverted_index" ->
+      s"""WITH cells AS ($eventCellsSql)
+          SELECT qualifier, value, count(*) AS n_rows,
+                 min(rowkey) AS first_rowkey, max(rowkey) AS last_rowkey
+          FROM cells WHERE qualifier = 'event_type'
+          GROUP BY 1, 2 ORDER BY qualifier, value""",
   )
 }
