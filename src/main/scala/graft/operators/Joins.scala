@@ -356,6 +356,31 @@ object Joins extends QueryModule {
         .orderBy("event_id")
     }),
 
+    "join_asof_tolerance" -> ((s, dir) => {
+      // As-of with a MAX-STALENESS bound (the market-data join: last
+      // quote before the trade, but only if < 7 days old — staler means
+      // "no usable quote", NULL). Same single user_id-shuffle window as
+      // join_asof; the tolerance is one codegen'd conditional after the
+      // frame max, not a second join.
+      import org.apache.spark.sql.expressions.Window
+      val TOL_US = 7L * 86400L * 1000000L
+      val e = T.events(s, dir)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"),
+                when(col("event_type") === "signup", col("ts_us")).as("signup_ts"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"),
+                 when(col("event_type") === "signup", 0).otherwise(1),
+                 col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("last_signup_ts", max(col("signup_ts")).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+                when(col("ts_us") - col("last_signup_ts") <= TOL_US,
+                     col("last_signup_ts")).as("recent_signup_ts"))
+        .orderBy("event_id")
+    }),
+
     "join_asof_fwd" -> ((s, dir) => {
       // FORWARD as-of: for each signup, the first purchase at-or-after
       // it (conversion lag). Same union-window trick as join_asof with
@@ -614,6 +639,16 @@ object Joins extends QueryModule {
                 (SELECT max(epoch_us(s.ts)) FROM events s
                  WHERE s.user_id = p.user_id AND s.event_type = 'signup'
                    AND epoch_us(s.ts) <= epoch_us(p.ts)) AS last_signup_ts
+         FROM events p WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
+
+    "join_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                (SELECT max(epoch_us(s.ts)) FROM events s
+                 WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+                   AND epoch_us(s.ts) <= epoch_us(p.ts)
+                   AND epoch_us(s.ts) >= epoch_us(p.ts) - 604800000000)
+                  AS recent_signup_ts
          FROM events p WHERE p.event_type = 'purchase'
          ORDER BY p.event_id""",
 

@@ -175,6 +175,33 @@ object Sources extends QueryModule {
         .orderBy("event_type")
     }),
 
+    "sink_parquet_overwrite_dynamic" -> ((s, dir) => {
+      // Dynamic partition overwrite: batch 2 rewrites ONLY the
+      // partitions it contains rows for (here: purchase, values
+      // doubled) — every other partition's files are untouched. This is
+      // THE idempotent daily-reload primitive at 100 TB: re-running a
+      // day's job replaces that day's partitions, never truncating the
+      // table (static overwrite mode would). Readback aggregates per
+      // partition: purchase reflects batch 2, the rest batch 1.
+      val tmp = stage(dir, "pqdyn")
+      val ev = T.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts_us")
+      // batch 1: full load (re-staged every run: this sink IS the op
+      // under test, so it must not reuse a previous run's files)
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      // batch 2: reload of just the purchase partition, values doubled
+      ev.filter(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             T.d(sum(T.dec(col("value")))).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     "scan_pruned" -> ((s, dir) => {
       // Read ONE partition back: the event_type predicate is resolved
       // against directory names (PartitionFilters in the plan — see
@@ -309,6 +336,14 @@ object Sources extends QueryModule {
                  CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_value,
                  count(DISTINCT user_id) AS n_users
           FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "sink_parquet_overwrite_dynamic" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(CAST(sum(CAST(CASE WHEN event_type = 'purchase'
+                                        THEN value * 2 ELSE value END
+                         AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "scan_pruned" ->
       """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us

@@ -292,6 +292,33 @@ object Streaming extends QueryModule {
       drain(j, "append").orderBy("p_id", "s_id")
     }),
 
+    "stream_outer_join" -> ((s0, dir) => {
+      // Stream-stream LEFT OUTER: matched pairs emit immediately;
+      // UNMATCHED purchases emit null-extended only once the watermark
+      // proves no matching signup can still arrive (state watermark >
+      // p_ts, since the condition only admits signups with s_ts <=
+      // p_ts). Purchases inside the final 10-minute watermark lag stay
+      // in state and never emit — the oracle encodes exactly that
+      // boundary. State is watermark-bounded on both sides, same as the
+      // inner variant.
+      val s = streamSession(s0)
+      val staged = stageEvents(s, dir)
+      val p = readStream(s, staged).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+                col("ts_ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val g = readStream(s, staged).filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+                col("ts_ts").as("s_ts"))
+        .withWatermark("s_ts", "10 minutes")
+      val j = p.join(g, col("p_user") === col("s_user") &&
+                        col("s_ts") <= col("p_ts") &&
+                        col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"),
+                     "left_outer")
+        .select(col("p_id"), col("s_id"))
+      drain(j, "append").orderBy("p_id", "s_id")
+    }),
+
     "stream_sink_foreachbatch" -> ((s, dir) => {
       // foreachBatch sink: per-micro-batch custom writer (the idiom for
       // sinks Spark lacks — JDBC upserts, HBase puts, ...). Each batch
@@ -498,6 +525,36 @@ object Streaming extends QueryModule {
              AND epoch_us(s.ts) <= epoch_us(p.ts)
              AND epoch_us(p.ts) - epoch_us(s.ts) <= 3600000000
          WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
+         ORDER BY p_id, s_id""",
+
+    "stream_outer_join" ->
+      // matched pairs = the inner result; null-extended rows = purchases
+      // with no in-window signup whose event time fell below the final
+      // watermark (min of the two per-stream watermarks, each
+      // max(event time) - 10 min) before the query drained.
+      """WITH wm AS (
+           SELECT least(
+             (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase'),
+             (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'signup'))
+             - 600000000 AS w),
+         matched AS (
+           SELECT p.event_id AS p_id, s.event_id AS s_id
+           FROM events p JOIN events s
+                ON p.user_id = s.user_id
+               AND epoch_us(s.ts) <= epoch_us(p.ts)
+               AND epoch_us(p.ts) - epoch_us(s.ts) <= 3600000000
+           WHERE p.event_type = 'purchase' AND s.event_type = 'signup'),
+         unmatched AS (
+           SELECT p.event_id AS p_id, CAST(NULL AS BIGINT) AS s_id
+           FROM events p, wm
+           WHERE p.event_type = 'purchase'
+             AND epoch_us(p.ts) < wm.w
+             AND NOT EXISTS (SELECT 1 FROM events s
+                             WHERE s.event_type = 'signup'
+                               AND s.user_id = p.user_id
+                               AND epoch_us(s.ts) <= epoch_us(p.ts)
+                               AND epoch_us(p.ts) - epoch_us(s.ts) <= 3600000000))
+         SELECT * FROM matched UNION ALL SELECT * FROM unmatched
          ORDER BY p_id, s_id""",
 
     "stream_sink_foreachbatch" ->
