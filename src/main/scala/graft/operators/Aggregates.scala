@@ -213,6 +213,24 @@ object Aggregates extends QueryModule {
           .as("names"))
         .orderBy("n_regionkey")),
 
+    "agg_salted" -> ((s, dir) =>
+      // Two-stage SALTED aggregation — the skew-safe form of groupBy for
+      // hot keys: stage 1 partials on (key, salt) spread one hot key
+      // over 16 reducers; stage 2 merges the ≤16 partials per key. The
+      // salt must be DETERMINISTIC (pmod of a data column, never rand())
+      // or the determinism sweep and retried tasks both break. Decimal
+      // partial sums keep the two-stage total exactly equal to the
+      // one-stage oracle.
+      T.load(s, dir, "lineitem")
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(count(lit(1)).as("pn"),
+             sum(T.dec(col("l_quantity"))).as("ps"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("pn")).as("n"),
+             T.d(sum(col("ps"))).as("sum_qty"))
+        .orderBy("l_returnflag")),
+
     "agg_conditional" -> ((s, dir) =>
       T.load(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -493,6 +511,11 @@ object Aggregates extends QueryModule {
       """SELECT n_regionkey,
                 array_to_string(list(n_name ORDER BY n_name), ',') AS names
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    "agg_salted" ->
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "agg_conditional" ->
       """SELECT l_returnflag,

@@ -216,6 +216,34 @@ object CellQueries extends QueryModule {
         .orderBy("rowkey", "qualifier")
     }),
 
+    "cell_bulkload_layout" -> ((s, dir) => {
+      // HBase bulk-load (HFile) prep: cells must arrive at the region
+      // servers RANGE-PARTITIONED by rowkey on the table's pre-split
+      // points and SORTED by (rowkey, family, qualifier, version desc)
+      // within each file. repartitionByRange + sortWithinPartitions is
+      // exactly that shuffle — the one a 100 TB bulk load runs; the
+      // readback aggregates per region to stay layout-independent. The
+      // split points are explicit (as in a production pre-split table),
+      // not sampled, so the layout is deterministic.
+      val splitRegion =
+        when(col("rowkey") < "2", 0)
+          .when(col("rowkey") < "4", 1)
+          .when(col("rowkey") < "6", 2)
+          .when(col("rowkey") < "8", 3)
+          .otherwise(4)
+      eventCells(s, dir)
+        .withColumn("region", splitRegion)
+        .repartitionByRange(5, col("region"))
+        .sortWithinPartitions(col("rowkey"), col("family"),
+                              col("qualifier"), col("version").desc)
+        .groupBy("region")
+        .agg(count(lit(1)).as("n_cells"),
+             countDistinct(col("rowkey")).as("n_rows"),
+             min(col("rowkey")).as("start_key"),
+             max(col("rowkey")).as("end_key"))
+        .orderBy("region")
+    }),
+
     "cell_inverted_index" -> ((s, dir) =>
       // Secondary-index emulation: HBase has no native secondary index;
       // the standard pattern is an index TABLE keyed by (qualifier,
@@ -393,6 +421,15 @@ object CellQueries extends QueryModule {
                      FROM allc, cut WHERE version <= cut)
           SELECT rowkey, family, qualifier, version, value
           FROM r WHERE rn = 1 ORDER BY rowkey, qualifier""",
+
+    "cell_bulkload_layout" ->
+      s"""WITH cells AS ($eventCellsSql)
+          SELECT CASE WHEN rowkey < '2' THEN 0 WHEN rowkey < '4' THEN 1
+                      WHEN rowkey < '6' THEN 2 WHEN rowkey < '8' THEN 3
+                      ELSE 4 END AS region,
+                 count(*) AS n_cells, count(DISTINCT rowkey) AS n_rows,
+                 min(rowkey) AS start_key, max(rowkey) AS end_key
+          FROM cells GROUP BY 1 ORDER BY region""",
 
     "cell_inverted_index" ->
       s"""WITH cells AS ($eventCellsSql)

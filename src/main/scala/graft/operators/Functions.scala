@@ -26,6 +26,22 @@ import org.apache.spark.sql.functions._
 object Functions extends QueryModule {
 
   val queries: Map[String, Q] = Map(
+    "fn_format" -> ((s, dir) =>
+      // printf-style formatting + the character-transform family —
+      // format_string lowers to java.util.Formatter, whose %s/%0Nd
+      // output is bytewise identical to DuckDB's printf for these
+      // conversions. All codegen'd projections, no shuffle.
+      T.load(s, dir, "customer").select(
+        col("c_custkey"),
+        format_string("%s-%07d", col("c_mktsegment"), col("c_custkey"))
+          .as("fmt"),
+        translate(col("c_name"), "Cusmer", "XYZABC").as("trans"),
+        repeat(substring(col("c_name"), 1, 3), 2).as("rep"),
+        reverse(col("c_mktsegment")).as("rev"),
+        concat_ws("|", col("c_mktsegment"), col("c_custkey").cast("string"))
+          .as("joined"))
+        .orderBy("c_custkey")),
+
     "fn_string" -> ((s, dir) =>
       T.load(s, dir, "customer").select(
         col("c_custkey"),
@@ -326,6 +342,16 @@ object Functions extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_format" ->
+      """SELECT c_custkey,
+                printf('%s-%07d', c_mktsegment, c_custkey) AS fmt,
+                translate(c_name, 'Cusmer', 'XYZABC') AS trans,
+                repeat(substring(c_name, 1, 3), 2) AS rep,
+                reverse(c_mktsegment) AS rev,
+                concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR))
+                  AS joined
+         FROM customer ORDER BY c_custkey""",
+
     "fn_string" ->
       """SELECT c_custkey,
                 concat(c_name, '_', c_mktsegment) AS cat,

@@ -143,10 +143,44 @@ object Windows extends QueryModule {
                 col("m.o_orderkey").as("best_order"),
                 col("m.o_totalprice").as("best_price"), col("n"))
         .orderBy("o_orderpriority")),
+
+    "win_running_distinct" -> ((s, dir) => {
+      // Running COUNT(DISTINCT) per user over event time — not directly
+      // expressible as a window agg (distinct isn't frame-mergeable);
+      // the distributed form marks each (user, type) FIRST occurrence
+      // with one ranked window, then running-sums the 0/1 marks. Both
+      // windows shuffle on user_id only — one exchange, two sorts.
+      val wFirst = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+      val wRun = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.events(s, dir)
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .withColumn("n_types_seen", sum(col("first_seen")).over(wRun))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+                col("event_type"), col("n_types_seen"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
     "win_ranking" -> rankingSql,
+
+    "win_running_distinct" ->
+      """WITH f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                           event_type,
+                           CASE WHEN row_number() OVER (
+                                  PARTITION BY user_id, event_type
+                                  ORDER BY epoch_us(ts), event_id) = 1
+                                THEN 1 ELSE 0 END AS first_seen
+                    FROM events)
+         SELECT event_id, user_id, ts_us, event_type,
+                CAST(sum(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_types_seen
+         FROM f ORDER BY event_id""",
 
     "win_lag_lead" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
