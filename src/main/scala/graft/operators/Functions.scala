@@ -26,6 +26,21 @@ import org.apache.spark.sql.functions._
 object Functions extends QueryModule {
 
   val queries: Map[String, Q] = Map(
+    "fn_try" -> ((s, dir) =>
+      // Error-safe arithmetic family: try_* returns NULL where strict
+      // evaluation would raise (div-by-zero, bad cast, overflow, index
+      // out of bounds) — the batch-pipeline behavior you want at 100 TB,
+      // where one malformed row must not kill a 6-hour job. All
+      // codegen'd row-local projections.
+      T.events(s, dir).select(
+        col("event_id"),
+        expr("try_divide(value, user_id % 3)").as("div3"),
+        expr("try_cast(event_type AS INT)").as("bad_int"),
+        expr("try_cast(substr(event_type, 1, 1) AS INT)").as("bad_int2"),
+        expr("try_add(9223372036854775807, user_id)").as("ovf"),
+        expr("try_element_at(split(event_type, '_'), 99)").as("oob"))
+        .orderBy("event_id")),
+
     "fn_format" -> ((s, dir) =>
       // printf-style formatting + the character-transform family —
       // format_string lowers to java.util.Formatter, whose %s/%0Nd
@@ -342,6 +357,16 @@ object Functions extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_try" ->
+      """SELECT event_id,
+                value / nullif(user_id % 3, 0) AS div3,
+                TRY_CAST(event_type AS INTEGER) AS bad_int,
+                TRY_CAST(substr(event_type, 1, 1) AS INTEGER) AS bad_int2,
+                CASE WHEN user_id > 0 THEN NULL
+                     ELSE 9223372036854775807 END AS ovf,
+                (string_split(event_type, '_'))[99] AS oob
+         FROM events ORDER BY event_id""",
+
     "fn_format" ->
       """SELECT c_custkey,
                 printf('%s-%07d', c_mktsegment, c_custkey) AS fmt,

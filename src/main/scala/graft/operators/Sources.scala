@@ -175,6 +175,35 @@ object Sources extends QueryModule {
         .orderBy("event_type")
     }),
 
+    "scan_binaryfile" -> ((s, dir) => {
+      // Spark's binaryFile source — the entry point for opaque media
+      // blobs (multimodal ingest): each file becomes (path, length,
+      // content: binary). Stage 20 docs as .bin files once per sf-dir;
+      // read back name, byte length, and a decoded prefix. At 100 TB
+      // this source partitions by file, so the degree of parallelism is
+      // the file count — the scan itself never shuffles.
+      val tmp = stage(dir, "bin")
+      if (!new java.io.File(s"$tmp/done.marker").exists()) {
+        new java.io.File(tmp).mkdirs()
+        T.load(s, dir, "documents").filter(col("doc_id") < 20)
+          .select("doc_id", "text").collect().foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$tmp/doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$tmp/done.marker"), Array[Byte]())
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(tmp)
+        .select(
+          regexp_extract(col("path"), "doc_([0-9]+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("length"),
+          substring(col("content").cast("string"), 1, 8).as("prefix"))
+        .orderBy("doc_id")
+    }),
+
     "sink_parquet_overwrite_dynamic" -> ((s, dir) => {
       // Dynamic partition overwrite: batch 2 rewrites ONLY the
       // partitions it contains rows for (here: purchase, values
@@ -336,6 +365,11 @@ object Sources extends QueryModule {
                  CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_value,
                  count(DISTINCT user_id) AS n_users
           FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "scan_binaryfile" ->
+      // documents text is ASCII (SURVEY §1.2), so byte length = n_chars
+      """SELECT doc_id, n_chars AS length, substring(text, 1, 8) AS prefix
+         FROM documents WHERE doc_id < 20 ORDER BY doc_id""",
 
     "sink_parquet_overwrite_dynamic" ->
       """SELECT event_type, count(*) AS n,

@@ -144,6 +144,37 @@ object Windows extends QueryModule {
                 col("m.o_totalprice").as("best_price"), col("n"))
         .orderBy("o_orderpriority")),
 
+    "win_funnel" -> ((s, dir) => {
+      // Ordered funnel (signup → view → purchase): per user, the first
+      // signup, the first view AT OR AFTER that signup, the first
+      // purchase at or after that view. Each stage is one conditional
+      // min over the user's events — computed as three chained aggs on
+      // the same user_id key (one real shuffle; the per-user stage
+      // tables re-join broadcast). The output is the classic funnel
+      // report: users remaining at each stage.
+      val ev = T.events(s, dir).select("user_id", "event_type", "ts_us")
+      val s1 = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup", col("ts_us"))).as("t_signup"))
+        .filter(col("t_signup").isNotNull)
+      val s2 = ev.join(broadcast(s1), "user_id")
+        .groupBy("user_id", "t_signup")
+        .agg(min(when(col("event_type") === "view" &&
+                      col("ts_us") >= col("t_signup"), col("ts_us"))).as("t_view"))
+        .filter(col("t_view").isNotNull)
+      val s3 = ev.join(broadcast(s2), "user_id")
+        .groupBy("user_id", "t_view")
+        .agg(min(when(col("event_type") === "purchase" &&
+                      col("ts_us") >= col("t_view"), col("ts_us"))).as("t_purchase"))
+        .filter(col("t_purchase").isNotNull)
+      val n1 = s1.agg(count(lit(1)).as("n")).select(lit(1).as("stage"),
+        lit("signup").as("stage_name"), col("n"))
+      val n2 = s2.agg(count(lit(1)).as("n")).select(lit(2).as("stage"),
+        lit("view_after_signup").as("stage_name"), col("n"))
+      val n3 = s3.agg(count(lit(1)).as("n")).select(lit(3).as("stage"),
+        lit("purchase_after_view").as("stage_name"), col("n"))
+      n1.unionAll(n2).unionAll(n3).orderBy("stage")
+    }),
+
     "win_running_distinct" -> ((s, dir) => {
       // Running COUNT(DISTINCT) per user over event time — not directly
       // expressible as a window agg (distinct isn't frame-mergeable);
@@ -166,6 +197,32 @@ object Windows extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "win_ranking" -> rankingSql,
+
+    "win_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+                     FROM events),
+          s1 AS (SELECT user_id,
+                        min(CASE WHEN event_type = 'signup' THEN ts_us END)
+                          AS t_signup
+                 FROM ev GROUP BY user_id HAVING t_signup IS NOT NULL),
+          s2 AS (SELECT ev.user_id, t_signup,
+                        min(CASE WHEN event_type = 'view'
+                                  AND ts_us >= t_signup THEN ts_us END)
+                          AS t_view
+                 FROM ev JOIN s1 ON ev.user_id = s1.user_id
+                 GROUP BY ev.user_id, t_signup HAVING t_view IS NOT NULL),
+          s3 AS (SELECT ev.user_id, t_view,
+                        min(CASE WHEN event_type = 'purchase'
+                                  AND ts_us >= t_view THEN ts_us END)
+                          AS t_purchase
+                 FROM ev JOIN s2 ON ev.user_id = s2.user_id
+                 GROUP BY ev.user_id, t_view HAVING t_purchase IS NOT NULL)
+         SELECT 1 AS stage, 'signup' AS stage_name, count(*) AS n FROM s1
+         UNION ALL
+         SELECT 2, 'view_after_signup', count(*) FROM s2
+         UNION ALL
+         SELECT 3, 'purchase_after_view', count(*) FROM s3
+         ORDER BY stage""",
 
     "win_running_distinct" ->
       """WITH f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
