@@ -244,6 +244,32 @@ object CellQueries extends QueryModule {
         .orderBy("region")
     }),
 
+    "cell_salted_rowkey" -> ((s, dir) => {
+      // HBase hot-region mitigation: monotonically increasing rowkeys
+      // (event ids, timestamps) hammer one region; the standard fix is a
+      // SALTED key `salt_originalKey` where salt = hash(key) mod N, so
+      // writes spread over N regions. Reads of a logical key then fan
+      // out to N prefix scans and strip the salt. Salt must be a
+      // DETERMINISTIC function of the key (never random) so reads can
+      // reconstruct it. Readback: per-salt-bucket stats prove the
+      // spread; original keys recover exactly.
+      val N = 8
+      val salted = eventCells(s, dir)
+        // portable md5-derived salt (the PipelineOps bucket recipe) —
+        // crc32 exists only on the Spark side, md5 hex on both
+        .withColumn("salt",
+          conv(substring(md5(col("rowkey")), 1, 8), 16, 10)
+            .cast("long") % N)
+        .withColumn("salted_rowkey",
+          concat(col("salt").cast("string"), lit("_"), col("rowkey")))
+      salted.groupBy("salt")
+        .agg(count(lit(1)).as("n_cells"),
+             countDistinct(col("rowkey")).as("n_keys"),
+             min(col("salted_rowkey")).as("first_key"),
+             max(col("salted_rowkey")).as("last_key"))
+        .orderBy("salt")
+    }),
+
     "cell_inverted_index" -> ((s, dir) =>
       // Secondary-index emulation: HBase has no native secondary index;
       // the standard pattern is an index TABLE keyed by (qualifier,
@@ -430,6 +456,19 @@ object CellQueries extends QueryModule {
                  count(*) AS n_cells, count(DISTINCT rowkey) AS n_rows,
                  min(rowkey) AS start_key, max(rowkey) AS end_key
           FROM cells GROUP BY 1 ORDER BY region""",
+
+    "cell_salted_rowkey" ->
+      s"""WITH cells AS ($eventCellsSql),
+          sc AS (SELECT *,
+                   TRY_CAST('0x' || substring(md5(rowkey), 1, 8) AS BIGINT)
+                     % 8 AS salt,
+                   CAST(TRY_CAST('0x' || substring(md5(rowkey), 1, 8) AS BIGINT)
+                     % 8 AS VARCHAR) || '_' || rowkey AS salted_rowkey
+                 FROM cells)
+          SELECT salt, count(*) AS n_cells, count(DISTINCT rowkey) AS n_keys,
+                 min(salted_rowkey) AS first_key,
+                 max(salted_rowkey) AS last_key
+          FROM sc GROUP BY salt ORDER BY salt""",
 
     "cell_inverted_index" ->
       s"""WITH cells AS ($eventCellsSql)

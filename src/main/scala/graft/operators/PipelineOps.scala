@@ -252,6 +252,30 @@ object PipelineOps extends QueryModule {
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
         .orderBy("lang", "bin")
     }),
+
+    "sink_shards" -> ((s, dir) => {
+      // Training-shard export: the corpus hash-sharded into 8 fixed
+      // output files (the dataloader contract — shard count is part of
+      // the dataset spec, balanced by a portable deterministic hash, so
+      // any worker can recompute membership). Physically one
+      // repartition(shard) write; readback proves shard balance and
+      // content integrity per shard via an order-independent checksum
+      // (sum of per-doc md5 prefixes — associative, so partition order
+      // can't affect it).
+      val shard = (bucket100(col("doc_id")) % 8).as("shard")
+      val tmp = s"/tmp/graft_shards_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val docs = T.load(s, dir, "documents").withColumn("shard", shard)
+      docs.repartition(8, col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+      s.read.parquet(tmp)
+        .withColumn("h",
+          conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("n_chars"),
+             sum(col("h")).as("content_sum"))
+        .orderBy("shard")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -268,6 +292,13 @@ object PipelineOps extends QueryModule {
          WHERE md5(text) NOT IN
                (SELECT md5(text) FROM documents WHERE doc_id % 10 = 0)
          ORDER BY doc_id""",
+
+    "sink_shards" ->
+      s"""SELECT $bucket100Sql % 8 AS shard, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                 CAST(sum(TRY_CAST('0x' || substring(md5(text), 1, 8) AS BIGINT))
+                      AS BIGINT) AS content_sum
+          FROM documents GROUP BY 1 ORDER BY shard""",
 
     "text_pii_scrub" -> {
       val dirtySql = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
