@@ -331,6 +331,55 @@ object Aggregates extends QueryModule {
         .orderBy("bucket")
     }),
 
+    "agg_weighted_median" -> ((s, dir) => {
+      // Exact weighted median (price-weighted quantity) per group via
+      // the same distributed-CDF pattern as agg_histogram_equidepth:
+      // value-bucket weight sums → broadcast cumulative offsets → find
+      // the crossing bucket → row-level scan of ONLY that bucket
+      // (~1/64 of each group). No per-group full-sort window, so a
+      // 100 TB group never lands on one reducer. All cumulative weights
+      // are exact decimals; the crossing test uses 2*cum >= total
+      // (multiplication, not division) to stay exact.
+      import org.apache.spark.sql.expressions.Window
+      val B = 64
+      val li = T.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"), col("l_quantity").as("q"),
+                T.dec(col("l_extendedprice")).as("w"),
+                col("l_orderkey"), col("l_linenumber"))
+      val dom = li.groupBy("rf")
+        .agg(min(col("q")).as("lo"), max(col("q")).as("hi"))
+      val bucketed = li.join(broadcast(dom), "rf")
+        .withColumn("bk", least(lit(B - 1), floor(
+          (col("q") - col("lo")) /
+            ((col("hi") - col("lo")) / B + lit(1e-9))).cast("int")))
+      val bsums = bucketed.groupBy("rf", "bk").agg(sum(col("w")).as("bw"))
+      val wOff = Window.partitionBy("rf").orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = bsums
+        .withColumn("off", coalesce(sum(col("bw")).over(wOff),
+                                    lit(0).cast(T.DEC)))
+      val tot = bsums.groupBy("rf").agg(sum(col("bw")).as("tot"))
+      // smallest bucket where the cumulative weight crosses total/2
+      val wMin = Window.partitionBy("rf").orderBy("bk")
+      val medbk = offs.join(broadcast(tot), "rf")
+        .filter(lit(2) * (col("off") + col("bw")) >= col("tot"))
+        .withColumn("rn", row_number().over(wMin)).filter(col("rn") === 1)
+        .select(col("rf"), col("bk").as("medbk"), col("off"), col("tot"))
+      val wIn = Window.partitionBy("rf")
+        .orderBy(col("q"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bucketed.join(broadcast(medbk),
+                    bucketed("rf") === medbk("rf") &&
+                    bucketed("bk") === medbk("medbk"))
+        .drop(medbk("rf"))
+        .withColumn("cum", col("off") + sum(col("w")).over(wIn))
+        .filter(lit(2) * col("cum") >= col("tot"))
+        .groupBy("rf")
+        .agg(min(col("q")).as("wmedian"), count(lit(1)).as("n_tail"))
+        .select(col("rf").as("l_returnflag"), col("wmedian"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_mode" -> ((s, dir) => {
       // Per-group mode (most frequent value): count + top-1 window — the
       // distributed formulation of SQL mode(), with a deterministic
@@ -394,6 +443,21 @@ object Aggregates extends QueryModule {
                  CAST(least(floor(value / 50.0), 9.0) AS BIGINT) AS bin,
                  count(*) AS n, ${q1d("value")} AS sum_v
           FROM events GROUP BY 1, 2 ORDER BY event_type, bin""",
+
+    "agg_weighted_median" ->
+      """WITH r AS (SELECT l_returnflag AS rf, l_quantity AS q,
+                           CAST(l_extendedprice AS DECIMAL(38,6)) AS w,
+                           l_orderkey, l_linenumber
+                    FROM lineitem),
+          c AS (SELECT rf, q,
+                  sum(w) OVER (PARTITION BY rf
+                               ORDER BY q, l_orderkey, l_linenumber
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum,
+                  sum(w) OVER (PARTITION BY rf) AS tot
+                FROM r)
+         SELECT rf AS l_returnflag, min(q) AS wmedian
+         FROM c WHERE 2 * cum >= tot GROUP BY rf ORDER BY l_returnflag""",
 
     "agg_histogram_equidepth" ->
       """WITH r AS (SELECT o_totalprice,

@@ -244,6 +244,42 @@ object CellQueries extends QueryModule {
         .orderBy("region")
     }),
 
+    "cell_compact" -> ((s, dir) => {
+      // MAJOR COMPACTION capstone: three store files — the original
+      // batch, a value-rewrite batch (+1s versions, purchases doubled),
+      // and a tombstone batch (errors' value cells deleted at +2s) —
+      // merged in ONE pass applying the full HBase read model: latest
+      // version wins, delete markers hide then drop, TTL expires
+      // versions older than (newest − 20 days). One union, one global
+      // max broadcast, one window shuffle on the cell key — the same
+      // plan at 100 TB, with each store file a separate parquet input.
+      import org.apache.spark.sql.expressions.Window
+      val TOMB = "__TOMBSTONE__"
+      val TTL_US = 20L * 86400L * 1000000L
+      val base = eventsNested(s, dir)
+      val v1 = eventCells(s, dir)
+      val v2 = CellFlatten.flatten(
+        base.filter(col("event_type") === "purchase")
+          .withColumn("value", col("value") * 2),
+        col("event_id"), "d", col("ts_us") + 1000000L,
+        exclude = Set("event_id", "ts_us"))
+      val v3 = base.filter(col("event_type") === "error")
+        .select(col("event_id").cast("string").as("rowkey"),
+                lit("d").as("family"), lit("value").as("qualifier"),
+                (col("ts_us") + 2000000L).as("version"),
+                lit(TOMB).as("value"))
+      val all = v1.unionByName(v2).unionByName(v3)
+      val horizon = all.agg((max(col("version")) - TTL_US).as("h"))
+      val w = Window.partitionBy("rowkey", "family", "qualifier")
+        .orderBy(col("version").desc)
+      all.crossJoin(broadcast(horizon))
+        .filter(col("version") >= col("h"))          // TTL expiry
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .filter(col("value") =!= TOMB)               // drop deleted cells
+        .select("rowkey", "family", "qualifier", "version", "value")
+        .orderBy("rowkey", "qualifier")
+    }),
+
     "cell_salted_rowkey" -> ((s, dir) => {
       // HBase hot-region mitigation: monotonically increasing rowkeys
       // (event ids, timestamps) hammer one region; the standard fix is a
@@ -456,6 +492,28 @@ object CellQueries extends QueryModule {
                  count(*) AS n_cells, count(DISTINCT rowkey) AS n_rows,
                  min(rowkey) AS start_key, max(rowkey) AS end_key
           FROM cells GROUP BY 1 ORDER BY region""",
+
+    "cell_compact" ->
+      s"""WITH v1 AS ($eventCellsSql),
+               v2 AS (${eventCellsSqlWith(
+                 "WHERE event_type = 'purchase'", 1000000L, "value * 2")}),
+               v3 AS (SELECT CAST(event_id AS VARCHAR) AS rowkey,
+                             'd' AS family, 'value' AS qualifier,
+                             epoch_us(ts) + 2000000 AS version,
+                             '__TOMBSTONE__' AS value
+                      FROM events WHERE event_type = 'error'),
+               allc AS (SELECT * FROM (SELECT * FROM v1 UNION ALL
+                                       SELECT * FROM v2 UNION ALL
+                                       SELECT * FROM v3)
+                        WHERE value IS NOT NULL),
+               hz AS (SELECT max(version) - 1728000000000 AS h FROM allc),
+               r AS (SELECT allc.*, row_number() OVER (
+                       PARTITION BY rowkey, family, qualifier
+                       ORDER BY version DESC) AS rn
+                     FROM allc, hz WHERE version >= h)
+          SELECT rowkey, family, qualifier, version, value
+          FROM r WHERE rn = 1 AND value != '__TOMBSTONE__'
+          ORDER BY rowkey, qualifier""",
 
     "cell_salted_rowkey" ->
       s"""WITH cells AS ($eventCellsSql),

@@ -144,6 +144,43 @@ object Windows extends QueryModule {
                 col("m.o_totalprice").as("best_price"), col("n"))
         .orderBy("o_orderpriority")),
 
+    "win_rolling_corr" -> ((s, dir) => {
+      // Rolling autocorrelation (value vs previous value) per event type
+      // over a trailing 100-row frame: all five component sums are
+      // EXACT decimal window aggregates over the same frame (one
+      // shuffle on event_type, one sort), the Pearson assembly is pure
+      // IEEE double on identical inputs, stable4-rounded. The lag pair
+      // is materialized first so every component sees the same (x, y)
+      // rows (y null on each partition's first row -> masked out of all
+      // sums together).
+      val ord = Seq(col("ts_us"), col("event_id"))
+      val wLag = Window.partitionBy("event_type").orderBy(ord: _*)
+      val wF = Window.partitionBy("event_type").orderBy(ord: _*)
+        .rowsBetween(-99, Window.currentRow)
+      val base = T.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("ts_us"),
+                col("value").as("x"))
+        .withColumn("y", lag(col("x"), 1).over(wLag))
+      val m = when(col("y").isNotNull, lit(1)).otherwise(lit(0))
+      val mx = when(col("y").isNotNull, col("x")).otherwise(lit(0.0))
+      val my = coalesce(col("y"), lit(0.0))
+      val withSums = base
+        .withColumn("n", sum(m).over(wF))
+        .withColumn("sx", sum(T.dec(mx)).over(wF))
+        .withColumn("sy", sum(T.dec(my)).over(wF))
+        .withColumn("sxy", sum(T.dec(mx * my)).over(wF))
+        .withColumn("sx2", sum(T.dec(mx * mx)).over(wF))
+        .withColumn("sy2", sum(T.dec(my * my)).over(wF))
+      withSums.filter(col("n") >= 30)
+        .select(col("event_id"), col("event_type"),
+          T.stable4(
+            (col("n") * T.d(col("sxy")) - T.d(col("sx")) * T.d(col("sy"))) /
+            sqrt((col("n") * T.d(col("sx2")) - T.d(col("sx")) * T.d(col("sx"))) *
+                 (col("n") * T.d(col("sy2")) - T.d(col("sy")) * T.d(col("sy")))))
+            .as("rcorr"))
+        .orderBy("event_id")
+    }),
+
     "win_funnel" -> ((s, dir) => {
       // Ordered funnel (signup → view → purchase): per user, the first
       // signup, the first view AT OR AFTER that signup, the first
@@ -197,6 +234,34 @@ object Windows extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "win_ranking" -> rankingSql,
+
+    "win_rolling_corr" -> {
+      def dw(inner: String) =
+        s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) OVER f AS VARCHAR(64)) AS DOUBLE)"
+      s"""WITH b AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+                            value AS x,
+                            lag(value, 1) OVER (PARTITION BY event_type
+                              ORDER BY epoch_us(ts), event_id) AS y
+                     FROM events),
+          m AS (SELECT event_id, event_type, ts_us,
+                  CASE WHEN y IS NULL THEN 0 ELSE 1 END AS mm,
+                  CASE WHEN y IS NULL THEN 0.0 ELSE x END AS mx,
+                  coalesce(y, 0.0) AS my
+                FROM b),
+          w AS (SELECT event_id, event_type,
+                  CAST(sum(mm) OVER f AS BIGINT) AS n,
+                  ${dw("mx")} AS sx, ${dw("my")} AS sy,
+                  ${dw("mx * my")} AS sxy,
+                  ${dw("mx * mx")} AS sx2, ${dw("my * my")} AS sy2
+                FROM m
+                WINDOW f AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                             ROWS BETWEEN 99 PRECEDING AND CURRENT ROW))
+          SELECT event_id, event_type,
+                 ${graft.Tables.stable4Sql(
+                   "(n * sxy - sx * sy) / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))")}
+                   AS rcorr
+          FROM w WHERE n >= 30 ORDER BY event_id"""
+    },
 
     "win_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
