@@ -213,6 +213,19 @@ object Aggregates extends QueryModule {
           .as("names"))
         .orderBy("n_regionkey")),
 
+    "agg_bitwise" -> ((s, dir) =>
+      // Bitwise aggregate family — AND/OR/XOR fold over a group. All
+      // three are associative + commutative, so partial aggregation and
+      // shuffle order are free (the same property the bitmap-distinct
+      // Aggregator leans on).
+      T.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(bit_and(col("l_orderkey")).as("b_and"),
+             bit_or(col("l_orderkey")).as("b_or"),
+             bit_xor(col("l_orderkey")).as("b_xor"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     "agg_salted" -> ((s, dir) =>
       // Two-stage SALTED aggregation — the skew-safe form of groupBy for
       // hot keys: stage 1 partials on (key, salt) spread one hot key
@@ -575,6 +588,12 @@ object Aggregates extends QueryModule {
       """SELECT n_regionkey,
                 array_to_string(list(n_name ORDER BY n_name), ',') AS names
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    "agg_bitwise" ->
+      """SELECT l_returnflag,
+                bit_and(l_orderkey) AS b_and, bit_or(l_orderkey) AS b_or,
+                bit_xor(l_orderkey) AS b_xor, count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "agg_salted" ->
       """SELECT l_returnflag, count(*) AS n,

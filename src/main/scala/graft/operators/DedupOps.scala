@@ -219,6 +219,42 @@ object DedupOps extends QueryModule {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_containment" -> ((s, dir) => {
+      // CONTAINMENT (asymmetric Jaccard, |A∩B|/|A|): catches near-SUBSET
+      // duplication — a short doc embedded in a longer one — which both
+      // symmetric Jaccard and any equal-length blocking miss (the sizes
+      // DIFFER by construction). Candidates come from a RARE-SHINGLE
+      // inverted index: only shingles appearing in 2..5 docs generate
+      // pairs, so per-shingle fan-out is ≤ C(5,2) and the pair space is
+      // linear in the posting list, never quadratic in the corpus.
+      // Exact containment rescoring runs on candidates only.
+      val feat = T.load(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), shingles(col("text")).as("feat"))
+      val postings = feat
+        .select(col("doc_id"), explode(col("feat")).as("sh"))
+      val rare = postings.groupBy("sh")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 5))
+      val cand = postings.join(rare, "sh")
+        .select(col("sh"), col("doc_id").as("id_a"))
+        .join(postings.join(rare, "sh").select(col("sh").as("sh_b"),
+                                               col("doc_id").as("id_b")),
+              col("sh") === col("sh_b") && col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val inter = size(array_intersect(col("f_a"), col("f_b")))
+      cand
+        .join(feat.select(col("doc_id").as("id_a"), col("feat").as("f_a")), "id_a")
+        .join(feat.select(col("doc_id").as("id_b"), col("feat").as("f_b")), "id_b")
+        .withColumn("inter", inter)
+        .withColumn("c_ab", col("inter") / size(col("f_a")))
+        .withColumn("c_ba", col("inter") / size(col("f_b")))
+        .filter(greatest(col("c_ab"), col("c_ba")) >= 0.7)
+        .select(col("id_a"), col("id_b"),
+                st4(col("c_ab")).as("cab"), st4(col("c_ba")).as("cba"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       val tok = T.load(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
@@ -472,6 +508,30 @@ object DedupOps extends QueryModule {
           FROM s a JOIN s b ON a.lang = b.lang AND a.n_chars = b.n_chars
                            AND a.doc_id < b.doc_id
           WHERE $j >= 0.8
+          ORDER BY id_a, id_b"""
+    },
+
+    "dedup_containment" -> {
+      val cab = "CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) / len(a.sg)"
+      val cba = "CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) / len(b.sg)"
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                     FROM documents),
+               s AS (SELECT doc_id,
+                            list_distinct(list_transform(
+                              generate_series(1, len(w) - 2),
+                              i -> array_to_string(w[i:i+2], ' '))) AS sg
+                     FROM d WHERE len(w) >= 3),
+               post AS (SELECT doc_id, unnest(sg) AS sh FROM s),
+               rare AS (SELECT sh FROM post GROUP BY sh
+                        HAVING count(*) BETWEEN 2 AND 5),
+               cand AS (SELECT DISTINCT p1.doc_id AS id_a, p2.doc_id AS id_b
+                        FROM post p1 JOIN rare USING (sh)
+                        JOIN post p2 ON p1.sh = p2.sh
+                                    AND p1.doc_id < p2.doc_id)
+          SELECT id_a, id_b, ${st4s(cab)} AS cab, ${st4s(cba)} AS cba
+          FROM cand JOIN s a ON a.doc_id = id_a
+                    JOIN s b ON b.doc_id = id_b
+          WHERE greatest($cab, $cba) >= 0.7
           ORDER BY id_a, id_b"""
     },
 

@@ -381,6 +381,39 @@ object Joins extends QueryModule {
         .orderBy("event_id")
     }),
 
+    "join_asof_nearest" -> ((s, dir) => {
+      // NEAREST as-of: closest signup in EITHER direction (backward
+      // last + forward first from the same unioned event stream, then
+      // pick the smaller absolute gap; ties break backward, the
+      // market-data convention). Completes the as-of family
+      // (backward / forward / tolerance / nearest) in one user_id
+      // shuffle — the two frames share the window sort.
+      import org.apache.spark.sql.expressions.Window
+      val e = T.events(s, dir)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"),
+                when(col("event_type") === "signup", col("ts_us")).as("sig_ts"))
+      val ordB = Seq(col("ts_us").asc,
+                     when(col("event_type") === "signup", 0).otherwise(1).asc,
+                     col("event_id").asc)
+      val wB = Window.partitionBy("user_id").orderBy(ordB: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy("user_id").orderBy(ordB: _*)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      e.withColumn("back_ts", max(col("sig_ts")).over(wB))
+        .withColumn("fwd_ts", min(col("sig_ts")).over(wF))
+        .filter(col("event_type") === "purchase")
+        .withColumn("nearest_ts",
+          when(col("back_ts").isNull, col("fwd_ts"))
+            .when(col("fwd_ts").isNull, col("back_ts"))
+            .when(col("ts_us") - col("back_ts") <= col("fwd_ts") - col("ts_us"),
+                  col("back_ts"))
+            .otherwise(col("fwd_ts")))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+                col("nearest_ts"))
+        .orderBy("event_id")
+    }),
+
     "join_asof_fwd" -> ((s, dir) => {
       // FORWARD as-of: for each signup, the first purchase at-or-after
       // it (conversion lag). Same union-window trick as join_asof with
@@ -641,6 +674,24 @@ object Joins extends QueryModule {
                    AND epoch_us(s.ts) <= epoch_us(p.ts)) AS last_signup_ts
          FROM events p WHERE p.event_type = 'purchase'
          ORDER BY p.event_id""",
+
+    "join_asof_nearest" ->
+      """WITH p AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                  (SELECT max(epoch_us(s.ts)) FROM events s
+                   WHERE s.user_id = events.user_id
+                     AND s.event_type = 'signup'
+                     AND epoch_us(s.ts) <= epoch_us(events.ts)) AS b,
+                  (SELECT min(epoch_us(s.ts)) FROM events s
+                   WHERE s.user_id = events.user_id
+                     AND s.event_type = 'signup'
+                     AND epoch_us(s.ts) > epoch_us(events.ts)) AS f
+           FROM events WHERE event_type = 'purchase')
+         SELECT event_id, user_id, ts_us,
+                CASE WHEN b IS NULL THEN f WHEN f IS NULL THEN b
+                     WHEN ts_us - b <= f - ts_us THEN b ELSE f END
+                  AS nearest_ts
+         FROM p ORDER BY event_id""",
 
     "join_asof_tolerance" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
