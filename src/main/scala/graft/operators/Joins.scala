@@ -140,6 +140,51 @@ object Joins extends QueryModule {
       }
     }),
 
+    "q5_local_supplier" -> ((s, dir) => {
+      // TPC-H Q5 shape — local-supplier volume: six-way join where the
+      // LOCAL constraint (customer and supplier in the same nation) is
+      // an extra equi-condition, dims broadcast, revenue per nation.
+      // Only lineitem⋈orders shuffles on data-sized keys; everything
+      // else rides broadcasts.
+      val r = T.load(s, dir, "region")
+      val n = T.load(s, dir, "nation")
+      val c = T.load(s, dir, "customer")
+      val o = T.load(s, dir, "orders")
+      val l = T.load(s, dir, "lineitem")
+      val sup = T.load(s, dir, "supplier")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+                            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(T.d(sum(T.dec(col("l_extendedprice") *
+                             (lit(1) - col("l_discount"))))).as("revenue"),
+             count(lit(1)).as("n"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q18_large_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape — large-volume orders: the HAVING subquery
+      // (orders whose total quantity > threshold) becomes a pre-
+      // aggregated semi side joined back to the fact — both aggs hash
+      // on l_orderkey/o_orderkey, so AQE reuses the exchange.
+      val l = T.load(s, dir, "lineitem")
+      val big = l.groupBy("l_orderkey")
+        .agg(sum(T.dec(col("l_quantity"))).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+        .select(col("l_orderkey").as("big_ok"), col("sum_qty"))
+      val o = T.load(s, dir, "orders")
+      val c = T.load(s, dir, "customer")
+      o.join(big, col("o_orderkey") === col("big_ok"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+                col("o_orderdate").cast("date").as("o_orderdate"),
+                col("o_totalprice"), T.d(col("sum_qty")).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
     "q3_shipping" -> ((s, dir) => {
       // TPC-H Q3 verbatim shape — shipping-priority top-10: filtered
       // dims, lineitem joined on the shuffle key, the (small) filtered
@@ -547,6 +592,31 @@ object Joins extends QueryModule {
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0
           GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "q5_local_supplier" ->
+      s"""SELECT n_name,
+                 ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+                 count(*) AS n
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+                       AND c_nationkey = s_nationkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+                             sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+                      FROM lineitem GROUP BY l_orderkey
+                      HAVING sum_qty > 250)
+         SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+                o_totalprice,
+                CAST(CAST(sum_qty AS VARCHAR(64)) AS DOUBLE) AS total_qty
+         FROM orders JOIN big ON o_orderkey = big.l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey""",
 
     "q3_shipping" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
