@@ -150,4 +150,41 @@ class PlanSpec extends AnyFunSuite {
     val window = SparkEntry.queries("join_asof")(spark, sf).collect()
     assert(native.toSeq == window.toSeq)
   }
+
+  test("join_lateral decorrelates to a ranked window, not per-row re-execution") {
+    val p = plan("join_lateral")
+    // the LATERAL ORDER BY/LIMIT must lower to a window/group-limit over
+    // the orders side — a correlated nested loop would show Nested in the
+    // physical plan
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), p)
+  }
+
+  test("cell_bulkload_layout plans a range repartition (the HFile shuffle)") {
+    val p = plan("cell_bulkload_layout")
+    assert(p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("agg_salted is two aggregation stages on the salted then bare key") {
+    val p = plan("agg_salted")
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 4,
+           p)
+  }
+
+  test("anomaly_zscore broadcasts the stats side back onto the fact scan") {
+    assert(plan("anomaly_zscore").contains("BroadcastHashJoin"))
+  }
+
+  test("ts_resample joins spine and buckets without exchanging raw events twice") {
+    val p = plan("ts_resample")
+    // the per-bucket aggregate must be partial+final (map-side combine)
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+           p)
+  }
+
+  test("q5_local_supplier broadcasts every dim (only lineitem-orders shuffles)") {
+    val p = plan("q5_local_supplier")
+    assert(p.sliding("BroadcastHashJoin".length)
+            .count(_ == "BroadcastHashJoin") >= 4, p)
+  }
 }
