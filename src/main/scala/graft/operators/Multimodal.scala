@@ -83,6 +83,22 @@ object Multimodal extends QueryModule {
                 substring(col("f.frame_hash"), 1, 8).as("thumb"))
         .orderBy("doc_id", "frame_idx")
     }),
+
+    "multimodal_dedup" -> ((s, dir) =>
+      // Media-dedup CANDIDATE GENERATION at the feature level (the
+      // perceptual-hash bucketing pattern): bucket on the extracted
+      // (width, height) envelope; buckets with >1 member are the
+      // candidate groups a pairwise verifier (or a real pHash in
+      // decodeStub's place) would then rescore — exactly the
+      // LSH-bucket-then-verify shape of the text dedup stack. One
+      // partial-aggregable shuffle on the bucket key; the candidate
+      // canonical is the min doc_id (deterministic).
+      queries("multimodal_features")(s, dir)
+        .groupBy("width", "height")
+        .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("canonical"),
+             countDistinct(col("thumb_hex")).as("n_distinct_media"))
+        .filter(col("n_members") > 1)
+        .orderBy("width", "height")),
   )
 
   // Oracle re-derives the payload bytes from the md5 hex string:
@@ -117,5 +133,14 @@ object Multimodal extends QueryModule {
                    AS thumb
           FROM f JOIN d ON f.doc_id = d.doc_id
           ORDER BY f.doc_id, f.frame_idx""",
+
+    "multimodal_dedup" ->
+      s"""SELECT 1 + ${byteAt(0)} % 64 AS width,
+                 1 + ${byteAt(1)} % 64 AS height,
+                 count(*) AS n_members, min(doc_id) AS canonical,
+                 count(DISTINCT substring(md5(text), 1, 8))
+                   AS n_distinct_media
+          FROM documents GROUP BY 1, 2 HAVING count(*) > 1
+          ORDER BY width, height""",
   )
 }

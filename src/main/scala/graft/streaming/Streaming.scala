@@ -292,6 +292,25 @@ object Streaming extends QueryModule {
       drain(j, "append").orderBy("p_id", "s_id")
     }),
 
+    "stream_union" -> ((s0, dir) => {
+      // Multi-source merge: two independently-filtered streams unioned
+      // BEFORE a stateful aggregation — the fan-in topology (N topics →
+      // one pipeline). The union itself is stateless (no shuffle); the
+      // per-source counts aggregate in complete mode with state bounded
+      // by source cardinality.
+      val s = streamSession(s0)
+      val staged = stageEvents(s, dir)
+      val p = readStream(s, staged)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), lit("purchase").as("src"))
+      val g = readStream(s, staged)
+        .filter(col("event_type") === "signup")
+        .select(col("event_id"), lit("signup").as("src"))
+      val agg = p.unionByName(g).groupBy("src")
+        .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"))
+      drain(agg, "complete").orderBy("src")
+    }),
+
     "stream_outer_join" -> ((s0, dir) => {
       // Stream-stream LEFT OUTER: matched pairs emit immediately;
       // UNMATCHED purchases emit null-extended only once the watermark
@@ -526,6 +545,11 @@ object Streaming extends QueryModule {
              AND epoch_us(p.ts) - epoch_us(s.ts) <= 3600000000
          WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
          ORDER BY p_id, s_id""",
+
+    "stream_union" ->
+      """SELECT event_type AS src, count(*) AS n, max(event_id) AS max_id
+         FROM events WHERE event_type IN ('purchase', 'signup')
+         GROUP BY event_type ORDER BY src""",
 
     "stream_outer_join" ->
       // matched pairs = the inner result; null-extended rows = purchases
