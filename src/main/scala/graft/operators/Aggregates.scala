@@ -213,6 +213,27 @@ object Aggregates extends QueryModule {
           .as("names"))
         .orderBy("n_regionkey")),
 
+    "agg_skew_metrics" -> ((s, dir) => {
+      // Per-group key-skew report — the diagnostic you run BEFORE
+      // choosing salting/AQE-skew-join settings: rows, distinct keys,
+      // mean rows per key, and the hottest key's share of the group.
+      // Two partial-aggregable shuffles (key counts, then group
+      // rollup); the share is a ratio of exact longs, stable4-rounded.
+      val perKey = T.events(s, dir)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("kc"))
+      perKey.groupBy("event_type")
+        .agg(sum(col("kc")).as("n_rows"),
+             count(lit(1)).as("n_keys"),
+             max(col("kc")).as("hot_key_rows"))
+        .select(col("event_type"), col("n_rows"), col("n_keys"),
+                T.stable4(col("n_rows").cast("double") / col("n_keys"))
+                  .as("mean_rows_per_key"),
+                T.stable4(col("hot_key_rows").cast("double") / col("n_rows"))
+                  .as("hot_key_share"))
+        .orderBy("event_type")
+    }),
+
     "agg_bitwise" -> ((s, dir) =>
       // Bitwise aggregate family — AND/OR/XOR fold over a group. All
       // three are associative + commutative, so partial aggregation and
@@ -588,6 +609,17 @@ object Aggregates extends QueryModule {
       """SELECT n_regionkey,
                 array_to_string(list(n_name ORDER BY n_name), ',') AS names
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    "agg_skew_metrics" ->
+      s"""WITH k AS (SELECT event_type, user_id, count(*) AS kc
+                     FROM events GROUP BY 1, 2)
+          SELECT event_type, CAST(sum(kc) AS BIGINT) AS n_rows,
+                 count(*) AS n_keys,
+                 ${T.stable4Sql("CAST(sum(kc) AS DOUBLE) / count(*)")}
+                   AS mean_rows_per_key,
+                 ${T.stable4Sql("CAST(max(kc) AS DOUBLE) / sum(kc)")}
+                   AS hot_key_share
+          FROM k GROUP BY event_type ORDER BY event_type""",
 
     "agg_bitwise" ->
       """SELECT l_returnflag,

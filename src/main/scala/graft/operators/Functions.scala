@@ -26,6 +26,23 @@ import org.apache.spark.sql.functions._
 object Functions extends QueryModule {
 
   val queries: Map[String, Q] = Map(
+    "fn_variant" -> ((s, dir) =>
+      // Spark 4 VariantType — the engine's answer to open semi-
+      // structured columns (the reference's raison d'être was JSON-in-
+      // anything): parse once into the binary variant encoding, then
+      // typed path extraction without a fixed schema. variant_get on a
+      // present path, try_variant_get on a missing one (NULL, not
+      // error), and a string re-extraction of the same leaf. Variant
+      // decode is columnar + codegen'd — at 100 TB this replaces
+      // per-query from_json re-parsing with parse-once storage.
+      T.events(s, dir).select(
+        col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_int"),
+        expr("variant_get(parse_json(props), '$.k', 'string')").as("k_str"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'bigint')")
+          .as("missing"))
+        .orderBy("event_id")),
+
     "fn_try" -> ((s, dir) =>
       // Error-safe arithmetic family: try_* returns NULL where strict
       // evaluation would raise (div-by-zero, bad cast, overflow, index
@@ -363,6 +380,14 @@ object Functions extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_variant" ->
+      """SELECT event_id,
+                CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+                CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
+                  AS k_str,
+                CAST(NULL AS BIGINT) AS missing
+         FROM events ORDER BY event_id""",
+
     "fn_try" ->
       """SELECT c_custkey,
                 c_acctbal / nullif(c_custkey % 3, 0) AS div3,
