@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
 
 /** The reference's core semantic, re-expressed Spark-first: recursively
@@ -11,21 +12,28 @@ import org.apache.spark.sql.types._
   * Capability derives from pythian/json2hbase's flatten-and-store design
   * (SURVEY.md §0/§1.1 — /root/reference is empty on this host, so the
   * semantics are the publicly-known ones: nested keys joined with ".",
-  * array elements indexed `path[i]`, JSON primitives serialized to byte
-  * values; here serialized to deterministic strings so the DuckDB oracle
-  * can compare).
+  * array elements indexed `path[i]`, map entries keyed `path.key`, JSON
+  * primitives serialized to byte values; here serialized to deterministic
+  * strings so the DuckDB oracle can compare). The recursion is FULL:
+  * arrays of structs flatten to `arr[i].leaf`, arrays of arrays to
+  * `arr[i][j]`, maps of anything to `m.key...` — arbitrary depth, so any
+  * JSON document shape the reference ingests lands as per-leaf cells.
   *
   * Spark-first design notes (100 TB scale):
   *  - The flatten is a pure per-row projection: one `explode` over an
   *    array-of-struct column built from the static schema. No shuffle,
   *    no UDF — everything stays inside whole-stage codegen, and the
   *    explode is pipelined with the parquet scan.
-  *  - Arrays are flattened with `transform(..., (x, i) -> ...)` so
-  *    variable-length arrays never leave the row.
+  *  - Collections are flattened with `transform(..., (x, i) -> ...)` /
+  *    `map_entries`, nested ones recursively via per-element `concat` +
+  *    one `flatten` — variable-length/depth values never leave the row.
   *  - Null leaves are dropped after the explode (HBase stores no nulls),
-  *    mirroring the reference's skip-null behavior.
+  *    mirroring the reference's skip-null behavior; a null COLLECTION
+  *    contributes zero cells without erasing its siblings' cells.
   */
 object CellFlatten {
+
+  private val CELLS_T = "array<struct<qualifier:string,value:string>>"
 
   /** Deterministic string serialization per leaf type (SURVEY §1.1).
     * Floating point goes through DECIMAL(28,6) — both engines render the
@@ -42,24 +50,52 @@ object CellFlatten {
     case _                                => c.cast("string")
   }
 
-  /** One array<struct<qualifier,value>> column per leaf subtree. */
-  private def leafCells(c: Column, dt: DataType, path: String): Seq[Column] = dt match {
+  /** Fold sibling cell-arrays into one (concat keeps element order). */
+  private def cat(cs: Seq[Column]): Column =
+    if (cs.sizeIs == 1) cs.head else concat(cs: _*)
+
+  /** A null collection must yield ZERO cells — `concat` with a null array
+    * is null, which would erase every sibling cell of the row. */
+  private def nz(c: Column): Column =
+    coalesce(c, expr(s"CAST(array() AS $CELLS_T)"))
+
+  private def nested(dt: DataType): Boolean = dt match {
+    case _: StructType | _: ArrayType | _: MapType => true
+    case _                                         => false
+  }
+
+  /** One array<struct<qualifier,value>> column per leaf subtree. `path`
+    * is a Column so array indices / map keys can extend it per element;
+    * for purely-struct paths it constant-folds back to a literal. */
+  private def leafCells(c: Column, dt: DataType, path: Column): Seq[Column] = dt match {
     case st: StructType =>
       st.fields.toSeq.flatMap(f =>
-        leafCells(c.getField(f.name), f.dataType, s"$path.${f.name}"))
+        leafCells(c.getField(f.name), f.dataType, concat(path, lit("." + f.name))))
     case ArrayType(et, _) =>
-      et match {
-        case _: StructType | _: ArrayType =>
-          // Nested collections inside arrays are out of scope for the
-          // testdata; flatten one level by serializing to JSON text.
-          Seq(array(struct(lit(path).as("qualifier"), to_json(c).as("value"))))
-        case _ =>
-          Seq(transform(c, (x, i) =>
-            struct(concat(lit(path + "["), i, lit("]")).as("qualifier"),
-                   ser(x, et).as("value"))))
-      }
+      val idx = (i: Column) => concat(path, lit("["), i.cast("string"), lit("]"))
+      val cells =
+        if (nested(et))
+          F.flatten(transform(c, (x, i) => cat(leafCells(x, et, idx(i)))))
+        else
+          transform(c, (x, i) =>
+            struct(idx(i).as("qualifier"), ser(x, et).as("value")))
+      Seq(nz(cells))
+    case MapType(_, vt, _) =>
+      // map key → qualifier component: the natural HBase mapping (the
+      // reference stores JSON object members as qualifiers, and a map IS
+      // a dynamic-membership object).
+      val entries = map_entries(c)
+      val q = (e: Column) => concat(path, lit("."), e.getField("key").cast("string"))
+      val cells =
+        if (nested(vt))
+          F.flatten(transform(entries, e =>
+            cat(leafCells(e.getField("value"), vt, q(e)))))
+        else
+          transform(entries, e =>
+            struct(q(e).as("qualifier"), ser(e.getField("value"), vt).as("value")))
+      Seq(nz(cells))
     case other =>
-      Seq(array(struct(lit(path).as("qualifier"), ser(c, other).as("value"))))
+      Seq(array(struct(path.as("qualifier"), ser(c, other).as("value"))))
   }
 
   /** Flatten `df` into cells. `rowkey` must be unique per input row;
@@ -69,9 +105,7 @@ object CellFlatten {
               exclude: Set[String] = Set.empty): DataFrame = {
     val payload = df.schema.fields.filterNot(f => exclude(f.name))
     val pieces = payload.toSeq.flatMap { f =>
-      leafCells(col(f.name), f.dataType, f.name).map(a =>
-        // struct paths start with a leading "." stripped here
-        a)
+      leafCells(col(f.name), f.dataType, lit(f.name))
     }
     val cellsCol = pieces.reduceLeft(concat(_, _))
     df.select(rowkey.cast("string").as("rowkey"), version.as("version"),

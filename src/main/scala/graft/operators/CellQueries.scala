@@ -21,6 +21,31 @@ object CellQueries extends QueryModule {
     CellFlatten.flatten(eventsNested(s, dir), col("event_id"), "d",
                         col("ts_us"), exclude = Set("event_id", "ts_us"))
 
+  /** Deeply nested document fixture synthesized per-row from events —
+    * depth-3 structs, a VARIABLE-length array of structs (length
+    * 1..3 = event_id%3+1) whose elements contain their own arrays, and
+    * an array of arrays: the json2hbase input space the flat testdata
+    * never exercises. Pure projections, so the fixture is deterministic
+    * and the DuckDB oracle rebuilds the same leaves from the same row. */
+  private def nestedDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    T.events(s, dir).select(
+      col("event_id"), col("ts_us"),
+      struct(
+        col("user_id"),
+        struct(col("event_type"), col("value")).as("meta"),
+        transform(sequence(lit(0L), col("event_id") % 3), i =>
+          struct(concat(col("event_type"), lit("_"), i.cast("string")).as("tag"),
+                 (col("value") + i).as("score"),
+                 array(col("value") + i, col("value") / 2 - i).as("sub")))
+          .as("items")
+      ).as("doc"),
+      array(array(col("user_id"), col("user_id") % 7),
+            array(col("user_id") + 1)).as("mat"))
+
+  private def nestedCells(s: org.apache.spark.sql.SparkSession, dir: String) =
+    CellFlatten.flatten(nestedDocs(s, dir), col("event_id"), "n",
+                        col("ts_us"), exclude = Set("event_id", "ts_us"))
+
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> ((s, dir) =>
       T.load(s, dir, "nation").orderBy("n_nationkey")),
@@ -38,6 +63,47 @@ object CellQueries extends QueryModule {
       CellFlatten.flatten(T.load(s, dir, "embeddings"), col("vec_id"), "e",
                           lit(0L), exclude = Set("vec_id"))
         .orderBy("rowkey", "qualifier")),
+
+    "sink_cells_nested" -> ((s, dir) =>
+      // Recursive flatten over the deeply nested fixture: array-of-struct
+      // elements become `doc.items[i].tag` / `...sub[j]` qualifiers,
+      // arrays-of-arrays `mat[i][j]` — the reference's indexed-qualifier
+      // semantic at arbitrary depth. Still a shuffle-free per-row explode
+      // pipelined with the scan (CellFlattenSpec asserts no Exchange).
+      nestedCells(s, dir).orderBy("rowkey", "qualifier")),
+
+    "sink_cells_map" -> ((s, dir) => {
+      // MapType → cells: map KEY becomes the qualifier component — the
+      // natural HBase mapping for dynamic-membership JSON objects (a
+      // fixed struct can't model keys unknown at schema time). One map
+      // holds scalars (attrs.<event_type>, attrs.uid), one holds a
+      // nested array value (marr.a[j]) to exercise recursion below a
+      // map entry.
+      val m = T.events(s, dir).select(
+        col("event_id"), col("ts_us"),
+        map(col("event_type"), col("value"),
+            lit("uid"), col("user_id").cast("double")).as("attrs"),
+        map(lit("a"), array(col("value"), col("value") / 2)).as("marr"))
+      CellFlatten.flatten(m, col("event_id"), "m", col("ts_us"),
+                          exclude = Set("event_id", "ts_us"))
+        .orderBy("rowkey", "qualifier")
+    }),
+
+    "pipeline_e2e_v2" -> ((s, dir) =>
+      // The reference's whole job over the DEEPLY NESTED input space:
+      // build documents → recursive flatten to cells → analytic readback
+      // per leaf PATH (array indices normalized away, so variable-length
+      // arrays aggregate into one row per schema leaf). Proves the engine
+      // covers json2hbase's full document shapes, not just flat rows.
+      nestedCells(s, dir)
+        .withColumn("leaf", regexp_replace(col("qualifier"),
+                                           "\\[\\d+\\]", "[]"))
+        .groupBy("family", "leaf")
+        .agg(count(lit(1)).as("n_cells"),
+             countDistinct(col("rowkey")).as("n_rows"),
+             min(col("version")).as("min_version"),
+             max(col("version")).as("max_version"))
+        .orderBy("family", "leaf")),
 
     "pipeline_e2e" -> ((s, dir) =>
       eventCells(s, dir)
@@ -344,6 +410,53 @@ object CellQueries extends QueryModule {
 
   private val eventCellsSql = eventCellsSqlWith("", 0L, "value")
 
+  /** DuckDB twin of the nested-fixture cells: one UNION ALL branch per
+    * schema leaf, with `unnest(generate_series(...))` reproducing the
+    * variable-length items array per row. */
+  private val nestedCellsSql =
+    """SELECT CAST(event_id AS VARCHAR) AS rowkey, 'n' AS family,
+              'doc.user_id' AS qualifier, ts_us AS version,
+              CAST(user_id AS VARCHAR) AS value FROM ev
+       UNION ALL
+       SELECT CAST(event_id AS VARCHAR), 'n', 'doc.meta.event_type', ts_us,
+              event_type FROM ev
+       UNION ALL
+       SELECT CAST(event_id AS VARCHAR), 'n', 'doc.meta.value', ts_us,
+              CAST(CAST(value AS DECIMAL(28,6)) AS VARCHAR) FROM ev
+       UNION ALL
+       SELECT CAST(event_id AS VARCHAR), 'n',
+              'doc.items[' || CAST(i AS VARCHAR) || '].tag', ts_us,
+              event_type || '_' || CAST(i AS VARCHAR) FROM its
+       UNION ALL
+       SELECT CAST(event_id AS VARCHAR), 'n',
+              'doc.items[' || CAST(i AS VARCHAR) || '].score', ts_us,
+              CAST(CAST(value + i AS DECIMAL(28,6)) AS VARCHAR) FROM its
+       UNION ALL
+       SELECT CAST(event_id AS VARCHAR), 'n',
+              'doc.items[' || CAST(i AS VARCHAR) || '].sub['
+                || CAST(j AS VARCHAR) || ']', ts_us,
+              CAST(CAST(CASE WHEN j = 0 THEN value + i
+                             ELSE value / 2 - i END
+                   AS DECIMAL(28,6)) AS VARCHAR)
+       FROM its CROSS JOIN (VALUES (0), (1)) AS u(j)
+       UNION ALL
+       SELECT CAST(event_id AS VARCHAR), 'n', 'mat[0][0]', ts_us,
+              CAST(user_id AS VARCHAR) FROM ev
+       UNION ALL
+       SELECT CAST(event_id AS VARCHAR), 'n', 'mat[0][1]', ts_us,
+              CAST(user_id % 7 AS VARCHAR) FROM ev
+       UNION ALL
+       SELECT CAST(event_id AS VARCHAR), 'n', 'mat[1][0]', ts_us,
+              CAST(user_id + 1 AS VARCHAR) FROM ev"""
+
+  private val nestedWith =
+    s"""ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+                      value FROM events),
+        its AS (SELECT event_id, ts_us, event_type, value,
+                       unnest(generate_series(0, event_id % 3)) AS i
+                FROM ev),
+        cells AS ($nestedCellsSql)"""
+
   val oracles: Map[String, String] = Map(
     "scan_parquet" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
@@ -367,6 +480,38 @@ object CellQueries extends QueryModule {
            SELECT CAST(vec_id AS VARCHAR), 'e', 'label', CAST(0 AS BIGINT),
                   CAST(label AS VARCHAR) FROM embeddings)
          SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    "sink_cells_nested" ->
+      s"""WITH $nestedWith
+          SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    "sink_cells_map" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+                            event_type, value FROM events),
+          cells AS (
+            SELECT CAST(event_id AS VARCHAR) AS rowkey, 'm' AS family,
+                   'attrs.' || event_type AS qualifier, ts_us AS version,
+                   CAST(CAST(value AS DECIMAL(28,6)) AS VARCHAR) AS value
+            FROM ev
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'm', 'attrs.uid', ts_us,
+                   CAST(CAST(user_id AS DECIMAL(28,6)) AS VARCHAR) FROM ev
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'm', 'marr.a[0]', ts_us,
+                   CAST(CAST(value AS DECIMAL(28,6)) AS VARCHAR) FROM ev
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'm', 'marr.a[1]', ts_us,
+                   CAST(CAST(value / 2 AS DECIMAL(28,6)) AS VARCHAR) FROM ev)
+         SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    "pipeline_e2e_v2" ->
+      s"""WITH $nestedWith
+          SELECT family,
+                 regexp_replace(qualifier, '\\[\\d+\\]', '[]', 'g') AS leaf,
+                 count(*) AS n_cells, count(DISTINCT rowkey) AS n_rows,
+                 min(version) AS min_version, max(version) AS max_version
+          FROM cells GROUP BY family, leaf
+          ORDER BY family, leaf""",
 
     "pipeline_e2e" ->
       s"""WITH cells AS ($eventCellsSql)

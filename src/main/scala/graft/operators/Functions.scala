@@ -34,13 +34,19 @@ object Functions extends QueryModule {
       // present path, try_variant_get on a missing one (NULL, not
       // error), and a string re-extraction of the same leaf. Variant
       // decode is columnar + codegen'd — at 100 TB this replaces
-      // per-query from_json re-parsing with parse-once storage.
-      T.events(s, dir).select(
-        col("event_id"),
-        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_int"),
-        expr("variant_get(parse_json(props), '$.k', 'string')").as("k_str"),
-        expr("try_variant_get(parse_json(props), '$.missing', 'bigint')")
-          .as("missing"))
+      // per-query from_json re-parsing with parse-once storage. The
+      // parse is projected ONCE into `v` (CollapseProject keeps a
+      // multiply-referenced non-cheap alias in its own project), so the
+      // plan decodes each row's JSON a single time and the three
+      // extractions are cheap variant path reads — PlanSpec asserts
+      // exactly one parse_json in the optimized plan.
+      T.events(s, dir)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(
+          col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k_int"),
+          expr("variant_get(v, '$.k', 'string')").as("k_str"),
+          expr("try_variant_get(v, '$.missing', 'bigint')").as("missing"))
         .orderBy("event_id")),
 
     "fn_try" -> ((s, dir) =>

@@ -65,29 +65,40 @@ object Profiling extends QueryModule {
 
   val queries: Map[String, Q] = Map(
     "profile_table" -> ((s, dir) => {
-      // One-pass profile of four lineitem columns with per-column
-      // (count, nulls, exact distinct, min, max), unpivoted to one row
-      // per column. All stats are partial-aggregable; the unpivot is a
-      // constant-width projection over the single agg row.
+      // Per-column (count, nulls, exact distinct, min, max) profile of
+      // four lineitem columns, unpivoted to one row per column. FOUR
+      // countDistincts in ONE agg make Catalyst Expand the scan ×5
+      // before the shuffle — at 100 TB that is 4 extra full-table
+      // shuffle volumes (the r7 verdict's slowest-query finding). So:
+      // the non-distinct stats keep their one-scan partial agg, and
+      // each exact distinct runs as its OWN single-distinct aggregate —
+      // planned as partial-distinct HashAggregates over a scan pruned
+      // to that column alone (parquet columnar layout makes the
+      // per-column rescan ~free, and each shuffle carries only
+      // pre-deduped values, not ×5 row multiples). The 1-row results
+      // broadcast-cross-join back. PlanSpec asserts no Expand.
       val li = T.load(s, dir, "lineitem")
-      val agg = li.agg(
+      val base = li.agg(
         count(lit(1)).as("n_rows"),
         count(col("l_quantity")).as("c_qty"),
-        countDistinct(col("l_quantity")).as("d_qty"),
         ds(min(col("l_quantity"))).as("mn_qty"),
         ds(max(col("l_quantity"))).as("mx_qty"),
         count(col("l_extendedprice")).as("c_px"),
-        countDistinct(col("l_extendedprice")).as("d_px"),
         ds(min(col("l_extendedprice"))).as("mn_px"),
         ds(max(col("l_extendedprice"))).as("mx_px"),
         count(col("l_returnflag")).as("c_rf"),
-        countDistinct(col("l_returnflag")).as("d_rf"),
         min(col("l_returnflag")).as("mn_rf"),
         max(col("l_returnflag")).as("mx_rf"),
         count(col("l_orderkey")).as("c_ok"),
-        countDistinct(col("l_orderkey")).as("d_ok"),
         min(col("l_orderkey")).cast("string").as("mn_ok"),
         max(col("l_orderkey")).cast("string").as("mx_ok"))
+      def dct(c: String, as: String) =
+        li.agg(countDistinct(col(c)).as(as))
+      val agg = base
+        .crossJoin(broadcast(dct("l_quantity", "d_qty")))
+        .crossJoin(broadcast(dct("l_extendedprice", "d_px")))
+        .crossJoin(broadcast(dct("l_returnflag", "d_rf")))
+        .crossJoin(broadcast(dct("l_orderkey", "d_ok")))
       agg.selectExpr(
         """stack(4,
              'l_quantity',      c_qty, n_rows - c_qty, d_qty, mn_qty, mx_qty,

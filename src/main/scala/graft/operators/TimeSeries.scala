@@ -73,23 +73,25 @@ object TimeSeries extends QueryModule {
     }),
 
     "ts_ohlc" -> ((s, dir) => {
-      // Daily OHLC bars per event_type: open/close by deterministic
-      // (ts_us, event_id) order, high/low/volume as plain partial aggs.
-      // The two window row_numbers and the groupBy share the same
-      // (event_type, day) hash key, so AQE plans one exchange.
+      // Daily OHLC bars per event_type. Open/close = the value at the
+      // min/max (ts_us, event_id) — computed as min/max over a struct
+      // ordered (ts_us, event_id, value), so the WHOLE query is ONE
+      // partial+final aggregate (SortAggregate: struct buffers aren't
+      // hash-able, but the map-side partial still combines first): no
+      // Window, no whole-partition shuffle of raw events — each task
+      // ships one candidate struct per (type, day). (ts_us, event_id)
+      // is unique, so the value field never decides the comparison and
+      // the result is deterministic. PlanSpec asserts no Window +
+      // partial_min in the plan.
       val DAY_US = 86400L * 1000000L
       val ev = T.events(s, dir).withColumn("day", expr(s"ts_us div $DAY_US"))
-      val wAsc = Window.partitionBy("event_type", "day")
-        .orderBy(col("ts_us").asc, col("event_id").asc)
-      val wDesc = Window.partitionBy("event_type", "day")
-        .orderBy(col("ts_us").desc, col("event_id").desc)
-      ev.withColumn("rn_a", row_number().over(wAsc))
-        .withColumn("rn_d", row_number().over(wDesc))
-        .groupBy("event_type", "day")
-        .agg(T.r4(max(when(col("rn_a") === 1, col("value")))).as("open"),
+      ev.groupBy("event_type", "day")
+        .agg(T.r4(min(struct(col("ts_us"), col("event_id"), col("value")))
+               .getField("value")).as("open"),
              T.r4(max(col("value"))).as("high"),
              T.r4(min(col("value"))).as("low"),
-             T.r4(max(when(col("rn_d") === 1, col("value")))).as("close"),
+             T.r4(max(struct(col("ts_us"), col("event_id"), col("value")))
+               .getField("value")).as("close"),
              count(lit(1)).as("volume"))
         .orderBy("event_type", "day")
     }),

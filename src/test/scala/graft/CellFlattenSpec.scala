@@ -31,6 +31,38 @@ class CellFlattenSpec extends AnyFunSuite {
       Seq("rowkey", "family", "qualifier", "version", "value"))
   }
 
+  test("flatten recurses arrays of structs / arrays / maps to indexed leaves") {
+    val df = Seq(
+      (1L,
+       Seq((10, Seq("a", "b")), (20, Seq("c"))),
+       Map("k1" -> Seq(1.5, 2.5)),
+       Seq(Seq(1, 2), Seq(3))),
+    ).toDF("id", "aos", "m", "aa")
+    val got = CellFlatten.flatten(df, col("id"), "f", lit(0L),
+                                  exclude = Set("id"))
+      .select("qualifier", "value").as[(String, String)].collect().toMap
+    assert(got == Map(
+      "aos[0]._1" -> "10", "aos[0]._2[0]" -> "a", "aos[0]._2[1]" -> "b",
+      "aos[1]._1" -> "20", "aos[1]._2[0]" -> "c",
+      "m.k1[0]" -> "1.500000", "m.k1[1]" -> "2.500000",
+      "aa[0][0]" -> "1", "aa[0][1]" -> "2", "aa[1][0]" -> "3"))
+  }
+
+  test("a null collection yields zero cells without erasing sibling cells") {
+    val df = Seq(
+      (1L, Some(Seq(1, 2)), "x"),
+      (2L, Option.empty[Seq[Int]], "y"),
+    ).toDF("id", "arr", "s")
+    val got = CellFlatten.flatten(df, col("id"), "f", lit(0L),
+                                  exclude = Set("id"))
+      .select("rowkey", "qualifier", "value").as[(String, String, String)]
+      .collect().toSeq
+    assert(got.filter(_._1 == "1").map(c => c._2 -> c._3).toMap ==
+      Map("arr[0]" -> "1", "arr[1]" -> "2", "s" -> "x"))
+    // the row with the null array still emits its scalar cell
+    assert(got.filter(_._1 == "2").map(c => c._2 -> c._3) == Seq("s" -> "y"))
+  }
+
   test("entry smoke: flagship query returns rows on sf0.001") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length > 0)

@@ -182,6 +182,46 @@ class PlanSpec extends AnyFunSuite {
            p)
   }
 
+  test("fn_variant parses each row's JSON exactly once (no re-parse per path)") {
+    val p = SparkEntry.queries("fn_variant")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val n = "parse_json|parseJson".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one variant parse, found $n:\n$p")
+  }
+
+  test("ts_ohlc is one partial+final aggregate — no Window over raw events") {
+    val p = plan("ts_ohlc")
+    assert(!p.contains("Window"), p)
+    // struct min/max buffers aren't hash-able, so Spark picks
+    // SortAggregate — what matters for scale is the MAP-SIDE PARTIAL
+    // (one candidate row per (type, day) per task crosses the wire)
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("sink_cells_nested: recursive flatten stays a shuffle-free projection") {
+    val p = plan("sink_cells_nested")
+    // the only exchange allowed is the output orderBy's range partition
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("profile_table: exact distincts without the ×5 Expand multiplier") {
+    val p = plan("profile_table")
+    assert(!p.contains("Expand"), s"multi-distinct Expand is back:\n$p")
+    // each single-distinct agg partial-dedupes before its exchange
+    assert(p.contains("partial_count(distinct"), p)
+  }
+
+  test("win_rolling_corr parallelism is bucketed, not one task per event type") {
+    val p = plan("win_rolling_corr")
+    // every data-sized window/exchange must key on (event_type, bk) —
+    // the old shape (5-way ceiling) keyed windows on event_type alone
+    assert("windowspecdefinition\\(event_type#\\d+, bk#".r
+             .findFirstIn(p).isDefined, p)
+    assert("windowspecdefinition\\(event_type#\\d+, ts_us".r
+             .findFirstIn(p).isEmpty,
+           s"found a per-type whole-timeline window:\n$p")
+  }
+
   test("q5_local_supplier broadcasts every dim (only lineitem-orders shuffles)") {
     val p = plan("q5_local_supplier")
     assert(p.sliding("BroadcastHashJoin".length)
