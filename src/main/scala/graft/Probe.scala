@@ -30,6 +30,8 @@ object Probe {
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       println(f"[probe] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    if (sys.env.contains("PROBE_EXPLAIN"))
+      println(fn(spark, sfDir).queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

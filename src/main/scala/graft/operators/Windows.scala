@@ -176,26 +176,35 @@ object Windows extends QueryModule {
         .drop("lo", "hi")
       val wrn = Window.partitionBy("event_type", "bk")
         .orderBy("ts_us", "event_id")
+      val wP = wrn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wOff = Window.partitionBy("event_type").orderBy("bk")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val local = bucketed.withColumn("lrn", row_number().over(wrn))
-      val roff = bucketed.groupBy("event_type", "bk")
-        .agg(count(lit(1)).as("c"))
+      val wLagB = Window.partitionBy("event_type").orderBy("bk")
+      // lag-1 lives inside the bucket; only each bucket's FIRST row needs
+      // the previous bucket's last x, fetched from the tiny per-bucket
+      // summary below (broadcast) — no data-sized lag join.
+      val local = bucketed
+        .withColumn("lrn", row_number().over(wrn))
+        .withColumn("y_in", lag(col("x"), 1).over(wrn))
+      // per-bucket summary (≤ 5×B rows): row count → cumulative row
+      // offsets; last x → cross-bucket lag-1 seed. Empty buckets simply
+      // don't exist, so lag(bk) is exactly the previous row in global
+      // order.
+      val binfo = bucketed.groupBy("event_type", "bk")
+        .agg(count(lit(1)).as("c"),
+             max(struct(col("ts_us"), col("event_id"), col("x")))
+               .getField("x").as("last_x"))
         .withColumn("roff", coalesce(sum("c").over(wOff), lit(0L)))
-        .select("event_type", "bk", "roff")
-      val g = local.join(broadcast(roff), Seq("event_type", "bk"))
+        .withColumn("prev_x", lag(col("last_x"), 1).over(wLagB))
+        .select("event_type", "bk", "c", "roff", "prev_x")
+      val g = local.join(broadcast(binfo), Seq("event_type", "bk"))
         .withColumn("rn", col("lrn") + col("roff"))
-      // lag-1 pair via a global-row-number self-join (not a per-type lag)
-      val prev = g.select(col("event_type").as("et_p"),
-                          col("rn").as("rn_p"), col("x").as("y"))
-      val paired = g.join(prev,
-          col("event_type") === col("et_p") &&
-          col("rn") === col("rn_p") + 1, "left")
-        .drop("et_p", "rn_p")
+        .withColumn("y", when(col("lrn") === 1, col("prev_x"))
+                           .otherwise(col("y_in")))
       val mC = when(col("y").isNotNull, lit(1L)).otherwise(lit(0L))
       val mx = when(col("y").isNotNull, col("x")).otherwise(lit(0.0))
       val my = coalesce(col("y"), lit(0.0))
-      val measured = paired
+      val measured = g
         .withColumn("m", mC)
         .withColumn("vx", T.dec(mx)).withColumn("vy", T.dec(my))
         .withColumn("vxy", T.dec(mx * my))
@@ -203,18 +212,22 @@ object Windows extends QueryModule {
         .withColumn("vy2", T.dec(my * my))
       val meas = Seq("m", "vx", "vy", "vxy", "vx2", "vy2")
       def zero(c: String) = if (c == "m") lit(0L).cast("long") else DEC0
-      // per-(type, bk) local prefixes + broadcast cumulative bucket offsets
-      val wP = Window.partitionBy("event_type", "bk")
-        .orderBy("ts_us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // per-(type, bk) local prefixes — same partitioning AND order as
+      // wrn, so Catalyst stacks these on the existing exchange+sort.
+      // localCheckpoint: THREE consumers follow (bucket offsets, the
+      // probe side, the frame-lag side) — without the cut each one
+      // re-executes the whole scan+window chain (measured 16 scans /
+      // 3.4 s; with it, one chain + cheap replays).
       val localP = meas.foldLeft(measured)((df, c) =>
-        df.withColumn(s"p_$c", sum(col(c)).over(wP)))
-      val btotAggs = meas.map(c => sum(col(c)).as(s"t_$c"))
+          df.withColumn(s"p_$c", sum(col(c)).over(wP)))
+        .localCheckpoint()
+      // bucket totals = the prefixes at each bucket's LAST row (no
+      // second aggregation pass over the data) → cumulative offsets,
+      // broadcast back
       val boffs = meas.foldLeft(
-          measured.groupBy("event_type", "bk")
-            .agg(btotAggs.head, btotAggs.tail: _*))((df, c) =>
+          localP.filter(col("lrn") === col("c")))((df, c) =>
           df.withColumn(s"o_$c",
-            coalesce(sum(col(s"t_$c")).over(wOff), zero(c))))
+            coalesce(sum(col(s"p_$c")).over(wOff), zero(c))))
         .select(col("event_type") +: col("bk") +:
                 meas.map(c => col(s"o_$c")): _*)
       val gp = localP.join(broadcast(boffs), Seq("event_type", "bk"))

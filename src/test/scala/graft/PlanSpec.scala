@@ -222,6 +222,21 @@ class PlanSpec extends AnyFunSuite {
            s"found a per-type whole-timeline window:\n$p")
   }
 
+  test("dedup_embedding scores pairs with the native cosine expression") {
+    val p = plan("dedup_embedding")
+    assert(p.contains("graft_cosine"),
+           s"silent fallback off the codegen cosine path:\n$p")
+    assert(!p.contains("CodegenFallback"), p)
+  }
+
+  test("dedup_near / dedup_ngram score pairs with the fused jaccard expression") {
+    Seq("dedup_near", "dedup_ngram").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("graft_jaccard"),
+             s"$q fell back off the fused codegen jaccard path:\n$p")
+    }
+  }
+
   test("q5_local_supplier broadcasts every dim (only lineitem-orders shuffles)") {
     val p = plan("q5_local_supplier")
     assert(p.sliding("BroadcastHashJoin".length)

@@ -33,12 +33,18 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got == exact)
   }
 
-  test("profile_table one-pass plan: exactly one scan of lineitem") {
+  test("profile_table: 5 column-pruned scans, never the ×5 Expand multiplier") {
+    // r8 redesign: one base-stats scan + one single-distinct agg per
+    // column. Columnar parquet makes the per-column rescans ~free;
+    // the alternative (4 countDistincts in one agg) Expands the single
+    // scan ×5 BEFORE the shuffle — 4 extra full-table shuffle volumes
+    // at 100 TB.
     val df = SparkEntry.queries("profile_table")(spark, sf)
     val scans = df.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
     }
-    assert(scans.size == 1, s"expected 1 scan, got ${scans.size}")
+    assert(scans.size == 5, s"expected 5 scans, got ${scans.size}")
+    assert(!df.queryExecution.executedPlan.toString.contains("Expand"))
     assert(df.count() == 4)
   }
 }
