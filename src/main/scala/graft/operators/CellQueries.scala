@@ -89,6 +89,83 @@ object CellQueries extends QueryModule {
         .orderBy("rowkey", "qualifier")
     }),
 
+    "sink_cells_variant" -> ((s, dir) => {
+      // SCHEMA-LESS flatten — the reference's true input mode: json2hbase
+      // ingests arbitrary JSON documents whose structure is unknown until
+      // runtime, while CellFlatten.flatten needs a static schema. Here
+      // the document is a raw JSON STRING parsed once into a Spark 4
+      // VARIANT, then flattened by runtime inspection: LATERAL
+      // variant_explode per nesting level (object member → `.key`
+      // qualifier, array element → `[pos]`), leaves detected via
+      // schema_of_variant, scalars serialized by variant_get. Three
+      // explode levels cover the fixture; anything deeper falls back to
+      // a JSON-text cell (documented depth cap — extend by one more
+      // CTE per level). Every level is a generator pipelined with the
+      // scan: no shuffle, no UDF, no driver-side schema inference pass
+      // — at 100 TB the flatten cost is one variant decode per row.
+      // The fixture carries only long/string leaves: cross-engine JSON
+      // rendering of doubles differs, and the oracle rebuilds the same
+      // cells directly from the base columns (proving the DYNAMIC path
+      // reproduces the statically-known leaves).
+      T.events(s, dir).select(
+        col("event_id").cast("string").as("rowkey"),
+        col("ts_us").as("version"),
+        parse_json(to_json(struct(
+          col("user_id").as("uid"),
+          col("event_type").as("et"),
+          transform(sequence(lit(0L), col("event_id") % 3),
+            i => concat(col("event_type"), lit("_"), i.cast("string")))
+            .as("tags"),
+          struct((col("user_id") % 7).as("a"),
+                 struct((col("user_id") + 1).as("c")).as("b")).as("m"),
+          array(array(col("event_id"), col("event_id") + 1),
+                array(col("event_id") + 2)).as("arr2")))).as("v"))
+        .createOrReplaceTempView("vdocs")
+      s.sql("""
+        WITH l1 AS (
+          SELECT rowkey, version,
+                 CASE WHEN key IS NOT NULL THEN key
+                      ELSE concat('[', CAST(pos AS STRING), ']') END AS q,
+                 value AS v
+          FROM vdocs, LATERAL variant_explode(v)),
+        n1 AS (SELECT * FROM l1 WHERE schema_of_variant(v) LIKE 'OBJECT%'
+                                   OR schema_of_variant(v) LIKE 'ARRAY%'),
+        l2 AS (
+          SELECT rowkey, version,
+                 concat(q, CASE WHEN key IS NOT NULL THEN concat('.', key)
+                                ELSE concat('[', CAST(pos AS STRING), ']')
+                           END) AS q2,
+                 value AS v2
+          FROM n1, LATERAL variant_explode(v)),
+        n2 AS (SELECT * FROM l2 WHERE schema_of_variant(v2) LIKE 'OBJECT%'
+                                   OR schema_of_variant(v2) LIKE 'ARRAY%'),
+        l3 AS (
+          SELECT rowkey, version,
+                 concat(q2, CASE WHEN key IS NOT NULL THEN concat('.', key)
+                                 ELSE concat('[', CAST(pos AS STRING), ']')
+                            END) AS q3,
+                 value AS v3
+          FROM n2, LATERAL variant_explode(v2)),
+        leaves AS (
+          SELECT rowkey, version, q, variant_get(v, '$', 'string') AS val
+          FROM l1 WHERE schema_of_variant(v) NOT LIKE 'OBJECT%'
+                    AND schema_of_variant(v) NOT LIKE 'ARRAY%'
+          UNION ALL
+          SELECT rowkey, version, q2, variant_get(v2, '$', 'string')
+          FROM l2 WHERE schema_of_variant(v2) NOT LIKE 'OBJECT%'
+                    AND schema_of_variant(v2) NOT LIKE 'ARRAY%'
+          UNION ALL
+          SELECT rowkey, version, q3,
+                 CASE WHEN schema_of_variant(v3) NOT LIKE 'OBJECT%'
+                       AND schema_of_variant(v3) NOT LIKE 'ARRAY%'
+                      THEN variant_get(v3, '$', 'string')
+                      ELSE to_json(v3) END -- depth cap: JSON-text cell
+          FROM l3)
+        SELECT rowkey, 'v' AS family, q AS qualifier, version, val AS value
+        FROM leaves
+        ORDER BY rowkey, qualifier""")
+    }),
+
     "pipeline_e2e_v2" -> ((s, dir) =>
       // The reference's whole job over the DEEPLY NESTED input space:
       // build documents → recursive flatten to cells → analytic readback
@@ -502,6 +579,43 @@ object CellQueries extends QueryModule {
             UNION ALL
             SELECT CAST(event_id AS VARCHAR), 'm', 'marr.a[1]', ts_us,
                    CAST(CAST(value / 2 AS DECIMAL(28,6)) AS VARCHAR) FROM ev)
+         SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    "sink_cells_variant" ->
+      // The oracle rebuilds the dynamically-flattened cells DIRECTLY
+      // from the base columns: the Spark side must prove the runtime
+      // variant walk lands exactly on the statically-known leaves.
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+                            event_type, value FROM events),
+          its AS (SELECT event_id, ts_us, event_type,
+                         unnest(generate_series(0, event_id % 3)) AS i
+                  FROM ev),
+          cells AS (
+            SELECT CAST(event_id AS VARCHAR) AS rowkey, 'v' AS family,
+                   'uid' AS qualifier, ts_us AS version,
+                   CAST(user_id AS VARCHAR) AS value FROM ev
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'v', 'et', ts_us,
+                   event_type FROM ev
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'v',
+                   'tags[' || CAST(i AS VARCHAR) || ']', ts_us,
+                   event_type || '_' || CAST(i AS VARCHAR) FROM its
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'v', 'm.a', ts_us,
+                   CAST(user_id % 7 AS VARCHAR) FROM ev
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'v', 'm.b.c', ts_us,
+                   CAST(user_id + 1 AS VARCHAR) FROM ev
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'v', 'arr2[0][0]', ts_us,
+                   CAST(event_id AS VARCHAR) FROM ev
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'v', 'arr2[0][1]', ts_us,
+                   CAST(event_id + 1 AS VARCHAR) FROM ev
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'v', 'arr2[1][0]', ts_us,
+                   CAST(event_id + 2 AS VARCHAR) FROM ev)
          SELECT * FROM cells ORDER BY rowkey, qualifier""",
 
     "pipeline_e2e_v2" ->

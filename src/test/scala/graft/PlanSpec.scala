@@ -237,6 +237,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sink_cells_variant: runtime variant walk is generator-only (no hash shuffle)") {
+    val p = plan("sink_cells_variant")
+    assert(p.contains("variant_explode"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("q5_local_supplier broadcasts every dim (only lineitem-orders shuffles)") {
     val p = plan("q5_local_supplier")
     assert(p.sliding("BroadcastHashJoin".length)
