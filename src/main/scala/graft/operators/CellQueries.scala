@@ -26,7 +26,15 @@ object CellQueries extends QueryModule {
     * 1..3 = event_id%3+1) whose elements contain their own arrays, and
     * an array of arrays: the json2hbase input space the flat testdata
     * never exercises. Pure projections, so the fixture is deterministic
-    * and the DuckDB oracle rebuilds the same leaves from the same row. */
+    * and the DuckDB oracle rebuilds the same leaves from the same row.
+    *
+    * Local-bench note: events.parquet is ONE 2 MB row group, and a row
+    * group is parquet's atomic split — so the ~14-leaf explode runs in
+    * a single task here regardless of cores (≈5 s at sf0.1). Not a plan
+    * flaw: at production scale the scan has thousands of row-group
+    * splits and the same shuffle-free plan parallelizes per split;
+    * forcing a pre-explode repartition would add an input-sized shuffle
+    * at 100 TB just to flatter the fixture. */
   private def nestedDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
     T.events(s, dir).select(
       col("event_id"), col("ts_us"),
@@ -288,6 +296,50 @@ object CellQueries extends QueryModule {
       v1.unionByName(tomb)
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .filter(col("value") =!= TOMB) // compaction: drop hidden cells
+        .select("rowkey", "family", "qualifier", "version", "value")
+        .orderBy("rowkey", "qualifier")
+    }),
+
+    "cell_unflatten" -> ((s, dir) =>
+      // INVERSE of the flatten — the HBase read path (Get/Scan Result →
+      // typed row): one groupBy on rowkey assembles the row, qualifiers
+      // pivot back to typed columns via conditional max + cast. Proves
+      // flatten∘unflatten = id (modulo the documented string
+      // serialization) — the cell model loses nothing. One partial+final
+      // hash agg on rowkey; at 100 TB with the rowkey-sorted layout the
+      // agg rides the storage order.
+      eventCells(s, dir)
+        .groupBy(col("rowkey"))
+        .agg(
+          max(when(col("qualifier") === "event_type", col("value")))
+            .as("event_type"),
+          max(when(col("qualifier") === "user_id", col("value")))
+            .cast("long").as("user_id"),
+          max(when(col("qualifier") === "value", col("value")))
+            .cast("double").as("value"),
+          max(when(col("qualifier") === "props.k", col("value")))
+            .cast("long").as("props_k"),
+          max(col("version")).as("version"))
+        .orderBy("rowkey")),
+
+    "cell_delete_family" -> ((s, dir) => {
+      // HBase DeleteFamily semantics (Delete#addFamily): ONE marker per
+      // (rowkey, family) hides every cell at or below its version — the
+      // row-level delete, vs cell_tombstone's per-qualifier marker.
+      // Markers are delete-batch-sized, so they broadcast onto the cell
+      // scan: no second shuffle of the store. Here every error event's
+      // 'd' family is deleted at +1s (postdating all its writes), so
+      // those rows vanish entirely at compaction; a cell RE-WRITTEN
+      // after its marker would survive through the version predicate.
+      val markers = eventsNested(s, dir)
+        .filter(col("event_type") === "error")
+        .select(col("event_id").cast("string").as("mrk"),
+                lit("d").as("mfam"), (col("ts_us") + 1000000L).as("mver"))
+      eventCells(s, dir)
+        .join(broadcast(markers),
+              col("rowkey") === col("mrk") && col("family") === col("mfam"),
+              "left")
+        .filter(col("mver").isNull || col("version") > col("mver"))
         .select("rowkey", "family", "qualifier", "version", "value")
         .orderBy("rowkey", "qualifier")
     }),
@@ -703,6 +755,30 @@ object CellQueries extends QueryModule {
                      FROM allc)
           SELECT rowkey, family, qualifier, version, value
           FROM r WHERE rn = 1 AND value != '__TOMBSTONE__'
+          ORDER BY rowkey, qualifier""",
+
+    "cell_unflatten" ->
+      s"""WITH cells AS ($eventCellsSql)
+          SELECT rowkey,
+                 max(CASE WHEN qualifier = 'event_type' THEN value END)
+                   AS event_type,
+                 CAST(max(CASE WHEN qualifier = 'user_id' THEN value END)
+                   AS BIGINT) AS user_id,
+                 CAST(max(CASE WHEN qualifier = 'value' THEN value END)
+                   AS DOUBLE) AS value,
+                 CAST(max(CASE WHEN qualifier = 'props.k' THEN value END)
+                   AS BIGINT) AS props_k,
+                 max(version) AS version
+          FROM cells GROUP BY rowkey ORDER BY rowkey""",
+
+    "cell_delete_family" ->
+      s"""WITH cells AS ($eventCellsSql),
+               mk AS (SELECT CAST(event_id AS VARCHAR) AS mrk,
+                             epoch_us(ts) + 1000000 AS mver
+                      FROM events WHERE event_type = 'error')
+          SELECT rowkey, family, qualifier, version, value
+          FROM cells LEFT JOIN mk ON cells.rowkey = mk.mrk
+          WHERE mver IS NULL OR version > mver
           ORDER BY rowkey, qualifier""",
 
     "cell_scan_range" ->

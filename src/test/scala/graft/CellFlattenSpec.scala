@@ -69,6 +69,20 @@ class CellFlattenSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(2) > 0)) // n_cells
   }
 
+  test("flatten ∘ unflatten = id: cell_unflatten rebuilds the events rows") {
+    val sf = SparkFixture.sf001
+    val got = SparkEntry.queries("cell_unflatten")(spark, sf)
+      .select(col("rowkey").cast("long").as("event_id"), col("event_type"),
+              col("user_id"), col("value"), col("version").as("ts_us"))
+      .orderBy("event_id").collect()
+    val want = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+              col("value"), col("ts_us"))
+      .orderBy("event_id").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
+
   test("flatten is shuffle-free (scale: pure per-row projection)") {
     val df = Tables.load(spark, SparkFixture.sf001, "embeddings")
     val cells = CellFlatten.flatten(df, col("vec_id"), "e", lit(0L),
