@@ -128,6 +128,15 @@ object CellQueries extends QueryModule {
                  struct((col("user_id") + 1).as("c")).as("b")).as("m"),
           array(array(col("event_id"), col("event_id") + 1),
                 array(col("event_id") + 2)).as("arr2")))).as("v"))
+        // repartition + localCheckpoint = the variant "parse-once
+        // STORAGE" story made literal: parse each document a single
+        // time, land the binary variants hash-spread on rowkey, and let
+        // the three per-level UNION branches below replay that store —
+        // without the cut each branch re-parses every document, and the
+        // single-row-group fixture scan would hold all of it on one
+        // task.
+        .repartition(col("rowkey"))
+        .localCheckpoint()
         .createOrReplaceTempView("vdocs")
       s.sql("""
         WITH l1 AS (
