@@ -353,6 +353,26 @@ object CellQueries extends QueryModule {
         .orderBy("rowkey", "qualifier")
     }),
 
+    "cell_increment" -> ((s, dir) =>
+      // HBase Increment/Append semantics — the third mutation family
+      // after Put (cell_versions) and Delete (cell_tombstone /
+      // cell_delete_family): counters are not versioned cells but
+      // atomic read-modify-write folds, and the batch view of a counter
+      // table is the SUM of all increments per (rowkey, family,
+      // qualifier) plus the op count for audit. One partial+final hash
+      // agg on the cell key: increments combine map-side exactly the
+      // way HBase merges them server-side, so at 100 TB the shuffle
+      // carries one partial counter per (key × task), never raw ops.
+      T.events(s, dir)
+        .select(col("user_id").cast("string").as("rowkey"),
+                lit("c").as("family"),
+                concat(lit("cnt_"), col("event_type")).as("qualifier"),
+                col("value"))
+        .groupBy("rowkey", "family", "qualifier")
+        .agg(count(lit(1)).as("n_increments"),
+             T.d(sum(T.dec(col("value")))).as("counter"))
+        .orderBy("rowkey", "qualifier")),
+
     "cell_scan_range" -> ((s, dir) =>
       // HBase Scan(startRow, stopRow): rowkeys are compared as BYTES, so
       // the range is LEXICOGRAPHIC over the string key — "30" < "4" —
@@ -789,6 +809,14 @@ object CellQueries extends QueryModule {
           FROM cells LEFT JOIN mk ON cells.rowkey = mk.mrk
           WHERE mver IS NULL OR version > mver
           ORDER BY rowkey, qualifier""",
+
+    "cell_increment" ->
+      """SELECT CAST(user_id AS VARCHAR) AS rowkey, 'c' AS family,
+                'cnt_' || event_type AS qualifier,
+                count(*) AS n_increments,
+                CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR(64))
+                  AS DOUBLE) AS counter
+         FROM events GROUP BY 1, 2, 3 ORDER BY rowkey, qualifier""",
 
     "cell_scan_range" ->
       s"""WITH cells AS ($eventCellsSql)

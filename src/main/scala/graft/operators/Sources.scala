@@ -162,6 +162,26 @@ object Sources extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    "scan_orc" -> ((s, dir) => {
+      // ORC round-trip — the other columnar production format
+      // (Hive-lineage pipelines feed ORC next to parquet; a complete
+      // engine reads both). Stage four orders columns as ORC once, read
+      // back with a predicate: the ORC reader does the same min/max
+      // stripe skipping and column pruning as parquet's, so format
+      // choice doesn't change the plan shape. The oracle reads the same
+      // rows from the parquet table — the round trip must be
+      // content-identical.
+      val tmp = stage(dir, "orc")
+      if (!staged(tmp))
+        T.load(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+                  "o_orderpriority")
+          .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .filter(col("o_totalprice") > 100000.0)
+        .orderBy("o_orderkey")
+    }),
+
     "sink_parquet_partitioned" -> ((s, dir) => {
       // Write partitioned, read the whole layout back and aggregate per
       // partition value — proves the round trip preserves rows and the
@@ -359,6 +379,11 @@ object Sources extends QueryModule {
     "scan_csv" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
          FROM customer ORDER BY c_custkey""",
+
+    "scan_orc" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+         FROM orders WHERE o_totalprice > 100000.0
+         ORDER BY o_orderkey""",
 
     "sink_parquet_partitioned" ->
       s"""SELECT event_type, count(*) AS n,
