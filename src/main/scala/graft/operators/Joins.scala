@@ -165,6 +165,40 @@ object Joins extends QueryModule {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    "q7_volume" -> ((s, dir) => {
+      // TPC-H Q7 shape — volume shipping between a nation PAIR with a
+      // DISJUNCTIVE cross-side predicate ((n1=A AND n2=B) OR (n1=B AND
+      // n2=A)): the OR can't be an equi-join key, but both nation legs
+      // are broadcast dims, so the disjunction evaluates as a cheap
+      // post-broadcast filter — the fact side still shuffles only for
+      // lineitem⋈orders. The same shape with data-sized disjuncts would
+      // need a union of two equi-joins; here Catalyst never falls into
+      // a nested-loop.
+      val n = T.load(s, dir, "nation")
+      val c = T.load(s, dir, "customer")
+      val o = T.load(s, dir, "orders")
+      val l = T.load(s, dir, "lineitem")
+      val sup = T.load(s, dir, "supplier")
+      val n1 = n.select(col("n_nationkey").as("nk1"),
+                        col("n_name").as("supp_nation"))
+      val n2 = n.select(col("n_nationkey").as("nk2"),
+                        col("n_name").as("cust_nation"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .filter((col("supp_nation") === "NATION_3" &&
+                 col("cust_nation") === "NATION_7") ||
+                (col("supp_nation") === "NATION_7" &&
+                 col("cust_nation") === "NATION_3"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(T.d(sum(T.dec(col("l_extendedprice") *
+                             (lit(1) - col("l_discount"))))).as("revenue"),
+             count(lit(1)).as("n"))
+        .orderBy("supp_nation", "cust_nation")
+    }),
+
     "q18_large_orders" -> ((s, dir) => {
       // TPC-H Q18 shape — large-volume orders: the HAVING subquery
       // (orders whose total quantity > threshold) becomes a pre-
@@ -605,6 +639,20 @@ object Joins extends QueryModule {
           JOIN nation   ON c_nationkey = n_nationkey
           JOIN region   ON n_regionkey = r_regionkey
           GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q7_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+                 count(*) AS n
+          FROM lineitem
+          JOIN orders    ON l_orderkey = o_orderkey
+          JOIN supplier  ON l_suppkey = s_suppkey
+          JOIN customer  ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+          GROUP BY 1, 2 ORDER BY supp_nation, cust_nation""",
 
     "q18_large_orders" ->
       """WITH big AS (SELECT l_orderkey,

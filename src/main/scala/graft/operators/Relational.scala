@@ -20,6 +20,16 @@ object Relational extends QueryModule {
                            WHERE c_mktsegment = 'BUILDING')
        ORDER BY o_orderkey"""
 
+  private val notInNullSql = // shared Spark/DuckDB text
+    """SELECT o_orderkey, ck FROM (
+         SELECT o_orderkey,
+                CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                     ELSE o_custkey END AS ck
+         FROM orders)
+       WHERE ck NOT IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+       ORDER BY o_orderkey"""
+
   private val existsCorrSql =
     """SELECT c_custkey, c_name FROM customer c
        WHERE EXISTS (SELECT 1 FROM orders o
@@ -79,6 +89,20 @@ object Relational extends QueryModule {
     "filter_exists_corr" -> ((s, dir) => {
       T.views(s, dir, "orders", "customer")
       s.sql(existsCorrSql)
+    }),
+
+    "filter_not_in_null" -> ((s, dir) => {
+      // NOT IN with a NULLABLE probe — three-valued logic makes this a
+      // DIFFERENT operator from the plain anti join (join_anti /
+      // NOT EXISTS): a NULL probe compares UNKNOWN against every
+      // subquery row, so it is filtered OUT, not kept. Spark plans the
+      // null-aware anti join (NAAJ) as a broadcast hash join with
+      // isNullAwareAntiJoin=true — only expressible broadcast-side, so
+      // at 100 TB the subquery side must stay dimension-sized (here it
+      // is) or the query belongs rewritten as NOT EXISTS. Every tenth
+      // order's custkey is nulled to make the corner live.
+      T.views(s, dir, "orders", "customer")
+      s.sql(notInNullSql)
     }),
 
     "scalar_subquery" -> ((s, dir) => {
@@ -201,6 +225,7 @@ object Relational extends QueryModule {
 
     "filter_in_subquery" -> inSubquerySql,
     "filter_exists_corr" -> existsCorrSql,
+    "filter_not_in_null" -> notInNullSql,
     "scalar_subquery" -> scalarSubquerySql,
 
     "sort_multi" ->

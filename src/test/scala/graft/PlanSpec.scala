@@ -243,6 +243,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("filter_not_in_null plans the null-aware anti join (not a plain anti)") {
+    // the trailing `true` on the BHJ is isNullAwareAntiJoin — a plain
+    // anti join prints "LeftAnti, BuildRight" with no flag
+    val p = plan("filter_not_in_null")
+    assert(p.contains("LeftAnti, BuildRight, true"),
+           s"no null-aware anti join marker:\n$p")
+  }
+
+  test("q7_volume: disjunctive nation pair stays broadcast, no nested loop") {
+    val p = plan("q7_volume")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.sliding("BroadcastHashJoin".length)
+            .count(_ == "BroadcastHashJoin") >= 4, p)
+  }
+
   test("q5_local_supplier broadcasts every dim (only lineitem-orders shuffles)") {
     val p = plan("q5_local_supplier")
     assert(p.sliding("BroadcastHashJoin".length)
