@@ -49,6 +49,25 @@ object Functions extends QueryModule {
           expr("try_variant_get(v, '$.missing', 'bigint')").as("missing"))
         .orderBy("event_id")),
 
+    "fn_crypto" -> ((s, dir) =>
+      // Content-hash + codec family — the workhorses of dedup, sharding
+      // and integrity checks: md5 and sha2-256 hex (bit-portable across
+      // engines), plus an aes_encrypt/decrypt round-trip in ECB mode
+      // (the deterministic mode — GCM's random IV would break the
+      // determinism rules) proving codec reversibility: the oracle
+      // checks the decrypted value equals the source and the hashes
+      // match DuckDB's. All codegen'd projections, no shuffle.
+      T.load(s, dir, "customer").select(
+        col("c_custkey"),
+        md5(col("c_name")).as("h_md5"),
+        sha2(col("c_name"), 256).as("h_sha256"),
+        aes_decrypt(
+          aes_encrypt(col("c_name").cast("binary"),
+                      lit("0123456789abcdef").cast("binary"), lit("ECB")),
+          lit("0123456789abcdef").cast("binary"), lit("ECB"))
+          .cast("string").as("roundtrip"))
+        .orderBy("c_custkey")),
+
     "fn_try" -> ((s, dir) =>
       // Error-safe arithmetic family: try_* returns NULL where strict
       // evaluation would raise (div-by-zero, bad cast, overflow, index
@@ -393,6 +412,11 @@ object Functions extends QueryModule {
                   AS k_str,
                 CAST(NULL AS BIGINT) AS missing
          FROM events ORDER BY event_id""",
+
+    "fn_crypto" ->
+      """SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256,
+                c_name AS roundtrip
+         FROM customer ORDER BY c_custkey""",
 
     "fn_try" ->
       """SELECT c_custkey,

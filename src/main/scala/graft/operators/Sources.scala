@@ -330,6 +330,29 @@ object Sources extends QueryModule {
         .orderBy("event_id")
     }),
 
+    "udf_sql" -> ((s, dir) => {
+      // Spark 4 SQL UDFs (CREATE FUNCTION ... RETURN <expr>): reusable
+      // user logic that stays INSIDE Catalyst — the body INLINES into
+      // the plan (the optimized plan contains no function call at all,
+      // PlanSpec-verified), so it constant-folds, pushes down, and
+      // codegens like a built-in. The 100 TB rule: express shared
+      // business logic as SQL UDFs first; a JVM/Python closure (an
+      // optimizer black box that kills pushdown) is the last resort —
+      // udf_rowkey above measures that exact contrast.
+      T.views(s, dir, "customer")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_tier(bal DOUBLE)
+               RETURNS STRING
+               RETURN CASE WHEN bal < 0 THEN 'debt'
+                           WHEN bal < 5000 THEN 'low'
+                           ELSE 'high' END""")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION
+               graft_rk(k BIGINT, seg STRING) RETURNS STRING
+               RETURN concat(seg, '#', lpad(CAST(k AS STRING), 8, '0'))""")
+      s.sql("""SELECT c_custkey, graft_rk(c_custkey, c_mktsegment) AS rk,
+                      graft_tier(c_acctbal) AS tier
+               FROM customer ORDER BY c_custkey""")
+    }),
+
     "udf_rowkey" -> ((s, dir) => {
       // Reference-style salted rowkey (bucket prefix defeats hotspotting
       // on monotonically increasing keys at scale). Registered Scala UDF
@@ -431,6 +454,15 @@ object Sources extends QueryModule {
                 CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type,
                 CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS v
          FROM events ORDER BY event_id""",
+
+    "udf_sql" ->
+      """SELECT c_custkey,
+                c_mktsegment || '#' || lpad(CAST(c_custkey AS VARCHAR), 8, '0')
+                  AS rk,
+                CASE WHEN c_acctbal < 0 THEN 'debt'
+                     WHEN c_acctbal < 5000 THEN 'low'
+                     ELSE 'high' END AS tier
+         FROM customer ORDER BY c_custkey""",
 
     "udf_rowkey" ->
       """SELECT o_orderkey,

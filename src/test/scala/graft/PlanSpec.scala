@@ -258,6 +258,14 @@ class PlanSpec extends AnyFunSuite {
             .count(_ == "BroadcastHashJoin") >= 4, p)
   }
 
+  test("udf_sql: the SQL UDF body inlines — no function call survives the optimizer") {
+    val p = SparkEntry.queries("udf_sql")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("graft_tier") && !p.contains("graft_rk"),
+           s"SQL UDF not inlined:\n$p")
+    assert(p.contains("lpad"), p) // the body itself is present instead
+  }
+
   test("q5_local_supplier broadcasts every dim (only lineitem-orders shuffles)") {
     val p = plan("q5_local_supplier")
     assert(p.sliding("BroadcastHashJoin".length)
