@@ -148,6 +148,29 @@ object Streaming extends QueryModule {
   }
 
   val queries: Map[String, Q] = Map(
+    "stream_append_final" -> ((s0, dir) => {
+      // APPEND-mode windowed aggregation — the production default at
+      // scale: a window emits ONCE, when the watermark proves no more
+      // rows can join it, so the sink sees each window exactly once
+      // (complete mode re-emits the whole result every micro-batch —
+      // unusable on an unbounded sink). With AvailableNow the final
+      // watermark rests at max(event time) − delay, so the emitted set
+      // is exactly the windows CLOSED by that bound and the trailing
+      // open windows are withheld — observable, oracle-checkable
+      // eviction semantics (the oracle encodes the same boundary).
+      val s = streamSession(s0)
+      val in = readStream(s, stageEvents(s, dir))
+      val agg = in
+        .withWatermark("ts_ts", "2 hours")
+        .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             T.d(sum(T.dec(col("value")))).as("sum_value"))
+      drain(agg, "append")
+        .select(unix_micros(col("window.start")).as("win_us"),
+                col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_us", "event_type")
+    }),
+
     "stream_tumbling" -> ((s0, dir) => {
       val s = streamSession(s0)
       val in = readStream(s, stageEvents(s, dir))
@@ -469,6 +492,22 @@ object Streaming extends QueryModule {
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
                  count(*) AS n, ${dsum("value")} AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "stream_append_final" ->
+      // Append-mode emission boundary: a window is final once the
+      // watermark (max event time − 2 h, millisecond precision) has
+      // passed its END.
+      s"""WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, value
+                     FROM events),
+              wm AS (SELECT (max(ts_us) // 1000) * 1000 - 7200000000 AS w
+                     FROM e),
+              agg AS (SELECT (ts_us // 3600000000) * 3600000000 AS win_us,
+                             event_type, count(*) AS n,
+                             ${dsum("value")} AS sum_value
+                      FROM e GROUP BY 1, 2)
+          SELECT win_us, event_type, n, sum_value
+          FROM agg, wm WHERE win_us + 3600000000 <= w
+          ORDER BY win_us, event_type""",
 
     "stream_sliding" ->
       """WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type,
