@@ -51,6 +51,53 @@ object Graph extends QueryModule {
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
         .orderBy("degree")),
 
+    "graph_triangles" -> ((s, dir) => {
+      // Triangle counting with the degree-ORIENTED wedge algorithm —
+      // the at-scale formulation: orient every undirected edge from its
+      // (degree, id)-smaller endpoint to the larger, so out-degrees are
+      // bounded and no hub vertex explodes the wedge join (naive
+      // wedge-at-any-vertex costs Σdeg²; orientation caps total work at
+      // O(m^1.5)). Wedges build at the common LOW vertex and close with
+      // ONE hash join back on the oriented edge set. The graph: users
+      // co-active on the same (event_type, day) — non-bipartite, unlike
+      // the customer↔supplier relation above. Degree table is
+      // node-sized → broadcast.
+      val DAY_US = 86400L * 1000000L
+      val act = T.events(s, dir)
+        .select(col("event_type"), expr(s"ts_us div $DAY_US").as("day"),
+                col("user_id").as("u"))
+        .distinct()
+      val b = act.select(col("event_type").as("et2"), col("day").as("day2"),
+                         col("u").as("v"))
+      val pairs = act.join(b, col("event_type") === col("et2") &&
+                              col("day") === col("day2") &&
+                              col("u") < col("v"))
+        .select("u", "v").distinct()
+      val deg = pairs.select(col("u").as("n"))
+        .unionAll(pairs.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val wd = pairs
+        .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))), "u")
+        .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
+      def key(d: String, i: String) =
+        struct(col(d).as("kd"), col(i).as("ki"))
+      val uLow = key("du", "u") < key("dv", "v")
+      val oriented = wd.select(
+        when(uLow, col("u")).otherwise(col("v")).as("src"),
+        when(uLow, col("v")).otherwise(col("u")).as("dst"),
+        when(uLow, key("dv", "v")).otherwise(key("du", "u")).as("dk"))
+      val o2 = oriented.select(col("src").as("src2"), col("dst").as("c"),
+                               col("dk").as("dk2"))
+      val wedges = oriented.join(o2,
+          col("src") === col("src2") && col("dk") < col("dk2"))
+        .select(col("src").as("a"), col("dst").as("bb"), col("c"))
+      val closer = oriented.select(col("src").as("b3"), col("dst").as("c3"))
+      wedges.join(closer, col("bb") === col("b3") && col("c") === col("c3"))
+        .select(explode(array(col("a"), col("bb"), col("c"))).as("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("user_id")
+    }),
+
     "graph_pagerank" -> ((s, dir) => {
       // Pregel-style lineage truncation (see connectedComponents): the
       // distinct pair set materializes ONCE (half the size of the
@@ -131,5 +178,26 @@ object Graph extends QueryModule {
           FROM deg GROUP BY deg ORDER BY degree""",
 
     "graph_pagerank" -> pagerankSql,
+
+    "graph_triangles" ->
+      // Unoriented 3-way join with a < b < c counts each triangle once —
+      // the same set the oriented wedge algorithm produces.
+      """WITH act AS (SELECT DISTINCT event_type,
+                             epoch_us(ts) // 86400000000 AS day,
+                             user_id AS u
+                      FROM events),
+          pairs AS (SELECT DISTINCT a.u AS u, b.u AS v
+                    FROM act a JOIN act b
+                      ON a.event_type = b.event_type AND a.day = b.day
+                         AND a.u < b.u),
+          tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                  FROM pairs e1
+                  JOIN pairs e2 ON e2.u = e1.v
+                  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+          nodes AS (SELECT a AS n FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri)
+         SELECT n AS user_id, count(*) AS n_triangles
+         FROM nodes GROUP BY n ORDER BY user_id""",
   )
 }

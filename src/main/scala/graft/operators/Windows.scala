@@ -292,6 +292,29 @@ object Windows extends QueryModule {
       n1.unionAll(n2).unionAll(n3).orderBy("stage")
     }),
 
+    "win_share_of_total" -> ((s, dir) => {
+      // Share-of-total contribution analytics: each order's share of its
+      // customer's total and of the GRAND total. The per-customer total
+      // is a whole-partition window sum (no ORDER BY → no running sort,
+      // one pass over the exchange); the grand total is a 1-row
+      // aggregate broadcast back — NEVER an unpartitioned window, which
+      // would serialize 100 TB onto one reducer. Partition sums are
+      // exact decimals; ratios stable4-rounded.
+      val w = Window.partitionBy("o_custkey")
+      val o = T.load(s, dir, "orders")
+      val tot = o.agg(T.d(sum(T.dec(col("o_totalprice")))).as("grand"))
+      o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("cust_total",
+                    T.d(sum(T.dec(col("o_totalprice"))).over(w)))
+        .crossJoin(broadcast(tot))
+        .select(col("o_orderkey"), col("o_custkey"),
+                T.stable4(col("o_totalprice") / col("cust_total"))
+                  .as("cust_share"),
+                T.stable4(col("o_totalprice") / col("grand"))
+                  .as("grand_share"))
+        .orderBy("o_orderkey")
+    }),
+
     "win_running_distinct" -> ((s, dir) => {
       // Running COUNT(DISTINCT) per user over event time — not directly
       // expressible as a window agg (distinct isn't frame-mergeable);
@@ -368,6 +391,22 @@ object Windows extends QueryModule {
          UNION ALL
          SELECT 3, 'purchase_after_view', count(*) FROM s3
          ORDER BY stage""",
+
+    "win_share_of_total" -> {
+      val dw = "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER " +
+        "(PARTITION BY o_custkey) AS VARCHAR(64)) AS DOUBLE)"
+      s"""WITH t AS (SELECT CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                            AS VARCHAR(64)) AS DOUBLE) AS grand FROM orders),
+               c AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                            $dw AS cust_total
+                     FROM orders)
+          SELECT o_orderkey, o_custkey,
+                 ${graft.Tables.stable4Sql("o_totalprice / cust_total")}
+                   AS cust_share,
+                 ${graft.Tables.stable4Sql("o_totalprice / grand")}
+                   AS grand_share
+          FROM c, t ORDER BY o_orderkey"""
+    },
 
     "win_running_distinct" ->
       """WITH f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
