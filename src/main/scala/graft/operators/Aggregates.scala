@@ -414,6 +414,23 @@ object Aggregates extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    "agg_listagg" -> ((s, dir) => {
+      // SQL:2023 LISTAGG — ordered string aggregation: the concat order
+      // is SPECIFIED (WITHIN GROUP ORDER BY), so the result is
+      // deterministic under any partitioning (an unordered string_agg
+      // is partition-order-dependent and banned by §2.0). Runs as a
+      // sort-based aggregate after one hash shuffle; the sample filter
+      // keeps group payloads bounded — at 100 TB unbounded LISTAGG
+      // payloads are an anti-pattern regardless of engine.
+      T.views(s, dir, "customer")
+      s.sql("""SELECT c_mktsegment,
+                      listagg(CAST(c_custkey AS STRING), ',')
+                        WITHIN GROUP (ORDER BY c_custkey) AS keys_csv,
+                      count(*) AS n
+               FROM (SELECT * FROM customer WHERE c_custkey % 100 = 0)
+               GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
     "agg_mode" -> ((s, dir) => {
       // Per-group mode (most frequent value): count + top-1 window — the
       // distributed formulation of SQL mode(), with a deterministic
@@ -502,6 +519,14 @@ object Aggregates extends QueryModule {
                 round(min(o_totalprice), 4) AS lo_v,
                 round(max(o_totalprice), 4) AS hi_v
          FROM r GROUP BY bucket ORDER BY bucket""",
+
+    "agg_listagg" ->
+      """SELECT c_mktsegment,
+                string_agg(CAST(c_custkey AS VARCHAR), ','
+                           ORDER BY c_custkey) AS keys_csv,
+                count(*) AS n
+         FROM customer WHERE c_custkey % 100 = 0
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "agg_mode" ->
       """SELECT l_returnflag, l_linestatus AS mode_status, cnt

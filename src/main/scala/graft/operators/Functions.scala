@@ -49,6 +49,22 @@ object Functions extends QueryModule {
           expr("try_variant_get(v, '$.missing', 'bigint')").as("missing"))
         .orderBy("event_id")),
 
+    "fn_xml" -> ((s, dir) =>
+      // XML — the other enterprise semi-structured format: to_xml
+      // renders a struct per row, from_xml parses it back against a
+      // schema (same parse-don't-regex discipline as JSON/variant; both
+      // codegen-free but columnar-batched). Round-trip equality proves
+      // codec fidelity; the oracle rebuilds the extracted leaves from
+      // the base columns.
+      T.load(s, dir, "customer").select(
+        col("c_custkey"),
+        expr("""from_xml(to_xml(named_struct(
+                  'k', c_custkey, 'seg', c_mktsegment, 'bal', c_acctbal)),
+                'k BIGINT, seg STRING, bal DOUBLE')""").as("v"))
+        .select(col("c_custkey"), col("v.k").as("k"),
+                col("v.seg").as("seg"), col("v.bal").as("bal"))
+        .orderBy("c_custkey")),
+
     "fn_crypto" -> ((s, dir) =>
       // Content-hash + codec family — the workhorses of dedup, sharding
       // and integrity checks: md5 and sha2-256 hex (bit-portable across
@@ -412,6 +428,11 @@ object Functions extends QueryModule {
                   AS k_str,
                 CAST(NULL AS BIGINT) AS missing
          FROM events ORDER BY event_id""",
+
+    "fn_xml" ->
+      """SELECT c_custkey, c_custkey AS k, c_mktsegment AS seg,
+                c_acctbal AS bal
+         FROM customer ORDER BY c_custkey""",
 
     "fn_crypto" ->
       """SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256,
