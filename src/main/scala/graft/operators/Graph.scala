@@ -69,9 +69,15 @@ object Graph extends QueryModule {
         .distinct()
       val b = act.select(col("event_type").as("et2"), col("day").as("day2"),
                          col("u").as("v"))
+      // Deterministic sparsifier: at sf0.1 nearly every user pair is
+      // co-active somewhere, making the graph ~complete (Θ(n³)
+      // triangles — 65 s of explode, useless as a graph). Keeping 1/13
+      // of pairs by a portable modular hash yields a sparse graph with
+      // a non-trivial triangle population at every SF.
       val pairs = act.join(b, col("event_type") === col("et2") &&
                               col("day") === col("day2") &&
-                              col("u") < col("v"))
+                              col("u") < col("v") &&
+                              (col("u") * 7919 + col("v")) % 13 === 0)
         .select("u", "v").distinct()
       val deg = pairs.select(col("u").as("n"))
         .unionAll(pairs.select(col("v").as("n")))
@@ -189,7 +195,8 @@ object Graph extends QueryModule {
           pairs AS (SELECT DISTINCT a.u AS u, b.u AS v
                     FROM act a JOIN act b
                       ON a.event_type = b.event_type AND a.day = b.day
-                         AND a.u < b.u),
+                         AND a.u < b.u
+                         AND (a.u * 7919 + b.u) % 13 = 0),
           tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
                   FROM pairs e1
                   JOIN pairs e2 ON e2.u = e1.v
