@@ -414,6 +414,20 @@ object Aggregates extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    "agg_boolean" -> ((s, dir) =>
+      // Boolean aggregate family — every/some (SQL bool_and/bool_or)
+      // plus count_if: all associative + commutative, so partial
+      // aggregation is free and each map task ships one boolean/count
+      // per group. The assertion-style scan ("do ALL rows satisfy X")
+      // is the cheapest full-table data-quality check at 100 TB.
+      T.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("every(l_quantity > 1.0)").as("all_gt1"),
+             expr("some(l_discount > 0.09)").as("any_big_disc"),
+             expr("every(l_extendedprice > 0)").as("all_pos"),
+             expr("count_if(l_tax > 0.05)").as("n_high_tax"))
+        .orderBy("l_returnflag")),
+
     "agg_listagg" -> ((s, dir) => {
       // SQL:2023 LISTAGG — ordered string aggregation: the concat order
       // is SPECIFIED (WITHIN GROUP ORDER BY), so the result is
@@ -519,6 +533,14 @@ object Aggregates extends QueryModule {
                 round(min(o_totalprice), 4) AS lo_v,
                 round(max(o_totalprice), 4) AS hi_v
          FROM r GROUP BY bucket ORDER BY bucket""",
+
+    "agg_boolean" ->
+      """SELECT l_returnflag,
+                bool_and(l_quantity > 1.0) AS all_gt1,
+                bool_or(l_discount > 0.09) AS any_big_disc,
+                bool_and(l_extendedprice > 0) AS all_pos,
+                count(*) FILTER (WHERE l_tax > 0.05) AS n_high_tax
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "agg_listagg" ->
       """SELECT c_mktsegment,

@@ -171,6 +171,28 @@ object Streaming extends QueryModule {
         .orderBy("win_us", "event_type")
     }),
 
+    "stream_session_append" -> ((s0, dir) => {
+      // Streaming SESSIONIZATION in APPEND mode: session_window merges
+      // gap-overlapping events into variable-length windows, and append
+      // emits a session exactly once — when the watermark passes
+      // (last event + gap), the instant no future event can extend it.
+      // The oracle runs the batch gaps-and-islands sessionization and
+      // keeps precisely the sessions closed by the final watermark —
+      // the eviction boundary is oracle-exact, like stream_append_final.
+      val s = streamSession(s0)
+      val in = readStream(s, stageEvents(s, dir))
+      val agg = in
+        .withWatermark("ts_ts", "2 hours")
+        .groupBy(session_window(col("ts_ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      drain(agg, "append")
+        .select(col("user_id"),
+                unix_micros(col("session_window.start")).as("sess_start_us"),
+                unix_micros(col("session_window.end")).as("sess_end_us"),
+                col("n"))
+        .orderBy("user_id", "sess_start_us")
+    }),
+
     "stream_tumbling" -> ((s0, dir) => {
       val s = streamSession(s0)
       val in = readStream(s, stageEvents(s, dir))
@@ -492,6 +514,27 @@ object Streaming extends QueryModule {
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
                  count(*) AS n, ${dsum("value")} AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "stream_session_append" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+              wm AS (SELECT (max(ts_us) // 1000) * 1000 - 7200000000 AS w
+                     FROM e),
+              g AS (SELECT user_id, ts_us,
+                      CASE WHEN ts_us - lag(ts_us) OVER
+                             (PARTITION BY user_id ORDER BY ts_us)
+                           >= 1800000000 THEN 1 ELSE 0 END AS brk
+                    FROM e),
+              sid AS (SELECT user_id, ts_us,
+                        sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS sess
+                      FROM g),
+              sessions AS (SELECT user_id, min(ts_us) AS sess_start_us,
+                                  max(ts_us) + 1800000000 AS sess_end_us,
+                                  count(*) AS n
+                           FROM sid GROUP BY user_id, sess)
+         SELECT user_id, sess_start_us, sess_end_us, n
+         FROM sessions, wm WHERE sess_end_us <= w
+         ORDER BY user_id, sess_start_us""",
 
     "stream_append_final" ->
       // Append-mode emission boundary: a window is final once the
