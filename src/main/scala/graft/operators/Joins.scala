@@ -165,6 +165,27 @@ object Joins extends QueryModule {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    "q10_returned" -> ((s, dir) => {
+      // TPC-H Q10 shape — returned-item reporting: revenue lost to
+      // returns per customer, top 20. The returnflag filter lands in
+      // the lineitem SCAN (pushed), dims broadcast, and the final
+      // top-20 plans as TakeOrderedAndProject over the aggregated
+      // (customer-sized) side — no global sort of the fact table.
+      val n = T.load(s, dir, "nation")
+      val c = T.load(s, dir, "customer")
+      val o = T.load(s, dir, "orders")
+      val l = T.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(T.d(sum(T.dec(col("l_extendedprice") *
+                             (lit(1) - col("l_discount"))))).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     "q7_volume" -> ((s, dir) => {
       // TPC-H Q7 shape — volume shipping between a nation PAIR with a
       // DISJUNCTIVE cross-side predicate ((n1=A AND n2=B) OR (n1=B AND
@@ -639,6 +660,18 @@ object Joins extends QueryModule {
           JOIN nation   ON c_nationkey = n_nationkey
           JOIN region   ON n_regionkey = r_regionkey
           GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q10_returned" ->
+      s"""SELECT c_custkey, c_name, n_name,
+                 ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+                 count(*) AS n_items
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+          GROUP BY 1, 2, 3
+          ORDER BY revenue DESC, c_custkey LIMIT 20""",
 
     "q7_volume" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
