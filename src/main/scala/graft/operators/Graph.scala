@@ -74,6 +74,11 @@ object Graph extends QueryModule {
       // triangles — 65 s of explode, useless as a graph). Keeping 1/13
       // of pairs by a portable modular hash yields a sparse graph with
       // a non-trivial triangle population at every SF.
+      // Skew note: pair generation is a (type, day)-blocked self-join;
+      // a pathologically hot block at corpus scale would route through
+      // the same triangle-salted sub-blocking as
+      // DedupOps.skewSafeSelfPairs — the wedge join itself is already
+      // hub-safe via the orientation.
       val pairs = act.join(b, col("event_type") === col("et2") &&
                               col("day") === col("day2") &&
                               col("u") < col("v") &&

@@ -48,6 +48,20 @@ class CellFlattenSpec extends AnyFunSuite {
       "aa[0][0]" -> "1", "aa[0][1]" -> "2", "aa[1][0]" -> "3"))
   }
 
+  test("depth-4 mixed nesting and non-string map keys flatten to exact leaves") {
+    // map<int, array<struct<t, xs:array<long>>>> — map under array under
+    // struct under map: every composition direction the recursion claims
+    val df = Seq(
+      (1L, Map(7 -> Seq(("a", Seq(10L, 20L)), ("b", Seq(30L))))),
+    ).toDF("id", "m")
+    val got = CellFlatten.flatten(df, col("id"), "f", lit(0L),
+                                  exclude = Set("id"))
+      .select("qualifier", "value").as[(String, String)].collect().toMap
+    assert(got == Map(
+      "m.7[0]._1" -> "a", "m.7[0]._2[0]" -> "10", "m.7[0]._2[1]" -> "20",
+      "m.7[1]._1" -> "b", "m.7[1]._2[0]" -> "30"))
+  }
+
   test("a null collection yields zero cells without erasing sibling cells") {
     val df = Seq(
       (1L, Some(Seq(1, 2)), "x"),
