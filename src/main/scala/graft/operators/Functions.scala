@@ -49,6 +49,27 @@ object Functions extends QueryModule {
           expr("try_variant_get(v, '$.missing', 'bigint')").as("missing"))
         .orderBy("event_id")),
 
+    "fn_collation" -> ((s, dir) =>
+      // Spark 4 COLLATIONS: comparison semantics as a property of the
+      // string TYPE — grouping on a UTF8_LCASE-collated key makes =,
+      // GROUP BY and joins case-insensitive WITHOUT rewriting every
+      // expression through lower() (and the original-case strings
+      // survive, unlike a lower() projection). Hash aggregation works
+      // on the collated key directly. Mixed-case fixture synthesized
+      // deterministically; the group representative is an explicit
+      // min() (binary order) because "whichever original the collated
+      // group surfaces" is engine-undefined; the DuckDB twin expresses
+      // the same semantics with lower() grouping.
+      T.load(s, dir, "customer")
+        .withColumn("seg_mixed",
+          when(col("c_custkey") % 2 === 0, lower(col("c_mktsegment")))
+            .otherwise(col("c_mktsegment")))
+        .groupBy(expr("collate(seg_mixed, 'UTF8_LCASE')"))
+        .agg(min(col("seg_mixed")).as("rep"), count(lit(1)).as("n"),
+             countDistinct(col("seg_mixed")).as("n_variants"))
+        .select(col("rep"), col("n"), col("n_variants"))
+        .orderBy("rep")),
+
     "fn_xml" -> ((s, dir) =>
       // XML — the other enterprise semi-structured format: to_xml
       // renders a struct per row, from_xml parses it back against a
@@ -428,6 +449,15 @@ object Functions extends QueryModule {
                   AS k_str,
                 CAST(NULL AS BIGINT) AS missing
          FROM events ORDER BY event_id""",
+
+    "fn_collation" ->
+      """WITH m AS (SELECT CASE WHEN c_custkey % 2 = 0
+                               THEN lower(c_mktsegment)
+                               ELSE c_mktsegment END AS seg_mixed
+                    FROM customer)
+         SELECT min(seg_mixed) AS rep, count(*) AS n,
+                count(DISTINCT seg_mixed) AS n_variants
+         FROM m GROUP BY lower(seg_mixed) ORDER BY rep""",
 
     "fn_xml" ->
       """SELECT c_custkey, c_custkey AS k, c_mktsegment AS seg,
