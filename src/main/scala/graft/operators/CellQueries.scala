@@ -373,6 +373,27 @@ object CellQueries extends QueryModule {
              T.d(sum(T.dec(col("value")))).as("counter"))
         .orderBy("rowkey", "qualifier")),
 
+    "cell_append" -> ((s, dir) =>
+      // HBase Append — the last mutation family (Put = cell_versions,
+      // Delete = tombstone/delete-family, Increment = cell_increment):
+      // each op CONCATENATES its payload onto the cell's current value,
+      // so the batch view of an append log is the VERSION-ORDERED
+      // concat per cell. LISTAGG WITHIN GROUP makes the fold order
+      // explicit ((ts, event_id) — unique, so fully deterministic);
+      // one sort-based aggregate on the cell key, payloads bounded by
+      // per-key event counts.
+      T.events(s, dir)
+        .groupBy(col("user_id").cast("string").as("rowkey"))
+        .agg(expr("""listagg(substr(event_type, 1, 1), '')
+                     WITHIN GROUP (ORDER BY ts_us, event_id)""")
+               .as("value"),
+             max(col("ts_us")).as("version"),
+             count(lit(1)).as("n_appends"))
+        .select(col("rowkey"), lit("d").as("family"),
+                lit("trail").as("qualifier"), col("version"),
+                col("value"), col("n_appends"))
+        .orderBy("rowkey")),
+
     "cell_scan_range" -> ((s, dir) =>
       // HBase Scan(startRow, stopRow): rowkeys are compared as BYTES, so
       // the range is LEXICOGRAPHIC over the string key — "30" < "4" —
@@ -809,6 +830,14 @@ object CellQueries extends QueryModule {
           FROM cells LEFT JOIN mk ON cells.rowkey = mk.mrk
           WHERE mver IS NULL OR version > mver
           ORDER BY rowkey, qualifier""",
+
+    "cell_append" ->
+      """SELECT CAST(user_id AS VARCHAR) AS rowkey, 'd' AS family,
+                'trail' AS qualifier, max(epoch_us(ts)) AS version,
+                string_agg(substr(event_type, 1, 1), ''
+                           ORDER BY epoch_us(ts), event_id) AS value,
+                count(*) AS n_appends
+         FROM events GROUP BY 1, 2, 3 ORDER BY rowkey""",
 
     "cell_increment" ->
       """SELECT CAST(user_id AS VARCHAR) AS rowkey, 'c' AS family,
