@@ -17,6 +17,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.size == 5, s"expected 5 appended windows, got ${rows.keySet}")
   }
 
+  test("append-mode eviction actually withholds the trailing open windows") {
+    // The DuckDB oracles for stream_append_final / stream_session_append
+    // encode the watermark boundary — but they would pass VACUOUSLY if
+    // the fixture's boundary excluded nothing. Assert the withheld sets
+    // are non-empty: append emits strictly fewer windows than the
+    // complete-mode / batch twins.
+    val nTumbling = SparkEntry.queries("stream_tumbling")(spark, sf).count()
+    val nAppend = SparkEntry.queries("stream_append_final")(spark, sf).count()
+    assert(nAppend < nTumbling,
+           s"no window was withheld: append=$nAppend complete=$nTumbling")
+    val nSessAll = SparkEntry.queries("win_sessionize")(spark, sf).count()
+    val nSessApp =
+      SparkEntry.queries("stream_session_append")(spark, sf).count()
+    assert(nSessApp < nSessAll,
+           s"no session was withheld: append=$nSessApp batch=$nSessAll")
+  }
+
   test("drained tumbling stream equals its batch twin (batch-equivalence)") {
     val streamed = SparkEntry.queries("stream_tumbling")(spark, sf).collect()
     val batch = Tables.eventsTs(spark, sf)
