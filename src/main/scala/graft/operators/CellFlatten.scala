@@ -98,6 +98,88 @@ object CellFlatten {
       Seq(array(struct(path.as("qualifier"), ser(c, other).as("value"))))
   }
 
+  /** Last finished dynamic-flatten checkpoint per (session, tag): replacing
+    * it unpersists the previous invocation's blocks so repeated plan builds
+    * in one session do not accumulate storage (advisor r8). */
+  private val lastDynamic =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  /** DYNAMIC (schema-less) flatten — json2hbase's true input mode: the
+    * document structure is unknown until runtime, so it arrives as one
+    * Spark 4 VARIANT column and is flattened by runtime inspection to
+    * ARBITRARY depth (matching the static `flatten` above, which needs a
+    * schema). `docs` must have columns `(rowkey string, version long,
+    * v variant)` with every root a container (object/array).
+    *
+    * Algorithm: iterative fixpoint over the frontier of still-nested
+    * values. Each level is ONE `variant_explode` lateral generator —
+    * object member extends the qualifier with `.key`, array element with
+    * `[pos]`, leaves (schema_of_variant not OBJECT/ARRAY) are serialized
+    * via `variant_get(..., 'string')` — and is `localCheckpoint`ed so the
+    * level is decoded exactly once (it feeds both the leaf slice and the
+    * next frontier) and so the loop's emptiness probe is O(1). The loop
+    * terminates when no nested values remain: NO depth cap, NO JSON-text
+    * fallback cells (a 64-level guard throws rather than truncating).
+    *
+    * Scale notes: every level is a shuffle-free generator over the
+    * checkpointed store of the level above; the only shuffle is the
+    * initial hash-spread of the parse-once variant store on rowkey. Depth
+    * is a property of the DOCUMENT SCHEMA, not the data — real corpora
+    * are < 10 levels — so the number of jobs is tiny and independent of
+    * row count; each job is a full-width scan only of the shrinking
+    * frontier (rows leave the frontier the level they become leaves).
+    * The final union is checkpointed and all per-level intermediates are
+    * unpersisted, so the residue of one build is one result-sized store. */
+  def flattenVariant(docs: DataFrame, family: String, tag: String): DataFrame = {
+    val s = docs.sparkSession
+    val isContainer =
+      schema_of_variant(col("v")).like("OBJECT%") ||
+      schema_of_variant(col("v")).like("ARRAY%")
+    val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var frontier = docs
+      .select(col("rowkey"), col("version"), lit("").as("q"), col("v"))
+      .repartition(col("rowkey")).localCheckpoint()
+    intermediates += frontier
+    val leafSlices = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var depth = 0
+    while (!frontier.isEmpty && depth < 64) {
+      depth += 1
+      val exploded = frontier
+        .lateralJoin(s.tvf.variant_explode(col("v").outer()))
+        .select(col("rowkey"), col("version"),
+          when(col("key").isNotNull,
+               concat(col("q"),
+                      when(col("q") === lit(""), lit("")).otherwise(lit(".")),
+                      col("key")))
+            .otherwise(concat(col("q"), lit("["),
+                              col("pos").cast("string"), lit("]"))).as("q"),
+          col("value").as("v"))
+        .localCheckpoint()
+      intermediates += exploded
+      leafSlices += exploded.filter(!isContainer)
+        .select(col("rowkey"), col("version"), col("q"),
+                variant_get(col("v"), "$", "string").as("value"))
+      frontier = exploded.filter(isContainer)
+    }
+    if (!frontier.isEmpty)
+      throw new IllegalStateException(
+        s"flattenVariant: document nesting exceeds 64 levels (tag=$tag)")
+    if (leafSlices.isEmpty)
+      return docs.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType.fromDDL(
+          "rowkey STRING, family STRING, qualifier STRING, version BIGINT, value STRING"))
+    val result = leafSlices.reduceLeft(_ unionByName _)
+      .select(col("rowkey"), lit(family).as("family"),
+              col("q").as("qualifier"), col("version"), col("value"))
+      .filter(col("value").isNotNull) // JSON null leaf → no cell (HBase semantics)
+      .localCheckpoint()
+    intermediates.foreach(_.unpersist())
+    lastDynamic.put((s, tag), result).foreach(_.unpersist())
+    result
+  }
+
   /** Flatten `df` into cells. `rowkey` must be unique per input row;
     * `version` is the HBase cell timestamp. Columns used for rowkey or
     * version can be excluded from the payload via `exclude`. */

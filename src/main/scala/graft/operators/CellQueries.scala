@@ -97,91 +97,58 @@ object CellQueries extends QueryModule {
         .orderBy("rowkey", "qualifier")
     }),
 
-    "sink_cells_variant" -> ((s, dir) => {
+    "sink_cells_variant" -> ((s, dir) =>
       // SCHEMA-LESS flatten — the reference's true input mode: json2hbase
       // ingests arbitrary JSON documents whose structure is unknown until
       // runtime, while CellFlatten.flatten needs a static schema. Here
       // the document is a raw JSON STRING parsed once into a Spark 4
-      // VARIANT, then flattened by runtime inspection: LATERAL
-      // variant_explode per nesting level (object member → `.key`
-      // qualifier, array element → `[pos]`), leaves detected via
-      // schema_of_variant, scalars serialized by variant_get. Three
-      // explode levels cover the fixture; anything deeper falls back to
-      // a JSON-text cell (documented depth cap — extend by one more
-      // CTE per level). Every level is a generator pipelined with the
-      // scan: no shuffle, no UDF, no driver-side schema inference pass
-      // — at 100 TB the flatten cost is one variant decode per row.
+      // VARIANT, then flattened by CellFlatten.flattenVariant's iterative
+      // variant_explode fixpoint — arbitrary depth, no JSON-text
+      // fallback, matching the static flatten's semantics exactly
+      // (CellFlattenSpec proves dynamic == static on random nested docs).
       // The fixture carries only long/string leaves: cross-engine JSON
       // rendering of doubles differs, and the oracle rebuilds the same
       // cells directly from the base columns (proving the DYNAMIC path
       // reproduces the statically-known leaves).
-      T.events(s, dir).select(
-        col("event_id").cast("string").as("rowkey"),
-        col("ts_us").as("version"),
-        parse_json(to_json(struct(
-          col("user_id").as("uid"),
-          col("event_type").as("et"),
-          transform(sequence(lit(0L), col("event_id") % 3),
-            i => concat(col("event_type"), lit("_"), i.cast("string")))
-            .as("tags"),
-          struct((col("user_id") % 7).as("a"),
-                 struct((col("user_id") + 1).as("c")).as("b")).as("m"),
-          array(array(col("event_id"), col("event_id") + 1),
-                array(col("event_id") + 2)).as("arr2")))).as("v"))
-        // repartition + localCheckpoint = the variant "parse-once
-        // STORAGE" story made literal: parse each document a single
-        // time, land the binary variants hash-spread on rowkey, and let
-        // the three per-level UNION branches below replay that store —
-        // without the cut each branch re-parses every document, and the
-        // single-row-group fixture scan would hold all of it on one
-        // task.
-        .repartition(col("rowkey"))
-        .localCheckpoint()
-        .createOrReplaceTempView("vdocs")
-      s.sql("""
-        WITH l1 AS (
-          SELECT rowkey, version,
-                 CASE WHEN key IS NOT NULL THEN key
-                      ELSE concat('[', CAST(pos AS STRING), ']') END AS q,
-                 value AS v
-          FROM vdocs, LATERAL variant_explode(v)),
-        n1 AS (SELECT * FROM l1 WHERE schema_of_variant(v) LIKE 'OBJECT%'
-                                   OR schema_of_variant(v) LIKE 'ARRAY%'),
-        l2 AS (
-          SELECT rowkey, version,
-                 concat(q, CASE WHEN key IS NOT NULL THEN concat('.', key)
-                                ELSE concat('[', CAST(pos AS STRING), ']')
-                           END) AS q2,
-                 value AS v2
-          FROM n1, LATERAL variant_explode(v)),
-        n2 AS (SELECT * FROM l2 WHERE schema_of_variant(v2) LIKE 'OBJECT%'
-                                   OR schema_of_variant(v2) LIKE 'ARRAY%'),
-        l3 AS (
-          SELECT rowkey, version,
-                 concat(q2, CASE WHEN key IS NOT NULL THEN concat('.', key)
-                                 ELSE concat('[', CAST(pos AS STRING), ']')
-                            END) AS q3,
-                 value AS v3
-          FROM n2, LATERAL variant_explode(v2)),
-        leaves AS (
-          SELECT rowkey, version, q, variant_get(v, '$', 'string') AS val
-          FROM l1 WHERE schema_of_variant(v) NOT LIKE 'OBJECT%'
-                    AND schema_of_variant(v) NOT LIKE 'ARRAY%'
-          UNION ALL
-          SELECT rowkey, version, q2, variant_get(v2, '$', 'string')
-          FROM l2 WHERE schema_of_variant(v2) NOT LIKE 'OBJECT%'
-                    AND schema_of_variant(v2) NOT LIKE 'ARRAY%'
-          UNION ALL
-          SELECT rowkey, version, q3,
-                 CASE WHEN schema_of_variant(v3) NOT LIKE 'OBJECT%'
-                       AND schema_of_variant(v3) NOT LIKE 'ARRAY%'
-                      THEN variant_get(v3, '$', 'string')
-                      ELSE to_json(v3) END -- depth cap: JSON-text cell
-          FROM l3)
-        SELECT rowkey, 'v' AS family, q AS qualifier, version, val AS value
-        FROM leaves
-        ORDER BY rowkey, qualifier""")
-    }),
+      CellFlatten.flattenVariant(
+        T.events(s, dir).select(
+          col("event_id").cast("string").as("rowkey"),
+          col("ts_us").as("version"),
+          parse_json(to_json(struct(
+            col("user_id").as("uid"),
+            col("event_type").as("et"),
+            transform(sequence(lit(0L), col("event_id") % 3),
+              i => concat(col("event_type"), lit("_"), i.cast("string")))
+              .as("tags"),
+            struct((col("user_id") % 7).as("a"),
+                   struct((col("user_id") + 1).as("c")).as("b")).as("m"),
+            array(array(col("event_id"), col("event_id") + 1),
+                  array(col("event_id") + 2)).as("arr2")))).as("v")),
+        "v", tag = "sink_cells_variant")
+        .orderBy("rowkey", "qualifier")),
+
+    "sink_cells_variant_deep" -> ((s, dir) =>
+      // Depth-6 schema-less flatten: `a.b.c[i].d[j]` needs SIX explode
+      // levels (a → b → c → [i] → d → [j]) — twice the old CTE ladder's
+      // cap — plus leaves at levels 1..3 to prove per-level emission.
+      // The fixpoint walks exactly as deep as the data requires and
+      // emits NO JSON-text fallback cells; the oracle rebuilds every
+      // leaf from the base columns.
+      CellFlatten.flattenVariant(
+        T.events(s, dir).select(
+          col("event_id").cast("string").as("rowkey"),
+          col("ts_us").as("version"),
+          parse_json(to_json(struct(
+            struct(
+              struct(
+                transform(sequence(lit(0L), col("event_id") % 2), i =>
+                  struct(array(col("user_id") + i, col("user_id") + i + 1)
+                           .as("d"))).as("c"),
+                col("event_type").as("s")).as("b"),
+              col("event_id").as("x")).as("a"),
+            (col("user_id") % 5).as("top")))).as("v")),
+        "v", tag = "sink_cells_variant_deep")
+        .orderBy("rowkey", "qualifier")),
 
     "pipeline_e2e_v2" -> ((s, dir) =>
       // The reference's whole job over the DEEPLY NESTED input space:
@@ -718,6 +685,34 @@ object CellQueries extends QueryModule {
             UNION ALL
             SELECT CAST(event_id AS VARCHAR), 'v', 'arr2[1][0]', ts_us,
                    CAST(event_id + 2 AS VARCHAR) FROM ev)
+         SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    "sink_cells_variant_deep" ->
+      // Rebuilds the depth-6 leaves directly from base columns: the
+      // Spark side must prove the runtime fixpoint reaches them all.
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+                            event_type FROM events),
+          ivals AS (SELECT event_id, ts_us, user_id,
+                           unnest(generate_series(0, event_id % 2)) AS i
+                    FROM ev),
+          ij AS (SELECT event_id, ts_us, user_id, i,
+                        unnest(generate_series(0, 1)) AS j
+                 FROM ivals),
+          cells AS (
+            SELECT CAST(event_id AS VARCHAR) AS rowkey, 'v' AS family,
+                   'top' AS qualifier, ts_us AS version,
+                   CAST(user_id % 5 AS VARCHAR) AS value FROM ev
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'v', 'a.x', ts_us,
+                   CAST(event_id AS VARCHAR) FROM ev
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'v', 'a.b.s', ts_us,
+                   event_type FROM ev
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'v',
+                   'a.b.c[' || CAST(i AS VARCHAR) || '].d['
+                            || CAST(j AS VARCHAR) || ']', ts_us,
+                   CAST(user_id + i + j AS VARCHAR) FROM ij)
          SELECT * FROM cells ORDER BY rowkey, qualifier""",
 
     "pipeline_e2e_v2" ->

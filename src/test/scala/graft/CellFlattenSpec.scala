@@ -97,6 +97,54 @@ class CellFlattenSpec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
   }
 
+  test("dynamic variant fixpoint == static flatten on random nested docs") {
+    // The schema-less path must land on EXACTLY the cells the static
+    // (schema-known) flatten produces — same qualifiers, same serialized
+    // values — for any document shape: structs, variable-length arrays,
+    // arrays-of-structs/arrays, maps, and a map→array→map→array→array
+    // chain that only resolves at explode level 6. Long/string leaves
+    // only (JSON double rendering is engine-specific by design).
+    val rnd = new scala.util.Random(42)
+    def rl() = rnd.nextLong() % 1000000
+    def rs() = "v" + rnd.nextInt(1000)
+    val rows = (1L to 60L).map { id =>
+      (id, rs(), if (rnd.nextBoolean()) Some(rl()) else None,
+       Seq.fill(rnd.nextInt(4))(rl()),
+       Seq.fill(rnd.nextInt(3))((rs(), Seq.fill(rnd.nextInt(3))(rl()))),
+       Map("k1" -> rl(), "k2" -> rl()),
+       Seq.fill(rnd.nextInt(3))(Seq.fill(rnd.nextInt(3))(rl())),
+       Map("w" -> Seq.fill(rnd.nextInt(3))(
+         Map("q" -> Seq.fill(rnd.nextInt(2))(Seq.fill(rnd.nextInt(3))(rl()))))))
+    }
+    val df = rows.toDF("id", "s", "n", "xs", "aos", "m", "aa", "deepm")
+    val static0 = CellFlatten.flatten(df, col("id"), "v", lit(7L),
+                                      exclude = Set("id"))
+    val payload = struct(df.columns.filterNot(_ == "id").map(col).toSeq: _*)
+    val docs = df.select(col("id").cast("string").as("rowkey"),
+                         lit(7L).as("version"),
+                         parse_json(to_json(payload)).as("v"))
+    val dyn = CellFlatten.flattenVariant(docs, "v", tag = "spec-prop")
+    val cols = Seq("rowkey", "family", "qualifier", "version", "value")
+    val want = static0.select(cols.map(col): _*).collect().toSet
+    val got = dyn.select(cols.map(col): _*).collect().toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"dynamic-static diff: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+  }
+
+  test("sink_cells_variant_deep reaches level 6 with no JSON-text fallback") {
+    val cells = SparkEntry.queries("sink_cells_variant_deep")(
+      spark, SparkFixture.sf001).cache()
+    val qs = cells.select("qualifier").distinct().as[String].collect().toSet
+    assert(qs.exists(_.matches("""a\.b\.c\[\d+\]\.d\[\d+\]""")), qs.toString)
+    // every value is a serialized SCALAR — the old ladder's depth cap
+    // emitted JSON text ('{...}'/'[...]') for anything past level 3
+    val jsonish = cells.filter(col("value").startsWith("{") ||
+                               col("value").startsWith("[")).count()
+    assert(jsonish == 0)
+    cells.unpersist()
+  }
+
   test("flatten is shuffle-free (scale: pure per-row projection)") {
     val df = Tables.load(spark, SparkFixture.sf001, "embeddings")
     val cells = CellFlatten.flatten(df, col("vec_id"), "e", lit(0L),
