@@ -265,6 +265,47 @@ object Joins extends QueryModule {
         .limit(10)
     }),
 
+    "q2_min_cost" -> ((s, dir) => {
+      // TPC-H Q2 shape — minimum-cost supplier: the canonical CORRELATED
+      // SCALAR SUBQUERY over a join (cost = min cost among the part's
+      // suppliers in one region), decorrelated Spark-first into a
+      // groupBy(part) min + join-back on (part, cost): both the agg and
+      // the join-back hash on ps_partkey, so AQE reuses one exchange;
+      // nation/region ride broadcasts and supplier is left to AQE
+      // (it grows with SF — an explicit broadcast hint would lie at
+      // 100 TB). The fixture has no partsupp table, so partsupp is
+      // SYNTHESIZED deterministically: the distinct (partkey, suppkey)
+      // pairs of lineitem with a key-derived cost — integer arithmetic
+      // then one exact /100 divide, identical in both engines.
+      val ps = T.load(s, dir, "lineitem")
+        .select(col("l_partkey").as("ps_partkey"),
+                col("l_suppkey").as("ps_suppkey")).distinct()
+        .withColumn("ps_supplycost",
+          ((col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 1000)
+            .cast("double") / 100.0)
+      val n = T.load(s, dir, "nation")
+      val r = T.load(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val supR = T.load(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+                col("n_name"))
+      val elig = ps.join(supR, col("ps_suppkey") === col("s_suppkey"))
+      val minCost = elig.groupBy(col("ps_partkey").as("mc_partkey"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+      val p = T.load(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY" && col("p_size") % 10 === 1)
+      elig.join(minCost, col("ps_partkey") === col("mc_partkey") &&
+                         col("ps_supplycost") === col("min_cost"))
+        .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+                col("p_partkey"), col("p_brand"), col("p_type"),
+                col("ps_supplycost").as("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+                 col("p_partkey"))
+        .limit(100)
+    }),
+
     "join_inner_bhj" -> ((s, dir) => {
       val c = T.load(s, dir, "customer")
       val n = T.load(s, dir, "nation")
@@ -647,6 +688,33 @@ object Joins extends QueryModule {
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0
           GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "q2_min_cost" ->
+      // The oracle keeps the CORRELATED scalar-subquery formulation —
+      // DuckDB decorrelates it itself — proving the Spark join-back
+      // plan computes the same relation.
+      """WITH ps AS (
+           SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+           FROM lineitem),
+         ps2 AS (
+           SELECT ps_partkey, ps_suppkey,
+                  CAST((ps_partkey * 31 + ps_suppkey * 17) % 1000 AS DOUBLE)
+                    / 100.0 AS ps_supplycost
+           FROM ps),
+         elig AS (
+           SELECT ps2.*, s_acctbal, s_name, n_name
+           FROM ps2
+           JOIN supplier ON ps_suppkey = s_suppkey
+           JOIN nation   ON s_nationkey = n_nationkey
+           JOIN region   ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE')
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, p_type,
+                ps_supplycost AS cost
+         FROM elig JOIN part ON ps_partkey = p_partkey
+         WHERE p_type = 'ECONOMY' AND p_size % 10 = 1
+           AND ps_supplycost = (SELECT min(e2.ps_supplycost) FROM elig e2
+                                WHERE e2.ps_partkey = elig.ps_partkey)
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
 
     "q5_local_supplier" ->
       s"""SELECT n_name,

@@ -182,6 +182,28 @@ object Sources extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    "scan_avro" -> ((s, dir) => {
+      // Avro round-trip — the row-oriented production format (Kafka
+      // payloads, schema-registry pipelines). This Spark build bundles
+      // the avro DataSource in spark-sql itself (AvroFileFormat is on
+      // the default classpath — probed r9; earlier rounds parked this
+      // believing the connector jar was absent). Stage four supplier
+      // columns as avro once, read back with a predicate; avro is not
+      // splittable by row group like parquet, so at 100 TB parallelism
+      // comes from file count — same as the binaryFile source. The
+      // oracle reads the same rows from the parquet table: the round
+      // trip must be content-identical.
+      val tmp = stage(dir, "avro")
+      if (!staged(tmp))
+        T.load(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+          .write.mode("overwrite")
+          .format("org.apache.spark.sql.avro.AvroFileFormat").save(tmp)
+      s.read.format("org.apache.spark.sql.avro.AvroFileFormat").load(tmp)
+        .filter(col("s_acctbal") > 0.0)
+        .orderBy("s_suppkey")
+    }),
+
     "sink_parquet_partitioned" -> ((s, dir) => {
       // Write partitioned, read the whole layout back and aggregate per
       // partition value — proves the round trip preserves rows and the
@@ -407,6 +429,11 @@ object Sources extends QueryModule {
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
          FROM orders WHERE o_totalprice > 100000.0
          ORDER BY o_orderkey""",
+
+    "scan_avro" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+         FROM supplier WHERE s_acctbal > 0.0
+         ORDER BY s_suppkey""",
 
     "sink_parquet_partitioned" ->
       s"""SELECT event_type, count(*) AS n,
