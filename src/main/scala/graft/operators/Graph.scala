@@ -40,6 +40,61 @@ object Graph extends QueryModule {
       .unionAll(cs.select(col("sp").as("src"), col("c").as("dst")))
   }
 
+  /** Per-user triangle counts of the user co-activity graph (users
+    * co-active on the same (event_type, day); non-bipartite, unlike the
+    * customer↔supplier relation above), restricted to pairs satisfying
+    * `keep` — the sparsifier parameter (`lit(true)` = the full graph).
+    *
+    * Algorithm: the degree-ORIENTED wedge count — the at-scale
+    * formulation: orient every undirected edge from its (degree,
+    * id)-smaller endpoint to the larger, so out-degrees are bounded and
+    * no hub vertex explodes the wedge join (naive wedge-at-any-vertex
+    * costs Σdeg²; orientation caps total work at O(m^1.5)). Wedges build
+    * at the common LOW vertex and close with ONE hash join back on the
+    * oriented edge set. Degree table is node-sized → broadcast.
+    * Skew note: pair generation is a (type, day)-blocked self-join; a
+    * pathologically hot block at corpus scale would route through the
+    * same triangle-salted sub-blocking as DedupOps.skewSafeSelfPairs —
+    * the wedge join itself is already hub-safe via the orientation. */
+  private[graft] def coActivityTriangles(s: SparkSession, dir: String,
+                                         keep: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val DAY_US = 86400L * 1000000L
+    val act = T.events(s, dir)
+      .select(col("event_type"), expr(s"ts_us div $DAY_US").as("day"),
+              col("user_id").as("u"))
+      .distinct()
+    val b = act.select(col("event_type").as("et2"), col("day").as("day2"),
+                       col("u").as("v"))
+    val pairs = act.join(b, col("event_type") === col("et2") &&
+                            col("day") === col("day2") &&
+                            col("u") < col("v") && keep)
+      .select("u", "v").distinct()
+    val deg = pairs.select(col("u").as("n"))
+      .unionAll(pairs.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val wd = pairs
+      .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
+    def key(d: String, i: String) =
+      struct(col(d).as("kd"), col(i).as("ki"))
+    val uLow = key("du", "u") < key("dv", "v")
+    val oriented = wd.select(
+      when(uLow, col("u")).otherwise(col("v")).as("src"),
+      when(uLow, col("v")).otherwise(col("u")).as("dst"),
+      when(uLow, key("dv", "v")).otherwise(key("du", "u")).as("dk"))
+    val o2 = oriented.select(col("src").as("src2"), col("dst").as("c"),
+                             col("dk").as("dk2"))
+    val wedges = oriented.join(o2,
+        col("src") === col("src2") && col("dk") < col("dk2"))
+      .select(col("src").as("a"), col("dst").as("bb"), col("c"))
+    val closer = oriented.select(col("src").as("b3"), col("dst").as("c3"))
+    wedges.join(closer, col("bb") === col("b3") && col("c") === col("c3"))
+      .select(explode(array(col("a"), col("bb"), col("c"))).as("user_id"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_degree" -> ((s, dir) =>
       // Degree distribution — n_nodes per degree, the first diagnostic
@@ -51,63 +106,19 @@ object Graph extends QueryModule {
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
         .orderBy("degree")),
 
-    "graph_triangles" -> ((s, dir) => {
-      // Triangle counting with the degree-ORIENTED wedge algorithm —
-      // the at-scale formulation: orient every undirected edge from its
-      // (degree, id)-smaller endpoint to the larger, so out-degrees are
-      // bounded and no hub vertex explodes the wedge join (naive
-      // wedge-at-any-vertex costs Σdeg²; orientation caps total work at
-      // O(m^1.5)). Wedges build at the common LOW vertex and close with
-      // ONE hash join back on the oriented edge set. The graph: users
-      // co-active on the same (event_type, day) — non-bipartite, unlike
-      // the customer↔supplier relation above. Degree table is
-      // node-sized → broadcast.
-      val DAY_US = 86400L * 1000000L
-      val act = T.events(s, dir)
-        .select(col("event_type"), expr(s"ts_us div $DAY_US").as("day"),
-                col("user_id").as("u"))
-        .distinct()
-      val b = act.select(col("event_type").as("et2"), col("day").as("day2"),
-                         col("u").as("v"))
+    "graph_triangles" -> ((s, dir) =>
       // Deterministic sparsifier: at sf0.1 nearly every user pair is
       // co-active somewhere, making the graph ~complete (Θ(n³)
       // triangles — 65 s of explode, useless as a graph). Keeping 1/13
       // of pairs by a portable modular hash yields a sparse graph with
-      // a non-trivial triangle population at every SF.
-      // Skew note: pair generation is a (type, day)-blocked self-join;
-      // a pathologically hot block at corpus scale would route through
-      // the same triangle-salted sub-blocking as
-      // DedupOps.skewSafeSelfPairs — the wedge join itself is already
-      // hub-safe via the orientation.
-      val pairs = act.join(b, col("event_type") === col("et2") &&
-                              col("day") === col("day2") &&
-                              col("u") < col("v") &&
-                              (col("u") * 7919 + col("v")) % 13 === 0)
-        .select("u", "v").distinct()
-      val deg = pairs.select(col("u").as("n"))
-        .unionAll(pairs.select(col("v").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-      val wd = pairs
-        .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))), "u")
-        .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
-      def key(d: String, i: String) =
-        struct(col(d).as("kd"), col(i).as("ki"))
-      val uLow = key("du", "u") < key("dv", "v")
-      val oriented = wd.select(
-        when(uLow, col("u")).otherwise(col("v")).as("src"),
-        when(uLow, col("v")).otherwise(col("u")).as("dst"),
-        when(uLow, key("dv", "v")).otherwise(key("du", "u")).as("dk"))
-      val o2 = oriented.select(col("src").as("src2"), col("dst").as("c"),
-                               col("dk").as("dk2"))
-      val wedges = oriented.join(o2,
-          col("src") === col("src2") && col("dk") < col("dk2"))
-        .select(col("src").as("a"), col("dst").as("bb"), col("c"))
-      val closer = oriented.select(col("src").as("b3"), col("dst").as("c3"))
-      wedges.join(closer, col("bb") === col("b3") && col("c") === col("c3"))
-        .select(explode(array(col("a"), col("bb"), col("c"))).as("user_id"))
-        .groupBy("user_id").agg(count(lit(1)).as("n_triangles"))
-        .orderBy("user_id")
-    }),
+      // a non-trivial triangle population at every SF. The hash terms
+      // are pre-reduced mod 13 so the product stays tiny: BIGINT ids at
+      // corpus scale can never overflow (Spark non-ANSI would wrap
+      // silently where DuckDB errors — advisor r8). GraphSpec runs the
+      // same algorithm UNsparsified (keep = true) at sf0.001 against a
+      // brute-force in-memory count.
+      coActivityTriangles(s, dir,
+        (col("u") % 13 * 7919 + col("v") % 13) % 13 === 0)),
 
     "graph_pagerank" -> ((s, dir) => {
       // Pregel-style lineage truncation (see connectedComponents): the
@@ -201,7 +212,7 @@ object Graph extends QueryModule {
                     FROM act a JOIN act b
                       ON a.event_type = b.event_type AND a.day = b.day
                          AND a.u < b.u
-                         AND (a.u * 7919 + b.u) % 13 = 0),
+                         AND (a.u % 13 * 7919 + b.u % 13) % 13 = 0),
           tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
                   FROM pairs e1
                   JOIN pairs e2 ON e2.u = e1.v
