@@ -56,10 +56,78 @@ object Layout extends QueryModule {
       .withColumn("z", morton(col("qu"), col("qv")))
   }
 
+  /** events + `h` column: the HILBERT index of the (qu, qv) grid cell.
+    * Hilbert beats Morton on locality (no diagonal jumps between
+    * quadrant boundaries: successive indices are always grid-adjacent),
+    * giving slightly tighter per-file envelopes at the same file count —
+    * the curve behind OPTIMIZE ... with Hilbert clustering in newer
+    * lakehouse engines.
+    *
+    * The classic per-bit state machine (flip + swap by quadrant) is
+    * loop-carried, so it unrolls into BITS successive projections over
+    * named columns — each step is a cheap integer expression layer
+    * (Catalyst keeps the layers: CollapseProject does not inline
+    * multiply-referenced non-trivial expressions, so the plan stays
+    * linear in BITS, fully codegen'd, shuffle-free). */
+  private[graft] def withHilbert(s: SparkSession, dir: String): DataFrame =
+    hilbertSteps(withZ(s, dir)
+      .withColumn("hx", col("qu")).withColumn("hy", col("qv")), BITS)
+
+  /** Unrolled Hilbert state machine over existing `hx`/`hy` columns;
+    * exposed with a `bits` parameter so LayoutSpec can prove the curve
+    * properties (bijection + unit steps) on a complete small grid. */
+  private[graft] def hilbertSteps(df0: DataFrame, bits: Int): DataFrame = {
+    var df = df0.withColumn("hd", lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val side = 1L << i
+      df = df
+        .withColumn("rx", shiftright(col("hx"), i).bitwiseAND(lit(1L)))
+        .withColumn("ry", shiftright(col("hy"), i).bitwiseAND(lit(1L)))
+        .withColumn("hd", col("hd") +
+          lit(side * side) * (col("rx") * 3).bitwiseXOR(col("ry")))
+        // quadrant rotation: ry=0 flips (if rx=1) then swaps x/y;
+        // nx is staged first so the hy update still sees the OLD hx
+        .withColumn("nx", when(col("ry") === 0,
+            when(col("rx") === 1, lit(side - 1) - col("hy"))
+              .otherwise(col("hy"))).otherwise(col("hx")))
+        .withColumn("hy", when(col("ry") === 0,
+            when(col("rx") === 1, lit(side - 1) - col("hx"))
+              .otherwise(col("hx"))).otherwise(col("hy")))
+        .withColumn("hx", col("nx"))
+    }
+    df.withColumn("h", col("hd"))
+  }
+
+  /** SQL twin of [[withHilbert]]'s index: one CTE per unrolled bit. */
+  private def hilbertSql(from: String): String = {
+    val steps = ((BITS - 1) to 0 by -1).zipWithIndex.map {
+      case (i, step) =>
+        val side = 1L << i
+        val prev = if (step == 0) from else s"h$step"
+        s"""h${step + 1} AS (
+              SELECT event_id,
+                CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+                       THEN ${side - 1} - y ELSE y END
+                     ELSE x END AS x,
+                CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+                       THEN ${side - 1} - x ELSE x END
+                     ELSE y END AS y,
+                d + ${side * side} * xor(3 * rx, ry) AS d
+              FROM (SELECT event_id, x, y, d,
+                           (x >> $i) & 1 AS rx, (y >> $i) & 1 AS ry
+                    FROM $prev) t)"""
+    }
+    steps.mkString(",\n")
+  }
+
   val queries: Map[String, Q] = Map(
     "layout_zorder" -> ((s, dir) =>
       withZ(s, dir).select(col("event_id"), col("z"))
         .orderBy("z", "event_id")),
+
+    "layout_hilbert" -> ((s, dir) =>
+      withHilbert(s, dir).select(col("event_id"), col("h"))
+        .orderBy("h", "event_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -76,6 +144,23 @@ object Layout extends QueryModule {
                     FROM e CROSS JOIN b)
           SELECT event_id, ${mortonSql("qu", "qv")} AS z
           FROM q ORDER BY z, event_id"""
+    },
+
+    "layout_hilbert" -> {
+      val cells = 1L << BITS
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                     FROM events),
+              b AS (SELECT min(user_id) AS u_min, max(user_id) AS u_max,
+                           min(ts_us) AS t_min, max(ts_us) AS t_max
+                    FROM e),
+              h0 AS (SELECT event_id,
+                           (user_id - u_min) * $cells // (u_max - u_min + 1) AS x,
+                           (ts_us - t_min) * $cells // (t_max - t_min + 1) AS y,
+                           CAST(0 AS BIGINT) AS d
+                    FROM e CROSS JOIN b),
+              ${hilbertSql("h0")}
+          SELECT event_id, d AS h
+          FROM h$BITS ORDER BY h, event_id"""
     },
   )
 }

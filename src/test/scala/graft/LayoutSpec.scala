@@ -59,4 +59,47 @@ class LayoutSpec extends AnyFunSuite {
       assert(full >= 6, s"expected >=6/8 user-sorted parts with full t_span, got $full")
     } finally { ez.unpersist(); () }
   }
+
+  test("hilbert index is a bijection with unit grid steps on a full 32x32 grid") {
+    // The two defining properties of a Hilbert curve, checked exhaustively
+    // at 5 bits/dim: every cell gets a distinct index in [0, 1024), and
+    // consecutive indices are GRID-ADJACENT (Manhattan distance exactly 1
+    // — the locality property Morton lacks, where quadrant boundaries
+    // jump diagonally across the grid).
+    // gx/gy survive untouched: the state machine rotates hx/hy in place
+    val grid = spark.range(1024).select(
+      (col("id") / 32).cast("long").as("gx"),
+      (col("id") % 32).cast("long").as("gy"))
+      .withColumn("hx", col("gx")).withColumn("hy", col("gy"))
+    val cells = graft.operators.Layout.hilbertSteps(grid, 5)
+      .select("gx", "gy", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cells.map(_._3).toSet == (0L until 1024L).toSet)
+    val walk = cells.sortBy(_._3)
+    walk.sliding(2).foreach { case Array((x1, y1, _), (x2, y2, h)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-unit step into h=$h: ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
+
+  test("hilbert-clustered files bound both dims like z-order") {
+    val eh = graft.operators.Layout.withHilbert(spark, sf)
+      .select("event_id", "user_id", "ts_us", "h").cache()
+    try {
+      val b = eh.agg((max("user_id") - min("user_id")).cast("double").as("u"),
+                     (max("ts_us") - min("ts_us")).cast("double").as("t"))
+        .collect()(0)
+      val hS = spans(eh, "h").collect()
+      assert(hS.length == 8)
+      val bounded = hS.count(r =>
+        r.getLong(1) <= 0.75 * b.getDouble(0) &&
+        r.getLong(2) <= 0.75 * b.getDouble(1))
+      assert(bounded >= 6, {
+        val detail = hS.map(r =>
+          f"p${r.getInt(0)}: u=${r.getLong(1) / b.getDouble(0)}%.2f " +
+          f"t=${r.getLong(2) / b.getDouble(1)}%.2f").mkString(" | ")
+        s"expected >=6/8 hilbert parts bounded in both dims, got $bounded ($detail)"
+      })
+    } finally { eh.unpersist(); () }
+  }
 }
