@@ -98,12 +98,14 @@ object CellFlatten {
       Seq(array(struct(path.as("qualifier"), ser(c, other).as("value"))))
   }
 
-  /** Last finished dynamic-flatten checkpoint per (session, tag): replacing
-    * it unpersists the previous invocation's blocks so repeated plan builds
-    * in one session do not accumulate storage (advisor r8). */
+  /** Per-level checkpoint blocks of the LAST dynamic-flatten build per
+    * (session, tag): the result DataFrame reads from these, so they can
+    * only be unpersisted when the same tag is REBUILT (or its session
+    * stops) — bounding storage to one build per live (session, tag)
+    * without paying an extra result-sized checkpoint pass (advisor r8). */
   private val lastDynamic =
     scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+      .empty[(org.apache.spark.sql.SparkSession, String), Seq[DataFrame]]
 
   /** DYNAMIC (schema-less) flatten — json2hbase's true input mode: the
     * document structure is unknown until runtime, so it arrives as one
@@ -133,6 +135,9 @@ object CellFlatten {
     * unpersisted, so the residue of one build is one result-sized store. */
   def flattenVariant(docs: DataFrame, family: String, tag: String): DataFrame = {
     val s = docs.sparkSession
+    // drop entries of stopped sessions (their blocks are already gone)
+    lastDynamic.filterInPlace { case ((sess, _), _) =>
+      !sess.sparkContext.isStopped }
     val isContainer =
       schema_of_variant(col("v")).like("OBJECT%") ||
       schema_of_variant(col("v")).like("ARRAY%")
@@ -145,6 +150,14 @@ object CellFlatten {
     var depth = 0
     while (!frontier.isEmpty && depth < 64) {
       depth += 1
+      // One lazy explode per level. Only the CONTAINER frontier is
+      // checkpointed — it shrinks every level and is what the loop
+      // probes and the next level scans; the (bulky) leaf mass is never
+      // materialized, it streams from the checkpointed parent frontier
+      // straight into the final union (the explode runs twice per
+      // level — once into the next frontier, once under the leaf
+      // slice — but always reading the parent checkpoint, so total
+      // work stays linear in depth).
       val exploded = frontier
         .lateralJoin(s.tvf.variant_explode(col("v").outer()))
         .select(col("rowkey"), col("version"),
@@ -155,29 +168,26 @@ object CellFlatten {
             .otherwise(concat(col("q"), lit("["),
                               col("pos").cast("string"), lit("]"))).as("q"),
           col("value").as("v"))
-        .localCheckpoint()
-      intermediates += exploded
       leafSlices += exploded.filter(!isContainer)
         .select(col("rowkey"), col("version"), col("q"),
                 variant_get(col("v"), "$", "string").as("value"))
-      frontier = exploded.filter(isContainer)
+      frontier = exploded.filter(isContainer).localCheckpoint()
+      intermediates += frontier
     }
     if (!frontier.isEmpty)
       throw new IllegalStateException(
         s"flattenVariant: document nesting exceeds 64 levels (tag=$tag)")
+    lastDynamic.put((s, tag), intermediates.toSeq)
+      .foreach(_.foreach(_.unpersist()))
     if (leafSlices.isEmpty)
       return docs.sparkSession.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         StructType.fromDDL(
           "rowkey STRING, family STRING, qualifier STRING, version BIGINT, value STRING"))
-    val result = leafSlices.reduceLeft(_ unionByName _)
+    leafSlices.reduceLeft(_ unionByName _)
       .select(col("rowkey"), lit(family).as("family"),
               col("q").as("qualifier"), col("version"), col("value"))
       .filter(col("value").isNotNull) // JSON null leaf → no cell (HBase semantics)
-      .localCheckpoint()
-    intermediates.foreach(_.unpersist())
-    lastDynamic.put((s, tag), result).foreach(_.unpersist())
-    result
   }
 
   /** Flatten `df` into cells. `rowkey` must be unique per input row;

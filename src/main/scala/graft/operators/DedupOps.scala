@@ -47,9 +47,17 @@ object DedupOps extends QueryModule {
     scala.collection.concurrent.TrieMap
       .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
   private[graft] def nearPairs(s: org.apache.spark.sql.SparkSession,
-                               dir: String): DataFrame =
+                               dir: String): DataFrame = {
+    // Lazy eviction (advisor r8): a stopped session's checkpoint blocks
+    // died with its block manager, so keeping its entries would leak a
+    // DataFrame per (session, dir) ever seen in the process. Fixture
+    // dirs are immutable in this harness, so no data fingerprint is
+    // needed — the session key is the freshness boundary.
+    pairCache.filterInPlace { case ((sess, _), _) =>
+      !sess.sparkContext.isStopped }
     pairCache.getOrElseUpdate((s, dir),
       TextOps.queries("dedup_near")(s, dir).localCheckpoint())
+  }
 
   /** Word-trigram shingle set in O(words): two zip_with passes over
     * shifted views of the token array (the sequence+slice formulation is

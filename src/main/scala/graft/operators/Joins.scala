@@ -168,15 +168,18 @@ object Joins extends QueryModule {
     "q10_returned" -> ((s, dir) => {
       // TPC-H Q10 shape — returned-item reporting: revenue lost to
       // returns per customer, top 20. The returnflag filter lands in
-      // the lineitem SCAN (pushed), dims broadcast, and the final
+      // the lineitem SCAN (pushed), nation broadcasts, and the final
       // top-20 plans as TakeOrderedAndProject over the aggregated
       // (customer-sized) side — no global sort of the fact table.
+      // customer grows LINEARLY with SF (advisor r8), so it carries no
+      // explicit broadcast hint: AQE broadcasts it at fixture scale and
+      // falls back to a shuffle join when it outgrows the threshold.
       val n = T.load(s, dir, "nation")
       val c = T.load(s, dir, "customer")
       val o = T.load(s, dir, "orders")
       val l = T.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(T.d(sum(T.dec(col("l_extendedprice") *
@@ -204,9 +207,13 @@ object Joins extends QueryModule {
                         col("n_name").as("supp_nation"))
       val n2 = n.select(col("n_nationkey").as("nk2"),
                         col("n_name").as("cust_nation"))
+      // supplier/customer grow linearly with SF (advisor r8): no
+      // explicit broadcast hints — AQE broadcasts them at fixture scale
+      // and switches to shuffle joins beyond the threshold. The nation
+      // legs are bounded dims and stay hinted.
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("nk1"))
         .join(broadcast(n2), col("c_nationkey") === col("nk2"))
         .filter((col("supp_nation") === "NATION_3" &&
