@@ -14,6 +14,7 @@ object SparkEntry {
     Relational,
     Aggregates,
     Joins,
+    TpchShapes,
     Windows,
     Functions,
     Sources,

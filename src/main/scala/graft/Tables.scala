@@ -43,6 +43,30 @@ object Tables {
   def views(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => load(s, dir, n).createOrReplaceTempView(n))
 
+  /** Synthesized partsupp — the fixture ships no partsupp table, so the
+    * TPC-H shapes that need one (Q2/Q11/Q16/Q17) derive it
+    * DETERMINISTICALLY: the distinct (partkey, suppkey) pairs actually
+    * traded in lineitem, with key-derived cost and availqty (integer
+    * arithmetic then one exact divide — identical in both engines).
+    * SQL twin: [[partsuppSql]]. */
+  def partsupp(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .select(col("l_partkey").as("ps_partkey"),
+              col("l_suppkey").as("ps_suppkey")).distinct()
+      .withColumn("ps_supplycost",
+        ((col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 1000)
+          .cast("double") / 100.0)
+      .withColumn("ps_availqty",
+        (col("ps_partkey") * 7 + col("ps_suppkey") * 3) % 100 + 1)
+
+  val partsuppSql: String =
+    """SELECT ps_partkey, ps_suppkey,
+              CAST((ps_partkey * 31 + ps_suppkey * 17) % 1000 AS DOUBLE)
+                / 100.0 AS ps_supplycost,
+              (ps_partkey * 7 + ps_suppkey * 3) % 100 + 1 AS ps_availqty
+       FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                             l_suppkey AS ps_suppkey FROM lineitem)"""
+
   val DEC: DecimalType = DecimalType(38, 6)
 
   /** Exact, associative (partition-order-independent) aggregation input. */

@@ -284,12 +284,7 @@ object Joins extends QueryModule {
       // SYNTHESIZED deterministically: the distinct (partkey, suppkey)
       // pairs of lineitem with a key-derived cost — integer arithmetic
       // then one exact /100 divide, identical in both engines.
-      val ps = T.load(s, dir, "lineitem")
-        .select(col("l_partkey").as("ps_partkey"),
-                col("l_suppkey").as("ps_suppkey")).distinct()
-        .withColumn("ps_supplycost",
-          ((col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 1000)
-            .cast("double") / 100.0)
+      val ps = T.partsupp(s, dir)
       val n = T.load(s, dir, "nation")
       val r = T.load(s, dir, "region").filter(col("r_name") === "EUROPE")
       val supR = T.load(s, dir, "supplier")
@@ -700,16 +695,10 @@ object Joins extends QueryModule {
       // The oracle keeps the CORRELATED scalar-subquery formulation —
       // DuckDB decorrelates it itself — proving the Spark join-back
       // plan computes the same relation.
-      """WITH ps AS (
-           SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
-           FROM lineitem),
-         ps2 AS (
-           SELECT ps_partkey, ps_suppkey,
-                  CAST((ps_partkey * 31 + ps_suppkey * 17) % 1000 AS DOUBLE)
-                    / 100.0 AS ps_supplycost
-           FROM ps),
+      s"""WITH ps2 AS (${T.partsuppSql}),
          elig AS (
-           SELECT ps2.*, s_acctbal, s_name, n_name
+           SELECT ps2.ps_partkey, ps2.ps_suppkey, ps2.ps_supplycost,
+                  s_acctbal, s_name, n_name
            FROM ps2
            JOIN supplier ON ps_suppkey = s_suppkey
            JOIN nation   ON s_nationkey = n_nationkey
