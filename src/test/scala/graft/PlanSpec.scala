@@ -271,4 +271,52 @@ class PlanSpec extends AnyFunSuite {
     assert(p.sliding("BroadcastHashJoin".length)
             .count(_ == "BroadcastHashJoin") >= 4, p)
   }
+
+  test("q4_priority: EXISTS decorrelates to a semi join, never a nested loop") {
+    val p = plan("q4_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q16_supplier_cnt: null-free NOT IN plans as a PLAIN anti join") {
+    // the blocklist key is non-nullable, so Catalyst must use the cheap
+    // anti join — the trailing `true` flag would mean the null-aware
+    // variant (that case is filter_not_in_null's contract)
+    val p = plan("q16_supplier_cnt")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("LeftAnti, BuildRight, true"),
+           s"unexpected null-aware anti join:\n$p")
+  }
+
+  test("q21_waiting_supplier: EXISTS + NOT EXISTS = one semi and one anti join") {
+    val p = plan("q21_waiting_supplier")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q22_idle_customers: scalar broadcast + anti join on the filtered side") {
+    // the single-row avg-balance build is the ONLY nested-loop broadcast
+    // allowed (a 1-row cross join); the NOT EXISTS must be a hash anti
+    // join, and the urgent-order filter must sit below it
+    val p = plan("q22_idle_customers")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("1-URGENT"), s"orders filter not below the anti join:\n$p")
+  }
+
+  test("layout_hilbert: ten unrolled levels stay inside whole-stage codegen") {
+    // execute first: the adaptive plan only renders its WholeStageCodegen
+    // spans once finalized
+    val df = SparkEntry.queries("layout_hilbert")(spark, sf)
+    assert(df.collect().nonEmpty) // finalize THIS execution's adaptive plan
+    val p = df.queryExecution.executedPlan
+      .asInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec]
+      .executedPlan.toString
+    // `*(n)` prefixes = whole-stage-codegen'd operators; every one of
+    // the ten per-bit Project layers must carry one
+    assert(p.linesIterator.count(l => l.contains("Project [") &&
+                                      l.contains("*(")) >= 20, p)
+    // no hash shuffle anywhere: the only exchange is the final range sort
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
