@@ -70,6 +70,7 @@ object Graph extends QueryModule {
                             col("day") === col("day2") &&
                             col("u") < col("v") && keep)
       .select("u", "v").distinct()
+      .localCheckpoint() // pair set feeds degrees + wedge legs ×3: cut once
     val deg = pairs.select(col("u").as("n"))
       .unionAll(pairs.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -117,8 +118,16 @@ object Graph extends QueryModule {
       // silently where DuckDB errors — advisor r8). GraphSpec runs the
       // same algorithm UNsparsified (keep = true) at sf0.001 against a
       // brute-force in-memory count.
+      //
+      // The predicate is phrased as v-residue == f(u-residue) — the
+      // SAME set as (2u+v)%13 == 0 (7919 = 11^-1... rather 11 = -2 mod
+      // 13) — because one side depends only on the left row and the
+      // other only on the right: Catalyst extracts it as an EQUI join
+      // key, so the blocked self-join hash-partitions on (type, day,
+      // residue class) and never materializes the 12/13 of candidate
+      // pairs the old post-join filter threw away.
       coActivityTriangles(s, dir,
-        (col("u") % 13 * 7919 + col("v") % 13) % 13 === 0)),
+        col("v") % 13 === (col("u") % 13 * 11) % 13)),
 
     "graph_pagerank" -> ((s, dir) => {
       // Pregel-style lineage truncation (see connectedComponents): the
