@@ -197,6 +197,10 @@ object DedupOps extends QueryModule {
       val docs = T.load(s, dir, "documents")
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), shingles(col("text")).as("sh"))
+        // shingling feeds the signature pipeline (via both self-join
+        // legs of the band bucketing) and both exact-rescore sides —
+        // materialize once instead of four plan copies
+        .localCheckpoint()
       val sigCols = for { i <- 0 until K / 4; j <- 0 until 4 } yield
         min(conv(substring(col(s"m$i"), j * 8 + 1, 8), 16, 10)
               .cast("long")).as(s"s${i * 4 + j}")
@@ -210,6 +214,9 @@ object DedupOps extends QueryModule {
           (b * R until (b + 1) * R).map(r => col(s"s$r")): _*))))
       val banded = sigs
         .select(col("doc_id"), explode(array(bkeys: _*)).as("bkey"))
+        // B rows per doc; both legs of the candidate self-join read it —
+        // without the cut each leg re-runs the 12-lane signature agg
+        .localCheckpoint()
       val pairs = banded.as("x").join(banded.as("y"),
           col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -230,15 +237,21 @@ object DedupOps extends QueryModule {
       // Shingle sets built per SIDE before the pairing (O(words)), sorted
       // once so the pair scoring is the fused merge-count graft_jaccard
       // (zero per-pair allocation); the quadratic pair space is blocked
-      // by (lang, n_chars) and skew-capped by skewSafeSelfPairs (hot
-      // blocks go through salted sub-blocking).
+      // by (lang, length BUCKET) and skew-capped by skewSafeSelfPairs
+      // (hot blocks go through salted sub-blocking). Blocking on the
+      // 64-char bucket rather than exact n_chars: near-dups rarely have
+      // IDENTICAL length (r9 — the exact block made this key vacuously
+      // 0-row at the gate SF), while same-bucket captures the real
+      // population; boundary-straddling pairs are the documented
+      // blocking miss, as in any LSH-family scheme.
       val feat = T.load(s, dir, "documents")
         .filter(size(split(col("text"), " ")) >= 3)
-        .select(col("lang"), col("n_chars"), col("doc_id"),
+        .select(col("lang"), expr("n_chars div 64").as("n_chars"),
+                col("doc_id"),
                 array_sort(shingles(col("text"))).as("feat"))
       val j = graft.functions.JaccardSets.jac(s, "f_a", "f_b")
       skewSafeSelfPairs(feat, cap = 2000, k = 8)
-        .withColumn("j_raw", j).filter(col("j_raw") >= 0.8)
+        .withColumn("j_raw", j).filter(col("j_raw") >= 0.6)
         .select(col("id_a"), col("id_b"), st4(col("j_raw")).as("j"))
         .orderBy("id_a", "id_b")
     }),
@@ -255,6 +268,10 @@ object DedupOps extends QueryModule {
       val feat = T.load(s, dir, "documents")
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), shingles(col("text")).as("feat"))
+        // the shingle computation feeds BOTH posting legs of the
+        // candidate self-join AND both rescoring sides — four plan
+        // copies without a cut; materialize it once
+        .localCheckpoint()
       val postings = feat
         .select(col("doc_id"), explode(col("feat")).as("sh"))
       val rare = postings.groupBy("sh")
@@ -522,15 +539,15 @@ object DedupOps extends QueryModule {
       s"""WITH d AS (SELECT doc_id, lang, n_chars,
                             string_split(lower(text), ' ') AS w
                      FROM documents),
-               s AS (SELECT doc_id, lang, n_chars,
+               s AS (SELECT doc_id, lang, n_chars // 64 AS blk,
                             list_distinct(list_transform(
                               generate_series(1, len(w) - 2),
                               i -> array_to_string(w[i:i+2], ' '))) AS sg
                      FROM d WHERE len(w) >= 3)
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${st4s(j)} AS j
-          FROM s a JOIN s b ON a.lang = b.lang AND a.n_chars = b.n_chars
+          FROM s a JOIN s b ON a.lang = b.lang AND a.blk = b.blk
                            AND a.doc_id < b.doc_id
-          WHERE $j >= 0.8
+          WHERE $j >= 0.6
           ORDER BY id_a, id_b"""
     },
 
