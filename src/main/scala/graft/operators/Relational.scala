@@ -158,8 +158,12 @@ object Relational extends QueryModule {
     }),
 
     "set_except" -> ((s, dir) => {
+      // all customers MINUS big-order customers: the unfiltered version
+      // is vacuously empty on the dense fixture (every customer orders)
       val c = T.load(s, dir, "customer").select(col("c_custkey").as("k"))
-      val o = T.load(s, dir, "orders").select(col("o_custkey").as("k"))
+      val o = T.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("k"))
       c.except(o).orderBy("k")
     }),
 
@@ -260,7 +264,8 @@ object Relational extends QueryModule {
 
     "set_except" ->
       """SELECT c_custkey AS k FROM customer
-         EXCEPT SELECT o_custkey FROM orders ORDER BY k""",
+         EXCEPT SELECT o_custkey FROM orders
+                WHERE o_totalprice > 400000.0 ORDER BY k""",
 
     "set_intersect_all" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice < 200000.0
