@@ -147,7 +147,47 @@ object Streaming extends QueryModule {
     }
   }
 
+  /** Stable checkpoint of a drained keyed aggregation per sf-dir, for
+    * the STATE STORE SOURCE below (write once, reuse — content is a
+    * pure function of the staged input). */
+  private def stageStateCp(s: SparkSession, dir: String): String = {
+    val cp = "/tmp/graft_statecp_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!new java.io.File(s"$cp/_DONE").exists()) {
+      val in = readStream(s, stageEvents(s, dir))
+      val agg = in.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"))
+      val name = s"graft_mem_state_${ctr.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp).start()
+      q.awaitTermination()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$cp/_DONE"), Array[Byte]())
+    }
+    cp
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_state_read" -> ((s0, dir) => {
+      // Spark 4's STATE DATA SOURCE: the keyed state under a streaming
+      // checkpoint read back as a TABLE — the ops/debugging surface for
+      // stateful pipelines (inspect, audit, bootstrap). A keyed-count
+      // aggregation drains once into a stable checkpoint; reading
+      // `format("statestore")` then yields one row per key with the
+      // aggregation BUFFER as the value struct, which must equal the
+      // batch groupBy of the same input — proving checkpointed state,
+      // not sink output, carries the correct running totals. At scale
+      // the source shards by state-store partition, so the read
+      // parallelizes like any scan (partition_id dropped: it reflects
+      // shuffle-partition count, not data).
+      val s = streamSession(s0)
+      val cp = stageStateCp(s, dir)
+      s.read.format("statestore").load(cp)
+        .select(col("key.event_type").as("event_type"), col("value.*"))
+        .toDF("event_type", "n", "sum_uid")
+        .orderBy("event_type")
+    }),
+
     "stream_append_final" -> ((s0, dir) => {
       // APPEND-mode windowed aggregation — the production default at
       // scale: a window emits ONCE, when the watermark proves no more
@@ -510,6 +550,10 @@ object Streaming extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_state_read" ->
+      """SELECT event_type, count(*) AS n, sum(user_id) AS sum_uid
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
     "stream_tumbling" ->
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
                  count(*) AS n, ${dsum("value")} AS sum_value
