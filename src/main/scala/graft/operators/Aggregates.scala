@@ -123,6 +123,44 @@ object Aggregates extends QueryModule {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
         .orderBy("l_returnflag")),
 
+    "agg_countmin" -> ((s, dir) => {
+      // COUNT-MIN SKETCH, fully oracle-checked (unlike HLL above, whose
+      // engine-native sketches can only be error-gated): d=3 lanes ×
+      // w=64 counters, lane hash = first 8 md5 hex chars of "lane:uid"
+      // mod w — md5 is the one hash both engines share bit-for-bit (the
+      // dedup_minhash_portable recipe). Build = one partial-aggregable
+      // groupBy (the sketch is 192 cells regardless of input size —
+      // THE point of a sketch at 100 TB: fixed-size mergeable state).
+      // Readout: estimate 10 probe uids via min-over-lanes against the
+      // broadcast sketch, alongside exact counts — est >= exact always
+      // (one-sided CMS error), equality when no collision.
+      val d = 3; val w = 64
+      def bucket(lane: Int, uid: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(concat(lit(s"$lane:"),
+          uid.cast("string"))), 1, 8), 16, 10).cast("long"), lit(w))
+      val ev = T.events(s, dir).select(col("user_id"))
+      val cells = ev.select(explode(array((0 until d).map(i =>
+          struct(lit(i).as("lane"),
+                 bucket(i, col("user_id")).as("bucket"))): _*)).as("lb"))
+        .groupBy(col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val probes = s.range(10).select(col("id").as("probe_uid"))
+        .select(col("probe_uid"), explode(array((0 until d).map(i =>
+          struct(lit(i).as("lane"),
+                 bucket(i, col("probe_uid")).as("bucket"))): _*)).as("lb"))
+        .select(col("probe_uid"), col("lb.lane").as("lane"),
+                col("lb.bucket").as("bucket"))
+      val est = probes.join(broadcast(cells), Seq("lane", "bucket"))
+        .groupBy("probe_uid").agg(min(col("c")).as("est_n"))
+      val truth = ev.filter(col("user_id") < 10)
+        .groupBy(col("user_id").as("t_uid"))
+        .agg(count(lit(1)).as("true_n"))
+      est.join(truth, col("probe_uid") === col("t_uid"), "left")
+        .select(col("probe_uid"), coalesce(col("true_n"), lit(0L)).as("true_n"),
+                col("est_n"))
+        .orderBy("probe_uid")
+    }),
+
     "agg_rollup" -> ((s, dir) => { T.views(s, dir, "lineitem"); s.sql(rollupSql) }),
     "agg_cube" -> ((s, dir) => { T.views(s, dir, "lineitem"); s.sql(cubeSql) }),
     "agg_grouping_sets" -> ((s, dir) =>
@@ -503,6 +541,31 @@ object Aggregates extends QueryModule {
     s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "agg_countmin" ->
+      // same 3×64 sketch rebuilt in DuckDB: TRY_CAST('0x'||hex) is the
+      // conv(hex,16,10) twin, both operands non-negative so % == pmod
+      """WITH lanes AS (SELECT i FROM generate_series(0, 2) AS t(i)),
+            cells AS (SELECT i AS lane,
+                             TRY_CAST('0x' || substring(md5(CAST(i AS VARCHAR)
+                               || ':' || CAST(user_id AS VARCHAR)), 1, 8)
+                               AS BIGINT) % 64 AS bucket,
+                             count(*) AS c
+                      FROM events CROSS JOIN lanes
+                      GROUP BY 1, 2),
+            probes AS (SELECT p, i AS lane,
+                              TRY_CAST('0x' || substring(md5(CAST(i AS VARCHAR)
+                                || ':' || CAST(p AS VARCHAR)), 1, 8)
+                                AS BIGINT) % 64 AS bucket
+                       FROM generate_series(0, 9) AS g(p) CROSS JOIN lanes),
+            est AS (SELECT p AS probe_uid, min(c) AS est_n
+                    FROM probes JOIN cells USING (lane, bucket)
+                    GROUP BY p),
+            truth AS (SELECT user_id AS t_uid, count(*) AS true_n
+                      FROM events WHERE user_id < 10 GROUP BY user_id)
+         SELECT probe_uid, coalesce(true_n, 0) AS true_n, est_n
+         FROM est LEFT JOIN truth ON probe_uid = t_uid
+         ORDER BY probe_uid""",
+
     "agg_histogram" ->
       s"""SELECT event_type,
                  CAST(least(floor(value / 50.0), 9.0) AS BIGINT) AS bin,
