@@ -150,6 +150,34 @@ object CellQueries extends QueryModule {
         "v", tag = "sink_cells_variant_deep")
         .orderBy("rowkey", "qualifier")),
 
+    "pipeline_e2e_v3" -> ((s, dir) =>
+      // The reference's whole job over SCHEMA-LESS input: raw JSON docs
+      // (structure unknown at plan time) → variant fixpoint flatten →
+      // per-leaf-PATH analytic readback (array indices normalized), the
+      // dynamic twin of pipeline_e2e_v2 — proving the engine runs the
+      // full ingest→cells→analytics pipeline without a schema anywhere.
+      CellFlatten.flattenVariant(
+        T.events(s, dir).select(
+          col("event_id").cast("string").as("rowkey"),
+          col("ts_us").as("version"),
+          parse_json(to_json(struct(
+            col("user_id").as("uid"),
+            transform(sequence(lit(0L), col("event_id") % 3),
+              i => concat(col("event_type"), lit("_"), i.cast("string")))
+              .as("tags"),
+            struct((col("user_id") % 7).as("a"),
+                   struct((col("user_id") + 1).as("c")).as("b")).as("m"))))
+            .as("v")),
+        "v", tag = "pipeline_e2e_v3")
+        .withColumn("leaf", regexp_replace(col("qualifier"),
+                                           "\\[\\d+\\]", "[]"))
+        .groupBy("family", "leaf")
+        .agg(count(lit(1)).as("n_cells"),
+             countDistinct(col("rowkey")).as("n_rows"),
+             min(col("version")).as("min_version"),
+             max(col("version")).as("max_version"))
+        .orderBy("family", "leaf")),
+
     "pipeline_e2e_v2" -> ((s, dir) =>
       // The reference's whole job over the DEEPLY NESTED input space:
       // build documents → recursive flatten to cells → analytic readback
@@ -714,6 +742,29 @@ object CellQueries extends QueryModule {
                             || CAST(j AS VARCHAR) || ']', ts_us,
                    CAST(user_id + i + j AS VARCHAR) FROM ij)
          SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    "pipeline_e2e_v3" ->
+      // leaves rebuilt from base columns (as in sink_cells_variant),
+      // then the same per-path readback
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+                            event_type FROM events),
+          its AS (SELECT event_id, ts_us,
+                         unnest(generate_series(0, event_id % 3)) AS i
+                  FROM ev),
+          cells AS (
+            SELECT CAST(event_id AS VARCHAR) AS rowkey, 'v' AS family,
+                   'uid' AS qualifier, ts_us AS version FROM ev
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'v', 'tags[]', ts_us FROM its
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'v', 'm.a', ts_us FROM ev
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'v', 'm.b.c', ts_us FROM ev)
+         SELECT family, qualifier AS leaf, count(*) AS n_cells,
+                count(DISTINCT rowkey) AS n_rows,
+                min(version) AS min_version, max(version) AS max_version
+         FROM cells GROUP BY family, leaf
+         ORDER BY family, leaf""",
 
     "pipeline_e2e_v2" ->
       s"""WITH $nestedWith
