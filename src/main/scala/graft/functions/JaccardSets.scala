@@ -5,25 +5,31 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression: Jaccard similarity of two SORTED DISTINCT
-  * string arrays by a single merge pass — the fused form of
-  * `size(array_intersect(a,b)) / size(array_union(a,b))`.
+  * arrays (string or int64 elements) by a single merge pass — the fused
+  * form of `size(array_intersect(a,b)) / size(array_union(a,b))`.
   *
   * Why a custom Expression: that composed form materializes two
   * intermediate arrays (plus their hash sets) per PAIR, and the pair
   * loop is the quadratic inner loop of the blocked dedups — the hottest
   * code in the engine at corpus scale. The merge pass allocates nothing,
-  * compares UTF8String bytes directly, and inlines into whole-stage
-  * codegen.
+  * and inlines into whole-stage codegen. The int64 path exists because
+  * even a zero-copy UTF8String compare constructs a wrapper object per
+  * element visit — callers hashing their tokens first (`xxhash64` inside
+  * a `transform`) turn the inner loop into primitive long compares with
+  * no allocation at all, while the Jaccard VALUE is unchanged (the hash
+  * is injective on any concrete token set short of a 2^-64 collision,
+  * so |∩| and |∪| are preserved).
   *
-  * Contract: both inputs must be sorted by Spark's binary string order
-  * (`array_sort`) and duplicate-free (`array_distinct`) — then
-  * intersection/union COUNTS equal the composed form's exactly, so the
-  * emitted double (|∩| / (n + m - |∩|)) is bit-identical to it and to
-  * the DuckDB oracles. Two empty arrays give 0/0 = NaN, matching the
-  * composed form's behavior under a >= threshold filter (dropped).
+  * Contract: both inputs must be sorted by the SAME order (`array_sort`:
+  * binary string order / signed long order) and duplicate-free
+  * (`array_distinct`) — then intersection/union COUNTS equal the
+  * composed form's exactly, so the emitted double (|∩| / (n + m - |∩|))
+  * is bit-identical to it and to the DuckDB oracles. Two empty arrays
+  * give 0/0 = NaN, matching the composed form's behavior under a >=
+  * threshold filter (dropped).
   */
 case class JaccardSets(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -31,17 +37,31 @@ case class JaccardSets(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_jaccard"
 
+  private def longElems: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _                      => false
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
     val n = xs.numElements()
     val m = ys.numElements()
     var i = 0; var j = 0; var inter = 0L
-    while (i < n && j < m) {
-      val c = xs.getUTF8String(i).compareTo(ys.getUTF8String(j))
-      if (c == 0) { inter += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+    if (longElems) {
+      while (i < n && j < m) {
+        val x = xs.getLong(i); val y = ys.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < n && j < m) {
+        val c = xs.getUTF8String(i).compareTo(ys.getUTF8String(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     inter.toDouble / (n + m - inter)
   }
@@ -53,15 +73,28 @@ case class JaccardSets(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val inter = ctx.freshName("inter")
-      val c = ctx.freshName("c")
+      val body = if (longElems) {
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+           |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+           |  if ($x == $y) { $inter++; $i++; $j++; }
+           |  else if ($x < $y) { $i++; } else { $j++; }
+         """.stripMargin
+      } else {
+        val c = ctx.freshName("c")
+        s"""
+           |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           |  if ($c == 0) { $inter++; $i++; $j++; }
+           |  else if ($c < 0) { $i++; } else { $j++; }
+         """.stripMargin
+      }
       s"""
          |int $n = $a.numElements();
          |int $m = $b.numElements();
          |int $i = 0; int $j = 0; long $inter = 0L;
          |while ($i < $n && $j < $m) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($c == 0) { $inter++; $i++; $j++; }
-         |  else if ($c < 0) { $i++; } else { $j++; }
+         |$body
          |}
          |${ev.value} = ((double) $inter) / ($n + $m - $inter);
        """.stripMargin

@@ -244,11 +244,25 @@ object DedupOps extends QueryModule {
       // 0-row at the gate SF), while same-bucket captures the real
       // population; boundary-straddling pairs are the documented
       // blocking miss, as in any LSH-family scheme.
+      // shingles are HASHED to int64 before the pair loop: the Jaccard
+      // value is unchanged (xxhash64 is injective on the concrete token
+      // sets short of a 2^-64 collision, so |∩|/|∪| is preserved and
+      // the string-domain DuckDB oracle still matches), but the per-pair
+      // merge inside graft_jaccard becomes primitive long compares with
+      // zero allocation — the candidate space is ~80× the corpus here,
+      // so per-pair constants dominate the key's cost.
       val feat = T.load(s, dir, "documents")
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("lang"), expr("n_chars div 64").as("n_chars"),
                 col("doc_id"),
-                array_sort(shingles(col("text"))).as("feat"))
+                array_sort(transform(shingles(col("text")), xxhash64(_)))
+                  .as("feat"))
+        // the cut that keeps shingling O(docs), not O(pairs): without
+        // it CollapseProject floats this projection above the blocked
+        // self-join and shingle+hash+sort re-runs per candidate PAIR
+        // (measured 8 s vs 4 s at sf0.1) — same hazard the dedup_near /
+        // dedup_containment cuts document
+        .localCheckpoint()
       val j = graft.functions.JaccardSets.jac(s, "f_a", "f_b")
       skewSafeSelfPairs(feat, cap = 2000, k = 8)
         .withColumn("j_raw", j).filter(col("j_raw") >= 0.6)

@@ -3,18 +3,22 @@ package graft.operators
 import graft.{QueryModule, Tables => T}
 import org.apache.spark.sql.functions._
 
-/** SURVEY.md §2.5 — the TPC-H SUBQUERY-DECORRELATION shapes (Q4, Q11,
-  * Q16, Q17, Q21, Q22 analogues on the fixture schema). Each is a
-  * canonical correlated-subquery pattern re-expressed Spark-first as the
-  * join the optimizer would decorrelate it into — semi joins for EXISTS,
-  * anti joins for NOT EXISTS / NOT IN (null-free keys), broadcast
-  * scalars for uncorrelated aggregates, groupBy + join-back for
-  * correlated aggregates — while every DuckDB oracle keeps the
-  * SUBQUERY formulation, proving the decorrelated plan computes the
-  * same relation. partsupp is the deterministic synthesis in
-  * `Tables.partsupp` (the fixture has none); "late" lineitems are
-  * reshaped as shipdate > orderdate + 60 days (the fixture lacks
-  * commit/receipt dates).
+/** SURVEY.md §2.5/§2.6 — the TPC-H query shapes not already covered by
+  * the headline suite (Q1/Q3/Q5/Q7/Q10/Q18 live in Aggregates/Joins),
+  * completing ALL 22: Q2/Q4/Q6/Q8/Q9/Q11–Q17/Q19–Q22 analogues on the
+  * fixture schema. Each is a canonical pattern re-expressed Spark-first
+  * as the plan the optimizer would produce from the subquery form —
+  * semi joins for EXISTS, anti joins for NOT EXISTS / NOT IN (null-free
+  * keys), broadcast scalars for uncorrelated aggregates, groupBy +
+  * join-back for correlated aggregates, conditional aggregation for
+  * CASE ratios — while every DuckDB oracle keeps the canonical
+  * (often correlated-subquery) formulation, proving the decorrelated
+  * plan computes the same relation. partsupp is the deterministic
+  * synthesis in `Tables.partsupp` (the fixture has none); "late"
+  * lineitems are reshaped as shipdate > orderdate + 60 days (the
+  * fixture lacks commit/receipt dates); shipmode/container/mfgr
+  * predicates are reshaped onto columns the fixture has (returnflag,
+  * size, name-prefix), keeping each query's SHAPE intact.
   *
   * Scale notes: every fact-sized join below shuffles on its natural key
   * (orderkey / partkey / custkey); dims and scalar aggregates ride
@@ -158,6 +162,243 @@ object TpchShapes extends QueryModule {
              T.d(sum(T.dec(col("c_acctbal")))).as("total_bal"))
         .orderBy("c_mktsegment")
     }),
+
+    "q6_forecast" -> ((s, dir) => {
+      // Q6 shape — the PUSHDOWN benchmark: three range predicates, no
+      // join, one global sum. All three filters reach the parquet scan
+      // as PushedFilters (the shipdate bounds compare the TIMESTAMP
+      // column against literals — no cast on the column, so the filter
+      // survives to the scan), and ReadSchema carries only the four
+      // touched columns. At 100 TB this is the difference between
+      // scanning a year and scanning the table.
+      T.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+                col("l_discount").between(0.02, 0.04) &&
+                col("l_quantity") < 24)
+        .agg(T.d(sum(T.dec(col("l_extendedprice") * col("l_discount"))))
+               .as("revenue"))
+    }),
+
+    "q8_market_share" -> ((s, dir) => {
+      // Q8 shape — market share: one nation's fraction of a region's
+      // PROMO revenue per year. Six-table star around lineitem with the
+      // nation dim joined in TWO ROLES (customer side filters to the
+      // region, supplier side labels the share numerator) — role
+      // separation via per-role aliased projections, not self-join
+      // tricks. The share is conditional aggregation over ONE pass
+      // (sum(CASE)/sum), not two scans; both sums are exact decimals,
+      // emitted as one IEEE divide.
+      val l = T.load(s, dir, "lineitem")
+      val o = T.load(s, dir, "orders").select("o_orderkey", "o_custkey",
+                                              "o_orderdate")
+      val p = T.load(s, dir, "part").filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val n = T.load(s, dir, "nation")
+      val custNation = T.load(s, dir, "customer").select("c_custkey",
+                                                         "c_nationkey")
+        .join(broadcast(n.select(col("n_nationkey"), col("n_regionkey"))),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.load(s, dir, "region")
+                          .filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey")
+      val suppNation = T.load(s, dir, "supplier").select("s_suppkey",
+                                                         "s_nationkey")
+        .join(broadcast(n.select(col("n_nationkey").as("sn_key"),
+                                 col("n_name").as("supp_nation"))),
+              col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      val vol = T.dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(custNation, col("o_custkey") === col("c_custkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((T.d(sum(when(col("supp_nation") === "NATION_7", vol)
+                        .otherwise(T.dec(lit(0.0))))) /
+              T.d(sum(vol))).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    "q9_product_profit" -> ((s, dir) => {
+      // Q9 shape — product-line profit: revenue minus supply cost for a
+      // name-filtered part family, by supplier nation and year. The
+      // (partkey, suppkey) composite join against the synthesized
+      // partsupp is the interesting edge — it shuffles lineitem ONCE on
+      // the composite key; part rides a broadcast, and the
+      // supplier→nation chain carries NO hint (supplier grows linearly
+      // with SF — AQE decides per scale, advisor r8). amount is
+      // computed per row in doubles (identical IEEE ops both engines)
+      // and summed exactly as decimal.
+      val l = T.load(s, dir, "lineitem")
+      val p = T.load(s, dir, "part").filter(col("p_name").like("red%"))
+        .select("p_partkey")
+      val ps = T.partsupp(s, dir)
+      val o = T.load(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      val sn = T.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(T.load(s, dir, "nation")
+                          .select(col("n_nationkey"),
+                                  col("n_name").as("nation"))),
+              col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "nation")
+      val amount = T.dec(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        col("ps_supplycost") * col("l_quantity"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(ps, col("l_partkey") === col("ps_partkey") &&
+                  col("l_suppkey") === col("ps_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(sn, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("nation"),
+                 year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(T.d(sum(amount)).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    "q12_shipmode" -> ((s, dir) => {
+      // Q12 shape — two-class conditional counts over late lines
+      // (shipmode reshaped onto returnflag; the fixture has no
+      // l_shipmode): per class, how many late lines belonged to
+      // critical-priority orders vs not. One orders↔lineitem join with
+      // the lateness predicate as a join-side filter, then sum(CASE) —
+      // the canonical "counts by bucketed dimension" report.
+      val o = T.load(s, dir, "orders").select("o_orderkey", "o_orderdate",
+                                              "o_orderpriority")
+      val l = T.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_shipdate", "l_returnflag")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, col("l_orderkey") === col("o_orderkey") &&
+                col("l_shipdate").cast("date") >
+                  date_add(col("o_orderdate").cast("date"), LATE_DAYS))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+             sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q13_cust_distribution" -> ((s, dir) => {
+      // Q13 shape — the DISTRIBUTION-OF-COUNTS double aggregate: orders
+      // per customer (LEFT join so zero-order customers keep count 0 —
+      // count(o_orderkey) counts only matched rows), then customers per
+      // count. The first agg shuffles on custkey, the second on the
+      // tiny count domain; no subquery survives — this is the shape
+      // DuckDB decorrelates its own formulation into.
+      val c = T.load(s, dir, "customer").select("c_custkey")
+      val o = T.load(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "q14_promo" -> ((s, dir) => {
+      // Q14 shape — promo revenue percentage for one month: a
+      // sum(CASE)/sum ratio over a date-sliced lineitem joined to the
+      // part dim. The month slice pushes to the scan; part broadcasts;
+      // the two sums share one aggregation pass. 100 * exact-decimal /
+      // exact-decimal emitted through one IEEE multiply+divide.
+      val l = T.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1996-10-01").cast("timestamp"))
+      val p = T.load(s, dir, "part").select("p_partkey", "p_type")
+      val vol = T.dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+              T.d(sum(when(col("p_type") === "PROMO", vol)
+                        .otherwise(T.dec(lit(0.0))))) /
+              T.d(sum(vol))).as("promo_revenue"))
+    }),
+
+    "q15_top_supplier" -> ((s, dir) => {
+      // Q15 shape — TOP-BY-SCALAR-MAX with exact ties: supplier revenue
+      // over a quarter, keep the supplier(s) equal to the max. The view
+      // is computed ONCE (the revenue agg), the max rides a 1-row
+      // broadcast back onto it, and the equality compare happens on the
+      // EXACT decimal (emitting double first would make ties
+      // representation-dependent). localCheckpoint: the broadcast max
+      // branch re-executes its whole subtree (the repo's measured
+      // broadcast-reexec behavior) — without the cut the quarter scan +
+      // agg runs twice; with it, once, and both consumers replay the
+      // |suppliers|-row checkpoint.
+      val rev = T.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(T.dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+               .as("total_revenue"))
+        .localCheckpoint()
+      val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .join(T.load(s, dir, "supplier"),
+              col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+                T.d(col("total_revenue")).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    "q19_discounted" -> ((s, dir) => {
+      // Q19 shape — DISJUNCTIVE join predicates: three (brand, size,
+      // quantity) conjunct groups OR-ed together, each referencing BOTH
+      // sides of the part join. Catalyst's CNF conversion must extract
+      // the per-side implications (brand/size union → the part scan,
+      // quantity envelope → the lineitem scan) so neither side scans
+      // full; the residual OR evaluates post-join. The plan-spec checks
+      // the extraction happened.
+      val l = T.load(s, dir, "lineitem")
+      val p = T.load(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      val cond =
+        (col("p_brand") === "Brand#3"  && col("p_size").between(1, 5)  &&
+         col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#7"  && col("p_size").between(1, 10) &&
+         col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+         col("l_quantity").between(20, 30))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey") && cond)
+        .agg(T.d(sum(T.dec(col("l_extendedprice") *
+                           (lit(1.0) - col("l_discount"))))).as("revenue"))
+    }),
+
+    "q20_potential_promo" -> ((s, dir) => {
+      // Q20 shape — the NESTED-subquery chain (IN inside IN with a
+      // correlated scalar): suppliers in one nation holding excess
+      // stock of a part family. Decorrelation: lineitem pre-aggregates
+      // once on the (partkey, suppkey) grain, joins partsupp on the
+      // SAME composite key (no correlated rescan per row), the part
+      // family is a broadcast semi join, and the qualifying pairs
+      // become a semi join into supplier. Inner join to the pre-agg =
+      // the subquery's empty-sum → NULL → false semantics.
+      val ps = T.partsupp(s, dir)
+      val fam = T.load(s, dir, "part").filter(col("p_name").like("small%"))
+        .select("p_partkey")
+      val shipped = T.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey").as("sq_partkey"),
+                 col("l_suppkey").as("sq_suppkey"))
+        .agg(T.d(sum(T.dec(col("l_quantity")))).as("shipped_qty"))
+      val excess = ps
+        .join(broadcast(fam), col("ps_partkey") === col("p_partkey"),
+              "left_semi")
+        .join(shipped, col("ps_partkey") === col("sq_partkey") &&
+                       col("ps_suppkey") === col("sq_suppkey"))
+        .filter(col("ps_availqty") > col("shipped_qty") * 0.5)
+        .select("ps_suppkey")
+      T.load(s, dir, "supplier")
+        .join(broadcast(T.load(s, dir, "nation")
+                          .filter(col("n_name") === "NATION_3")),
+              col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    }),
   )
 
   private def dsum(inner: String) =
@@ -230,5 +471,125 @@ object TpchShapes extends QueryModule {
                             WHERE o_custkey = c_custkey
                               AND o_orderpriority = '1-URGENT')
           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q6_forecast" ->
+      s"""SELECT ${dsum("l_extendedprice * l_discount")} AS revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+            AND l_discount BETWEEN 0.02 AND 0.04
+            AND l_quantity < 24""",
+
+    "q8_market_share" ->
+      s"""WITH all_lines AS (
+            SELECT year(o_orderdate) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n2.n_name AS supp_nation
+            FROM lineitem
+              JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+                         AND r_name = 'EUROPE'
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey)
+          SELECT o_year,
+                 ${dsum("CASE WHEN supp_nation = 'NATION_7' " +
+                        "THEN volume ELSE 0.0 END")} /
+                 ${dsum("volume")} AS mkt_share
+          FROM all_lines GROUP BY o_year ORDER BY o_year""",
+
+    "q9_product_profit" ->
+      s"""WITH ps AS (${T.partsuppSql}),
+              profit AS (
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   l_extendedprice * (1 - l_discount)
+                     - ps_supplycost * l_quantity AS amount
+            FROM lineitem
+              JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+              JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey)
+          SELECT nation, o_year, ${dsum("amount")} AS sum_profit
+          FROM profit GROUP BY nation, o_year
+          ORDER BY nation, o_year DESC""",
+
+    "q12_shipmode" ->
+      s"""SELECT l_returnflag,
+                 CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+                 CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                               THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_line_count
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE CAST(l_shipdate AS DATE) >
+                CAST(o_orderdate AS DATE) + $LATE_DAYS
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01'
+          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q13_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT JOIN orders
+                 ON c_custkey = o_custkey
+                AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+
+    "q14_promo" ->
+      s"""SELECT 100.0 *
+                 ${dsum("CASE WHEN p_type = 'PROMO' " +
+                        "THEN l_extendedprice * (1 - l_discount) " +
+                        "ELSE 0.0 END")} /
+                 ${dsum("l_extendedprice * (1 - l_discount)")}
+                   AS promo_revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+            AND l_shipdate <  TIMESTAMP '1996-10-01'""",
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,6))) AS tr
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate <  TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name,
+                CAST(CAST(tr AS VARCHAR(64)) AS DOUBLE) AS total_revenue
+         FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         WHERE tr = (SELECT max(tr) FROM rev)
+         ORDER BY s_suppkey""",
+
+    "q19_discounted" ->
+      s"""SELECT ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5
+                 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q20_potential_promo" ->
+      s"""WITH ps AS (${T.partsuppSql})
+          SELECT s_suppkey, s_name
+          FROM supplier JOIN nation
+            ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+          WHERE s_suppkey IN (
+            SELECT ps_suppkey FROM ps
+            WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                 WHERE p_name LIKE 'small%')
+              AND ps_availqty >
+                  (SELECT ${dsum("l_quantity")} FROM lineitem
+                   WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                     AND l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l_shipdate <  TIMESTAMP '1997-01-01') * 0.5)
+          ORDER BY s_name""",
   )
 }

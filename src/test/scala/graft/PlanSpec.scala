@@ -295,6 +295,59 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q6_forecast: every predicate reaches the parquet scan; no join") {
+    val p = plan("q6_forecast")
+    // the timestamp window pushes because the COLUMN is uncast — the
+    // scan's PushedFilters list leads with it (the list itself prints
+    // truncated, so the full predicates are asserted on the Filter node)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains(">= 1996-01-01 00:00:00)"), p)
+    assert(p.contains(">= 0.02)") && p.contains("<= 0.04)"), p)
+    assert(p.contains("< 24.0)"), p)
+    assert(!p.contains("Join"), s"Q6 must be join-free:\n$p")
+  }
+
+  test("q13_cust_distribution: zero-preserving left join under two agg levels") {
+    val p = plan("q13_cust_distribution")
+    assert(p.contains("LeftOuter"), p)
+    // orders-per-customer partial+final, then customers-per-count
+    // partial+final = four HashAggregates
+    assert(p.sliding("HashAggregate".length)
+            .count(_ == "HashAggregate") >= 4, p)
+  }
+
+  test("q15_top_supplier: the quarter is scanned ONCE (checkpoint cut)") {
+    // rev is localCheckpoint-cut, so neither the broadcast max branch
+    // nor the probe side can re-scan lineitem — the executed plan reads
+    // the checkpointed RDD, and lineitem appears in NO scan node
+    val p = plan("q15_top_supplier")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("lineitem.parquet"),
+           s"broadcast max branch re-scans lineitem:\n$p")
+  }
+
+  test("q9_product_profit joins partsupp on the COMPOSITE key in one shuffle") {
+    val p = plan("q9_product_profit")
+    // the (l_partkey, l_suppkey) composite join must be an equi hash
+    // join (shuffled or broadcast after AQE), never a nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q19_discounted: per-side implications of the OR-of-ANDs are extracted") {
+    // the three (brand, size, quantity) conjunct groups OR-ed in the
+    // join condition must yield side-local filters BELOW the join:
+    // the brand/size union on the part scan, the quantity envelope on
+    // the lineitem scan — neither side may scan full
+    val p = plan("q19_discounted")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // substrings skip the #exprId suffixes the Filter nodes print
+    assert(p.contains("= Brand#3) AND (p_size"),
+           s"part-side OR extraction missing:\n$p")
+    assert(p.contains(">= 1.0) AND (l_quantity"),
+           s"lineitem-side quantity envelope missing:\n$p")
+  }
+
   test("q22_idle_customers: scalar broadcast + anti join on the filtered side") {
     // the single-row avg-balance build is the ONLY nested-loop broadcast
     // allowed (a 1-row cross join); the NOT EXISTS must be a hash anti
