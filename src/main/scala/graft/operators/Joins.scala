@@ -434,6 +434,34 @@ object Joins extends QueryModule {
         .orderBy("s_suppkey")
     }),
 
+    "join_fuzzy" -> ((s, dir) => {
+      // Entity resolution by BLOCKED fuzzy join: dirty records (every
+      // part's name with its 2nd char dropped — a deterministic typo)
+      // resolve against the canonical distinct-name catalog. The
+      // probe×catalog space is blocked on a first-char equi key; the
+      // ±2 length band and the levenshtein rescoring ride as join
+      // residuals, evaluated inside the broadcast hash join. The
+      // catalog is DISTINCT entity names — sublinear in the corpus,
+      // so it broadcasts at any corpus scale; were the catalog itself
+      // huge, the same plan shuffles on the block key (salted like
+      // skewSafeSelfPairs if one block runs hot). The fixture
+      // separates cleanly: the true entity sits at distance 1, the
+      // nearest false candidate at 4 — threshold 2 resolves every
+      // probe unambiguously.
+      val p = T.load(s, dir, "part")
+      val probe = p.select(col("p_partkey"),
+        concat(substring(col("p_name"), 1, 1),
+               substring(col("p_name"), 3, 100)).as("dn"))
+      val catalog = p.select(col("p_name").as("cname")).distinct()
+      probe.join(broadcast(catalog),
+          substring(col("dn"), 1, 1) === substring(col("cname"), 1, 1) &&
+          abs(length(col("dn")) - length(col("cname"))) <= 2 &&
+          levenshtein(col("dn"), col("cname")) <= 2)
+        .select(col("p_partkey"), col("dn"), col("cname"),
+                levenshtein(col("dn"), col("cname")).cast("long").as("dist"))
+        .orderBy("p_partkey", "cname")
+    }),
+
     "join_range" -> ((s, dir) => {
       val li = T.load(s, dir, "lineitem")
       val o = T.load(s, dir, "orders")
@@ -849,6 +877,19 @@ object Joins extends QueryModule {
       """SELECT s_suppkey, count(*) AS n_poorer
          FROM supplier JOIN customer ON s_acctbal > c_acctbal
          GROUP BY s_suppkey ORDER BY s_suppkey""",
+
+    "join_fuzzy" ->
+      """WITH probe AS (SELECT p_partkey,
+                               substr(p_name, 1, 1) || substr(p_name, 3)
+                                 AS dn
+                        FROM part),
+              cat AS (SELECT DISTINCT p_name AS cname FROM part)
+         SELECT p_partkey, dn, cname, levenshtein(dn, cname) AS dist
+         FROM probe JOIN cat
+           ON substr(dn, 1, 1) = substr(cname, 1, 1)
+          AND abs(length(dn) - length(cname)) <= 2
+          AND levenshtein(dn, cname) <= 2
+         ORDER BY p_partkey, cname""",
 
     "join_range" ->
       s"""SELECT o_orderpriority, count(*) AS n,

@@ -95,6 +95,33 @@ object TimeSeries extends QueryModule {
              count(lit(1)).as("volume"))
         .orderBy("event_type", "day")
     }),
+
+    "ts_retention" -> ((s, dir) => {
+      // Cohort retention matrix: customers grouped by first-activity
+      // month, counted in each later month they were active, keyed
+      // (cohort, month offset). ONE custkey shuffle for the whole
+      // query: the per-customer month set aggregates once
+      // (collect_set is bounded by the CALENDAR — ≤ ~80 distinct
+      // months at any corpus size — so the buffer is O(1) per
+      // customer, unlike collecting orders), the cohort is the
+      // array min, and the explode back to (cohort, offset) grain
+      // feeds a small final aggregate over a bounded key domain.
+      // The naive twin — activity grid ⋈ first-order subquery —
+      // shuffles the fact twice on different keys.
+      val mi = (year(col("o_orderdate")) * 12 +
+                month(col("o_orderdate")) - 1).cast("long")
+      T.load(s, dir, "orders")
+        .select(col("o_custkey"), mi.as("mi"))
+        .groupBy("o_custkey")
+        .agg(collect_set(col("mi")).as("ms"))
+        .select(array_min(col("ms")).as("c0"),
+                explode(col("ms")).as("mi"))
+        .groupBy(expr("c0 div 12").as("cohort_year"),
+                 (col("c0") % 12 + 1).as("cohort_month"),
+                 (col("mi") - col("c0")).as("m_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_year", "cohort_month", "m_offset")
+    }),
   )
 
   private val spineSql =
@@ -153,5 +180,17 @@ object TimeSeries extends QueryModule {
                  round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
                  count(*) AS volume
           FROM r GROUP BY event_type, day ORDER BY event_type, day""",
+
+    "ts_retention" ->
+      """WITH a AS (SELECT DISTINCT o_custkey,
+                           year(o_orderdate) * 12 + month(o_orderdate) - 1
+                             AS mi
+                    FROM orders),
+              c AS (SELECT o_custkey, min(mi) AS c0 FROM a
+                    GROUP BY o_custkey)
+         SELECT c0 // 12 AS cohort_year, c0 % 12 + 1 AS cohort_month,
+                mi - c0 AS m_offset, count(*) AS n_active
+         FROM a JOIN c USING (o_custkey)
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
   )
 }
