@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 /** Native Catalyst expression: Jaccard similarity of two SORTED DISTINCT
   * arrays (string or int64 elements) by a single merge pass — the fused
@@ -36,6 +37,21 @@ case class JaccardSets(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_jaccard"
+
+  // Dispatch below keys off left.dataType alone, so a mixed call (long
+  // left, string right) would getLong on string ArrayData and silently
+  // corrupt — reject anything but matched array<bigint>/array<string>
+  // pairs at analysis time instead.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> or two array<string> " +
+          s"arguments, got ${l.simpleString} and ${r.simpleString}")
+    }
 
   private def longElems: Boolean = left.dataType match {
     case ArrayType(LongType, _) => true

@@ -150,8 +150,12 @@ object Aggregates extends QueryModule {
                  bucket(i, col("probe_uid")).as("bucket"))): _*)).as("lb"))
         .select(col("probe_uid"), col("lb.lane").as("lane"),
                 col("lb.bucket").as("bucket"))
-      val est = probes.join(broadcast(cells), Seq("lane", "bucket"))
-        .groupBy("probe_uid").agg(min(col("c")).as("est_n"))
+      // LEFT join + coalesce 0: a probe whose (lane,bucket) cell is empty
+      // must read count 0 (the one-sided CMS estimate for an unseen key),
+      // not lose the lane to an inner join.
+      val est = probes.join(broadcast(cells), Seq("lane", "bucket"), "left")
+        .groupBy("probe_uid")
+        .agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
       val truth = ev.filter(col("user_id") < 10)
         .groupBy(col("user_id").as("t_uid"))
         .agg(count(lit(1)).as("true_n"))
@@ -557,8 +561,9 @@ object Aggregates extends QueryModule {
                                 || ':' || CAST(p AS VARCHAR)), 1, 8)
                                 AS BIGINT) % 64 AS bucket
                        FROM generate_series(0, 9) AS g(p) CROSS JOIN lanes),
-            est AS (SELECT p AS probe_uid, min(c) AS est_n
-                    FROM probes JOIN cells USING (lane, bucket)
+            est AS (SELECT p AS probe_uid,
+                           CAST(min(coalesce(c, 0)) AS BIGINT) AS est_n
+                    FROM probes LEFT JOIN cells USING (lane, bucket)
                     GROUP BY p),
             truth AS (SELECT user_id AS t_uid, count(*) AS true_n
                       FROM events WHERE user_id < 10 GROUP BY user_id)

@@ -451,10 +451,39 @@ object Joins extends QueryModule {
       val p = T.load(s, dir, "part")
       val probe = p.select(col("p_partkey"),
         concat(substring(col("p_name"), 1, 1),
-               substring(col("p_name"), 3, 100)).as("dn"))
+               expr("substring(p_name, 3)")).as("dn")) // uncapped tail ≡ DuckDB substr(p_name, 3)
       val catalog = p.select(col("p_name").as("cname")).distinct()
       probe.join(broadcast(catalog),
           substring(col("dn"), 1, 1) === substring(col("cname"), 1, 1) &&
+          abs(length(col("dn")) - length(col("cname"))) <= 2 &&
+          levenshtein(col("dn"), col("cname")) <= 2)
+        .select(col("p_partkey"), col("dn"), col("cname"),
+                levenshtein(col("dn"), col("cname")).cast("long").as("dist"))
+        .orderBy("p_partkey", "cname")
+    }),
+
+    "join_fuzzy_shuffled" -> ((s, dir) => {
+      // join_fuzzy's documented FALLBACK plan, made concrete: when the
+      // canonical catalog is itself huge (entity catalogs run to
+      // billions of rows), the broadcast form is off the table and the
+      // same blocked fuzzy join SHUFFLES on an explicit block key
+      // instead — both sides exchange on the first-char block, the
+      // length band + levenshtein rescoring ride as join residuals
+      // inside the shuffled hash join, and no executor ever holds more
+      // than one block's catalog slice. With ~26 first-char blocks a
+      // hot block would be salted like skewSafeSelfPairs; the fixture
+      // separates identically to join_fuzzy, so the result set is the
+      // broadcast twin's by construction (same oracle). PlanSpec
+      // asserts ShuffledHashJoin and the absence of any broadcast.
+      val p = T.load(s, dir, "part")
+      val probe = p.select(col("p_partkey"),
+          concat(substring(col("p_name"), 1, 1),
+                 expr("substring(p_name, 3)")).as("dn"))
+        .withColumn("bk", substring(col("dn"), 1, 1))
+      val catalog = p.select(col("p_name").as("cname")).distinct()
+        .withColumn("cbk", substring(col("cname"), 1, 1))
+      probe.join(catalog.hint("shuffle_hash"),
+          col("bk") === col("cbk") &&
           abs(length(col("dn")) - length(col("cname"))) <= 2 &&
           levenshtein(col("dn"), col("cname")) <= 2)
         .select(col("p_partkey"), col("dn"), col("cname"),
@@ -879,6 +908,21 @@ object Joins extends QueryModule {
          GROUP BY s_suppkey ORDER BY s_suppkey""",
 
     "join_fuzzy" ->
+      """WITH probe AS (SELECT p_partkey,
+                               substr(p_name, 1, 1) || substr(p_name, 3)
+                                 AS dn
+                        FROM part),
+              cat AS (SELECT DISTINCT p_name AS cname FROM part)
+         SELECT p_partkey, dn, cname, levenshtein(dn, cname) AS dist
+         FROM probe JOIN cat
+           ON substr(dn, 1, 1) = substr(cname, 1, 1)
+          AND abs(length(dn) - length(cname)) <= 2
+          AND levenshtein(dn, cname) <= 2
+         ORDER BY p_partkey, cname""",
+
+    // the shuffled fallback computes the identical result set — the
+    // physical strategy is the only difference (PlanSpec pins it)
+    "join_fuzzy_shuffled" ->
       """WITH probe AS (SELECT p_partkey,
                                substr(p_name, 1, 1) || substr(p_name, 3)
                                  AS dn

@@ -56,10 +56,14 @@ object TpchShapes extends QueryModule {
       // a broadcast single-row cross join; both aggs share the
       // decimal-quantized sum so the threshold compare is exact
       // cross-engine.
+      // localCheckpoint: v feeds BOTH the main filter and the broadcast
+      // mean — without the cut the partsupp agg subtree re-executes
+      // under the broadcast branch (the measured q15 hazard).
       val v = T.partsupp(s, dir)
         .groupBy("ps_partkey")
         .agg(T.d(sum(T.dec(col("ps_supplycost") * col("ps_availqty"))))
                .as("value"))
+        .localCheckpoint()
       val tot = v.agg((T.d(sum(T.dec(col("value")))) /
                         count(lit(1))).as("mean_value"))
       v.crossJoin(broadcast(tot))
@@ -148,9 +152,14 @@ object TpchShapes extends QueryModule {
       // side, and the report groups by segment. No fact-sized sort
       // anywhere.
       val c = T.load(s, dir, "customer")
+      // localCheckpoint the 1-row scalar: pins the customer scan+agg
+      // under the broadcast branch to exactly one execution (q15's
+      // measured broadcast-reexec hazard) while storing a single row —
+      // cheaper at any scale than checkpointing the filtered rows.
       val avgBal = c.filter(col("c_acctbal") > 0.0)
         .agg((T.d(sum(T.dec(col("c_acctbal")))) /
                count(lit(1))).as("avg_bal"))
+        .localCheckpoint()
       c.join(T.load(s, dir, "orders")
                .filter(col("o_orderpriority") === "1-URGENT")
                .select("o_custkey"),

@@ -348,6 +348,16 @@ class PlanSpec extends AnyFunSuite {
            s"lineitem-side quantity envelope missing:\n$p")
   }
 
+  test("join_fuzzy_shuffled takes the shuffled fallback, not a broadcast") {
+    // the documented huge-catalog fallback: the blocked fuzzy join must
+    // exchange BOTH sides on the block key and hash-join there, with no
+    // broadcast anywhere (the broadcast twin is join_fuzzy itself)
+    val p = plan("join_fuzzy_shuffled")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+           s"catalog side still broadcasts:\n$p")
+  }
+
   test("q22_idle_customers: scalar broadcast + anti join on the filtered side") {
     // the single-row avg-balance build is the ONLY nested-loop broadcast
     // allowed (a 1-row cross join); the NOT EXISTS must be a hash anti

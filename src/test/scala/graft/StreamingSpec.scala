@@ -34,6 +34,19 @@ class StreamingSpec extends AnyFunSuite {
            s"no session was withheld: append=$nSessApp batch=$nSessAll")
   }
 
+  test("typed TWS state read back by name equals the processor's sink output") {
+    // The state source's typed read path must surface EXACTLY the values
+    // the processor emitted: same rows, independently of which surface
+    // (checkpointed ValueState vs drained memory sink) is consulted.
+    val viaState = SparkEntry.queries("stream_state_read_tws")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val viaSink = SparkEntry.queries("stream_stateful_tws")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(viaState.nonEmpty, "state read returned no rows")
+    assert(viaState == viaSink,
+           s"state read diverges from sink output:\n  state=${viaState.take(3)}\n  sink=${viaSink.take(3)}")
+  }
+
   test("drained tumbling stream equals its batch twin (batch-equivalence)") {
     val streamed = SparkEntry.queries("stream_tumbling")(spark, sf).collect()
     val batch = Tables.eventsTs(spark, sf)
