@@ -453,12 +453,18 @@ object Joins extends QueryModule {
         concat(substring(col("p_name"), 1, 1),
                expr("substring(p_name, 3)")).as("dn")) // uncapped tail ≡ DuckDB substr(p_name, 3)
       val catalog = p.select(col("p_name").as("cname")).distinct()
+      // threshold form: banded DP with early exit — O(t·min(n,m)) per
+      // pair instead of O(n·m), the inner-loop cost of the blocked
+      // pair space at catalog scale; returns −1 above the threshold
+      // and the EXACT distance at or below it, so both the predicate
+      // and the emitted dist are unchanged
+      val d2 = levenshtein(col("dn"), col("cname"), 2)
       probe.join(broadcast(catalog),
           substring(col("dn"), 1, 1) === substring(col("cname"), 1, 1) &&
           abs(length(col("dn")) - length(col("cname"))) <= 2 &&
-          levenshtein(col("dn"), col("cname")) <= 2)
+          d2 =!= -1)
         .select(col("p_partkey"), col("dn"), col("cname"),
-                levenshtein(col("dn"), col("cname")).cast("long").as("dist"))
+                d2.cast("long").as("dist"))
         .orderBy("p_partkey", "cname")
     }),
 
@@ -482,12 +488,15 @@ object Joins extends QueryModule {
         .withColumn("bk", substring(col("dn"), 1, 1))
       val catalog = p.select(col("p_name").as("cname")).distinct()
         .withColumn("cbk", substring(col("cname"), 1, 1))
+      // same banded-threshold levenshtein as join_fuzzy (exact ≤ t,
+      // −1 above — predicate and dist unchanged, inner loop O(t·n))
+      val d2 = levenshtein(col("dn"), col("cname"), 2)
       probe.join(catalog.hint("shuffle_hash"),
           col("bk") === col("cbk") &&
           abs(length(col("dn")) - length(col("cname"))) <= 2 &&
-          levenshtein(col("dn"), col("cname")) <= 2)
+          d2 =!= -1)
         .select(col("p_partkey"), col("dn"), col("cname"),
-                levenshtein(col("dn"), col("cname")).cast("long").as("dist"))
+                d2.cast("long").as("dist"))
         .orderBy("p_partkey", "cname")
     }),
 

@@ -47,6 +47,33 @@ class StreamingSpec extends AnyFunSuite {
            s"state read diverges from sink output:\n  state=${viaState.take(3)}\n  sink=${viaSink.take(3)}")
   }
 
+  test("bootstrapped state equals full-history streaming state") {
+    // Two fully independent execution paths — batch backfill seeding
+    // initial state + streaming only the live tail, vs streaming the
+    // whole table — must land on identical per-user final state. The
+    // split boundary being unobservable IS the bootstrap guarantee.
+    val boot = SparkEntry.queries("stream_state_bootstrap")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val full = SparkEntry.queries("stream_state_read_tws")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(boot.nonEmpty, "bootstrap state read returned no rows")
+    assert(boot == full,
+           s"bootstrap diverges from full-history state:\n  boot=${boot.take(3)}\n  full=${full.take(3)}")
+    // Non-vacuity: some users must have NO events past the boundary —
+    // their state exists ONLY because handleInitialState seeded it and
+    // is reachable ONLY through the state source (the update-mode sink
+    // never re-emits a key the stream didn't touch).
+    val ev = graft.Tables.events(spark, sf)
+      .agg(min(col("ts_us")), max(col("ts_us"))).head
+    val bd = graft.streaming.Streaming.bootstrapBoundary(
+      ev.getLong(0), ev.getLong(1))
+    val backfillOnly = graft.Tables.events(spark, sf)
+      .groupBy("user_id").agg(max(col("ts_us")).as("mx"))
+      .filter(col("mx") < bd).count()
+    assert(backfillOnly > 0,
+           "fixture left no backfill-only users; the state-source claim is vacuous")
+  }
+
   test("drained tumbling stream equals its batch twin (batch-equivalence)") {
     val streamed = SparkEntry.queries("stream_tumbling")(spark, sf).collect()
     val batch = Tables.eventsTs(spark, sf)
