@@ -347,6 +347,37 @@ object Streaming extends QueryModule {
   private[graft] def bootstrapBoundary(mn: Long, mx: Long): Long =
     mn + (mx - mn) / 50 * 49
 
+  /** Stable TIMER-session checkpoint per sf-dir: runs the
+    * TimerSessionProcessor stream ONCE into a stable checkpoint and
+    * parks the emitted (closed) sessions as parquet next to it — so the
+    * emitted set and the checkpoint's pending ListState (the UNsealed
+    * sessions) are two readable surfaces of the same run. Returns
+    * (checkpointDir, emittedParquetDir). */
+  private def stageTimerCp(s: SparkSession, dir: String): (String, String) = {
+    val cp = "/tmp/graft_timercp_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val outDir = s"${cp}_out"
+    if (!new java.io.File(s"$cp/_DONE").exists()) {
+      import s.implicits._
+      val in = readStream(s, stageEvents(s, dir))
+        .withWatermark("ts_ts", "2 hours")
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+                col("event_type")).as[Ev]
+      val out = in.groupByKey(_.user_id)
+        .transformWithState(new TimerSessionProcessor(1800000000L),
+                            TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "sess_start_us", "sess_end_us", "n")
+      val name = s"graft_mem_timer_${ctr.incrementAndGet()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp).start()
+      q.awaitTermination()
+      s.table(name).write.mode("overwrite").parquet(outDir)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$cp/_DONE"), Array[Byte]())
+    }
+    (cp, outDir)
+  }
+
   /** Stable MAP-state transformWithState checkpoint per sf-dir (same
     * write-once pattern as [[stageTwsCp]], TypeCountsProcessor's
     * `MapState[String, Long]`). */
@@ -481,18 +512,32 @@ object Streaming extends QueryModule {
       // the timer clock (milliseconds) imposes; the oracle encodes
       // that boundary explicitly.
       val s = streamSession(s0)
-      import s.implicits._
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val in = readStream(s, stageEvents(s, dir))
-        .withWatermark("ts_ts", "2 hours")
-        .select(col("user_id"), col("ts_us"), col("event_id"),
-                col("event_type")).as[Ev]
-      val out = in.groupByKey(_.user_id)
-        .transformWithState(new TimerSessionProcessor(1800000000L),
-                            TimeMode.EventTime(), OutputMode.Append())
-        .toDF("user_id", "sess_start_us", "sess_end_us", "n")
-      drain(out, "append").orderBy("user_id", "sess_start_us")
+      val (_, outDir) = stageTimerCp(s, dir)
+      s.read.parquet(outDir).orderBy("user_id", "sess_start_us")
+    }),
+
+    "stream_state_read_list" -> ((s0, dir) => {
+      // LIST typed state read back — the third and last state shape
+      // (Value / Map / List): TimerSessionProcessor's pending
+      // ListState surfaces flattened as one row per (grouping key,
+      // list element). After the drain these are exactly the sessions
+      // the final watermark did NOT seal — the complement of
+      // stream_timer_sessions' emitted set (the spec asserts the
+      // conservation: closed ∪ pending == every session), and the
+      // oracle flips that key's close-boundary predicate.
+      val s = streamSession(s0)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val (cp, _) = stageTimerCp(s, dir)
+      ensureStateCoordinator(s)
+      s.read.format("statestore").option("stateVarName", "pending").load(cp)
+        .select(col("key.value").as("user_id"),
+                col("list_element._1").as("sess_start_us"),
+                col("list_element._2").as("last_ts_us"),
+                col("list_element._3").as("n"))
+        .orderBy("user_id", "sess_start_us")
     }),
 
     "stream_state_read_map" -> ((s0, dir) => {
@@ -1006,6 +1051,30 @@ object Streaming extends QueryModule {
     "stream_state_read_map" ->
       """SELECT user_id, event_type, count(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the complement of stream_timer_sessions: sessions whose ms-floored
+    // close boundary the final watermark did NOT reach stay in the
+    // pending ListState (state carries last_ts, not last+gap)
+    "stream_state_read_list" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+              wm AS (SELECT (max(ts_us) // 1000) - 7200000 AS w_ms FROM e),
+              g AS (SELECT user_id, ts_us,
+                      CASE WHEN ts_us - lag(ts_us) OVER
+                             (PARTITION BY user_id ORDER BY ts_us)
+                           >= 1800000000 THEN 1 ELSE 0 END AS brk
+                    FROM e),
+              sid AS (SELECT user_id, ts_us,
+                        sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS sess
+                      FROM g),
+              sessions AS (SELECT user_id, min(ts_us) AS sess_start_us,
+                                  max(ts_us) AS last_ts_us,
+                                  (max(ts_us) // 1000) + 1800000 AS close_ms,
+                                  count(*) AS n
+                           FROM sid GROUP BY user_id, sess)
+         SELECT user_id, sess_start_us, last_ts_us, n
+         FROM sessions, wm WHERE close_ms > w_ms
+         ORDER BY user_id, sess_start_us""",
 
     // the gaps-and-islands sessionization of stream_session_append,
     // with the close boundary on the TIMER's millisecond clock: a

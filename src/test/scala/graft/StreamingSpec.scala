@@ -88,6 +88,24 @@ class StreamingSpec extends AnyFunSuite {
            s"timer sessions diverge from session_window:\n  timer=${timers.take(3)}\n  builtin=${builtin.take(3)}")
   }
 
+  test("timer sessions conserve: emitted + pending list state = all sessions") {
+    // The emitted (closed) set and the checkpoint's pending ListState
+    // are two surfaces of one run; together they must account for every
+    // gaps-and-islands session exactly once — no session lost between
+    // the timer path and state, none double-counted.
+    val closed = SparkEntry.queries("stream_timer_sessions")(spark, sf)
+      .select("user_id", "sess_start_us").collect().map(_.toSeq).toSet
+    val pending = SparkEntry.queries("stream_state_read_list")(spark, sf)
+      .select("user_id", "sess_start_us").collect().map(_.toSeq).toSet
+    assert(pending.nonEmpty, "no pending sessions; the complement is vacuous")
+    assert((closed & pending).isEmpty,
+           s"sessions in BOTH surfaces: ${(closed & pending).take(3)}")
+    val all = SparkEntry.queries("win_sessionize")(spark, sf)
+      .select("user_id", "sess_start_us").collect().map(_.toSeq).toSet
+    assert(closed ++ pending == all,
+           s"conservation broken: closed=${closed.size} pending=${pending.size} all=${all.size}")
+  }
+
   test("drained tumbling stream equals its batch twin (batch-equivalence)") {
     val streamed = SparkEntry.queries("stream_tumbling")(spark, sf).collect()
     val batch = Tables.eventsTs(spark, sf)
