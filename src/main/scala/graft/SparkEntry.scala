@@ -24,6 +24,7 @@ object SparkEntry {
     Profiling,
     TimeSeries,
     Graph,
+    SqlSurface,
     Layout,
     Multimodal,
     Similarity,
