@@ -362,14 +362,20 @@ object Sources extends QueryModule {
       // optimizer black box that kills pushdown) is the last resort —
       // udf_rowkey above measures that exact contrast.
       T.views(s, dir, "customer")
-      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_tier(bal DOUBLE)
-               RETURNS STRING
-               RETURN CASE WHEN bal < 0 THEN 'debt'
-                           WHEN bal < 5000 THEN 'low'
-                           ELSE 'high' END""")
-      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION
-               graft_rk(k BIGINT, seg STRING) RETURNS STRING
-               RETURN concat(seg, '#', lpad(CAST(k AS STRING), 8, '0'))""")
+      // Register once per session: a re-run's CREATE OR REPLACE logs a
+      // SimpleFunctionRegistry "replaced a previously registered
+      // function" WARN on every warm bench pass (VERDICT r10 #6) — the
+      // bodies are constants, so replacing is never needed.
+      if (!s.catalog.functionExists("graft_tier"))
+        s.sql("""CREATE TEMPORARY FUNCTION graft_tier(bal DOUBLE)
+                 RETURNS STRING
+                 RETURN CASE WHEN bal < 0 THEN 'debt'
+                             WHEN bal < 5000 THEN 'low'
+                             ELSE 'high' END""")
+      if (!s.catalog.functionExists("graft_rk"))
+        s.sql("""CREATE TEMPORARY FUNCTION
+                 graft_rk(k BIGINT, seg STRING) RETURNS STRING
+                 RETURN concat(seg, '#', lpad(CAST(k AS STRING), 8, '0'))""")
       s.sql("""SELECT c_custkey, graft_rk(c_custkey, c_mktsegment) AS rk,
                       graft_tier(c_acctbal) AS tier
                FROM customer ORDER BY c_custkey""")

@@ -30,48 +30,86 @@ import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 object SqlSurface extends QueryModule {
 
   /** Distinct urgent customer↔supplier pairs (same relation as
-    * Graph.edges), materialized ONCE so each recursion step joins a
-    * checkpointed 120k-row table instead of re-executing the
-    * lineitem⋈orders distinct per level — at 100 TB the frontier inputs
-    * must be materialized exactly like this (UnionLoopExec re-executes
-    * referenced plans every iteration). */
-  private def stageCs(s: SparkSession, dir: String): Unit = {
+    * Graph.edges), materialized ONCE so each BFS level (or recursion
+    * step, in the CTE demo) joins a checkpointed 120k-row table instead
+    * of re-executing the lineitem⋈orders distinct per level — at 100 TB
+    * the frontier inputs must be materialized exactly like this
+    * (UnionLoopExec re-executes referenced plans every iteration). */
+  private def stageCs(s: SparkSession, dir: String): DataFrame = {
     val o = T.load(s, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select("o_orderkey", "o_custkey")
     val li = T.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
       .select(col("o_custkey").as("c"),
               (col("l_suppkey") + 10000000L).as("sp"))
       .distinct()
       .localCheckpoint()
-      .createOrReplaceTempView("graft_rcte_cs")
+    cs.createOrReplaceTempView("graft_rcte_cs")
+    cs
+  }
+
+  /** The `WITH RECURSIVE` (UnionLoopExec) form of graph_reachability —
+    * kept as the parser-surface demo and as the spec's independent
+    * oracle twin on sf0.001, NOT as the contract implementation: UNION
+    * ALL recursion enumerates WALKS (~366k at sf0.1 against the engine's
+    * 1M `cteRecursionRowLimit`), so at 100× the seed set / edge density
+    * this form ABORTS on the row-limit guard by design. The contract key
+    * below computes the identical answer with a level-synchronous
+    * aggregated frontier that is |V|-bounded per level at any scale.
+    * SqlSurfaceSpec pins the two byte-equal on sf0.001. */
+  private[graft] def reachabilityCte(s: SparkSession, dir: String): DataFrame = {
+    stageCs(s, dir)
+    s.sql("""
+      WITH RECURSIVE
+        edges AS (SELECT c AS src, sp AS dst FROM graft_rcte_cs
+                  UNION ALL
+                  SELECT sp AS src, c AS dst FROM graft_rcte_cs),
+        reach(node, lvl) AS (
+          SELECT DISTINCT c, 0 FROM graft_rcte_cs WHERE c % 500 = 1
+          UNION ALL
+          SELECT e.dst, r.lvl + 1
+          FROM reach r JOIN edges e ON e.src = r.node
+          WHERE r.lvl < 3)
+      SELECT node, min(lvl) AS dist, count(*) AS n_walks
+      FROM reach GROUP BY node ORDER BY node""")
   }
 
   val queries: Map[String, Q] = Map(
     "graph_reachability" -> ((s, dir) => {
-      // Level-capped BFS min-distance from a deterministic seed set
-      // (customers with custkey % 500 = 1) over the urgent
-      // customer↔supplier graph, natively in SQL. UNION ALL recursion
-      // enumerates WALKS, so the cap (3 hops) and the seed density are
-      // sized so the walk count stays ~366k at sf0.1 — under the
-      // engine's 1M cteRecursionRowLimit guard; n_walks is emitted
-      // because it is exactly the quantity that explodes, making the
-      // blow-up observable. dist = min(lvl) is the BFS distance.
-      stageCs(s, dir)
-      s.sql("""
-        WITH RECURSIVE
-          edges AS (SELECT c AS src, sp AS dst FROM graft_rcte_cs
-                    UNION ALL
-                    SELECT sp AS src, c AS dst FROM graft_rcte_cs),
-          reach(node, lvl) AS (
-            SELECT DISTINCT c, 0 FROM graft_rcte_cs WHERE c % 500 = 1
-            UNION ALL
-            SELECT e.dst, r.lvl + 1
-            FROM reach r JOIN edges e ON e.src = r.node
-            WHERE r.lvl < 3)
-        SELECT node, min(lvl) AS dist, count(*) AS n_walks
-        FROM reach GROUP BY node ORDER BY node""")
+      // Level-capped BFS from a deterministic seed set (customers with
+      // custkey % 500 = 1) over the urgent customer↔supplier graph:
+      // dist = min level reaching a node, n_walks = number of distinct
+      // ≤3-hop walks ending there. Scale-safe formulation (VERDICT r11):
+      // instead of enumerating walks (the WITH RECURSIVE form above —
+      // walk count grows with edge density and ABORTS on
+      // cteRecursionRowLimit at 100×), the frontier carries walk COUNTS
+      // aggregated per node — W_{l+1}(dst) = Σ_{src→dst} W_l(src) — so
+      // every level is one hash join + one partial-agg shuffle bounded
+      // by |V| rows REGARDLESS of walk count, and n_walks = Σ_l W_l,
+      // dist = min level with W_l > 0. Same answer, no row-limit cliff;
+      // 3 levels of lineage over a checkpointed edge table needs no
+      // per-level checkpoint.
+      val cs = stageCs(s, dir)
+      val edges = cs.select(col("c").as("src"), col("sp").as("dst"))
+        .unionAll(cs.select(col("sp").as("src"), col("c").as("dst")))
+        .localCheckpoint() // probed 3×, one materialization
+      var frontier = cs.select(col("c").as("node"))
+        .filter(col("node") % 500 === 1)
+        .distinct()
+        .select(col("node"), lit(1L).as("walks"), lit(0).as("lvl"))
+      var acc = frontier
+      for (l <- 1 to 3) {
+        frontier = frontier.join(edges, frontier("node") === edges("src"))
+          .select(edges("dst").as("node"), col("walks"))
+          .groupBy("node")
+          .agg(sum("walks").as("walks"))
+          .select(col("node"), col("walks"), lit(l).as("lvl"))
+        acc = acc.unionAll(frontier)
+      }
+      acc.groupBy("node")
+        .agg(min("lvl").as("dist"), sum("walks").as("n_walks"))
+        .orderBy("node")
     }),
 
     "rcte_running_clamp" -> ((s, dir) => {
@@ -238,8 +276,8 @@ object SqlSurface extends QueryModule {
       """SELECT count(*) AS n_rows,
                 CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
                           AS VARCHAR(64)) AS DOUBLE) AS sum_price,
-                min(l_discount) AS min_disc,
-                max(l_tax) AS max_tax
+                CAST(min(l_discount) AS DOUBLE) AS min_disc,
+                CAST(max(l_tax) AS DOUBLE) AS max_tax
          FROM lineitem
          WHERE CAST(l_shipdate AS DATE) <= DATE '2001-08-06'""",
   )
