@@ -26,7 +26,18 @@ object Verify {
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.2fs")
       } catch { case e: Throwable =>
+        // A throwing query must FAIL the driver's compare, not vanish
+        // from it (round 12 silently dropped graph_reachability this
+        // way): write a one-row error-marker parquet whose schema can
+        // never match any oracle, so CORRECTNESS records an explicit
+        // schema/hash mismatch for the key.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+            .toDF("__graft_query_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -100,8 +100,16 @@ object SqlSurface extends QueryModule {
         .select(col("node"), lit(1L).as("walks"), lit(0).as("lvl"))
       var acc = frontier
       for (l <- 1 to 3) {
-        frontier = frontier.join(edges, frontier("node") === edges("src"))
-          .select(edges("dst").as("node"), col("walks"))
+        // Name-based resolution throughout: from level 2 on, frontier's
+        // lineage CONTAINS edges, so a stale Dataset reference like
+        // edges("dst") is ambiguous under self-join dedup (the r12
+        // AnalysisException). Renaming node→src and joining on the column
+        // NAME lets Spark's DeduplicateRelations re-key the repeated
+        // subtree while every select resolves against the join output.
+        frontier = frontier
+          .select(col("node").as("src"), col("walks"))
+          .join(edges, "src")
+          .select(col("dst").as("node"), col("walks"))
           .groupBy("node")
           .agg(sum("walks").as("walks"))
           .select(col("node"), col("walks"), lit(l).as("lvl"))
