@@ -35,7 +35,55 @@ object Plans {
     "agg_countmin", "pipeline_e2e_v3",
     "q6_forecast", "q9_product_profit", "q13_cust_distribution",
     "q15_top_supplier", "q19_discounted", "q20_potential_promo",
-    "dedup_ngram", "join_fuzzy", "ts_retention", "join_fuzzy_shuffled")
+    "dedup_ngram", "join_fuzzy", "ts_retention", "join_fuzzy_shuffled",
+    "graph_reachability", "rcte_running_clamp", "sql_pipe", "obs_metrics")
+
+  /** What to explain per key. `obs_metrics`' query RESULT is a 1-row
+    * local relation of listener-delivered values; the plan worth
+    * reading is the observed pass with its `CollectMetrics` node. */
+  private def planDf(s: SparkSession, name: String, dir: String) =
+    name match {
+      case "obs_metrics" =>
+        operators.SqlSurface.obsPass(s, dir,
+          org.apache.spark.sql.Observation())
+      case _ => SparkEntry.queries(name)(s, dir)
+    }
+
+  /** Runtime-skew evidence (VERDICT r10 #5): a deliberately skewed
+    * staged SMJ — one key holds ~95% of the left side — EXECUTED under
+    * fixture-scaled AQE thresholds, final adaptive plan dumped so
+    * `OptimizeSkewedJoin`'s split (`skew=true` on the SortMergeJoin,
+    * `AQEShuffleRead ... skewed`) is visible. This is the runtime half
+    * of the skew story; `join_salted` above is the manual half
+    * (explicit salt column when the skewed key is KNOWN a priori — no
+    * AQE dependence, deterministic layout). PlanSpec pins both. */
+  private def skewSection(s: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.5",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val left = s.range(300000)
+        .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id"))
+                  .as("k"), xxhash64(col("id")).as("v"))
+      val right = s.range(1000)
+        .select(col("id").as("k2"), (col("id") * 2).as("w"))
+      val joined = left.hint("merge").join(right, col("k") === col("k2"))
+        .agg(count(lit(1)).as("n"), max("v").as("mv"), sum("w").as("sw"))
+      joined.collect()
+      s"## aqe_skew_join (staged evidence, executed final plan)\n\n```\n" +
+        joined.queryExecution.executedPlan.toString + "```\n"
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -47,10 +95,10 @@ object Plans {
     spark.sparkContext.setLogLevel("ERROR")
     val mode = ExplainMode.fromString("formatted")
     val body = headline.map { name =>
-      val plan = SparkEntry.queries(name)(spark, sfDir)
+      val plan = planDf(spark, name, sfDir)
         .queryExecution.explainString(mode)
       s"## $name\n\n```\n$plan```\n"
-    }.mkString("\n")
+    }.mkString("\n") + "\n" + skewSection(spark)
     val header =
       s"""# PLANS — formatted physical plans of headline queries
          |
@@ -69,6 +117,19 @@ object Plans {
          |partial `HashAggregate` min-lanes under dedup_minhash_portable,
          |and no BroadcastNestedLoopJoin anywhere except broadcast-bounded
          |builds (join_theta is the range-bucketed CDF formulation).
+         |Round-13 additions: `UnionLoop` recursion under
+         |rcte_running_clamp (linear recursion, one row per order per
+         |level) — graph_reachability deliberately has NO UnionLoop: the
+         |contract key is the |V|-bounded aggregated-frontier BFS (3
+         |unrolled join+agg levels over one checkpointed edge table; the
+         |WITH RECURSIVE walk-enumerating twin stays a sf0.001 spec
+         |oracle because it aborts on cteRecursionRowLimit at scale) —
+         |sql_pipe's plan is byte-shape-identical to q1_pricing (pipe
+         |syntax is parser surface only), `CollectMetrics` riding the
+         |obs_metrics scan (metrics with zero extra passes), and the
+         |executed `aqe_skew_join` final plan showing
+         |`OptimizeSkewedJoin` splitting the hot partition (skew=true)
+         |next to the manual join_salted path.
          |
          |Perf note (round-2 adjudication of the r01 `sink_hbase_cells`
          |44.3 s outlier): isolated runs at sf0.1 measure 6.6 s cold /

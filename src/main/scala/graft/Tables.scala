@@ -30,9 +30,25 @@ object Tables {
     prep(s).read.parquet(s"$dir/$name.parquet")
 
   /** events with `ts_us` = event time normalized to epoch microseconds,
-    * the only representation both engines agree on (SURVEY §1.2 T1). */
-  def events(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    * the only representation both engines agree on (SURVEY §1.2 T1).
+    * Schema-adaptive because the fixture's physical type has changed
+    * across generations: INT64 TIMESTAMP(NANOS) reads (under
+    * `nanosAsLong`) as a raw-nanosecond Long → `ts div 1000`; INT64
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as TIMESTAMP_NTZ →
+    * cast via the UTC session zone to an instant and take
+    * `unix_micros`, which equals DuckDB `epoch_us(ts)` exactly. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = load(s, dir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col("ts"))
+      case t => throw new IllegalStateException(
+        s"events.ts has unsupported type $t; expected LONG (nanos) or TIMESTAMP")
+    }
+    raw.withColumn("ts_us", tsUs)
+  }
 
   /** events with `ts_ts` as a real TimestampType (µs precision), for
     * window/streaming operators that need time semantics. */

@@ -73,10 +73,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object CosineSimilarity {
   /** Register as a SQL function and return a 4-dp-rounded Column
-    * (§2.0-6 emit rule). Registration is idempotent per session. */
+    * (§2.0-6 emit rule). Registration is idempotent per session —
+    * guarded so repeat calls (or sessions with GraftExtensions, which
+    * injects the same name) don't log a replaced-function WARN. */
   def cos4(s: SparkSession, a: String, b: String): Column = {
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine", es => CosineSimilarity(es.head, es(1)), "built-in")
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine")
+    if (!s.sessionState.functionRegistry.functionExists(id))
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_cosine", es => CosineSimilarity(es.head, es(1)), "built-in")
     round(expr(s"graft_cosine($a, $b)"), 4)
   }
 }

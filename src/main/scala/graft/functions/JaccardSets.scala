@@ -123,10 +123,14 @@ case class JaccardSets(left: Expression, right: Expression)
 
 object JaccardSets {
   /** Register as a SQL function and return the raw similarity Column
-    * (callers apply their own emit rounding). Idempotent per session. */
+    * (callers apply their own emit rounding). Idempotent per session —
+    * guarded so repeat calls (or sessions with GraftExtensions, which
+    * injects the same name) don't log a replaced-function WARN. */
   def jac(s: SparkSession, a: String, b: String): Column = {
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_jaccard", es => JaccardSets(es.head, es(1)), "built-in")
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_jaccard")
+    if (!s.sessionState.functionRegistry.functionExists(id))
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_jaccard", es => JaccardSets(es.head, es(1)), "built-in")
     expr(s"graft_jaccard($a, $b)")
   }
 }

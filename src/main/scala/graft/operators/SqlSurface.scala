@@ -200,14 +200,7 @@ object SqlSurface extends QueryModule {
       // driver's DuckDB oracle independently re-aggregates the table
       // and checks what the listener reported.
       val obs = Observation()
-      val pass = T.load(s, dir, "lineitem")
-        .filter(col("l_shipdate").cast("date") <=
-                  lit("2001-08-06").cast("date"))
-        .observe(obs,
-          count(lit(1)).as("n_rows"),
-          T.d(sum(T.dec(col("l_extendedprice")))).as("sum_price"),
-          T.d(min(col("l_discount"))).as("min_disc"),
-          T.d(max(col("l_tax"))).as("max_tax"))
+      val pass = obsPass(s, dir, obs)
       pass.write.format("noop").mode("overwrite").save()
       val m = obs.get
       import s.implicits._
@@ -218,6 +211,22 @@ object SqlSurface extends QueryModule {
         .toDF("n_rows", "sum_price", "min_disc", "max_tax")
     }),
   )
+
+  /** The observed pass behind `obs_metrics`, exposed so `graft.Plans`
+    * can dump the plan that carries the `CollectMetrics` node (the
+    * query's own result is a 1-row local relation of the values the
+    * listener delivered — correct, but planless). A fresh
+    * [[Observation]] per call: an Observation binds to one action. */
+  private[graft] def obsPass(s: SparkSession, dir: String,
+                             obs: Observation): DataFrame =
+    T.load(s, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") <=
+                lit("2001-08-06").cast("date"))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        T.d(sum(T.dec(col("l_extendedprice")))).as("sum_price"),
+        T.d(min(col("l_discount"))).as("min_disc"),
+        T.d(max(col("l_tax"))).as("max_tax"))
 
   private val csSql =
     """SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS sp
