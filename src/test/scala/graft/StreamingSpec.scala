@@ -1,11 +1,98 @@
 package graft
 
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.scalatest.funsuite.AnyFunSuite
+
+/** TTL probe processor (VERDICT r10 #7): two ValueStates over the same
+  * keys — 1 s vs 10 min TTL — each bumped per batch; emits a running
+  * batch ordinal plus whether each state EXISTED before this batch's
+  * update, so a test can pin both directions: short-TTL state is gone
+  * after the TTL elapses between batches, long-TTL state survives the
+  * identical gap. At 100 TB this is the state-size lever for unbounded
+  * key spaces (per-key state that self-evicts instead of growing until
+  * the job OOMs or needs manual timer-based cleanup). */
+class TtlProbeProcessor
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Boolean, Boolean)] {
+  @transient private var fast: ValueState[Long] = _
+  @transient private var slow: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    fast = getHandle.getValueState("fast", Encoders.scalaLong,
+      TTLConfig(java.time.Duration.ofSeconds(1)))
+    slow = getHandle.getValueState("slow", Encoders.scalaLong,
+      TTLConfig(java.time.Duration.ofMinutes(10)))
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      tv: TimerValues): Iterator[(Long, Long, Boolean, Boolean)] = {
+    val n = rows.size.toLong
+    val f = fast.exists(); val sl = slow.exists()
+    val ordinal = (if (sl) slow.get() else 0L) + n
+    fast.update((if (f) fast.get() else 0L) + n)
+    slow.update(ordinal)
+    Iterator((key, ordinal, f, sl))
+  }
+}
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkFixture.spark
   val sf = SparkFixture.sf001
+
+  test("state TTL: short-TTL ValueState expires between batches, long-TTL survives") {
+    // Deterministic in both directions: the 3 s inter-batch gap is
+    // comfortably past the 1 s fast TTL (expiry is evaluated against
+    // the BATCH timestamp, so a slow host only widens the gap) and
+    // nowhere near the 10 min slow TTL. The slow state doubles as the
+    // non-vacuity control — same key, same batches, same store; only
+    // the TTL differs, so a false "expired" from state loss (rather
+    // than TTL) would trip the slow assertion.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    // Two single-batch Trigger.Once runs over ONE checkpoint, not one
+    // long-lived query: in TimeMode.ProcessingTime every committed
+    // batch REQUIRES a follow-up batch (timer/TTL evaluation), so an
+    // open-ended query never quiesces — processAllAvailable hangs and
+    // even AvailableNow loops no-data batches forever (observed: 2300+
+    // commits). Trigger.Once runs exactly one micro-batch and stops,
+    // bounded by construction; the 3 s gap sits between the runs and
+    // run 2's batch timestamp (what TTL expiry is evaluated against)
+    // lands past the fast TTL. The sink is foreachBatch → parquet
+    // because only a recovery-capable sink may resume a checkpoint
+    // (the memory sink refuses); the emitted ordinal (1 = first
+    // batch's state write, 2 = resumed-on-top) keys the assertions.
+    val cp = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ttl_").toString
+    val ms = MemoryStream[(Long, Long)] // ONE source: its offsets span both runs
+    def runBatch(data: (Long, Long)*): Unit = {
+      ms.addData(data)
+      val out = ms.toDS().groupByKey(_._1)
+        .transformWithState(new TtlProbeProcessor,
+                            TimeMode.ProcessingTime(), OutputMode.Update())
+        .toDF("user_id", "ordinal", "fast_existed", "slow_existed")
+      val q = out.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .outputMode("update").trigger(Trigger.Once(): @annotation.nowarn)
+        .option("checkpointLocation", cp).start()
+      q.awaitTermination()
+    }
+    runBatch((1L, 1L))
+    Thread.sleep(3000) // > fast TTL, << slow TTL
+    runBatch((1L, 2L))
+    val rows = s.read.parquet(outDir).collect()
+      .map(r => (r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+      .toSeq.sortBy(_._1)
+    assert(rows == Seq((1L, false, false), (2L, false, true)),
+      s"expected run1 fresh, run2 fast-expired/slow-alive, got: $rows")
+  }
 
   test("watermark drops the 3-hour-late row (SURVEY §2.I stream_late_drop)") {
     val rows = SparkEntry.queries("stream_late_drop")(spark, sf)
