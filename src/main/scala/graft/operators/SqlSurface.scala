@@ -29,6 +29,13 @@ import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
   */
 object SqlSurface extends QueryModule {
 
+  /** Balance cap for `rcte_running_clamp` — sized to BIND on the
+    * fixture (single o_totalprice values range ~1k-550k, so runs of
+    * non-'F' orders exceed it routinely); a cap that never binds would
+    * leave the two-sided-clamp claim vacuous (SqlSurfaceSpec asserts
+    * it binds). */
+  private[graft] val RCTE_CAP = "200000"
+
   /** Distinct urgent customer↔supplier pairs (same relation as
     * Graph.edges), materialized ONCE so each BFS level (or recursion
     * step, in the CTE demo) joins a checkpointed 120k-row table instead
@@ -121,18 +128,25 @@ object SqlSurface extends QueryModule {
     }),
 
     "rcte_running_clamp" -> ((s, dir) => {
-      // Floor-clamped running balance per customer: bal_i =
-      // greatest(0, bal_{i-1} + delta_i) over date-ordered orders. The
-      // clamp makes the fold ORDER-DEPENDENT and non-associative — the
-      // textbook computation a window function CANNOT express (a
-      // running sum ignores intermediate floors) — i.e. the case where
-      // recursion is the right tool, not a rewrite. Linear recursion:
-      // each level advances every chain by one element, so total work
-      // is exactly one row per order (150k at sf0.1, no explosion) and
-      // depth = max orders per customer (25 « the 100-level guard).
-      // Exactness: deltas cast to DECIMAL(38,6) once, every step
-      // re-cast to DECIMAL(38,6), so both engines fold identical exact
-      // decimals; DOUBLE only at the emit boundary.
+      // TWO-SIDED-clamped running balance per customer: bal_i =
+      // least(CAP, greatest(0, bal_{i-1} + delta_i)) over date-ordered
+      // orders. The two-sidedness is load-bearing for the "recursion is
+      // the right tool" claim: a FLOOR-only clamp has the classic
+      // prefix-sum closed form bal_n = S_n - min_{0<=k<=n} S_k (two
+      // window functions, one pass — SqlSurfaceSpec proves it), so a
+      // zero-floor fold would NOT need recursion. Add the cap and each
+      // step is x -> min(CAP, max(0, x+d)); compositions stay in the
+      // 3-parameter family min(b, max(a, x+c)) but a one-pass window
+      // rewrite needs a max over all split points j of
+      // min(CAP + S_n - S_j, ...) — O(n) state per row, not a frame
+      // aggregate — so the fold is genuinely sequential per key.
+      // Linear recursion: each level advances every chain by one
+      // element, so total work is exactly one row per order (150k at
+      // sf0.1, no explosion) and depth = max orders per customer
+      // (25 « the 100-level guard). Exactness: deltas cast to
+      // DECIMAL(38,6) once, every step re-cast to DECIMAL(38,6), so
+      // both engines fold identical exact decimals; DOUBLE only at
+      // the emit boundary.
       T.load(s, dir, "orders")
         .select(col("o_custkey").as("cust"),
                 row_number().over(
@@ -144,15 +158,18 @@ object SqlSurface extends QueryModule {
                   .cast(T.DEC).as("delta"))
         .localCheckpoint()
         .createOrReplaceTempView("graft_rcte_seq")
-      s.sql("""
+      s.sql(s"""
         WITH RECURSIVE walk(cust, i, bal) AS (
           SELECT cust, i,
-                 CAST(greatest(CAST(0 AS DECIMAL(38,6)), delta)
+                 CAST(least(CAST($RCTE_CAP AS DECIMAL(38,6)),
+                            greatest(CAST(0 AS DECIMAL(38,6)), delta))
                       AS DECIMAL(38,6))
           FROM graft_rcte_seq WHERE i = 1
           UNION ALL
           SELECT s.cust, s.i,
-                 CAST(greatest(CAST(0 AS DECIMAL(38,6)), w.bal + s.delta)
+                 CAST(least(CAST($RCTE_CAP AS DECIMAL(38,6)),
+                            greatest(CAST(0 AS DECIMAL(38,6)),
+                                     w.bal + s.delta))
                       AS DECIMAL(38,6))
           FROM walk w JOIN graft_rcte_seq s
             ON s.cust = w.cust AND s.i = w.i + 1)
@@ -250,7 +267,7 @@ object SqlSurface extends QueryModule {
           FROM reach GROUP BY node ORDER BY node""",
 
     "rcte_running_clamp" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
            seq AS (SELECT o_custkey AS cust,
                           row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_orderdate, o_orderkey) AS i,
@@ -261,12 +278,15 @@ object SqlSurface extends QueryModule {
                    FROM orders),
            walk(cust, i, bal) AS (
              SELECT cust, i,
-                    CAST(greatest(CAST(0 AS DECIMAL(38,6)), delta)
+                    CAST(least(CAST($RCTE_CAP AS DECIMAL(38,6)),
+                               greatest(CAST(0 AS DECIMAL(38,6)), delta))
                          AS DECIMAL(38,6))
              FROM seq WHERE i = 1
              UNION ALL
              SELECT s.cust, s.i,
-                    CAST(greatest(CAST(0 AS DECIMAL(38,6)), w.bal + s.delta)
+                    CAST(least(CAST($RCTE_CAP AS DECIMAL(38,6)),
+                               greatest(CAST(0 AS DECIMAL(38,6)),
+                                        w.bal + s.delta))
                          AS DECIMAL(38,6))
              FROM walk w JOIN seq s ON s.cust = w.cust AND s.i = w.i + 1)
          SELECT cust, i, CAST(CAST(bal AS VARCHAR(64)) AS DOUBLE) AS bal

@@ -46,17 +46,12 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(got(0).getDouble(3) == direct.getDouble(3), "max_tax")
   }
 
-  test("rcte_running_clamp: recursion equals a hand-rolled clamped fold") {
-    val got = SparkEntry.queries("rcte_running_clamp")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
-
-    // Independent twin: build the SAME per-customer (i, delta) sequence
-    // (Spark does the double->DECIMAL(38,6) cast, so the spec replicates
-    // only the FOLD, not the cast), then fold bal_i = max(0, bal_{i-1} +
-    // delta_i) driver-side with exact java.math.BigDecimal arithmetic —
-    // the semantics the recursive CTE claims.
+  /** The per-customer (i, delta) sequence the rcte key folds over,
+    * collected driver-side (Spark does the double->DECIMAL(38,6) cast,
+    * so the spec replicates only the FOLD, not the cast). */
+  private def deltaSeq: Array[(Long, Int, java.math.BigDecimal)] = {
     import org.apache.spark.sql.expressions.Window
-    val seq = Tables.load(spark, sf, "orders")
+    Tables.load(spark, sf, "orders")
       .select(col("o_custkey").as("cust"),
               row_number().over(
                 Window.partitionBy("o_custkey")
@@ -66,17 +61,65 @@ class SqlSurfaceSpec extends AnyFunSuite {
                 .cast(Tables.DEC).as("delta"))
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDecimal(2)))
+  }
+
+  private def foldClamped(cap: Option[java.math.BigDecimal])
+      : Seq[(Long, Int, Double)] = {
     val zero = java.math.BigDecimal.ZERO
-    val want = seq.groupBy(_._1).toSeq.flatMap { case (cust, rs) =>
+    deltaSeq.groupBy(_._1).toSeq.flatMap { case (cust, rs) =>
       var bal = zero
       rs.sortBy(_._2).map { case (_, i, delta) =>
         bal = bal.add(delta).max(zero)
+        cap.foreach(c => bal = bal.min(c))
         (cust, i, bal.doubleValue())
       }
     }.sortBy(t => (t._1, t._2))
+  }
 
+  test("rcte_running_clamp: recursion equals a hand-rolled two-sided-clamped fold") {
+    val got = SparkEntry.queries("rcte_running_clamp")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    // Independent twin: fold bal_i = min(CAP, max(0, bal_{i-1} +
+    // delta_i)) driver-side with exact java.math.BigDecimal arithmetic —
+    // the semantics the recursive CTE claims.
+    val cap = new java.math.BigDecimal(
+      graft.operators.SqlSurface.RCTE_CAP)
+    val want = foldClamped(Some(cap))
     assert(got.nonEmpty && got == want,
       s"fold mismatch; first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    // Non-vacuity: the cap must BIND somewhere, else the two-sided
+    // claim (and the reason recursion is needed at all) is vacuous.
+    assert(got.exists(_._3 == cap.doubleValue()),
+      s"cap ${cap} never binds on this fixture — two-sided clamp is vacuous")
+  }
+
+  test("floor-only clamp has the windowed closed form (why the cap is load-bearing)") {
+    // bal_n = S_n - min(0, min_{1<=k<=n} S_k): without a cap the fold
+    // is two window functions in ONE pass — no recursion needed. The
+    // rcte key therefore carries a CAP; this test pins the claim that
+    // motivates it, against the same driver-side exact-decimal fold.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cust").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val win = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey").as("cust"),
+              row_number().over(
+                Window.partitionBy("o_custkey")
+                  .orderBy("o_orderdate", "o_orderkey")).as("i"),
+              when(col("o_orderstatus") === "F", -col("o_totalprice"))
+                .otherwise(col("o_totalprice"))
+                .cast(Tables.DEC).as("delta"))
+      .withColumn("s", sum("delta").over(w))
+      .withColumn("m", least(min(col("s")).over(w),
+                             lit(0).cast(Tables.DEC)))
+      .select(col("cust"), col("i"),
+              (col("s") - col("m")).cast("double").as("bal"))
+      .orderBy("cust", "i")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val want = foldClamped(None)
+    assert(win.nonEmpty && win == want,
+      s"closed form diverges from the floor-only fold; first diff: ${
+        win.zip(want).find(p => p._1 != p._2)}")
   }
 
   test("plan shapes: BFS has no UnionLoop (no recursion row limit); rcte does") {
