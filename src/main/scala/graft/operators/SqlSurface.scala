@@ -9,16 +9,21 @@ import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
   * capabilities a reference user reaches for BEFORE hand-rolling
   * DataFrame code.
   *
-  *  - `graph_reachability` / `rcte_running_clamp`: `WITH RECURSIVE`
-  *    (Spark 4's recursive CTE, planned as `UnionLoopExec`). Probed
-  *    limitation on 4.1.2: only UNION ALL recursion is supported —
-  *    `UNION` (distinct) raises `UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE`,
-  *    so frontier-deduplicating fixpoints (full transitive closure /
+  *  - `rcte_running_clamp`: `WITH RECURSIVE` (Spark 4's recursive
+  *    CTE, planned as `UnionLoopExec`) — linear recursion
+  *    (out-degree-1 chains), which never explodes. Probed limitation
+  *    on 4.1.2: only UNION ALL recursion is supported — `UNION`
+  *    (distinct) raises `UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE`, so
+  *    frontier-deduplicating fixpoints (full transitive closure /
   *    connected components) are NOT natively expressible; that is why
   *    `dedup_cc` keeps its hand-rolled pointer-jumping loop as the
-  *    corpus-scale path. What IS safely expressible, and covered here:
-  *    (a) level-capped BFS where the walk count stays bounded, and
-  *    (b) linear recursion (out-degree-1 chains), which never explodes.
+  *    corpus-scale path.
+  *  - `graph_reachability`: since round 12 the contract key is a
+  *    level-synchronous DataFrame BFS whose frontier carries walk
+  *    COUNTS (|V|-bounded per level); the `WITH RECURSIVE` form
+  *    survives only as [[reachabilityCte]], the sf0.001 spec oracle —
+  *    its UNION ALL recursion enumerates walks and would abort on
+  *    `cteRecursionRowLimit` at scale.
   *  - `sql_pipe`: SQL pipe syntax (`|>`), the Spark-4 parser surface —
   *    the q1 pricing report re-phrased as a pipeline, same oracle.
   *  - `obs_metrics`: `Dataset.observe` + `Observation` — zero-cost
