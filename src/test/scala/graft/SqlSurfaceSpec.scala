@@ -93,6 +93,45 @@ class SqlSurfaceSpec extends AnyFunSuite {
       s"cap ${cap} never binds on this fixture — two-sided clamp is vacuous")
   }
 
+  test("one-shuffle distributed fold equals the recursion (the corpus-scale path)") {
+    // The UnionLoop form costs ~depth sequential job rounds, each
+    // re-joining the checkpointed seq table — fine as the SQL surface,
+    // but at 100 TB the engine should fold in ONE shuffle: groupByKey
+    // on the customer, sort the (small, calendar-bounded) per-key
+    // group, run the clamp sequentially inside the task. This test
+    // pins that distributed path value-identical to the recursive CTE,
+    // exact-decimal included — the same demo/scale-twin split the
+    // graph_reachability key uses.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cap = new java.math.BigDecimal(graft.operators.SqlSurface.RCTE_CAP)
+    val zero = java.math.BigDecimal.ZERO
+    val folded = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey").as("cust"),
+              row_number().over(
+                Window.partitionBy("o_custkey")
+                  .orderBy("o_orderdate", "o_orderkey")).as("i"),
+              when(col("o_orderstatus") === "F", -col("o_totalprice"))
+                .otherwise(col("o_totalprice"))
+                .cast(Tables.DEC).as("delta"))
+      .as[(Long, Int, java.math.BigDecimal)]
+      .groupByKey(_._1)
+      .flatMapGroups { (cust, it) =>
+        var bal = zero
+        it.toSeq.sortBy(_._2).map { case (_, i, delta) =>
+          bal = bal.add(delta).max(zero).min(cap)
+          (cust, i, bal.doubleValue())
+        }
+      }
+      .collect().toSeq.sortBy(t => (t._1, t._2))
+    val cte = SparkEntry.queries("rcte_running_clamp")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(folded.nonEmpty && folded == cte,
+      s"one-shuffle fold diverges from the CTE; first diff: ${
+        folded.zip(cte).find(p => p._1 != p._2)}")
+  }
+
   test("floor-only clamp has the windowed closed form (why the cap is load-bearing)") {
     // bal_n = S_n - min(0, min_{1<=k<=n} S_k): without a cap the fold
     // is two window functions in ONE pass — no recursion needed. The
