@@ -87,49 +87,59 @@ object SqlSurface extends QueryModule {
       FROM reach GROUP BY node ORDER BY node""")
   }
 
+  /** Level-synchronous walk-counting BFS: from `seeds` (one `node`
+    * column) over directed `edges` (`src`, `dst`), returns
+    * (node, dist, n_walks) where dist = min level reaching the node
+    * and n_walks = number of distinct ≤`depth`-hop walks ending
+    * there. Scale-safe formulation (VERDICT r11): instead of
+    * enumerating walks (the WITH RECURSIVE form above — walk count
+    * grows with edge density and ABORTS on cteRecursionRowLimit at
+    * 100×), the frontier carries walk COUNTS aggregated per node —
+    * W_{l+1}(dst) = Σ_{src→dst} W_l(src) — so every level is one hash
+    * join + one partial-agg shuffle bounded by |V| rows REGARDLESS of
+    * walk count, and n_walks = Σ_l W_l, dist = min level with
+    * W_l > 0. A few levels of lineage over a (caller-checkpointed)
+    * edge table need no per-level checkpoint. Name-based resolution
+    * throughout: from level 2 on, the frontier's lineage CONTAINS
+    * edges, so a stale Dataset reference like edges("dst") is
+    * ambiguous under self-join dedup (the r12 AnalysisException);
+    * renaming node→src and joining on the column NAME lets Spark's
+    * DeduplicateRelations re-key the repeated subtree while every
+    * select resolves against the join output. GraphSpec
+    * property-tests this against a driver-side reference on seeded
+    * random graphs. */
+  private[graft] def walkBfs(edges: DataFrame, seeds: DataFrame,
+                             depth: Int): DataFrame = {
+    var frontier = seeds.distinct()
+      .select(col("node"), lit(1L).as("walks"), lit(0).as("lvl"))
+    var acc = frontier
+    for (l <- 1 to depth) {
+      frontier = frontier
+        .select(col("node").as("src"), col("walks"))
+        .join(edges, "src")
+        .select(col("dst").as("node"), col("walks"))
+        .groupBy("node")
+        .agg(sum("walks").as("walks"))
+        .select(col("node"), col("walks"), lit(l).as("lvl"))
+      acc = acc.unionAll(frontier)
+    }
+    acc.groupBy("node")
+      .agg(min("lvl").as("dist"), sum("walks").as("n_walks"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_reachability" -> ((s, dir) => {
       // Level-capped BFS from a deterministic seed set (customers with
-      // custkey % 500 = 1) over the urgent customer↔supplier graph:
-      // dist = min level reaching a node, n_walks = number of distinct
-      // ≤3-hop walks ending there. Scale-safe formulation (VERDICT r11):
-      // instead of enumerating walks (the WITH RECURSIVE form above —
-      // walk count grows with edge density and ABORTS on
-      // cteRecursionRowLimit at 100×), the frontier carries walk COUNTS
-      // aggregated per node — W_{l+1}(dst) = Σ_{src→dst} W_l(src) — so
-      // every level is one hash join + one partial-agg shuffle bounded
-      // by |V| rows REGARDLESS of walk count, and n_walks = Σ_l W_l,
-      // dist = min level with W_l > 0. Same answer, no row-limit cliff;
-      // 3 levels of lineage over a checkpointed edge table needs no
-      // per-level checkpoint.
+      // custkey % 500 = 1) over the urgent customer↔supplier graph —
+      // see [[walkBfs]] for the scale story.
       val cs = stageCs(s, dir)
       val edges = cs.select(col("c").as("src"), col("sp").as("dst"))
         .unionAll(cs.select(col("sp").as("src"), col("c").as("dst")))
         .localCheckpoint() // probed 3×, one materialization
-      var frontier = cs.select(col("c").as("node"))
+      val seeds = cs.select(col("c").as("node"))
         .filter(col("node") % 500 === 1)
-        .distinct()
-        .select(col("node"), lit(1L).as("walks"), lit(0).as("lvl"))
-      var acc = frontier
-      for (l <- 1 to 3) {
-        // Name-based resolution throughout: from level 2 on, frontier's
-        // lineage CONTAINS edges, so a stale Dataset reference like
-        // edges("dst") is ambiguous under self-join dedup (the r12
-        // AnalysisException). Renaming node→src and joining on the column
-        // NAME lets Spark's DeduplicateRelations re-key the repeated
-        // subtree while every select resolves against the join output.
-        frontier = frontier
-          .select(col("node").as("src"), col("walks"))
-          .join(edges, "src")
-          .select(col("dst").as("node"), col("walks"))
-          .groupBy("node")
-          .agg(sum("walks").as("walks"))
-          .select(col("node"), col("walks"), lit(l).as("lvl"))
-        acc = acc.unionAll(frontier)
-      }
-      acc.groupBy("node")
-        .agg(min("lvl").as("dist"), sum("walks").as("n_walks"))
-        .orderBy("node")
+      walkBfs(edges, seeds, 3)
     }),
 
     "rcte_running_clamp" -> ((s, dir) => {

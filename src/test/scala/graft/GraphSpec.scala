@@ -6,6 +6,52 @@ class GraphSpec extends AnyFunSuite {
   lazy val spark = SparkFixture.spark
   val sf = SparkFixture.sf001
 
+  test("walkBfs equals a driver-side walk-count reference on seeded random graphs") {
+    // The aggregated-frontier BFS behind graph_reachability, exercised
+    // OFF the fixture: 5 seeded random digraphs (varying density, incl.
+    // sparse ones where the frontier empties before the depth cap, and
+    // seeds with no outgoing edges) against an exact driver-side
+    // reference computing W_{l+1}(dst) = sum over src->dst of W_l(src),
+    // dist = min level with W_l > 0, n_walks = sum over l of W_l.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val n = 10 + rnd.nextInt(40)
+      val nEdges = n / 2 + rnd.nextInt(2 * n)
+      val edgeSet = Iterator.continually(
+          (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).take(nEdges).toSet
+      val seeds = (0L until n.toLong).filter(_ => rnd.nextDouble() < 0.2)
+      val depth = 1 + rnd.nextInt(4)
+      val got = graft.operators.SqlSurface.walkBfs(
+          edgeSet.toSeq.toDF("src", "dst"), seeds.toDF("node"), depth)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      // reference: level-by-level walk-count maps
+      val adj = edgeSet.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var w: Map[Long, Long] = seeds.map(_ -> 1L).toMap
+      var dist = seeds.map(_ -> 0).toMap
+      var walks = w
+      for (l <- 1 to depth) {
+        val next = scala.collection.mutable.Map[Long, Long]()
+        for ((src, c) <- w; dst <- adj.getOrElse(src, Set.empty))
+          next(dst) = next.getOrElse(dst, 0L) + c
+        w = next.toMap
+        dist = w.keys.foldLeft(dist)((d, v) =>
+          if (d.contains(v)) d else d + (v -> l))
+        walks = (walks.keySet ++ w.keySet).map(v =>
+          v -> (walks.getOrElse(v, 0L) + w.getOrElse(v, 0L))).toMap
+      }
+      val want = walks.toSeq.map { case (v, c) => (v, dist(v), c) }
+        .sortBy(_._1)
+      assert(got == want,
+        s"seed=$seed n=$n edges=${edgeSet.size} depth=$depth: " +
+          s"first diff ${got.zip(want).find(p => p._1 != p._2)} " +
+          s"(got ${got.size} rows, want ${want.size})")
+    }
+  }
+
   test("graph_degree: total degree mass equals 2x distinct edge count") {
     val degRows = SparkEntry.queries("graph_degree")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
