@@ -42,6 +42,39 @@ class DedupSpec extends AnyFunSuite {
     (31L to 35L).foreach(i => assert(got(i) == i, s"isolated $i -> ${got(i)}"))
   }
 
+  test("connectedComponents equals a union-find reference on seeded random graphs") {
+    // Off-fixture coverage for the pointer-jumping fixpoint: 5 seeded
+    // random pair sets over varying node counts and densities (below
+    // and above the percolation threshold, so both many-small- and
+    // one-giant-component shapes occur), checked against a driver-side
+    // union-find relabelled to per-component minima.
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 104729)
+      val n = 20 + rnd.nextInt(60)
+      val nPairs = rnd.nextInt(n)
+      val pairs = Seq.fill(nPairs)(
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter(p => p._1 != p._2)
+      val got = operators.DedupOps.connectedComponents(
+          (1L to n.toLong).toDF("doc_id"), pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long](
+        (1L to n.toLong).map(v => v -> v): _*)
+      def find(v: Long): Long =
+        if (parent(v) == v) v
+        else { val r = find(parent(v)); parent(v) = r; r }
+      pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val want = (1L to n.toLong).groupBy(find).toSeq
+        .flatMap { case (_, vs) => val m = vs.min; vs.map(_ -> m) }.toMap
+      assert(got == want,
+        s"seed=$seed n=$n pairs=${pairs.size}: first diff ${
+          got.toSeq.sortBy(_._1).zip(want.toSeq.sortBy(_._1))
+            .find(p => p._1 != p._2)}")
+    }
+  }
+
   test("dedup_near result is invariant to the skew cap (fallback = plain path)") {
     // Same query shape with a cap of 0 (every block goes through the
     // salted branch) must produce byte-identical pairs to the shipped
