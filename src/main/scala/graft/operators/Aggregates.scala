@@ -46,7 +46,7 @@ object Aggregates extends QueryModule {
   private val rollupSql =
     """SELECT l_returnflag, l_linestatus,
               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-              CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
+              CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sum_qty,
               count(*) AS n
        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
@@ -55,7 +55,7 @@ object Aggregates extends QueryModule {
     """SELECT l_returnflag, l_linestatus,
               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
               count(*) AS n,
-              CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_price
+              CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sum_price
        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
 
@@ -542,7 +542,7 @@ object Aggregates extends QueryModule {
   )
 
   private def q1d(inner: String) =
-    s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)"
+    s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS STRING) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
     "agg_countmin" ->
@@ -644,28 +644,28 @@ object Aggregates extends QueryModule {
       """SELECT o_orderpriority,
                 CAST(CAST(sum(CAST(CASE WHEN o_orderstatus = 'F'
                        THEN o_totalprice END AS DECIMAL(38,6)))
-                     AS VARCHAR(64)) AS DOUBLE) AS f_total,
+                     AS STRING) AS DOUBLE) AS f_total,
                 CAST(CAST(sum(CAST(CASE WHEN o_orderstatus = 'O'
                        THEN o_totalprice END AS DECIMAL(38,6)))
-                     AS VARCHAR(64)) AS DOUBLE) AS o_total,
+                     AS STRING) AS DOUBLE) AS o_total,
                 CAST(CAST(sum(CAST(CASE WHEN o_orderstatus = 'P'
                        THEN o_totalprice END AS DECIMAL(38,6)))
-                     AS VARCHAR(64)) AS DOUBLE) AS p_total
+                     AS STRING) AS DOUBLE) AS p_total
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
-                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_base_price,
-                CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_disc_price,
-                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) / count(*) AS avg_qty,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sum_qty,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sum_base_price,
+                CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sum_disc_price,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS STRING) AS DOUBLE) / count(*) AS avg_qty,
                 count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
 
     "agg_global" ->
       """SELECT count(*) AS n,
-                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sum_qty,
                 min(l_extendedprice) AS min_price,
                 max(l_extendedprice) AS max_price,
                 count(DISTINCT l_suppkey) AS n_supp
@@ -673,7 +673,7 @@ object Aggregates extends QueryModule {
 
     "agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
-                CAST(CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_dist_qty
+                CAST(CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sum_dist_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "agg_multi_distinct" ->
@@ -687,7 +687,7 @@ object Aggregates extends QueryModule {
 
     "agg_having" ->
       """SELECT l_partkey, count(*) AS n,
-                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY l_partkey HAVING count(*) >= 35
          ORDER BY l_partkey""",
 
@@ -698,11 +698,11 @@ object Aggregates extends QueryModule {
       // both engines either way, so the width difference is invisible.
       s"""WITH m AS (
            SELECT l_returnflag, count(*) AS n,
-                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,6))) AS VARCHAR(64)) AS DOUBLE) AS sx,
-                  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR(64)) AS DOUBLE) AS sy,
-                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS VARCHAR(64)) AS DOUBLE) AS sxx,
-                  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR(64)) AS DOUBLE) AS syy,
-                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR(64)) AS DOUBLE) AS sxy
+                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,6))) AS STRING) AS DOUBLE) AS sx,
+                  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS STRING) AS DOUBLE) AS sy,
+                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS STRING) AS DOUBLE) AS sxx,
+                  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS STRING) AS DOUBLE) AS syy,
+                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS STRING) AS DOUBLE) AS sxy
            FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag, n,
                 ${T.stable4Sql("(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))")} AS corr_qp,
@@ -712,8 +712,8 @@ object Aggregates extends QueryModule {
     "agg_stats_manual" ->
       """WITH b AS (
            SELECT l_returnflag, count(*) AS n,
-                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS s1,
-                  CAST(CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS s2
+                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS s1,
+                  CAST(CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS s2
            FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag, n, s1 / n AS mean,
                 (s2 - s1 * s1 / n) / (n - 1) AS var_samp,
@@ -744,7 +744,7 @@ object Aggregates extends QueryModule {
 
     "agg_salted" ->
       """SELECT l_returnflag, count(*) AS n,
-                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "agg_conditional" ->
@@ -755,7 +755,7 @@ object Aggregates extends QueryModule {
                      AS BIGINT) AS n_f,
                 CAST(CAST(sum(CASE WHEN l_quantity > 25.0
                               THEN CAST(l_extendedprice AS DECIMAL(38,6))
-                              ELSE CAST(0 AS DECIMAL(38,6)) END) AS VARCHAR(64)) AS DOUBLE) AS big_qty_price,
+                              ELSE CAST(0 AS DECIMAL(38,6)) END) AS STRING) AS DOUBLE) AS big_qty_price,
                 count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_disc
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
@@ -773,7 +773,7 @@ object Aggregates extends QueryModule {
                   date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS w
            FROM orders)
          SELECT o_orderpriority,
-                CAST(CAST(sum(CAST(o_totalprice * w AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) / sum(w) AS wavg,
+                CAST(CAST(sum(CAST(o_totalprice * w AS DECIMAL(38,6))) AS STRING) AS DOUBLE) / sum(w) AS wavg,
                 count(*) AS n
          FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority""",
   )

@@ -889,7 +889,7 @@ object CellQueries extends QueryModule {
       """SELECT CAST(user_id AS VARCHAR) AS rowkey, 'c' AS family,
                 'cnt_' || event_type AS qualifier,
                 count(*) AS n_increments,
-                CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR(64))
+                CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS STRING)
                   AS DOUBLE) AS counter
          FROM events GROUP BY 1, 2, 3 ORDER BY rowkey, qualifier""",
 

@@ -512,7 +512,7 @@ object DedupOps extends QueryModule {
                      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
                      GROUP BY d.doc_id)
           SELECT lang, count(*) AS n_kept,
-                 CAST(CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_chars
+                 CAST(CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sum_chars
           FROM documents JOIN comp USING (doc_id)
           WHERE doc_id = canonical
           GROUP BY lang ORDER BY lang""",

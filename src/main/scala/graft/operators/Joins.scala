@@ -750,7 +750,7 @@ object Joins extends QueryModule {
        ORDER BY c_custkey, o_orderkey"""
 
   private def dsum(inner: String) =
-    s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)"
+    s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS STRING) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
     "join_bloom" ->
@@ -827,7 +827,7 @@ object Joins extends QueryModule {
                       HAVING sum_qty > 250)
          SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
                 o_totalprice,
-                CAST(CAST(sum_qty AS VARCHAR(64)) AS DOUBLE) AS total_qty
+                CAST(CAST(sum_qty AS STRING) AS DOUBLE) AS total_qty
          FROM orders JOIN big ON o_orderkey = big.l_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY o_totalprice DESC, o_orderkey""",

@@ -284,7 +284,7 @@ object PipelineOps extends QueryModule {
           SELECT CASE WHEN bucket < 90 THEN 'train'
                       WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
                  count(*) AS n_docs,
-                 CAST(CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_chars
+                 CAST(CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sum_chars
           FROM b GROUP BY 1 ORDER BY 1""",
 
     "dedup_blocklist" ->
@@ -334,7 +334,7 @@ object PipelineOps extends QueryModule {
                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                  CAST(CAST(sum(CAST(CASE WHEN n_tok >= 20 AND quality >= 0.45
                                     THEN n_chars ELSE 0 END
-                               AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)
+                               AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
                    AS kept_chars
           FROM q GROUP BY lang ORDER BY lang"""
     },
@@ -364,7 +364,7 @@ object PipelineOps extends QueryModule {
                  substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
           FROM documents)
           SELECT lang, count(*) AS n_kept,
-                 CAST(CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_chars
+                 CAST(CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sum_chars
           FROM h
           WHERE hx < CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
                                WHEN 'es' THEN 'c000' WHEN 'fr' THEN '1999'

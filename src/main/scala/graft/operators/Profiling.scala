@@ -177,8 +177,8 @@ object Profiling extends QueryModule {
     "anomaly_zscore" ->
       """WITH st AS (
            SELECT event_type AS et, count(*) AS n,
-                  CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS s1,
-                  CAST(CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS s2
+                  CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS s1,
+                  CAST(CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS s2
            FROM events GROUP BY event_type),
          stats AS (
            SELECT et, s1 / n AS mean,

@@ -40,7 +40,7 @@ object Relational extends QueryModule {
   private val scalarSubquerySql =
     """SELECT o_orderkey, o_totalprice FROM orders
        WHERE o_totalprice * (SELECT count(*) FROM orders) >
-             (SELECT CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)
+             (SELECT CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
               FROM orders)
        ORDER BY o_orderkey"""
 

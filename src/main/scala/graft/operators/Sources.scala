@@ -443,7 +443,7 @@ object Sources extends QueryModule {
 
     "sink_parquet_partitioned" ->
       s"""SELECT event_type, count(*) AS n,
-                 CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_value,
+                 CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sum_value,
                  count(DISTINCT user_id) AS n_users
           FROM events GROUP BY event_type ORDER BY event_type""",
 
@@ -456,7 +456,7 @@ object Sources extends QueryModule {
       """SELECT event_type, count(*) AS n,
                 CAST(CAST(sum(CAST(CASE WHEN event_type = 'purchase'
                                         THEN value * 2 ELSE value END
-                         AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)
+                         AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
                   AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
 
@@ -466,20 +466,20 @@ object Sources extends QueryModule {
 
     "scan_dpp" ->
       s"""SELECT event_type, count(*) AS n,
-                 CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
+                 CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sum_value
           FROM events WHERE event_type IN ('purchase', 'signup')
           GROUP BY event_type ORDER BY event_type""",
 
     "sink_parquet_sorted" ->
       s"""SELECT count(*) AS n,
-                 CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
-                 CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_price
+                 CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sum_qty,
+                 CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sum_price
           FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000""",
 
     "scan_json_corrupt" ->
       s"""SELECT count(*) AS n_good,
                  CAST(${badLines.size} AS BIGINT) AS n_bad,
-                 CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
+                 CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sum_value
           FROM events WHERE value IS NULL OR isfinite(value)""",
 
     "scan_schema_evolve" ->

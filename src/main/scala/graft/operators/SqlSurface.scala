@@ -304,12 +304,12 @@ object SqlSurface extends QueryModule {
                                         w.bal + s.delta))
                          AS DECIMAL(38,6))
              FROM walk w JOIN seq s ON s.cust = w.cust AND s.i = w.i + 1)
-         SELECT cust, i, CAST(CAST(bal AS VARCHAR(64)) AS DOUBLE) AS bal
+         SELECT cust, i, CAST(CAST(bal AS STRING) AS DOUBLE) AS bal
          FROM walk ORDER BY cust, i""",
 
     "sql_pipe" -> {
       def q1d(inner: String) =
-        s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)"
+        s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS STRING) AS DOUBLE)"
       s"""SELECT l_returnflag, l_linestatus,
                  ${q1d("l_quantity")} AS sum_qty,
                  ${q1d("l_extendedprice")} AS sum_base_price,
@@ -327,7 +327,7 @@ object SqlSurface extends QueryModule {
     "obs_metrics" ->
       """SELECT count(*) AS n_rows,
                 CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
-                          AS VARCHAR(64)) AS DOUBLE) AS sum_price,
+                          AS STRING) AS DOUBLE) AS sum_price,
                 CAST(min(l_discount) AS DOUBLE) AS min_disc,
                 CAST(max(l_tax) AS DOUBLE) AS max_tax
          FROM lineitem

@@ -263,7 +263,7 @@ object TextOps extends QueryModule {
   )
 
   private def dsum(inner: String) =
-    s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)"
+    s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS STRING) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
     "text_lm_score" ->

@@ -128,7 +128,7 @@ object TimeSeries extends QueryModule {
     s"""ev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, value
               FROM events),
        agg AS (SELECT event_type, hr, count(*) AS n,
-                      CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)
+                      CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
                         / count(*) AS avg_v
                FROM ev GROUP BY event_type, hr),
        spine AS (SELECT event_type, unnest(generate_series(min(hr), max(hr))) AS hr

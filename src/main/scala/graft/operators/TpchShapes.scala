@@ -411,7 +411,7 @@ object TpchShapes extends QueryModule {
   )
 
   private def dsum(inner: String) =
-    s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)"
+    s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS STRING) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
     "q4_priority" ->
@@ -570,7 +570,7 @@ object TpchShapes extends QueryModule {
              AND l_shipdate <  TIMESTAMP '1996-04-01'
            GROUP BY l_suppkey)
          SELECT s_suppkey, s_name,
-                CAST(CAST(tr AS VARCHAR(64)) AS DOUBLE) AS total_revenue
+                CAST(CAST(tr AS STRING) AS DOUBLE) AS total_revenue
          FROM supplier JOIN rev ON s_suppkey = l_suppkey
          WHERE tr = (SELECT max(tr) FROM rev)
          ORDER BY s_suppkey""",

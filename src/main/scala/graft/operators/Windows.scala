@@ -33,7 +33,7 @@ object Windows extends QueryModule {
               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
                 PARTITION BY o_custkey ORDER BY o_orderdate
                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
-              ) AS VARCHAR(64)) AS DOUBLE) AS trailing_30d
+              ) AS STRING) AS DOUBLE) AS trailing_30d
        FROM orders
        ORDER BY o_custkey, o_orderdate, o_orderkey"""
 
@@ -340,7 +340,7 @@ object Windows extends QueryModule {
 
     "win_rolling_corr" -> {
       def dw(inner: String) =
-        s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) OVER f AS VARCHAR(64)) AS DOUBLE)"
+        s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) OVER f AS STRING) AS DOUBLE)"
       s"""WITH b AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,
                             value AS x,
                             lag(value, 1) OVER (PARTITION BY event_type
@@ -394,9 +394,9 @@ object Windows extends QueryModule {
 
     "win_share_of_total" -> {
       val dw = "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER " +
-        "(PARTITION BY o_custkey) AS VARCHAR(64)) AS DOUBLE)"
+        "(PARTITION BY o_custkey) AS STRING) AS DOUBLE)"
       s"""WITH t AS (SELECT CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
-                            AS VARCHAR(64)) AS DOUBLE) AS grand FROM orders),
+                            AS STRING) AS DOUBLE) AS grand FROM orders),
                c AS (SELECT o_orderkey, o_custkey, o_totalprice,
                             $dw AS cust_total
                      FROM orders)
@@ -437,7 +437,7 @@ object Windows extends QueryModule {
     "win_running" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,
                 CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w
-                     AS VARCHAR(64)) AS DOUBLE) AS running_total,
+                     AS STRING) AS DOUBLE) AS running_total,
                 count(*) OVER w AS running_n
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey

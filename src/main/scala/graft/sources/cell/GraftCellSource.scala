@@ -1,0 +1,426 @@
+package graft.sources.cell
+
+import java.util.{Arrays => JArrays}
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.MessageTypeParser
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the engine's HBase cell model — the
+  * "HBase table" surface (BASELINE.md's connector approach line),
+  * re-expressed as a pluggable Spark source instead of query patterns.
+  *
+  * Store layout (written by CellStoreStage / the `graftcell` write path):
+  * `<path>/region=<k>/*.parquet`, rows `(rowkey, family, qualifier,
+  * version, value)` sorted by rowkey within each file — the HFile
+  * analog: a pre-split table whose files carry tight rowkey ranges.
+  *
+  * Scale design (the three pruning levels a 100 TB cell store needs):
+  *  1. FILE pruning at plan time — the driver reads each file's parquet
+  *     FOOTER once (cached per store, the manifest analog) and drops
+  *     files whose [min,max] rowkey cannot intersect the pushed rowkey
+  *     bounds: the HBase region-seek. `Scan.description()` reports
+  *     `PushedFilters` + planned/total file counts so `.explain` shows
+  *     the pruning (PLANS.md evidence).
+  *  2. ROW-GROUP pruning at read time — the same rowkey bounds become a
+  *     parquet `FilterPredicate`, so row groups inside a selected file
+  *     are skipped by their statistics (unsigned-lexicographic UTF8
+  *     order — identical to Spark's UTF8String comparison semantics).
+  *  3. COLUMN pruning — `SupportsPushDownRequiredColumns` narrows the
+  *     parquet read schema (`ReadSupport.PARQUET_READ_SCHEMA`), so
+  *     unprojected columns are never decoded (real IO pruning, not a
+  *     post-hoc drop).
+  *
+  * Correctness is layout-independent by construction: every ACCEPTED
+  * filter is also evaluated exactly per row in the reader (UTF8 binary
+  * order via [[UTF8String]]), so footer stats / row-group stats only
+  * ever skip data, never decide membership; filters the source does not
+  * understand are returned to Spark from `pushFilters` and evaluated
+  * above the scan as usual.
+  */
+class GraftCellTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftcell"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftCell.SCHEMA
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new GraftCellTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GraftCell {
+  /** The cell model — the one schema the reference stores everything in
+    * (SURVEY §1.1): nested documents flatten to per-leaf cells. */
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("rowkey", StringType, nullable = false),
+    StructField("family", StringType, nullable = false),
+    StructField("qualifier", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("value", StringType, nullable = true)))
+
+  /** Byte-wise bound: (bytes, inclusive). Compared unsigned — the order
+    * of UTF8String, of parquet UTF8 statistics, and of HBase rowkeys. */
+  final case class Bound(key: Array[Byte], inclusive: Boolean)
+
+  /** Rowkey interval [lo, hi] implied by the pushed filters (either side
+    * open = None). Conservative: only used to SKIP files/row-groups. */
+  final case class KeyRange(lo: Option[Bound], hi: Option[Bound]) {
+    def tightenLo(b: Bound): KeyRange = copy(lo = Some(lo match {
+      case Some(c) =>
+        val cmp = JArrays.compareUnsigned(b.key, c.key)
+        if (cmp > 0 || (cmp == 0 && !b.inclusive)) b else c
+      case None => b
+    }))
+    def tightenHi(b: Bound): KeyRange = copy(hi = Some(hi match {
+      case Some(c) =>
+        val cmp = JArrays.compareUnsigned(b.key, c.key)
+        if (cmp < 0 || (cmp == 0 && !b.inclusive)) b else c
+      case None => b
+    }))
+  }
+  val FULL_RANGE: KeyRange = KeyRange(None, None)
+
+  private def utf8(s: String): Array[Byte] = UTF8String.fromString(s).getBytes
+
+  /** HBase PrefixFilter stopRow: smallest byte string strictly greater
+    * than every string with this prefix — increment the last non-0xFF
+    * byte, dropping trailing 0xFF bytes; all-0xFF ⇒ unbounded above. */
+  def prefixStop(prefix: Array[Byte]): Option[Array[Byte]] = {
+    var i = prefix.length - 1
+    while (i >= 0 && prefix(i) == 0xFF.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val stop = JArrays.copyOfRange(prefix, 0, i + 1)
+      stop(i) = (stop(i) + 1).toByte
+      Some(stop)
+    }
+  }
+
+  /** Fold the accepted filters' rowkey constraints into one interval. */
+  def keyRange(filters: Seq[Filter]): KeyRange =
+    filters.foldLeft(FULL_RANGE) {
+      case (r, EqualTo("rowkey", v: String)) =>
+        r.tightenLo(Bound(utf8(v), true)).tightenHi(Bound(utf8(v), true))
+      case (r, GreaterThan("rowkey", v: String)) =>
+        r.tightenLo(Bound(utf8(v), false))
+      case (r, GreaterThanOrEqual("rowkey", v: String)) =>
+        r.tightenLo(Bound(utf8(v), true))
+      case (r, LessThan("rowkey", v: String)) =>
+        r.tightenHi(Bound(utf8(v), false))
+      case (r, LessThanOrEqual("rowkey", v: String)) =>
+        r.tightenHi(Bound(utf8(v), true))
+      case (r, StringStartsWith("rowkey", p: String)) =>
+        val lo = r.tightenLo(Bound(utf8(p), true))
+        prefixStop(utf8(p)).fold(lo)(s => lo.tightenHi(Bound(s, false)))
+      case (r, _) => r
+    }
+
+  /** File-level pruning: can a file whose rowkeys span [min,max] hold a
+    * row inside `range`? Missing stats ⇒ keep (skip only on evidence). */
+  def mayOverlap(min: Option[Array[Byte]], max: Option[Array[Byte]],
+                 range: KeyRange): Boolean = {
+    val aboveLo = (range.lo, max) match {
+      case (Some(Bound(k, incl)), Some(mx)) =>
+        val c = JArrays.compareUnsigned(mx, k)
+        if (incl) c >= 0 else c > 0
+      case _ => true
+    }
+    val belowHi = (range.hi, min) match {
+      case (Some(Bound(k, incl)), Some(mn)) =>
+        val c = JArrays.compareUnsigned(mn, k)
+        if (incl) c <= 0 else c < 0
+      case _ => true
+    }
+    aboveLo && belowHi
+  }
+
+  /** Which filters this source accepts (evaluates exactly itself). */
+  def acceptable(f: Filter): Boolean = f match {
+    case EqualTo(c, v)            => colType(c).exists(_ == typeOf(v))
+    case GreaterThan(c, v)        => colType(c).exists(_ == typeOf(v))
+    case GreaterThanOrEqual(c, v) => colType(c).exists(_ == typeOf(v))
+    case LessThan(c, v)           => colType(c).exists(_ == typeOf(v))
+    case LessThanOrEqual(c, v)    => colType(c).exists(_ == typeOf(v))
+    case In(c, vs)                => vs.nonEmpty && vs.forall(v => v != null && colType(c).exists(_ == typeOf(v)))
+    case StringStartsWith(c, _)   => colType(c).contains("s")
+    case IsNotNull(c)             => colType(c).isDefined
+    case IsNull(c)                => colType(c).isDefined
+    case And(l, r)                => acceptable(l) && acceptable(r)
+    case _                        => false
+  }
+
+  private def colType(c: String): Option[String] = c match {
+    case "rowkey" | "family" | "qualifier" | "value" => Some("s")
+    case "version"                                   => Some("l")
+    case _                                           => None
+  }
+  private def typeOf(v: Any): String = v match {
+    case _: String                                        => "s"
+    case _: java.lang.Long | _: java.lang.Integer |
+         _: java.lang.Short | _: java.lang.Byte           => "l"
+    case _                                                => "?"
+  }
+
+  /** Exact row-level evaluation of an accepted filter. `get` returns the
+    * column's value as UTF8String (strings) / java.lang.Long (version),
+    * or null. Comparison semantics = Spark's (UTF8 binary order). */
+  def eval(f: Filter, get: String => Any): Boolean = f match {
+    case EqualTo(c, v)            => cmp(get(c), v).contains(0)
+    case GreaterThan(c, v)        => cmp(get(c), v).exists(_ > 0)
+    case GreaterThanOrEqual(c, v) => cmp(get(c), v).exists(_ >= 0)
+    case LessThan(c, v)           => cmp(get(c), v).exists(_ < 0)
+    case LessThanOrEqual(c, v)    => cmp(get(c), v).exists(_ <= 0)
+    case In(c, vs)                => vs.exists(v => cmp(get(c), v).contains(0))
+    case StringStartsWith(c, p)   => get(c) match {
+      case s: UTF8String => s.startsWith(UTF8String.fromString(p))
+      case _             => false
+    }
+    case IsNotNull(c)             => get(c) != null
+    case IsNull(c)                => get(c) == null
+    case And(l, r)                => eval(l, get) && eval(r, get)
+    case _                        => false
+  }
+
+  /** SQL three-valued logic collapses to false for a pushed predicate:
+    * null operand ⇒ row filtered. None = null was involved. */
+  private def cmp(cell: Any, lit: Any): Option[Int] = (cell, lit) match {
+    case (null, _) | (_, null)          => None
+    case (s: UTF8String, v: String)     => Some(s.compareTo(UTF8String.fromString(v)))
+    case (l: java.lang.Long, v: Number) => Some(java.lang.Long.compare(l, v.longValue()))
+    case _                              => None
+  }
+
+  /** The parquet FilterPredicate twin of the rowkey interval, for
+    * row-group skipping inside selected files (UTF8 stats order). */
+  def parquetRange(range: KeyRange): Option[FilterPredicate] = {
+    val col = FilterApi.binaryColumn("rowkey")
+    val lo = range.lo.map { b =>
+      val bin = Binary.fromConstantByteArray(b.key)
+      if (b.inclusive) FilterApi.gtEq(col, bin) else FilterApi.gt(col, bin)
+    }
+    val hi = range.hi.map { b =>
+      val bin = Binary.fromConstantByteArray(b.key)
+      if (b.inclusive) FilterApi.ltEq(col, bin) else FilterApi.lt(col, bin)
+    }
+    (lo, hi) match {
+      case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+      case (Some(a), None)    => Some(a)
+      case (None, Some(b))    => Some(b)
+      case (None, None)       => None
+    }
+  }
+
+  /** Columns a filter reads (must be fetched even when pruned away). */
+  def referenced(f: Filter): Set[String] = f.references.toSet
+}
+
+class GraftCellTable(path: String) extends Table with SupportsRead {
+  require(path != null, "graftcell requires a path")
+  override def name(): String = s"graftcell.`$path`"
+  override def schema(): StructType = GraftCell.SCHEMA
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftCellScanBuilder(path)
+}
+
+class GraftCellScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = GraftCell.SCHEMA
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(GraftCell.acceptable)
+    pushed = ok
+    rest // evaluated by Spark above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve store column order (projection = subset, order-stable)
+    required = StructType(
+      GraftCell.SCHEMA.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new GraftCellScan(path, pushed, required)
+}
+
+/** Per-file metadata from the parquet footer (the manifest entry). */
+final case class CellFileMeta(path: String, bytes: Long,
+                              minKey: Option[Array[Byte]],
+                              maxKey: Option[Array[Byte]],
+                              messageType: String)
+
+object CellFooterCache {
+  /** Driver-side footer cache per store path — the manifest a real
+    * deployment persists next to the data; here rebuilt once per JVM. */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[CellFileMeta]]
+
+  def filesOf(store: String): Seq[CellFileMeta] =
+    cache.getOrElseUpdate(store, {
+      val conf = new Configuration()
+      val root = new java.io.File(store)
+      val files = Option(root.listFiles).getOrElse(Array.empty)
+        .filter(_.isDirectory).flatMap(d => Option(d.listFiles).getOrElse(Array.empty))
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .sortBy(_.getPath)
+      files.toSeq.map { f =>
+        val in = HadoopInputFile.fromPath(new Path(f.getPath), conf)
+        val r = ParquetFileReader.open(in)
+        try {
+          val md = r.getFooter
+          val blocks = md.getBlocks.asScala.toSeq
+          val stats = blocks.flatMap(_.getColumns.asScala
+            .find(_.getPath.toDotString == "rowkey").map(_.getStatistics))
+          val usable = stats.nonEmpty &&
+            stats.forall(s => s != null && s.hasNonNullValue)
+          val (mn, mx) =
+            if (!usable) (None, None)
+            else (Some(stats.map(_.genericGetMin.asInstanceOf[Binary].getBytes)
+                         .min(UnsignedBytes)),
+                  Some(stats.map(_.genericGetMax.asInstanceOf[Binary].getBytes)
+                         .max(UnsignedBytes)))
+          CellFileMeta(f.getPath, f.length(), mn, mx,
+                       md.getFileMetaData.getSchema.toString)
+        } finally r.close()
+      }
+    })
+
+  private object UnsignedBytes extends Ordering[Array[Byte]] {
+    def compare(a: Array[Byte], b: Array[Byte]): Int =
+      JArrays.compareUnsigned(a, b)
+  }
+}
+
+class GraftCellScan(path: String, pushed: Array[Filter], required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private lazy val all = CellFooterCache.filesOf(path)
+  private lazy val range = GraftCell.keyRange(pushed.toSeq)
+  private lazy val selected =
+    all.filter(m => GraftCell.mayOverlap(m.minKey, m.maxKey, range))
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftCellScan path=$path, " +
+    s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
+    s"ReadSchema: ${required.catalogString}, " +
+    s"regionFiles: ${selected.size}/${all.size}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // fetch set = projected ∪ filter-referenced (store column order)
+    val need = required.fieldNames.toSet ++
+      pushed.flatMap(GraftCell.referenced)
+    val fetch = GraftCell.SCHEMA.fields.map(_.name).filter(need.contains)
+    selected.map(m =>
+      CellInputPartition(m.path, fetch, required.fieldNames, pushed, m.messageType)
+        : InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CellPartitionReaderFactory()
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    // post-file-pruning size: what AQE/broadcast planning should see
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, selected.map(_.bytes).sum))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
+}
+
+/** One partition = one region file (the HBase region-server unit). */
+final case class CellInputPartition(file: String, fetch: Array[String],
+                                    project: Array[String],
+                                    filters: Array[Filter],
+                                    fileMessageType: String)
+    extends InputPartition
+
+class CellPartitionReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new CellPartitionReader(partition.asInstanceOf[CellInputPartition])
+}
+
+class CellPartitionReader(p: CellInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  // Projection = the fetch-set subset of the FILE's own message type, so
+  // repetition/logical types always match the footer exactly.
+  private val projection = {
+    val fileType = MessageTypeParser.parseMessageType(p.fileMessageType)
+    val keep = p.fetch.toSet
+    val b = org.apache.parquet.schema.Types.buildMessage()
+    fileType.getFields.asScala.foreach { f =>
+      if (keep.contains(f.getName)) b.addField(f)
+    }
+    b.named(fileType.getName)
+  }
+
+  private val reader: ParquetReader[org.apache.parquet.example.data.Group] = {
+    val conf = new Configuration()
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+    val b = ParquetReader
+      .builder(new GroupReadSupport(), new Path(p.file))
+      .withConf(conf)
+    GraftCell.parquetRange(GraftCell.keyRange(p.filters.toSeq)) match {
+      case Some(pred) => b.withFilter(FilterCompat.get(pred)).build()
+      case None       => b.build()
+    }
+  }
+
+  private val fetchIdx = p.fetch.zipWithIndex.toMap
+  private val outIdx: Array[Int] = p.project.map(fetchIdx)
+  private val fetched = new Array[Any](p.fetch.length)
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    var g = reader.read()
+    while (g != null) {
+      var i = 0
+      while (i < p.fetch.length) {
+        val name = p.fetch(i)
+        val gi = g.getType.getFieldIndex(name)
+        fetched(i) =
+          if (g.getFieldRepetitionCount(gi) == 0) null
+          else if (name == "version") java.lang.Long.valueOf(g.getLong(gi, 0))
+          else UTF8String.fromBytes(g.getBinary(gi, 0).getBytes)
+        i += 1
+      }
+      val get = (c: String) => fetched(fetchIdx(c))
+      if (p.filters.forall(f => GraftCell.eval(f, get))) {
+        val out = new Array[Any](outIdx.length)
+        var j = 0
+        while (j < outIdx.length) { out(j) = fetched(outIdx(j)); j += 1 }
+        row = new GenericInternalRow(out)
+        return true
+      }
+      g = reader.read()
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}

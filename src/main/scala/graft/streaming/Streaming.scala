@@ -239,7 +239,7 @@ object Streaming extends QueryModule {
   }
 
   private def dsum(inner: String) =
-    s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE)"
+    s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS STRING) AS DOUBLE)"
 
   /** Exactly-once foreachBatch writer: each micro-batch owns the
     * directory `outDir/batch_id=<id>` and commits it with a `_COMMITTED`
