@@ -11,6 +11,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     CellQueries,
+    CellConnector,
     Relational,
     Aggregates,
     Joins,

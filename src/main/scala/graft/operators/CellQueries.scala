@@ -17,7 +17,7 @@ object CellQueries extends QueryModule {
       .select(col("event_id"), col("ts_us"), col("user_id"),
               col("event_type"), col("value"), col("props"))
 
-  private def eventCells(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[operators] def eventCells(s: org.apache.spark.sql.SparkSession, dir: String) =
     CellFlatten.flatten(eventsNested(s, dir), col("event_id"), "d",
                         col("ts_us"), exclude = Set("event_id", "ts_us"))
 
@@ -582,7 +582,7 @@ object CellQueries extends QueryModule {
        SELECT CAST(event_id AS VARCHAR), 'd', 'value', epoch_us(ts) + $vshift,
               CAST(CAST($valueExpr AS DECIMAL(28,6)) AS VARCHAR) FROM events $where"""
 
-  private val eventCellsSql = eventCellsSqlWith("", 0L, "value")
+  private[operators] val eventCellsSql = eventCellsSqlWith("", 0L, "value")
 
   /** DuckDB twin of the nested-fixture cells: one UNION ALL branch per
     * schema leaf, with `unnest(generate_series(...))` reproducing the

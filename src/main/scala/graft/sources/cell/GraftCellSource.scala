@@ -29,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * re-expressed as a pluggable Spark source instead of query patterns.
   *
   * Store layout (written by CellStoreStage / the `graftcell` write path):
-  * `<path>/region=<k>/*.parquet`, rows `(rowkey, family, qualifier,
+  * `<path>/region=<k>/` parquet files, rows `(rowkey, family, qualifier,
   * version, value)` sorted by rowkey within each file — the HFile
   * analog: a pre-split table whose files carry tight rowkey ranges.
   *
@@ -212,13 +212,18 @@ object GraftCell {
     * row-group skipping inside selected files (UTF8 stats order). */
   def parquetRange(range: KeyRange): Option[FilterPredicate] = {
     val col = FilterApi.binaryColumn("rowkey")
+    // explicit FilterPredicate ascription: the if/else LUB is parquet's
+    // package-private ColumnFilterPredicate → IllegalAccessError if
+    // scalac infers it
     val lo = range.lo.map { b =>
       val bin = Binary.fromConstantByteArray(b.key)
-      if (b.inclusive) FilterApi.gtEq(col, bin) else FilterApi.gt(col, bin)
+      (if (b.inclusive) FilterApi.gtEq(col, bin)
+       else FilterApi.gt(col, bin)): FilterPredicate
     }
     val hi = range.hi.map { b =>
       val bin = Binary.fromConstantByteArray(b.key)
-      if (b.inclusive) FilterApi.ltEq(col, bin) else FilterApi.lt(col, bin)
+      (if (b.inclusive) FilterApi.ltEq(col, bin)
+       else FilterApi.lt(col, bin)): FilterPredicate
     }
     (lo, hi) match {
       case (Some(a), Some(b)) => Some(FilterApi.and(a, b))

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.cell.GraftCell
+import graft.sources.cell.GraftCell.{Bound, KeyRange}
+
+/** Gates the DataSource V2 `graftcell` connector (SURVEY §2.A r14):
+  * the pure pruning math, the pushdown plan shape, and end-to-end
+  * equality with the inline query-pattern twins. */
+class CellConnectorSpec extends AnyFunSuite {
+  private lazy val s = SparkFixture.spark
+  private val dir = SparkFixture.sf001
+
+  private def b(x: String): Array[Byte] =
+    x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  // ---- pure pruning math -------------------------------------------------
+
+  test("prefixStop increments the last non-0xFF byte (HBase stopRow)") {
+    assert(GraftCell.prefixStop(b("10")).map(new String(_)).contains("11"))
+    assert(GraftCell.prefixStop(b("1")).map(new String(_)).contains("2"))
+    // trailing 0xFF bytes are dropped before the increment
+    assert(GraftCell.prefixStop(Array(0x41.toByte, 0xFF.toByte))
+      .exists(java.util.Arrays.equals(_, Array(0x42.toByte))))
+    // all-0xFF prefix has no upper bound
+    assert(GraftCell.prefixStop(Array(0xFF.toByte, 0xFF.toByte)).isEmpty)
+  }
+
+  test("keyRange folds rowkey filters into the tightest interval") {
+    import org.apache.spark.sql.sources._
+    val r = GraftCell.keyRange(Seq(
+      GreaterThanOrEqual("rowkey", "30"), LessThan("rowkey", "50"),
+      GreaterThan("rowkey", "2"), // looser than >= "30" lexicographically? "2" < "30"? '2'<'3' yes
+      IsNotNull("rowkey"), EqualTo("family", "d")))
+    assert(r.lo.exists(lo => new String(lo.key) == "30" && lo.inclusive))
+    assert(r.hi.exists(hi => new String(hi.key) == "50" && !hi.inclusive))
+    // prefix adds [p, stop(p)) bounds
+    val p = GraftCell.keyRange(Seq(StringStartsWith("rowkey", "10")))
+    assert(p.lo.exists(lo => new String(lo.key) == "10" && lo.inclusive))
+    assert(p.hi.exists(hi => new String(hi.key) == "11" && !hi.inclusive))
+  }
+
+  test("mayOverlap skips only files provably outside the range") {
+    val r = KeyRange(Some(Bound(b("30"), true)), Some(Bound(b("50"), false)))
+    assert(!GraftCell.mayOverlap(Some(b("10")), Some(b("2")), r))  // below
+    assert(!GraftCell.mayOverlap(Some(b("50")), Some(b("59")), r)) // at excl hi
+    assert(GraftCell.mayOverlap(Some(b("3")), Some(b("31")), r))   // straddles lo
+    assert(GraftCell.mayOverlap(Some(b("4")), Some(b("49")), r))   // inside
+    assert(GraftCell.mayOverlap(None, None, r))                    // no stats ⇒ keep
+    // inclusive hi keeps the boundary file
+    val ri = KeyRange(None, Some(Bound(b("50"), true)))
+    assert(GraftCell.mayOverlap(Some(b("50")), Some(b("59")), ri))
+  }
+
+  // ---- plan shape --------------------------------------------------------
+
+  test("range + projection land in the scan: PushedFilters, ReadSchema, file pruning") {
+    val df = SparkEntry.queries("cell_connector_prefix")(s, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftCellScan"))
+    assert(plan.contains("StringStartsWith(rowkey,10)"))
+    assert(plan.contains("In(qualifier"))
+    // column pruning reached the scan (3 of 5 columns)
+    assert(plan.contains("ReadSchema: struct<rowkey:string,qualifier:string,value:string>"))
+    // footer-stats file pruning: fewer region files planned than exist
+    val rf = "regionFiles: (\\d+)/(\\d+)".r
+    val m = rf.findFirstMatchIn(plan)
+    assert(m.nonEmpty, s"no regionFiles marker in:\n$plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+           s"range scan should prune region files: ${m.get.matched}")
+  }
+
+  // ---- end-to-end equality with the inline query-pattern twins -----------
+
+  test("connector range scan ≡ cell_scan_range query pattern") {
+    val viaConnector = SparkEntry.queries("cell_connector_range")(s, dir)
+    val viaPattern = SparkEntry.queries("cell_scan_range")(s, dir)
+    assert(viaConnector.collect().toSeq == viaPattern.collect().toSeq)
+  }
+
+  test("connector full scan ≡ sink_hbase_cells query pattern") {
+    val viaConnector = SparkEntry.queries("scan_cell_connector")(s, dir)
+    val viaPattern = SparkEntry.queries("sink_hbase_cells")(s, dir)
+    assert(viaConnector.collect().toSeq == viaPattern.collect().toSeq)
+  }
+
+  test("unsupported filters fall back to Spark above the scan, exactly") {
+    // endsWith is not acceptable → must be returned to Spark, and the
+    // result must equal the same predicate on the pattern-built cells
+    val store = s.read.format("graftcell")
+      .load("/tmp/graft_cellstore_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val got = store.filter(col("qualifier").endsWith("_type") &&
+                           col("rowkey") < "2")
+      .orderBy("rowkey", "qualifier").collect().toSeq
+    val want = SparkEntry.queries("sink_hbase_cells")(s, dir)
+      .filter(col("qualifier").endsWith("_type") && col("rowkey") < "2")
+      .orderBy("rowkey", "qualifier").collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+}
