@@ -20,7 +20,7 @@ class TtlProbeProcessor
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     fast = getHandle.getValueState("fast", Encoders.scalaLong,
-      TTLConfig(java.time.Duration.ofSeconds(1)))
+      TTLConfig(java.time.Duration.ofSeconds(8)))
     slow = getHandle.getValueState("slow", Encoders.scalaLong,
       TTLConfig(java.time.Duration.ofMinutes(10)))
   }
@@ -41,13 +41,17 @@ class StreamingSpec extends AnyFunSuite {
   val sf = SparkFixture.sf001
 
   test("state TTL: short-TTL ValueState expires between batches, long-TTL survives") {
-    // Deterministic in both directions: the 3 s inter-batch gap is
-    // comfortably past the 1 s fast TTL (expiry is evaluated against
-    // the BATCH timestamp, so a slow host only widens the gap) and
-    // nowhere near the 10 min slow TTL. The slow state doubles as the
-    // non-vacuity control — same key, same batches, same store; only
-    // the TTL differs, so a false "expired" from state loss (rather
-    // than TTL) would trip the slow assertion.
+    // Three batches pin BOTH directions of the fast TTL (r13 ADVICE:
+    // the old two-batch form couldn't distinguish "expired" from
+    // "never persisted"): run 2 fires back-to-back (gap ≪ 8 s fast
+    // TTL) and must SEE the fast state — the positive persistence
+    // assertion; run 3 fires after a 10 s sleep (> 8 s) and must see
+    // it expired. Margins are wide on both sides (back-to-back gap is
+    // ~1 s on a warmed session vs the 8 s TTL; expiry is evaluated
+    // against the batch timestamp, so a slow host only widens the
+    // run-3 gap). The slow state is the non-vacuity control — same
+    // key, same batches, same store; only the TTL differs, so a false
+    // "expired" from state loss would trip the slow assertion.
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "2")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -85,13 +89,16 @@ class StreamingSpec extends AnyFunSuite {
       q.awaitTermination()
     }
     runBatch((1L, 1L))
-    Thread.sleep(3000) // > fast TTL, << slow TTL
-    runBatch((1L, 2L))
+    runBatch((1L, 2L))       // back-to-back: inside the 8 s fast TTL
+    Thread.sleep(10000)      // > fast TTL, << slow TTL
+    runBatch((1L, 3L))
     val rows = s.read.parquet(outDir).collect()
       .map(r => (r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
       .toSeq.sortBy(_._1)
-    assert(rows == Seq((1L, false, false), (2L, false, true)),
-      s"expected run1 fresh, run2 fast-expired/slow-alive, got: $rows")
+    assert(rows == Seq((1L, false, false), (2L, true, true),
+                       (3L, false, true)),
+      s"expected run1 fresh, run2 fast-alive (persistence), " +
+      s"run3 fast-expired/slow-alive, got: $rows")
   }
 
   test("watermark drops the 3-hour-late row (SURVEY §2.I stream_late_drop)") {
@@ -249,4 +256,64 @@ class StreamingSpec extends AnyFunSuite {
     val original = Tables.load(spark, sf, "events").count()
     assert(deduped == original)
   }
+
+  test("mid-batch crash + checkpoint resume is exactly-once (file sink)") {
+    // VERDICT r13 #4: kill a file-sink query MID-BATCH — not between
+    // batches — and resume from the checkpoint. A fault UDF throws
+    // while processing the marked slice (so the batch dies after the
+    // sink may have begun writing task files), then the flag clears
+    // and the SAME query restarts on the same checkpoint: the replayed
+    // batch must land exactly once — the file sink's _spark_metadata
+    // transaction log is what hides any orphan files from the failed
+    // attempt, which is the exactly-once mechanism a 100 TB job relies
+    // on every time an executor or driver dies mid-write. Ordering-
+    // agnostic: whichever micro-batch hits the marked slice first dies;
+    // the assertions only need SOME committed prefix strictly smaller
+    // than the total, then the exact total after recovery.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_crash_")
+    val (inDir, outDir, cp) =
+      (s"$base/in", s"$base/out", s"$base/cp")
+    // three input files → three micro-batches (maxFilesPerTrigger=1)
+    Seq(Seq(1L, 2L, 3L), Seq(101L, 102L), Seq(201L, 202L, 203L))
+      .zipWithIndex.foreach { case (ids, i) =>
+        ids.toDF("id").coalesce(1).write.parquet(s"$inDir/f$i")
+      }
+    CrashGate.armed = true
+    val fault = udf { (id: Long) =>
+      if (CrashGate.armed && id >= 100L && id < 200L)
+        throw new RuntimeException("injected mid-batch fault")
+      id
+    }
+    def start() = s.readStream
+      .schema("id LONG").option("maxFilesPerTrigger", "1")
+      .parquet(s"$inDir/*")
+      .select(fault(col("id")).as("id"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    // run 1: dies inside the batch that carries the 1xx slice
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      start().awaitTermination()
+    }
+    assert(crashed.getMessage.contains("injected mid-batch fault") ||
+           Option(crashed.getCause).exists(_.getMessage != null &&
+             crashed.getCause.getMessage.contains("injected")),
+           s"query died for the wrong reason: ${crashed.getMessage}")
+    val committed = s.read.parquet(outDir).count()
+    assert(committed < 8, s"crash committed everything ($committed rows)?")
+    // run 2: same checkpoint, fault cleared — replays the failed batch,
+    // finishes the rest; output must be the exact input set, once each
+    CrashGate.armed = false
+    start().awaitTermination()
+    val got = s.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 101L, 102L, 201L, 202L, 203L),
+           s"exactly-once violated after resume: $got")
+  }
 }
+
+/** Executor-visible fault switch for the crash-recovery test (local
+  * mode: one JVM, so a @volatile static is executor-visible). */
+object CrashGate { @volatile var armed = false }
