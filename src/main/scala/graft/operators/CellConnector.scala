@@ -76,6 +76,24 @@ object CellConnector extends QueryModule {
                 col("qualifier").isin("event_type", "value"))
         .select("rowkey", "qualifier", "value")
         .orderBy("rowkey", "qualifier")),
+
+    "sink_cell_connector_write" -> ((s, dir) => {
+      // The connector WRITE path: df.write.format("graftcell") — the
+      // sink itself declares the HFile layout (RequiresDistribution-
+      // AndOrdering: range-cluster by rowkey, sort by the full cell
+      // key), so Catalyst plans the bulk-load shuffle and every task
+      // commits one sorted, non-overlapping region file via the
+      // tmp→batch rename protocol. Readback probes a rowkey range
+      // THROUGH the just-written store, so the round trip proves
+      // write layout + footer stats + pushdown compose.
+      val path = storePath(dir) + "_w"
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        CellQueries.eventCells(s, dir)
+          .write.format("graftcell").mode("append").save(path)
+      s.read.format("graftcell").load(path)
+        .filter(col("rowkey") >= "55" && col("rowkey") < "57")
+        .orderBy("rowkey", "qualifier")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -93,6 +111,12 @@ object CellConnector extends QueryModule {
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT rowkey, qualifier, value FROM cells
           WHERE rowkey LIKE '10%' AND qualifier IN ('event_type', 'value')
+          ORDER BY rowkey, qualifier""",
+
+    "sink_cell_connector_write" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells
+          WHERE rowkey >= '55' AND rowkey < '57'
           ORDER BY rowkey, qualifier""",
   )
 }

@@ -70,11 +70,13 @@ object GraftCell {
   /** The cell model — the one schema the reference stores everything in
     * (SURVEY §1.1): nested documents flatten to per-leaf cells. */
   val SCHEMA: StructType = StructType(Seq(
-    StructField("rowkey", StringType, nullable = false),
-    StructField("family", StringType, nullable = false),
-    StructField("qualifier", StringType, nullable = false),
-    StructField("version", LongType, nullable = false),
-    StructField("value", StringType, nullable = true)))
+    // all nullable so AppendData accepts any cell-shaped query output
+    // (flatten emits non-null keys; the reader handles nulls anyway)
+    StructField("rowkey", StringType),
+    StructField("family", StringType),
+    StructField("qualifier", StringType),
+    StructField("version", LongType),
+    StructField("value", StringType)))
 
   /** Byte-wise bound: (bytes, inclusive). Compared unsigned — the order
     * of UTF8String, of parquet UTF8 statistics, and of HBase rowkeys. */
@@ -237,14 +239,22 @@ object GraftCell {
   def referenced(f: Filter): Set[String] = f.references.toSet
 }
 
-class GraftCellTable(path: String) extends Table with SupportsRead {
+class GraftCellTable(path: String)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "graftcell requires a path")
   override def name(): String = s"graftcell.`$path`"
   override def schema(): StructType = GraftCell.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+                         TableCapability.BATCH_WRITE,
+                         TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftCellScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftCellWriteBuilder(path, info.queryId())
 }
 
 class GraftCellScanBuilder(path: String)
@@ -277,16 +287,26 @@ final case class CellFileMeta(path: String, bytes: Long,
 
 object CellFooterCache {
   /** Driver-side footer cache per store path — the manifest a real
-    * deployment persists next to the data; here rebuilt once per JVM. */
+    * deployment persists next to the data; here rebuilt once per JVM
+    * and invalidated by the connector's own write commits (external
+    * writers would need the manifest refreshed, as in any
+    * snapshot-manifest design). */
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[CellFileMeta]]
+
+  def invalidate(store: String): Unit = cache.remove(store)
 
   def filesOf(store: String): Seq[CellFileMeta] =
     cache.getOrElseUpdate(store, {
       val conf = new Configuration()
       val root = new java.io.File(store)
+      // committed data lives in non-hidden subdirs (region=k from the
+      // stager, batch_<id> from the connector write path); dirs
+      // starting with "_"/"." are uncommitted staging or metadata
       val files = Option(root.listFiles).getOrElse(Array.empty)
-        .filter(_.isDirectory).flatMap(d => Option(d.listFiles).getOrElse(Array.empty))
+        .filter(d => d.isDirectory && !d.getName.startsWith("_") &&
+                     !d.getName.startsWith("."))
+        .flatMap(d => Option(d.listFiles).getOrElse(Array.empty))
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
         .sortBy(_.getPath)
       files.toSeq.map { f =>
@@ -428,4 +448,162 @@ class CellPartitionReader(p: CellInputPartition)
 
   override def get(): InternalRow = row
   override def close(): Unit = reader.close()
+}
+
+// ---------------------------------------------------------------------------
+// Write path — "HBase connector for writes" (BASELINE.md approach line)
+// ---------------------------------------------------------------------------
+
+/** The connector DECLARES the HFile layout instead of trusting callers
+  * to pre-shape the data: [[GraftCellWrite]] is a
+  * `RequiresDistributionAndOrdering`, so Catalyst plans the range
+  * shuffle + sort (rowkey-clustered, (rowkey, family, qualifier,
+  * version)-sorted) in front of the write — exactly the one shuffle an
+  * HBase bulk load runs (cf. `cell_bulkload_layout`), now owned by the
+  * sink. Each task then writes ONE sorted, non-overlapping region file,
+  * so footers carry tight min/max rowkey stats and the read side's
+  * region pruning works on connector-written stores by construction.
+  *
+  * Commit protocol: tasks write to `_tmp_<queryId>/`, the driver moves
+  * files into `batch_<queryId>/` and stamps `_SUCCESS` on commit —
+  * readers never see uncommitted files (the listing skips `_`-prefixed
+  * dirs). Abort deletes the temp dir. At cluster scale the move is the
+  * usual rename-based commit (object stores would swap in a manifest
+  * commit, which [[CellFooterCache]] already models). */
+class GraftCellWriteBuilder(path: String, queryId: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new GraftCellWrite(path, queryId, doTruncate)
+}
+
+class GraftCellWrite(path: String, queryId: String, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection}
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+
+  private def asc(c: String) =
+    E.sort(E.column(c), SortDirection.ASCENDING)
+
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(Array(asc("rowkey")))
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array(asc("rowkey"), asc("family"), asc("qualifier"), asc("version"))
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new GraftCellBatchWrite(path, queryId, truncate)
+}
+
+final case class CellFilesCommitted(files: Seq[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private def tmpDir = new java.io.File(path, s"_tmp_$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    tmpDir.mkdirs()
+    new CellDataWriterFactory(tmpDir.getPath)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dest = new java.io.File(path, s"batch_$queryId")
+    if (truncate) {
+      Option(new java.io.File(path).listFiles).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && !d.getName.startsWith("_"))
+        .foreach(deleteRec)
+    }
+    dest.mkdirs()
+    messages.collect { case CellFilesCommitted(fs) => fs }.flatten.foreach { f =>
+      val src = new java.io.File(f)
+      java.nio.file.Files.move(src.toPath,
+        new java.io.File(dest, src.getName).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleteRec(tmpDir)
+    java.nio.file.Files.write(new java.io.File(path, "_SUCCESS").toPath,
+                              Array.emptyByteArray)
+    CellFooterCache.invalidate(path)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteRec(tmpDir)
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
+  }
+}
+
+class CellDataWriterFactory(tmpDir: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new CellDataWriter(tmpDir, partitionId)
+}
+
+/** One sorted region file per (range-partitioned) task. */
+class CellDataWriter(tmpDir: String, partitionId: Int)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.hadoop.metadata.CompressionCodecName
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  private val file = f"$tmpDir/part-$partitionId%05d.parquet"
+
+  private val msgType = {
+    val b = Types.buildMessage()
+    GraftCell.SCHEMA.fields.foreach { f =>
+      if (f.name == "version") b.optional(INT64).named(f.name)
+      else b.optional(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named(f.name)
+    }
+    b.named("cell")
+  }
+
+  private lazy val writer = ExampleParquetWriter
+    .builder(new Path(file))
+    .withConf(new Configuration())
+    .withType(msgType)
+    .withCompressionCodec(CompressionCodecName.SNAPPY)
+    .build()
+  private val groups = new SimpleGroupFactory(msgType)
+  private var wrote = false
+
+  override def write(row: InternalRow): Unit = {
+    val g = groups.newGroup()
+    var i = 0
+    while (i < GraftCell.SCHEMA.length) {
+      if (!row.isNullAt(i)) {
+        if (GraftCell.SCHEMA(i).name == "version") g.add(i, row.getLong(i))
+        else g.add(i, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+      }
+      i += 1
+    }
+    writer.write(g)
+    wrote = true
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (wrote) writer.close()
+    else { writer.close(); new java.io.File(file).delete() } // no empty regions
+    CellFilesCommitted(if (wrote) Seq(file) else Seq.empty)
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    new java.io.File(file).delete(); ()
+  }
+
+  override def close(): Unit = ()
 }

@@ -86,6 +86,34 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(viaConnector.collect().toSeq == viaPattern.collect().toSeq)
   }
 
+  test("write path emits sorted, non-overlapping region files (declared layout)") {
+    // RequiresDistributionAndOrdering evidence: after the connector
+    // write, every committed file's footer [min,max] rowkey interval is
+    // pairwise disjoint — the range shuffle the sink DECLARED actually
+    // shaped the store (and tight stats make read-side pruning work).
+    SparkEntry.queries("sink_cell_connector_write")(s, dir).collect()
+    val store = "/tmp/graft_cellstore_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "_w"
+    val metas = sources.cell.CellFooterCache.filesOf(store)
+    assert(metas.nonEmpty, "no committed region files")
+    assert(metas.forall(m => m.minKey.nonEmpty && m.maxKey.nonEmpty),
+           "missing rowkey footer stats")
+    val spans = metas.map(m => (m.minKey.get, m.maxKey.get))
+      .sortBy(_._1.toSeq.map(b => b & 0xff).mkString(","))
+    val sorted = spans.map(x => (new String(x._1), new String(x._2)))
+      .sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) =>
+        assert(hiA <= loB, s"overlapping region files: $sorted")
+      case _ =>
+    }
+    // and the written store round-trips the full cell set
+    val got = s.read.format("graftcell").load(store)
+      .orderBy("rowkey", "qualifier").collect().toSeq
+    val want = SparkEntry.queries("sink_hbase_cells")(s, dir).collect().toSeq
+    assert(got == want)
+  }
+
   test("unsupported filters fall back to Spark above the scan, exactly") {
     // endsWith is not acceptable → must be returned to Spark, and the
     // result must equal the same predicate on the pattern-built cells
