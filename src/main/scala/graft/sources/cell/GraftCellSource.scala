@@ -132,8 +132,20 @@ object GraftCell {
       case (r, StringStartsWith("rowkey", p: String)) =>
         val lo = r.tightenLo(Bound(utf8(p), true))
         prefixStop(utf8(p)).fold(lo)(s => lo.tightenHi(Bound(s, false)))
+      case (r, In("rowkey", vs))
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        // an IN-list (e.g. a runtime/DPP filter from a join build side)
+        // prunes by its [min, max] envelope; membership is exact in eval
+        val bs = vs.map(v => utf8(v.asInstanceOf[String]))
+        r.tightenLo(Bound(bs.min(UnsignedBytesOrd), true))
+          .tightenHi(Bound(bs.max(UnsignedBytesOrd), true))
       case (r, _) => r
     }
+
+  private[cell] object UnsignedBytesOrd extends Ordering[Array[Byte]] {
+    def compare(a: Array[Byte], b: Array[Byte]): Int =
+      JArrays.compareUnsigned(a, b)
+  }
 
   /** File-level pruning: can a file whose rowkeys span [min,max] hold a
     * row inside `range`? Missing stats ⇒ keep (skip only on evidence). */
@@ -259,10 +271,11 @@ class GraftCellTable(path: String)
 
 class GraftCellScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GraftCell.SCHEMA
+  private var limit: Int = -1
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition(GraftCell.acceptable)
@@ -276,7 +289,14 @@ class GraftCellScanBuilder(path: String)
     required = StructType(
       GraftCell.SCHEMA.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new GraftCellScan(path, pushed, required)
+  /** PARTIAL limit pushdown: each region reader stops after `n` rows
+    * (post-filter), Spark's GlobalLimit trims across partitions — the
+    * scan-side early-exit that makes `LIMIT k` probes O(k) per region
+    * instead of a full store read. */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan = new GraftCellScan(path, pushed, required, limit)
 }
 
 /** Per-file metadata from the parquet footer (the manifest entry). */
@@ -337,13 +357,30 @@ object CellFooterCache {
   }
 }
 
-class GraftCellScan(path: String, pushed: Array[Filter], required: StructType)
-    extends Scan with Batch with SupportsReportStatistics {
+class GraftCellScan(path: String, pushed: Array[Filter],
+                    required: StructType, limit: Int = -1)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Runtime (DPP-style) filters delivered after the other join side
+    * materializes — the HBase analog of seeking only the regions the
+    * join's build-side keys live in. Accepted subset only; arrives
+    * before planInputPartitions, so it participates in file pruning. */
+  private var runtime: Array[Filter] = Array.empty
 
   private lazy val all = CellFooterCache.filesOf(path)
-  private lazy val range = GraftCell.keyRange(pushed.toSeq)
-  private lazy val selected =
+  private def effective: Seq[Filter] = (pushed ++ runtime).toSeq
+  private def selected = {
+    val range = GraftCell.keyRange(effective)
     all.filter(m => GraftCell.mayOverlap(m.minKey, m.maxKey, range))
+  }
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("rowkey"))
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(GraftCell.acceptable)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -352,15 +389,18 @@ class GraftCellScan(path: String, pushed: Array[Filter], required: StructType)
     s"GraftCellScan path=$path, " +
     s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
     s"ReadSchema: ${required.catalogString}, " +
+    (if (limit >= 0) s"limit: $limit, " else "") +
     s"regionFiles: ${selected.size}/${all.size}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     // fetch set = projected ∪ filter-referenced (store column order)
+    val eff = effective
     val need = required.fieldNames.toSet ++
-      pushed.flatMap(GraftCell.referenced)
+      eff.flatMap(GraftCell.referenced)
     val fetch = GraftCell.SCHEMA.fields.map(_.name).filter(need.contains)
     selected.map(m =>
-      CellInputPartition(m.path, fetch, required.fieldNames, pushed, m.messageType)
+      CellInputPartition(m.path, fetch, required.fieldNames, eff.toArray,
+                         m.messageType, limit)
         : InputPartition).toArray
   }
 
@@ -380,7 +420,8 @@ class GraftCellScan(path: String, pushed: Array[Filter], required: StructType)
 final case class CellInputPartition(file: String, fetch: Array[String],
                                     project: Array[String],
                                     filters: Array[Filter],
-                                    fileMessageType: String)
+                                    fileMessageType: String,
+                                    limit: Int = -1)
     extends InputPartition
 
 class CellPartitionReaderFactory extends PartitionReaderFactory {
@@ -419,8 +460,10 @@ class CellPartitionReader(p: CellInputPartition)
   private val outIdx: Array[Int] = p.project.map(fetchIdx)
   private val fetched = new Array[Any](p.fetch.length)
   private var row: InternalRow = _
+  private var emitted = 0L
 
   override def next(): Boolean = {
+    if (p.limit >= 0 && emitted >= p.limit) return false // pushed limit
     var g = reader.read()
     while (g != null) {
       var i = 0
@@ -439,6 +482,7 @@ class CellPartitionReader(p: CellInputPartition)
         var j = 0
         while (j < outIdx.length) { out(j) = fetched(outIdx(j)); j += 1 }
         row = new GenericInternalRow(out)
+        emitted += 1
         return true
       }
       g = reader.read()

@@ -86,6 +86,43 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(viaConnector.collect().toSeq == viaPattern.collect().toSeq)
   }
 
+  test("runtime (DPP-style) filters prune region files at plan time") {
+    import org.apache.spark.sql.sources.In
+    // stage + full-scan builder (no static filters)
+    SparkEntry.queries("scan_cell_connector")(s, dir).queryExecution // stage
+    val store = "/tmp/graft_cellstore_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val builder = new sources.cell.GraftCellScanBuilder(store)
+    val scan = builder.build()
+    val total = scan.toBatch.planInputPartitions().length
+    assert(total > 1, s"need a multi-file store, got $total")
+    // a join build side delivered two rowkeys at runtime: the [min,max]
+    // envelope must collapse the planned files to the regions they hit
+    val rf = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    assert(rf.filterAttributes().map(_.toString).toSeq == Seq("rowkey"))
+    rf.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("rowkey", Array("41", "42"))))
+    val pruned = scan.toBatch.planInputPartitions().length
+    assert(pruned < total, s"runtime filter did not prune: $pruned/$total")
+    // and the runtime filter is evaluated EXACTLY, not just enveloped
+    val reader = new sources.cell.CellPartitionReaderFactory()
+    val rows = scan.toBatch.planInputPartitions().flatMap { part =>
+      val r = reader.createReader(part)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (r.next()) buf += r.get().getUTF8String(0).toString
+      r.close(); buf
+    }
+    assert(rows.nonEmpty && rows.toSet == Set("41", "42"),
+           s"runtime-filtered rowkeys: ${rows.toSet}")
+  }
+
+  test("limit pushdown stops region readers early") {
+    val store = "/tmp/graft_cellstore_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val df = s.read.format("graftcell").load(store).limit(7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("limit: 7"), s"limit not pushed:\n$plan")
+    assert(df.collect().length == 7)
+  }
+
   test("write path emits sorted, non-overlapping region files (declared layout)") {
     // RequiresDistributionAndOrdering evidence: after the connector
     // write, every committed file's footer [min,max] rowkey interval is
