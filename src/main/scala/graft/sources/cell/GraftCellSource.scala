@@ -271,11 +271,16 @@ class GraftCellTable(path: String)
 
 class GraftCellScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder => VSortOrder}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GraftCell.SCHEMA
   private var limit: Int = -1
+  private var topNPushed = false
+  private var aggPushed: Option[Aggregation] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition(GraftCell.acceptable)
@@ -285,9 +290,12 @@ class GraftCellScanBuilder(path: String)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // preserve store column order (projection = subset, order-stable)
-    required = StructType(
-      GraftCell.SCHEMA.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+    // preserve store column order (projection = subset, order-stable);
+    // under a complete agg pushdown the schema is the agg output and
+    // is fixed by the agg scan itself
+    if (aggPushed.isEmpty)
+      required = StructType(
+        GraftCell.SCHEMA.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   /** PARTIAL limit pushdown: each region reader stops after `n` rows
     * (post-filter), Spark's GlobalLimit trims across partitions — the
@@ -296,11 +304,114 @@ class GraftCellScanBuilder(path: String)
   override def pushLimit(n: Int): Boolean = { limit = n; true }
   override def isPartiallyPushed(): Boolean = true
 
-  override def build(): Scan = new GraftCellScan(path, pushed, required, limit)
+  /** PARTIAL top-N pushdown, valid because region files are SORTED by
+    * (rowkey, family, qualifier): when the requested ordering is a
+    * same-direction prefix of the file sort order, each reader's first
+    * k post-filter rows ARE its top-k, so the limit early-exit applies
+    * and TakeOrderedAndProject merges k rows per region instead of
+    * re-sorting the store. */
+  override def pushTopN(orders: Array[VSortOrder], n: Int): Boolean = {
+    val sortCols = Seq("rowkey", "family", "qualifier")
+    val ok = orders.nonEmpty && orders.length <= sortCols.length &&
+      orders.zip(sortCols).forall { case (o, c) =>
+        o.expression().toString == c &&
+        o.direction() == SortDirection.ASCENDING &&
+        o.nullOrdering() == NullOrdering.NULLS_FIRST
+      }
+    if (ok) { limit = n; topNPushed = true }
+    ok
+  }
+
+  /** COMPLETE aggregate pushdown from the manifest: ungrouped
+    * COUNT(*) / MIN(rowkey) / MAX(rowkey) with NO pushed filters are
+    * answered from footer statistics alone — a metadata-only query
+    * (the coprocessor-aggregate analog: at 100 TB, zero data bytes
+    * read). Any pushed filter, grouping, or other function refuses the
+    * pushdown and the normal scan + Spark aggregation runs. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    pushed.isEmpty && agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall {
+        case _: CountStar => true
+        case m: Min => m.column().toString == "rowkey" &&
+          CellFooterCache.filesOf(path).forall(_.minKey.nonEmpty)
+        case m: Max => m.column().toString == "rowkey" &&
+          CellFooterCache.filesOf(path).forall(_.maxKey.nonEmpty)
+        case _ => false
+      }
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (supportCompletePushDown(agg)) { aggPushed = Some(agg); true }
+    else false
+
+  override def build(): Scan = aggPushed match {
+    case Some(agg) => new GraftCellAggScan(path, agg)
+    case None => new GraftCellScan(path, pushed, required, limit, topNPushed)
+  }
+}
+
+/** Metadata-only scan for completely-pushed aggregates: the driver
+  * answers from the footer cache (manifest) and ships ONE row. Does NOT
+  * implement runtime filtering — stats cannot see filters, so an
+  * agg-pushed scan must never accept one (the builder already refuses
+  * aggregation whenever any filter is pushed). */
+class GraftCellAggScan(path: String,
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+
+  private lazy val metas = CellFooterCache.filesOf(path)
+
+  private def answers: Array[(String, Any)] =
+    agg.aggregateExpressions().map {
+      case _: CountStar =>
+        ("COUNT(*)", metas.map(_.rowCount).sum)
+      case m: Min if m.column().toString == "rowkey" =>
+        ("MIN(rowkey)", metas.flatMap(_.minKey)
+          .reduceOption((a, b) => GraftCell.UnsignedBytesOrd.min(a, b))
+          .map(new String(_, java.nio.charset.StandardCharsets.UTF_8)).orNull)
+      case m: Max if m.column().toString == "rowkey" =>
+        ("MAX(rowkey)", metas.flatMap(_.maxKey)
+          .reduceOption((a, b) => GraftCell.UnsignedBytesOrd.max(a, b))
+          .map(new String(_, java.nio.charset.StandardCharsets.UTF_8)).orNull)
+      case other => throw new IllegalStateException(s"unpushable agg $other")
+    }
+
+  override def readSchema(): StructType = StructType(answers.map {
+    case (n, _: java.lang.Long) => StructField(n, LongType, nullable = false)
+    case (n, _)                 => StructField(n, StringType)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftCellAggScan path=$path, " +
+    s"PushedAggregates: ${answers.map(_._1).mkString("[", ", ", "]")} " +
+    s"(answered from ${metas.size} footers, 0 data bytes)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(CellAggPartition(answers.map(_._2)))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CellAggReaderFactory()
+}
+
+final case class CellAggPartition(values: Array[Any]) extends InputPartition
+
+class CellAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val vs = p.asInstanceOf[CellAggPartition].values
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = new GenericInternalRow(
+        vs.map {
+          case s: String => UTF8String.fromString(s): Any
+          case other     => other
+        })
+      override def close(): Unit = ()
+    }
 }
 
 /** Per-file metadata from the parquet footer (the manifest entry). */
-final case class CellFileMeta(path: String, bytes: Long,
+final case class CellFileMeta(path: String, bytes: Long, rowCount: Long,
                               minKey: Option[Array[Byte]],
                               maxKey: Option[Array[Byte]],
                               messageType: String)
@@ -345,7 +456,8 @@ object CellFooterCache {
                          .min(UnsignedBytes)),
                   Some(stats.map(_.genericGetMax.asInstanceOf[Binary].getBytes)
                          .max(UnsignedBytes)))
-          CellFileMeta(f.getPath, f.length(), mn, mx,
+          CellFileMeta(f.getPath, f.length(),
+                       blocks.map(_.getRowCount).sum, mn, mx,
                        md.getFileMetaData.getSchema.toString)
         } finally r.close()
       }
@@ -358,7 +470,8 @@ object CellFooterCache {
 }
 
 class GraftCellScan(path: String, pushed: Array[Filter],
-                    required: StructType, limit: Int = -1)
+                    required: StructType, limit: Int = -1,
+                    topN: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -389,7 +502,7 @@ class GraftCellScan(path: String, pushed: Array[Filter],
     s"GraftCellScan path=$path, " +
     s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
     s"ReadSchema: ${required.catalogString}, " +
-    (if (limit >= 0) s"limit: $limit, " else "") +
+    (if (limit >= 0) s"${if (topN) "topN" else "limit"}: $limit, " else "") +
     s"regionFiles: ${selected.size}/${all.size}"
 
   override def planInputPartitions(): Array[InputPartition] = {

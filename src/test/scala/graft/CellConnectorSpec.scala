@@ -123,6 +123,49 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(df.collect().length == 7)
   }
 
+  test("topN pushdown: rowkey-prefix ordering rides the file sort order") {
+    val store = "/tmp/graft_cellstore_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val df = s.read.format("graftcell").load(store)
+      .orderBy("rowkey").limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("topN: 5"), s"topN not pushed:\n$plan")
+    val got = df.collect().map(_.getString(0))
+    // correct global top-5 rowkeys (merged across region files)
+    val want = SparkEntry.queries("sink_hbase_cells")(s, dir)
+      .orderBy("rowkey").limit(5).collect().map(_.getString(0))
+    assert(got.sorted.toSeq == want.sorted.toSeq, s"topN wrong: ${got.toSeq}")
+    // a non-prefix ordering must NOT be accepted
+    val df2 = s.read.format("graftcell").load(store)
+      .orderBy(col("version").desc).limit(5)
+    assert(!df2.queryExecution.executedPlan.toString.contains("topN"),
+           "topN wrongly accepted for a non-prefix ordering")
+    assert(df2.collect().length == 5)
+  }
+
+  test("ungrouped COUNT/MIN/MAX are answered from footers (0 data bytes)") {
+    val store = "/tmp/graft_cellstore_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val df = s.read.format("graftcell").load(store)
+      .agg(count(lit(1)).as("n"), min("rowkey").as("mn"),
+           max("rowkey").as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftCellAggScan"), s"agg not pushed:\n$plan")
+    assert(plan.contains("PushedAggregates: [COUNT(*), MIN(rowkey), MAX(rowkey)]"))
+    val r = df.collect()(0)
+    val cells = SparkEntry.queries("sink_hbase_cells")(s, dir)
+      .agg(count(lit(1)), min("rowkey"), max("rowkey")).collect()(0)
+    assert((r.getLong(0), r.getString(1), r.getString(2)) ==
+           (cells.getLong(0), cells.getString(1), cells.getString(2)))
+    // a filter must REFUSE the metadata answer (stats can't see it)
+    val filtered = s.read.format("graftcell").load(store)
+      .filter(col("rowkey") >= "5").agg(count(lit(1)).as("n"))
+    assert(!filtered.queryExecution.executedPlan.toString
+             .contains("GraftCellAggScan"),
+           "agg pushdown must refuse when a filter is pushed")
+    val wantFiltered = SparkEntry.queries("sink_hbase_cells")(s, dir)
+      .filter(col("rowkey") >= "5").count()
+    assert(filtered.collect()(0).getLong(0) == wantFiltered)
+  }
+
   test("write path emits sorted, non-overlapping region files (declared layout)") {
     // RequiresDistributionAndOrdering evidence: after the connector
     // write, every committed file's footer [min,max] rowkey interval is
