@@ -37,7 +37,8 @@ object Plans {
     "q15_top_supplier", "q19_discounted", "q20_potential_promo",
     "dedup_ngram", "join_fuzzy", "ts_retention", "join_fuzzy_shuffled",
     "graph_reachability", "rcte_running_clamp", "sql_pipe", "obs_metrics",
-    "cell_connector_range", "cell_connector_prefix")
+    "cell_connector_range", "cell_connector_prefix",
+    "sql_cell_connector", "cell_connector_compact")
 
   /** What to explain per key. `obs_metrics`' query RESULT is a 1-row
     * local relation of listener-delivered values; the plan worth

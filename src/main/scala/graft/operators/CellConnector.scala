@@ -49,6 +49,41 @@ object CellConnector extends QueryModule {
   private def cells(s: org.apache.spark.sql.SparkSession, dir: String) =
     s.read.format("graftcell").load(stage(s, dir))
 
+  /** Stage the CDC store: the SAME event cells, written as THREE
+    * connector-write batches split on deterministic rowkey bands — a
+    * replication log of three committed batches for the streaming read
+    * key. Guarded by its own marker (the connector stamps `_SUCCESS`
+    * after EVERY commit, so that file can't gate a three-write stage). */
+  private[graft] def stageCdc(s: org.apache.spark.sql.SparkSession,
+                              dir: String): String = {
+    val path = storePath(dir) + "_cdc"
+    val ready = new java.io.File(s"$path/_CDC_READY")
+    if (!ready.exists()) {
+      val cells = CellQueries.eventCells(s, dir)
+      Seq(col("rowkey") < "3",
+          col("rowkey") >= "3" && col("rowkey") < "6",
+          col("rowkey") >= "6")
+        .foreach(band => cells.filter(band)
+          .write.format("graftcell").mode("append").save(path))
+      java.nio.file.Files.write(ready.toPath, Array.emptyByteArray)
+    }
+    path
+  }
+
+  /** Drain a streaming DF to completion (AvailableNow, memory sink). */
+  private def drain(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    val name = s"graft_cellstream_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val cp = java.nio.file.Files.createTempDirectory("graft_cellckpt_").toString
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", cp).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_cell_connector" -> ((s, dir) =>
       // Full-table read through the connector: proves the store stages
@@ -94,6 +129,102 @@ object CellConnector extends QueryModule {
         .filter(col("rowkey") >= "55" && col("rowkey") < "57")
         .orderBy("rowkey", "qualifier")
     }),
+
+    "stream_cell_connector" -> ((s, dir) => {
+      // The connector STREAMING read — HBase replication as a Spark
+      // micro-batch source: the store's committed write batches (three
+      // deterministic rowkey bands, each one atomic `batch_<id>` dir)
+      // replay as one micro-batch each, paced by admission control and
+      // delivered exactly once via the checkpoint offset log
+      // (GraftCellMicroBatchStream). Trigger.AvailableNow drains the
+      // dir set pinned at start, so the drained sink equals the batch
+      // read of the same store — which is exactly what the oracle
+      // checks (the full cell set, restricted to a consumer-side band).
+      val path = stageCdc(s, dir)
+      drain(s.readStream.format("graftcell").load(path)
+              .filter(col("rowkey") >= "20" && col("rowkey") < "40"))
+        .orderBy("rowkey", "qualifier")
+    }),
+
+    "stream_cell_replicate" -> ((s, dir) => {
+      // END-TO-END replication: stream FROM one cell store INTO another
+      // through the connector on both sides — the HBase cluster-to-
+      // cluster replication pipeline as one Structured Streaming query.
+      // Source side: each committed batch dir of the CDC store is one
+      // micro-batch (GraftCellMicroBatchStream). Sink side: each epoch
+      // publishes one atomically-renamed batch dir in the REPLICA store
+      // (GraftCellStreamingWrite), with the declared HFile range-shuffle
+      // + sort planned inside every micro-batch and an idempotent
+      // epoch-replay guard, so the replica is exactly-once at the store
+      // level. The readback probes the REPLICA, so the oracle checks
+      // the whole pipeline: source batching → epoch commit → replica
+      // footer stats → read-side pruning.
+      val src = stageCdc(s, dir)
+      val dst = storePath(dir) + "_repl"
+      val marker = new java.io.File(s"$dst/_REPL_DONE")
+      if (!marker.exists()) {
+        val cp = java.nio.file.Files.createTempDirectory("graft_replckpt_").toString
+        val q = s.readStream.format("graftcell").load(src)
+          .writeStream.format("graftcell").option("path", dst)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", cp).start()
+        q.awaitTermination()
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
+      s.read.format("graftcell").load(dst)
+        .filter(col("rowkey") >= "40" && col("rowkey") < "60")
+        .orderBy("rowkey", "qualifier")
+    }),
+
+    "cell_connector_compact" -> ((s, dir) => {
+      // MAJOR COMPACTION as a STORE operation through the connector —
+      // the HBase compaction lifecycle on the pluggable source instead
+      // of a query pattern (cf. cell_compact): a two-generation store
+      // (base cells + a second write batch of updated versions for the
+      // '5'+ band) is rewritten IN PLACE by one query — read latest
+      // version per cell key, `mode("overwrite")` (the TRUNCATE
+      // capability) — leaving a single sorted, non-overlapping region
+      // generation. Safe in place because the write job reads source
+      // files while tasks stage to `_tmp_*`; old dirs are deleted only
+      // at commit, after all reads, and the new generation publishes by
+      // atomic rename. Readback returns the compacted store, so the
+      // oracle checks the whole lifecycle: two appends → version
+      // resolution → truncate-commit → footer-pruned read.
+      val path = storePath(dir) + "_cmp"
+      val marker = new java.io.File(s"$path/_COMPACTED")
+      if (!marker.exists()) {
+        val base = CellQueries.eventCells(s, dir)
+        base.write.format("graftcell").mode("append").save(path)
+        base.filter(col("rowkey") >= "5")
+          .withColumn("version", col("version") + lit(1000000L))
+          .withColumn("value", concat(col("value"), lit("!")))
+          .write.format("graftcell").mode("append").save(path)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("rowkey", "family", "qualifier")
+          .orderBy(col("version").desc)
+        s.read.format("graftcell").load(path)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .write.format("graftcell").mode("overwrite").save(path)
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
+      s.read.format("graftcell").load(path).orderBy("rowkey", "qualifier")
+    }),
+
+    "sql_cell_connector" -> ((s, dir) => {
+      // The SQL surface over the connector: the store registered as a
+      // (session-scoped) SQL table via `CREATE TEMPORARY VIEW ... USING
+      // graftcell`, probed with plain SQL — predicate pushdown, region
+      // pruning, and column projection all engage from SQL text exactly
+      // as from the DataFrame API (same ScanBuilder underneath).
+      val path = stage(s, dir)
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_cell_table
+                USING graftcell OPTIONS (path '$path')""")
+      s.sql("""SELECT rowkey, qualifier, value FROM graft_cell_table
+               WHERE rowkey >= '60' AND rowkey < '70'
+               ORDER BY rowkey, qualifier""")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -117,6 +248,42 @@ object CellConnector extends QueryModule {
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT * FROM cells
           WHERE rowkey >= '55' AND rowkey < '57'
+          ORDER BY rowkey, qualifier""",
+
+    "stream_cell_connector" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells
+          WHERE rowkey >= '20' AND rowkey < '40'
+          ORDER BY rowkey, qualifier""",
+
+    "stream_cell_replicate" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells
+          WHERE rowkey >= '40' AND rowkey < '60'
+          ORDER BY rowkey, qualifier""",
+
+    "sql_cell_connector" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT rowkey, qualifier, value FROM cells
+          WHERE rowkey >= '60' AND rowkey < '70'
+          ORDER BY rowkey, qualifier""",
+
+    "cell_connector_compact" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+          two AS (
+            SELECT * FROM cells
+            UNION ALL
+            SELECT rowkey, family, qualifier,
+                   version + 1000000 AS version,
+                   value || '!' AS value
+            FROM cells WHERE rowkey >= '5'),
+          latest AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY rowkey, family, qualifier
+              ORDER BY version DESC) AS rn
+            FROM two)
+          SELECT rowkey, family, qualifier, version, value
+          FROM latest WHERE rn = 1
           ORDER BY rowkey, qualifier""",
   )
 }

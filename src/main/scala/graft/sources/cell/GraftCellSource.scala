@@ -259,7 +259,9 @@ class GraftCellTable(path: String)
   override def schema(): StructType = GraftCell.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+                         TableCapability.MICRO_BATCH_READ,
                          TableCapability.BATCH_WRITE,
+                         TableCapability.STREAMING_WRITE,
                          TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftCellScanBuilder(path)
@@ -417,27 +419,43 @@ final case class CellFileMeta(path: String, bytes: Long, rowCount: Long,
                               messageType: String)
 
 object CellFooterCache {
-  /** Driver-side footer cache per store path — the manifest a real
-    * deployment persists next to the data; here rebuilt once per JVM
-    * and invalidated by the connector's own write commits (external
-    * writers would need the manifest refreshed, as in any
-    * snapshot-manifest design). */
-  private val cache =
+  /** Driver-side footer cache, one entry PER COMMITTED DIRECTORY — the
+    * manifest a real deployment persists next to the data. Directories
+    * are write-once (the stager writes each `region=k` exactly once; the
+    * connector write path publishes a `batch_<id>` dir by one atomic
+    * rename), so a dir's footer set never changes after it becomes
+    * visible and the per-dir cache needs no TTL. The directory LISTING
+    * is never cached: a new committed batch is visible to the next scan
+    * (and to the streaming source's offset poll) immediately. */
+  private val dirCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[CellFileMeta]]
 
-  def invalidate(store: String): Unit = cache.remove(store)
+  def invalidate(store: String): Unit = {
+    val prefix = new java.io.File(store).getPath + java.io.File.separator
+    dirCache.keys.filter(_.startsWith(prefix)).foreach(dirCache.remove)
+  }
+
+  /** Committed data dirs under a store root, sorted by name: `region=k`
+    * from the stager, `batch_<id>` from the connector write path. Dirs
+    * starting with "_"/"." are uncommitted staging or metadata — and
+    * because the write path publishes by atomic `_stage_*` → `batch_*`
+    * rename, a listed dir is always a COMPLETE batch. */
+  def committedDirs(store: String): Seq[String] =
+    Option(new java.io.File(store).listFiles).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !d.getName.startsWith("_") &&
+                   !d.getName.startsWith("."))
+      .map(_.getName).sorted.toSeq
 
   def filesOf(store: String): Seq[CellFileMeta] =
-    cache.getOrElseUpdate(store, {
+    committedDirs(store).flatMap(filesUnder(store, _))
+
+  /** Footers of one committed dir (cached — dirs are immutable). */
+  def filesUnder(store: String, dirName: String): Seq[CellFileMeta] =
+    dirCache.getOrElseUpdate(
+      new java.io.File(store, dirName).getPath, {
       val conf = new Configuration()
-      val root = new java.io.File(store)
-      // committed data lives in non-hidden subdirs (region=k from the
-      // stager, batch_<id> from the connector write path); dirs
-      // starting with "_"/"." are uncommitted staging or metadata
-      val files = Option(root.listFiles).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && !d.getName.startsWith("_") &&
-                     !d.getName.startsWith("."))
-        .flatMap(d => Option(d.listFiles).getOrElse(Array.empty))
+      val files = Option(new java.io.File(store, dirName).listFiles)
+        .getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
         .sortBy(_.getPath)
       files.toSeq.map { f =>
@@ -520,6 +538,15 @@ class GraftCellScan(path: String, pushed: Array[Filter],
   override def createReaderFactory(): PartitionReaderFactory =
     new CellPartitionReaderFactory()
 
+  /** Streaming read — the replication-log consumer over the same store
+    * (see [[GraftCellMicroBatchStream]]). Spark's micro-batch planner
+    * builds the scan without running relation pushdown, so `pushed` /
+    * `required` are normally the identity here and filters run above
+    * the scan; the stream still file-prunes per batch if any arrive. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftCellMicroBatchStream(path, pushed, required)
+
   override def estimateStatistics(): Statistics = new Statistics {
     // post-file-pruning size: what AQE/broadcast planning should see
     override def sizeInBytes(): java.util.OptionalLong =
@@ -527,6 +554,102 @@ class GraftCellScan(path: String, pushed: Array[Filter],
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.empty()
   }
+}
+
+/** Streaming offset = the sorted set of committed batch/region dir
+  * names already delivered. Dirs are write-once and published by atomic
+  * rename, so "which dirs exist" is a monotone log — the same shape as
+  * HBase replication's WAL position, here at batch granularity. JSON is
+  * the canonical sorted array, so offset equality (what the engine uses
+  * to decide "no new data") is set equality. */
+final case class GraftCellOffset(dirs: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  require(dirs == dirs.sorted, "offset dirs must be sorted")
+  override def json(): String =
+    GraftCellOffset.mapper.writeValueAsString(dirs.toArray)
+}
+
+object GraftCellOffset {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  def of(dirs: Iterable[String]): GraftCellOffset =
+    GraftCellOffset(dirs.toSeq.distinct.sorted)
+  def fromJson(json: String): GraftCellOffset =
+    of(mapper.readValue(json, classOf[Array[String]]).toSeq)
+}
+
+/** Micro-batch streaming source over a graftcell store — the HBase
+  * REPLICATION consumer: every committed write batch (one atomically
+  * renamed `batch_<id>`/`region=k` dir) becomes exactly one micro-batch,
+  * delivered exactly once via the offset log in the checkpoint.
+  *
+  * Scale/semantics design:
+  *  - Offsets are SETS of delivered dir names, not a numeric position —
+  *    commit order of concurrent writers is irrelevant, only set
+  *    difference matters, so two writers racing a commit cannot skip or
+  *    double-deliver a batch.
+  *  - Admission control paces ONE new dir per micro-batch (replication
+  *    applies batch-by-batch, keeping per-trigger state bounded by one
+  *    write's size); `Trigger.AvailableNow` pins the target dir set at
+  *    start (`prepareForTriggerAvailableNow`) and drains to it, so a
+  *    writer committing mid-drain moves the next run, not this one.
+  *  - Each micro-batch plans one [[CellInputPartition]] per region file
+  *    of its dirs — same reader, same footer pruning as the batch scan,
+  *    so a filtered consumer still seeks regions instead of scanning.
+  */
+class GraftCellMicroBatchStream(path: String, pushed: Array[Filter],
+                                required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
+
+  /** AvailableNow target: the committed-dir set frozen at query start. */
+  private var target: Option[Seq[String]] = None
+
+  private def committed: Seq[String] = CellFooterCache.committedDirs(path)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    target = Some(committed)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def initialOffset(): SOffset = GraftCellOffset(Nil)
+
+  override def latestOffset(): SOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val seen = start.asInstanceOf[GraftCellOffset].dirs.toSet
+    val next = target.getOrElse(committed)
+      .filterNot(seen).sorted.take(1) // one replication batch per trigger
+    GraftCellOffset.of(seen ++ next)
+  }
+
+  override def reportLatestOffset(): SOffset =
+    GraftCellOffset.of(target.getOrElse(committed))
+
+  override def deserializeOffset(json: String): SOffset =
+    GraftCellOffset.fromJson(json)
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val done = start.asInstanceOf[GraftCellOffset].dirs.toSet
+    val newDirs = end.asInstanceOf[GraftCellOffset].dirs.filterNot(done)
+    val range = GraftCell.keyRange(pushed.toSeq)
+    val need = required.fieldNames.toSet ++ pushed.flatMap(GraftCell.referenced)
+    val fetch = GraftCell.SCHEMA.fields.map(_.name).filter(need.contains)
+    newDirs.flatMap(CellFooterCache.filesUnder(path, _))
+      .filter(m => GraftCell.mayOverlap(m.minKey, m.maxKey, range))
+      .map(m => CellInputPartition(m.path, fetch, required.fieldNames,
+                                   pushed, m.messageType): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CellPartitionReaderFactory()
+
+  override def commit(end: SOffset): Unit = () // offset log owns progress
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftCellMicroBatchStream path=$path"
 }
 
 /** One partition = one region file (the HBase region-server unit). */
@@ -655,6 +778,72 @@ class GraftCellWrite(path: String, queryId: String, truncate: Boolean)
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
     new GraftCellBatchWrite(path, queryId, truncate)
+
+  /** Streaming write — the replication PRODUCER: each micro-batch epoch
+    * publishes one `batch_<queryId>_ep<epoch>` dir through the same
+    * two-phase atomic-rename commit as the batch path, so a downstream
+    * [[GraftCellMicroBatchStream]] consumer sees one complete replica
+    * batch per upstream epoch. Epoch re-delivery after a crash (the
+    * engine replays the last epoch from the checkpoint) hits the
+    * idempotence guard: a dest dir that already exists means the
+    * earlier attempt committed, so the replay is dropped — exactly-once
+    * at the store level. The declared HFile distribution/ordering above
+    * applies per epoch (Catalyst plans the range shuffle inside each
+    * micro-batch). */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new GraftCellStreamingWrite(path, queryId)
+}
+
+class GraftCellStreamingWrite(path: String, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def tmpDir(epochId: Long) =
+    new java.io.File(path, s"_tmp_${queryId}_ep$epochId")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = {
+    new java.io.File(path).mkdirs()
+    new CellStreamingDataWriterFactory(path, queryId)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dest = new java.io.File(path, s"batch_${queryId}_ep$epochId")
+    if (dest.exists()) { deleteRec(tmpDir(epochId)); return } // replayed epoch: already committed
+    val stage = new java.io.File(path, s"_stage_${queryId}_ep$epochId")
+    stage.mkdirs()
+    messages.collect { case CellFilesCommitted(fs) => fs }.flatten.foreach { f =>
+      val src = new java.io.File(f)
+      java.nio.file.Files.move(src.toPath,
+        new java.io.File(stage, src.getName).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    java.nio.file.Files.move(stage.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    deleteRec(tmpDir(epochId))
+    java.nio.file.Files.write(new java.io.File(path, "_SUCCESS").toPath,
+                              Array.emptyByteArray)
+    CellFooterCache.invalidate(path)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    deleteRec(tmpDir(epochId))
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
+  }
+}
+
+class CellStreamingDataWriterFactory(path: String, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
+    val tmp = new java.io.File(path, s"_tmp_${queryId}_ep$epochId")
+    tmp.mkdirs()
+    new CellDataWriter(tmp.getPath, partitionId)
+  }
 }
 
 final case class CellFilesCommitted(files: Seq[String])
@@ -672,19 +861,28 @@ class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // Two-phase publish: collect exactly the task-committed files into a
+    // hidden `_stage_<id>` dir (dropping any stray files a retried task
+    // left in tmp), then make the batch visible with ONE atomic dir
+    // rename. Readers and the streaming source list non-hidden dirs
+    // only, so a visible `batch_<id>` dir is always a complete batch —
+    // the property the micro-batch (replication) reader depends on.
+    val stage = new java.io.File(path, s"_stage_$queryId")
     val dest = new java.io.File(path, s"batch_$queryId")
     if (truncate) {
       Option(new java.io.File(path).listFiles).getOrElse(Array.empty)
         .filter(d => d.isDirectory && !d.getName.startsWith("_"))
         .foreach(deleteRec)
     }
-    dest.mkdirs()
+    stage.mkdirs()
     messages.collect { case CellFilesCommitted(fs) => fs }.flatten.foreach { f =>
       val src = new java.io.File(f)
       java.nio.file.Files.move(src.toPath,
-        new java.io.File(dest, src.getName).toPath,
+        new java.io.File(stage, src.getName).toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
+    java.nio.file.Files.move(stage.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     deleteRec(tmpDir)
     java.nio.file.Files.write(new java.io.File(path, "_SUCCESS").toPath,
                               Array.emptyByteArray)

@@ -194,6 +194,169 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  // ---- streaming (replication) read --------------------------------------
+
+  test("streaming offset JSON round-trips as a canonical sorted set") {
+    import graft.sources.cell.GraftCellOffset
+    val o = GraftCellOffset.of(Seq("batch_b", "batch_a", "region=1"))
+    assert(o.dirs == Seq("batch_a", "batch_b", "region=1"))
+    assert(GraftCellOffset.fromJson(o.json()) == o)
+    // set-equality through JSON: insertion order must not matter
+    assert(GraftCellOffset.of(Seq("region=1", "batch_a", "batch_b")).json()
+           == o.json())
+  }
+
+  test("streaming read drains the store batch-by-batch and equals the batch read") {
+    val q = SparkEntry.queries("stream_cell_connector")(s, dir)
+    val got = q.collect().toSeq
+    val want = s.read.format("graftcell")
+      .load(graft.operators.CellConnector.stageCdc(s, dir))
+      .filter(col("rowkey") >= "20" && col("rowkey") < "40")
+      .orderBy("rowkey", "qualifier").collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("streaming resume from checkpoint delivers ONLY new batches (exactly-once)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_spec_").toString
+    val store = s"$root/store"
+    val cp = s"$root/ckpt"
+    def cellDf(keys: (String, String)*) = {
+      import scala.collection.JavaConverters._
+      s.createDataFrame(
+        keys.map { case (rk, v) =>
+          org.apache.spark.sql.Row(rk, "d", "q", 1L, v) }.asJava,
+        GraftCell.SCHEMA)
+    }
+    // the memory sink cannot recover from a checkpoint, so resume
+    // evidence uses the FILE sink: one output dir + one checkpoint
+    // shared across runs. The sink appends each processed batch, so any
+    // replay would surface as duplicate rows in the cumulative set.
+    val out = s"$root/out"
+    def drain(): (Seq[(String, String)], Long) = {
+      val q = s.readStream.format("graftcell").load(store)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp).start()
+      q.awaitTermination()
+      val rows = s.read.schema(GraftCell.SCHEMA).parquet(out)
+        .select("rowkey", "value").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      val fedBatches = q.recentProgress.count(_.numInputRows > 0).toLong
+      (rows, fedBatches)
+    }
+    // two committed batches, first run: both delivered, one per micro-batch
+    cellDf("a" -> "1", "b" -> "2").write.format("graftcell").mode("append").save(store)
+    cellDf("c" -> "3").write.format("graftcell").mode("append").save(store)
+    val (rows1, batches1) = drain()
+    assert(rows1 == Seq("a" -> "1", "b" -> "2", "c" -> "3"))
+    assert(batches1 == 2L, s"admission control should pace 2 dirs as 2 micro-batches, saw $batches1")
+    // a third batch commits AFTER the first drain; resume from the same
+    // checkpoint must deliver exactly the new batch — nothing replayed
+    // (a replay would duplicate a/b/c in the cumulative file-sink set)
+    cellDf("d" -> "4").write.format("graftcell").mode("append").save(store)
+    val (rows2, batches2) = drain()
+    assert(rows2 == Seq("a" -> "1", "b" -> "2", "c" -> "3", "d" -> "4"))
+    assert(batches2 == 1L, s"resume should feed exactly the 1 new dir, saw $batches2")
+    // nothing new: a third resume feeds zero batches and changes nothing
+    val (rows3, batches3) = drain()
+    assert(rows3 == rows2 && batches3 == 0L)
+  }
+
+  test("streaming write replicates store-to-store, one epoch dir per source batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.cell.CellFooterCache
+    val root = java.nio.file.Files.createTempDirectory("graft_repl_spec_").toString
+    val (src, dst, cp) = (s"$root/src", s"$root/dst", s"$root/ckpt")
+    def cellDf(keys: (String, String)*) = {
+      import scala.collection.JavaConverters._
+      s.createDataFrame(
+        keys.map { case (rk, v) =>
+          org.apache.spark.sql.Row(rk, "d", "q", 1L, v) }.asJava,
+        GraftCell.SCHEMA)
+    }
+    def replicate(): Unit = {
+      val q = s.readStream.format("graftcell").load(src)
+        .writeStream.format("graftcell").option("path", dst)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp).start()
+      q.awaitTermination()
+    }
+    def cellsOf(store: String): Seq[(String, String)] =
+      s.read.format("graftcell").load(store)
+        .select("rowkey", "value").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    cellDf("a" -> "1", "b" -> "2").write.format("graftcell").mode("append").save(src)
+    cellDf("c" -> "3").write.format("graftcell").mode("append").save(src)
+    replicate()
+    assert(cellsOf(dst) == cellsOf(src))
+    // one replica batch dir per source batch (epoch granularity preserved)
+    assert(CellFooterCache.committedDirs(dst).size == 2)
+    // incremental: a post-replication source commit arrives as exactly
+    // one new replica batch on resume — nothing re-replicated
+    cellDf("d" -> "4").write.format("graftcell").mode("append").save(src)
+    replicate()
+    assert(cellsOf(dst) == cellsOf(src))
+    assert(CellFooterCache.committedDirs(dst).size == 3)
+  }
+
+  test("streaming-write epoch replay hits the idempotence guard (no double commit)") {
+    import graft.sources.cell.GraftCellStreamingWrite
+    val root = java.nio.file.Files.createTempDirectory("graft_epoch_spec_").toString
+    val w = new GraftCellStreamingWrite(root, "q1")
+    // epoch 0 already committed (dest dir exists with a data file) and a
+    // replayed attempt left a tmp dir behind
+    val dest = new java.io.File(root, "batch_q1_ep0")
+    dest.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dest, "part-00000.parquet").toPath,
+                              Array[Byte](1))
+    val tmp = new java.io.File(root, "_tmp_q1_ep0")
+    tmp.mkdirs()
+    java.nio.file.Files.write(new java.io.File(tmp, "part-00000.parquet").toPath,
+                              Array[Byte](2))
+    w.commit(0L, Array.empty)
+    // replay dropped: tmp cleaned, committed dir untouched, no stage dir
+    assert(!tmp.exists())
+    assert(dest.exists() &&
+           new java.io.File(dest, "part-00000.parquet").length() == 1L)
+    assert(!new java.io.File(root, "_stage_q1_ep0").exists())
+  }
+
+  test("in-place compaction leaves ONE committed generation, still non-overlapping") {
+    import graft.sources.cell.CellFooterCache
+    SparkEntry.queries("cell_connector_compact")(s, dir).queryExecution // stage + compact
+    val store = "/tmp/graft_cellstore_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "_cmp"
+    // truncate-overwrite dropped both input generations: exactly one
+    // batch dir remains, and its region files are sorted+disjoint
+    assert(CellFooterCache.committedDirs(store).size == 1,
+           s"expected 1 generation, got ${CellFooterCache.committedDirs(store)}")
+    val metas = CellFooterCache.filesOf(store)
+    assert(metas.forall(m => m.minKey.nonEmpty && m.maxKey.nonEmpty))
+    val spans = metas.map(m => (new String(m.minKey.get), new String(m.maxKey.get)))
+      .sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) => assert(hiA <= loB, s"overlap: $spans")
+      case _ =>
+    }
+    // and compaction actually resolved versions: no duplicate cell keys
+    val dups = s.read.format("graftcell").load(store)
+      .groupBy("rowkey", "family", "qualifier").count()
+      .filter(col("count") > 1).count()
+    assert(dups == 0L)
+  }
+
+  test("SQL temp view over the connector pushes filters into the scan") {
+    SparkEntry.queries("sql_cell_connector")(s, dir).queryExecution // registers the view
+    val plan = s.sql(
+      """SELECT rowkey, value FROM graft_cell_table
+         WHERE rowkey >= '60' AND rowkey < '70'""")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GraftCellScan"), s"connector scan missing:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("rowkey"),
+           s"rowkey filters not pushed:\n$plan")
+  }
+
   test("unsupported filters fall back to Spark above the scan, exactly") {
     // endsWith is not acceptable → must be returned to Spark, and the
     // result must equal the same predicate on the pattern-built cells
