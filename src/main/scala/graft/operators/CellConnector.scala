@@ -212,6 +212,67 @@ object CellConnector extends QueryModule {
       s.read.format("graftcell").load(path).orderBy("rowkey", "qualifier")
     }),
 
+    "cell_connector_multiget" -> ((s, dir) =>
+      // HBase MULTI-GET through the scan: a scattered rowkey IN-list is
+      // pruned PER KEY — each listed key selects only the region files
+      // whose footer [min,max] can contain it, instead of the IN-list's
+      // [min,max] envelope selecting every region in between (the
+      // envelope here spans first-byte regions 1..9; per-key pruning
+      // plans only the 4 regions the keys live in — spec-pinned).
+      // Inside survivors the IN-list becomes a parquet `in()` predicate
+      // answered from dictionary/bloom, and membership is re-checked
+      // exactly per row.
+      cells(s, dir)
+        .filter(col("rowkey").isin("101", "42", "77", "905"))
+        .orderBy("rowkey", "qualifier")),
+
+    "cell_connector_snapshot" -> ((s, dir) => {
+      // TIME TRAVEL via named SNAPSHOTS — HBase snapshot semantics with
+      // zero data copy: a snapshot is a manifest pinning the committed
+      // dir set (dirs are write-once, published by atomic rename, so
+      // the manifest stays valid under later appends). Staged once per
+      // sf-dir: base cells → snapshot "s1" → an updated-version append
+      // for the '5'+ band. Reading `.option("snapshot", "s1")` plans
+      // exactly the pinned dirs through the same footer-pruned scan, so
+      // the read returns the BASE cells only — the oracle is the plain
+      // cell rebuild, while the live store (spec-pinned) has grown.
+      val path = storePath(dir) + "_snap"
+      val marker = new java.io.File(s"$path/_SNAP_READY")
+      if (!marker.exists()) {
+        val base = CellQueries.eventCells(s, dir)
+        base.write.format("graftcell").mode("append").save(path)
+        graft.sources.cell.GraftCellSnapshot.create(path, "s1")
+        base.filter(col("rowkey") >= "5")
+          .withColumn("version", col("version") + lit(1000000L))
+          .withColumn("value", concat(col("value"), lit("!")))
+          .write.format("graftcell").mode("append").save(path)
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
+      s.read.format("graftcell").option("snapshot", "s1").load(path)
+        .orderBy("rowkey", "qualifier")
+    }),
+
+    "cell_connector_split_regions" -> ((s, dir) => {
+      // Region SPLIT-ON-SIZE: `option("maxRowsPerFile", n)` makes every
+      // write task ROLL to a new region file each n rows — rows arrive
+      // rowkey-sorted (the declared HFile ordering), so rolled files
+      // stay sorted and pairwise non-overlapping by construction, and
+      // footer-pruning granularity becomes a policy knob instead of a
+      // side effect of the shuffle partition count (at 100 TB: bounded
+      // region sizes under skewed key bands). Readback range-probes the
+      // finer-grained store; the spec pins files-per-task > 1 and the
+      // non-overlap invariant.
+      val path = storePath(dir) + "_split"
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        CellQueries.eventCells(s, dir)
+          .write.format("graftcell")
+          .option("maxRowsPerFile", "500")
+          .mode("append").save(path)
+      s.read.format("graftcell").load(path)
+        .filter(col("rowkey") >= "20" && col("rowkey") < "25")
+        .orderBy("rowkey", "qualifier")
+    }),
+
     "sql_cell_connector" -> ((s, dir) => {
       // The SQL surface over the connector: the store registered as a
       // (session-scoped) SQL table via `CREATE TEMPORARY VIEW ... USING
@@ -266,6 +327,22 @@ object CellConnector extends QueryModule {
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT rowkey, qualifier, value FROM cells
           WHERE rowkey >= '60' AND rowkey < '70'
+          ORDER BY rowkey, qualifier""",
+
+    "cell_connector_multiget" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells
+          WHERE rowkey IN ('101', '42', '77', '905')
+          ORDER BY rowkey, qualifier""",
+
+    "cell_connector_snapshot" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    "cell_connector_split_regions" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells
+          WHERE rowkey >= '20' AND rowkey < '25'
           ORDER BY rowkey, qualifier""",
 
     "cell_connector_compact" ->

@@ -247,6 +247,62 @@ object GraftCell {
     }
   }
 
+  /** Split nested conjunctions so every conjunct prunes independently
+    * (Spark splits top-level ANDs before pushdown, but accepted filters
+    * can still arrive as And(...) — e.g. from a runtime filter). */
+  def conjuncts(filters: Seq[Filter]): Seq[Filter] = filters.flatMap {
+    case And(l, r) => conjuncts(Seq(l, r))
+    case f         => Seq(f)
+  }
+
+  /** File-level pruning against the FULL accepted filter set — the
+    * HBase MULTI-GET: beyond the folded [lo,hi] interval (`keyRange`),
+    * every rowkey IN-list prunes PER KEY — a file survives an IN-list
+    * only if at least one listed key falls inside its [min,max]. So
+    * scattered point gets seek exactly their own region files instead
+    * of the IN-list's [min,max] envelope selecting every region in
+    * between (at 100 TB: a 100-key multi-get touches ≤100 region
+    * files, not half the table). Conservative like `mayOverlap`:
+    * missing stats ⇒ keep; membership stays exact in the reader. */
+  def fileMayMatch(min: Option[Array[Byte]], max: Option[Array[Byte]],
+                   filters: Seq[Filter]): Boolean = {
+    val flat = conjuncts(filters)
+    mayOverlap(min, max, keyRange(flat)) && flat.forall {
+      case In("rowkey", vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        vs.exists { v =>
+          val k = Bound(utf8(v.asInstanceOf[String]), true)
+          mayOverlap(min, max, KeyRange(Some(k), Some(k)))
+        }
+      case _ => true
+    }
+  }
+
+  /** The parquet FilterPredicate twin of ALL accepted rowkey
+    * constraints, for row-group skipping inside selected files: the
+    * folded [lo,hi] interval (stats order = UTF8 binary) AND'd with one
+    * parquet `in()` per rowkey IN-list and `eq()` per rowkey equality —
+    * which parquet's row-group filter answers from statistics,
+    * DICTIONARY pages, and BLOOM FILTERS (the write path enables a
+    * rowkey bloom), so a point get skips row groups whose stats
+    * straddle the key but whose dictionary/bloom proves absence. */
+  def parquetPred(filters: Seq[Filter]): Option[FilterPredicate] = {
+    val flat = conjuncts(filters)
+    val col = FilterApi.binaryColumn("rowkey")
+    val points: Seq[FilterPredicate] = flat.collect {
+      case In("rowkey", vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        val set = new java.util.HashSet[Binary]()
+        vs.foreach(v =>
+          set.add(Binary.fromConstantByteArray(utf8(v.asInstanceOf[String]))))
+        FilterApi.in(col, set): FilterPredicate
+      case EqualTo("rowkey", v: String) =>
+        FilterApi.eq(col, Binary.fromConstantByteArray(utf8(v))): FilterPredicate
+    }
+    (parquetRange(keyRange(flat)).toSeq ++ points)
+      .reduceOption(FilterApi.and)
+  }
+
   /** Columns a filter reads (must be fetched even when pruned away). */
   def referenced(f: Filter): Set[String] = f.references.toSet
 }
@@ -264,14 +320,63 @@ class GraftCellTable(path: String)
                          TableCapability.STREAMING_WRITE,
                          TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftCellScanBuilder(path)
+    new GraftCellScanBuilder(path, Option(options.get("snapshot")))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftCellWriteBuilder(path, info.queryId())
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(info.options().get("snapshot") == null,
+            "graftcell: cannot write through a snapshot read option")
+    new GraftCellWriteBuilder(path, info.queryId(),
+      Option(info.options().get("maxRowsPerFile")).map(_.toLong).getOrElse(-1L))
+  }
 }
 
-class GraftCellScanBuilder(path: String)
+/** Named SNAPSHOTS — HBase snapshot semantics with zero data copy: a
+  * snapshot is a MANIFEST (`_snapshot_<name>.json` at the store root)
+  * pinning the set of committed dir names at creation time. Committed
+  * dirs are write-once and published by atomic rename, so the manifest
+  * stays valid under any number of later appends; a snapshot read
+  * (`.option("snapshot", name)`) plans exactly the pinned dirs through
+  * the same footer-pruned scan. Time travel at 100 TB is therefore a
+  * metadata operation: create = list + write one small JSON file.
+  * Caveat (as in HBase without an archive dir): major compaction
+  * (TRUNCATE overwrite) deletes old generations and invalidates
+  * snapshots that pinned them — pinned dirs that no longer exist read
+  * as empty. */
+object GraftCellSnapshot {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def manifest(store: String, name: String): java.io.File = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"graftcell: bad snapshot name '$name'")
+    new java.io.File(store, s"_snapshot_$name.json")
+  }
+
+  /** Pin the currently committed dir set under `name` (atomic publish:
+    * tmp file + rename, so a concurrent reader sees old or new manifest,
+    * never a torn one). Returns the pinned dirs. */
+  def create(store: String, name: String): Seq[String] = {
+    val dirs = CellFooterCache.committedDirs(store)
+    val tmp = java.io.File.createTempFile("_snaptmp_", ".json",
+                                          new java.io.File(store))
+    java.nio.file.Files.write(tmp.toPath, mapper.writeValueAsBytes(dirs.toArray))
+    java.nio.file.Files.move(tmp.toPath, manifest(store, name).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dirs
+  }
+
+  /** The dir set a snapshot pinned; error if the snapshot is unknown. */
+  def dirs(store: String, name: String): Seq[String] = {
+    val f = manifest(store, name)
+    require(f.exists(), s"graftcell: no snapshot '$name' in $store")
+    mapper.readValue(java.nio.file.Files.readAllBytes(f.toPath),
+                     classOf[Array[String]]).toSeq
+  }
+}
+
+class GraftCellScanBuilder(path: String, snapshot: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownTopN with SupportsPushDownAggregates {
@@ -336,9 +441,9 @@ class GraftCellScanBuilder(path: String)
       agg.aggregateExpressions().forall {
         case _: CountStar => true
         case m: Min => m.column().toString == "rowkey" &&
-          CellFooterCache.filesOf(path).forall(_.minKey.nonEmpty)
+          CellFooterCache.filesOf(path, snapshot).forall(_.minKey.nonEmpty)
         case m: Max => m.column().toString == "rowkey" &&
-          CellFooterCache.filesOf(path).forall(_.maxKey.nonEmpty)
+          CellFooterCache.filesOf(path, snapshot).forall(_.maxKey.nonEmpty)
         case _ => false
       }
 
@@ -347,8 +452,9 @@ class GraftCellScanBuilder(path: String)
     else false
 
   override def build(): Scan = aggPushed match {
-    case Some(agg) => new GraftCellAggScan(path, agg)
-    case None => new GraftCellScan(path, pushed, required, limit, topNPushed)
+    case Some(agg) => new GraftCellAggScan(path, agg, snapshot)
+    case None =>
+      new GraftCellScan(path, pushed, required, limit, topNPushed, snapshot)
   }
 }
 
@@ -358,11 +464,12 @@ class GraftCellScanBuilder(path: String)
   * agg-pushed scan must never accept one (the builder already refuses
   * aggregation whenever any filter is pushed). */
 class GraftCellAggScan(path: String,
-    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+    snapshot: Option[String] = None)
     extends Scan with Batch {
   import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
 
-  private lazy val metas = CellFooterCache.filesOf(path)
+  private lazy val metas = CellFooterCache.filesOf(path, snapshot)
 
   private def answers: Array[(String, Any)] =
     agg.aggregateExpressions().map {
@@ -449,6 +556,18 @@ object CellFooterCache {
   def filesOf(store: String): Seq[CellFileMeta] =
     committedDirs(store).flatMap(filesUnder(store, _))
 
+  /** Files of a store, optionally AS OF a named snapshot: the manifest
+    * replaces the live dir listing (dropping dirs a compaction removed
+    * since — they read as empty rather than resurrecting). */
+  def filesOf(store: String, snapshot: Option[String]): Seq[CellFileMeta] =
+    snapshot match {
+      case None => filesOf(store)
+      case Some(n) =>
+        GraftCellSnapshot.dirs(store, n)
+          .filter(d => new java.io.File(store, d).isDirectory)
+          .flatMap(filesUnder(store, _))
+    }
+
   /** Footers of one committed dir (cached — dirs are immutable). */
   def filesUnder(store: String, dirName: String): Seq[CellFileMeta] =
     dirCache.getOrElseUpdate(
@@ -489,7 +608,8 @@ object CellFooterCache {
 
 class GraftCellScan(path: String, pushed: Array[Filter],
                     required: StructType, limit: Int = -1,
-                    topN: Boolean = false)
+                    topN: Boolean = false,
+                    snapshot: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -499,12 +619,10 @@ class GraftCellScan(path: String, pushed: Array[Filter],
     * before planInputPartitions, so it participates in file pruning. */
   private var runtime: Array[Filter] = Array.empty
 
-  private lazy val all = CellFooterCache.filesOf(path)
+  private lazy val all = CellFooterCache.filesOf(path, snapshot)
   private def effective: Seq[Filter] = (pushed ++ runtime).toSeq
-  private def selected = {
-    val range = GraftCell.keyRange(effective)
-    all.filter(m => GraftCell.mayOverlap(m.minKey, m.maxKey, range))
-  }
+  private def selected =
+    all.filter(m => GraftCell.fileMayMatch(m.minKey, m.maxKey, effective))
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -518,6 +636,7 @@ class GraftCellScan(path: String, pushed: Array[Filter],
 
   override def description(): String =
     s"GraftCellScan path=$path, " +
+    snapshot.fold("")(n => s"snapshot=$n, ") +
     s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
     s"ReadSchema: ${required.catalogString}, " +
     (if (limit >= 0) s"${if (topN) "topN" else "limit"}: $limit, " else "") +
@@ -544,8 +663,12 @@ class GraftCellScan(path: String, pushed: Array[Filter],
     * `required` are normally the identity here and filters run above
     * the scan; the stream still file-prunes per batch if any arrive. */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(snapshot.isEmpty,
+      "graftcell: a snapshot is a frozen dir set — batch-read it; " +
+      "the streaming source follows the LIVE committed-dir log")
     new GraftCellMicroBatchStream(path, pushed, required)
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     // post-file-pruning size: what AQE/broadcast planning should see
@@ -634,11 +757,10 @@ class GraftCellMicroBatchStream(path: String, pushed: Array[Filter],
   override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
     val done = start.asInstanceOf[GraftCellOffset].dirs.toSet
     val newDirs = end.asInstanceOf[GraftCellOffset].dirs.filterNot(done)
-    val range = GraftCell.keyRange(pushed.toSeq)
     val need = required.fieldNames.toSet ++ pushed.flatMap(GraftCell.referenced)
     val fetch = GraftCell.SCHEMA.fields.map(_.name).filter(need.contains)
     newDirs.flatMap(CellFooterCache.filesUnder(path, _))
-      .filter(m => GraftCell.mayOverlap(m.minKey, m.maxKey, range))
+      .filter(m => GraftCell.fileMayMatch(m.minKey, m.maxKey, pushed.toSeq))
       .map(m => CellInputPartition(m.path, fetch, required.fieldNames,
                                    pushed, m.messageType): InputPartition)
       .toArray
@@ -686,7 +808,7 @@ class CellPartitionReader(p: CellInputPartition)
     val b = ParquetReader
       .builder(new GroupReadSupport(), new Path(p.file))
       .withConf(conf)
-    GraftCell.parquetRange(GraftCell.keyRange(p.filters.toSeq)) match {
+    GraftCell.parquetPred(p.filters.toSeq) match {
       case Some(pred) => b.withFilter(FilterCompat.get(pred)).build()
       case None       => b.build()
     }
@@ -750,7 +872,8 @@ class CellPartitionReader(p: CellInputPartition)
   * dirs). Abort deletes the temp dir. At cluster scale the move is the
   * usual rename-based commit (object stores would swap in a manifest
   * commit, which [[CellFooterCache]] already models). */
-class GraftCellWriteBuilder(path: String, queryId: String)
+class GraftCellWriteBuilder(path: String, queryId: String,
+                            maxRowsPerFile: Long = -1L)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
@@ -758,10 +881,11 @@ class GraftCellWriteBuilder(path: String, queryId: String)
     doTruncate = true; this
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new GraftCellWrite(path, queryId, doTruncate)
+    new GraftCellWrite(path, queryId, doTruncate, maxRowsPerFile)
 }
 
-class GraftCellWrite(path: String, queryId: String, truncate: Boolean)
+class GraftCellWrite(path: String, queryId: String, truncate: Boolean,
+                     maxRowsPerFile: Long = -1L)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection}
@@ -777,7 +901,7 @@ class GraftCellWrite(path: String, queryId: String, truncate: Boolean)
     Array(asc("rowkey"), asc("family"), asc("qualifier"), asc("version"))
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-    new GraftCellBatchWrite(path, queryId, truncate)
+    new GraftCellBatchWrite(path, queryId, truncate, maxRowsPerFile)
 
   /** Streaming write — the replication PRODUCER: each micro-batch epoch
     * publishes one `batch_<queryId>_ep<epoch>` dir through the same
@@ -791,10 +915,11 @@ class GraftCellWrite(path: String, queryId: String, truncate: Boolean)
     * applies per epoch (Catalyst plans the range shuffle inside each
     * micro-batch). */
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-    new GraftCellStreamingWrite(path, queryId)
+    new GraftCellStreamingWrite(path, queryId, maxRowsPerFile)
 }
 
-class GraftCellStreamingWrite(path: String, queryId: String)
+class GraftCellStreamingWrite(path: String, queryId: String,
+                              maxRowsPerFile: Long = -1L)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -805,7 +930,7 @@ class GraftCellStreamingWrite(path: String, queryId: String)
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory = {
     new java.io.File(path).mkdirs()
-    new CellStreamingDataWriterFactory(path, queryId)
+    new CellStreamingDataWriterFactory(path, queryId, maxRowsPerFile)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -836,20 +961,22 @@ class GraftCellStreamingWrite(path: String, queryId: String)
   }
 }
 
-class CellStreamingDataWriterFactory(path: String, queryId: String)
+class CellStreamingDataWriterFactory(path: String, queryId: String,
+                                     maxRowsPerFile: Long = -1L)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
     val tmp = new java.io.File(path, s"_tmp_${queryId}_ep$epochId")
     tmp.mkdirs()
-    new CellDataWriter(tmp.getPath, partitionId)
+    new CellDataWriter(tmp.getPath, partitionId, maxRowsPerFile)
   }
 }
 
 final case class CellFilesCommitted(files: Seq[String])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean)
+class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean,
+                          maxRowsPerFile: Long = -1L)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -857,7 +984,7 @@ class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     tmpDir.mkdirs()
-    new CellDataWriterFactory(tmpDir.getPath)
+    new CellDataWriterFactory(tmpDir.getPath, maxRowsPerFile)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -898,23 +1025,33 @@ class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean)
   }
 }
 
-class CellDataWriterFactory(tmpDir: String)
+class CellDataWriterFactory(tmpDir: String, maxRowsPerFile: Long = -1L)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new CellDataWriter(tmpDir, partitionId)
+    new CellDataWriter(tmpDir, partitionId, maxRowsPerFile)
 }
 
-/** One sorted region file per (range-partitioned) task. */
-class CellDataWriter(tmpDir: String, partitionId: Int)
+/** Sorted region file(s) per (range-partitioned) task. Rows arrive
+  * rowkey-sorted (the declared write ordering), so ROLLING to a new
+  * file every `maxRowsPerFile` rows — the HBase region SPLIT-ON-SIZE —
+  * keeps every emitted file sorted and the task's files pairwise
+  * non-overlapping by construction: footer pruning granularity is then
+  * a policy knob (`option("maxRowsPerFile", n)`), not a side effect of
+  * the shuffle partition count. A rowkey BLOOM FILTER is written per
+  * file so point gets (`eq`/`in` pushed to parquet) can skip row
+  * groups whose [min,max] straddles the key but which provably don't
+  * contain it. */
+class CellDataWriter(tmpDir: String, partitionId: Int,
+                     maxRowsPerFile: Long = -1L)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.Group
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.ParquetWriter
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
   import org.apache.parquet.hadoop.metadata.CompressionCodecName
   import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-
-  private val file = f"$tmpDir/part-$partitionId%05d.parquet"
 
   private val msgType = {
     val b = Types.buildMessage()
@@ -925,17 +1062,36 @@ class CellDataWriter(tmpDir: String, partitionId: Int)
     }
     b.named("cell")
   }
-
-  private lazy val writer = ExampleParquetWriter
-    .builder(new Path(file))
-    .withConf(new Configuration())
-    .withType(msgType)
-    .withCompressionCodec(CompressionCodecName.SNAPPY)
-    .build()
   private val groups = new SimpleGroupFactory(msgType)
-  private var wrote = false
+
+  private val files = scala.collection.mutable.ArrayBuffer.empty[String]
+  private var file: String = _
+  private var writer: ParquetWriter[Group] = _
+  private var seq = 0
+  private var rowsInFile = 0L
+
+  // lazy open on first row: an empty task commits no region file
+  private def open(): Unit = {
+    file = f"$tmpDir/part-$partitionId%05d-$seq%04d.parquet"
+    writer = ExampleParquetWriter
+      .builder(new Path(file))
+      .withConf(new Configuration())
+      .withType(msgType)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withBloomFilterEnabled("rowkey", true)
+      .build()
+    rowsInFile = 0L
+  }
+
+  private def roll(): Unit = {
+    writer.close()
+    files += file
+    writer = null
+    seq += 1
+  }
 
   override def write(row: InternalRow): Unit = {
+    if (writer == null) open()
     val g = groups.newGroup()
     var i = 0
     while (i < GraftCell.SCHEMA.length) {
@@ -946,18 +1102,18 @@ class CellDataWriter(tmpDir: String, partitionId: Int)
       i += 1
     }
     writer.write(g)
-    wrote = true
+    rowsInFile += 1
+    if (maxRowsPerFile > 0 && rowsInFile >= maxRowsPerFile) roll()
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    if (wrote) writer.close()
-    else { writer.close(); new java.io.File(file).delete() } // no empty regions
-    CellFilesCommitted(if (wrote) Seq(file) else Seq.empty)
+    if (writer != null) roll()
+    CellFilesCommitted(files.toSeq)
   }
 
   override def abort(): Unit = {
-    writer.close()
-    new java.io.File(file).delete(); ()
+    if (writer != null) { writer.close(); files += file }
+    files.foreach(f => new java.io.File(f).delete())
   }
 
   override def close(): Unit = ()

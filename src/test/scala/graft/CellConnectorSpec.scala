@@ -54,6 +54,30 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(GraftCell.mayOverlap(Some(b("50")), Some(b("59")), ri))
   }
 
+  test("fileMayMatch prunes IN-lists per key, not by envelope (multi-get)") {
+    import org.apache.spark.sql.sources._
+    val in = Seq(In("rowkey", Array[Any]("101", "905")))
+    // a file strictly between the two keys is INSIDE the envelope but
+    // contains neither key — per-key pruning must drop it
+    assert(!GraftCell.fileMayMatch(Some(b("30")), Some(b("49")), in))
+    // files that can hold a listed key survive
+    assert(GraftCell.fileMayMatch(Some(b("10")), Some(b("19")), in))  // "101"
+    assert(GraftCell.fileMayMatch(Some(b("90")), Some(b("99")), in))  // "905"
+    // outside the envelope: dropped as before
+    assert(!GraftCell.fileMayMatch(Some(b("0")), Some(b("0")), in))
+    // missing stats ⇒ keep (skip only on evidence)
+    assert(GraftCell.fileMayMatch(None, None, in))
+    // conjunction with a range still applies; nested Ands are split
+    assert(!GraftCell.fileMayMatch(Some(b("10")), Some(b("19")),
+      Seq(And(In("rowkey", Array[Any]("101", "905")),
+              GreaterThanOrEqual("rowkey", "5")))))
+    // and the parquet twin carries the IN as a point predicate
+    val pred = GraftCell.parquetPred(in)
+    assert(pred.nonEmpty && pred.get.toString.contains("in(rowkey"))
+    assert(GraftCell.parquetPred(Seq(EqualTo("rowkey", "42")))
+      .get.toString.contains("eq(rowkey"))
+  }
+
   // ---- plan shape --------------------------------------------------------
 
   test("range + projection land in the scan: PushedFilters, ReadSchema, file pruning") {
@@ -70,6 +94,81 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(m.nonEmpty, s"no regionFiles marker in:\n$plan")
     assert(m.get.group(1).toInt < m.get.group(2).toInt,
            s"range scan should prune region files: ${m.get.matched}")
+  }
+
+  test("multi-get plans fewer region files than the IN-list envelope") {
+    val rf = "regionFiles: (\\d+)/(\\d+)".r
+    def planned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val m = rf.findFirstMatchIn(df.queryExecution.executedPlan.toString)
+      assert(m.nonEmpty, "no regionFiles marker")
+      (m.get.group(1).toInt, m.get.group(2).toInt)
+    }
+    val (got, total) = planned(SparkEntry.queries("cell_connector_multiget")(s, dir))
+    // the same keys as a [min,max] range = what envelope pruning would plan
+    val store = "/tmp/graft_cellstore_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val (envelope, _) = planned(
+      s.read.format("graftcell").load(store)
+        .filter(col("rowkey") >= "101" && col("rowkey") <= "905"))
+    assert(got < envelope && envelope <= total,
+           s"multi-get should beat the envelope: $got vs $envelope/$total")
+    // and the scattered gets return exactly the listed keys' cells
+    val keys = SparkEntry.queries("cell_connector_multiget")(s, dir)
+      .select("rowkey").distinct().collect().map(_.getString(0)).toSet
+    assert(keys.subsetOf(Set("101", "42", "77", "905")) && keys.nonEmpty)
+  }
+
+  test("snapshot read pins the committed dir set; live store moves on") {
+    SparkEntry.queries("cell_connector_snapshot")(s, dir).queryExecution // stage
+    val store = "/tmp/graft_cellstore_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "_snap"
+    val snap = s.read.format("graftcell").option("snapshot", "s1").load(store)
+    assert(snap.queryExecution.executedPlan.toString.contains("snapshot=s1"))
+    val snapRows = snap.count()
+    val liveRows = s.read.format("graftcell").load(store).count()
+    // the post-snapshot append grew the live store, not the snapshot
+    assert(snapRows > 0 && liveRows > snapRows,
+           s"live $liveRows should exceed snapshot $snapRows")
+    // snapshot view ≡ the base cells (the oracle's claim, pinned here
+    // against the inline pattern too)
+    val got = snap.orderBy("rowkey", "qualifier").collect().toSeq
+    val want = SparkEntry.queries("sink_hbase_cells")(s, dir).collect().toSeq
+    assert(got == want)
+    // unknown snapshot names fail loudly; snapshot writes are refused
+    intercept[Exception] {
+      s.read.format("graftcell").option("snapshot", "nope").load(store).count()
+    }
+    intercept[Exception] {
+      s.range(0).selectExpr("'a' rowkey", "'d' family", "'q' qualifier",
+                            "1L version", "'v' value")
+        .write.format("graftcell").option("snapshot", "s1")
+        .mode("append").save(store)
+    }
+  }
+
+  test("maxRowsPerFile rolls region files: finer granularity, still disjoint") {
+    import graft.sources.cell.CellFooterCache
+    SparkEntry.queries("cell_connector_split_regions")(s, dir).queryExecution // stage
+    val store = "/tmp/graft_cellstore_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "_split"
+    val metas = CellFooterCache.filesOf(store)
+    assert(metas.nonEmpty)
+    // at least one task rolled: a part-XXXXX prefix appears with >1 seq
+    val bySeqPrefix = metas.map(_.path.replaceAll("-\\d{4}\\.parquet$", ""))
+    assert(bySeqPrefix.groupBy(identity).values.exists(_.size > 1),
+           s"no task rolled files: ${metas.map(_.path)}")
+    // rolled files respect the cap and keep tight, disjoint footer spans
+    assert(metas.forall(_.rowCount <= 500), "maxRowsPerFile cap violated")
+    val spans = metas.map(m => (new String(m.minKey.get), new String(m.maxKey.get)))
+      .sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) => assert(hiA <= loB, s"overlap: $spans")
+      case _ =>
+    }
+    // and the finer-grained store still reads back the full cell set
+    val got = s.read.format("graftcell").load(store)
+      .orderBy("rowkey", "qualifier").collect().toSeq
+    val want = SparkEntry.queries("sink_hbase_cells")(s, dir).collect().toSeq
+    assert(got == want)
   }
 
   // ---- end-to-end equality with the inline query-pattern twins -----------
