@@ -38,7 +38,9 @@ object Plans {
     "dedup_ngram", "join_fuzzy", "ts_retention", "join_fuzzy_shuffled",
     "graph_reachability", "rcte_running_clamp", "sql_pipe", "obs_metrics",
     "cell_connector_range", "cell_connector_prefix",
-    "sql_cell_connector", "cell_connector_compact")
+    "sql_cell_connector", "cell_connector_compact",
+    "cell_connector_multiget", "cell_connector_snapshot",
+    "cell_connector_split_regions")
 
   /** What to explain per key. `obs_metrics`' query RESULT is a 1-row
     * local relation of listener-delivered values; the plan worth
