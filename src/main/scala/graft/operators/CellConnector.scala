@@ -273,6 +273,64 @@ object CellConnector extends QueryModule {
         .orderBy("rowkey", "qualifier")
     }),
 
+    "cell_connector_timerange" -> ((s, dir) => {
+      // HBase Scan TIME RANGE through the scan: the footer cache also
+      // tracks the version column's min/max (the HFile TimeRange
+      // tracker), so a version predicate SKIPS whole region files of
+      // generations written in a different era — here a two-generation
+      // store (base versions ~1.7e15 µs; a re-write batch at +8e15)
+      // where `version >= 8e15` plans ONLY the second generation's
+      // files with the rowkey completely unconstrained (spec-pinned).
+      // The same bound rides the parquet predicate for row-group
+      // skipping inside survivors, and is re-checked exactly per row.
+      val path = storePath(dir) + "_tr"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val base = CellQueries.eventCells(s, dir)
+        base.write.format("graftcell").mode("append").save(path)
+        base.filter(col("rowkey") >= "5")
+          .withColumn("version", col("version") + lit(8000000000000000L))
+          .withColumn("value", concat(col("value"), lit("!")))
+          .write.format("graftcell").mode("append").save(path)
+      }
+      s.read.format("graftcell").load(path)
+        .filter(col("version") >= 8000000000000000L)
+        .orderBy("rowkey", "qualifier")
+    }),
+
+    "cell_connector_compact_minor" -> ((s, dir) => {
+      // MINOR COMPACTION as a store operation: merge only the SMALL
+      // committed batches into one, leaving the large base generation
+      // untouched — HBase's size-tiered minor compaction, bounding
+      // read amplification (dir count, footer fetches) without the
+      // full-store rewrite of `cell_connector_compact`. Content is
+      // preserved VERBATIM (no version resolution — that is major
+      // compaction's job): the oracle is the three-batch union, and
+      // the spec pins dirs 3→2 with byte-identical readback. Staged
+      // once: base cells + two narrow re-write batches, then
+      // minorCompact with a threshold below the base size.
+      val path = storePath(dir) + "_mnr"
+      val marker = new java.io.File(s"$path/_MINOR_DONE")
+      if (!marker.exists()) {
+        val base = CellQueries.eventCells(s, dir)
+        base.write.format("graftcell").mode("append").save(path)
+        Seq("2", "7").foreach(band =>
+          base.filter(col("rowkey").startsWith(band))
+            .withColumn("version", col("version") + lit(1000000L))
+            .withColumn("value", concat(col("value"), lit("+")))
+            .write.format("graftcell").mode("append").save(path))
+        val sizes = graft.sources.cell.CellFooterCache.committedDirs(path)
+          .map(d => graft.sources.cell.CellFooterCache
+                      .filesUnder(path, d).map(_.bytes).sum)
+        graft.sources.cell.GraftCellMaintenance
+          .minorCompact(s, path, maxBytes = sizes.max - 1)
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
+      // version joins the sort: re-write bands make (rowkey, qualifier)
+      // non-unique, and the gate needs a total order
+      s.read.format("graftcell").load(path)
+        .orderBy("rowkey", "qualifier", "version")
+    }),
+
     "sql_cell_connector" -> ((s, dir) => {
       // The SQL surface over the connector: the store registered as a
       // (session-scoped) SQL table via `CREATE TEMPORARY VIEW ... USING
@@ -344,6 +402,32 @@ object CellConnector extends QueryModule {
           SELECT * FROM cells
           WHERE rowkey >= '20' AND rowkey < '25'
           ORDER BY rowkey, qualifier""",
+
+    "cell_connector_timerange" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+          two AS (
+            SELECT * FROM cells
+            UNION ALL
+            SELECT rowkey, family, qualifier,
+                   version + 8000000000000000 AS version,
+                   value || '!' AS value
+            FROM cells WHERE rowkey >= '5')
+          SELECT * FROM two
+          WHERE version >= 8000000000000000
+          ORDER BY rowkey, qualifier""",
+
+    "cell_connector_compact_minor" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+          three AS (
+            SELECT * FROM cells
+            UNION ALL
+            SELECT rowkey, family, qualifier,
+                   version + 1000000 AS version,
+                   value || '+' AS value
+            FROM cells
+            WHERE rowkey LIKE '2%' OR rowkey LIKE '7%')
+          SELECT * FROM three
+          ORDER BY rowkey, qualifier, version""",
 
     "cell_connector_compact" ->
       s"""WITH cells AS (${CellQueries.eventCellsSql}),

@@ -278,6 +278,43 @@ object GraftCell {
     }
   }
 
+  /** Version interval implied by accepted version filters — the HBase
+    * Scan TimeRange. Inclusive bounds; exclusive filters saturate
+    * toward keeping (skip-only, like KeyRange). `lo > hi` = provably
+    * empty, which is still only used to SKIP files (the reader's exact
+    * eval is what decides membership). */
+  final case class VerRange(lo: Long, hi: Long)
+  val FULL_VER: VerRange = VerRange(Long.MinValue, Long.MaxValue)
+
+  def verRange(filters: Seq[Filter]): VerRange =
+    conjuncts(filters).foldLeft(FULL_VER) {
+      case (r, EqualTo("version", v: Number)) =>
+        val x = v.longValue()
+        VerRange(math.max(r.lo, x), math.min(r.hi, x))
+      case (r, GreaterThan("version", v: Number)) =>
+        val x = v.longValue()
+        VerRange(math.max(r.lo, if (x == Long.MaxValue) x else x + 1), r.hi)
+      case (r, GreaterThanOrEqual("version", v: Number)) =>
+        VerRange(math.max(r.lo, v.longValue()), r.hi)
+      case (r, LessThan("version", v: Number)) =>
+        val x = v.longValue()
+        VerRange(r.lo, math.min(r.hi, if (x == Long.MinValue) x else x - 1))
+      case (r, LessThanOrEqual("version", v: Number)) =>
+        VerRange(r.lo, math.min(r.hi, v.longValue()))
+      case (r, _) => r
+    }
+
+  /** TimeRange file pruning: missing version stats ⇒ keep. */
+  def verMayOverlap(minV: Option[Long], maxV: Option[Long],
+                    r: VerRange): Boolean =
+    maxV.forall(_ >= r.lo) && minV.forall(_ <= r.hi)
+
+  /** Full file-level pruning over a footer entry: rowkey interval +
+    * per-key IN-lists (multi-get) + version TimeRange. */
+  def fileMayMatch(m: CellFileMeta, filters: Seq[Filter]): Boolean =
+    fileMayMatch(m.minKey, m.maxKey, filters) &&
+      verMayOverlap(m.minVer, m.maxVer, verRange(filters))
+
   /** The parquet FilterPredicate twin of ALL accepted rowkey
     * constraints, for row-group skipping inside selected files: the
     * folded [lo,hi] interval (stats order = UTF8 binary) AND'd with one
@@ -299,7 +336,17 @@ object GraftCell {
       case EqualTo("rowkey", v: String) =>
         FilterApi.eq(col, Binary.fromConstantByteArray(utf8(v))): FilterPredicate
     }
-    (parquetRange(keyRange(flat)).toSeq ++ points)
+    // version TimeRange rides the same predicate for row-group skipping
+    val vr = verRange(flat)
+    val vcol = FilterApi.longColumn("version")
+    val vpreds: Seq[FilterPredicate] =
+      (if (vr.lo != Long.MinValue)
+         Seq(FilterApi.gtEq(vcol, java.lang.Long.valueOf(vr.lo)): FilterPredicate)
+       else Nil) ++
+      (if (vr.hi != Long.MaxValue)
+         Seq(FilterApi.ltEq(vcol, java.lang.Long.valueOf(vr.hi)): FilterPredicate)
+       else Nil)
+    (parquetRange(keyRange(flat)).toSeq ++ points ++ vpreds)
       .reduceOption(FilterApi.and)
   }
 
@@ -367,12 +414,73 @@ object GraftCellSnapshot {
     dirs
   }
 
+  /** Pin an EXPLICIT dir set (maintenance use: minor compaction reads
+    * its victim dirs through a pinned manifest). */
+  def createPinned(store: String, name: String,
+                   pin: Seq[String]): Unit = {
+    val tmp = java.io.File.createTempFile("_snaptmp_", ".json",
+                                          new java.io.File(store))
+    java.nio.file.Files.write(tmp.toPath, mapper.writeValueAsBytes(pin.toArray))
+    java.nio.file.Files.move(tmp.toPath, manifest(store, name).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def drop(store: String, name: String): Unit = {
+    manifest(store, name).delete(); ()
+  }
+
   /** The dir set a snapshot pinned; error if the snapshot is unknown. */
   def dirs(store: String, name: String): Seq[String] = {
     val f = manifest(store, name)
     require(f.exists(), s"graftcell: no snapshot '$name' in $store")
     mapper.readValue(java.nio.file.Files.readAllBytes(f.toPath),
                      classOf[Array[String]]).toSeq
+  }
+}
+
+/** Store maintenance beyond a single query — the HBase housekeeping
+  * the region server owns. */
+object GraftCellMaintenance {
+
+  /** MINOR COMPACTION: merge every committed batch dir whose total
+    * bytes are ≤ `maxBytes` into ONE new batch, leaving larger
+    * generations untouched — HBase's size-tiered minor compaction,
+    * bounding read amplification (dir count, footer fetches, merge
+    * width) WITHOUT rewriting the whole store. Content is preserved
+    * verbatim: no version resolution, no tombstone dropping — that is
+    * MAJOR compaction's job (`cell_connector_compact`).
+    *
+    * Protocol: pin the victim dirs in an internal snapshot manifest,
+    * read exactly those dirs through the connector (so the merged
+    * batch gets the declared sorted, non-overlapping region layout),
+    * publish the merged batch by the usual atomic rename, THEN delete
+    * the victims. Single-writer maintenance, as in HBase where the
+    * region server owns compaction; a reader racing the short delete
+    * window could see a victim's cells twice, which is why the store
+    * must be quiesced for maintenance (the spec runs it so).
+    * Returns the merged (deleted) dirs; no-op below 2 victims. */
+  def minorCompact(spark: org.apache.spark.sql.SparkSession,
+                   store: String, maxBytes: Long): Seq[String] = {
+    val victims = CellFooterCache.committedDirs(store).filter { d =>
+      CellFooterCache.filesUnder(store, d).map(_.bytes).sum <= maxBytes
+    }
+    if (victims.size < 2) return Nil
+    val work = "minor-work"
+    GraftCellSnapshot.createPinned(store, work, victims)
+    try {
+      spark.read.format("graftcell").option("snapshot", work).load(store)
+        .write.format("graftcell").mode("append").save(store)
+    } finally GraftCellSnapshot.drop(store, work)
+    victims.foreach { d =>
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rec)
+        f.delete(); ()
+      }
+      rec(new java.io.File(store, d))
+    }
+    CellFooterCache.invalidate(store)
+    victims
   }
 }
 
@@ -519,11 +627,17 @@ class CellAggReaderFactory extends PartitionReaderFactory {
     }
 }
 
-/** Per-file metadata from the parquet footer (the manifest entry). */
+/** Per-file metadata from the parquet footer (the manifest entry).
+  * `minVer`/`maxVer` are the version column's footer stats — the HBase
+  * HFile TimeRange tracker analog, so time-range scans can skip whole
+  * region files (generations written in different eras never get
+  * read). */
 final case class CellFileMeta(path: String, bytes: Long, rowCount: Long,
                               minKey: Option[Array[Byte]],
                               maxKey: Option[Array[Byte]],
-                              messageType: String)
+                              messageType: String,
+                              minVer: Option[Long] = None,
+                              maxVer: Option[Long] = None)
 
 object CellFooterCache {
   /** Driver-side footer cache, one entry PER COMMITTED DIRECTORY — the
@@ -593,9 +707,19 @@ object CellFooterCache {
                          .min(UnsignedBytes)),
                   Some(stats.map(_.genericGetMax.asInstanceOf[Binary].getBytes)
                          .max(UnsignedBytes)))
+          val vstats = blocks.flatMap(_.getColumns.asScala
+            .find(_.getPath.toDotString == "version").map(_.getStatistics))
+          val vusable = vstats.nonEmpty &&
+            vstats.forall(s => s != null && s.hasNonNullValue)
+          val (vmn, vmx) =
+            if (!vusable) (None, None)
+            else (Some(vstats.map(_.genericGetMin.asInstanceOf[java.lang.Long]
+                                    .longValue()).min),
+                  Some(vstats.map(_.genericGetMax.asInstanceOf[java.lang.Long]
+                                    .longValue()).max))
           CellFileMeta(f.getPath, f.length(),
                        blocks.map(_.getRowCount).sum, mn, mx,
-                       md.getFileMetaData.getSchema.toString)
+                       md.getFileMetaData.getSchema.toString, vmn, vmx)
         } finally r.close()
       }
     })
@@ -622,7 +746,7 @@ class GraftCellScan(path: String, pushed: Array[Filter],
   private lazy val all = CellFooterCache.filesOf(path, snapshot)
   private def effective: Seq[Filter] = (pushed ++ runtime).toSeq
   private def selected =
-    all.filter(m => GraftCell.fileMayMatch(m.minKey, m.maxKey, effective))
+    all.filter(m => GraftCell.fileMayMatch(m, effective))
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -760,7 +884,7 @@ class GraftCellMicroBatchStream(path: String, pushed: Array[Filter],
     val need = required.fieldNames.toSet ++ pushed.flatMap(GraftCell.referenced)
     val fetch = GraftCell.SCHEMA.fields.map(_.name).filter(need.contains)
     newDirs.flatMap(CellFooterCache.filesUnder(path, _))
-      .filter(m => GraftCell.fileMayMatch(m.minKey, m.maxKey, pushed.toSeq))
+      .filter(m => GraftCell.fileMayMatch(m, pushed.toSeq))
       .map(m => CellInputPartition(m.path, fetch, required.fieldNames,
                                    pushed, m.messageType): InputPartition)
       .toArray

@@ -171,6 +171,59 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("version TimeRange stats prune whole generations") {
+    import org.apache.spark.sql.sources._
+    // pure math: bounds fold inclusively, exclusive filters tighten
+    val r = GraftCell.verRange(Seq(
+      GreaterThanOrEqual("version", java.lang.Long.valueOf(100L)),
+      LessThan("version", java.lang.Long.valueOf(200L))))
+    assert(r.lo == 100L && r.hi == 199L)
+    assert(!GraftCell.verMayOverlap(Some(0L), Some(99L), r))   // below
+    assert(!GraftCell.verMayOverlap(Some(200L), Some(300L), r)) // above
+    assert(GraftCell.verMayOverlap(Some(150L), Some(300L), r))  // straddles
+    assert(GraftCell.verMayOverlap(None, None, r))              // no stats
+    // and the parquet twin carries the version bounds
+    val pred = GraftCell.parquetPred(Seq(
+      GreaterThanOrEqual("version", java.lang.Long.valueOf(100L))))
+    assert(pred.nonEmpty && pred.get.toString.contains("gteq(version"))
+    // plan: a version-ONLY predicate (rowkey fully unconstrained) still
+    // prunes region files — the second generation's era is disjoint
+    val df = SparkEntry.queries("cell_connector_timerange")(s, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val m = "regionFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.nonEmpty, s"no regionFiles marker:\n$plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+           s"timerange did not prune: ${m.get.matched}")
+    // and the scan returns exactly the late-era generation
+    assert(df.select("version").collect()
+             .forall(_.getLong(0) >= 8000000000000000L))
+  }
+
+  test("minor compaction merges only the small batches; content verbatim") {
+    import graft.sources.cell.CellFooterCache
+    val got = SparkEntry.queries("cell_connector_compact_minor")(s, dir)
+      .collect().toSeq // stages three batches + minor-compacts
+    val store = "/tmp/graft_cellstore_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "_mnr"
+    // the two small re-write batches merged into one; the big base
+    // generation was NOT rewritten
+    val dirs = CellFooterCache.committedDirs(store)
+    assert(dirs.size == 2, s"expected base + merged, got $dirs")
+    // content preserved verbatim: base ∪ both band re-writes
+    SparkEntry.queries("scan_cell_connector")(s, dir).queryExecution // stage base
+    val baseDf = s.read.format("graftcell")
+      .load("/tmp/graft_cellstore_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val rewrites = baseDf
+      .filter(col("rowkey").startsWith("2") || col("rowkey").startsWith("7"))
+      .withColumn("version", col("version") + lit(1000000L))
+      .withColumn("value", concat(col("value"), lit("+")))
+    val want = baseDf.unionByName(rewrites)
+      .orderBy("rowkey", "qualifier", "version").collect().toSeq
+    assert(got == want)
+    // no internal work manifest left behind
+    assert(!new java.io.File(store, "_snapshot_minor-work.json").exists())
+  }
+
   // ---- end-to-end equality with the inline query-pattern twins -----------
 
   test("connector range scan ≡ cell_scan_range query pattern") {
