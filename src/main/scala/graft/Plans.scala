@@ -40,7 +40,8 @@ object Plans {
     "cell_connector_range", "cell_connector_prefix",
     "sql_cell_connector", "cell_connector_compact",
     "cell_connector_multiget", "cell_connector_snapshot",
-    "cell_connector_split_regions")
+    "cell_connector_split_regions", "cell_connector_timerange",
+    "cell_connector_compact_minor")
 
   /** What to explain per key. `obs_metrics`' query RESULT is a 1-row
     * local relation of listener-delivered values; the plan worth

@@ -367,7 +367,9 @@ class GraftCellTable(path: String)
                          TableCapability.STREAMING_WRITE,
                          TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftCellScanBuilder(path, Option(options.get("snapshot")))
+    new GraftCellScanBuilder(path, Option(options.get("snapshot")),
+      Option(options.get("maxPartitionBytes")).map(_.toLong)
+        .getOrElse(Long.MaxValue))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -484,7 +486,8 @@ object GraftCellMaintenance {
   }
 }
 
-class GraftCellScanBuilder(path: String, snapshot: Option[String] = None)
+class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
+                           maxPartBytes: Long = Long.MaxValue)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownTopN with SupportsPushDownAggregates {
@@ -562,7 +565,8 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None)
   override def build(): Scan = aggPushed match {
     case Some(agg) => new GraftCellAggScan(path, agg, snapshot)
     case None =>
-      new GraftCellScan(path, pushed, required, limit, topNPushed, snapshot)
+      new GraftCellScan(path, pushed, required, limit, topNPushed, snapshot,
+                        maxPartBytes)
   }
 }
 
@@ -733,7 +737,8 @@ object CellFooterCache {
 class GraftCellScan(path: String, pushed: Array[Filter],
                     required: StructType, limit: Int = -1,
                     topN: Boolean = false,
-                    snapshot: Option[String] = None)
+                    snapshot: Option[String] = None,
+                    maxPartBytes: Long = Long.MaxValue)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -772,10 +777,25 @@ class GraftCellScan(path: String, pushed: Array[Filter],
     val need = required.fieldNames.toSet ++
       eff.flatMap(GraftCell.referenced)
     val fetch = GraftCell.SCHEMA.fields.map(_.name).filter(need.contains)
-    selected.map(m =>
-      CellInputPartition(m.path, fetch, required.fieldNames, eff.toArray,
-                         m.messageType, limit)
-        : InputPartition).toArray
+    selected.flatMap { m =>
+      // Large region files SPLIT by byte range (row-group aligned by
+      // parquet's midpoint rule, so every row group lands in exactly
+      // one split): one region file is NOT the parallelism unit at
+      // 100 TB — `option("maxPartitionBytes", n)` fans a multi-GB
+      // region out across executors, like Spark's own file splits.
+      // Note the pushed LIMIT stays per split (still a valid early
+      // exit; GlobalLimit trims the extra).
+      val nSplits =
+        if (maxPartBytes <= 0 || m.bytes <= maxPartBytes) 1
+        else ((m.bytes + maxPartBytes - 1) / maxPartBytes).toInt
+      (0 until nSplits).map { i =>
+        val start = i * (m.bytes / nSplits + 1)
+        val end = if (i == nSplits - 1) Long.MaxValue
+                  else (i + 1) * (m.bytes / nSplits + 1)
+        CellInputPartition(m.path, fetch, required.fieldNames, eff.toArray,
+                           m.messageType, limit, start, end): InputPartition
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -898,12 +918,16 @@ class GraftCellMicroBatchStream(path: String, pushed: Array[Filter],
   override def toString: String = s"GraftCellMicroBatchStream path=$path"
 }
 
-/** One partition = one region file (the HBase region-server unit). */
+/** One partition = one region file (the HBase region-server unit), or
+  * one byte-range SPLIT of a large region file (row-group aligned by
+  * parquet's midpoint rule) when `maxPartitionBytes` is set. */
 final case class CellInputPartition(file: String, fetch: Array[String],
                                     project: Array[String],
                                     filters: Array[Filter],
                                     fileMessageType: String,
-                                    limit: Int = -1)
+                                    limit: Int = -1,
+                                    rangeStart: Long = 0L,
+                                    rangeEnd: Long = Long.MaxValue)
     extends InputPartition
 
 class CellPartitionReaderFactory extends PartitionReaderFactory {
@@ -932,6 +956,7 @@ class CellPartitionReader(p: CellInputPartition)
     val b = ParquetReader
       .builder(new GroupReadSupport(), new Path(p.file))
       .withConf(conf)
+      .withFileRange(p.rangeStart, p.rangeEnd)
     GraftCell.parquetPred(p.filters.toSeq) match {
       case Some(pred) => b.withFilter(FilterCompat.get(pred)).build()
       case None       => b.build()

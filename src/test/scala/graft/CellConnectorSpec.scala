@@ -224,6 +224,23 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(!new java.io.File(store, "_snapshot_minor-work.json").exists())
   }
 
+  test("maxPartitionBytes splits region files into byte-range partitions, exactly-once") {
+    import graft.sources.cell.CellFooterCache
+    SparkEntry.queries("scan_cell_connector")(s, dir).queryExecution // stage
+    val store = "/tmp/graft_cellstore_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val nFiles = CellFooterCache.filesOf(store).size
+    val df = s.read.format("graftcell")
+      .option("maxPartitionBytes", "2048").load(store)
+    // more partitions than region files: big files fanned out (a region
+    // file is not the parallelism unit)
+    assert(df.rdd.getNumPartitions > nFiles,
+           s"${df.rdd.getNumPartitions} parts for $nFiles files")
+    // row-group midpoint assignment delivers every row exactly once
+    val got = df.orderBy("rowkey", "qualifier").collect().toSeq
+    val want = SparkEntry.queries("sink_hbase_cells")(s, dir).collect().toSeq
+    assert(got == want)
+  }
+
   // ---- end-to-end equality with the inline query-pattern twins -----------
 
   test("connector range scan ≡ cell_scan_range query pattern") {
