@@ -49,6 +49,17 @@ object CellConnector extends QueryModule {
   private def cells(s: org.apache.spark.sql.SparkSession, dir: String) =
     s.read.format("graftcell").load(stage(s, dir))
 
+  /** Register the graftcell TableCatalog for this sf-dir's warehouse
+    * (idempotent; catalogs load lazily on first `graftcat.` reference,
+    * so setting the conf on a live session works). */
+  private def registerCatalog(s: org.apache.spark.sql.SparkSession,
+                              dir: String): Unit = {
+    s.conf.set("spark.sql.catalog.graftcat",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftcat.root",
+               "/tmp/graft_catalog_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+  }
+
   /** Stage the CDC store: the SAME event cells, written as THREE
     * connector-write batches split on deterministic rowkey bands — a
     * replication log of three committed batches for the streaming read
@@ -331,6 +342,51 @@ object CellConnector extends QueryModule {
         .orderBy("rowkey", "qualifier", "version")
     }),
 
+    "sql_cell_catalog" -> ((s, dir) => {
+      // The CATALOG surface: a DSv2 TableCatalog over a warehouse of
+      // cell stores (spark.sql.catalog.graftcat = GraftCellCatalog),
+      // so the HBase table lifecycle runs as plain SQL DDL/DML —
+      // CREATE TABLE ... USING graftcell, INSERT OVERWRITE (the
+      // declared bulk-load range shuffle, idempotent per run via the
+      // TRUNCATE capability), SELECT with full pushdown. One
+      // GraftCellTable implementation behind both the path and the
+      // catalog addressing modes.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events SELECT * FROM graft_catalog_src")
+      s.sql("""SELECT rowkey, qualifier, value FROM graftcat.events
+               WHERE rowkey >= '80' AND rowkey < '90'
+               ORDER BY rowkey, qualifier""")
+    }),
+
+    "sql_cell_delete" -> ((s, dir) => {
+      // DELETE FROM through the catalog (SupportsDelete) — the HBase
+      // ranged delete, file-granular: footer pruning plans only the
+      // region files the predicate can touch, then one distributed
+      // task per victim rewrites it in place without the matching rows
+      // (all-rows-matched files are simply removed). Two deletes: a
+      // pure rowkey range (the region-seek path) and a qualifier+range
+      // conjunction (exact per-row rewrite inside survivors).
+      // INSERT OVERWRITE resets the table each run, so the
+      // delete-on-top is idempotent for the gate.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_del (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_del SELECT * FROM graft_catalog_src")
+      s.sql("DELETE FROM graftcat.events_del WHERE rowkey >= '3' AND rowkey < '5'")
+      s.sql("""DELETE FROM graftcat.events_del
+               WHERE qualifier = 'value' AND rowkey >= '9'""")
+      s.sql("""SELECT * FROM graftcat.events_del
+               ORDER BY rowkey, qualifier""")
+    }),
+
     "sql_cell_connector" -> ((s, dir) => {
       // The SQL surface over the connector: the store registered as a
       // (session-scoped) SQL table via `CREATE TEMPORARY VIEW ... USING
@@ -401,6 +457,19 @@ object CellConnector extends QueryModule {
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT * FROM cells
           WHERE rowkey >= '20' AND rowkey < '25'
+          ORDER BY rowkey, qualifier""",
+
+    "sql_cell_catalog" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT rowkey, qualifier, value FROM cells
+          WHERE rowkey >= '80' AND rowkey < '90'
+          ORDER BY rowkey, qualifier""",
+
+    "sql_cell_delete" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells
+          WHERE NOT (rowkey >= '3' AND rowkey < '5')
+            AND NOT (qualifier = 'value' AND rowkey >= '9')
           ORDER BY rowkey, qualifier""",
 
     "cell_connector_timerange" ->

@@ -1,0 +1,132 @@
+package graft.sources.cell
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 `TableCatalog` over a warehouse of graftcell stores — the SQL
+  * DDL surface of the HBase table lifecycle: each table is one cell
+  * store directory under the catalog's `root`, so
+  *
+  * {{{
+  *   spark.sql.catalog.<name>       = graft.sources.cell.GraftCellCatalog
+  *   spark.sql.catalog.<name>.root  = /path/to/warehouse
+  *   CREATE TABLE <name>.t (rowkey STRING, family STRING,
+  *                          qualifier STRING, version BIGINT,
+  *                          value STRING) USING graftcell
+  *   INSERT OVERWRITE <name>.t SELECT ...   -- bulk load (range shuffle
+  *                                          -- declared by the sink)
+  *   SELECT ... FROM <name>.t WHERE rowkey >= ...  -- full pushdown
+  *   DELETE FROM <name>.t WHERE rowkey < ...       -- SupportsDelete
+  *   ALTER TABLE / DROP TABLE / RENAME
+  * }}}
+  *
+  * all resolve through the same [[GraftCellTable]] as the path-based
+  * `format("graftcell")` reads — one implementation, two addressing
+  * modes (the catalog is metadata only: a table is its directory).
+  * Namespaces are not supported (HBase's flat table namespace — the
+  * default namespace only); table creation enforces the cell schema,
+  * because a graftcell table IS the cell model. */
+class GraftCellCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var root: java.io.File = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = options.get("root")
+    require(r != null,
+      s"graftcell catalog '$name' requires option 'root' " +
+      s"(spark.sql.catalog.$name.root = <warehouse dir>)")
+    root = new java.io.File(r)
+    root.mkdirs()
+  }
+
+  override def name(): String = catalogName
+
+  private def requireDefaultNs(ns: Array[String]): Unit =
+    if (ns.nonEmpty) throw new NoSuchNamespaceException(ns)
+
+  private def dirOf(ident: Identifier): java.io.File = {
+    requireDefaultNs(ident.namespace())
+    require(ident.name().nonEmpty && ident.name().forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-'),
+      s"graftcell: bad table name '${ident.name()}'")
+    new java.io.File(root, ident.name())
+  }
+
+  /** A table dir is one the CATALOG created (marker-stamped) — a stray
+    * directory under root is not silently a table. */
+  private def marker(dir: java.io.File) = new java.io.File(dir, "_GRAFT_TABLE")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    requireDefaultNs(namespace)
+    Option(root.listFiles).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && marker(d).exists())
+      .map(d => Identifier.of(Array.empty, d.getName))
+      .sortBy(_.name())
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && marker(dirOf(ident)).exists()
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (!marker(dir).exists()) throw new NoSuchTableException(ident)
+    new GraftCellTable(dir.getPath)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    val dir = dirOf(ident)
+    if (marker(dir).exists()) throw new TableAlreadyExistsException(ident)
+    // a graftcell table IS the cell model: exact column names and
+    // types (nullability free — the writer accepts any), no
+    // partitioning transforms (regions come from the write layout)
+    val want = GraftCell.SCHEMA.fields.map(f => (f.name, f.dataType))
+    val got = schema.fields.map(f => (f.name, f.dataType))
+    require(got.sameElements(want),
+      s"graftcell tables have the fixed cell schema " +
+      s"${GraftCell.SCHEMA.simpleString}; got ${schema.simpleString}")
+    require(partitions.isEmpty,
+      "graftcell tables take no PARTITIONED BY (regions come from the " +
+      "declared write distribution)")
+    dir.mkdirs()
+    java.nio.file.Files.write(marker(dir).toPath, Array.emptyByteArray)
+    new GraftCellTable(dir.getPath)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graftcell tables have the fixed cell schema — ALTER is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!marker(dir).exists()) return false
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles).getOrElse(Array.empty).foreach(rec)
+      f.delete(); ()
+    }
+    rec(dir)
+    CellFooterCache.invalidate(dir.getPath)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    val from = dirOf(oldIdent)
+    val to = dirOf(newIdent)
+    if (!marker(from).exists()) throw new NoSuchTableException(oldIdent)
+    if (marker(to).exists()) throw new TableAlreadyExistsException(newIdent)
+    java.nio.file.Files.move(from.toPath, to.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    CellFooterCache.invalidate(from.getPath)
+    CellFooterCache.invalidate(to.getPath)
+  }
+}

@@ -356,9 +356,37 @@ object GraftCell {
 
 class GraftCellTable(path: String)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(path != null, "graftcell requires a path")
   override def name(): String = s"graftcell.`$path`"
+
+  /** `DELETE FROM ... WHERE` — the HBase ranged-delete surface, file-
+    * granular: footer pruning selects ONLY the region files the
+    * predicate can touch (a rowkey-range delete on a 100 TB table
+    * plans exactly the overlapping regions), then one distributed task
+    * per victim file rewrites it in place without the matching rows
+    * (tmp + atomic same-name rename; an all-rows-matched file is
+    * simply removed). Accepted-filter semantics are the scan's own
+    * `eval` (a NULL predicate keeps the row — SQL DELETE deletes only
+    * WHERE = TRUE). Like compaction, this is single-writer store
+    * maintenance: concurrent snapshots pinning the rewritten dirs are
+    * invalidated, and the footer cache is refreshed at the end. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(GraftCell.acceptable)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val victims = CellFooterCache.filesOf(path)
+      .filter(m => GraftCell.fileMayMatch(m, filters.toSeq))
+      .map(_.path)
+    if (victims.nonEmpty) {
+      spark.sparkContext
+        .parallelize(victims, victims.size)
+        .foreach(f => CellDeleteRewrite.rewriteFile(f, filters))
+    }
+    CellFooterCache.invalidate(path)
+  }
   override def schema(): StructType = GraftCell.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -438,6 +466,61 @@ object GraftCellSnapshot {
     require(f.exists(), s"graftcell: no snapshot '$name' in $store")
     mapper.readValue(java.nio.file.Files.readAllBytes(f.toPath),
                      classOf[Array[String]]).toSeq
+  }
+}
+
+/** Executor-side single-file DELETE rewrite (see
+  * [[GraftCellTable.deleteWhere]]): streams the file's rows through the
+  * exact filter eval, writes survivors to `<file>.tmp` (invisible to
+  * readers — only `*.parquet` is listed), then atomically renames over
+  * the original; an emptied file is removed instead. Runs as one Spark
+  * task per victim file — the same per-region parallelism unit as the
+  * scan. */
+object CellDeleteRewrite {
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.hadoop.metadata.CompressionCodecName
+
+  def rewriteFile(file: String, filters: Array[Filter]): Unit = {
+    val conf = new Configuration()
+    val fr = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    val msgType = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+    val tmpFile = new java.io.File(file + ".tmp")
+    tmpFile.delete() // stale tmp from a failed earlier attempt
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(), new Path(file))
+      .withConf(conf).build()
+    val writer = ExampleParquetWriter.builder(new Path(tmpFile.getPath))
+      .withConf(conf).withType(msgType)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withBloomFilterEnabled("rowkey", true)
+      .build()
+    var kept = 0L
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val get = (c: String) => {
+          val gi = g.getType.getFieldIndex(c)
+          if (g.getFieldRepetitionCount(gi) == 0) null
+          else if (c == "version") java.lang.Long.valueOf(g.getLong(gi, 0))
+          else UTF8String.fromBytes(g.getBinary(gi, 0).getBytes)
+        }
+        val doomed = filters.nonEmpty &&
+          filters.forall(f => GraftCell.eval(f, get))
+        if (!doomed) { writer.write(g); kept += 1 }
+        g = reader.read()
+      }
+    } finally { reader.close(); writer.close() }
+    if (kept == 0L) {
+      tmpFile.delete()
+      new java.io.File(file).delete(); ()
+    } else {
+      java.nio.file.Files.move(tmpFile.toPath,
+        new java.io.File(file).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
   }
 }
 

@@ -241,6 +241,75 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("TableCatalog: DDL lifecycle — create/list/rename/drop, cell schema enforced") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_spec_").toString
+    val cat = new graft.sources.cell.GraftCellCatalog
+    val opts = new java.util.HashMap[String, String](); opts.put("root", root)
+    cat.initialize("spec",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+    val none = Array.empty[String]
+    val id = Identifier.of(none, "t1")
+    val props = new java.util.HashMap[String, String]()
+    assert(!cat.tableExists(id))
+    intercept[NoSuchTableException](cat.loadTable(id))
+    // a graftcell table IS the cell model: other schemas are refused
+    intercept[IllegalArgumentException] {
+      cat.createTable(id,
+        new org.apache.spark.sql.types.StructType().add("x", "string"),
+        Array.empty, props)
+    }
+    cat.createTable(id, GraftCell.SCHEMA,
+      Array.empty, props)
+    assert(cat.tableExists(id))
+    assert(cat.listTables(none).map(_.name()).toSeq == Seq("t1"))
+    intercept[TableAlreadyExistsException](
+      cat.createTable(id, GraftCell.SCHEMA, Array.empty, props))
+    val id2 = Identifier.of(none, "t2")
+    cat.renameTable(id, id2)
+    assert(!cat.tableExists(id) && cat.tableExists(id2))
+    assert(cat.loadTable(id2).name().contains("t2"))
+    assert(cat.dropTable(id2) && !cat.tableExists(id2))
+    assert(!cat.dropTable(id2)) // idempotent-false on a missing table
+    // flat namespace only (the HBase default namespace)
+    intercept[NoSuchNamespaceException](cat.listTables(Array("ns")))
+  }
+
+  test("deleteWhere rewrites only overlapping region files; others untouched") {
+    import org.apache.spark.sql.sources.{IsNotNull, LessThan}
+    import graft.sources.cell.{CellFooterCache, GraftCellTable}
+    import scala.collection.JavaConverters._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_del_spec_").toString + "/t"
+    val rows = ('a' to 't').map(c =>
+      org.apache.spark.sql.Row(c.toString, "d", "q", 1L, s"v$c"))
+    s.createDataFrame(rows.asJava, GraftCell.SCHEMA)
+      .write.format("graftcell").option("maxRowsPerFile", "5")
+      .mode("append").save(store)
+    val before = CellFooterCache.filesOf(store)
+      .map(m => m.path -> new java.io.File(m.path).lastModified()).toMap
+    assert(before.size > 1, s"need multiple region files, got $before")
+    val t = new GraftCellTable(store)
+    assert(t.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](LessThan("rowkey", "c"))))
+    t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](LessThan("rowkey", "c")))
+    // survivors: exactly the rows failing the predicate
+    val got = s.read.format("graftcell").load(store)
+      .select("rowkey").collect().map(_.getString(0)).toSeq.sorted
+    assert(got == ('c' to 't').map(_.toString))
+    // non-overlapping region files were NOT rewritten (same mtime)
+    val after = CellFooterCache.filesOf(store)
+      .map(m => m.path -> new java.io.File(m.path).lastModified()).toMap
+    val untouched = after.keySet.filter(p =>
+      before.get(p).contains(after(p)))
+    assert(untouched.nonEmpty,
+      s"expected at least one untouched file: before=$before after=$after")
+    // a predicate matching everything removes the files outright
+    t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](IsNotNull("rowkey")))
+    assert(s.read.format("graftcell").load(store).count() == 0L)
+    assert(CellFooterCache.filesOf(store).isEmpty)
+  }
+
   // ---- end-to-end equality with the inline query-pattern twins -----------
 
   test("connector range scan ≡ cell_scan_range query pattern") {
