@@ -387,6 +387,61 @@ object CellConnector extends QueryModule {
                ORDER BY rowkey, qualifier""")
     }),
 
+    "sql_cell_update" -> ((s, dir) => {
+      // UPDATE through the catalog (SupportsRowLevelOperations) — a
+      // full-table copy-on-write rewrite: the COW scan feeds every
+      // row (no pruning, by design — the paired write truncate-
+      // replaces the table), Spark applies the SET as a conditional
+      // projection, and one commit swaps the new generation in.
+      // INSERT OVERWRITE resets the table each run (idempotent gate).
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_upd (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_upd SELECT * FROM graft_catalog_src")
+      s.sql("""UPDATE graftcat.events_upd
+               SET value = concat(value, '*')
+               WHERE rowkey >= '2' AND rowkey < '3'""")
+      s.sql("""SELECT * FROM graftcat.events_upd
+               ORDER BY rowkey, qualifier""")
+    }),
+
+    "sql_cell_merge" -> ((s, dir) => {
+      // MERGE INTO through the catalog — the HBase batch Put (upsert)
+      // as SQL: matched cell keys take the source's newer version and
+      // value, unmatched source rows insert as new cells, and the
+      // whole thing is one copy-on-write commit. Source = updated
+      // versions for the '4' band plus brand-new 'zz_'-prefixed
+      // rowkeys, so both MERGE arms execute.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_mrg (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_mrg SELECT * FROM graft_catalog_src")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_merge_src AS
+               SELECT rowkey, family, qualifier,
+                      version + 1000000 AS version,
+                      concat(value, '^') AS value
+               FROM graft_catalog_src WHERE rowkey >= '4' AND rowkey < '5'
+               UNION ALL
+               SELECT concat('zz_', rowkey) AS rowkey, family, qualifier,
+                      version, value
+               FROM graft_catalog_src WHERE rowkey < '1'""")
+      s.sql("""MERGE INTO graftcat.events_mrg t
+               USING graft_merge_src s
+               ON t.rowkey = s.rowkey AND t.family = s.family
+                  AND t.qualifier = s.qualifier
+               WHEN MATCHED THEN UPDATE SET
+                 version = s.version, value = s.value
+               WHEN NOT MATCHED THEN INSERT *""")
+      s.sql("""SELECT * FROM graftcat.events_mrg
+               ORDER BY rowkey, qualifier""")
+    }),
+
     "sql_cell_connector" -> ((s, dir) => {
       // The SQL surface over the connector: the store registered as a
       // (session-scoped) SQL table via `CREATE TEMPORARY VIEW ... USING
@@ -470,6 +525,43 @@ object CellConnector extends QueryModule {
           SELECT * FROM cells
           WHERE NOT (rowkey >= '3' AND rowkey < '5')
             AND NOT (qualifier = 'value' AND rowkey >= '9')
+          ORDER BY rowkey, qualifier""",
+
+    "sql_cell_update" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT rowkey, family, qualifier, version,
+                 CASE WHEN rowkey >= '2' AND rowkey < '3'
+                      THEN value || '*' ELSE value END AS value
+          FROM cells
+          ORDER BY rowkey, qualifier""",
+
+    "sql_cell_merge" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+          src AS (
+            SELECT rowkey, family, qualifier,
+                   version + 1000000 AS version,
+                   value || '^' AS value
+            FROM cells WHERE rowkey >= '4' AND rowkey < '5'
+            UNION ALL
+            SELECT 'zz_' || rowkey AS rowkey, family, qualifier,
+                   version, value
+            FROM cells WHERE rowkey < '1'),
+          merged AS (
+            SELECT c.rowkey, c.family, c.qualifier,
+                   coalesce(s.version, c.version) AS version,
+                   coalesce(s.value, c.value) AS value
+            FROM cells c
+            LEFT JOIN src s
+              ON c.rowkey = s.rowkey AND c.family = s.family
+                 AND c.qualifier = s.qualifier
+            UNION ALL
+            SELECT s.rowkey, s.family, s.qualifier, s.version, s.value
+            FROM src s
+            WHERE NOT EXISTS (
+              SELECT 1 FROM cells c
+              WHERE c.rowkey = s.rowkey AND c.family = s.family
+                AND c.qualifier = s.qualifier))
+          SELECT * FROM merged
           ORDER BY rowkey, qualifier""",
 
     "cell_connector_timerange" ->

@@ -67,6 +67,14 @@ class GraftCellTableProvider extends TableProvider with DataSourceRegister {
 }
 
 object GraftCell {
+  /** Metadata column: which region file a cell was read from — the
+    * HBase "which HFile" provenance (cf. Spark's `_metadata.file_path`).
+    * Selectable as a hidden column, and REQUIRED by the row-level
+    * operation so Spark plans its copy-on-write write through the
+    * metadata-projecting task (which strips the internal operation
+    * column before rows reach the writer). */
+  val FILE_COL = "_region_file"
+
   /** The cell model — the one schema the reference stores everything in
     * (SURVEY §1.1): nested documents flatten to per-leaf cells. */
   val SCHEMA: StructType = StructType(Seq(
@@ -357,9 +365,41 @@ object GraftCell {
 class GraftCellTable(path: String)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   require(path != null, "graftcell requires a path")
   override def name(): String = s"graftcell.`$path`"
+
+  /** Hidden metadata column `_region_file`: region-file provenance per
+    * cell (the `which HFile` question), selectable like Spark's own
+    * `_metadata.file_path`, and the row-level operation's required
+    * metadata attribute. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftCell.FILE_COL
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "path of the region file this cell was read from"
+    })
+
+  /** UPDATE / MERGE INTO (and group-based DELETE fallback) as FULL-TABLE
+    * copy-on-write: Spark's row-level rewrite reads the store through
+    * [[GraftCellCowScan]], recomputes the surviving/updated/inserted
+    * rows, and the paired write TRUNCATE-replaces the table in one
+    * commit — `MERGE INTO` is the HBase batch Put (upsert) as SQL. The
+    * COW pair is deliberately conservative: the scan accepts NO
+    * pushdown and NO runtime group filtering, because the write
+    * replaces the WHOLE table — any pruning on the read side would
+    * silently drop the pruned rows at commit. (Rowkey-range deletes
+    * take the file-granular `deleteWhere` path above instead; the COW
+    * path is for the commands that genuinely rewrite rows.) */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftCellRowLevelOperation(path, info.command())
 
   /** `DELETE FROM ... WHERE` — the HBase ranged-delete surface, file-
     * granular: footer pruning selects ONLY the region files the
@@ -467,6 +507,70 @@ object GraftCellSnapshot {
     mapper.readValue(java.nio.file.Files.readAllBytes(f.toPath),
                      classOf[Array[String]]).toSeq
   }
+}
+
+/** Full-table copy-on-write row-level operation (UPDATE / MERGE): the
+  * scan feeds every row, the write truncate-replaces — see the
+  * [[GraftCellTable.newRowLevelOperationBuilder]] scaladoc for why the
+  * COW scan must not prune. */
+class GraftCellRowLevelOperation(
+    path: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftCellCowScanBuilder(path)
+
+  /** Require `_region_file`: beyond genuine provenance, a non-empty
+    * metadata set makes Spark route the copy-on-write write through its
+    * metadata-projecting task, which strips the internal operation
+    * column before rows reach the writer (the plain task would hand
+    * the writer mis-shaped rows). */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftCell.FILE_COL))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val b = new GraftCellWriteBuilder(path, info.queryId())
+    b.truncate()
+    b
+  }
+
+  override def description(): String = s"GraftCellRowLevelOperation[$cmd]"
+}
+
+/** The COW read side: the full store through the same partition reader
+  * as the normal scan, but with NO filter pushdown and NO runtime
+  * filtering interfaces — the paired truncate write replaces the whole
+  * table, so every surviving row must flow through this scan. Column
+  * pruning IS supported (Spark prunes to table columns + the required
+  * `_region_file` metadata attribute). */
+class GraftCellCowScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = GraftCell.SCHEMA
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GraftCellCowScan(path, required)
+}
+
+class GraftCellCowScan(path: String, required: StructType)
+    extends Scan with Batch {
+  private val inner = new GraftCellScan(path, Array.empty, required)
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    inner.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    inner.createReaderFactory()
+  override def description(): String =
+    s"GraftCellCowScan path=$path (full-store copy-on-write read), " +
+    s"ReadSchema: ${required.catalogString}"
 }
 
 /** Executor-side single-file DELETE rewrite (see
@@ -591,12 +695,14 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // preserve store column order (projection = subset, order-stable);
+    // preserve store column order (projection = subset, order-stable),
+    // plus any requested `_region_file` metadata column at the end;
     // under a complete agg pushdown the schema is the agg output and
     // is fixed by the agg scan itself
     if (aggPushed.isEmpty)
       required = StructType(
-        GraftCell.SCHEMA.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+        GraftCell.SCHEMA.fields.filter(f => requiredSchema.fieldNames.contains(f.name)) ++
+        requiredSchema.fields.filter(_.name == GraftCell.FILE_COL))
 
   /** PARTIAL limit pushdown: each region reader stops after `n` rows
     * (post-filter), Spark's GlobalLimit trims across partitions — the
@@ -1047,7 +1153,10 @@ class CellPartitionReader(p: CellInputPartition)
   }
 
   private val fetchIdx = p.fetch.zipWithIndex.toMap
-  private val outIdx: Array[Int] = p.project.map(fetchIdx)
+  // -1 = the `_region_file` metadata column (constant per partition)
+  private val outIdx: Array[Int] =
+    p.project.map(n => if (n == GraftCell.FILE_COL) -1 else fetchIdx(n))
+  private val filePathValue = UTF8String.fromString(p.file)
   private val fetched = new Array[Any](p.fetch.length)
   private var row: InternalRow = _
   private var emitted = 0L
@@ -1070,7 +1179,10 @@ class CellPartitionReader(p: CellInputPartition)
       if (p.filters.forall(f => GraftCell.eval(f, get))) {
         val out = new Array[Any](outIdx.length)
         var j = 0
-        while (j < outIdx.length) { out(j) = fetched(outIdx(j)); j += 1 }
+        while (j < outIdx.length) {
+          out(j) = if (outIdx(j) < 0) filePathValue else fetched(outIdx(j))
+          j += 1
+        }
         row = new GenericInternalRow(out)
         emitted += 1
         return true

@@ -310,6 +310,21 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(CellFooterCache.filesOf(store).isEmpty)
   }
 
+  test("_region_file metadata column exposes per-cell region provenance") {
+    import graft.sources.cell.CellFooterCache
+    SparkEntry.queries("scan_cell_connector")(s, dir).queryExecution // stage
+    val store = "/tmp/graft_cellstore_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val rows = s.read.format("graftcell").load(store)
+      .select(col("rowkey"), col("_region_file")).collect()
+    assert(rows.nonEmpty && rows.forall(_.getString(1).endsWith(".parquet")))
+    // provenance covers exactly the store's region files
+    assert(rows.map(_.getString(1)).distinct.toSet ==
+           CellFooterCache.filesOf(store).map(_.path).toSet)
+    // hidden: a plain SELECT * must NOT include the metadata column
+    assert(!s.read.format("graftcell").load(store).columns
+      .contains("_region_file"))
+  }
+
   // ---- end-to-end equality with the inline query-pattern twins -----------
 
   test("connector range scan ≡ cell_scan_range query pattern") {
