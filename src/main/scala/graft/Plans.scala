@@ -41,7 +41,8 @@ object Plans {
     "sql_cell_connector", "cell_connector_compact",
     "cell_connector_multiget", "cell_connector_snapshot",
     "cell_connector_split_regions", "cell_connector_timerange",
-    "cell_connector_compact_minor", "sql_cell_catalog", "sql_cell_delete")
+    "cell_connector_compact_minor", "sql_cell_catalog", "sql_cell_delete",
+    "sql_cell_update", "sql_cell_merge")
 
   /** What to explain per key. `obs_metrics`' query RESULT is a 1-row
     * local relation of listener-delivered values; the plan worth
