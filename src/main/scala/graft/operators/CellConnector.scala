@@ -442,6 +442,33 @@ object CellConnector extends QueryModule {
                ORDER BY rowkey, qualifier""")
     }),
 
+    "sql_cell_time_travel" -> ((s, dir) => {
+      // VERSION AS OF through the catalog: the version string resolves
+      // to a named store snapshot (the zero-copy dir-set manifest), so
+      // SQL time travel reads the table as of snapshot creation while
+      // the live table keeps growing. Re-staged each run: overwrite →
+      // snapshot 's1' → append the '6' band rewrite — the snapshot
+      // read returns the BASE cells only, whatever the live table
+      // holds (idempotent for the gate).
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_tt (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_tt SELECT * FROM graft_catalog_src")
+      graft.sources.cell.GraftCellSnapshot.create(
+        "/tmp/graft_catalog_" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
+          "/events_tt", "s1")
+      s.sql("""INSERT INTO graftcat.events_tt
+               SELECT rowkey, family, qualifier,
+                      version + 1000000 AS version,
+                      concat(value, '~') AS value
+               FROM graft_catalog_src WHERE rowkey >= '6' AND rowkey < '7'""")
+      s.sql("""SELECT * FROM graftcat.events_tt VERSION AS OF 's1'
+               ORDER BY rowkey, qualifier""")
+    }),
+
     "sql_cell_connector" -> ((s, dir) => {
       // The SQL surface over the connector: the store registered as a
       // (session-scoped) SQL table via `CREATE TEMPORARY VIEW ... USING
@@ -526,6 +553,10 @@ object CellConnector extends QueryModule {
           WHERE NOT (rowkey >= '3' AND rowkey < '5')
             AND NOT (qualifier = 'value' AND rowkey >= '9')
           ORDER BY rowkey, qualifier""",
+
+    "sql_cell_time_travel" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells ORDER BY rowkey, qualifier""",
 
     "sql_cell_update" ->
       s"""WITH cells AS (${CellQueries.eventCellsSql})

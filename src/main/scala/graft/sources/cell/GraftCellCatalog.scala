@@ -80,6 +80,20 @@ class GraftCellCatalog extends TableCatalog {
     new GraftCellTable(dir.getPath)
   }
 
+  /** `VERSION AS OF '<snapshot>'` time travel: the version string is a
+    * named snapshot of the table's store (the manifest written by
+    * [[GraftCellSnapshot.create]]) — the loaded table reads AS OF that
+    * pinned dir set and refuses writes and row-level operations.
+    * Timestamp-based travel (`TIMESTAMP AS OF`) is not supported:
+    * snapshots are named, not clocked. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (!marker(dir).exists()) throw new NoSuchTableException(ident)
+    // fail fast on an unknown snapshot name (clearer than an empty read)
+    GraftCellSnapshot.dirs(dir.getPath, version)
+    new GraftCellTable(dir.getPath, Some(version))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {

@@ -186,6 +186,10 @@ object GraftCell {
     case IsNotNull(c)             => colType(c).isDefined
     case IsNull(c)                => colType(c).isDefined
     case And(l, r)                => acceptable(l) && acceptable(r)
+    // TRUNCATE TABLE arrives as deleteWhere(AlwaysTrue) — must be
+    // accepted AND evaluated true, or a truncate would silently no-op
+    case _: AlwaysTrue            => true
+    case _: AlwaysFalse           => true
     case _                        => false
   }
 
@@ -218,6 +222,8 @@ object GraftCell {
     case IsNotNull(c)             => get(c) != null
     case IsNull(c)                => get(c) == null
     case And(l, r)                => eval(l, get) && eval(r, get)
+    case _: AlwaysTrue            => true
+    case _: AlwaysFalse           => false
     case _                        => false
   }
 
@@ -362,14 +368,20 @@ object GraftCell {
   def referenced(f: Filter): Set[String] = f.references.toSet
 }
 
-class GraftCellTable(path: String)
+class GraftCellTable(path: String,
+                     pinnedSnapshot: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   require(path != null, "graftcell requires a path")
-  override def name(): String = s"graftcell.`$path`"
+  override def name(): String =
+    s"graftcell.`$path`" + pinnedSnapshot.fold("")(n => s"@$n")
+
+  private def requireLive(op: String): Unit =
+    require(pinnedSnapshot.isEmpty,
+      s"graftcell: $op is not allowed on a snapshot (VERSION AS OF) table")
 
   /** Hidden metadata column `_region_file`: region-file provenance per
     * cell (the `which HFile` question), selectable like Spark's own
@@ -398,8 +410,10 @@ class GraftCellTable(path: String)
     * path is for the commands that genuinely rewrite rows.) */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    requireLive("UPDATE/MERGE/DELETE")
     () => new GraftCellRowLevelOperation(path, info.command())
+  }
 
   /** `DELETE FROM ... WHERE` — the HBase ranged-delete surface, file-
     * granular: footer pruning selects ONLY the region files the
@@ -416,6 +430,7 @@ class GraftCellTable(path: String)
     filters.forall(GraftCell.acceptable)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireLive("DELETE")
     val spark = org.apache.spark.sql.SparkSession.active
     val victims = CellFooterCache.filesOf(path)
       .filter(m => GraftCell.fileMayMatch(m, filters.toSeq))
@@ -435,12 +450,14 @@ class GraftCellTable(path: String)
                          TableCapability.STREAMING_WRITE,
                          TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftCellScanBuilder(path, Option(options.get("snapshot")),
+    new GraftCellScanBuilder(path,
+      pinnedSnapshot.orElse(Option(options.get("snapshot"))),
       Option(options.get("maxPartitionBytes")).map(_.toLong)
         .getOrElse(Long.MaxValue))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
+    requireLive("write")
     require(info.options().get("snapshot") == null,
             "graftcell: cannot write through a snapshot read option")
     new GraftCellWriteBuilder(path, info.queryId(),

@@ -325,6 +325,51 @@ class CellConnectorSpec extends AnyFunSuite {
       .contains("_region_file"))
   }
 
+  test("TRUNCATE TABLE and non-acceptable DELETE predicates (COW fallback)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_trunc_spec_").toString
+    s.conf.set("spark.sql.catalog.graftspec",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftspec.root", root)
+    s.sql("""CREATE TABLE graftspec.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell""")
+    import scala.collection.JavaConverters._
+    def insert(): Unit = s.createDataFrame(
+      ('a' to 'j').map(c =>
+        org.apache.spark.sql.Row(c.toString, "d", s"q_$c", 1L, s"v$c")).asJava,
+      GraftCell.SCHEMA).createOrReplaceTempView("graft_trunc_src")
+    insert()
+    s.sql("INSERT INTO graftspec.t SELECT * FROM graft_trunc_src")
+    // a predicate the source can't accept (endsWith) falls back to the
+    // row-level COW rewrite — and still deletes exactly the right rows
+    s.sql("DELETE FROM graftspec.t WHERE qualifier LIKE '%_a'")
+    val left = s.sql("SELECT rowkey FROM graftspec.t ORDER BY rowkey")
+      .collect().map(_.getString(0)).toSeq
+    assert(left == ('b' to 'j').map(_.toString))
+    // TRUNCATE arrives as deleteWhere(AlwaysTrue) — must empty the store
+    s.sql("TRUNCATE TABLE graftspec.t")
+    assert(s.sql("SELECT count(*) FROM graftspec.t").collect()(0).getLong(0) == 0L)
+    assert(graft.sources.cell.CellFooterCache
+      .filesOf(s"$root/t").isEmpty)
+  }
+
+  test("VERSION AS OF resolves named snapshots; snapshot tables refuse DML") {
+    val got = SparkEntry.queries("sql_cell_time_travel")(s, dir).collect().toSeq
+    val want = SparkEntry.queries("sink_hbase_cells")(s, dir).collect().toSeq
+    assert(got == want) // the snapshot view IS the base generation
+    // the live table has grown past the snapshot
+    val live = s.sql("SELECT count(*) FROM graftcat.events_tt")
+      .collect()(0).getLong(0)
+    assert(live > want.size, s"live $live vs snapshot ${want.size}")
+    // unknown version fails fast; DML through a snapshot is refused
+    intercept[Exception] {
+      s.sql("SELECT * FROM graftcat.events_tt VERSION AS OF 'nope'").collect()
+    }
+    intercept[Exception] {
+      s.sql("DELETE FROM graftcat.events_tt VERSION AS OF 's1' WHERE rowkey = '1'")
+    }
+  }
+
   // ---- end-to-end equality with the inline query-pattern twins -----------
 
   test("connector range scan ≡ cell_scan_range query pattern") {
