@@ -946,7 +946,25 @@ class GraftCellScan(path: String, pushed: Array[Filter],
                     snapshot: Option[String] = None,
                     maxPartBytes: Long = Long.MaxValue)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportOrdering {
+
+  /** Every partition (a region file or a byte-range split of one) is
+    * sorted by (rowkey, family, qualifier) — the declared write
+    * ordering, preserved by splits. Reporting it lets Spark ELIDE
+    * local sorts above the scan (e.g. a per-partition
+    * sortWithinPartitions, or the sort side of a merge when
+    * partitioning also lines up) — valid only for the columns still
+    * in the projection, and only as a PREFIX ending before the first
+    * projected-away sort column. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection}
+    val projected = required.fieldNames.toSet
+    Seq("rowkey", "family", "qualifier")
+      .takeWhile(projected.contains)
+      .map(c => E.sort(E.column(c), SortDirection.ASCENDING))
+      .toArray
+  }
 
   /** Runtime (DPP-style) filters delivered after the other join side
     * materializes — the HBase analog of seeking only the regions the

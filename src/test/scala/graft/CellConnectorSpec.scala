@@ -370,6 +370,31 @@ class CellConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("reported output ordering elides per-partition sorts above the scan") {
+    SparkEntry.queries("scan_cell_connector")(s, dir).queryExecution // stage
+    val store = "/tmp/graft_cellstore_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // sortWithinPartitions on the reported prefix: the Sort node must
+    // vanish (each partition is already (rowkey, family, qualifier)-
+    // sorted — the declared write ordering the scan now reports)
+    val sorted = s.read.format("graftcell").load(store)
+      .sortWithinPartitions("rowkey", "family")
+    assert(!sorted.queryExecution.executedPlan.toString.contains("Sort "),
+           s"local sort not elided:\n${sorted.queryExecution.executedPlan}")
+    // a non-prefix ordering must still sort
+    val resorted = s.read.format("graftcell").load(store)
+      .sortWithinPartitions("version")
+    assert(resorted.queryExecution.executedPlan.toString.contains("Sort "),
+           "version ordering wrongly considered satisfied")
+    // correctness unchanged: within every partition rows really are
+    // rowkey-ordered
+    val ok = sorted.select("rowkey").rdd
+      .mapPartitions { it =>
+        val keys = it.map(_.getString(0)).toSeq
+        Iterator.single(keys == keys.sorted)
+      }.collect()
+    assert(ok.forall(identity))
+  }
+
   // ---- end-to-end equality with the inline query-pattern twins -----------
 
   test("connector range scan ≡ cell_scan_range query pattern") {
