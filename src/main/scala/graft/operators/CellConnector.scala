@@ -342,6 +342,42 @@ object CellConnector extends QueryModule {
         .orderBy("rowkey", "qualifier", "version")
     }),
 
+    "cell_connector_gc" -> ((s, dir) => {
+      // MAJOR COMPACTION WITH GARBAGE COLLECTION through the connector
+      // (GraftCellMaintenance.majorCompact) — the full HBase compaction
+      // semantics as ONE store operation: latest-version resolution
+      // (cell_connector_compact) PLUS the two GC rules the query
+      // patterns cell_tombstone / cell_ttl established: cells hidden by
+      // a __TOMBSTONE__ marker are physically dropped (marker
+      // included), and every version older than the TTL horizon
+      // (store-max version − 10 days, the deterministic compaction
+      // clock) is expired. Staged once: base cells + a DELETE-marker
+      // batch for every error event's 'value' cell (1 s newer than the
+      // write it hides); then one majorCompact rewrite. Readback
+      // returns the GC'd store through the footer-pruned scan, so the
+      // oracle checks append → tombstone → TTL expiry → version
+      // resolution → truncate-commit → read as one lifecycle.
+      val TOMB = "__TOMBSTONE__"
+      val path = storePath(dir) + "_gc"
+      val marker = new java.io.File(s"$path/_GC_DONE")
+      if (!marker.exists()) {
+        val base = CellQueries.eventCells(s, dir)
+        base.write.format("graftcell").mode("append").save(path)
+        base.filter(col("qualifier") === "event_type" &&
+                    col("value") === "error")
+          .select(col("rowkey"), col("family"),
+                  lit("value").as("qualifier"),
+                  (col("version") + 1000000L).as("version"),
+                  lit(TOMB).as("value"))
+          .write.format("graftcell").mode("append").save(path)
+        graft.sources.cell.GraftCellMaintenance.majorCompact(
+          s, path, ttlMicros = Some(10L * 86400L * 1000000L),
+          tombstone = Some(TOMB))
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
+      s.read.format("graftcell").load(path).orderBy("rowkey", "qualifier")
+    }),
+
     "sql_cell_catalog" -> ((s, dir) => {
       // The CATALOG surface: a DSv2 TableCatalog over a warehouse of
       // cell stores (spark.sql.catalog.graftcat = GraftCellCatalog),
@@ -439,6 +475,109 @@ object CellConnector extends QueryModule {
                  version = s.version, value = s.value
                WHEN NOT MATCHED THEN INSERT *""")
       s.sql("""SELECT * FROM graftcat.events_mrg
+               ORDER BY rowkey, qualifier""")
+    }),
+
+    "sql_cell_checkand" -> ((s, dir) => {
+      // HBase checkAndPut / checkAndDelete — CONDITIONAL mutation — as
+      // conditional MERGE arms through the catalog: the check rides the
+      // arm predicates, so a single copy-on-write commit applies only
+      // the mutations whose condition holds and leaves the rest
+      // untouched (the checkAndPut FAILURE path, which plain MERGE
+      // can't express). Arms, in priority order:
+      //   WHEN MATCHED AND s.value = '__DELETE__'      THEN DELETE
+      //     (checkAndDelete: the marker wins whatever the versions)
+      //   WHEN MATCHED AND t.version < s.version       THEN UPDATE
+      //     (checkAndPut: put succeeds only against a STALER cell)
+      //   WHEN NOT MATCHED AND s.value <> '__DELETE__' THEN INSERT
+      //     (delete of an absent row no-ops, as in HBase)
+      // Source bands: fresh puts ('3'), STALE puts ('5' — matched, no
+      // arm fires, row survives verbatim), deletes ('7' value cells),
+      // deletes of absent rows (zz_ prefix, dropped), new inserts
+      // (new_ prefix). INSERT OVERWRITE resets the table per run.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_cas (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_cas SELECT * FROM graft_catalog_src")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_cas_src AS
+               SELECT rowkey, family, qualifier,
+                      version + 1000000 AS version,
+                      concat(value, '^') AS value
+               FROM graft_catalog_src WHERE rowkey >= '3' AND rowkey < '4'
+               UNION ALL
+               SELECT rowkey, family, qualifier,
+                      version - 1000000 AS version,
+                      concat(value, '?') AS value
+               FROM graft_catalog_src WHERE rowkey >= '5' AND rowkey < '6'
+               UNION ALL
+               SELECT rowkey, family, qualifier, version,
+                      '__DELETE__' AS value
+               FROM graft_catalog_src
+               WHERE rowkey >= '7' AND rowkey < '8' AND qualifier = 'value'
+               UNION ALL
+               SELECT concat('zz_', rowkey) AS rowkey, family, qualifier,
+                      version, '__DELETE__' AS value
+               FROM graft_catalog_src WHERE rowkey < '1'
+               UNION ALL
+               SELECT concat('new_', rowkey) AS rowkey, family, qualifier,
+                      version, value
+               FROM graft_catalog_src WHERE rowkey < '1'""")
+      s.sql("""MERGE INTO graftcat.events_cas t
+               USING graft_cas_src s
+               ON t.rowkey = s.rowkey AND t.family = s.family
+                  AND t.qualifier = s.qualifier
+               WHEN MATCHED AND s.value = '__DELETE__' THEN DELETE
+               WHEN MATCHED AND t.version < s.version THEN UPDATE SET
+                 version = s.version, value = s.value
+               WHEN NOT MATCHED AND s.value <> '__DELETE__' THEN INSERT *""")
+      s.sql("""SELECT * FROM graftcat.events_cas
+               ORDER BY rowkey, qualifier""")
+    }),
+
+    "sql_cell_sync" -> ((s, dir) => {
+      // HBase SyncTable — make a replica IDENTICAL to a source table —
+      // as the FULL MERGE surface: upsert the dirty rows, insert the
+      // missing ones, and delete replica rows the source no longer has
+      // via WHEN NOT MATCHED BY SOURCE THEN DELETE (the arm the
+      // replication keys can't reach — append-only replication never
+      // deletes). The UPDATE arm is conditional on a version/value
+      // mismatch, mimicking SyncTable's hash-compare: clean rows are
+      // not rewritten by MergeRows (they flow through the COW copy
+      // unchanged). Source = the live cells with the '<2' band removed
+      // (forces deletes), the '4' band rewritten (forces updates), and
+      // a zz_ band added (forces inserts) — so the table afterwards IS
+      // the source view, which is exactly what the oracle states.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_sync (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_sync SELECT * FROM graft_catalog_src")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_sync_src AS
+               SELECT rowkey, family, qualifier,
+                      CASE WHEN rowkey >= '4' AND rowkey < '5'
+                           THEN version + 1000000 ELSE version END AS version,
+                      CASE WHEN rowkey >= '4' AND rowkey < '5'
+                           THEN concat(value, '~') ELSE value END AS value
+               FROM graft_catalog_src WHERE rowkey >= '2'
+               UNION ALL
+               SELECT concat('zz_', rowkey) AS rowkey, family, qualifier,
+                      version, value
+               FROM graft_catalog_src WHERE rowkey < '1'""")
+      s.sql("""MERGE INTO graftcat.events_sync t
+               USING graft_sync_src s
+               ON t.rowkey = s.rowkey AND t.family = s.family
+                  AND t.qualifier = s.qualifier
+               WHEN MATCHED AND (t.version <> s.version
+                                 OR t.value <> s.value) THEN UPDATE SET
+                 version = s.version, value = s.value
+               WHEN NOT MATCHED THEN INSERT *
+               WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      s.sql("""SELECT * FROM graftcat.events_sync
                ORDER BY rowkey, qualifier""")
     }),
 
@@ -593,6 +732,92 @@ object CellConnector extends QueryModule {
               WHERE c.rowkey = s.rowkey AND c.family = s.family
                 AND c.qualifier = s.qualifier))
           SELECT * FROM merged
+          ORDER BY rowkey, qualifier""",
+
+    "sql_cell_checkand" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+          src AS (
+            SELECT rowkey, family, qualifier,
+                   version + 1000000 AS version, value || '^' AS value
+            FROM cells WHERE rowkey >= '3' AND rowkey < '4'
+            UNION ALL
+            SELECT rowkey, family, qualifier,
+                   version - 1000000, value || '?'
+            FROM cells WHERE rowkey >= '5' AND rowkey < '6'
+            UNION ALL
+            SELECT rowkey, family, qualifier, version, '__DELETE__'
+            FROM cells
+            WHERE rowkey >= '7' AND rowkey < '8' AND qualifier = 'value'
+            UNION ALL
+            SELECT 'zz_' || rowkey, family, qualifier, version, '__DELETE__'
+            FROM cells WHERE rowkey < '1'
+            UNION ALL
+            SELECT 'new_' || rowkey, family, qualifier, version, value
+            FROM cells WHERE rowkey < '1'),
+          merged AS (
+            SELECT t.rowkey, t.family, t.qualifier,
+                   CASE WHEN s.rowkey IS NOT NULL
+                             AND s.value <> '__DELETE__'
+                             AND t.version < s.version
+                        THEN s.version ELSE t.version END AS version,
+                   CASE WHEN s.rowkey IS NOT NULL
+                             AND s.value <> '__DELETE__'
+                             AND t.version < s.version
+                        THEN s.value ELSE t.value END AS value,
+                   CASE WHEN s.rowkey IS NOT NULL
+                             AND s.value = '__DELETE__'
+                        THEN 1 ELSE 0 END AS del
+            FROM cells t
+            LEFT JOIN src s
+              ON t.rowkey = s.rowkey AND t.family = s.family
+                 AND t.qualifier = s.qualifier)
+          SELECT rowkey, family, qualifier, version, value
+          FROM merged WHERE del = 0
+          UNION ALL
+          SELECT s.rowkey, s.family, s.qualifier, s.version, s.value
+          FROM src s
+          WHERE s.value <> '__DELETE__' AND NOT EXISTS (
+            SELECT 1 FROM cells t
+            WHERE t.rowkey = s.rowkey AND t.family = s.family
+              AND t.qualifier = s.qualifier)
+          ORDER BY rowkey, qualifier""",
+
+    "sql_cell_sync" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT rowkey, family, qualifier,
+                 CASE WHEN rowkey >= '4' AND rowkey < '5'
+                      THEN version + 1000000 ELSE version END AS version,
+                 CASE WHEN rowkey >= '4' AND rowkey < '5'
+                      THEN value || '~' ELSE value END AS value
+          FROM cells WHERE rowkey >= '2'
+          UNION ALL
+          SELECT 'zz_' || rowkey AS rowkey, family, qualifier,
+                 version, value
+          FROM cells WHERE rowkey < '1'
+          ORDER BY rowkey, qualifier""",
+
+    "cell_connector_gc" ->
+      s"""WITH v1 AS (${CellQueries.eventCellsSql}),
+          tomb AS (
+            SELECT CAST(event_id AS VARCHAR) AS rowkey, 'd' AS family,
+                   'value' AS qualifier,
+                   epoch_us(ts) + 1000000 AS version,
+                   '__TOMBSTONE__' AS value
+            FROM events WHERE event_type = 'error'),
+          allc AS (
+            SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM tomb)
+            WHERE value IS NOT NULL),
+          live AS (
+            SELECT * FROM allc
+            WHERE version >= (SELECT max(version) FROM allc)
+                             - 864000000000),
+          r AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY rowkey, family, qualifier
+              ORDER BY version DESC) AS rn
+            FROM live)
+          SELECT rowkey, family, qualifier, version, value
+          FROM r WHERE rn = 1 AND value != '__TOMBSTONE__'
           ORDER BY rowkey, qualifier""",
 
     "cell_connector_timerange" ->

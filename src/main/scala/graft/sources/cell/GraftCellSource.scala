@@ -688,6 +688,51 @@ object GraftCellMaintenance {
     CellFooterCache.invalidate(store)
     victims
   }
+
+  /** MAJOR COMPACTION with GARBAGE COLLECTION: the full HBase
+    * major-compaction semantics as one store operation — a single
+    * rewrite that (a) resolves every cell key to its LATEST version,
+    * (b) physically drops cells hidden by a `tombstone` DELETE marker
+    * (and the marker itself — cf. the cell_tombstone query pattern),
+    * and (c) expires every version older than the TTL horizon,
+    * `max(version in store) − ttlMicros` — the deterministic
+    * compaction clock the cell_ttl pattern established (HBase uses
+    * wall-clock "now"; a reproducible store uses its own newest write).
+    * Completes the GC half that `cell_connector_compact` (version
+    * resolution only) leaves to the query patterns.
+    *
+    * One distributed plan: connector read → broadcast single-row
+    * horizon (if TTL set) → ONE window shuffle on the cell key →
+    * truncate-commit through the declared HFile layout
+    * (`mode("overwrite")`). Safe in place by the commit protocol:
+    * tasks stage to `_tmp_*` while reads run; old generations are
+    * deleted only at commit, and the new generation publishes by
+    * atomic rename. At 100 TB this is the shape HBase runs
+    * region-by-region; here the bulk-load range shuffle partitions
+    * the key space instead, so the rewrite scales with executors. */
+  def majorCompact(spark: org.apache.spark.sql.SparkSession,
+                   store: String,
+                   ttlMicros: Option[Long] = None,
+                   tombstone: Option[String] = None): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val cells = spark.read.format("graftcell").load(store)
+    val live = ttlMicros match {
+      case Some(ttl) =>
+        val horizon = cells.agg((max(col("version")) - ttl).as("__horizon"))
+        cells.crossJoin(broadcast(horizon))
+          .filter(col("version") >= col("__horizon"))
+          .drop("__horizon")
+      case None => cells
+    }
+    val w = Window.partitionBy("rowkey", "family", "qualifier")
+      .orderBy(col("version").desc)
+    val latest = live.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val kept = tombstone.fold(latest)(t => latest.filter(col("value") =!= t))
+    kept.write.format("graftcell").mode("overwrite").save(store)
+    CellFooterCache.invalidate(store)
+  }
 }
 
 class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,

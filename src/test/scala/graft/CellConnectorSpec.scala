@@ -693,4 +693,71 @@ class CellConnectorSpec extends AnyFunSuite {
       .orderBy("rowkey", "qualifier").collect().toSeq
     assert(got == want && got.nonEmpty)
   }
+
+  test("major compaction GC drops tombstones and TTL-expired versions, one generation") {
+    import graft.sources.cell.CellFooterCache
+    SparkEntry.queries("cell_connector_gc")(s, dir).queryExecution // stage + GC
+    val store = "/tmp/graft_cellstore_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "_gc"
+    // truncate-commit left exactly one generation
+    assert(CellFooterCache.committedDirs(store).size == 1,
+           s"expected 1 generation, got ${CellFooterCache.committedDirs(store)}")
+    val cells = s.read.format("graftcell").load(store)
+    // GC is physical: no marker survives, and no tombstoned pair either
+    assert(cells.filter(col("value") === "__TOMBSTONE__").count() == 0L)
+    SparkEntry.queries("scan_cell_connector")(s, dir).queryExecution // stage base
+    val base = s.read.format("graftcell")
+      .load("/tmp/graft_cellstore_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val errRows = base
+      .filter(col("qualifier") === "event_type" && col("value") === "error")
+      .select("rowkey")
+    assert(cells.filter(col("qualifier") === "value")
+      .join(errRows, "rowkey").count() == 0L,
+      "tombstoned value cells must be physically gone")
+    // TTL expiry really fired (the fixture spans 30 days, TTL is 10)
+    assert(cells.count() < base.count())
+    // and no surviving version predates the horizon (pre-GC max ≥ base max)
+    val ttl = 10L * 86400L * 1000000L
+    val baseMax = base.agg(max(col("version"))).head.getLong(0)
+    val postMin = cells.agg(min(col("version"))).head.getLong(0)
+    assert(postMin >= baseMax - ttl,
+           s"version $postMin survived below horizon ${baseMax - ttl}")
+    // version resolution happened too: no duplicate cell keys remain
+    assert(cells.groupBy("rowkey", "family", "qualifier").count()
+      .filter(col("count") > 1).count() == 0L)
+  }
+
+  test("conditional MERGE (checkAnd*): stale puts and absent deletes no-op") {
+    val got = SparkEntry.queries("sql_cell_checkand")(s, dir)
+    // checkAndPut FAILURE path: the stale-put band ('5') survives
+    // verbatim — matched rows where no arm fires are carried over
+    assert(got.filter(col("value").endsWith("?")).count() == 0L)
+    val base = SparkEntry.queries("sink_hbase_cells")(s, dir)
+    val b5 = base.filter(col("rowkey") >= "5" && col("rowkey") < "6")
+      .orderBy("rowkey", "qualifier").collect().toSeq
+    val g5 = got.filter(col("rowkey") >= "5" && col("rowkey") < "6")
+      .orderBy("rowkey", "qualifier").collect().toSeq
+    assert(g5 == b5 && g5.nonEmpty, "stale puts must leave rows untouched")
+    // checkAndDelete removed exactly the '7' band's value cells
+    assert(got.filter(col("rowkey") >= "7" && col("rowkey") < "8" &&
+                      col("qualifier") === "value").count() == 0L)
+    // delete of an absent row no-ops (HBase semantics): no zz_ rows
+    assert(got.filter(col("rowkey").startsWith("zz_")).count() == 0L)
+    // the success paths fired too
+    assert(got.filter(col("value").endsWith("^")).count() > 0L)
+    assert(got.filter(col("rowkey").startsWith("new_")).count() > 0L)
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE deletes: replica converges to the source view") {
+    val got = SparkEntry.queries("sql_cell_sync")(s, dir)
+    // the '<2' band exists only in the replica → deleted by the
+    // NOT MATCHED BY SOURCE arm ('new_'/'zz_' sort above '2')
+    assert(got.filter(col("rowkey") < "2").count() == 0L)
+    // dirty rows ('4' band) rewritten by the conditional UPDATE arm
+    assert(got.filter(col("rowkey") >= "4" && col("rowkey") < "5" &&
+                      !col("value").endsWith("~")).count() == 0L)
+    assert(got.filter(col("rowkey") >= "4" && col("rowkey") < "5").count() > 0L)
+    // missing rows (zz_ band) inserted
+    assert(got.filter(col("rowkey").startsWith("zz_")).count() > 0L)
+  }
 }
