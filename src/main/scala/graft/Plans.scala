@@ -129,6 +129,30 @@ object Plans {
     }
   }
 
+  /** Row-level MERGE pipeline evidence: the conditional-arm MERGE of
+    * sql_cell_checkand explained end-to-end — full-outer SMJ →
+    * `MergeRows` (one instruction per arm, incl. the carry-over for
+    * matched rows where no arm fires — the checkAndPut failure path)
+    * → `ReplaceData` with the declared HFile range shuffle + sort
+    * INSIDE the write. EXPLAIN only (the contract key executes the
+    * real thing); runs after the key has staged the table + view. */
+  private def mergePlanSection(s: SparkSession, sfDir: String): String = {
+    SparkEntry.queries("sql_cell_checkand")(s, sfDir).queryExecution
+    val plan = s.sql(
+      """EXPLAIN FORMATTED
+         MERGE INTO graftcat.events_cas t
+         USING graft_cas_src s
+         ON t.rowkey = s.rowkey AND t.family = s.family
+            AND t.qualifier = s.qualifier
+         WHEN MATCHED AND s.value = '__DELETE__' THEN DELETE
+         WHEN MATCHED AND t.version < s.version THEN UPDATE SET
+           version = s.version, value = s.value
+         WHEN NOT MATCHED AND s.value <> '__DELETE__' THEN INSERT *""")
+      .head.getString(0)
+    "## rowlevel_merge_checkand (staged evidence, EXPLAIN FORMATTED " +
+      "of the MERGE command)\n\n```\n" + plan + "\n```\n"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
@@ -143,7 +167,8 @@ object Plans {
         .queryExecution.explainString(mode)
       s"## $name\n\n```\n$plan```\n"
     }.mkString("\n") + "\n" + skewSection(spark) + "\n" +
-      connectorDppSection(spark, sfDir)
+      connectorDppSection(spark, sfDir) + "\n" +
+      mergePlanSection(spark, sfDir)
     val header =
       s"""# PLANS — formatted physical plans of headline queries
          |
@@ -183,6 +208,11 @@ object Plans {
          |`dynamicpruningexpression(rowkey IN ...)` into the scan's
          |RuntimeFilters and the planned regionFiles collapse to the
          |joined keys' regions (SupportsRuntimeFiltering end-to-end).
+         |`rowlevel_merge_checkand` shows the conditional-arm MERGE
+         |pipeline itself (EXPLAIN FORMATTED of the command): the
+         |full-outer SortMergeJoin, the MergeRows instruction set, and
+         |ReplaceData planning the declared HFile range shuffle + sort
+         |inside the write.
          |
          |Perf note (round-2 adjudication of the r01 `sink_hbase_cells`
          |44.3 s outlier): isolated runs at sf0.1 measure 6.6 s cold /
