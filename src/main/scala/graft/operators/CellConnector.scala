@@ -342,6 +342,65 @@ object CellConnector extends QueryModule {
         .orderBy("rowkey", "qualifier", "version")
     }),
 
+    "stream_cell_apply" -> ((s, dir) => {
+      // STREAMING DML APPLY — HBase replication when the destination
+      // must RESOLVE versions instead of appending blindly
+      // (stream_cell_replicate): the CDC store's committed batches
+      // replay as micro-batches and each batch is APPLIED to a catalog
+      // table with MERGE INTO inside foreachBatch — newest version
+      // wins (`WHEN MATCHED AND t.version < s.version THEN UPDATE`),
+      // missing cells insert. The replica is seeded with STALE copies
+      // of the '5'+ band (version − 1 s, value suffixed), so the
+      // MATCHED arm genuinely fires; after the drain the table equals
+      // the live cell set EXACTLY — which is literally the oracle.
+      // Exactly-once at the table level: the checkpoint offset log
+      // delivers each batch once, and the MERGE is idempotent under
+      // epoch replay (re-applying a batch upserts the same cells to
+      // the same values). Each micro-batch MERGE is one COW commit —
+      // at 100 TB you'd partition the MERGE by region via the same
+      // range shuffle the write path already declares.
+      registerCatalog(s, dir)
+      val src = stageCdc(s, dir)
+      val warehouse =
+        "/tmp/graft_catalog_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val marker = new java.io.File(s"$warehouse/events_apply/_APPLY_DONE")
+      if (!marker.exists()) {
+        CellQueries.eventCells(s, dir)
+          .createOrReplaceTempView("graft_catalog_src")
+        s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_apply (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell""")
+        s.sql("""INSERT OVERWRITE graftcat.events_apply
+                 SELECT rowkey, family, qualifier,
+                        version - 1000000 AS version,
+                        concat(value, '|stale') AS value
+                 FROM graft_catalog_src WHERE rowkey >= '5'""")
+        val cp = java.nio.file.Files
+          .createTempDirectory("graft_applyckpt_").toString
+        val q = s.readStream.format("graftcell").load(src)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                           _: Long) =>
+            batch.createOrReplaceTempView("graft_apply_batch")
+            batch.sparkSession.sql(
+              """MERGE INTO graftcat.events_apply t
+                 USING graft_apply_batch s
+                 ON t.rowkey = s.rowkey AND t.family = s.family
+                    AND t.qualifier = s.qualifier
+                 WHEN MATCHED AND t.version < s.version THEN UPDATE SET
+                   version = s.version, value = s.value
+                 WHEN NOT MATCHED THEN INSERT *""")
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", cp).start()
+        q.awaitTermination()
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
+      s.sql("""SELECT * FROM graftcat.events_apply
+               ORDER BY rowkey, qualifier""")
+    }),
+
     "cell_connector_gc" -> ((s, dir) => {
       // MAJOR COMPACTION WITH GARBAGE COLLECTION through the connector
       // (GraftCellMaintenance.majorCompact) — the full HBase compaction
@@ -795,6 +854,10 @@ object CellConnector extends QueryModule {
                  version, value
           FROM cells WHERE rowkey < '1'
           ORDER BY rowkey, qualifier""",
+
+    "stream_cell_apply" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells ORDER BY rowkey, qualifier""",
 
     "cell_connector_gc" ->
       s"""WITH v1 AS (${CellQueries.eventCellsSql}),

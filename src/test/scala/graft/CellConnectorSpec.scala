@@ -748,6 +748,15 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(got.filter(col("rowkey").startsWith("new_")).count() > 0L)
   }
 
+  test("streaming CDC apply: per-micro-batch MERGE converges the replica exactly") {
+    val got = SparkEntry.queries("stream_cell_apply")(s, dir)
+    // every stale seed row was resolved by the MATCHED newest-version arm
+    assert(got.filter(col("value").endsWith("|stale")).count() == 0L)
+    // and the drained replica IS the live cell set, byte for byte
+    val want = SparkEntry.queries("sink_hbase_cells")(s, dir).collect().toSeq
+    assert(got.collect().toSeq == want && want.nonEmpty)
+  }
+
   test("MERGE NOT MATCHED BY SOURCE deletes: replica converges to the source view") {
     val got = SparkEntry.queries("sql_cell_sync")(s, dir)
     // the '<2' band exists only in the replica → deleted by the
