@@ -725,8 +725,14 @@ object GraftCellMaintenance {
           .drop("__horizon")
       case None => cells
     }
+    // version desc resolves to the newest write; the value-desc
+    // tiebreak makes a same-version conflict (two puts at one cell
+    // version — HBase resolves by memstore sequence id, which a
+    // rebuilt store no longer has) DETERMINISTIC: max value wins,
+    // whatever the partitioning or arrival order. The GC property
+    // test exercises exactly this edge on seeded random stores.
     val w = Window.partitionBy("rowkey", "family", "qualifier")
-      .orderBy(col("version").desc)
+      .orderBy(col("version").desc, col("value").desc)
     val latest = live.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val kept = tombstone.fold(latest)(t => latest.filter(col("value") =!= t))

@@ -727,6 +727,43 @@ class CellConnectorSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0L)
   }
 
+  test("majorCompact ≡ reference GC model on seeded random stores (incl. version ties)") {
+    import graft.sources.cell.{CellFooterCache, GraftCellMaintenance}
+    import s.implicits._
+    val TOMB = "__T__"
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // random versions over a SMALL key space so version stacking,
+      // tombstone shadowing, and same-version conflicts (two puts at
+      // one cell version — the value-desc tiebreak's edge) all occur
+      val cells = Seq.fill(400 + rnd.nextInt(200)) {
+        (s"r${rnd.nextInt(25)}", "d", s"q${rnd.nextInt(4)}",
+         1000000L + rnd.nextInt(50) * 1000L,
+         if (rnd.nextDouble() < 0.08) TOMB else s"v${rnd.nextInt(50)}")
+      }.distinct
+      val store =
+        java.nio.file.Files.createTempDirectory("graft_gcprop_").toString
+      val (a, b) = cells.splitAt(cells.size / 2)
+      Seq(a, b).foreach(part =>
+        part.toDF("rowkey", "family", "qualifier", "version", "value")
+          .write.format("graftcell").mode("append").save(store))
+      val ttl = 30000L // ~60% of the version span: expiry really fires
+      GraftCellMaintenance.majorCompact(s, store, Some(ttl), Some(TOMB))
+      // driver-side reference model: TTL filter on the full-store max,
+      // then max-(version, value) per cell key, then drop markers
+      val horizon = cells.map(_._4).max - ttl
+      val want = cells.filter(_._4 >= horizon)
+        .groupBy(c => (c._1, c._2, c._3)).values
+        .map(_.maxBy(c => (c._4, c._5))).filter(_._5 != TOMB)
+        .toSeq.sorted
+      val got = s.read.format("graftcell").load(store)
+        .as[(String, String, String, Long, String)].collect().toSeq.sorted
+      assert(got == want, s"seed $seed: GC mismatch " +
+        s"(got ${got.size} cells, want ${want.size})")
+      CellFooterCache.invalidate(store)
+    }
+  }
+
   test("conditional MERGE (checkAnd*): stale puts and absent deletes no-op") {
     val got = SparkEntry.queries("sql_cell_checkand")(s, dir)
     // checkAndPut FAILURE path: the stale-put band ('5') survives
