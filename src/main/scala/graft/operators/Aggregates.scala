@@ -245,6 +245,43 @@ object Aggregates extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    "agg_regression" -> ((s, dir) => {
+      // The regr_* linear-regression aggregate family (regr_count /
+      // regr_avgx / regr_avgy / regr_slope / regr_intercept / regr_r2)
+      // WITHOUT the built-ins: like agg_corr, the built-ins accumulate
+      // doubles in partition order (nondeterministic under
+      // repartitioning), so the five moments are summed as exact
+      // DECIMALs (associative ⇒ partition-count-invariant), converted
+      // once to double, and the OLS closed forms — slope =
+      // (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), intercept = ȳ − slope·x̄,
+      // r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)) —
+      // are fixed IEEE expression trees both engines evaluate
+      // identically. Same single-shuffle partial+final agg shape and
+      // O(1) state per group as the built-ins; AggregatesSpec pins the
+      // closed forms to Spark's own regr_* within 1e-9 ulp noise.
+      import org.apache.spark.sql.types.DecimalType
+      def d18(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      val m = T.load(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        T.d(sum(d18(x))).as("sx"), T.d(sum(d18(y))).as("sy"),
+        T.d(sum(d18(x) * d18(x))).as("sxx"),
+        T.d(sum(d18(y) * d18(y))).as("syy"),
+        T.d(sum(d18(x) * d18(y))).as("sxy"))
+      val vx  = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy  = col("n") * col("syy") - col("sy") * col("sy")
+      val cxy = col("n") * col("sxy") - col("sx") * col("sy")
+      m.select(col("l_returnflag"), col("n").as("regr_n"),
+          T.stable4(col("sx") / col("n")).as("regr_avgx"),
+          T.stable4(col("sy") / col("n")).as("regr_avgy"),
+          T.stable4(cxy / vx).as("regr_slope"),
+          T.stable4(col("sy") / col("n") -
+                    (cxy / vx) * (col("sx") / col("n")))
+            .as("regr_intercept"),
+          T.stable4(cxy * cxy / (vx * vy)).as("regr_r2"))
+        .orderBy("l_returnflag")
+    }),
+
     // The driver's pandas comparer cannot sort list-typed columns, so the
     // sorted collect is emitted as a joined string (the array op itself —
     // collect_list + sort_array — still runs inside the agg).
@@ -707,6 +744,26 @@ object Aggregates extends QueryModule {
          SELECT l_returnflag, n,
                 ${T.stable4Sql("(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))")} AS corr_qp,
                 ${T.stable4Sql("(sxy - sx * sy / n) / n")} AS covar_pop_qp
+         FROM m ORDER BY l_returnflag""",
+
+    "agg_regression" ->
+      // same decimal-moment CTE as agg_corr (see its width note); the
+      // closed forms below mirror the Spark expression trees node for
+      // node so the IEEE evaluation order is identical in both engines
+      s"""WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,6))) AS STRING) AS DOUBLE) AS sx,
+                  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS STRING) AS DOUBLE) AS sy,
+                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS STRING) AS DOUBLE) AS sxx,
+                  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS STRING) AS DOUBLE) AS syy,
+                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS STRING) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n AS regr_n,
+                ${T.stable4Sql("sx / n")} AS regr_avgx,
+                ${T.stable4Sql("sy / n")} AS regr_avgy,
+                ${T.stable4Sql("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS regr_slope,
+                ${T.stable4Sql("sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n)")} AS regr_intercept,
+                ${T.stable4Sql("(n * sxy - sx * sy) * (n * sxy - sx * sy) / ((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS regr_r2
          FROM m ORDER BY l_returnflag""",
 
     "agg_stats_manual" ->

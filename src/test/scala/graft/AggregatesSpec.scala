@@ -20,6 +20,33 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_regression closed forms match Spark's regr_* built-ins") {
+    // the contract key computes OLS from exact decimal moments (the
+    // deterministic formulation); Spark's own regr_* accumulate doubles
+    // in partition order — values must agree to rounding noise, which
+    // pins the closed forms to the reference semantics without putting
+    // the nondeterministic built-ins in the oracle path
+    val got = SparkEntry.queries("agg_regression")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    Tables.views(spark, sf, "lineitem")
+    val ref = spark.sql(
+      """SELECT l_returnflag,
+               regr_slope(l_extendedprice, l_quantity) AS s,
+               regr_intercept(l_extendedprice, l_quantity) AS i,
+               regr_r2(l_extendedprice, l_quantity) AS r2
+         FROM lineitem GROUP BY l_returnflag""")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == ref.keySet && got.nonEmpty)
+    ref.foreach { case (k, (slope, icept, r2)) =>
+      // contract values are stable4-rounded → compare at 4dp + 1 ulp
+      assert(math.abs(got(k)._1 - slope) <= 5e-5, s"$k slope: ${got(k)._1} vs $slope")
+      assert(math.abs(got(k)._2 - icept) <= 5e-5, s"$k intercept: ${got(k)._2} vs $icept")
+      assert(math.abs(got(k)._3 - r2) <= 5e-5, s"$k r2: ${got(k)._3} vs $r2")
+    }
+  }
+
   test("typed UDAF weighted mean matches decimal-SQL computation") {
     val udafRes = SparkEntry.queries("agg_typed_udaf")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
