@@ -271,14 +271,24 @@ object Aggregates extends QueryModule {
       val vx  = col("n") * col("sxx") - col("sx") * col("sx")
       val vy  = col("n") * col("syy") - col("sy") * col("sy")
       val cxy = col("n") * col("sxy") - col("sx") * col("sy")
+      // degenerate-variance guards, pinned to Spark's regr_* semantics
+      // (the closed forms alone would emit NaN/Inf here): zero
+      // x-variance ⇒ slope/intercept/r2 are NULL; zero y-variance with
+      // positive x-variance ⇒ r2 = 1.0 (a horizontal fit is exact).
+      // The lineitem fixture never hits these; the guard exists so the
+      // operator is regr_*-faithful on ANY input, not just the fixture.
+      val nullD = lit(null).cast("double")
       m.select(col("l_returnflag"), col("n").as("regr_n"),
           T.stable4(col("sx") / col("n")).as("regr_avgx"),
           T.stable4(col("sy") / col("n")).as("regr_avgy"),
-          T.stable4(cxy / vx).as("regr_slope"),
-          T.stable4(col("sy") / col("n") -
-                    (cxy / vx) * (col("sx") / col("n")))
+          when(vx === 0, nullD)
+            .otherwise(T.stable4(cxy / vx)).as("regr_slope"),
+          when(vx === 0, nullD)
+            .otherwise(T.stable4(col("sy") / col("n") -
+                       (cxy / vx) * (col("sx") / col("n"))))
             .as("regr_intercept"),
-          T.stable4(cxy * cxy / (vx * vy)).as("regr_r2"))
+          when(vx === 0, nullD).when(vy === 0, lit(1.0))
+            .otherwise(T.stable4(cxy * cxy / (vx * vy))).as("regr_r2"))
         .orderBy("l_returnflag")
     }),
 
@@ -761,9 +771,13 @@ object Aggregates extends QueryModule {
          SELECT l_returnflag, n AS regr_n,
                 ${T.stable4Sql("sx / n")} AS regr_avgx,
                 ${T.stable4Sql("sy / n")} AS regr_avgy,
-                ${T.stable4Sql("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS regr_slope,
-                ${T.stable4Sql("sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n)")} AS regr_intercept,
-                ${T.stable4Sql("(n * sxy - sx * sy) * (n * sxy - sx * sy) / ((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS regr_r2
+                CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                     ELSE ${T.stable4Sql("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} END AS regr_slope,
+                CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                     ELSE ${T.stable4Sql("sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n)")} END AS regr_intercept,
+                CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                     WHEN n * syy - sy * sy = 0 THEN 1.0
+                     ELSE ${T.stable4Sql("(n * sxy - sx * sy) * (n * sxy - sx * sy) / ((n * sxx - sx * sx) * (n * syy - sy * sy))")} END AS regr_r2
          FROM m ORDER BY l_returnflag""",
 
     "agg_stats_manual" ->

@@ -49,6 +49,32 @@ object CellConnector extends QueryModule {
   private def cells(s: org.apache.spark.sql.SparkSession, dir: String) =
     s.read.format("graftcell").load(stage(s, dir))
 
+  /** Run a multi-step staging block EXACTLY ONCE per store: the marker
+    * is written only after EVERY step committed, and a store found
+    * WITHOUT its marker (a crash mid-sequence) is wiped and restaged
+    * from scratch — the steps are non-idempotent appends, so re-running
+    * them on a partial store would duplicate rows (ADVICE r14). This is
+    * also why `_SUCCESS` can never guard a multi-step block: the
+    * connector stamps `_SUCCESS` after its FIRST commit, which would
+    * make a half-staged store look done forever. Single-append blocks
+    * use it too: it converts the commit→marker crash window from
+    * "appends again, duplicating" into "wipe and restage". */
+  private def stagedOnce(path: String, markerName: String)
+                        (body: => Unit): String = {
+    val marker = new java.io.File(path, markerName)
+    if (!marker.exists()) {
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rec)
+        f.delete(); ()
+      }
+      rec(new java.io.File(path))
+      graft.sources.cell.CellFooterCache.invalidate(path)
+      body
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    }
+    path
+  }
+
   /** Register the graftcell TableCatalog for this sf-dir's warehouse
     * (idempotent; catalogs load lazily on first `graftcat.` reference,
     * so setting the conf on a live session works). */
@@ -66,20 +92,16 @@ object CellConnector extends QueryModule {
     * key. Guarded by its own marker (the connector stamps `_SUCCESS`
     * after EVERY commit, so that file can't gate a three-write stage). */
   private[graft] def stageCdc(s: org.apache.spark.sql.SparkSession,
-                              dir: String): String = {
-    val path = storePath(dir) + "_cdc"
-    val ready = new java.io.File(s"$path/_CDC_READY")
-    if (!ready.exists()) {
+                              dir: String): String =
+    stagedOnce(storePath(dir) + "_cdc", "_CDC_READY") {
+      val path = storePath(dir) + "_cdc"
       val cells = CellQueries.eventCells(s, dir)
       Seq(col("rowkey") < "3",
           col("rowkey") >= "3" && col("rowkey") < "6",
           col("rowkey") >= "6")
         .foreach(band => cells.filter(band)
           .write.format("graftcell").mode("append").save(path))
-      java.nio.file.Files.write(ready.toPath, Array.emptyByteArray)
     }
-    path
-  }
 
   /** Drain a streaming DF to completion (AvailableNow, memory sink). */
   private def drain(df: org.apache.spark.sql.DataFrame)
@@ -132,10 +154,11 @@ object CellConnector extends QueryModule {
       // tmp→batch rename protocol. Readback probes a rowkey range
       // THROUGH the just-written store, so the round trip proves
       // write layout + footer stats + pushdown compose.
-      val path = storePath(dir) + "_w"
-      if (!new java.io.File(s"$path/_SUCCESS").exists())
+      val path = stagedOnce(storePath(dir) + "_w", "_W_READY") {
         CellQueries.eventCells(s, dir)
-          .write.format("graftcell").mode("append").save(path)
+          .write.format("graftcell").mode("append")
+          .save(storePath(dir) + "_w")
+      }
       s.read.format("graftcell").load(path)
         .filter(col("rowkey") >= "55" && col("rowkey") < "57")
         .orderBy("rowkey", "qualifier")
@@ -171,17 +194,19 @@ object CellConnector extends QueryModule {
       // the whole pipeline: source batching → epoch commit → replica
       // footer stats → read-side pruning.
       val src = stageCdc(s, dir)
-      val dst = storePath(dir) + "_repl"
-      val marker = new java.io.File(s"$dst/_REPL_DONE")
-      if (!marker.exists()) {
+      // wipe-on-partial matters doubly here: a fresh checkpoint dir is
+      // created per staging attempt, so re-draining into a half-written
+      // replica would re-deliver every batch (duplicates) — stagedOnce
+      // restarts from an empty replica instead
+      val dst = stagedOnce(storePath(dir) + "_repl", "_REPL_DONE") {
         val cp = java.nio.file.Files.createTempDirectory("graft_replckpt_").toString
         val q = s.readStream.format("graftcell").load(src)
-          .writeStream.format("graftcell").option("path", dst)
+          .writeStream.format("graftcell")
+          .option("path", storePath(dir) + "_repl")
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", cp).start()
         q.awaitTermination()
-        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
       }
       s.read.format("graftcell").load(dst)
         .filter(col("rowkey") >= "40" && col("rowkey") < "60")
@@ -202,23 +227,21 @@ object CellConnector extends QueryModule {
       // atomic rename. Readback returns the compacted store, so the
       // oracle checks the whole lifecycle: two appends → version
       // resolution → truncate-commit → footer-pruned read.
-      val path = storePath(dir) + "_cmp"
-      val marker = new java.io.File(s"$path/_COMPACTED")
-      if (!marker.exists()) {
+      val path = stagedOnce(storePath(dir) + "_cmp", "_COMPACTED") {
+        val p = storePath(dir) + "_cmp"
         val base = CellQueries.eventCells(s, dir)
-        base.write.format("graftcell").mode("append").save(path)
+        base.write.format("graftcell").mode("append").save(p)
         base.filter(col("rowkey") >= "5")
           .withColumn("version", col("version") + lit(1000000L))
           .withColumn("value", concat(col("value"), lit("!")))
-          .write.format("graftcell").mode("append").save(path)
+          .write.format("graftcell").mode("append").save(p)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("rowkey", "family", "qualifier")
           .orderBy(col("version").desc)
-        s.read.format("graftcell").load(path)
+        s.read.format("graftcell").load(p)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
-          .write.format("graftcell").mode("overwrite").save(path)
-        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+          .write.format("graftcell").mode("overwrite").save(p)
       }
       s.read.format("graftcell").load(path).orderBy("rowkey", "qualifier")
     }),
@@ -247,17 +270,15 @@ object CellConnector extends QueryModule {
       // exactly the pinned dirs through the same footer-pruned scan, so
       // the read returns the BASE cells only — the oracle is the plain
       // cell rebuild, while the live store (spec-pinned) has grown.
-      val path = storePath(dir) + "_snap"
-      val marker = new java.io.File(s"$path/_SNAP_READY")
-      if (!marker.exists()) {
+      val path = stagedOnce(storePath(dir) + "_snap", "_SNAP_READY") {
+        val p = storePath(dir) + "_snap"
         val base = CellQueries.eventCells(s, dir)
-        base.write.format("graftcell").mode("append").save(path)
-        graft.sources.cell.GraftCellSnapshot.create(path, "s1")
+        base.write.format("graftcell").mode("append").save(p)
+        graft.sources.cell.GraftCellSnapshot.create(p, "s1")
         base.filter(col("rowkey") >= "5")
           .withColumn("version", col("version") + lit(1000000L))
           .withColumn("value", concat(col("value"), lit("!")))
-          .write.format("graftcell").mode("append").save(path)
-        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+          .write.format("graftcell").mode("append").save(p)
       }
       s.read.format("graftcell").option("snapshot", "s1").load(path)
         .orderBy("rowkey", "qualifier")
@@ -273,12 +294,12 @@ object CellConnector extends QueryModule {
       // region sizes under skewed key bands). Readback range-probes the
       // finer-grained store; the spec pins files-per-task > 1 and the
       // non-overlap invariant.
-      val path = storePath(dir) + "_split"
-      if (!new java.io.File(s"$path/_SUCCESS").exists())
+      val path = stagedOnce(storePath(dir) + "_split", "_SPLIT_READY") {
         CellQueries.eventCells(s, dir)
           .write.format("graftcell")
           .option("maxRowsPerFile", "500")
-          .mode("append").save(path)
+          .mode("append").save(storePath(dir) + "_split")
+      }
       s.read.format("graftcell").load(path)
         .filter(col("rowkey") >= "20" && col("rowkey") < "25")
         .orderBy("rowkey", "qualifier")
@@ -294,14 +315,17 @@ object CellConnector extends QueryModule {
       // files with the rowkey completely unconstrained (spec-pinned).
       // The same bound rides the parquet predicate for row-group
       // skipping inside survivors, and is re-checked exactly per row.
-      val path = storePath(dir) + "_tr"
-      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      // dedicated end-of-staging marker (NOT `_SUCCESS`, which the
+      // connector stamps after the FIRST append — it cannot gate a
+      // two-append stage; ADVICE r14 medium)
+      val path = stagedOnce(storePath(dir) + "_tr", "_TR_READY") {
+        val p = storePath(dir) + "_tr"
         val base = CellQueries.eventCells(s, dir)
-        base.write.format("graftcell").mode("append").save(path)
+        base.write.format("graftcell").mode("append").save(p)
         base.filter(col("rowkey") >= "5")
           .withColumn("version", col("version") + lit(8000000000000000L))
           .withColumn("value", concat(col("value"), lit("!")))
-          .write.format("graftcell").mode("append").save(path)
+          .write.format("graftcell").mode("append").save(p)
       }
       s.read.format("graftcell").load(path)
         .filter(col("version") >= 8000000000000000L)
@@ -319,22 +343,20 @@ object CellConnector extends QueryModule {
       // the spec pins dirs 3→2 with byte-identical readback. Staged
       // once: base cells + two narrow re-write batches, then
       // minorCompact with a threshold below the base size.
-      val path = storePath(dir) + "_mnr"
-      val marker = new java.io.File(s"$path/_MINOR_DONE")
-      if (!marker.exists()) {
+      val path = stagedOnce(storePath(dir) + "_mnr", "_MINOR_DONE") {
+        val p = storePath(dir) + "_mnr"
         val base = CellQueries.eventCells(s, dir)
-        base.write.format("graftcell").mode("append").save(path)
+        base.write.format("graftcell").mode("append").save(p)
         Seq("2", "7").foreach(band =>
           base.filter(col("rowkey").startsWith(band))
             .withColumn("version", col("version") + lit(1000000L))
             .withColumn("value", concat(col("value"), lit("+")))
-            .write.format("graftcell").mode("append").save(path))
-        val sizes = graft.sources.cell.CellFooterCache.committedDirs(path)
+            .write.format("graftcell").mode("append").save(p))
+        val sizes = graft.sources.cell.CellFooterCache.committedDirs(p)
           .map(d => graft.sources.cell.CellFooterCache
-                      .filesUnder(path, d).map(_.bytes).sum)
+                      .filesUnder(p, d).map(_.bytes).sum)
         graft.sources.cell.GraftCellMaintenance
-          .minorCompact(s, path, maxBytes = sizes.max - 1)
-        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+          .minorCompact(s, p, maxBytes = sizes.max - 1)
       }
       // version joins the sort: re-write bands make (rowkey, qualifier)
       // non-unique, and the gate needs a total order
@@ -363,8 +385,7 @@ object CellConnector extends QueryModule {
       val src = stageCdc(s, dir)
       val warehouse =
         "/tmp/graft_catalog_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val marker = new java.io.File(s"$warehouse/events_apply/_APPLY_DONE")
-      if (!marker.exists()) {
+      stagedOnce(s"$warehouse/events_apply", "_APPLY_DONE") {
         CellQueries.eventCells(s, dir)
           .createOrReplaceTempView("graft_catalog_src")
         s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_apply (
@@ -395,7 +416,7 @@ object CellConnector extends QueryModule {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", cp).start()
         q.awaitTermination()
-        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+        ()
       }
       s.sql("""SELECT * FROM graftcat.events_apply
                ORDER BY rowkey, qualifier""")
@@ -417,22 +438,20 @@ object CellConnector extends QueryModule {
       // oracle checks append → tombstone → TTL expiry → version
       // resolution → truncate-commit → read as one lifecycle.
       val TOMB = "__TOMBSTONE__"
-      val path = storePath(dir) + "_gc"
-      val marker = new java.io.File(s"$path/_GC_DONE")
-      if (!marker.exists()) {
+      val path = stagedOnce(storePath(dir) + "_gc", "_GC_DONE") {
+        val p = storePath(dir) + "_gc"
         val base = CellQueries.eventCells(s, dir)
-        base.write.format("graftcell").mode("append").save(path)
+        base.write.format("graftcell").mode("append").save(p)
         base.filter(col("qualifier") === "event_type" &&
                     col("value") === "error")
           .select(col("rowkey"), col("family"),
                   lit("value").as("qualifier"),
                   (col("version") + 1000000L).as("version"),
                   lit(TOMB).as("value"))
-          .write.format("graftcell").mode("append").save(path)
+          .write.format("graftcell").mode("append").save(p)
         graft.sources.cell.GraftCellMaintenance.majorCompact(
-          s, path, ttlMicros = Some(10L * 86400L * 1000000L),
+          s, p, ttlMicros = Some(10L * 86400L * 1000000L),
           tombstone = Some(TOMB))
-        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
       }
       s.read.format("graftcell").load(path).orderBy("rowkey", "qualifier")
     }),
@@ -877,7 +896,7 @@ object CellConnector extends QueryModule {
           r AS (
             SELECT *, row_number() OVER (
               PARTITION BY rowkey, family, qualifier
-              ORDER BY version DESC) AS rn
+              ORDER BY version DESC, value DESC) AS rn
             FROM live)
           SELECT rowkey, family, qualifier, version, value
           FROM r WHERE rn = 1 AND value != '__TOMBSTONE__'

@@ -1367,6 +1367,10 @@ class GraftCellStreamingWrite(path: String, queryId: String,
     val dest = new java.io.File(path, s"batch_${queryId}_ep$epochId")
     if (dest.exists()) { deleteRec(tmpDir(epochId)); return } // replayed epoch: already committed
     val stage = new java.io.File(path, s"_stage_${queryId}_ep$epochId")
+    // a commit retried after a crash mid-commit must not collide with
+    // the dead attempt's leftovers: per-file ATOMIC_MOVE (no
+    // REPLACE_EXISTING) would throw on same-named parts — start clean
+    deleteRec(stage)
     stage.mkdirs()
     messages.collect { case CellFilesCommitted(fs) => fs }.flatten.foreach { f =>
       val src = new java.io.File(f)
@@ -1431,6 +1435,9 @@ class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean,
         .filter(d => d.isDirectory && !d.getName.startsWith("_"))
         .foreach(deleteRec)
     }
+    // clear a dead earlier attempt's stage dir: per-file ATOMIC_MOVE
+    // below has no REPLACE_EXISTING, so leftovers would fail the retry
+    deleteRec(stage)
     stage.mkdirs()
     messages.collect { case CellFilesCommitted(fs) => fs }.flatten.foreach { f =>
       val src = new java.io.File(f)
