@@ -436,9 +436,19 @@ class GraftCellTable(path: String,
       .filter(m => GraftCell.fileMayMatch(m, filters.toSeq))
       .map(_.path)
     if (victims.nonEmpty) {
-      spark.sparkContext
+      // each task returns the rewritten file's fresh manifest stats
+      // (None = every row matched, file removed), so the affected dirs'
+      // persisted manifests stay exact without a single footer open
+      val results = spark.sparkContext
         .parallelize(victims, victims.size)
-        .foreach(f => CellDeleteRewrite.rewriteFile(f, filters))
+        .map(f => CellDeleteRewrite.rewriteFile(f, filters))
+        .collect()
+      results.groupBy(r => new java.io.File(r._1).getParent).foreach {
+        case (dir, rs) =>
+          CellManifest.applyRewrite(new java.io.File(dir),
+            removed = rs.collect { case (p, None) => p }.toSet,
+            replaced = rs.collect { case (p, Some(m)) => p -> m }.toMap)
+      }
     }
     CellFooterCache.invalidate(path)
   }
@@ -601,7 +611,11 @@ object CellDeleteRewrite {
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
   import org.apache.parquet.hadoop.metadata.CompressionCodecName
 
-  def rewriteFile(file: String, filters: Array[Filter]): Unit = {
+  /** Returns (file, Some(new stats)) for a surviving rewrite, or
+    * (file, None) when every row matched and the file was removed —
+    * the driver folds these into the dir's persisted manifest. */
+  def rewriteFile(file: String,
+                  filters: Array[Filter]): (String, Option[CellFileMeta]) = {
     val conf = new Configuration()
     val fr = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), conf))
@@ -617,6 +631,12 @@ object CellDeleteRewrite {
       .withBloomFilterEnabled("rowkey", true)
       .build()
     var kept = 0L
+    // manifest stats of the surviving rows (same tracking as the write
+    // path: unsigned-byte rowkey order + version TimeRange)
+    var minKey: Array[Byte] = null
+    var maxKey: Array[Byte] = null
+    var minVer = Long.MaxValue
+    var maxVer = Long.MinValue
     try {
       var g = reader.read()
       while (g != null) {
@@ -628,19 +648,37 @@ object CellDeleteRewrite {
         }
         val doomed = filters.nonEmpty &&
           filters.forall(f => GraftCell.eval(f, get))
-        if (!doomed) { writer.write(g); kept += 1 }
+        if (!doomed) {
+          writer.write(g); kept += 1
+          val ki = g.getType.getFieldIndex("rowkey")
+          if (g.getFieldRepetitionCount(ki) > 0) {
+            val kb = g.getBinary(ki, 0).getBytes
+            if (minKey == null || JArrays.compareUnsigned(kb, minKey) < 0) minKey = kb
+            if (maxKey == null || JArrays.compareUnsigned(kb, maxKey) > 0) maxKey = kb
+          }
+          val vi = g.getType.getFieldIndex("version")
+          if (g.getFieldRepetitionCount(vi) > 0) {
+            val v = g.getLong(vi, 0)
+            if (v < minVer) minVer = v
+            if (v > maxVer) maxVer = v
+          }
+        }
         g = reader.read()
       }
     } finally { reader.close(); writer.close() }
     if (kept == 0L) {
       tmpFile.delete()
-      new java.io.File(file).delete(); ()
+      new java.io.File(file).delete()
+      (file, None)
     } else {
       java.nio.file.Files.move(tmpFile.toPath,
         new java.io.File(file).toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
+      (file, Some(CellFileMeta(file, new java.io.File(file).length(), kept,
+        Option(minKey), Option(maxKey), msgType.toString,
+        if (minVer == Long.MaxValue) None else Some(minVer),
+        if (maxVer == Long.MinValue) None else Some(maxVer))))
     }
   }
 }
@@ -900,6 +938,114 @@ final case class CellFileMeta(path: String, bytes: Long, rowCount: Long,
                               minVer: Option[Long] = None,
                               maxVer: Option[Long] = None)
 
+/** PERSISTED per-dir manifest (`_manifest.json` inside each committed
+  * batch dir) — the metadata a real 100 TB deployment keeps next to the
+  * data so the driver NEVER opens parquet footers at plan time. The
+  * write path already knows every stat it commits (each task tracks
+  * min/max rowkey bytes, min/max version, row and byte counts while
+  * writing — see [[CellDataWriter]]), ships them in the commit message,
+  * and the driver writes the manifest into the stage dir BEFORE the
+  * atomic publish rename — so manifest and data appear together or not
+  * at all. `committedAtMicros` is stamped monotonically per store
+  * (max(now, newest existing + 1)), which is what `TIMESTAMP AS OF`
+  * time travel resolves against: strictly ordered commit times even
+  * for sub-microsecond commit bursts.
+  *
+  * Reads fall back to footer opens for legacy dirs (e.g. the plain
+  * parquet stager's `region=k` dirs) — the manifest is an accelerator,
+  * never a correctness dependency: stats only ever SKIP files, and
+  * [[CellFooterCache.footerOpens]] counts the fallback so the spec can
+  * pin "zero footer opens on a manifest-bearing store". In-place file
+  * rewrites (DELETE) update affected manifests from the rewriting
+  * tasks' returned stats; wholesale dir deletes (compaction, truncate)
+  * take the manifest down with the dir. */
+object CellManifest {
+  val NAME = "_manifest.json"
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val b64e = java.util.Base64.getEncoder
+  private val b64d = java.util.Base64.getDecoder
+
+  final case class Data(committedAtMicros: Long, files: Seq[CellFileMeta])
+
+  def write(dir: java.io.File, committedAtMicros: Long,
+            metas: Seq[CellFileMeta]): Unit = {
+    val root = mapper.createObjectNode()
+    root.put("v", 1)
+    root.put("committedAtMicros", committedAtMicros)
+    val arr = root.putArray("files")
+    metas.sortBy(_.path).foreach { m =>
+      val o = arr.addObject()
+      o.put("name", new java.io.File(m.path).getName)
+      o.put("bytes", m.bytes)
+      o.put("rows", m.rowCount)
+      m.minKey.foreach(k => o.put("minKey", b64e.encodeToString(k)))
+      m.maxKey.foreach(k => o.put("maxKey", b64e.encodeToString(k)))
+      m.minVer.foreach(v => o.put("minVer", v))
+      m.maxVer.foreach(v => o.put("maxVer", v))
+      o.put("messageType", m.messageType)
+    }
+    val tmp = new java.io.File(dir, NAME + ".tmp")
+    java.nio.file.Files.write(tmp.toPath, mapper.writeValueAsBytes(root))
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(dir, NAME).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  def read(dir: java.io.File): Option[Data] = {
+    val f = new java.io.File(dir, NAME)
+    if (!f.exists()) return None
+    val root = mapper.readTree(java.nio.file.Files.readAllBytes(f.toPath))
+    val files = root.get("files").elements().asScala.map { o =>
+      CellFileMeta(
+        new java.io.File(dir, o.get("name").asText()).getPath,
+        o.get("bytes").asLong(), o.get("rows").asLong(),
+        Option(o.get("minKey")).map(n => b64d.decode(n.asText())),
+        Option(o.get("maxKey")).map(n => b64d.decode(n.asText())),
+        o.get("messageType").asText(),
+        Option(o.get("minVer")).map(_.asLong()),
+        Option(o.get("maxVer")).map(_.asLong()))
+    }.toSeq
+    Some(Data(root.get("committedAtMicros").asLong(), files))
+  }
+
+  /** Apply an in-place rewrite's results to a dir's manifest (if one
+    * exists): entries in `removed` drop out, entries in `replaced`
+    * (keyed by absolute file path) take the rewritten stats. The
+    * commit stamp is preserved — a rewrite mutates content, it does
+    * not create a new generation. No-op for manifest-less dirs (they
+    * already fall back to footer reads). */
+  def applyRewrite(dir: java.io.File, removed: Set[String],
+                   replaced: Map[String, CellFileMeta]): Unit =
+    read(dir).foreach { d =>
+      val files = d.files.filterNot(m => removed.contains(m.path))
+        .map(m => replaced.getOrElse(m.path, m))
+      write(dir, d.committedAtMicros, files)
+    }
+
+  /** Monotonic commit stamp for a store: strictly greater than every
+    * existing dir's stamp, and at least the wall clock. Dirs without a
+    * manifest contribute their directory mtime (legacy fallback). */
+  def nextCommitStamp(store: String): Long = {
+    val existing = CellFooterCache.committedDirs(store).map { d =>
+      val dir = new java.io.File(store, d)
+      read(dir).map(_.committedAtMicros)
+        .getOrElse(dir.lastModified() * 1000L)
+    }
+    math.max(System.currentTimeMillis() * 1000L,
+             existing.maxOption.getOrElse(Long.MinValue) match {
+               case Long.MinValue => Long.MinValue + 1
+               case m => m + 1
+             })
+  }
+
+  /** Commit stamp of one committed dir (manifest, else dir mtime). */
+  def commitStampOf(store: String, dirName: String): Long = {
+    val dir = new java.io.File(store, dirName)
+    read(dir).map(_.committedAtMicros).getOrElse(dir.lastModified() * 1000L)
+  }
+}
+
 object CellFooterCache {
   /** Driver-side footer cache, one entry PER COMMITTED DIRECTORY — the
     * manifest a real deployment persists next to the data. Directories
@@ -943,10 +1089,34 @@ object CellFooterCache {
           .flatMap(filesUnder(store, _))
     }
 
-  /** Footers of one committed dir (cached — dirs are immutable). */
+  /** Count of driver-side parquet footer opens — the cost the persisted
+    * manifest exists to eliminate. The manifest spec pins a scan of a
+    * connector-written store to ZERO opens; the counter only moves on
+    * the legacy (manifest-less) fallback below. */
+  val footerOpens = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** File metas of one committed dir (cached — dirs are immutable).
+    * Manifest-first: a dir committed by the connector carries
+    * `_manifest.json` with every stat the planner needs, so the driver
+    * opens NO footers for it (at millions of region files the footer
+    * sweep would serialize the first plan on the driver). Entries whose
+    * file has since been deleted in place (a crash between a DELETE's
+    * file removal and its manifest update) are dropped by an exists()
+    * stat — cheap, and conservative in the right direction (a listed-
+    * but-missing file holds no rows). Legacy dirs (no manifest — e.g.
+    * the plain-parquet stager's `region=k` layout) fall back to one
+    * footer open per file, counted in [[footerOpens]]. */
   def filesUnder(store: String, dirName: String): Seq[CellFileMeta] =
     dirCache.getOrElseUpdate(
       new java.io.File(store, dirName).getPath, {
+      CellManifest.read(new java.io.File(store, dirName)) match {
+        case Some(m) =>
+          m.files.filter(f => new java.io.File(f.path).isFile)
+        case None => footerScan(store, dirName)
+      }
+    })
+
+  private def footerScan(store: String, dirName: String): Seq[CellFileMeta] = {
       val conf = new Configuration()
       val files = Option(new java.io.File(store, dirName).listFiles)
         .getOrElse(Array.empty)
@@ -954,6 +1124,7 @@ object CellFooterCache {
         .sortBy(_.getPath)
       files.toSeq.map { f =>
         val in = HadoopInputFile.fromPath(new Path(f.getPath), conf)
+        footerOpens.incrementAndGet()
         val r = ParquetFileReader.open(in)
         try {
           val md = r.getFooter
@@ -983,7 +1154,7 @@ object CellFooterCache {
                        md.getFileMetaData.getSchema.toString, vmn, vmx)
         } finally r.close()
       }
-    })
+  }
 
   private object UnsignedBytes extends Ordering[Array[Byte]] {
     def compare(a: Array[Byte], b: Array[Byte]): Int =
@@ -1372,12 +1543,15 @@ class GraftCellStreamingWrite(path: String, queryId: String,
     // REPLACE_EXISTING) would throw on same-named parts — start clean
     deleteRec(stage)
     stage.mkdirs()
-    messages.collect { case CellFilesCommitted(fs) => fs }.flatten.foreach { f =>
-      val src = new java.io.File(f)
+    val metas = messages.collect { case CellFilesCommitted(fs) => fs }.flatten
+    metas.foreach { m =>
+      val src = new java.io.File(m.path)
       java.nio.file.Files.move(src.toPath,
         new java.io.File(stage, src.getName).toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
+    // manifest rides the same atomic publish as the data files
+    CellManifest.write(stage, CellManifest.nextCommitStamp(path), metas.toSeq)
     java.nio.file.Files.move(stage.toPath, dest.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     deleteRec(tmpDir(epochId))
@@ -1406,7 +1580,10 @@ class CellStreamingDataWriterFactory(path: String, queryId: String,
   }
 }
 
-final case class CellFilesCommitted(files: Seq[String])
+/** Task-commit message: the full manifest entry per written file (the
+  * task tracked every stat while writing), so the driver's commit can
+  * persist `_manifest.json` without opening a single footer. */
+final case class CellFilesCommitted(files: Seq[CellFileMeta])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean,
@@ -1439,12 +1616,15 @@ class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean,
     // below has no REPLACE_EXISTING, so leftovers would fail the retry
     deleteRec(stage)
     stage.mkdirs()
-    messages.collect { case CellFilesCommitted(fs) => fs }.flatten.foreach { f =>
-      val src = new java.io.File(f)
+    val metas = messages.collect { case CellFilesCommitted(fs) => fs }.flatten
+    metas.foreach { m =>
+      val src = new java.io.File(m.path)
       java.nio.file.Files.move(src.toPath,
         new java.io.File(stage, src.getName).toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
+    // manifest rides the same atomic publish as the data files
+    CellManifest.write(stage, CellManifest.nextCommitStamp(path), metas.toSeq)
     java.nio.file.Files.move(stage.toPath, dest.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     deleteRec(tmpDir)
@@ -1501,11 +1681,21 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
   }
   private val groups = new SimpleGroupFactory(msgType)
 
-  private val files = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val files = scala.collection.mutable.ArrayBuffer.empty[CellFileMeta]
   private var file: String = _
   private var writer: ParquetWriter[Group] = _
   private var seq = 0
   private var rowsInFile = 0L
+  // manifest stats, tracked per file while writing (exact, not footer-
+  // derived): min/max rowkey in unsigned byte order — the same order as
+  // parquet UTF8 statistics and UTF8String comparison — plus the
+  // version TimeRange. Each getBytes call returns a fresh copy (the
+  // UnsafeRow backing is never exactly spanned), so retaining the
+  // min/max arrays is safe.
+  private var minKey: Array[Byte] = _
+  private var maxKey: Array[Byte] = _
+  private var minVer = Long.MaxValue
+  private var maxVer = Long.MinValue
 
   // lazy open on first row: an empty task commits no region file
   private def open(): Unit = {
@@ -1518,11 +1708,16 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
       .withBloomFilterEnabled("rowkey", true)
       .build()
     rowsInFile = 0L
+    minKey = null; maxKey = null
+    minVer = Long.MaxValue; maxVer = Long.MinValue
   }
 
   private def roll(): Unit = {
     writer.close()
-    files += file
+    files += CellFileMeta(file, new java.io.File(file).length(), rowsInFile,
+      Option(minKey), Option(maxKey), msgType.toString,
+      if (minVer == Long.MaxValue) None else Some(minVer),
+      if (maxVer == Long.MinValue) None else Some(maxVer))
     writer = null
     seq += 1
   }
@@ -1533,8 +1728,21 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
     var i = 0
     while (i < GraftCell.SCHEMA.length) {
       if (!row.isNullAt(i)) {
-        if (GraftCell.SCHEMA(i).name == "version") g.add(i, row.getLong(i))
-        else g.add(i, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+        if (GraftCell.SCHEMA(i).name == "version") {
+          val v = row.getLong(i)
+          g.add(i, v)
+          if (v < minVer) minVer = v
+          if (v > maxVer) maxVer = v
+        } else {
+          val bytes = row.getUTF8String(i).getBytes
+          g.add(i, Binary.fromConstantByteArray(bytes))
+          if (i == 0) { // rowkey
+            if (minKey == null ||
+                JArrays.compareUnsigned(bytes, minKey) < 0) minKey = bytes
+            if (maxKey == null ||
+                JArrays.compareUnsigned(bytes, maxKey) > 0) maxKey = bytes
+          }
+        }
       }
       i += 1
     }
@@ -1549,8 +1757,9 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
   }
 
   override def abort(): Unit = {
-    if (writer != null) { writer.close(); files += file }
-    files.foreach(f => new java.io.File(f).delete())
+    if (writer != null) writer.close()
+    if (file != null) { new java.io.File(file).delete(); () }
+    files.foreach(m => new java.io.File(m.path).delete())
   }
 
   override def close(): Unit = ()

@@ -806,4 +806,94 @@ class CellConnectorSpec extends AnyFunSuite {
     // missing rows (zz_ band) inserted
     assert(got.filter(col("rowkey").startsWith("zz_")).count() > 0L)
   }
+
+  test("persisted manifest: plans with ZERO footer opens; stats exactly the footer truth") {
+    import graft.sources.cell.{CellFooterCache, CellManifest}
+    import org.apache.parquet.schema.MessageTypeParser
+    import scala.collection.JavaConverters._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_manifest_spec_").toString + "/t"
+    val rows = ('a' to 't').map(c =>
+      org.apache.spark.sql.Row(c.toString, "d", "q", c.toLong, s"v$c"))
+    s.createDataFrame(rows.asJava, GraftCell.SCHEMA)
+      .write.format("graftcell").option("maxRowsPerFile", "5")
+      .mode("append").save(store)
+    // the commit persisted a manifest INSIDE the published batch dir
+    // (it rode the same atomic rename as the data files)
+    val dirs = CellFooterCache.committedDirs(store)
+    assert(dirs.size == 1)
+    val mf = new java.io.File(new java.io.File(store, dirs.head),
+                              CellManifest.NAME)
+    assert(mf.isFile, s"no manifest in $store/${dirs.head}")
+    assert(CellManifest.read(mf.getParentFile).exists(_.committedAtMicros > 0))
+    // cold plan on a manifest-bearing store: ZERO driver footer opens —
+    // the first-plan serialization at millions of region files is gone
+    CellFooterCache.invalidate(store)
+    val opens0 = CellFooterCache.footerOpens.get()
+    val viaManifest = CellFooterCache.filesOf(store)
+    assert(viaManifest.size >= 2, "expected multiple rolled region files")
+    // ... and reads (with the usual footer-stat pruning) still work
+    val got = s.read.format("graftcell").load(store)
+      .filter(col("rowkey") >= "c" && col("rowkey") < "f")
+      .select("rowkey").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("c", "d", "e"))
+    assert(CellFooterCache.footerOpens.get() == opens0,
+      "manifest-bearing store opened parquet footers at plan time")
+    // the manifest's stats are EXACTLY what the footers say — delete it
+    // and force the legacy fallback to re-derive them
+    assert(mf.delete())
+    CellFooterCache.invalidate(store)
+    val viaFooters = CellFooterCache.filesOf(store)
+    assert(CellFooterCache.footerOpens.get() > opens0,
+      "legacy fallback did not open footers")
+    val a = viaManifest.sortBy(_.path)
+    val b = viaFooters.sortBy(_.path)
+    assert(a.size == b.size)
+    a.zip(b).foreach { case (m, f) =>
+      assert(m.path == f.path && m.rowCount == f.rowCount &&
+             m.bytes == f.bytes, s"meta mismatch $m vs $f")
+      assert(m.minKey.map(_.toSeq) == f.minKey.map(_.toSeq) &&
+             m.maxKey.map(_.toSeq) == f.maxKey.map(_.toSeq),
+             s"rowkey stats mismatch $m vs $f")
+      assert(m.minVer == f.minVer && m.maxVer == f.maxVer,
+             s"version stats mismatch $m vs $f")
+      assert(MessageTypeParser.parseMessageType(m.messageType) ==
+             MessageTypeParser.parseMessageType(f.messageType))
+    }
+  }
+
+  test("persisted manifest stays exact through in-place DELETE rewrites") {
+    import graft.sources.cell.{CellFooterCache, GraftCellTable}
+    import org.apache.spark.sql.sources.LessThan
+    import scala.collection.JavaConverters._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_manifest_del_spec_").toString + "/t"
+    val rows = ('a' to 't').map(c =>
+      org.apache.spark.sql.Row(c.toString, "d", "q", 1L, s"v$c"))
+    s.createDataFrame(rows.asJava, GraftCell.SCHEMA)
+      .write.format("graftcell").option("maxRowsPerFile", "5")
+      .mode("append").save(store)
+    new GraftCellTable(store)
+      .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        LessThan("rowkey", "c")))
+    // the rewriting tasks shipped fresh stats back; the manifest was
+    // updated in place, so the cold re-plan still needs no footers
+    CellFooterCache.invalidate(store)
+    val opens0 = CellFooterCache.footerOpens.get()
+    val metas = CellFooterCache.filesOf(store)
+    assert(CellFooterCache.footerOpens.get() == opens0,
+      "DELETE left the manifest stale (fallback footer opens)")
+    assert(metas.map(_.rowCount).sum == 18L) // 20 rows − {a, b}
+    // new min key reflects the rewrite: 'a'/'b' gone ⇒ min is 'c'
+    val minKey = metas.flatMap(_.minKey).map(new String(_)).min
+    assert(minKey == "c", s"stale min key $minKey")
+    // and the remembered stats match a footer re-derivation exactly
+    val dirName = CellFooterCache.committedDirs(store).head
+    assert(new java.io.File(new java.io.File(store, dirName),
+      graft.sources.cell.CellManifest.NAME).delete())
+    CellFooterCache.invalidate(store)
+    val viaFooters = CellFooterCache.filesOf(store)
+    assert(metas.sortBy(_.path).map(m => (m.path, m.rowCount, m.bytes)) ==
+           viaFooters.sortBy(_.path).map(m => (m.path, m.rowCount, m.bytes)))
+  }
 }
