@@ -807,6 +807,91 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(got.filter(col("rowkey").startsWith("zz_")).count() > 0L)
   }
 
+  test("group-granular DML: UPDATE/MERGE rewrite only region files holding matched rows") {
+    import graft.sources.cell.CellFooterCache
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_groupdml_spec_").toString
+    s.conf.set("spark.sql.catalog.graftgrp",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftgrp.root", root)
+    s.sql("""CREATE TABLE graftgrp.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell""")
+    import scala.collection.JavaConverters._
+    val srcDf = s.createDataFrame(
+      ('a' to 't').map(c =>
+        org.apache.spark.sql.Row(c.toString, "d", "q", 1L, s"v$c")).asJava,
+      GraftCell.SCHEMA)
+    srcDf.createOrReplaceTempView("graft_grp_src")
+    val store = s"$root/t"
+    // load through the path write with rolling, so the tiny fixture
+    // still lands in several non-overlapping region files (a catalog
+    // table IS its store dir — both addressing modes see the same data)
+    srcDf.write.format("graftcell").option("maxRowsPerFile", "5")
+      .mode("append").save(store)
+    def files() = CellFooterCache.filesOf(store)
+      .map(m => m.path ->
+        (new java.io.File(m.path).lastModified(), m.bytes)).toMap
+    val before = files()
+    assert(before.size > 1, s"need multiple region files, got $before")
+    // the file whose range holds 'a' (the only matched row)
+    val victim = CellFooterCache.filesOf(store)
+      .filter(m => m.minKey.exists(k => new String(k) <= "a") &&
+                   m.maxKey.exists(k => new String(k) >= "a"))
+      .map(_.path)
+    assert(victim.size == 1)
+    s.sql("UPDATE graftgrp.t SET value = concat(value, '*') WHERE rowkey = 'a'")
+    // matched file retired; every other region file untouched — same
+    // path, same mtime, same bytes (the runtime _region_file group
+    // filter pruned the COW scan to the one matched file, and the
+    // replace commit deleted exactly that)
+    val after = files()
+    assert(!after.contains(victim.head),
+      s"matched file survived the replace: ${victim.head}")
+    (before - victim.head).foreach { case (p, stamp) =>
+      assert(after.get(p).contains(stamp),
+        s"unmatched region file was rewritten: $p")
+    }
+    // content correct: one row updated, all 20 present
+    val got = s.sql("SELECT rowkey, value FROM graftgrp.t ORDER BY rowkey")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got.size == 20 && got.head == ("a", "va*") &&
+           got(1) == ("b", "vb"))
+    // MERGE: matched band 'c'..'d' + a new insert; again only the
+    // files holding matched keys may be replaced
+    val before2 = files()
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_grp_merge AS
+             SELECT rowkey, family, qualifier, 2L AS version,
+                    concat(value, '^') AS value
+             FROM graft_grp_src WHERE rowkey IN ('c', 'd')
+             UNION ALL
+             SELECT 'zz' AS rowkey, 'd' AS family, 'q' AS qualifier,
+                    1L AS version, 'vzz' AS value""")
+    s.sql("""MERGE INTO graftgrp.t t USING graft_grp_merge s
+             ON t.rowkey = s.rowkey AND t.family = s.family
+                AND t.qualifier = s.qualifier
+             WHEN MATCHED THEN UPDATE SET version = s.version,
+                                          value = s.value
+             WHEN NOT MATCHED THEN INSERT *""")
+    val after2 = files()
+    val untouched2 = before2.filter { case (p, stamp) =>
+      after2.get(p).contains(stamp) }
+    assert(untouched2.nonEmpty,
+      s"MERGE rewrote every region file: before=$before2 after=$after2")
+    val merged = s.sql("SELECT rowkey, value FROM graftgrp.t ORDER BY rowkey")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(merged.size == 21 &&
+           merged.contains(("c", "vc^")) && merged.contains(("d", "vd^")) &&
+           merged.contains(("zz", "vzz")) && merged.contains(("e", "ve")))
+    // the group-replaced store still plans manifest-only (no footers)
+    CellFooterCache.invalidate(store)
+    val opens0 = CellFooterCache.footerOpens.get()
+    CellFooterCache.filesOf(store)
+    assert(CellFooterCache.footerOpens.get() == opens0,
+      "group-replace commit left a manifest-less or stale dir behind")
+    s.sql("DROP TABLE graftgrp.t")
+  }
+
   test("persisted manifest: plans with ZERO footer opens; stats exactly the footer truth") {
     import graft.sources.cell.{CellFooterCache, CellManifest}
     import org.apache.parquet.schema.MessageTypeParser
