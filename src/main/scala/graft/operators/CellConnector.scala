@@ -686,6 +686,41 @@ object CellConnector extends QueryModule {
                ORDER BY rowkey, qualifier""")
     }),
 
+    "sql_cell_time_travel_ts" -> ((s, dir) => {
+      // TIMESTAMP AS OF through the catalog — time travel by CLOCK over
+      // the commit-stamped persisted manifests (round-15: every commit
+      // writes `_manifest.json` with a strictly monotonic
+      // committedAtMicros), completing the named-snapshot surface
+      // (`sql_cell_time_travel`) with the timestamp half HBase users
+      // expect. Re-staged each run: overwrite (era 1) → read era 1's
+      // commit stamp FROM ITS MANIFEST → append the '6' band rewrite
+      // (era 2, strictly newer stamp) → `TIMESTAMP AS OF
+      // timestamp_micros(t1)` resolves to exactly the era-1 dirs, a
+      // pure metadata operation, whatever the wall clock was — so the
+      // key is deterministic and idempotent for the gate while the
+      // stamps themselves are real clock values.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_tts (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_tts SELECT * FROM graft_catalog_src")
+      val store = "/tmp/graft_catalog_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_tts"
+      val t1 = graft.sources.cell.CellFooterCache.committedDirs(store)
+        .map(d => graft.sources.cell.CellManifest.commitStampOf(store, d))
+        .max
+      s.sql("""INSERT INTO graftcat.events_tts
+               SELECT rowkey, family, qualifier,
+                      version + 1000000 AS version,
+                      concat(value, '~') AS value
+               FROM graft_catalog_src WHERE rowkey >= '6' AND rowkey < '7'""")
+      s.sql(s"""SELECT * FROM graftcat.events_tts
+                TIMESTAMP AS OF timestamp_micros(${t1}L)
+                ORDER BY rowkey, qualifier""")
+    }),
+
     "sql_cell_connector" -> ((s, dir) => {
       // The SQL surface over the connector: the store registered as a
       // (session-scoped) SQL table via `CREATE TEMPORARY VIEW ... USING
@@ -772,6 +807,12 @@ object CellConnector extends QueryModule {
           ORDER BY rowkey, qualifier""",
 
     "sql_cell_time_travel" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    // the timestamp pin resolves to the era-1 generation = the plain
+    // cell rebuild, same oracle shape as the named-snapshot key
+    "sql_cell_time_travel_ts" ->
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT * FROM cells ORDER BY rowkey, qualifier""",
 

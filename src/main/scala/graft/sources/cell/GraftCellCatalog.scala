@@ -83,15 +83,40 @@ class GraftCellCatalog extends TableCatalog {
   /** `VERSION AS OF '<snapshot>'` time travel: the version string is a
     * named snapshot of the table's store (the manifest written by
     * [[GraftCellSnapshot.create]]) — the loaded table reads AS OF that
-    * pinned dir set and refuses writes and row-level operations.
-    * Timestamp-based travel (`TIMESTAMP AS OF`) is not supported:
-    * snapshots are named, not clocked. */
+    * pinned dir set and refuses writes and row-level operations. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
     if (!marker(dir).exists()) throw new NoSuchTableException(ident)
     // fail fast on an unknown snapshot name (clearer than an empty read)
     GraftCellSnapshot.dirs(dir.getPath, version)
     new GraftCellTable(dir.getPath, Some(version))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` time travel over the COMMIT-STAMPED
+    * persisted manifests: every committed batch dir carries a strictly
+    * monotonic `committedAtMicros` (see [[CellManifest]]), so a
+    * timestamp resolves to the dirs committed at or before it — a pure
+    * metadata operation, like the named-snapshot path, with zero data
+    * copy or footer reads. A timestamp before the table's first commit
+    * is refused (there was no table to read then); one at or past the
+    * newest commit reads the full live dir set. The pinned table
+    * refuses writes and row-level operations like any time-travel
+    * view. `timestamp` arrives in microseconds since the epoch (the
+    * engine's TimestampType resolution). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    if (!marker(dir).exists()) throw new NoSuchTableException(ident)
+    val store = dir.getPath
+    val stamps = CellFooterCache.committedDirs(store)
+      .map(d => d -> CellManifest.commitStampOf(store, d))
+    require(stamps.nonEmpty,
+      s"graftcell: table ${ident.name()} has no committed data to time-travel")
+    val first = stamps.map(_._2).min
+    require(timestamp >= first,
+      s"graftcell: TIMESTAMP AS OF $timestamp precedes the table's " +
+      s"first commit ($first)")
+    val pinned = stamps.filter(_._2 <= timestamp).map(_._1).sorted
+    new GraftCellTable(store, None, Some(pinned))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -369,19 +369,24 @@ object GraftCell {
 }
 
 class GraftCellTable(path: String,
-                     pinnedSnapshot: Option[String] = None)
+                     pinnedSnapshot: Option[String] = None,
+                     pinnedDirs: Option[Seq[String]] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   require(path != null, "graftcell requires a path")
+  require(pinnedSnapshot.isEmpty || pinnedDirs.isEmpty,
+    "graftcell: a table pins a snapshot OR an explicit dir set, not both")
   override def name(): String =
-    s"graftcell.`$path`" + pinnedSnapshot.fold("")(n => s"@$n")
+    s"graftcell.`$path`" + pinnedSnapshot.fold("")(n => s"@$n") +
+      pinnedDirs.fold("")(ds => s"@ts[${ds.size} dirs]")
 
   private def requireLive(op: String): Unit =
-    require(pinnedSnapshot.isEmpty,
-      s"graftcell: $op is not allowed on a snapshot (VERSION AS OF) table")
+    require(pinnedSnapshot.isEmpty && pinnedDirs.isEmpty,
+      s"graftcell: $op is not allowed on a time-travel " +
+      "(VERSION AS OF / TIMESTAMP AS OF) table")
 
   /** Hidden metadata column `_region_file`: region-file provenance per
     * cell (the `which HFile` question), selectable like Spark's own
@@ -465,7 +470,8 @@ class GraftCellTable(path: String,
     new GraftCellScanBuilder(path,
       pinnedSnapshot.orElse(Option(options.get("snapshot"))),
       Option(options.get("maxPartitionBytes")).map(_.toLong)
-        .getOrElse(Long.MaxValue))
+        .getOrElse(Long.MaxValue),
+      pinnedDirs)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -976,7 +982,8 @@ object GraftCellMaintenance {
 }
 
 class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
-                           maxPartBytes: Long = Long.MaxValue)
+                           maxPartBytes: Long = Long.MaxValue,
+                           pinnedDirs: Option[Seq[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownTopN with SupportsPushDownAggregates {
@@ -1043,9 +1050,9 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
       agg.aggregateExpressions().forall {
         case _: CountStar => true
         case m: Min => m.column().toString == "rowkey" &&
-          CellFooterCache.filesOf(path, snapshot).forall(_.minKey.nonEmpty)
+          CellFooterCache.filesOf(path, snapshot, pinnedDirs).forall(_.minKey.nonEmpty)
         case m: Max => m.column().toString == "rowkey" &&
-          CellFooterCache.filesOf(path, snapshot).forall(_.maxKey.nonEmpty)
+          CellFooterCache.filesOf(path, snapshot, pinnedDirs).forall(_.maxKey.nonEmpty)
         case _ => false
       }
 
@@ -1054,10 +1061,10 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
     else false
 
   override def build(): Scan = aggPushed match {
-    case Some(agg) => new GraftCellAggScan(path, agg, snapshot)
+    case Some(agg) => new GraftCellAggScan(path, agg, snapshot, pinnedDirs)
     case None =>
       new GraftCellScan(path, pushed, required, limit, topNPushed, snapshot,
-                        maxPartBytes)
+                        maxPartBytes, pinnedDirs)
   }
 }
 
@@ -1068,11 +1075,12 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
   * aggregation whenever any filter is pushed). */
 class GraftCellAggScan(path: String,
     agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
-    snapshot: Option[String] = None)
+    snapshot: Option[String] = None,
+    pinnedDirs: Option[Seq[String]] = None)
     extends Scan with Batch {
   import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
 
-  private lazy val metas = CellFooterCache.filesOf(path, snapshot)
+  private lazy val metas = CellFooterCache.filesOf(path, snapshot, pinnedDirs)
 
   private def answers: Array[(String, Any)] =
     agg.aggregateExpressions().map {
@@ -1285,6 +1293,19 @@ object CellFooterCache {
           .flatMap(filesUnder(store, _))
     }
 
+  /** Files of a store under an optional snapshot OR an explicit pinned
+    * dir set (TIMESTAMP AS OF resolution — dirs whose manifest commit
+    * stamp is ≤ the requested time; same drop-removed-dirs semantics
+    * as snapshots). */
+  def filesOf(store: String, snapshot: Option[String],
+              pinnedDirs: Option[Seq[String]]): Seq[CellFileMeta] =
+    pinnedDirs match {
+      case None => filesOf(store, snapshot)
+      case Some(dirs) =>
+        dirs.filter(d => new java.io.File(store, d).isDirectory)
+          .flatMap(filesUnder(store, _))
+    }
+
   /** Count of driver-side parquet footer opens — the cost the persisted
     * manifest exists to eliminate. The manifest spec pins a scan of a
     * connector-written store to ZERO opens; the counter only moves on
@@ -1362,7 +1383,8 @@ class GraftCellScan(path: String, pushed: Array[Filter],
                     required: StructType, limit: Int = -1,
                     topN: Boolean = false,
                     snapshot: Option[String] = None,
-                    maxPartBytes: Long = Long.MaxValue)
+                    maxPartBytes: Long = Long.MaxValue,
+                    pinnedDirs: Option[Seq[String]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportOrdering {
 
@@ -1390,7 +1412,7 @@ class GraftCellScan(path: String, pushed: Array[Filter],
     * before planInputPartitions, so it participates in file pruning. */
   private var runtime: Array[Filter] = Array.empty
 
-  private lazy val all = CellFooterCache.filesOf(path, snapshot)
+  private lazy val all = CellFooterCache.filesOf(path, snapshot, pinnedDirs)
   private def effective: Seq[Filter] = (pushed ++ runtime).toSeq
   private def selected =
     all.filter(m => GraftCell.fileMayMatch(m, effective))
@@ -1408,6 +1430,7 @@ class GraftCellScan(path: String, pushed: Array[Filter],
   override def description(): String =
     s"GraftCellScan path=$path, " +
     snapshot.fold("")(n => s"snapshot=$n, ") +
+    pinnedDirs.fold("")(ds => s"timestampPin=${ds.size} dirs, ") +
     s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
     s"ReadSchema: ${required.catalogString}, " +
     (if (limit >= 0) s"${if (topN) "topN" else "limit"}: $limit, " else "") +
@@ -1450,9 +1473,10 @@ class GraftCellScan(path: String, pushed: Array[Filter],
     * the scan; the stream still file-prunes per batch if any arrive. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(snapshot.isEmpty,
-      "graftcell: a snapshot is a frozen dir set — batch-read it; " +
-      "the streaming source follows the LIVE committed-dir log")
+    require(snapshot.isEmpty && pinnedDirs.isEmpty,
+      "graftcell: a snapshot/timestamp pin is a frozen dir set — " +
+      "batch-read it; the streaming source follows the LIVE " +
+      "committed-dir log")
     new GraftCellMicroBatchStream(path, pushed, required)
   }
 

@@ -370,6 +370,38 @@ class CellConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("TIMESTAMP AS OF resolves commit-stamped manifests; refuses pre-creation times") {
+    import graft.sources.cell.{CellFooterCache, CellManifest}
+    // the contract key stages a two-era table and reads era 1 by stamp
+    val got = SparkEntry.queries("sql_cell_time_travel_ts")(s, dir).collect().toSeq
+    val want = SparkEntry.queries("sink_hbase_cells")(s, dir).collect().toSeq
+    assert(got == want && want.nonEmpty) // the pin IS the base generation
+    val store = "/tmp/graft_catalog_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_tts"
+    val stamps = CellFooterCache.committedDirs(store)
+      .map(d => CellManifest.commitStampOf(store, d)).sorted
+    assert(stamps.size == 2 && stamps(0) < stamps(1),
+      s"expected two strictly ordered era stamps, got $stamps")
+    // a timestamp at/past the newest commit sees the grown live table
+    val live = s.sql(s"""SELECT count(*) FROM graftcat.events_tts
+                         TIMESTAMP AS OF timestamp_micros(${stamps(1)}L)""")
+      .collect()(0).getLong(0)
+    assert(live > want.size, s"live-era read $live vs era-1 ${want.size}")
+    // a timestamp BEFORE the first commit is refused, not empty-read
+    val e = intercept[Exception] {
+      s.sql(s"""SELECT * FROM graftcat.events_tts
+                TIMESTAMP AS OF timestamp_micros(${stamps(0) - 1}L)""").collect()
+    }
+    assert(e.getMessage != null &&
+           e.getMessage.contains("precedes"), s"wrong refusal: $e")
+    // DML through a timestamp pin is refused like any time-travel view
+    intercept[Exception] {
+      s.sql(s"""DELETE FROM graftcat.events_tts
+                TIMESTAMP AS OF timestamp_micros(${stamps(0)}L)
+                WHERE rowkey = '1'""")
+    }
+  }
+
   test("reported output ordering elides per-partition sorts above the scan") {
     SparkEntry.queries("scan_cell_connector")(s, dir).queryExecution // stage
     val store = "/tmp/graft_cellstore_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
