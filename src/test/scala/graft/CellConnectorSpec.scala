@@ -924,6 +924,62 @@ class CellConnectorSpec extends AnyFunSuite {
     s.sql("DROP TABLE graftgrp.t")
   }
 
+  test("write path stamps a rowkey bloom; point gets skip straddling row groups") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.ParquetReadOptions
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import scala.collection.JavaConverters._
+    import graft.sources.cell.CellFooterCache
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bloom_spec_").toString + "/t"
+    // every OTHER letter, so keys lexically inside [min,max] are absent
+    // — stats alone can never skip them, only dictionary/bloom can
+    val rows = ('a' to 'y' by 2).map(c =>
+      org.apache.spark.sql.Row(c.toString, "d", "q", 1L, s"v$c"))
+    s.createDataFrame(rows.asJava, GraftCell.SCHEMA)
+      .write.format("graftcell").mode("append").save(store)
+    val file = CellFooterCache.filesOf(store).head.path
+    val in = HadoopInputFile.fromPath(new Path(file), new Configuration())
+    // 1. the bloom exists in the footer metadata, and answers a
+    //    straddling absent key with a definite NO
+    val r = ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala
+      assert(blocks.nonEmpty)
+      blocks.foreach { b =>
+        val chunk = b.getColumns.asScala
+          .find(_.getPath.toDotString == "rowkey").get
+        val bloom = r.getBloomFilterDataReader(b).readBloomFilter(chunk)
+        assert(bloom != null,
+          s"no rowkey bloom in footer (encodings=${chunk.getEncodings})")
+        assert(bloom.findHash(bloom.hash(Binary.fromString("c"))),
+          "bloom misses a present key")
+        assert(!bloom.findHash(bloom.hash(Binary.fromString("b"))),
+          "bloom fails to reject the straddling absent key")
+      }
+    } finally r.close()
+    // 2. row-group skip counter: a point get for the absent straddling
+    //    key plans ZERO row groups (dictionary filtering disabled to
+    //    prove the bloom alone carries it); the present key keeps one
+    def rowGroups(key: String): Int = {
+      val opts = ParquetReadOptions.builder()
+        .withRecordFilter(FilterCompat.get(
+          FilterApi.eq(FilterApi.binaryColumn("rowkey"),
+                       Binary.fromString(key))))
+        .useStatsFilter(true).useDictionaryFilter(false)
+        .useBloomFilter(true).build()
+      val fr = ParquetFileReader.open(in, opts)
+      try fr.getRowGroups.size finally fr.close()
+    }
+    assert(rowGroups("b") == 0, "bloom did not skip the straddling point get")
+    assert(rowGroups("c") == 1, "present key wrongly skipped")
+  }
+
   test("persisted manifest: plans with ZERO footer opens; stats exactly the footer truth") {
     import graft.sources.cell.{CellFooterCache, CellManifest}
     import org.apache.parquet.schema.MessageTypeParser
