@@ -198,6 +198,87 @@ object Plans {
       s"published 1 rewritten batch dir — O(touched regions) per statement.\n"
   }
 
+  /** Round-15 MERGE-skew adjudication (r14 verdict #4). The worry was
+    * a hot/monotone rowkey band skewing the full-outer SMJ under
+    * MERGE. Three facts, each evidenced below:
+    *  1. the MERGE shuffle is HASH partitioning on the FULL cell key
+    *     (rowkey, family, qualifier) — the executed plan shows it —
+    *     and hash partitioning is band-blind: a monotone hot band is
+    *     spread uniformly (measured max/mean partition ratio ~1). Only
+    *     RANGE partitioners (the write's bulk-load shuffle, which
+    *     samples and equalizes) even see bands.
+    *  2. the shape that WOULD skew is a merge keyed on rowkey alone
+    *     against a fat rowkey (many qualifiers): measured ratio ~32/1
+    *     at 32 partitions — and AQE CANNOT rescue it, because
+    *     OptimizeSkewedJoin's canSplitLeftSide/canSplitRightSide both
+    *     exclude FullOuter (verified against the Spark 4.1 bytecode),
+    *     which is what MERGE plans.
+    *  3. therefore the engine's contract is structural, not adaptive:
+    *     every DML key merges ON the full cell key, where per-key
+    *     fan-out is exactly 1 by store uniqueness; a rowkey-only merge
+    *     over fat rows must pre-aggregate or salt its SOURCE (the
+    *     join_salted pattern) before the MERGE. */
+  private def mergeSkewSection(s: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_plans_skew_").toString
+    s.conf.set("spark.sql.catalog.graftplansskew",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftplansskew.root", root)
+    s.sql("""CREATE TABLE graftplansskew.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell""")
+    // hot MONOTONE band: 60% of cells under the '7_' prefix (fresh
+    // ingest concentrating on the newest band), 4 qualifiers per row
+    val rows = s.range(10000).select(
+      when(col("id") % 5 < 3,
+           concat(lit("7_"), lpad(col("id").cast("string"), 6, "0")))
+        .otherwise(concat(lit("3_"), lpad(col("id").cast("string"), 6, "0")))
+        .as("rowkey"))
+    val cells = rows
+      .crossJoin(s.range(4).select(concat(lit("q"), col("id").cast("string")).as("qualifier")))
+      .select(col("rowkey"), lit("d").as("family"), col("qualifier"),
+              lit(1L).as("version"), sha1(col("rowkey")).as("value"))
+    cells.write.format("graftcell").mode("append").save(s"$root/t")
+    cells.filter(col("rowkey").startsWith("7_0000"))
+      .withColumn("version", lit(2L))
+      .createOrReplaceTempView("graft_skew_src")
+    val df = s.sql("""MERGE INTO graftplansskew.t t USING graft_skew_src s
+                      ON t.rowkey = s.rowkey AND t.family = s.family
+                         AND t.qualifier = s.qualifier
+                      WHEN MATCHED THEN UPDATE SET version = s.version,
+                                                   value = s.value
+                      WHEN NOT MATCHED THEN INSERT *""")
+    val plan = df.queryExecution.executedPlan.toString
+    // the measured balance of the exact partitioner expressions
+    def ratio(d: org.apache.spark.sql.DataFrame): Double = {
+      // mean over ALL 32 partitions (empty ones included — a fat key
+      // leaving 31 partitions empty is exactly the skew being measured)
+      val counts = d.groupBy("p").count().agg(
+        max("count").as("mx"), sum("count").as("total")).head
+      counts.getLong(0).toDouble / (counts.getLong(1).toDouble / 32.0)
+    }
+    val fullKey = ratio(cells.select(
+      pmod(hash(col("rowkey"), col("family"), col("qualifier")), lit(32)).as("p")))
+    // the anti-pattern: ONE fat rowkey carrying 20k qualifiers, merge
+    // keyed on rowkey alone — everything hashes to one partition
+    val fat = s.range(20000).select(
+      lit("fatrow").as("rowkey"),
+      concat(lit("q"), col("id").cast("string")).as("qualifier"))
+    val rowkeyOnly = ratio(fat.select(pmod(hash(col("rowkey")), lit(32)).as("p")))
+    "## merge_skew_hash_balance (executed MERGE against a hot monotone " +
+      "band + measured partitioner balance)\n\n```\n" + plan + "\n```\n\n" +
+      f"Measured max/mean shuffle-partition ratio at 32 partitions: " +
+      f"full-cell-key hash over the 60%%-hot-band store = $fullKey%.2f " +
+      f"(band-blind, balanced); rowkey-only hash over one fat rowkey " +
+      f"with 20k qualifiers = $rowkeyOnly%.1f (all in one partition — " +
+      "and UNSPLITTABLE by AQE: OptimizeSkewedJoin excludes the FullOuter " +
+      "join MERGE plans). The engine's contract keys therefore merge ON " +
+      "the full cell key (per-key fan-out = 1 by store uniqueness); a " +
+      "rowkey-only merge over fat rows must pre-aggregate or salt its " +
+      "source first (join_salted pattern).\n"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
@@ -214,7 +295,8 @@ object Plans {
     }.mkString("\n") + "\n" + skewSection(spark) + "\n" +
       connectorDppSection(spark, sfDir) + "\n" +
       mergePlanSection(spark, sfDir) + "\n" +
-      groupFilterSection(spark)
+      groupFilterSection(spark) + "\n" +
+      mergeSkewSection(spark)
     val header =
       s"""# PLANS — formatted physical plans of headline queries
          |
@@ -259,6 +341,22 @@ object Plans {
          |full-outer SortMergeJoin, the MergeRows instruction set, and
          |ReplaceData planning the declared HFile range shuffle + sort
          |inside the write.
+         |Round-15: `rowlevel_group_filter` — the executed UPDATE where
+         |RowLevelOperationRuntimeGroupFiltering's matching-rows
+         |subquery (itself footer-pruned, regionFiles k/n) feeds a
+         |`dynamicpruningexpression(_region_file IN ...)` into the COW
+         |scan, which reports `runtimeGroupFilter: 1/4 region files`,
+         |and the replace commit retires exactly that one file (store
+         |outcome line below the plan) — row-level DML is O(touched
+         |regions). `merge_skew_hash_balance` adjudicates the MERGE
+         |skew question with the executed hot-band MERGE plan plus
+         |measured partitioner balance (full-cell-key hash 1.05
+         |max/mean vs 32.0 for the rowkey-only anti-pattern, which AQE
+         |cannot split under FullOuter — the mitigation is structural:
+         |merge ON the full cell key, or salt the source).
+         |`sql_cell_time_travel_ts` plans a timestamp-pinned dir set
+         |(`timestampPin=` in the scan description) resolved from the
+         |persisted manifests' monotonic commit stamps.
          |
          |Perf note (round-2 adjudication of the r01 `sink_hbase_cells`
          |44.3 s outlier): isolated runs at sf0.1 measure 6.6 s cold /
