@@ -329,6 +329,75 @@ object GraftCell {
     fileMayMatch(m.minKey, m.maxKey, filters) &&
       verMayOverlap(m.minVer, m.maxVer, verRange(filters))
 
+  /** PRECOMPILED file pruner for a fixed filter set: folds the ranges
+    * once and sorts each rowkey IN-list once, so each file tests in
+    * O(log k) per IN-list instead of O(k) — the difference between a
+    * runtime DPP IN-list of 100k build-side keys costing k·files
+    * comparisons (quadratic blowup found by the round-15 semi-join
+    * probe: 195 s for a 100k-key DPP over 400k rows) and costing
+    * files·log k. Pruning semantics are IDENTICAL to
+    * [[fileMayMatch]]: a file survives an IN-list iff at least one
+    * listed key falls inside its [min,max]; missing stats keep. */
+  final class FilePruner(filters: Seq[Filter]) {
+    private val flat = conjuncts(filters)
+    private val range = keyRange(flat)
+    private val vr = verRange(flat)
+    private val sortedInLists: Seq[Array[Array[Byte]]] = flat.collect {
+      case In("rowkey", vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        val a = vs.map(v => utf8(v.asInstanceOf[String]))
+        java.util.Arrays.sort(a, UnsignedBytesOrd)
+        a
+    }
+    def mayMatch(m: CellFileMeta): Boolean =
+      mayOverlap(m.minKey, m.maxKey, range) &&
+      verMayOverlap(m.minVer, m.maxVer, vr) &&
+      sortedInLists.forall(keys => anyKeyIn(keys, m.minKey, m.maxKey))
+    private def anyKeyIn(sorted: Array[Array[Byte]],
+                         min: Option[Array[Byte]],
+                         max: Option[Array[Byte]]): Boolean =
+      (min, max) match {
+        case (Some(mn), Some(mx)) =>
+          // first key ≥ min, then check it is ≤ max
+          var lo = 0
+          var hi = sorted.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (JArrays.compareUnsigned(sorted(mid), mn) < 0) lo = mid + 1
+            else hi = mid
+          }
+          lo < sorted.length && JArrays.compareUnsigned(sorted(lo), mx) <= 0
+        case _ => true // missing stats ⇒ keep (skip only on evidence)
+      }
+  }
+
+  /** Compile a filter for per-row evaluation: IN-lists become hash
+    * sets (O(1) membership per row — a runtime DPP IN-list can carry
+    * 100k+ build-side keys, and the naive `vs.exists` linear probe per
+    * row is the quadratic blowup the round-15 probe measured),
+    * conjunctions flatten once, everything else delegates to the
+    * reference [[eval]]. Semantics identical: string membership is
+    * UTF8 equality, numeric membership is long-value equality, a null
+    * cell never matches (SQL three-valued logic collapses to false for
+    * a pushed predicate). */
+  def compile(f: Filter): (String => Any) => Boolean = f match {
+    case In(c, vs) =>
+      val set = new java.util.HashSet[Any](math.max(8, vs.length * 2))
+      vs.foreach {
+        case s: String => set.add(UTF8String.fromString(s))
+        case n: Number => set.add(java.lang.Long.valueOf(n.longValue()))
+        case other     => if (other != null) set.add(other)
+      }
+      get => { val v = get(c); v != null && set.contains(v) }
+    case And(l, r) =>
+      val cl = compile(l); val cr = compile(r)
+      get => cl(get) && cr(get)
+    case other => get => eval(other, get)
+  }
+
+  def compileAll(filters: Array[Filter]): Array[(String => Any) => Boolean] =
+    filters.map(compile)
+
   /** The parquet FilterPredicate twin of ALL accepted rowkey
     * constraints, for row-group skipping inside selected files: the
     * folded [lo,hi] interval (stats order = UTF8 binary) AND'd with one
@@ -439,8 +508,9 @@ class GraftCellTable(path: String,
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireLive("DELETE")
     val spark = org.apache.spark.sql.SparkSession.active
+    val pruner = new GraftCell.FilePruner(filters.toSeq)
     val victims = CellFooterCache.filesOf(path)
-      .filter(m => GraftCell.fileMayMatch(m, filters.toSeq))
+      .filter(pruner.mayMatch)
       .map(_.path)
     if (victims.nonEmpty) {
       // each task returns the rewritten file's fresh manifest stats
@@ -839,6 +909,7 @@ object CellDeleteRewrite {
     var maxKey: Array[Byte] = null
     var minVer = Long.MaxValue
     var maxVer = Long.MinValue
+    val compiled = GraftCell.compileAll(filters)
     try {
       var g = reader.read()
       while (g != null) {
@@ -848,8 +919,7 @@ object CellDeleteRewrite {
           else if (c == "version") java.lang.Long.valueOf(g.getLong(gi, 0))
           else UTF8String.fromBytes(g.getBinary(gi, 0).getBytes)
         }
-        val doomed = filters.nonEmpty &&
-          filters.forall(f => GraftCell.eval(f, get))
+        val doomed = filters.nonEmpty && compiled.forall(f => f(get))
         if (!doomed) {
           writer.write(g); kept += 1
           val ki = g.getType.getFieldIndex("rowkey")
@@ -1414,8 +1484,10 @@ class GraftCellScan(path: String, pushed: Array[Filter],
 
   private lazy val all = CellFooterCache.filesOf(path, snapshot, pinnedDirs)
   private def effective: Seq[Filter] = (pushed ++ runtime).toSeq
-  private def selected =
-    all.filter(m => GraftCell.fileMayMatch(m, effective))
+  private def selected = {
+    val pruner = new GraftCell.FilePruner(effective)
+    all.filter(pruner.mayMatch)
+  }
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -1569,8 +1641,9 @@ class GraftCellMicroBatchStream(path: String, pushed: Array[Filter],
     val newDirs = end.asInstanceOf[GraftCellOffset].dirs.filterNot(done)
     val need = required.fieldNames.toSet ++ pushed.flatMap(GraftCell.referenced)
     val fetch = GraftCell.SCHEMA.fields.map(_.name).filter(need.contains)
+    val pruner = new GraftCell.FilePruner(pushed.toSeq)
     newDirs.flatMap(CellFooterCache.filesUnder(path, _))
-      .filter(m => GraftCell.fileMayMatch(m, pushed.toSeq))
+      .filter(pruner.mayMatch)
       .map(m => CellInputPartition(m.path, fetch, required.fieldNames,
                                    pushed, m.messageType): InputPartition)
       .toArray
@@ -1619,6 +1692,15 @@ class CellPartitionReader(p: CellInputPartition)
   private val reader: ParquetReader[org.apache.parquet.example.data.Group] = {
     val conf = new Configuration()
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+    // The pushed predicate exists for ROW-GROUP pruning only (stats /
+    // dictionary / bloom). Parquet's RECORD-level filter is disabled:
+    // membership is already re-checked exactly by the compiled filters
+    // below (hash-set IN), while parquet's record-level In walks the
+    // whole value set PER ROW — a 100k-key runtime DPP IN-list made
+    // that a 50× slowdown (round-15 jstack evidence:
+    // IncrementallyUpdatedFilterPredicateBuilder iterating the HashMap
+    // in every addBinary call).
+    conf.setBoolean("parquet.filter.record-level.enabled", false)
     val b = ParquetReader
       .builder(new GroupReadSupport(), new Path(p.file))
       .withConf(conf)
@@ -1633,6 +1715,9 @@ class CellPartitionReader(p: CellInputPartition)
   // -1 = the `_region_file` metadata column (constant per partition)
   private val outIdx: Array[Int] =
     p.project.map(n => if (n == GraftCell.FILE_COL) -1 else fetchIdx(n))
+  // filters precompiled once per partition: IN-lists become hash sets,
+  // so a runtime DPP IN-list of 100k keys costs O(1) per row
+  private val compiledFilters = GraftCell.compileAll(p.filters)
   private val filePathValue = UTF8String.fromString(p.file)
   private val fetched = new Array[Any](p.fetch.length)
   private var row: InternalRow = _
@@ -1653,7 +1738,7 @@ class CellPartitionReader(p: CellInputPartition)
         i += 1
       }
       val get = (c: String) => fetched(fetchIdx(c))
-      if (p.filters.forall(f => GraftCell.eval(f, get))) {
+      if (compiledFilters.forall(f => f(get))) {
         val out = new Array[Any](outIdx.length)
         var j = 0
         while (j < outIdx.length) {
