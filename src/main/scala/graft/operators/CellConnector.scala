@@ -686,6 +686,20 @@ object CellConnector extends QueryModule {
                ORDER BY rowkey, qualifier""")
     }),
 
+    "cell_connector_count_meta" -> ((s, dir) =>
+      // COMPLETE aggregate pushdown as a CONTRACT key (r15 — was
+      // spec-only): ungrouped COUNT(*) / MIN(rowkey) / MAX(rowkey)
+      // with no filters are answered from the persisted manifest
+      // alone — GraftCellAggScan ships ONE row computed from per-file
+      // stats, zero data bytes read at any scale (the HBase
+      // coprocessor-aggregate analog; at 100 TB this is a pure
+      // metadata query). Any filter/grouping/other function refuses
+      // the pushdown (spec-pinned) and the normal scan runs.
+      cells(s, dir).agg(
+        count(lit(1)).as("n_cells"),
+        min("rowkey").as("min_rowkey"),
+        max("rowkey").as("max_rowkey"))),
+
     "sql_cell_time_travel_ts" -> ((s, dir) => {
       // TIMESTAMP AS OF through the catalog — time travel by CLOCK over
       // the commit-stamped persisted manifests (round-15: every commit
@@ -809,6 +823,13 @@ object CellConnector extends QueryModule {
     "sql_cell_time_travel" ->
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    "cell_connector_count_meta" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT count(*) AS n_cells,
+                 min(rowkey) AS min_rowkey,
+                 max(rowkey) AS max_rowkey
+          FROM cells""",
 
     // the timestamp pin resolves to the era-1 generation = the plain
     // cell rebuild, same oracle shape as the named-snapshot key
