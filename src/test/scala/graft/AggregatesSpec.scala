@@ -47,6 +47,60 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_regression degenerate-variance guards match regr_* (r14 ADVICE)") {
+    // The lineitem fixture never hits zero-variance groups, so the
+    // contract oracle cannot catch a closed form that NaNs where the
+    // built-ins define semantics. Pin the guards on a crafted fixture:
+    //   group "cx": constant x, varying y  → slope/intercept/r2 NULL
+    //   group "cy": varying x, constant y  → r2 = 1.0 (exact flat fit)
+    //   group "ok": both varying           → finite everywhere
+    import spark.implicits._
+    val df = Seq(
+      ("cx", 5.0, 1.0), ("cx", 5.0, 2.0), ("cx", 5.0, 4.0),
+      ("cy", 1.0, 7.0), ("cy", 2.0, 7.0), ("cy", 4.0, 7.0),
+      ("ok", 1.0, 2.0), ("ok", 2.0, 5.0), ("ok", 4.0, 8.0))
+      .toDF("g", "x", "y")
+    df.createOrReplaceTempView("graft_regr_degen")
+    val ref = spark.sql(
+      """SELECT g, regr_slope(y, x) AS s, regr_intercept(y, x) AS i,
+               regr_r2(y, x) AS r2
+         FROM graft_regr_degen GROUP BY g""").collect()
+      .map(r => r.getString(0) -> (r.isNullAt(1), r.isNullAt(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // Spark's reference semantics, asserted so a behavior change in the
+    // built-ins would surface here rather than silently diverge
+    assert(ref("cx") == ((true, true, None)), s"built-in cx: ${ref("cx")}")
+    assert(ref("cy")._3.contains(1.0), s"built-in cy r2: ${ref("cy")}")
+    // the engine's guarded closed forms over the same data (the same
+    // expression tree as the contract key, moments included)
+    import org.apache.spark.sql.types.DecimalType
+    def d18(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+    val m = df.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      Tables.d(sum(d18(col("x")))).as("sx"),
+      Tables.d(sum(d18(col("y")))).as("sy"),
+      Tables.d(sum(d18(col("x")) * d18(col("x")))).as("sxx"),
+      Tables.d(sum(d18(col("y")) * d18(col("y")))).as("syy"),
+      Tables.d(sum(d18(col("x")) * d18(col("y")))).as("sxy"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    val cxy = col("n") * col("sxy") - col("sx") * col("sy")
+    val nullD = lit(null).cast("double")
+    val got = m.select(col("g"),
+        when(vx === 0, nullD).otherwise(Tables.stable4(cxy / vx)).as("s"),
+        when(vx === 0, nullD)
+          .otherwise(Tables.stable4(col("sy") / col("n") -
+                     (cxy / vx) * (col("sx") / col("n")))).as("i"),
+        when(vx === 0, nullD).when(vy === 0, lit(1.0))
+          .otherwise(Tables.stable4(cxy * cxy / (vx * vy))).as("r2"))
+      .collect().map(r => r.getString(0) -> (r.isNullAt(1), r.isNullAt(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got("cx") == ((true, true, None)), s"guarded cx: ${got("cx")}")
+    assert(got("cy")._3.contains(1.0), s"guarded cy r2: ${got("cy")}")
+    assert(!got("ok")._1 && got("ok")._3.exists(r => r > 0 && r <= 1),
+      s"guarded ok: ${got("ok")}")
+  }
+
   test("typed UDAF weighted mean matches decimal-SQL computation") {
     val udafRes = SparkEntry.queries("agg_typed_udaf")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
