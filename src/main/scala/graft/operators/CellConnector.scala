@@ -378,9 +378,11 @@ object CellConnector extends QueryModule {
       // Exactly-once at the table level: the checkpoint offset log
       // delivers each batch once, and the MERGE is idempotent under
       // epoch replay (re-applying a batch upserts the same cells to
-      // the same values). Each micro-batch MERGE is one COW commit —
-      // at 100 TB you'd partition the MERGE by region via the same
-      // range shuffle the write path already declares.
+      // the same values). Each micro-batch MERGE is a GROUP-GRANULAR
+      // commit (r15): the batch's keys runtime-filter the COW scan to
+      // the affected region files and the commit replaces only those
+      // — per-trigger write amplification is O(touched regions), not
+      // O(table).
       registerCatalog(s, dir)
       val src = stageCdc(s, dir)
       val warehouse =
