@@ -44,6 +44,7 @@ object Plans {
     "cell_connector_compact_minor", "sql_cell_catalog", "sql_cell_delete",
     "sql_cell_update", "sql_cell_merge", "sql_cell_time_travel",
     "sql_cell_time_travel_ts", "cell_connector_count_meta",
+    "sql_cell_call_compact", "sql_cell_call_snapshot",
     "sql_cell_checkand", "sql_cell_sync", "cell_connector_gc")
 
   /** What to explain per key. `obs_metrics`' query RESULT is a 1-row

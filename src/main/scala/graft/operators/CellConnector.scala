@@ -737,6 +737,59 @@ object CellConnector extends QueryModule {
                 ORDER BY rowkey, qualifier""")
     }),
 
+    "sql_cell_call_compact" -> ((s, dir) => {
+      // The SQL CALL admin surface (r15 — DSv2 stored procedures,
+      // Spark 4.x ProcedureCatalog): HBase shell `major_compact` as
+      // `CALL graftcat.compact('<table>')`. A two-generation catalog
+      // table (base + an updated-version band) is compacted by the
+      // procedure — latest-version resolution, truncate-commit through
+      // the declared HFile layout — and the SELECT afterwards is the
+      // oracle-checked result. ttl_micros/tombstone ride as optional
+      // defaulted parameters (exercised in CellConnectorSpec with the
+      // GC fixture; here the pure major-compact path). Re-staged each
+      // run: INSERT OVERWRITE resets the table, so the key is
+      // idempotent for the gate.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_proc (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_proc SELECT * FROM graft_catalog_src")
+      s.sql("""INSERT INTO graftcat.events_proc
+               SELECT rowkey, family, qualifier,
+                      version + 1000000 AS version,
+                      concat(value, '!') AS value
+               FROM graft_catalog_src WHERE rowkey >= '5'""")
+      s.sql("CALL graftcat.compact('events_proc')")
+      s.sql("""SELECT * FROM graftcat.events_proc
+               ORDER BY rowkey, qualifier""")
+    }),
+
+    "sql_cell_call_snapshot" -> ((s, dir) => {
+      // HBase shell `snapshot` as `CALL graftcat.snapshot(t, name)`:
+      // the procedure pins the committed dir set (the zero-copy
+      // manifest), a later append grows only the live table, and
+      // `VERSION AS OF` reads the pinned generation — the whole
+      // snapshot lifecycle from SQL. Re-staged each run (the CALL
+      // re-pins the freshly overwritten base generation).
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_procsnap (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_procsnap SELECT * FROM graft_catalog_src")
+      s.sql("CALL graftcat.snapshot('events_procsnap', 's1')")
+      s.sql("""INSERT INTO graftcat.events_procsnap
+               SELECT rowkey, family, qualifier,
+                      version + 1000000 AS version,
+                      concat(value, '~') AS value
+               FROM graft_catalog_src WHERE rowkey >= '8'""")
+      s.sql("""SELECT * FROM graftcat.events_procsnap VERSION AS OF 's1'
+               ORDER BY rowkey, qualifier""")
+    }),
+
     "sql_cell_connector" -> ((s, dir) => {
       // The SQL surface over the connector: the store registered as a
       // (session-scoped) SQL table via `CREATE TEMPORARY VIEW ... USING
@@ -823,6 +876,28 @@ object CellConnector extends QueryModule {
           ORDER BY rowkey, qualifier""",
 
     "sql_cell_time_travel" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    "sql_cell_call_compact" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+          two AS (
+            SELECT * FROM cells
+            UNION ALL
+            SELECT rowkey, family, qualifier,
+                   version + 1000000 AS version,
+                   value || '!' AS value
+            FROM cells WHERE rowkey >= '5'),
+          latest AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY rowkey, family, qualifier
+              ORDER BY version DESC, value DESC) AS rn
+            FROM two)
+          SELECT rowkey, family, qualifier, version, value
+          FROM latest WHERE rn = 1
+          ORDER BY rowkey, qualifier""",
+
+    "sql_cell_call_snapshot" ->
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT * FROM cells ORDER BY rowkey, qualifier""",
 

@@ -31,7 +31,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Namespaces are not supported (HBase's flat table namespace — the
   * default namespace only); table creation enforces the cell schema,
   * because a graftcell table IS the cell model. */
-class GraftCellCatalog extends TableCatalog {
+class GraftCellCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var root: java.io.File = _
 
@@ -155,6 +156,33 @@ class GraftCellCatalog extends TableCatalog {
     rec(dir)
     CellFooterCache.invalidate(dir.getPath)
     true
+  }
+
+  /** Store directory of an existing table (procedure entry point). */
+  private[cell] def storeOf(tableName: String): String = {
+    val dir = dirOf(Identifier.of(Array.empty, tableName))
+    if (!marker(dir).exists())
+      throw new NoSuchTableException(Identifier.of(Array.empty, tableName))
+    dir.getPath
+  }
+
+  /** The SQL `CALL` admin surface — HBase shell maintenance ops
+    * (major/minor compaction, snapshot lifecycle) as DSv2 stored
+    * procedures; see [[GraftCellProcedures]]. Flat namespace, like
+    * tables. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    requireDefaultNs(ident.namespace())
+    GraftCellProcedures.all(this).getOrElse(ident.name(),
+      throw new RuntimeException(
+        s"graftcell: unknown procedure '${ident.name()}' " +
+        s"(have: ${GraftCellProcedures.all(this).keys.toSeq.sorted.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    requireDefaultNs(namespace)
+    GraftCellProcedures.all(this).keys.toSeq.sorted
+      .map(n => Identifier.of(Array.empty, n)).toArray
   }
 
   override def renameTable(oldIdent: Identifier,

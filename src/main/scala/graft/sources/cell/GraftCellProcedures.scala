@@ -1,0 +1,166 @@
+package graft.sources.cell
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The HBase shell ADMIN surface as SQL `CALL` procedures (DSv2
+  * `ProcedureCatalog`, Spark 4.x stored procedures): store maintenance
+  * that previously required calling `GraftCellMaintenance` /
+  * `GraftCellSnapshot` from Scala runs as plain SQL —
+  *
+  * {{{
+  *   CALL graftcat.compact('t')                     -- major_compact 't'
+  *   CALL graftcat.compact('t', 864000000000, '__TOMBSTONE__')
+  *                                                  -- + TTL & tombstone GC
+  *   CALL graftcat.compact_minor('t', 1048576)      -- size-tiered minor
+  *   CALL graftcat.snapshot('t', 's1')              -- snapshot 't','s1'
+  *   CALL graftcat.drop_snapshot('t', 's1')         -- delete_snapshot
+  * }}}
+  *
+  * Each procedure returns ONE summary row (a driver-side [[LocalScan]]
+  * — Spark's `MultiResultExec` materializes it as the CALL result), so
+  * the admin op is observable from SQL: dirs before/after, cells
+  * after, pinned dir count. Procedures are non-deterministic by
+  * declaration (they mutate the store) and follow the same
+  * single-writer maintenance contract as the Scala entry points they
+  * wrap. */
+object GraftCellProcedures {
+
+  private def p(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).build()
+  private def pDefault(name: String, dt: DataType, default: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private final case class SummaryScan(schema: StructType,
+                                       row: InternalRow)
+      extends LocalScan {
+    override def rows(): Array[InternalRow] = Array(row)
+    override def readSchema(): StructType = schema
+    override def description(): String = s"GraftCellProcedureSummary"
+  }
+
+  private def summary(fields: (String, Any)*): java.util.Iterator[Scan] = {
+    val schema = StructType(fields.map {
+      case (n, _: Long)   => StructField(n, LongType, nullable = false)
+      case (n, _: String) => StructField(n, StringType, nullable = false)
+      case (n, v) => throw new IllegalArgumentException(s"$n: $v")
+    })
+    val row = new GenericInternalRow(fields.map {
+      case (_, v: Long)   => v: Any
+      case (_, v: String) => UTF8String.fromString(v): Any
+      case (_, v)         => v
+    }.toArray)
+    java.util.Collections
+      .singletonList(SummaryScan(schema, row): Scan).iterator()
+  }
+
+  private def storeStats(store: String): (Long, Long) = {
+    val dirs = CellFooterCache.committedDirs(store)
+    (dirs.size.toLong,
+     dirs.flatMap(CellFooterCache.filesUnder(store, _)).map(_.rowCount).sum)
+  }
+
+  /** One class per procedure; `bind` ignores the input schema (all
+    * parameters are declared IN scalars — Spark coerces and fills
+    * defaults before `call`). */
+  abstract class CellProcedure(catalog: GraftCellCatalog,
+                               procName: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false // mutates the store
+    protected def store(tableArg: UTF8String): String =
+      catalog.storeOf(tableArg.toString)
+  }
+
+  /** `compact(table, ttl_micros = -1, tombstone = NULL)` — MAJOR
+    * compaction with optional GC: latest-version resolution, plus TTL
+    * expiry (versions older than store-max − ttl_micros; -1 = off)
+    * and physical tombstone dropping (cells hidden by the marker
+    * value, marker included; NULL = off). The HBase shell's
+    * `major_compact` + the GC policy knobs. */
+  final class Compact(catalog: GraftCellCatalog)
+      extends CellProcedure(catalog, "compact") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType),
+      pDefault("ttl_micros", LongType, "-1"),
+      pDefault("tombstone", StringType, "NULL"))
+    override def description(): String =
+      "major compaction: resolve latest versions; optional TTL expiry " +
+      "and tombstone GC; truncate-commit through the declared HFile layout"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val s = store(input.getUTF8String(0))
+      val ttl = if (input.isNullAt(1) || input.getLong(1) < 0) None
+                else Some(input.getLong(1))
+      val tomb = if (input.isNullAt(2)) None
+                 else Some(input.getUTF8String(2).toString)
+      val (dirsBefore, _) = storeStats(s)
+      GraftCellMaintenance.majorCompact(SparkSession.active, s, ttl, tomb)
+      val (dirsAfter, cellsAfter) = storeStats(s)
+      summary("dirs_before" -> dirsBefore, "dirs_after" -> dirsAfter,
+              "cells_after" -> cellsAfter)
+    }
+  }
+
+  /** `compact_minor(table, max_bytes)` — size-tiered minor compaction:
+    * merge every committed batch dir at or below max_bytes into one,
+    * content verbatim. */
+  final class CompactMinor(catalog: GraftCellCatalog)
+      extends CellProcedure(catalog, "compact_minor") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType), p("max_bytes", LongType))
+    override def description(): String =
+      "minor compaction: merge small committed batches, verbatim content"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val s = store(input.getUTF8String(0))
+      val merged = GraftCellMaintenance
+        .minorCompact(SparkSession.active, s, input.getLong(1))
+      val (dirsAfter, _) = storeStats(s)
+      summary("merged_dirs" -> merged.size.toLong,
+              "dirs_after" -> dirsAfter)
+    }
+  }
+
+  /** `snapshot(table, name)` — pin the committed dir set (zero-copy
+    * manifest); readable as `VERSION AS OF '<name>'`. */
+  final class Snapshot(catalog: GraftCellCatalog)
+      extends CellProcedure(catalog, "snapshot") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType), p("name", StringType))
+    override def description(): String =
+      "create a named zero-copy snapshot of the table's committed dirs"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val s = store(input.getUTF8String(0))
+      val pinned = GraftCellSnapshot
+        .create(s, input.getUTF8String(1).toString)
+      summary("pinned_dirs" -> pinned.size.toLong)
+    }
+  }
+
+  /** `drop_snapshot(table, name)` — the HBase shell `delete_snapshot`. */
+  final class DropSnapshot(catalog: GraftCellCatalog)
+      extends CellProcedure(catalog, "drop_snapshot") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType), p("name", StringType))
+    override def description(): String = "delete a named snapshot manifest"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val s = store(input.getUTF8String(0))
+      val name = input.getUTF8String(1).toString
+      // fail fast on unknown snapshots, like VERSION AS OF resolution
+      GraftCellSnapshot.dirs(s, name)
+      GraftCellSnapshot.drop(s, name)
+      summary("dropped" -> 1L)
+    }
+  }
+
+  def all(catalog: GraftCellCatalog): Map[String, UnboundProcedure] = Map(
+    "compact" -> new Compact(catalog),
+    "compact_minor" -> new CompactMinor(catalog),
+    "snapshot" -> new Snapshot(catalog),
+    "drop_snapshot" -> new DropSnapshot(catalog))
+}

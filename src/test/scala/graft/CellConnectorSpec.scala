@@ -980,6 +980,72 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(rowGroups("c") == 1, "present key wrongly skipped")
   }
 
+  test("CALL procedures: admin surface — compact/minor/snapshot lifecycle from SQL") {
+    import graft.sources.cell.CellFooterCache
+    import scala.collection.JavaConverters._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_proc_spec_").toString
+    s.conf.set("spark.sql.catalog.graftproc",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftproc.root", root)
+    s.sql("""CREATE TABLE graftproc.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell""")
+    val store = s"$root/t"
+    // three generations: base + a tombstone for 'c' + a stale rewrite
+    def cells(rows: Seq[(String, Long, String)]) = s.createDataFrame(
+      rows.map { case (k, v, value) =>
+        org.apache.spark.sql.Row(k, "d", "q", v, value) }.asJava,
+      GraftCell.SCHEMA)
+    cells(('a' to 'j').map(c => (c.toString, 1000L, s"v$c")))
+      .write.format("graftcell").mode("append").save(store)
+    cells(Seq(("c", 2000L, "__TOMB__")))
+      .write.format("graftcell").mode("append").save(store)
+    cells(Seq(("d", 1L, "ancient"))) // below the TTL horizon (max-1500)
+      .write.format("graftcell").mode("append").save(store)
+    // snapshot BEFORE compaction, via CALL; then GC-compact via CALL
+    val snapRow = s.sql("CALL graftproc.snapshot('t', 'pre')").collect()
+    assert(snapRow.length == 1 && snapRow(0).getLong(0) == 3L,
+      s"snapshot summary: ${snapRow.toSeq}")
+    val cRow = s.sql(
+      "CALL graftproc.compact('t', 1500, '__TOMB__')").collect()
+    assert(cRow.length == 1, s"compact summary: ${cRow.toSeq}")
+    // dirs_before=3, dirs_after=1, cells_after = 10 - c(tombstoned)
+    //   - d@1 (TTL'd; d@1000 survives: horizon = 2000-1500 = 500)
+    assert(cRow(0).getLong(0) == 3L && cRow(0).getLong(1) == 1L &&
+           cRow(0).getLong(2) == 9L, s"compact summary: ${cRow.toSeq}")
+    val got = s.sql("SELECT rowkey, value FROM graftproc.t ORDER BY rowkey")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(!got.exists(_._1 == "c") && got.exists(_ == ("d", "vd")) &&
+           got.size == 9, s"post-GC content: $got")
+    // minor compaction via CALL: two small appends merge into one dir
+    cells(Seq(("x", 1L, "vx"))).write.format("graftcell")
+      .mode("append").save(store)
+    cells(Seq(("y", 1L, "vy"))).write.format("graftcell")
+      .mode("append").save(store)
+    val sizes = CellFooterCache.committedDirs(store)
+      .map(d => CellFooterCache.filesUnder(store, d).map(_.bytes).sum)
+    val mRow = s.sql(
+      s"CALL graftproc.compact_minor('t', ${sizes.max - 1})").collect()
+    assert(mRow(0).getLong(0) == 2L, s"minor summary: ${mRow.toSeq}")
+    // snapshot lifecycle: listProcedures, drop, and failure modes
+    val procs = s.sql("SHOW PROCEDURES IN graftproc")
+      .select("procedure_name").collect().map(_.getString(0)).sorted.toSeq
+    assert(procs == Seq("compact", "compact_minor", "drop_snapshot",
+                        "snapshot"), s"procedures: $procs")
+    s.sql("CALL graftproc.drop_snapshot('t', 'pre')")
+    intercept[Exception] { // dropping an unknown snapshot fails fast
+      s.sql("CALL graftproc.drop_snapshot('t', 'pre')").collect()
+    }
+    intercept[Exception] { // unknown procedure fails fast
+      s.sql("CALL graftproc.no_such_proc('t')").collect()
+    }
+    intercept[Exception] { // unknown table fails fast
+      s.sql("CALL graftproc.compact('nope')").collect()
+    }
+    s.sql("DROP TABLE graftproc.t")
+  }
+
   test("persisted manifest: plans with ZERO footer opens; stats exactly the footer truth") {
     import graft.sources.cell.{CellFooterCache, CellManifest}
     import org.apache.parquet.schema.MessageTypeParser
