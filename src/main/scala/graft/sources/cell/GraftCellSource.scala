@@ -829,7 +829,14 @@ class GraftCellGroupReplaceBatchWrite(path: String, queryId: String,
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val replaced = Option(op.cowScan).map(_.scannedFiles).getOrElse(Nil)
+    // the paired COW scan must exist: its scanned-file set IS the
+    // replace set. Committing without it would append the rewritten
+    // rows on top of the originals — fail loudly instead of
+    // duplicating silently (cannot happen in a well-formed ReplaceData
+    // plan, which always builds scan before write).
+    require(op.cowScan != null,
+      "graftcell: group-replace commit without its paired COW scan")
+    val replaced = op.cowScan.scannedFiles
     // 1. publish the rewritten generation (atomic, manifest included)
     val stage = new java.io.File(path, s"_stage_$queryId")
     val dest = new java.io.File(path, s"batch_$queryId")
