@@ -158,9 +158,28 @@ object GraftCellProcedures {
     }
   }
 
+  /** `repair(table)` — complete pending RETIRE intents (a crash
+    * between a group-replace commit's publish and its file deletions
+    * leaves an intent behind; readers already exclude the listed
+    * files, repair finishes the physical deletion and drops the
+    * intent — cf. HBase's hbck). No-op on a healthy store. */
+  final class Repair(catalog: GraftCellCatalog)
+      extends CellProcedure(catalog, "repair") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(p("table", StringType))
+    override def description(): String =
+      "complete interrupted group-replace retirements (pending intents)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (intents, removed) =
+        CellRetire.repair(store(input.getUTF8String(0)))
+      summary("intents_completed" -> intents, "files_removed" -> removed)
+    }
+  }
+
   def all(catalog: GraftCellCatalog): Map[String, UnboundProcedure] = Map(
     "compact" -> new Compact(catalog),
     "compact_minor" -> new CompactMinor(catalog),
     "snapshot" -> new Snapshot(catalog),
-    "drop_snapshot" -> new DropSnapshot(catalog))
+    "drop_snapshot" -> new DropSnapshot(catalog),
+    "repair" -> new Repair(catalog))
 }

@@ -850,6 +850,11 @@ class GraftCellGroupReplaceBatchWrite(path: String, queryId: String,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     CellManifest.write(stage, CellManifest.nextCommitStamp(path), metas.toSeq)
+    // the RETIRE INTENT rides the same atomic publish: from the instant
+    // this batch is visible, batch readers exclude the replaced files —
+    // no reader can double-count them during the delete window below,
+    // and a crash anywhere past this point is recoverable (CALL repair)
+    if (replaced.nonEmpty) CellRetire.write(stage, replaced)
     java.nio.file.Files.move(stage.toPath, dest.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     // 2. retire exactly the scanned region files; non-scanned files
@@ -864,6 +869,9 @@ class GraftCellGroupReplaceBatchWrite(path: String, queryId: String,
           .filter(f => f.isFile && f.getName.endsWith(".parquet"))
         if (remaining.isEmpty && dir.getName != dest.getName) deleteRec(dir)
     }
+    // retirement complete: drop the intent (batch readers no longer
+    // need it — the files are gone)
+    CellRetire.clear(dest)
     deleteRec(tmpDir)
     java.nio.file.Files.write(new java.io.File(path, "_SUCCESS").toPath,
                               Array.emptyByteArray)
@@ -1327,6 +1335,74 @@ object CellManifest {
   }
 }
 
+/** RETIRE INTENTS — the group-replace commit's crash/race shield. A
+  * group-granular DML commit must (1) publish the rewritten rows as a
+  * new batch dir and (2) delete the replaced region files; the two
+  * cannot be one atomic rename. The intent closes the gap: the new
+  * batch dir is published WITH a `_retire.json` listing the replaced
+  * files (one atomic rename covers data + intent), and every BATCH
+  * reader excludes intent-listed files from planning — so a reader
+  * racing the delete window, or a store recovered from a crash
+  * between publish and delete, never double-counts a replaced row.
+  * The files are then deleted and the intent removed; an interrupted
+  * retirement is completed by `CALL <cat>.repair('<table>')` (or
+  * implicitly by the next major compaction's truncate). The streaming
+  * (replication-log) reader deliberately does NOT apply intents: it
+  * replays committed batches as written, log semantics. */
+object CellRetire {
+  val NAME = "_retire.json"
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Written into the STAGE dir before the publish rename. */
+  def write(dir: java.io.File, replaced: Seq[String]): Unit = {
+    java.nio.file.Files.write(new java.io.File(dir, NAME).toPath,
+      mapper.writeValueAsBytes(replaced.sorted.toArray))
+    ()
+  }
+
+  def read(dir: java.io.File): Seq[String] = {
+    val f = new java.io.File(dir, NAME)
+    if (!f.exists()) Nil
+    else mapper.readValue(java.nio.file.Files.readAllBytes(f.toPath),
+                          classOf[Array[String]]).toSeq
+  }
+
+  def clear(dir: java.io.File): Unit = {
+    new java.io.File(dir, NAME).delete(); ()
+  }
+
+  /** All retired file paths across a store's committed dirs (transient
+    * — never cached; one existence probe per dir per plan). */
+  def retiredOf(store: String): Set[String] =
+    CellFooterCache.committedDirs(store)
+      .flatMap(d => read(new java.io.File(store, d))).toSet
+
+  /** Complete every pending retirement: delete listed files that still
+    * exist, fold removals into their dirs' manifests, drop the
+    * intents. Returns (intents completed, files deleted). */
+  def repair(store: String): (Long, Long) = {
+    var intents = 0L
+    var removed = 0L
+    CellFooterCache.committedDirs(store).foreach { d =>
+      val dir = new java.io.File(store, d)
+      val listed = read(dir)
+      if (listed.nonEmpty) {
+        intents += 1
+        listed.groupBy(f => new java.io.File(f).getParent).foreach {
+          case (parent, files) =>
+            val live = files.filter(f => new java.io.File(f).isFile)
+            live.foreach { f => new java.io.File(f).delete(); removed += 1 }
+            CellManifest.applyRewrite(new java.io.File(parent),
+              files.toSet, Map.empty)
+        }
+        clear(dir)
+      }
+    }
+    CellFooterCache.invalidate(store)
+    (intents, removed)
+  }
+}
+
 object CellFooterCache {
   /** Driver-side footer cache, one entry PER COMMITTED DIRECTORY — the
     * manifest a real deployment persists next to the data. Directories
@@ -1355,8 +1431,16 @@ object CellFooterCache {
                    !d.getName.startsWith("."))
       .map(_.getName).sorted.toSeq
 
-  def filesOf(store: String): Seq[CellFileMeta] =
+  /** Every batch-read entry point subtracts the store's RETIRE intents
+    * (see [[CellRetire]]): a file listed by a committed intent is
+    * already replaced by its publishing batch dir — planning it too
+    * would double-count its rows during the delete window or after a
+    * crash between publish and delete. */
+  def filesOf(store: String): Seq[CellFileMeta] = {
+    val retired = CellRetire.retiredOf(store)
     committedDirs(store).flatMap(filesUnder(store, _))
+      .filterNot(m => retired.contains(m.path))
+  }
 
   /** Files of a store, optionally AS OF a named snapshot: the manifest
     * replaces the live dir listing (dropping dirs a compaction removed
@@ -1365,9 +1449,11 @@ object CellFooterCache {
     snapshot match {
       case None => filesOf(store)
       case Some(n) =>
+        val retired = CellRetire.retiredOf(store)
         GraftCellSnapshot.dirs(store, n)
           .filter(d => new java.io.File(store, d).isDirectory)
           .flatMap(filesUnder(store, _))
+          .filterNot(m => retired.contains(m.path))
     }
 
   /** Files of a store under an optional snapshot OR an explicit pinned
@@ -1379,8 +1465,10 @@ object CellFooterCache {
     pinnedDirs match {
       case None => filesOf(store, snapshot)
       case Some(dirs) =>
+        val retired = CellRetire.retiredOf(store)
         dirs.filter(d => new java.io.File(store, d).isDirectory)
           .flatMap(filesUnder(store, _))
+          .filterNot(m => retired.contains(m.path))
     }
 
   /** Count of driver-side parquet footer opens — the cost the persisted

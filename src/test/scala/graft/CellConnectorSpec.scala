@@ -1032,7 +1032,11 @@ class CellConnectorSpec extends AnyFunSuite {
     val procs = s.sql("SHOW PROCEDURES IN graftproc")
       .select("procedure_name").collect().map(_.getString(0)).sorted.toSeq
     assert(procs == Seq("compact", "compact_minor", "drop_snapshot",
-                        "snapshot"), s"procedures: $procs")
+                        "repair", "snapshot"), s"procedures: $procs")
+    // repair on a healthy store is a no-op summary
+    val rRow = s.sql("CALL graftproc.repair('t')").collect()
+    assert(rRow(0).getLong(0) == 0L && rRow(0).getLong(1) == 0L,
+      s"repair summary on healthy store: ${rRow.toSeq}")
     s.sql("CALL graftproc.drop_snapshot('t', 'pre')")
     intercept[Exception] { // dropping an unknown snapshot fails fast
       s.sql("CALL graftproc.drop_snapshot('t', 'pre')").collect()
@@ -1044,6 +1048,62 @@ class CellConnectorSpec extends AnyFunSuite {
       s.sql("CALL graftproc.compact('nope')").collect()
     }
     s.sql("DROP TABLE graftproc.t")
+  }
+
+  test("retire intents close the group-replace publish/delete window; repair completes") {
+    import graft.sources.cell.{CellFooterCache, CellRetire}
+    import scala.collection.JavaConverters._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_retire_spec_").toString + "/t"
+    def cells(rows: Seq[(String, String)]) = s.createDataFrame(
+      rows.map { case (k, v) =>
+        org.apache.spark.sql.Row(k, "d", "q", 1L, v) }.asJava,
+      GraftCell.SCHEMA)
+    cells(('a' to 't').map(c => (c.toString, s"v$c")))
+      .write.format("graftcell").option("maxRowsPerFile", "5")
+      .mode("append").save(store)
+    val batch1 = CellFooterCache.committedDirs(store)
+    // the file whose range starts the store (holds 'a'..)
+    val victim = CellFooterCache.filesOf(store)
+      .minBy(_.minKey.map(new String(_)).getOrElse("~"))
+    val victimKeys = ('a' to 't').map(_.toString)
+      .filter(k => victim.minKey.exists(new String(_) <= k) &&
+                   victim.maxKey.exists(new String(_) >= k))
+    assert(victimKeys.nonEmpty && victimKeys.size < 20)
+    // simulate the CRASH WINDOW of a group replace: the rewritten rows
+    // are PUBLISHED (a real connector append) with a retire intent for
+    // the victim file, but the victim itself was never deleted
+    cells(victimKeys.map(k => (k, s"v$k*")))
+      .write.format("graftcell").mode("append").save(store)
+    val batch2 = CellFooterCache.committedDirs(store).diff(batch1)
+    assert(batch2.size == 1)
+    CellRetire.write(new java.io.File(store, batch2.head),
+                     Seq(victim.path))
+    CellFooterCache.invalidate(store)
+    // batch readers exclude the intent-listed file: NO duplicates, the
+    // rewritten values win — mid-window reads are already exactly-once
+    def readAll() = s.read.format("graftcell").load(store)
+      .select("rowkey", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    val during = readAll()
+    assert(during.size == 20, s"double-counted rows: ${during.size}")
+    victimKeys.foreach(k => assert(during.contains((k, s"v$k*")), s"$k"))
+    assert(new java.io.File(victim.path).isFile, "victim gone too early")
+    // and the footer-answered aggregate honors the intent too
+    val n = s.read.format("graftcell").load(store)
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    assert(n == 20L, s"agg pushdown double-counted: $n")
+    // repair completes the retirement: file deleted, manifest updated,
+    // intent dropped, content unchanged, still zero footer opens
+    val (intents, removed) = CellRetire.repair(store)
+    assert(intents == 1L && removed == 1L, s"repair: $intents/$removed")
+    assert(!new java.io.File(victim.path).exists())
+    assert(CellRetire.retiredOf(store).isEmpty)
+    CellFooterCache.invalidate(store)
+    val opens0 = CellFooterCache.footerOpens.get()
+    assert(readAll() == during)
+    assert(CellFooterCache.footerOpens.get() == opens0,
+      "repair left a stale manifest (footer fallback)")
   }
 
   test("persisted manifest: plans with ZERO footer opens; stats exactly the footer truth") {
