@@ -109,4 +109,70 @@ class PropertySpec extends AnyFunSuite {
       .agg(sum(Tables.dec(col("n_chars")))).collect()(0).getDecimal(0)
     assert(s(2) == s(9))
   }
+
+  test("FilePruner ≡ fileMayMatch on random filters and file stats (r15 scale path)") {
+    // The round-15 binary-search pruner (sorted IN-lists, O(log k) per
+    // file) must be SEMANTICS-IDENTICAL to the reference per-key path
+    // it replaced — same survivors on every (filter set, footer stats)
+    // pair, including missing stats, empty envelopes, inclusive
+    // boundaries, and nested Ands. Also pins the compiled row
+    // evaluator to the reference eval on random rows.
+    import graft.sources.cell.{CellFileMeta, GraftCell}
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.unsafe.types.UTF8String
+    val keyGen = Gen.listOfN(3, Gen.oneOf("0", "1", "5", "7", "9", "a", "z"))
+      .map(_.mkString)
+    val filterGen: Gen[Filter] = Gen.oneOf(
+      keyGen.map(k => EqualTo("rowkey", k)),
+      keyGen.map(k => GreaterThanOrEqual("rowkey", k)),
+      keyGen.map(k => LessThan("rowkey", k)),
+      keyGen.map(k => StringStartsWith("rowkey", k.take(1))),
+      Gen.chooseNum(1, 60).flatMap(n =>
+        Gen.listOfN(n, keyGen).map(ks =>
+          In("rowkey", ks.distinct.toArray[Any]))),
+      Gen.chooseNum(0L, 100L).map(v => GreaterThan("version", v)),
+      for { a <- keyGen; b <- keyGen }
+        yield And(GreaterThanOrEqual("rowkey", a), LessThan("rowkey", b)))
+    val metaGen: Gen[CellFileMeta] = for {
+      lo <- keyGen; hi <- keyGen
+      haveKeys <- Gen.frequency(4 -> true, 1 -> false)
+      vlo <- Gen.chooseNum(0L, 100L); vhi <- Gen.chooseNum(0L, 100L)
+      haveVer <- Gen.frequency(4 -> true, 1 -> false)
+    } yield {
+      val (mn, mx) = if (lo <= hi) (lo, hi) else (hi, lo)
+      CellFileMeta("f", 1L, 1L,
+        if (haveKeys) Some(mn.getBytes("UTF-8")) else None,
+        if (haveKeys) Some(mx.getBytes("UTF-8")) else None, "t",
+        if (haveVer) Some(math.min(vlo, vhi)) else None,
+        if (haveVer) Some(math.max(vlo, vhi)) else None)
+    }
+    val caseGen = for {
+      nf <- Gen.chooseNum(0, 4)
+      fs <- Gen.listOfN(nf, filterGen)
+      ms <- Gen.listOfN(30, metaGen)
+    } yield (fs, ms)
+    forAllSeeded(caseGen, samples = 40) { case (fs, ms) =>
+      val pruner = new GraftCell.FilePruner(fs)
+      ms.foreach { m =>
+        assert(pruner.mayMatch(m) == GraftCell.fileMayMatch(m, fs),
+          s"pruner diverges on $m with $fs")
+      }
+    }
+    // compiled row eval ≡ reference eval
+    val rowGen2 = for { k <- keyGen; v <- Gen.chooseNum(0L, 100L) } yield (k, v)
+    val evalCase = for {
+      f <- filterGen; rows <- Gen.listOfN(25, rowGen2)
+    } yield (f, rows)
+    forAllSeeded(evalCase, samples = 40) { case (f, rows) =>
+      val compiled = GraftCell.compile(f)
+      rows.foreach { case (k, v) =>
+        val get = (c: String) => (c: @unchecked) match {
+          case "rowkey"  => UTF8String.fromString(k)
+          case "version" => java.lang.Long.valueOf(v)
+        }
+        assert(compiled(get) == GraftCell.eval(f, get),
+          s"compile diverges on ($k,$v) with $f")
+      }
+    }
+  }
 }
