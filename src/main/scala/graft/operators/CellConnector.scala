@@ -260,6 +260,24 @@ object CellConnector extends QueryModule {
         .filter(col("rowkey").isin("101", "42", "77", "905"))
         .orderBy("rowkey", "qualifier")),
 
+    "cell_connector_multirange" -> ((s, dir) =>
+      // HBase MultiRowRangeFilter — SEVERAL key ranges in ONE scan —
+      // via OR-predicate pushdown (r16): `Or(l, r)` is accepted when
+      // both sides are, file pruning is the UNION of the per-disjunct
+      // survivors (each disjunct's full rowkey-range/IN/version pruning
+      // recursively), the parquet row-group predicate is the or() of
+      // the per-disjunct predicates, and membership is re-checked
+      // exactly per row by the compiled disjunction. Before r16 an OR
+      // was rejected by pushFilters and the probe full-scanned the
+      // store — at 100 TB, the difference between touching 3 region
+      // bands and touching every region. Three disjuncts (two ranges +
+      // a prefix) so the nested Or(Or(..)..) shape is exercised.
+      cells(s, dir)
+        .filter((col("rowkey") >= "10" && col("rowkey") < "12") ||
+                (col("rowkey") >= "85" && col("rowkey") < "90") ||
+                col("rowkey").startsWith("42"))
+        .orderBy("rowkey", "qualifier")),
+
     "cell_connector_snapshot" -> ((s, dir) => {
       // TIME TRAVEL via named SNAPSHOTS — HBase snapshot semantics with
       // zero data copy: a snapshot is a manifest pinning the committed
@@ -850,6 +868,14 @@ object CellConnector extends QueryModule {
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT * FROM cells
           WHERE rowkey IN ('101', '42', '77', '905')
+          ORDER BY rowkey, qualifier""",
+
+    "cell_connector_multirange" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells
+          WHERE (rowkey >= '10' AND rowkey < '12')
+             OR (rowkey >= '85' AND rowkey < '90')
+             OR rowkey LIKE '42%'
           ORDER BY rowkey, qualifier""",
 
     "cell_connector_snapshot" ->

@@ -186,6 +186,12 @@ object GraftCell {
     case IsNotNull(c)             => colType(c).isDefined
     case IsNull(c)                => colType(c).isDefined
     case And(l, r)                => acceptable(l) && acceptable(r)
+    // OR — the HBase MultiRowRangeFilter shape ("several key ranges in
+    // one scan", r16): accepted when BOTH sides are, so a two-range
+    // probe prunes files as the UNION of its disjuncts instead of
+    // full-scanning (file pruning recurses per disjunct; row eval is
+    // the exact disjunction)
+    case Or(l, r)                 => acceptable(l) && acceptable(r)
     // TRUNCATE TABLE arrives as deleteWhere(AlwaysTrue) — must be
     // accepted AND evaluated true, or a truncate would silently no-op
     case _: AlwaysTrue            => true
@@ -222,6 +228,11 @@ object GraftCell {
     case IsNotNull(c)             => get(c) != null
     case IsNull(c)                => get(c) == null
     case And(l, r)                => eval(l, get) && eval(r, get)
+    // null-involving sides collapse to false per the pushed-predicate
+    // contract, which composes correctly through OR: (null OR true) is
+    // TRUE in SQL and (false || true) here; (null OR false) is null ⇒
+    // row filtered, and (false || false) filters too
+    case Or(l, r)                 => eval(l, get) || eval(r, get)
     case _: AlwaysTrue            => true
     case _: AlwaysFalse           => false
     case _                        => false
@@ -288,6 +299,13 @@ object GraftCell {
           val k = Bound(utf8(v.asInstanceOf[String]), true)
           mayOverlap(min, max, KeyRange(Some(k), Some(k)))
         }
+      // an OR conjunct prunes as the UNION of its sides (r16 — the
+      // MultiRowRangeFilter): a file survives iff EITHER disjunct could
+      // hold a row in it. keyRange above folds no Or constraint (the
+      // disjunction has no single [lo,hi]), so this recursion is the
+      // only — and exact — pruning an Or contributes.
+      case Or(l, r) =>
+        fileMayMatch(min, max, Seq(l)) || fileMayMatch(min, max, Seq(r))
       case _ => true
     }
   }
@@ -324,10 +342,20 @@ object GraftCell {
     maxV.forall(_ >= r.lo) && minV.forall(_ <= r.hi)
 
   /** Full file-level pruning over a footer entry: rowkey interval +
-    * per-key IN-lists (multi-get) + version TimeRange. */
-  def fileMayMatch(m: CellFileMeta, filters: Seq[Filter]): Boolean =
-    fileMayMatch(m.minKey, m.maxKey, filters) &&
-      verMayOverlap(m.minVer, m.maxVer, verRange(filters))
+    * per-key IN-lists (multi-get) + version TimeRange + per-disjunct
+    * OR recursion (which, unlike the byte-level overload above, sees
+    * the VERSION stats too — so `version > x OR rowkey < 'c'` prunes
+    * on both columns per disjunct). */
+  def fileMayMatch(m: CellFileMeta, filters: Seq[Filter]): Boolean = {
+    val flat = conjuncts(filters)
+    fileMayMatch(m.minKey, m.maxKey, flat) &&
+      verMayOverlap(m.minVer, m.maxVer, verRange(flat)) &&
+      flat.forall {
+        case Or(l, r) =>
+          fileMayMatch(m, Seq(l)) || fileMayMatch(m, Seq(r))
+        case _ => true
+      }
+  }
 
   /** PRECOMPILED file pruner for a fixed filter set: folds the ranges
     * once and sorts each rowkey IN-list once, so each file tests in
@@ -349,10 +377,18 @@ object GraftCell {
         java.util.Arrays.sort(a, UnsignedBytesOrd)
         a
     }
+    // Or disjuncts prune as the UNION of their sides, each side its own
+    // sub-pruner compiled once (r16 — the MultiRowRangeFilter): a file
+    // survives an Or iff EITHER disjunct's full pruning (rowkey range,
+    // per-key IN, version TimeRange, nested And/Or) would keep it.
+    private val orPruners: Seq[(FilePruner, FilePruner)] = flat.collect {
+      case Or(l, r) => (new FilePruner(Seq(l)), new FilePruner(Seq(r)))
+    }
     def mayMatch(m: CellFileMeta): Boolean =
       mayOverlap(m.minKey, m.maxKey, range) &&
       verMayOverlap(m.minVer, m.maxVer, vr) &&
-      sortedInLists.forall(keys => anyKeyIn(keys, m.minKey, m.maxKey))
+      sortedInLists.forall(keys => anyKeyIn(keys, m.minKey, m.maxKey)) &&
+      orPruners.forall { case (l, r) => l.mayMatch(m) || r.mayMatch(m) }
     private def anyKeyIn(sorted: Array[Array[Byte]],
                          min: Option[Array[Byte]],
                          max: Option[Array[Byte]]): Boolean =
@@ -367,7 +403,17 @@ object GraftCell {
             else hi = mid
           }
           lo < sorted.length && JArrays.compareUnsigned(sorted(lo), mx) <= 0
-        case _ => true // missing stats ⇒ keep (skip only on evidence)
+        // ONE-SIDED stats prune against the present bound (ADVICE r15:
+        // this used to keep unconditionally while fileMayMatch pruned —
+        // now both paths are identical): a key ≥ min exists iff the
+        // LARGEST listed key clears the floor; a key ≤ max exists iff
+        // the SMALLEST clears the ceiling. `sorted` is never empty
+        // (the In collector requires vs.nonEmpty).
+        case (Some(mn), None) =>
+          JArrays.compareUnsigned(sorted(sorted.length - 1), mn) >= 0
+        case (None, Some(mx)) =>
+          JArrays.compareUnsigned(sorted(0), mx) <= 0
+        case (None, None) => true // no stats ⇒ keep (skip only on evidence)
       }
   }
 
@@ -392,6 +438,9 @@ object GraftCell {
     case And(l, r) =>
       val cl = compile(l); val cr = compile(r)
       get => cl(get) && cr(get)
+    case Or(l, r) =>
+      val cl = compile(l); val cr = compile(r)
+      get => cl(get) || cr(get)
     case other => get => eval(other, get)
   }
 
@@ -429,7 +478,18 @@ object GraftCell {
       (if (vr.hi != Long.MaxValue)
          Seq(FilterApi.ltEq(vcol, java.lang.Long.valueOf(vr.hi)): FilterPredicate)
        else Nil)
-    (parquetRange(keyRange(flat)).toSeq ++ points ++ vpreds)
+    // an Or conjunct maps to a parquet or() when BOTH sides yield a
+    // predicate (each side conservative for itself ⇒ the or() is
+    // conservative for the disjunction); a side with no parquet-
+    // expressible constraint can't skip anything, so the whole Or
+    // contributes nothing (r16)
+    val orPreds: Seq[FilterPredicate] = flat.flatMap {
+      case Or(l, r) =>
+        for { a <- parquetPred(Seq(l)); b <- parquetPred(Seq(r)) }
+          yield FilterApi.or(a, b)
+      case _ => None
+    }
+    (parquetRange(keyRange(flat)).toSeq ++ points ++ vpreds ++ orPreds)
       .reduceOption(FilterApi.and)
   }
 
@@ -651,6 +711,23 @@ class GraftCellRowLevelOperation(
     * by the write's commit (scan planning always precedes commit). */
   @volatile private[cell] var cowScan: GraftCellCowScan = _
 
+  /** Register the operation's one COW scan. The commit reads the
+    * replace set from this instance, so a SECOND distinct instance
+    * (plan re-build, plan copy) would make "which scan executed?"
+    * ambiguous — worst case the commit deletes files the executed scan
+    * never planned (data loss). Fail loudly instead (ADVICE r15); the
+    * builder caches its scan, so repeated build() on one builder stays
+    * legal. */
+  private[cell] def registerCowScan(scan: GraftCellCowScan): Unit =
+    synchronized {
+      require(cowScan == null || (cowScan eq scan),
+        "graftcell: a second COW scan instance was built for one " +
+        "row-level operation — the group-replace commit's file set " +
+        "would be ambiguous; refusing rather than risking deletion of " +
+        "unscanned files")
+      cowScan = scan
+    }
+
   override def command()
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
 
@@ -691,12 +768,18 @@ class GraftCellRowLevelOperation(
 class GraftCellCowScanBuilder(path: String, op: GraftCellRowLevelOperation)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = GraftCell.SCHEMA
+  private var built: GraftCellCowScan = _
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = {
-    val scan = new GraftCellCowScan(path, required)
-    op.cowScan = scan
-    scan
+    // one scan per builder: repeated build() returns the SAME instance
+    // (and registration tolerates it); a genuinely second instance is
+    // rejected by registerCowScan — see its scaladoc
+    if (built == null) {
+      built = new GraftCellCowScan(path, required)
+      op.registerCowScan(built)
+    }
+    built
   }
 }
 
@@ -993,6 +1076,16 @@ object GraftCellMaintenance {
     * Returns the merged (deleted) dirs; no-op below 2 victims. */
   def minorCompact(spark: org.apache.spark.sql.SparkSession,
                    store: String, maxBytes: Long): Seq[String] = {
+    // Complete pending RETIREMENTS first (ADVICE r15): the victim
+    // deletion below removes dirs wholesale, including any
+    // `_retire.json` a crash-interrupted group-replace left behind. If
+    // such an intent lived in a (small) victim dir while the listed
+    // already-replaced files live in a larger SURVIVING dir, merging
+    // would copy the rewritten rows and then the delete would drop the
+    // intent — the still-existing replaced files would resurface in
+    // live listings and double-count. repair() is idempotent and a
+    // no-op on a healthy store.
+    CellRetire.repair(store)
     val victims = CellFooterCache.committedDirs(store).filter { d =>
       CellFooterCache.filesUnder(store, d).map(_.bytes).sum <= maxBytes
     }

@@ -1106,6 +1106,108 @@ class CellConnectorSpec extends AnyFunSuite {
       "repair left a stale manifest (footer fallback)")
   }
 
+  test("OR pushdown: a multi-range probe plans the UNION of its disjuncts' files (r16)") {
+    // HBase MultiRowRangeFilter: before r16 an Or was rejected by
+    // pushFilters — zero file pruning, full-store scan. Now it pushes,
+    // prunes per disjunct, and the scan plans strictly fewer files
+    // than the store holds.
+    val df = SparkEntry.queries("cell_connector_multirange")(s, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftCellScan"))
+    assert(plan.contains("Or("), s"Or not pushed:\n$plan")
+    val m = "regionFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.nonEmpty, s"no regionFiles marker:\n$plan")
+    val (got, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    assert(got < total, s"OR predicate did not prune: ${m.get.matched}")
+    // and the union is EXACT on this store: planned files = the union
+    // of the per-disjunct plans (no envelope blowup between the bands)
+    def planned(d: org.apache.spark.sql.DataFrame): Int =
+      "regionFiles: (\\d+)/".r
+        .findFirstMatchIn(d.queryExecution.executedPlan.toString)
+        .get.group(1).toInt
+    val store = "/tmp/graft_cellstore_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s.read.format("graftcell").load(store)
+    val perDisjunct = Seq(
+      base.filter(col("rowkey") >= "10" && col("rowkey") < "12"),
+      base.filter(col("rowkey") >= "85" && col("rowkey") < "90"),
+      base.filter(col("rowkey").startsWith("42"))).map(planned)
+    assert(got <= perDisjunct.sum && got >= perDisjunct.max,
+           s"union pruning off: $got vs per-disjunct $perDisjunct")
+  }
+
+  test("minor compaction completes pending retirements first (ADVICE r15: no resurrection)") {
+    import graft.sources.cell.{CellFooterCache, CellRetire, GraftCellMaintenance}
+    import scala.collection.JavaConverters._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_minor_retire_spec_").toString + "/t"
+    def cells(rows: Seq[(String, String)]) = s.createDataFrame(
+      rows.map { case (k, v) =>
+        org.apache.spark.sql.Row(k, "d", "q", 1L, v) }.asJava,
+      GraftCell.SCHEMA)
+    // batch1: the LARGE surviving generation (above the minor threshold)
+    cells(('a' to 't').map(c => (c.toString, s"v$c")))
+      .write.format("graftcell").option("maxRowsPerFile", "5")
+      .mode("append").save(store)
+    val batch1 = CellFooterCache.committedDirs(store)
+    val batch1Bytes = CellFooterCache.filesOf(store).map(_.bytes).sum
+    val victim = CellFooterCache.filesOf(store)
+      .minBy(_.minKey.map(new String(_)).getOrElse("~"))
+    val victimKeys = ('a' to 't').map(_.toString)
+      .filter(k => victim.minKey.exists(new String(_) <= k) &&
+                   victim.maxKey.exists(new String(_) >= k))
+    // batch2: SMALL dir carrying the crash-window intent — its rows
+    // replace the victim file that still sits in the big batch1
+    cells(victimKeys.map(k => (k, s"v$k*")))
+      .write.format("graftcell").mode("append").save(store)
+    val batch2 = CellFooterCache.committedDirs(store).diff(batch1)
+    CellRetire.write(new java.io.File(store, batch2.head), Seq(victim.path))
+    // batch3: a second small dir so the minor compaction has ≥2 victims
+    cells(Seq("u" -> "vu", "w" -> "vw", "y" -> "vy"))
+      .write.format("graftcell").mode("append").save(store)
+    CellFooterCache.invalidate(store)
+    def readAll() = s.read.format("graftcell").load(store)
+      .select("rowkey", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    val before = readAll()
+    assert(before.map(_._1).distinct.size == 23, s"pre-state wrong: $before")
+    // minor-compact the two SMALL dirs (batch1 stays): the fix repairs
+    // the pending retirement BEFORE selecting victims, so deleting the
+    // intent-bearing batch2 dir cannot resurrect the replaced file.
+    // Threshold sits just under batch1's POST-repair size (repair
+    // removes the victim file from it first).
+    val merged = GraftCellMaintenance
+      .minorCompact(s, store, batch1Bytes - victim.bytes - 1)
+    assert(merged.size == 2, s"expected 2 victims, got $merged")
+    val after = readAll()
+    assert(after == before,
+      s"minor compaction changed content:\n  before=$before\n  after=$after")
+    // exactly one row per key — the old bug double-counted victimKeys
+    assert(after.map(_._1).distinct.size == after.size,
+      s"resurrected retired rows: $after")
+    victimKeys.foreach(k => assert(after.contains((k, s"v$k*")), s"$k stale"))
+    assert(!new java.io.File(victim.path).exists(),
+      "repair did not delete the retired file")
+    assert(CellRetire.retiredOf(store).isEmpty, "intent survived compaction")
+  }
+
+  test("a SECOND COW scan instance for one row-level operation fails loudly (ADVICE r15)") {
+    import graft.sources.cell.GraftCellRowLevelOperation
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val op = new GraftCellRowLevelOperation("/tmp/graft_cow_guard", Command.UPDATE)
+    val opts = CaseInsensitiveStringMap.empty()
+    val b1 = op.newScanBuilder(opts)
+    val scan1 = b1.build()
+    // repeated build() on ONE builder returns the cached instance — legal
+    assert(b1.build() eq scan1)
+    // a different builder would register a DIFFERENT scan instance: the
+    // commit could no longer tell which scan executed — refused
+    val e = intercept[IllegalArgumentException] {
+      op.newScanBuilder(opts).build()
+    }
+    assert(e.getMessage.contains("second COW scan"))
+  }
+
   test("persisted manifest: plans with ZERO footer opens; stats exactly the footer truth") {
     import graft.sources.cell.{CellFooterCache, CellManifest}
     import org.apache.parquet.schema.MessageTypeParser

@@ -122,7 +122,7 @@ class PropertySpec extends AnyFunSuite {
     import org.apache.spark.unsafe.types.UTF8String
     val keyGen = Gen.listOfN(3, Gen.oneOf("0", "1", "5", "7", "9", "a", "z"))
       .map(_.mkString)
-    val filterGen: Gen[Filter] = Gen.oneOf(
+    val leafGen: Gen[Filter] = Gen.oneOf(
       keyGen.map(k => EqualTo("rowkey", k)),
       keyGen.map(k => GreaterThanOrEqual("rowkey", k)),
       keyGen.map(k => LessThan("rowkey", k)),
@@ -133,16 +133,29 @@ class PropertySpec extends AnyFunSuite {
       Gen.chooseNum(0L, 100L).map(v => GreaterThan("version", v)),
       for { a <- keyGen; b <- keyGen }
         yield And(GreaterThanOrEqual("rowkey", a), LessThan("rowkey", b)))
+    // r16: OR disjunctions (the MultiRowRangeFilter pushdown) — both
+    // flat Or(leaf, leaf) and the nested Or(Or(..), ..) / Or(And(..),
+    // ..) shapes Catalyst actually emits for 3+ ranges
+    val filterGen: Gen[Filter] = Gen.frequency(
+      3 -> leafGen,
+      1 -> (for { a <- leafGen; b <- leafGen } yield Or(a, b)),
+      1 -> (for { a <- leafGen; b <- leafGen; c <- leafGen }
+              yield Or(Or(a, b), c)))
     val metaGen: Gen[CellFileMeta] = for {
       lo <- keyGen; hi <- keyGen
-      haveKeys <- Gen.frequency(4 -> true, 1 -> false)
+      // one-sided stats included (ADVICE r15: min-only/max-only files
+      // must prune identically in FilePruner and fileMayMatch)
+      keySides <- Gen.frequency(6 -> "both", 2 -> "none",
+                                1 -> "minOnly", 1 -> "maxOnly")
       vlo <- Gen.chooseNum(0L, 100L); vhi <- Gen.chooseNum(0L, 100L)
       haveVer <- Gen.frequency(4 -> true, 1 -> false)
     } yield {
       val (mn, mx) = if (lo <= hi) (lo, hi) else (hi, lo)
-      CellFileMeta("f", 1L, 1L,
-        if (haveKeys) Some(mn.getBytes("UTF-8")) else None,
-        if (haveKeys) Some(mx.getBytes("UTF-8")) else None, "t",
+      val minKey = if (keySides == "both" || keySides == "minOnly")
+        Some(mn.getBytes("UTF-8")) else None
+      val maxKey = if (keySides == "both" || keySides == "maxOnly")
+        Some(mx.getBytes("UTF-8")) else None
+      CellFileMeta("f", 1L, 1L, minKey, maxKey, "t",
         if (haveVer) Some(math.min(vlo, vhi)) else None,
         if (haveVer) Some(math.max(vlo, vhi)) else None)
     }
