@@ -39,7 +39,8 @@ object Plans {
     "graph_reachability", "rcte_running_clamp", "sql_pipe", "obs_metrics",
     "cell_connector_range", "cell_connector_prefix",
     "sql_cell_connector", "cell_connector_compact",
-    "cell_connector_multiget", "cell_connector_snapshot",
+    "cell_connector_multiget", "cell_connector_multirange",
+    "cell_connector_snapshot",
     "cell_connector_split_regions", "cell_connector_timerange",
     "cell_connector_compact_minor", "sql_cell_catalog", "sql_cell_delete",
     "sql_cell_update", "sql_cell_merge", "sql_cell_time_travel",

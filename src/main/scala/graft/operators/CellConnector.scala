@@ -808,6 +808,60 @@ object CellConnector extends QueryModule {
                ORDER BY rowkey, qualifier""")
     }),
 
+    "sql_cell_call_restore" -> ((s, dir) => {
+      // HBase shell `restore_snapshot` as SQL (r16) — the verb users
+      // reach for after a bad batch: pin the good generation
+      // (CALL snapshot), append a corrupting batch, then
+      // CALL restore_snapshot repoints the LIVE dir set to the pinned
+      // manifest — one atomic publish (empty generation + retire
+      // intent covering every post-snapshot file), so readers flip
+      // from corrupted to restored in one rename and a crash
+      // mid-cleanup is completed by CALL repair. Zero data copy at any
+      // scale: restore is pure metadata + orphan deletion. The SELECT
+      // afterwards must equal the pre-corruption cells — the oracle is
+      // the plain rebuild. Re-staged each run (INSERT OVERWRITE).
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_rst (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_rst SELECT * FROM graft_catalog_src")
+      s.sql("CALL graftcat.snapshot('events_rst', 'good')")
+      s.sql("""INSERT INTO graftcat.events_rst
+               SELECT rowkey, family, qualifier,
+                      version + 1000000 AS version,
+                      concat(value, '#CORRUPT') AS value
+               FROM graft_catalog_src WHERE rowkey >= '7'""")
+      s.sql("CALL graftcat.restore_snapshot('events_rst', 'good')")
+      s.sql("""SELECT * FROM graftcat.events_rst
+               ORDER BY rowkey, qualifier""")
+    }),
+
+    "sql_cell_call_list_snapshots" -> ((s, dir) => {
+      // HBase shell `list_snapshots` as SQL (r16): one row per snapshot
+      // manifest — name, pinned-dir count, and how many pinned dirs a
+      // later compaction removed (missing > 0 = invalidated). A
+      // multi-row procedure result (LocalScan), deterministic here by
+      // construction: overwrite (1 dir) → snapshot s1 → append (2
+      // dirs) → snapshot s2. Re-staged each run.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_ls (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_ls SELECT * FROM graft_catalog_src")
+      s.sql("CALL graftcat.snapshot('events_ls', 's1')")
+      s.sql("""INSERT INTO graftcat.events_ls
+               SELECT rowkey, family, qualifier,
+                      version + 1000000 AS version,
+                      concat(value, '~') AS value
+               FROM graft_catalog_src WHERE rowkey >= '6' AND rowkey < '7'""")
+      s.sql("CALL graftcat.snapshot('events_ls', 's2')")
+      s.sql("CALL graftcat.list_snapshots('events_ls')")
+    }),
+
     "sql_cell_connector" -> ((s, dir) => {
       // The SQL surface over the connector: the store registered as a
       // (session-scoped) SQL table via `CREATE TEMPORARY VIEW ... USING
@@ -926,6 +980,21 @@ object CellConnector extends QueryModule {
     "sql_cell_call_snapshot" ->
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    // restore repoints the live table to the pre-corruption snapshot,
+    // so the result is the plain cell rebuild — corrupt rows gone
+    "sql_cell_call_restore" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    // deterministic by construction: s1 pins the single overwrite dir,
+    // s2 pins overwrite + one append; nothing was compacted ⇒ missing=0
+    "sql_cell_call_list_snapshots" ->
+      """SELECT 's1' AS name, CAST(1 AS BIGINT) AS pinned_dirs,
+                CAST(0 AS BIGINT) AS missing_dirs
+         UNION ALL
+         SELECT 's2', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+         ORDER BY name""",
 
     "cell_connector_count_meta" ->
       s"""WITH cells AS (${CellQueries.eventCellsSql})

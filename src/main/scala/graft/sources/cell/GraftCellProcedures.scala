@@ -37,27 +37,37 @@ object GraftCellProcedures {
     ProcedureParameter.in(name, dt).defaultValue(default).build()
 
   private final case class SummaryScan(schema: StructType,
-                                       row: InternalRow)
+                                       rowSet: Array[InternalRow])
       extends LocalScan {
-    override def rows(): Array[InternalRow] = Array(row)
+    override def rows(): Array[InternalRow] = rowSet
     override def readSchema(): StructType = schema
     override def description(): String = s"GraftCellProcedureSummary"
   }
 
-  private def summary(fields: (String, Any)*): java.util.Iterator[Scan] = {
-    val schema = StructType(fields.map {
+  private def schemaOf(fields: Seq[(String, Any)]): StructType =
+    StructType(fields.map {
       case (n, _: Long)   => StructField(n, LongType, nullable = false)
       case (n, _: String) => StructField(n, StringType, nullable = false)
       case (n, v) => throw new IllegalArgumentException(s"$n: $v")
     })
-    val row = new GenericInternalRow(fields.map {
+
+  private def rowOf(fields: Seq[(String, Any)]): InternalRow =
+    new GenericInternalRow(fields.map {
       case (_, v: Long)   => v: Any
       case (_, v: String) => UTF8String.fromString(v): Any
       case (_, v)         => v
     }.toArray)
-    java.util.Collections
-      .singletonList(SummaryScan(schema, row): Scan).iterator()
-  }
+
+  private def summary(fields: (String, Any)*): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList(
+      SummaryScan(schemaOf(fields), Array(rowOf(fields))): Scan).iterator()
+
+  /** Multi-row procedure result (e.g. `list_snapshots` — one row per
+    * snapshot); every row must carry the same field names/types. */
+  private def table(schema: StructType,
+                    rows: Seq[Seq[(String, Any)]]): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList(
+      SummaryScan(schema, rows.map(rowOf).toArray): Scan).iterator()
 
   private def storeStats(store: String): (Long, Long) = {
     val dirs = CellFooterCache.committedDirs(store)
@@ -176,10 +186,54 @@ object GraftCellProcedures {
     }
   }
 
+  /** `list_snapshots(table)` — the HBase shell `list_snapshots`: one
+    * row per snapshot manifest with its pinned-dir count and how many
+    * pinned dirs a later compaction removed (missing > 0 ⇒ the
+    * snapshot is invalidated: reads partially empty, refuses restore). */
+  final class ListSnapshots(catalog: GraftCellCatalog)
+      extends CellProcedure(catalog, "list_snapshots") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(p("table", StringType))
+    override def description(): String =
+      "list the table's snapshots: name, pinned dirs, missing (invalidated) dirs"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val rows = GraftCellSnapshot.list(store(input.getUTF8String(0)))
+        .map { case (n, pinned, missing) =>
+          Seq[(String, Any)]("name" -> n,
+            "pinned_dirs" -> pinned.size.toLong,
+            "missing_dirs" -> missing.size.toLong) }
+      table(StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("pinned_dirs", LongType, nullable = false),
+        StructField("missing_dirs", LongType, nullable = false))), rows)
+    }
+  }
+
+  /** `restore_snapshot(table, name)` — repoint the live dir set to the
+    * snapshot's pinned manifest: one atomic publish (empty generation +
+    * retire intent for every post-snapshot file), then physical cleanup
+    * — readers never see a half state, and a crash mid-cleanup is
+    * completed by `CALL repair`. Refuses unknown or compaction-
+    * invalidated snapshots. The HBase shell `restore_snapshot`. */
+  final class RestoreSnapshot(catalog: GraftCellCatalog)
+      extends CellProcedure(catalog, "restore_snapshot") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType), p("name", StringType))
+    override def description(): String =
+      "restore the table to a named snapshot's pinned dir set (atomic, zero-copy)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (pinned, retired) = GraftCellSnapshot.restore(
+        store(input.getUTF8String(0)), input.getUTF8String(1).toString)
+      summary("pinned_dirs" -> pinned, "files_retired" -> retired)
+    }
+  }
+
   def all(catalog: GraftCellCatalog): Map[String, UnboundProcedure] = Map(
     "compact" -> new Compact(catalog),
     "compact_minor" -> new CompactMinor(catalog),
     "snapshot" -> new Snapshot(catalog),
     "drop_snapshot" -> new DropSnapshot(catalog),
+    "list_snapshots" -> new ListSnapshots(catalog),
+    "restore_snapshot" -> new RestoreSnapshot(catalog),
     "repair" -> new Repair(catalog))
 }

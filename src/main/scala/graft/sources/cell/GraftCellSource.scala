@@ -665,6 +665,80 @@ object GraftCellSnapshot {
     manifest(store, name).delete(); ()
   }
 
+  /** All snapshots of a store, sorted by name: (name, pinned dirs,
+    * missing dirs) — `missing` counts pinned dirs a later compaction /
+    * truncate removed (a nonzero count means the snapshot is
+    * INVALIDATED: it reads partially empty and cannot be restored).
+    * The HBase shell `list_snapshots`. */
+  def list(store: String): Seq[(String, Seq[String], Seq[String])] =
+    Option(new java.io.File(store).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("_snapshot_") &&
+                   f.getName.endsWith(".json"))
+      .map(_.getName.stripPrefix("_snapshot_").stripSuffix(".json"))
+      .sorted.toSeq
+      .map { n =>
+        val pinned = dirs(store, n)
+        (n, pinned,
+         pinned.filterNot(d => new java.io.File(store, d).isDirectory))
+      }
+
+  /** RESTORE the store to a named snapshot's pinned dir set — the HBase
+    * shell `restore_snapshot`, the verb users reach for after a bad
+    * batch. Zero data copy, crash-safe, and atomic for readers:
+    *
+    *  1. refuse if the snapshot is unknown or INVALIDATED (a pinned dir
+    *     was removed by compaction — there is nothing to restore to);
+    *  2. publish an EMPTY generation whose RETIRE INTENT lists every
+    *     file of the post-snapshot ("orphan") dirs — ONE atomic rename,
+    *     and from that instant every batch reader sees exactly the
+    *     snapshot's file set (pinned dirs are never touched, so the
+    *     snapshot itself stays valid);
+    *  3. delete the orphan files/dirs and drop the intent — a crash
+    *     anywhere in this half is completed by `CALL repair`.
+    *
+    * Like compaction this is single-writer store maintenance; OTHER
+    * snapshots that pinned an orphan dir are invalidated (the
+    * documented no-archive-dir caveat). Cells deleted IN PLACE from
+    * pinned dirs since the snapshot (DELETE rewrites) are not
+    * resurrected — restore repoints the dir set, it does not undo
+    * rewrites. Returns (pinned dirs, orphan files retired). */
+  def restore(store: String, name: String): (Long, Long) = {
+    // complete any pending retirement first: the orphan listing below
+    // must not resurrect files an interrupted group-replace already
+    // excluded
+    CellRetire.repair(store)
+    val pinned = dirs(store, name)
+    val missing = pinned.filterNot(d => new java.io.File(store, d).isDirectory)
+    require(missing.isEmpty,
+      s"graftcell: snapshot '$name' was invalidated by compaction — " +
+      s"pinned dirs no longer exist: ${missing.mkString(", ")}")
+    val orphans = CellFooterCache.committedDirs(store)
+      .filterNot(pinned.toSet)
+    val orphanFiles = orphans
+      .flatMap(d => CellFooterCache.filesUnder(store, d)).map(_.path)
+    if (orphans.nonEmpty) {
+      GraftCellMaintenance.publishReplacement(
+        store, Nil, orphanFiles, "restore")
+      // orphan dirs emptied of data by the publish are removed with it;
+      // dirs that held no data files (e.g. an older restore marker) are
+      // swept here so the live dir set IS the pinned set + this marker
+      orphans.map(new java.io.File(store, _)).filter(_.isDirectory)
+        .foreach { d =>
+          val hasData = Option(d.listFiles).getOrElse(Array.empty)
+            .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+          if (!hasData) {
+            def rec(f: java.io.File): Unit = {
+              Option(f.listFiles).getOrElse(Array.empty).foreach(rec)
+              f.delete(); ()
+            }
+            rec(d)
+          }
+        }
+      CellFooterCache.invalidate(store)
+    }
+    (pinned.size.toLong, orphanFiles.size.toLong)
+  }
+
   /** The dir set a snapshot pinned; error if the snapshot is unknown. */
   def dirs(store: String, name: String): Seq[String] = {
     val f = manifest(store, name)
@@ -1056,6 +1130,56 @@ object CellDeleteRewrite {
 /** Store maintenance beyond a single query — the HBase housekeeping
   * the region server owns. */
 object GraftCellMaintenance {
+
+  /** Atomically publish a REPLACEMENT generation: a new batch dir
+    * holding `newFiles` (already written to a tmp location; may be
+    * empty) plus a RETIRE INTENT for `replaced`, made visible by ONE
+    * rename — the same crash-safe protocol as the group-replace DML
+    * commit, factored for maintenance ops (snapshot restore, region
+    * split/merge). From the rename onward batch readers see the new
+    * files and exclude the replaced ones; the second half (delete the
+    * replaced files, fold their dirs' manifests, drop dirs emptied of
+    * data) is completed by `CALL repair` if interrupted. Single-writer
+    * maintenance, like compaction. Returns the published dir name. */
+  private[cell] def publishReplacement(store: String,
+                                       newFiles: Seq[CellFileMeta],
+                                       replaced: Seq[String],
+                                       tag: String): String = {
+    val id = java.util.UUID.randomUUID().toString.replace("-", "")
+    val stage = new java.io.File(store, s"_stage_${tag}_$id")
+    val dest = new java.io.File(store, s"batch_${tag}_$id")
+    deleteRec(stage)
+    stage.mkdirs()
+    newFiles.foreach { m =>
+      val src = new java.io.File(m.path)
+      java.nio.file.Files.move(src.toPath,
+        new java.io.File(stage, src.getName).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    CellManifest.write(stage, CellManifest.nextCommitStamp(store), newFiles)
+    if (replaced.nonEmpty) CellRetire.write(stage, replaced)
+    java.nio.file.Files.move(stage.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    replaced.groupBy(f => new java.io.File(f).getParent).foreach {
+      case (dirPath, files) =>
+        files.foreach(f => new java.io.File(f).delete())
+        val dir = new java.io.File(dirPath)
+        CellManifest.applyRewrite(dir, files.toSet, Map.empty)
+        val remaining = Option(dir.listFiles).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        if (remaining.isEmpty && dir.getName != dest.getName) deleteRec(dir)
+    }
+    CellRetire.clear(dest)
+    java.nio.file.Files.write(new java.io.File(store, "_SUCCESS").toPath,
+                              Array.emptyByteArray)
+    CellFooterCache.invalidate(store)
+    dest.getName
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
+  }
 
   /** MINOR COMPACTION: merge every committed batch dir whose total
     * bytes are ≤ `maxBytes` into ONE new batch, leaving larger
@@ -1485,8 +1609,21 @@ object CellRetire {
           case (parent, files) =>
             val live = files.filter(f => new java.io.File(f).isFile)
             live.foreach { f => new java.io.File(f).delete(); removed += 1 }
-            CellManifest.applyRewrite(new java.io.File(parent),
-              files.toSet, Map.empty)
+            val pdir = new java.io.File(parent)
+            CellManifest.applyRewrite(pdir, files.toSet, Map.empty)
+            // a dir emptied of data files is retired with its metadata
+            // — the same end-state the interrupted commit would have
+            // reached (group-replace and maintenance publishes both
+            // drop emptied victim dirs)
+            val remaining = Option(pdir.listFiles).getOrElse(Array.empty)
+              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            if (remaining.isEmpty && pdir.getName != d) {
+              def rec(f: java.io.File): Unit = {
+                Option(f.listFiles).getOrElse(Array.empty).foreach(rec)
+                f.delete(); ()
+              }
+              rec(pdir)
+            }
         }
         clear(dir)
       }

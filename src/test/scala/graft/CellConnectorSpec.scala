@@ -1032,7 +1032,8 @@ class CellConnectorSpec extends AnyFunSuite {
     val procs = s.sql("SHOW PROCEDURES IN graftproc")
       .select("procedure_name").collect().map(_.getString(0)).sorted.toSeq
     assert(procs == Seq("compact", "compact_minor", "drop_snapshot",
-                        "repair", "snapshot"), s"procedures: $procs")
+                        "list_snapshots", "repair", "restore_snapshot",
+                        "snapshot"), s"procedures: $procs")
     // repair on a healthy store is a no-op summary
     val rRow = s.sql("CALL graftproc.repair('t')").collect()
     assert(rRow(0).getLong(0) == 0L && rRow(0).getLong(1) == 0L,
@@ -1048,6 +1049,69 @@ class CellConnectorSpec extends AnyFunSuite {
       s.sql("CALL graftproc.compact('nope')").collect()
     }
     s.sql("DROP TABLE graftproc.t")
+  }
+
+  test("restore_snapshot repoints the live dir set; refusal paths pinned (r16)") {
+    import graft.sources.cell.{CellFooterCache, CellRetire, GraftCellSnapshot}
+    import scala.collection.JavaConverters._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_restore_spec_").toString
+    s.conf.set("spark.sql.catalog.graftrst",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftrst.root", root)
+    s.sql("""CREATE TABLE graftrst.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell""")
+    val store = s"$root/t"
+    def cells(rows: Seq[(String, String)]) = s.createDataFrame(
+      rows.map { case (k, v) =>
+        org.apache.spark.sql.Row(k, "d", "q", 1L, v) }.asJava,
+      GraftCell.SCHEMA)
+    def readAll() = s.sql("SELECT rowkey, value FROM graftrst.t ORDER BY rowkey")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    cells(('a' to 'j').map(c => (c.toString, s"v$c")))
+      .write.format("graftcell").mode("append").save(store)
+    val good = readAll()
+    s.sql("CALL graftrst.snapshot('t', 'good')")
+    // two bad batches after the snapshot
+    cells(Seq("k" -> "bad1")).write.format("graftcell")
+      .mode("append").save(store)
+    cells(Seq("m" -> "bad2")).write.format("graftcell")
+      .mode("append").save(store)
+    assert(readAll().size == 12)
+    // list shows the snapshot valid (1 pinned dir, 0 missing)
+    val ls = s.sql("CALL graftrst.list_snapshots('t')").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ls == Seq(("good", 1L, 0L)), s"list: $ls")
+    // restore drops exactly the post-snapshot batches, atomically
+    val rr = s.sql("CALL graftrst.restore_snapshot('t', 'good')").collect()
+    assert(rr(0).getLong(0) == 1L && rr(0).getLong(1) == 2L,
+      s"restore summary: ${rr.toSeq}")
+    assert(readAll() == good, "restore did not return the pinned content")
+    // no pending intent, no orphan dirs beyond pinned + restore marker
+    assert(CellRetire.retiredOf(store).isEmpty)
+    val dirs = CellFooterCache.committedDirs(store)
+    assert(dirs.size == 2 && dirs.exists(_.contains("restore")),
+      s"dirs after restore: $dirs")
+    // the snapshot survives its own restore (pinned dirs untouched)
+    assert(readAll() == good)
+    val ls2 = s.sql("CALL graftrst.list_snapshots('t')").collect()
+    assert(ls2.length == 1 && ls2(0).getLong(2) == 0L)
+    // refusal: unknown snapshot
+    intercept[Exception] {
+      s.sql("CALL graftrst.restore_snapshot('t', 'nope')").collect()
+    }
+    // refusal: snapshot invalidated by compaction (pinned dirs gone) —
+    // and list reports it as missing rather than lying
+    s.sql("CALL graftrst.compact('t')")
+    val ls3 = s.sql("CALL graftrst.list_snapshots('t')").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ls3 == Seq(("good", 1L, 1L)), s"invalidated list: $ls3")
+    val e = intercept[Exception] {
+      s.sql("CALL graftrst.restore_snapshot('t', 'good')").collect()
+    }
+    assert(e.getMessage.contains("invalidated"), e.getMessage)
+    s.sql("DROP TABLE graftrst.t")
   }
 
   test("retire intents close the group-replace publish/delete window; repair completes") {
