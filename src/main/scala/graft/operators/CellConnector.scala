@@ -808,6 +808,38 @@ object CellConnector extends QueryModule {
                ORDER BY rowkey, qualifier""")
     }),
 
+    "sql_cell_tblproperties" -> ((s, dir) => {
+      // PERSISTED TABLE PROPERTIES (r16) — the HBase table DESCRIPTOR:
+      // TTL and tombstone policy are declared ONCE at CREATE TABLE
+      // (TBLPROPERTIES persisted in the catalog marker, the `alter 't',
+      // TTL => ...` surface), and a plain no-argument
+      // `CALL compact(t)` applies them — policy lives with the table,
+      // not with whoever remembers to pass the right CALL arguments.
+      // Fixture = the cell_connector_gc shape (base cells + a
+      // tombstone 1 s newer for every error event's value cell), but
+      // the GC knobs come from the persisted properties; the oracle is
+      // the same GC model, so property-driven compaction must land
+      // byte-identically on argument-driven compaction's result.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_props (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell
+               TBLPROPERTIES ('ttl_micros' = '864000000000',
+                              'tombstone' = '__TOMBSTONE__')""")
+      s.sql("INSERT OVERWRITE graftcat.events_props SELECT * FROM graft_catalog_src")
+      s.sql("""INSERT INTO graftcat.events_props
+               SELECT rowkey, family, 'value' AS qualifier,
+                      version + 1000000 AS version,
+                      '__TOMBSTONE__' AS value
+               FROM graft_catalog_src
+               WHERE qualifier = 'event_type' AND value = 'error'""")
+      s.sql("CALL graftcat.compact('events_props')")
+      s.sql("""SELECT * FROM graftcat.events_props
+               ORDER BY rowkey, qualifier""")
+    }),
+
     "sql_cell_call_restore" -> ((s, dir) => {
       // HBase shell `restore_snapshot` as SQL (r16) — the verb users
       // reach for after a bad batch: pin the good generation
@@ -980,6 +1012,32 @@ object CellConnector extends QueryModule {
     "sql_cell_call_snapshot" ->
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    // same GC model as cell_connector_gc (tombstone + 10-day TTL off
+    // the store-max horizon), here driven by persisted TBLPROPERTIES
+    "sql_cell_tblproperties" ->
+      s"""WITH v1 AS (${CellQueries.eventCellsSql}),
+          tomb AS (
+            SELECT CAST(event_id AS VARCHAR) AS rowkey, 'd' AS family,
+                   'value' AS qualifier,
+                   epoch_us(ts) + 1000000 AS version,
+                   '__TOMBSTONE__' AS value
+            FROM events WHERE event_type = 'error'),
+          allc AS (
+            SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM tomb)
+            WHERE value IS NOT NULL),
+          live AS (
+            SELECT * FROM allc
+            WHERE version >= (SELECT max(version) FROM allc)
+                             - 864000000000),
+          r AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY rowkey, family, qualifier
+              ORDER BY version DESC, value DESC) AS rn
+            FROM live)
+          SELECT rowkey, family, qualifier, version, value
+          FROM r WHERE rn = 1 AND value != '__TOMBSTONE__'
+          ORDER BY rowkey, qualifier""",
 
     // restore repoints the live table to the pre-corruption snapshot,
     // so the result is the plain cell rebuild — corrupt rows gone

@@ -61,8 +61,62 @@ class GraftCellCatalog extends TableCatalog
   }
 
   /** A table dir is one the CATALOG created (marker-stamped) — a stray
-    * directory under root is not silently a table. */
+    * directory under root is not silently a table. Since r16 the marker
+    * also persists the table's PROPERTIES (the HBase table-descriptor
+    * analog: TTL / tombstone policy live with the table, not per-CALL):
+    * a JSON object of the allowed keys, or empty bytes (legacy = no
+    * properties). */
   private def marker(dir: java.io.File) = new java.io.File(dir, "_GRAFT_TABLE")
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** The table properties a graftcell table persists — exactly the
+    * HBase-descriptor policy knobs the maintenance ops consume.
+    * Anything else (except Spark's own reserved properties) is
+    * refused: a property that silently does nothing is a lie. */
+  private val ALLOWED_PROPS = Set("ttl_micros", "tombstone")
+  private val SPARK_RESERVED = Set("provider", "owner", "location",
+    "comment", "external", "is_managed_location", "format")
+
+  private def validated(props: Map[String, String]): Map[String, String] = {
+    val unknown = props.keySet -- ALLOWED_PROPS
+    require(unknown.isEmpty,
+      s"graftcell: unsupported table properties ${unknown.mkString(", ")} " +
+      s"(supported: ${ALLOWED_PROPS.toSeq.sorted.mkString(", ")})")
+    props.get("ttl_micros").foreach { v =>
+      require(scala.util.Try(v.toLong).toOption.exists(_ >= 0L),
+        s"graftcell: ttl_micros must be a non-negative long, got '$v'")
+    }
+    props
+  }
+
+  private def writeProps(dir: java.io.File,
+                         props: Map[String, String]): Unit = {
+    val node = mapper.createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val tmp = new java.io.File(dir, "_GRAFT_TABLE.tmp")
+    java.nio.file.Files.write(tmp.toPath, mapper.writeValueAsBytes(node))
+    java.nio.file.Files.move(tmp.toPath, marker(dir).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  private def readProps(dir: java.io.File): Map[String, String] = {
+    val bytes = java.nio.file.Files.readAllBytes(marker(dir).toPath)
+    if (bytes.isEmpty) Map.empty // legacy marker: no properties
+    else {
+      import scala.jdk.CollectionConverters._
+      mapper.readTree(bytes).properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+  }
+
+  /** Persisted properties of an existing table (procedure entry point:
+    * `CALL compact` reads TTL/tombstone defaults from here when its
+    * arguments are omitted). */
+  private[cell] def propsOf(tableName: String): Map[String, String] =
+    readProps(new java.io.File(storeOf(tableName)))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     requireDefaultNs(namespace)
@@ -78,7 +132,7 @@ class GraftCellCatalog extends TableCatalog
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
     if (!marker(dir).exists()) throw new NoSuchTableException(ident)
-    new GraftCellTable(dir.getPath)
+    new GraftCellTable(dir.getPath, tableProps = readProps(dir))
   }
 
   /** `VERSION AS OF '<snapshot>'` time travel: the version string is a
@@ -90,7 +144,7 @@ class GraftCellCatalog extends TableCatalog
     if (!marker(dir).exists()) throw new NoSuchTableException(ident)
     // fail fast on an unknown snapshot name (clearer than an empty read)
     GraftCellSnapshot.dirs(dir.getPath, version)
-    new GraftCellTable(dir.getPath, Some(version))
+    new GraftCellTable(dir.getPath, Some(version), tableProps = readProps(dir))
   }
 
   /** `TIMESTAMP AS OF <ts>` time travel over the COMMIT-STAMPED
@@ -117,7 +171,7 @@ class GraftCellCatalog extends TableCatalog
       s"graftcell: TIMESTAMP AS OF $timestamp precedes the table's " +
       s"first commit ($first)")
     val pinned = stamps.filter(_._2 <= timestamp).map(_._1).sorted
-    new GraftCellTable(store, None, Some(pinned))
+    new GraftCellTable(store, None, Some(pinned), readProps(dir))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -136,15 +190,40 @@ class GraftCellCatalog extends TableCatalog
     require(partitions.isEmpty,
       "graftcell tables take no PARTITIONED BY (regions come from the " +
       "declared write distribution)")
+    // TBLPROPERTIES: persist the allowed policy keys in the marker (the
+    // HBase table descriptor); Spark's reserved bookkeeping properties
+    // pass through silently, anything else is refused
+    import scala.jdk.CollectionConverters._
+    val declared = validated(properties.asScala.toMap
+      .filterNot { case (k, _) =>
+        SPARK_RESERVED.contains(k) || k.startsWith("option.") })
     dir.mkdirs()
-    java.nio.file.Files.write(marker(dir).toPath, Array.emptyByteArray)
-    new GraftCellTable(dir.getPath)
+    writeProps(dir, declared)
+    new GraftCellTable(dir.getPath, tableProps = declared)
   }
 
+  /** `ALTER TABLE ... SET/UNSET TBLPROPERTIES` for exactly the allowed
+    * policy keys (the HBase `alter 't', TTL => ...`); every other
+    * change — columns, schema, anything — is still refused: a graftcell
+    * table IS the cell model. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graftcell tables have the fixed cell schema — ALTER is not supported")
+                          changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!marker(dir).exists()) throw new NoSuchTableException(ident)
+    val updated = changes.foldLeft(readProps(dir)) {
+      case (props, sp: TableChange.SetProperty) =>
+        props + (sp.property() -> sp.value())
+      case (props, rp: TableChange.RemoveProperty) =>
+        props - rp.property()
+      case (_, other) =>
+        throw new UnsupportedOperationException(
+          "graftcell tables have the fixed cell schema — only " +
+          s"SET/UNSET TBLPROPERTIES(${ALLOWED_PROPS.toSeq.sorted
+            .mkString(", ")}) is supported, not $other")
+    }
+    writeProps(dir, validated(updated))
+    new GraftCellTable(dir.getPath, tableProps = updated)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)

@@ -93,7 +93,11 @@ object GraftCellProcedures {
     * expiry (versions older than store-max − ttl_micros; -1 = off)
     * and physical tombstone dropping (cells hidden by the marker
     * value, marker included; NULL = off). The HBase shell's
-    * `major_compact` + the GC policy knobs. */
+    * `major_compact` + the GC policy knobs. OMITTED arguments fall
+    * back to the table's persisted TBLPROPERTIES (r16 — the HBase
+    * table descriptor: TTL/tombstone policy lives WITH the table, so
+    * plain `CALL compact(t)` applies the declared policy); an explicit
+    * argument overrides the property for that run. */
   final class Compact(catalog: GraftCellCatalog)
       extends CellProcedure(catalog, "compact") {
     override def parameters(): Array[ProcedureParameter] = Array(
@@ -102,13 +106,18 @@ object GraftCellProcedures {
       pDefault("tombstone", StringType, "NULL"))
     override def description(): String =
       "major compaction: resolve latest versions; optional TTL expiry " +
-      "and tombstone GC; truncate-commit through the declared HFile layout"
+      "and tombstone GC (defaults from TBLPROPERTIES); " +
+      "truncate-commit through the declared HFile layout"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val s = store(input.getUTF8String(0))
-      val ttl = if (input.isNullAt(1) || input.getLong(1) < 0) None
-                else Some(input.getLong(1))
-      val tomb = if (input.isNullAt(2)) None
-                 else Some(input.getUTF8String(2).toString)
+      val tableName = input.getUTF8String(0).toString
+      val s = catalog.storeOf(tableName)
+      val props = catalog.propsOf(tableName)
+      val ttl = (if (input.isNullAt(1) || input.getLong(1) < 0) None
+                 else Some(input.getLong(1)))
+        .orElse(props.get("ttl_micros").map(_.toLong))
+      val tomb = (if (input.isNullAt(2)) None
+                  else Some(input.getUTF8String(2).toString))
+        .orElse(props.get("tombstone"))
       val (dirsBefore, _) = storeStats(s)
       GraftCellMaintenance.majorCompact(SparkSession.active, s, ttl, tomb)
       val (dirsAfter, cellsAfter) = storeStats(s)

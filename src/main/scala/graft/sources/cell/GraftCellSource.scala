@@ -499,7 +499,8 @@ object GraftCell {
 
 class GraftCellTable(path: String,
                      pinnedSnapshot: Option[String] = None,
-                     pinnedDirs: Option[Seq[String]] = None)
+                     pinnedDirs: Option[Seq[String]] = None,
+                     tableProps: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -589,6 +590,17 @@ class GraftCellTable(path: String,
     }
     CellFooterCache.invalidate(path)
   }
+  /** Persisted table properties (the HBase table-descriptor policy
+    * knobs — TTL, tombstone) + provider, surfaced to SHOW
+    * TBLPROPERTIES / DESCRIBE EXTENDED. Catalog-loaded tables carry
+    * what the marker persists; path-addressed tables have none. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("provider", "graftcell")
+    tableProps.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   override def schema(): StructType = GraftCell.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,

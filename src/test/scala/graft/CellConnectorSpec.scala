@@ -1051,6 +1051,70 @@ class CellConnectorSpec extends AnyFunSuite {
     s.sql("DROP TABLE graftproc.t")
   }
 
+  test("TBLPROPERTIES persist in the table descriptor; compact defaults to them (r16)") {
+    import scala.collection.JavaConverters._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_props_spec_").toString
+    s.conf.set("spark.sql.catalog.graftprops",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftprops.root", root)
+    def cells(rows: Seq[(String, Long, String)], store: String) =
+      s.createDataFrame(
+        rows.map { case (k, v, value) =>
+          org.apache.spark.sql.Row(k, "d", "q", v, value) }.asJava,
+        GraftCell.SCHEMA)
+        .write.format("graftcell").mode("append").save(store)
+    val fixture = ('a' to 'j').map(c => (c.toString, 1000L, s"v$c")) ++
+      Seq(("c", 2000L, "__TOMB__"), ("d", 1L, "ancient"))
+    // table WITH descriptor properties, compacted with NO arguments...
+    s.sql("""CREATE TABLE graftprops.t1 (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell
+             TBLPROPERTIES ('ttl_micros' = '1500', 'tombstone' = '__TOMB__')""")
+    cells(fixture, s"$root/t1")
+    s.sql("CALL graftprops.compact('t1')")
+    // ...equals a property-less table compacted with explicit arguments
+    s.sql("""CREATE TABLE graftprops.t2 (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell""")
+    cells(fixture, s"$root/t2")
+    s.sql("CALL graftprops.compact('t2', 1500, '__TOMB__')")
+    def content(t: String) = s.sql(
+      s"SELECT * FROM graftprops.$t ORDER BY rowkey, qualifier, version")
+      .collect().toSeq
+    assert(content("t1") == content("t2"),
+      "property-driven GC diverged from argument-driven GC")
+    // SHOW TBLPROPERTIES surfaces the descriptor
+    val shown = s.sql("SHOW TBLPROPERTIES graftprops.t1").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("ttl_micros").contains("1500") &&
+           shown.get("tombstone").contains("__TOMB__"), s"shown: $shown")
+    // ALTER SET updates the descriptor; UNSET removes; survives reload
+    s.sql("ALTER TABLE graftprops.t1 SET TBLPROPERTIES ('ttl_micros' = '9999')")
+    s.sql("ALTER TABLE graftprops.t1 UNSET TBLPROPERTIES ('tombstone')")
+    val shown2 = s.sql("SHOW TBLPROPERTIES graftprops.t1").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown2.get("ttl_micros").contains("9999") &&
+           !shown2.contains("tombstone"), s"after alter: $shown2")
+    // refusals: unknown property keys, non-long TTL, schema changes
+    intercept[Exception] {
+      s.sql("ALTER TABLE graftprops.t1 SET TBLPROPERTIES ('max_versions' = '3')")
+    }
+    intercept[Exception] {
+      s.sql("ALTER TABLE graftprops.t1 SET TBLPROPERTIES ('ttl_micros' = 'soon')")
+    }
+    intercept[Exception] {
+      s.sql("ALTER TABLE graftprops.t1 ADD COLUMN extra STRING")
+    }
+    intercept[Exception] {
+      s.sql("""CREATE TABLE graftprops.t3 (rowkey STRING, family STRING,
+               qualifier STRING, version BIGINT, value STRING)
+               USING graftcell TBLPROPERTIES ('nope' = '1')""")
+    }
+    s.sql("DROP TABLE graftprops.t1")
+    s.sql("DROP TABLE graftprops.t2")
+  }
+
   test("restore_snapshot repoints the live dir set; refusal paths pinned (r16)") {
     import graft.sources.cell.{CellFooterCache, CellRetire, GraftCellSnapshot}
     import scala.collection.JavaConverters._
