@@ -281,6 +281,54 @@ object Plans {
       "source first (join_salted pattern).\n"
   }
 
+  /** Round-16 evidence: post-hoc REGION SURGERY (CALL split_region /
+    * merge_regions) changes what a probe PLANS, not what it returns.
+    * A one-file store is split at 'm'; the same one-sided probe that
+    * planned the whole store (`regionFiles: 1/1`, all bytes) afterwards
+    * plans half of it (`regionFiles: 1/2`); merge_regions folds the
+    * halves back (files 2→1) with byte-identical content. At 100 TB:
+    * split the one hot region instead of re-loading the table, merge
+    * to bound region-file count (manifest size, planning fan-out). */
+  private def regionSurgerySection(s: SparkSession): String = {
+    import scala.collection.JavaConverters._
+    import graft.sources.cell.{CellFooterCache, GraftCell}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_plans_surgery_").toString
+    s.conf.set("spark.sql.catalog.graftplanssrg",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftplanssrg.root", root)
+    s.sql("""CREATE TABLE graftplanssrg.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell""")
+    val store = s"$root/t"
+    s.createDataFrame(
+      ('a' to 'z').map(c =>
+        org.apache.spark.sql.Row(c.toString, "d", "q", 1L, s"v$c")).asJava,
+      GraftCell.SCHEMA).coalesce(1)
+      .write.format("graftcell").mode("append").save(store)
+    def probePlan() = {
+      val df = s.sql("SELECT * FROM graftplanssrg.t WHERE rowkey < 'm'")
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val planBefore = probePlan()
+    s.sql("CALL graftplanssrg.split_region('t', 'm')").collect()
+    val planAfter = probePlan()
+    val nSplit = CellFooterCache.filesOf(store).size
+    s.sql("CALL graftplanssrg.merge_regions('t', 1073741824)").collect()
+    val nMerged = CellFooterCache.filesOf(store).size
+    "## region_surgery_split_merge (executed probes before/after " +
+      "CALL split_region, then merge_regions)\n\n" +
+      "Probe `rowkey < 'm'` BEFORE the split (one region file holds " +
+      "a..z — the probe must plan it all):\n\n```\n" + planBefore +
+      "```\n\nAFTER `CALL split_region('t', 'm')` (the file is cut at " +
+      "the key; the same probe plans only the lo half):\n\n```\n" +
+      planAfter + "```\n\n" +
+      s"Store outcome: 1 file → $nSplit after split (cut exactly at " +
+      s"'m', halves disjoint); `CALL merge_regions('t', 1g)` folds " +
+      s"them back to $nMerged with byte-identical content.\n"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
@@ -298,7 +346,8 @@ object Plans {
       connectorDppSection(spark, sfDir) + "\n" +
       mergePlanSection(spark, sfDir) + "\n" +
       groupFilterSection(spark) + "\n" +
-      mergeSkewSection(spark)
+      mergeSkewSection(spark) + "\n" +
+      regionSurgerySection(spark)
     val header =
       s"""# PLANS — formatted physical plans of headline queries
          |

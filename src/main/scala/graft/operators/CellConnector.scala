@@ -808,6 +808,48 @@ object CellConnector extends QueryModule {
                ORDER BY rowkey, qualifier""")
     }),
 
+    "sql_cell_call_split" -> ((s, dir) => {
+      // HBase shell `split 't', 'key'` as SQL (r16): a post-hoc REGION
+      // SPLIT of an on-disk store — every region file straddling the
+      // key is cut into two exactly at it (one distributed task per
+      // victim, crash-safe retire-intent publish), so range probes on
+      // either side plan half the bytes without re-loading the table.
+      // Content must be byte-identical through the surgery — the
+      // oracle is the plain rebuild. Re-staged each run.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_split (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_split SELECT * FROM graft_catalog_src")
+      s.sql("CALL graftcat.split_region('events_split', '5')")
+      s.sql("""SELECT * FROM graftcat.events_split
+               ORDER BY rowkey, qualifier""")
+    }),
+
+    "sql_cell_call_merge" -> ((s, dir) => {
+      // HBase shell `merge_region` as SQL (r16): after two splits have
+      // fine-grained the store, merge_regions k-way-merges runs of
+      // adjacent region files (per committed dir, up to max_bytes)
+      // back into single sorted files — bounding region-file count,
+      // and with it manifest size and planning fan-out. Split + merge
+      // round-trip must preserve content exactly — oracle = plain
+      // rebuild. Re-staged each run.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_merge (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_merge SELECT * FROM graft_catalog_src")
+      s.sql("CALL graftcat.split_region('events_merge', '3')")
+      s.sql("CALL graftcat.split_region('events_merge', '6')")
+      s.sql("CALL graftcat.merge_regions('events_merge', 1073741824)")
+      s.sql("""SELECT * FROM graftcat.events_merge
+               ORDER BY rowkey, qualifier""")
+    }),
+
     "sql_cell_tblproperties" -> ((s, dir) => {
       // PERSISTED TABLE PROPERTIES (r16) — the HBase table DESCRIPTOR:
       // TTL and tombstone policy are declared ONCE at CREATE TABLE
@@ -1010,6 +1052,17 @@ object CellConnector extends QueryModule {
           ORDER BY rowkey, qualifier""",
 
     "sql_cell_call_snapshot" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    // layout surgery must preserve content exactly: split at '5'
+    // changes only file boundaries, never rows
+    "sql_cell_call_split" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    // split twice + merge back: the round-trip is content-neutral
+    "sql_cell_call_merge" ->
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT * FROM cells ORDER BY rowkey, qualifier""",
 

@@ -237,6 +237,46 @@ object GraftCellProcedures {
     }
   }
 
+  /** `split_region(table, split_key)` — the HBase shell `split`: cut
+    * every region file straddling the key into two at exactly the key
+    * (one distributed task per victim; crash-safe retire-intent
+    * publish). The post-hoc hot-region knob — range probes on either
+    * side of the key then plan half the bytes. */
+  final class SplitRegion(catalog: GraftCellCatalog)
+      extends CellProcedure(catalog, "split_region") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType), p("split_key", StringType))
+    override def description(): String =
+      "split region files straddling split_key into two at the key"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val s = store(input.getUTF8String(0))
+      val (split, created) = GraftCellMaintenance.splitRegion(
+        SparkSession.active, s, input.getUTF8String(1).toString)
+      summary("files_split" -> split, "files_created" -> created,
+              "region_files" -> CellFooterCache.filesOf(s).size.toLong)
+    }
+  }
+
+  /** `merge_regions(table, max_bytes)` — the HBase shell
+    * `merge_region`: within each committed dir, k-way-merge runs of
+    * adjacent region files up to max_bytes into one sorted file,
+    * bounding the store's file count after fine-grained loads or
+    * repeated splits. */
+  final class MergeRegions(catalog: GraftCellCatalog)
+      extends CellProcedure(catalog, "merge_regions") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType), p("max_bytes", LongType))
+    override def description(): String =
+      "merge runs of adjacent region files (per dir, ≤ max_bytes) into one"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (runs, before, after) = GraftCellMaintenance.mergeRegions(
+        SparkSession.active, store(input.getUTF8String(0)),
+        input.getLong(1))
+      summary("runs_merged" -> runs, "files_before" -> before,
+              "files_after" -> after)
+    }
+  }
+
   def all(catalog: GraftCellCatalog): Map[String, UnboundProcedure] = Map(
     "compact" -> new Compact(catalog),
     "compact_minor" -> new CompactMinor(catalog),
@@ -244,5 +284,7 @@ object GraftCellProcedures {
     "drop_snapshot" -> new DropSnapshot(catalog),
     "list_snapshots" -> new ListSnapshots(catalog),
     "restore_snapshot" -> new RestoreSnapshot(catalog),
+    "split_region" -> new SplitRegion(catalog),
+    "merge_regions" -> new MergeRegions(catalog),
     "repair" -> new Repair(catalog))
 }

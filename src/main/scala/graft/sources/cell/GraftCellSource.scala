@@ -1139,6 +1139,158 @@ object CellDeleteRewrite {
   }
 }
 
+/** Executor-side region-file SPLIT and MERGE rewrites (r16) — the
+  * post-hoc layout surgery of HBase's `split`/`merge_region` shell
+  * verbs, at the engine's region granularity (one region = one sorted
+  * parquet file). Both run as one Spark task per victim/run, stream
+  * rows (never materialize a file in memory), track exact manifest
+  * stats while writing, and hand their outputs to
+  * [[GraftCellMaintenance.publishReplacement]] for the crash-safe
+  * retire-intent publish. */
+object CellRegionRewrite {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.hadoop.ParquetWriter
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.hadoop.metadata.CompressionCodecName
+  import org.apache.parquet.schema.MessageType
+
+  /** Streaming stats-tracking writer (the CellDataWriter shape, over
+    * raw parquet Groups): rows pass through verbatim, min/max rowkey
+    * bytes and the version TimeRange are tracked exactly. */
+  private final class TrackedWriter(path: String, msgType: MessageType) {
+    private val writer: ParquetWriter[Group] = ExampleParquetWriter
+      .builder(new Path(path))
+      .withConf(new Configuration()).withType(msgType)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withBloomFilterEnabled("rowkey", true)
+      .build()
+    private var rows = 0L
+    private var minKey: Array[Byte] = _
+    private var maxKey: Array[Byte] = _
+    private var minVer = Long.MaxValue
+    private var maxVer = Long.MinValue
+
+    def write(g: Group): Unit = {
+      writer.write(g)
+      rows += 1
+      val ki = g.getType.getFieldIndex("rowkey")
+      if (g.getFieldRepetitionCount(ki) > 0) {
+        val kb = g.getBinary(ki, 0).getBytes
+        if (minKey == null || JArrays.compareUnsigned(kb, minKey) < 0) minKey = kb
+        if (maxKey == null || JArrays.compareUnsigned(kb, maxKey) > 0) maxKey = kb
+      }
+      val vi = g.getType.getFieldIndex("version")
+      if (g.getFieldRepetitionCount(vi) > 0) {
+        val v = g.getLong(vi, 0)
+        if (v < minVer) minVer = v
+        if (v > maxVer) maxVer = v
+      }
+    }
+
+    /** Close; None (file deleted) when no row was written. */
+    def finish(): Option[CellFileMeta] = {
+      writer.close()
+      if (rows == 0L) { new java.io.File(path).delete(); None }
+      else Some(CellFileMeta(path, new java.io.File(path).length(), rows,
+        Option(minKey), Option(maxKey), msgType.toString,
+        if (minVer == Long.MaxValue) None else Some(minVer),
+        if (maxVer == Long.MinValue) None else Some(maxVer)))
+    }
+  }
+
+  private def openReader(file: String) = ParquetReader
+    .builder(new GroupReadSupport(), new Path(file))
+    .withConf(new Configuration()).build()
+
+  private def fileSchema(file: String): MessageType = {
+    val fr = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), new Configuration()))
+    try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+  }
+
+  /** SPLIT one region file at `splitKey`: rows with rowkey < key (and
+    * null rowkeys — the write ordering is NULLS FIRST) to the `.lo`
+    * half, rows ≥ key to `.hi`. Input rows are sorted, outputs stay
+    * sorted and non-overlapping by construction; an empty half is
+    * dropped. */
+  def splitFile(file: String, splitKey: Array[Byte],
+                tmpDir: String): Seq[CellFileMeta] = {
+    val msgType = fileSchema(file)
+    val base = new java.io.File(file).getName.stripSuffix(".parquet")
+    val lo = new TrackedWriter(s"$tmpDir/$base.lo.parquet", msgType)
+    val hi = new TrackedWriter(s"$tmpDir/$base.hi.parquet", msgType)
+    val reader = openReader(file)
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val ki = g.getType.getFieldIndex("rowkey")
+        val below =
+          g.getFieldRepetitionCount(ki) == 0 || // null rowkey: NULLS FIRST
+          JArrays.compareUnsigned(g.getBinary(ki, 0).getBytes, splitKey) < 0
+        if (below) lo.write(g) else hi.write(g)
+        g = reader.read()
+      }
+    } finally reader.close()
+    Seq(lo, hi).flatMap(_.finish())
+  }
+
+  /** MERGE a run of same-dir region files into ONE sorted file: a
+    * k-way heap merge on the full cell key (rowkey, family, qualifier,
+    * version — byte order, NULLS FIRST, ties broken by input index for
+    * determinism), so the merged file honors the declared write
+    * ordering even when adjacent inputs share a boundary rowkey. */
+  def mergeRun(files: Seq[String], outName: String,
+               tmpDir: String): Option[CellFileMeta] = {
+    def bytesOf(g: Group, name: String): Array[Byte] = {
+      val i = g.getType.getFieldIndex(name)
+      if (g.getFieldRepetitionCount(i) == 0) null
+      else g.getBinary(i, 0).getBytes
+    }
+    def cmpB(a: Array[Byte], b: Array[Byte]): Int =
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else JArrays.compareUnsigned(a, b)
+    def cmpG(a: Group, b: Group): Int = {
+      var c = cmpB(bytesOf(a, "rowkey"), bytesOf(b, "rowkey"))
+      if (c != 0) return c
+      c = cmpB(bytesOf(a, "family"), bytesOf(b, "family"))
+      if (c != 0) return c
+      c = cmpB(bytesOf(a, "qualifier"), bytesOf(b, "qualifier"))
+      if (c != 0) return c
+      val ai = a.getType.getFieldIndex("version")
+      val bi = b.getType.getFieldIndex("version")
+      val an = a.getFieldRepetitionCount(ai) == 0
+      val bn = b.getFieldRepetitionCount(bi) == 0
+      if (an && bn) 0
+      else if (an) -1
+      else if (bn) 1
+      else java.lang.Long.compare(a.getLong(ai, 0), b.getLong(bi, 0))
+    }
+    val msgType = fileSchema(files.head)
+    val out = new TrackedWriter(s"$tmpDir/$outName", msgType)
+    val readers = files.map(openReader)
+    try {
+      val heap = new java.util.PriorityQueue[(Group, Int)](
+        math.max(1, files.size),
+        (x: (Group, Int), y: (Group, Int)) => {
+          val c = cmpG(x._1, y._1)
+          if (c != 0) c else Integer.compare(x._2, y._2)
+        })
+      readers.zipWithIndex.foreach { case (r, i) =>
+        val g = r.read(); if (g != null) heap.add((g, i))
+      }
+      while (!heap.isEmpty) {
+        val (g, i) = heap.poll()
+        out.write(g)
+        val next = readers(i).read()
+        if (next != null) heap.add((next, i))
+      }
+    } finally readers.foreach(_.close())
+    out.finish()
+  }
+}
+
 /** Store maintenance beyond a single query — the HBase housekeeping
   * the region server owns. */
 object GraftCellMaintenance {
@@ -1191,6 +1343,92 @@ object GraftCellMaintenance {
   private def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRec)
     f.delete(); ()
+  }
+
+  /** REGION SPLIT as an ADMIN op (r16 — the HBase shell `split 't',
+    * 'key'`): every region file whose [min,max] straddles `splitKey`
+    * is rewritten into two files cut exactly at the key, so a later
+    * range probe on either side plans half the bytes. Write-time
+    * rolling (`maxRowsPerFile`) decides granularity at load; this is
+    * the post-hoc knob for a store that's already on disk — at 100 TB
+    * you split the one hot region, not re-load the table. One
+    * distributed task per victim (streams rows, exact stats), one
+    * crash-safe retire-intent publish for all of them; pairwise
+    * non-overlap and the per-file sort order are preserved by
+    * construction (a sorted file cut at a key yields two sorted,
+    * disjoint files). Files without rowkey stats cannot be known to
+    * straddle and are left alone. Returns (files split, files
+    * created). */
+  def splitRegion(spark: org.apache.spark.sql.SparkSession,
+                  store: String, splitKey: String): (Long, Long) = {
+    CellRetire.repair(store) // never resurrect pending retirements
+    val key = UTF8String.fromString(splitKey).getBytes
+    val victims = CellFooterCache.filesOf(store).filter(m =>
+      m.minKey.exists(JArrays.compareUnsigned(_, key) < 0) &&
+      m.maxKey.exists(JArrays.compareUnsigned(_, key) >= 0))
+    if (victims.isEmpty) return (0L, 0L)
+    val tmp = new java.io.File(store,
+      s"_tmp_split_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    tmp.mkdirs()
+    val tmpPath = tmp.getPath
+    val metas = spark.sparkContext
+      .parallelize(victims.map(_.path), victims.size)
+      .flatMap(f => CellRegionRewrite.splitFile(f, key, tmpPath))
+      .collect().toSeq
+    publishReplacement(store, metas, victims.map(_.path), "split")
+    deleteRec(tmp)
+    (victims.size.toLong, metas.size.toLong)
+  }
+
+  /** REGION MERGE as an ADMIN op (r16 — the HBase shell
+    * `merge_region`): within each committed dir, consecutive (rowkey-
+    * adjacent) region files are greedily grouped into runs of total
+    * size ≤ `maxBytes`, and every run of ≥ 2 files is k-way-merged
+    * into ONE sorted file — bounding the store's region-file count
+    * (and with it footer/manifest size and planning fan-out) after
+    * fine-grained loads or repeated splits. Same-dir only: dirs are
+    * the snapshot/streaming granularity, so merging never blends
+    * generations. One distributed task per run, one retire-intent
+    * publish for all runs. Returns (runs merged, files before, files
+    * after). */
+  def mergeRegions(spark: org.apache.spark.sql.SparkSession,
+                   store: String, maxBytes: Long): (Long, Long, Long) = {
+    CellRetire.repair(store)
+    val before = CellFooterCache.filesOf(store)
+    val runs: Seq[Seq[CellFileMeta]] =
+      CellFooterCache.committedDirs(store).flatMap { d =>
+        val sorted = CellFooterCache.filesUnder(store, d)
+          .filter(m => m.minKey.nonEmpty && m.maxKey.nonEmpty)
+          .sortWith((a, b) =>
+            JArrays.compareUnsigned(a.minKey.get, b.minKey.get) < 0)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Vector[CellFileMeta]]
+        var cur = Vector.empty[CellFileMeta]
+        var bytes = 0L
+        sorted.foreach { m =>
+          if (cur.nonEmpty && (bytes + m.bytes > maxBytes ||
+                               m.messageType != cur.head.messageType)) {
+            out += cur; cur = Vector.empty; bytes = 0L
+          }
+          cur :+= m; bytes += m.bytes
+        }
+        if (cur.nonEmpty) out += cur
+        out.toSeq
+      }.filter(_.size >= 2)
+    if (runs.isEmpty) return (0L, before.size.toLong, before.size.toLong)
+    val tmp = new java.io.File(store,
+      s"_tmp_merge_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    tmp.mkdirs()
+    val tmpPath = tmp.getPath
+    val work = runs.map(_.map(_.path)).zipWithIndex
+    val metas = spark.sparkContext
+      .parallelize(work, work.size)
+      .flatMap { case (files, i) =>
+        CellRegionRewrite.mergeRun(files, f"merged-$i%05d.parquet", tmpPath) }
+      .collect().toSeq
+    publishReplacement(store, metas, runs.flatten.map(_.path), "merge")
+    deleteRec(tmp)
+    (runs.size.toLong, before.size.toLong,
+     CellFooterCache.filesOf(store).size.toLong)
   }
 
   /** MINOR COMPACTION: merge every committed batch dir whose total

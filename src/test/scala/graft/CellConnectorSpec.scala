@@ -1032,8 +1032,9 @@ class CellConnectorSpec extends AnyFunSuite {
     val procs = s.sql("SHOW PROCEDURES IN graftproc")
       .select("procedure_name").collect().map(_.getString(0)).sorted.toSeq
     assert(procs == Seq("compact", "compact_minor", "drop_snapshot",
-                        "list_snapshots", "repair", "restore_snapshot",
-                        "snapshot"), s"procedures: $procs")
+                        "list_snapshots", "merge_regions", "repair",
+                        "restore_snapshot", "snapshot", "split_region"),
+           s"procedures: $procs")
     // repair on a healthy store is a no-op summary
     val rRow = s.sql("CALL graftproc.repair('t')").collect()
     assert(rRow(0).getLong(0) == 0L && rRow(0).getLong(1) == 0L,
@@ -1113,6 +1114,98 @@ class CellConnectorSpec extends AnyFunSuite {
     }
     s.sql("DROP TABLE graftprops.t1")
     s.sql("DROP TABLE graftprops.t2")
+  }
+
+  test("split_region cuts a straddling file at the key; probes plan fewer files (r16)") {
+    import graft.sources.cell.CellFooterCache
+    import scala.collection.JavaConverters._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_split_spec_").toString
+    s.conf.set("spark.sql.catalog.graftsplit",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftsplit.root", root)
+    s.sql("""CREATE TABLE graftsplit.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell""")
+    val store = s"$root/t"
+    // ONE region file spanning a..z (single partition write)
+    s.createDataFrame(
+      ('a' to 'z').map(c =>
+        org.apache.spark.sql.Row(c.toString, "d", "q", 1L, s"v$c")).asJava,
+      GraftCell.SCHEMA).coalesce(1)
+      .write.format("graftcell").mode("append").save(store)
+    assert(CellFooterCache.filesOf(store).size == 1)
+    def readAll() = s.sql(
+      "SELECT rowkey, value FROM graftsplit.t ORDER BY rowkey")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val before = readAll()
+    // split at 'm': exactly one straddling file → two, n→n+1
+    val sp = s.sql("CALL graftsplit.split_region('t', 'm')").collect()
+    assert(sp(0).getLong(0) == 1L && sp(0).getLong(1) == 2L &&
+           sp(0).getLong(2) == 2L, s"split summary: ${sp.toSeq}")
+    val metas = CellFooterCache.filesOf(store)
+    assert(metas.size == 2)
+    // cut exactly at the key, halves disjoint and tight
+    val spans = metas.map(m => (new String(m.minKey.get),
+                                new String(m.maxKey.get))).sortBy(_._1)
+    assert(spans == Seq(("a", "l"), ("m", "z")), s"spans: $spans")
+    // content byte-identical through the surgery
+    assert(readAll() == before)
+    // a one-sided probe now plans HALF the store: regionFiles 1/2
+    val plan = s.sql("SELECT * FROM graftsplit.t WHERE rowkey < 'm'")
+      .queryExecution.executedPlan.toString
+    val rf = "regionFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(rf.exists(m => m.group(1) == "1" && m.group(2) == "2"),
+           s"probe did not prune the split store:\n$plan")
+    // a key nothing straddles is a no-op (between-files and off-range)
+    val noop = s.sql("CALL graftsplit.split_region('t', '!')").collect()
+    assert(noop(0).getLong(0) == 0L, s"no-op split: ${noop.toSeq}")
+    s.sql("DROP TABLE graftsplit.t")
+  }
+
+  test("merge_regions k-way-merges adjacent files; content and sort order preserved (r16)") {
+    import graft.sources.cell.CellFooterCache
+    import scala.collection.JavaConverters._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_merge_spec_").toString
+    s.conf.set("spark.sql.catalog.graftmerge",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftmerge.root", root)
+    s.sql("""CREATE TABLE graftmerge.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell""")
+    val store = s"$root/t"
+    // rolled files whose boundaries SPLIT a rowkey (aa spans q1..q3 with
+    // maxRowsPerFile 4) — the case where naive concat could break the
+    // per-file (rowkey, family, qualifier, version) sort order
+    val rows = for {
+      k <- Seq("aa", "bb", "cc"); q <- Seq("q1", "q2", "q3")
+    } yield org.apache.spark.sql.Row(k, "d", q, 1L, s"$k/$q")
+    s.createDataFrame(rows.asJava, GraftCell.SCHEMA).coalesce(1)
+      .write.format("graftcell").option("maxRowsPerFile", "4")
+      .mode("append").save(store)
+    val nBefore = CellFooterCache.filesOf(store).size
+    assert(nBefore == 3, s"expected 3 rolled files, got $nBefore")
+    def readAll() = s.sql(
+      "SELECT * FROM graftmerge.t ORDER BY rowkey, qualifier")
+      .collect().toSeq
+    val before = readAll()
+    val mr = s.sql("CALL graftmerge.merge_regions('t', 1073741824)").collect()
+    assert(mr(0).getLong(0) == 1L && mr(0).getLong(1) == 3L &&
+           mr(0).getLong(2) == 1L, s"merge summary: ${mr.toSeq}")
+    assert(readAll() == before, "merge changed content")
+    // the ONE merged file honors the declared write ordering: raw
+    // parquet row order is (rowkey, family, qualifier, version)-sorted
+    val merged = CellFooterCache.filesOf(store)
+    assert(merged.size == 1)
+    val raw = s.read.parquet(merged.head.path)
+      .select("rowkey", "qualifier").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(raw == raw.sorted, s"merged file out of order: $raw")
+    // below-threshold merge is a no-op (every run would exceed max)
+    val noop = s.sql("CALL graftmerge.merge_regions('t', 1)").collect()
+    assert(noop(0).getLong(0) == 0L, s"no-op merge: ${noop.toSeq}")
+    s.sql("DROP TABLE graftmerge.t")
   }
 
   test("restore_snapshot repoints the live dir set; refusal paths pinned (r16)") {
