@@ -329,6 +329,38 @@ object Plans {
       s"them back to $nMerged with byte-identical content.\n"
   }
 
+  /** Round-16 evidence: FAMILY/QUALIFIER manifest stats (the per-CF
+    * store-file analog). A qualifier-only probe carries no rowkey
+    * constraint, so file pruning used to plan every region file; with
+    * family/qualifier min/max in the write-task stats (zero extra IO,
+    * same commit path) the probe skips whole generations written for
+    * another column set — `regionFiles: k/n` with k<n and the rowkey
+    * completely unconstrained. */
+  private def qualifierPruneSection(s: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    import scala.collection.JavaConverters._
+    import graft.sources.cell.GraftCell
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_plans_qual_").toString + "/t"
+    def gen(qs: Seq[String]) = s.createDataFrame(
+      (for { c <- 'a' to 'j'; q <- qs }
+        yield org.apache.spark.sql.Row(c.toString, "d", q, 1L, s"$c/$q")).asJava,
+      GraftCell.SCHEMA)
+    gen(Seq("alpha", "beta")).write.format("graftcell")
+      .mode("append").save(store)
+    gen(Seq("zeta")).write.format("graftcell")
+      .mode("append").save(store)
+    val df = s.read.format("graftcell").load(store)
+      .filter(col("qualifier") === "zeta")
+    df.collect()
+    "## qualifier_stats_prune (executed qualifier-only probe over a " +
+      "two-generation store)\n\nGeneration 1 holds qualifiers " +
+      "{alpha, beta}, generation 2 {zeta}, SAME rowkey band — the " +
+      "probe has no rowkey constraint, yet plans only generation 2's " +
+      "files from the manifest's qualifier min/max:\n\n```\n" +
+      df.queryExecution.executedPlan.toString + "```\n"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
@@ -347,7 +379,8 @@ object Plans {
       mergePlanSection(spark, sfDir) + "\n" +
       groupFilterSection(spark) + "\n" +
       mergeSkewSection(spark) + "\n" +
-      regionSurgerySection(spark)
+      regionSurgerySection(spark) + "\n" +
+      qualifierPruneSection(spark)
     val header =
       s"""# PLANS — formatted physical plans of headline queries
          |

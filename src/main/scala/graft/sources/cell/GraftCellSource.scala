@@ -124,24 +124,26 @@ object GraftCell {
     }
   }
 
-  /** Fold the accepted filters' rowkey constraints into one interval. */
-  def keyRange(filters: Seq[Filter]): KeyRange =
+  /** Fold the accepted filters' constraints on ONE string column into
+    * an interval (r16 generalization of the rowkey fold: family and
+    * qualifier stats prune with exactly the same math). */
+  def colRange(colName: String, filters: Seq[Filter]): KeyRange =
     filters.foldLeft(FULL_RANGE) {
-      case (r, EqualTo("rowkey", v: String)) =>
+      case (r, EqualTo(c, v: String)) if c == colName =>
         r.tightenLo(Bound(utf8(v), true)).tightenHi(Bound(utf8(v), true))
-      case (r, GreaterThan("rowkey", v: String)) =>
+      case (r, GreaterThan(c, v: String)) if c == colName =>
         r.tightenLo(Bound(utf8(v), false))
-      case (r, GreaterThanOrEqual("rowkey", v: String)) =>
+      case (r, GreaterThanOrEqual(c, v: String)) if c == colName =>
         r.tightenLo(Bound(utf8(v), true))
-      case (r, LessThan("rowkey", v: String)) =>
+      case (r, LessThan(c, v: String)) if c == colName =>
         r.tightenHi(Bound(utf8(v), false))
-      case (r, LessThanOrEqual("rowkey", v: String)) =>
+      case (r, LessThanOrEqual(c, v: String)) if c == colName =>
         r.tightenHi(Bound(utf8(v), true))
-      case (r, StringStartsWith("rowkey", p: String)) =>
+      case (r, StringStartsWith(c, p: String)) if c == colName =>
         val lo = r.tightenLo(Bound(utf8(p), true))
         prefixStop(utf8(p)).fold(lo)(s => lo.tightenHi(Bound(s, false)))
-      case (r, In("rowkey", vs))
-          if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      case (r, In(c, vs)) if c == colName &&
+          vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
         // an IN-list (e.g. a runtime/DPP filter from a join build side)
         // prunes by its [min, max] envelope; membership is exact in eval
         val bs = vs.map(v => utf8(v.asInstanceOf[String]))
@@ -149,6 +151,9 @@ object GraftCell {
           .tightenHi(Bound(bs.max(UnsignedBytesOrd), true))
       case (r, _) => r
     }
+
+  /** The rowkey interval implied by the pushed filters. */
+  def keyRange(filters: Seq[Filter]): KeyRange = colRange("rowkey", filters)
 
   private[cell] object UnsignedBytesOrd extends Ordering[Array[Byte]] {
     def compare(a: Array[Byte], b: Array[Byte]): Int =
@@ -350,6 +355,11 @@ object GraftCell {
     val flat = conjuncts(filters)
     fileMayMatch(m.minKey, m.maxKey, flat) &&
       verMayOverlap(m.minVer, m.maxVer, verRange(flat)) &&
+      // r16: FAMILY/QUALIFIER stats prune like rowkey stats — the
+      // per-CF store-file analog (a qualifier-only probe skips whole
+      // generations written for another column family / column set)
+      mayOverlap(m.minFam, m.maxFam, colRange("family", flat)) &&
+      mayOverlap(m.minQual, m.maxQual, colRange("qualifier", flat)) &&
       flat.forall {
         case Or(l, r) =>
           fileMayMatch(m, Seq(l)) || fileMayMatch(m, Seq(r))
@@ -370,6 +380,8 @@ object GraftCell {
     private val flat = conjuncts(filters)
     private val range = keyRange(flat)
     private val vr = verRange(flat)
+    private val famRange = colRange("family", flat)
+    private val qualRange = colRange("qualifier", flat)
     private val sortedInLists: Seq[Array[Array[Byte]]] = flat.collect {
       case In("rowkey", vs)
           if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
@@ -387,6 +399,8 @@ object GraftCell {
     def mayMatch(m: CellFileMeta): Boolean =
       mayOverlap(m.minKey, m.maxKey, range) &&
       verMayOverlap(m.minVer, m.maxVer, vr) &&
+      mayOverlap(m.minFam, m.maxFam, famRange) &&
+      mayOverlap(m.minQual, m.maxQual, qualRange) &&
       sortedInLists.forall(keys => anyKeyIn(keys, m.minKey, m.maxKey)) &&
       orPruners.forall { case (l, r) => l.mayMatch(m) || r.mayMatch(m) }
     private def anyKeyIn(sorted: Array[Array[Byte]],
@@ -1088,11 +1102,16 @@ object CellDeleteRewrite {
       .build()
     var kept = 0L
     // manifest stats of the surviving rows (same tracking as the write
-    // path: unsigned-byte rowkey order + version TimeRange)
+    // path: unsigned-byte order for rowkey/family/qualifier + the
+    // version TimeRange)
     var minKey: Array[Byte] = null
     var maxKey: Array[Byte] = null
     var minVer = Long.MaxValue
     var maxVer = Long.MinValue
+    var minFam: Array[Byte] = null
+    var maxFam: Array[Byte] = null
+    var minQual: Array[Byte] = null
+    var maxQual: Array[Byte] = null
     val compiled = GraftCell.compileAll(filters)
     try {
       var g = reader.read()
@@ -1106,11 +1125,22 @@ object CellDeleteRewrite {
         val doomed = filters.nonEmpty && compiled.forall(f => f(get))
         if (!doomed) {
           writer.write(g); kept += 1
-          val ki = g.getType.getFieldIndex("rowkey")
-          if (g.getFieldRepetitionCount(ki) > 0) {
-            val kb = g.getBinary(ki, 0).getBytes
+          def trackBin(col: String)(update: Array[Byte] => Unit): Unit = {
+            val i = g.getType.getFieldIndex(col)
+            if (g.getFieldRepetitionCount(i) > 0)
+              update(g.getBinary(i, 0).getBytes)
+          }
+          trackBin("rowkey") { kb =>
             if (minKey == null || JArrays.compareUnsigned(kb, minKey) < 0) minKey = kb
             if (maxKey == null || JArrays.compareUnsigned(kb, maxKey) > 0) maxKey = kb
+          }
+          trackBin("family") { kb =>
+            if (minFam == null || JArrays.compareUnsigned(kb, minFam) < 0) minFam = kb
+            if (maxFam == null || JArrays.compareUnsigned(kb, maxFam) > 0) maxFam = kb
+          }
+          trackBin("qualifier") { kb =>
+            if (minQual == null || JArrays.compareUnsigned(kb, minQual) < 0) minQual = kb
+            if (maxQual == null || JArrays.compareUnsigned(kb, maxQual) > 0) maxQual = kb
           }
           val vi = g.getType.getFieldIndex("version")
           if (g.getFieldRepetitionCount(vi) > 0) {
@@ -1134,7 +1164,8 @@ object CellDeleteRewrite {
       (file, Some(CellFileMeta(file, new java.io.File(file).length(), kept,
         Option(minKey), Option(maxKey), msgType.toString,
         if (minVer == Long.MaxValue) None else Some(minVer),
-        if (maxVer == Long.MinValue) None else Some(maxVer))))
+        if (maxVer == Long.MinValue) None else Some(maxVer),
+        Option(minFam), Option(maxFam), Option(minQual), Option(maxQual))))
     }
   }
 }
@@ -1169,15 +1200,30 @@ object CellRegionRewrite {
     private var maxKey: Array[Byte] = _
     private var minVer = Long.MaxValue
     private var maxVer = Long.MinValue
+    private var minFam: Array[Byte] = _
+    private var maxFam: Array[Byte] = _
+    private var minQual: Array[Byte] = _
+    private var maxQual: Array[Byte] = _
 
     def write(g: Group): Unit = {
       writer.write(g)
       rows += 1
-      val ki = g.getType.getFieldIndex("rowkey")
-      if (g.getFieldRepetitionCount(ki) > 0) {
-        val kb = g.getBinary(ki, 0).getBytes
+      def trackBin(col: String)(update: Array[Byte] => Unit): Unit = {
+        val i = g.getType.getFieldIndex(col)
+        if (g.getFieldRepetitionCount(i) > 0)
+          update(g.getBinary(i, 0).getBytes)
+      }
+      trackBin("rowkey") { kb =>
         if (minKey == null || JArrays.compareUnsigned(kb, minKey) < 0) minKey = kb
         if (maxKey == null || JArrays.compareUnsigned(kb, maxKey) > 0) maxKey = kb
+      }
+      trackBin("family") { kb =>
+        if (minFam == null || JArrays.compareUnsigned(kb, minFam) < 0) minFam = kb
+        if (maxFam == null || JArrays.compareUnsigned(kb, maxFam) > 0) maxFam = kb
+      }
+      trackBin("qualifier") { kb =>
+        if (minQual == null || JArrays.compareUnsigned(kb, minQual) < 0) minQual = kb
+        if (maxQual == null || JArrays.compareUnsigned(kb, maxQual) > 0) maxQual = kb
       }
       val vi = g.getType.getFieldIndex("version")
       if (g.getFieldRepetitionCount(vi) > 0) {
@@ -1194,7 +1240,8 @@ object CellRegionRewrite {
       else Some(CellFileMeta(path, new java.io.File(path).length(), rows,
         Option(minKey), Option(maxKey), msgType.toString,
         if (minVer == Long.MaxValue) None else Some(minVer),
-        if (maxVer == Long.MinValue) None else Some(maxVer)))
+        if (maxVer == Long.MinValue) None else Some(maxVer),
+        Option(minFam), Option(maxFam), Option(minQual), Option(maxQual)))
     }
   }
 
@@ -1692,7 +1739,15 @@ final case class CellFileMeta(path: String, bytes: Long, rowCount: Long,
                               maxKey: Option[Array[Byte]],
                               messageType: String,
                               minVer: Option[Long] = None,
-                              maxVer: Option[Long] = None)
+                              maxVer: Option[Long] = None,
+                              // r16: FAMILY/QUALIFIER min/max (the
+                              // per-CF store-file analog) — family-era
+                              // pruning for qualifier-only predicates;
+                              // None on legacy manifests (keep)
+                              minFam: Option[Array[Byte]] = None,
+                              maxFam: Option[Array[Byte]] = None,
+                              minQual: Option[Array[Byte]] = None,
+                              maxQual: Option[Array[Byte]] = None)
 
 /** PERSISTED per-dir manifest (`_manifest.json` inside each committed
   * batch dir) — the metadata a real 100 TB deployment keeps next to the
@@ -1738,6 +1793,10 @@ object CellManifest {
       m.maxKey.foreach(k => o.put("maxKey", b64e.encodeToString(k)))
       m.minVer.foreach(v => o.put("minVer", v))
       m.maxVer.foreach(v => o.put("maxVer", v))
+      m.minFam.foreach(k => o.put("minFam", b64e.encodeToString(k)))
+      m.maxFam.foreach(k => o.put("maxFam", b64e.encodeToString(k)))
+      m.minQual.foreach(k => o.put("minQual", b64e.encodeToString(k)))
+      m.maxQual.foreach(k => o.put("maxQual", b64e.encodeToString(k)))
       o.put("messageType", m.messageType)
     }
     val tmp = new java.io.File(dir, NAME + ".tmp")
@@ -1760,7 +1819,11 @@ object CellManifest {
         Option(o.get("maxKey")).map(n => b64d.decode(n.asText())),
         o.get("messageType").asText(),
         Option(o.get("minVer")).map(_.asLong()),
-        Option(o.get("maxVer")).map(_.asLong()))
+        Option(o.get("maxVer")).map(_.asLong()),
+        Option(o.get("minFam")).map(n => b64d.decode(n.asText())),
+        Option(o.get("maxFam")).map(n => b64d.decode(n.asText())),
+        Option(o.get("minQual")).map(n => b64d.decode(n.asText())),
+        Option(o.get("maxQual")).map(n => b64d.decode(n.asText())))
     }.toSeq
     Some(Data(root.get("committedAtMicros").asLong(), files))
   }
@@ -1991,16 +2054,21 @@ object CellFooterCache {
         try {
           val md = r.getFooter
           val blocks = md.getBlocks.asScala.toSeq
-          val stats = blocks.flatMap(_.getColumns.asScala
-            .find(_.getPath.toDotString == "rowkey").map(_.getStatistics))
-          val usable = stats.nonEmpty &&
-            stats.forall(s => s != null && s.hasNonNullValue)
-          val (mn, mx) =
+          // binary (string) column stats, min/max across row groups
+          def binStats(col: String): (Option[Array[Byte]], Option[Array[Byte]]) = {
+            val stats = blocks.flatMap(_.getColumns.asScala
+              .find(_.getPath.toDotString == col).map(_.getStatistics))
+            val usable = stats.nonEmpty &&
+              stats.forall(s => s != null && s.hasNonNullValue)
             if (!usable) (None, None)
             else (Some(stats.map(_.genericGetMin.asInstanceOf[Binary].getBytes)
                          .min(UnsignedBytes)),
                   Some(stats.map(_.genericGetMax.asInstanceOf[Binary].getBytes)
                          .max(UnsignedBytes)))
+          }
+          val (mn, mx) = binStats("rowkey")
+          val (fmn, fmx) = binStats("family")
+          val (qmn, qmx) = binStats("qualifier")
           val vstats = blocks.flatMap(_.getColumns.asScala
             .find(_.getPath.toDotString == "version").map(_.getStatistics))
           val vusable = vstats.nonEmpty &&
@@ -2013,7 +2081,8 @@ object CellFooterCache {
                                     .longValue()).max))
           CellFileMeta(f.getPath, f.length(),
                        blocks.map(_.getRowCount).sum, mn, mx,
-                       md.getFileMetaData.getSchema.toString, vmn, vmx)
+                       md.getFileMetaData.getSchema.toString, vmn, vmx,
+                       fmn, fmx, qmn, qmx)
         } finally r.close()
       }
   }
@@ -2576,6 +2645,12 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
   private var maxKey: Array[Byte] = _
   private var minVer = Long.MaxValue
   private var maxVer = Long.MinValue
+  // r16: family/qualifier min/max ride the same task-tracked stats —
+  // zero extra IO, and the manifest gains the per-CF pruning bounds
+  private var minFam: Array[Byte] = _
+  private var maxFam: Array[Byte] = _
+  private var minQual: Array[Byte] = _
+  private var maxQual: Array[Byte] = _
 
   // lazy open on first row: an empty task commits no region file
   private def open(): Unit = {
@@ -2590,6 +2665,8 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
     rowsInFile = 0L
     minKey = null; maxKey = null
     minVer = Long.MaxValue; maxVer = Long.MinValue
+    minFam = null; maxFam = null
+    minQual = null; maxQual = null
   }
 
   private def roll(): Unit = {
@@ -2597,7 +2674,8 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
     files += CellFileMeta(file, new java.io.File(file).length(), rowsInFile,
       Option(minKey), Option(maxKey), msgType.toString,
       if (minVer == Long.MaxValue) None else Some(minVer),
-      if (maxVer == Long.MinValue) None else Some(maxVer))
+      if (maxVer == Long.MinValue) None else Some(maxVer),
+      Option(minFam), Option(maxFam), Option(minQual), Option(maxQual))
     writer = null
     seq += 1
   }
@@ -2621,6 +2699,16 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
                 JArrays.compareUnsigned(bytes, minKey) < 0) minKey = bytes
             if (maxKey == null ||
                 JArrays.compareUnsigned(bytes, maxKey) > 0) maxKey = bytes
+          } else if (i == 1) { // family
+            if (minFam == null ||
+                JArrays.compareUnsigned(bytes, minFam) < 0) minFam = bytes
+            if (maxFam == null ||
+                JArrays.compareUnsigned(bytes, maxFam) > 0) maxFam = bytes
+          } else if (i == 2) { // qualifier
+            if (minQual == null ||
+                JArrays.compareUnsigned(bytes, minQual) < 0) minQual = bytes
+            if (maxQual == null ||
+                JArrays.compareUnsigned(bytes, maxQual) > 0) maxQual = bytes
           }
         }
       }

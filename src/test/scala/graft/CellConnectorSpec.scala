@@ -1479,9 +1479,57 @@ class CellConnectorSpec extends AnyFunSuite {
              s"rowkey stats mismatch $m vs $f")
       assert(m.minVer == f.minVer && m.maxVer == f.maxVer,
              s"version stats mismatch $m vs $f")
+      // r16: family/qualifier stats ride the same manifest entries
+      assert(m.minFam.map(_.toSeq) == f.minFam.map(_.toSeq) &&
+             m.maxFam.map(_.toSeq) == f.maxFam.map(_.toSeq),
+             s"family stats mismatch $m vs $f")
+      assert(m.minQual.map(_.toSeq) == f.minQual.map(_.toSeq) &&
+             m.maxQual.map(_.toSeq) == f.maxQual.map(_.toSeq),
+             s"qualifier stats mismatch $m vs $f")
       assert(MessageTypeParser.parseMessageType(m.messageType) ==
              MessageTypeParser.parseMessageType(f.messageType))
     }
+  }
+
+  test("qualifier/family manifest stats prune whole generations (r16)") {
+    import graft.sources.cell.CellFooterCache
+    import scala.collection.JavaConverters._
+    // Two generations over the SAME rowkey band that differ only in
+    // their qualifier sets — the HBase per-CF store-file shape (an
+    // index/annotation era written long after the base columns). A
+    // qualifier-only probe has NO rowkey constraint, so before r16 it
+    // planned every file; the family/qualifier min/max in the manifest
+    // now skip the foreign generation entirely.
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_qual_spec_").toString + "/t"
+    def gen(qs: Seq[String]) = s.createDataFrame(
+      (for { c <- 'a' to 'j'; q <- qs }
+        yield org.apache.spark.sql.Row(c.toString, "d", q, 1L, s"$c/$q")).asJava,
+      GraftCell.SCHEMA)
+    gen(Seq("alpha", "beta")).write.format("graftcell")
+      .mode("append").save(store)
+    gen(Seq("zeta")).write.format("graftcell")
+      .mode("append").save(store)
+    val total = CellFooterCache.filesOf(store).size
+    assert(total >= 2)
+    val df = s.read.format("graftcell").load(store)
+      .filter(col("qualifier") === "zeta")
+    val plan = df.queryExecution.executedPlan.toString
+    val m = "regionFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.nonEmpty, s"no regionFiles marker:\n$plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+           s"qualifier-only probe did not prune: ${m.get.matched}\n$plan")
+    // and the probe is exact: every zeta cell, nothing else
+    val got = df.select("rowkey", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(got == ('a' to 'j').map(c => (c.toString, s"$c/zeta")).toSeq,
+           s"content wrong: $got")
+    // family stats prune a foreign-family probe to zero files
+    val fplan = s.read.format("graftcell").load(store)
+      .filter(col("family") === "x")
+      .queryExecution.executedPlan.toString
+    val fm = "regionFiles: (\\d+)/".r.findFirstMatchIn(fplan)
+    assert(fm.exists(_.group(1).toInt == 0), s"family probe planned files:\n$fplan")
   }
 
   test("persisted manifest stays exact through in-place DELETE rewrites") {

@@ -132,7 +132,14 @@ class PropertySpec extends AnyFunSuite {
           In("rowkey", ks.distinct.toArray[Any]))),
       Gen.chooseNum(0L, 100L).map(v => GreaterThan("version", v)),
       for { a <- keyGen; b <- keyGen }
-        yield And(GreaterThanOrEqual("rowkey", a), LessThan("rowkey", b)))
+        yield And(GreaterThanOrEqual("rowkey", a), LessThan("rowkey", b)),
+      // r16: family/qualifier predicates (the per-CF stats pruning)
+      keyGen.map(k => EqualTo("family", k.take(1))),
+      keyGen.map(k => EqualTo("qualifier", k)),
+      keyGen.map(k => StringStartsWith("qualifier", k.take(1))),
+      Gen.chooseNum(1, 5).flatMap(n =>
+        Gen.listOfN(n, keyGen).map(ks =>
+          In("qualifier", ks.distinct.toArray[Any]))))
     // r16: OR disjunctions (the MultiRowRangeFilter pushdown) — both
     // flat Or(leaf, leaf) and the nested Or(Or(..), ..) / Or(And(..),
     // ..) shapes Catalyst actually emits for 3+ ranges
@@ -155,9 +162,16 @@ class PropertySpec extends AnyFunSuite {
         Some(mn.getBytes("UTF-8")) else None
       val maxKey = if (keySides == "both" || keySides == "maxOnly")
         Some(mx.getBytes("UTF-8")) else None
+      // family/qualifier stats (r16) derive from the same key pool so
+      // the generated predicates actually hit/miss them
+      val (qmn, qmx) = if (lo <= hi) (lo, hi) else (hi, lo)
       CellFileMeta("f", 1L, 1L, minKey, maxKey, "t",
         if (haveVer) Some(math.min(vlo, vhi)) else None,
-        if (haveVer) Some(math.max(vlo, vhi)) else None)
+        if (haveVer) Some(math.max(vlo, vhi)) else None,
+        if (keySides == "both") Some(mn.take(1).getBytes("UTF-8")) else None,
+        if (keySides == "both") Some(mx.take(1).getBytes("UTF-8")) else None,
+        if (keySides != "none") Some(qmn.getBytes("UTF-8")) else None,
+        if (keySides != "none") Some(qmx.getBytes("UTF-8")) else None)
     }
     val caseGen = for {
       nf <- Gen.chooseNum(0, 4)
@@ -172,19 +186,23 @@ class PropertySpec extends AnyFunSuite {
       }
     }
     // compiled row eval ≡ reference eval
-    val rowGen2 = for { k <- keyGen; v <- Gen.chooseNum(0L, 100L) } yield (k, v)
+    val rowGen2 = for {
+      k <- keyGen; q <- keyGen; v <- Gen.chooseNum(0L, 100L)
+    } yield (k, q, v)
     val evalCase = for {
       f <- filterGen; rows <- Gen.listOfN(25, rowGen2)
     } yield (f, rows)
     forAllSeeded(evalCase, samples = 40) { case (f, rows) =>
       val compiled = GraftCell.compile(f)
-      rows.foreach { case (k, v) =>
+      rows.foreach { case (k, q, v) =>
         val get = (c: String) => (c: @unchecked) match {
-          case "rowkey"  => UTF8String.fromString(k)
-          case "version" => java.lang.Long.valueOf(v)
+          case "rowkey"    => UTF8String.fromString(k)
+          case "family"    => UTF8String.fromString(k.take(1))
+          case "qualifier" => UTF8String.fromString(q)
+          case "version"   => java.lang.Long.valueOf(v)
         }
         assert(compiled(get) == GraftCell.eval(f, get),
-          s"compile diverges on ($k,$v) with $f")
+          s"compile diverges on ($k,$q,$v) with $f")
       }
     }
   }
