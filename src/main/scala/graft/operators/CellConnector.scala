@@ -808,6 +808,67 @@ object CellConnector extends QueryModule {
                ORDER BY rowkey, qualifier""")
     }),
 
+    "sql_cell_call_clone" -> ((s, dir) => {
+      // HBase shell `clone_snapshot` as SQL (r16) — the last snapshot
+      // verb (snapshot/list/restore/clone): a NEW table whose content
+      // is the pinned generation, ZERO data copy — pinned dirs are
+      // re-created with HARD LINKS to the source region files (the
+      // HFile-reference mechanism), so cloning a 100 TB table is a
+      // metadata operation. Inode semantics make the share safe: an
+      // in-place DELETE in the source publishes a NEW inode over the
+      // name, a compaction merely unlinks — the clone's links keep
+      // the pinned content either way (spec-pinned by mutating the
+      // source after cloning). The source is corrupted AFTER the
+      // snapshot here, and the clone reads back the clean generation
+      // — oracle = plain rebuild. Re-staged each run (DROP + clone).
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_cl (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_cl SELECT * FROM graft_catalog_src")
+      s.sql("CALL graftcat.snapshot('events_cl', 'base')")
+      s.sql("""INSERT INTO graftcat.events_cl
+               SELECT rowkey, family, qualifier,
+                      version + 1000000 AS version,
+                      concat(value, '#BAD') AS value
+               FROM graft_catalog_src WHERE rowkey >= '8'""")
+      s.sql("DROP TABLE IF EXISTS graftcat.events_cl2")
+      s.sql("CALL graftcat.clone_snapshot('events_cl', 'base', 'events_cl2')")
+      s.sql("""SELECT * FROM graftcat.events_cl2
+               ORDER BY rowkey, qualifier""")
+    }),
+
+    "sql_cell_max_versions" -> ((s, dir) => {
+      // The HBase table descriptor's VERSIONS => n (r16): max_versions
+      // is a persisted TBLPROPERTIES key, and major compaction keeps
+      // the n NEWEST versions per cell key instead of only the latest
+      // — the multi-version retention HBase tables declare. A
+      // three-generation store (base + two rewrite eras for the '5'+
+      // band) compacted under max_versions=2 keeps exactly the two
+      // newest of each cell — the middle era survives for the band,
+      // the oldest is GC'd. Oracle = rank ≤ 2 over the same union.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_mv (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell
+               TBLPROPERTIES ('max_versions' = '2')""")
+      s.sql("INSERT OVERWRITE graftcat.events_mv SELECT * FROM graft_catalog_src")
+      Seq(1000000L, 2000000L).foreach { bump =>
+        s.sql(s"""INSERT INTO graftcat.events_mv
+                  SELECT rowkey, family, qualifier,
+                         version + $bump AS version,
+                         concat(value, '+') AS value
+                  FROM graft_catalog_src WHERE rowkey >= '5'""")
+      }
+      s.sql("CALL graftcat.compact('events_mv')")
+      s.sql("""SELECT * FROM graftcat.events_mv
+               ORDER BY rowkey, qualifier, version""")
+    }),
+
     "sql_cell_call_split" -> ((s, dir) => {
       // HBase shell `split 't', 'key'` as SQL (r16): a post-hoc REGION
       // SPLIT of an on-disk store — every region file straddling the
@@ -1054,6 +1115,34 @@ object CellConnector extends QueryModule {
     "sql_cell_call_snapshot" ->
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    // the clone pins the pre-corruption generation: plain rebuild
+    "sql_cell_call_clone" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    // VERSIONS => 2 retention: the two newest versions per cell key
+    // out of the three-generation union survive compaction
+    "sql_cell_max_versions" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+          three AS (
+            SELECT * FROM cells
+            UNION ALL
+            SELECT rowkey, family, qualifier,
+                   version + 1000000 AS version, value || '+' AS value
+            FROM cells WHERE rowkey >= '5'
+            UNION ALL
+            SELECT rowkey, family, qualifier,
+                   version + 2000000 AS version, value || '+' AS value
+            FROM cells WHERE rowkey >= '5'),
+          r AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY rowkey, family, qualifier
+              ORDER BY version DESC, value DESC) AS rn
+            FROM three)
+          SELECT rowkey, family, qualifier, version, value
+          FROM r WHERE rn <= 2
+          ORDER BY rowkey, qualifier, version""",
 
     // layout surgery must preserve content exactly: split at '5'
     // changes only file boundaries, never rows

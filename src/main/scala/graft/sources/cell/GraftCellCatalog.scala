@@ -74,7 +74,7 @@ class GraftCellCatalog extends TableCatalog
     * HBase-descriptor policy knobs the maintenance ops consume.
     * Anything else (except Spark's own reserved properties) is
     * refused: a property that silently does nothing is a lie. */
-  private val ALLOWED_PROPS = Set("ttl_micros", "tombstone")
+  private val ALLOWED_PROPS = Set("ttl_micros", "tombstone", "max_versions")
   private val SPARK_RESERVED = Set("provider", "owner", "location",
     "comment", "external", "is_managed_location", "format")
 
@@ -86,6 +86,10 @@ class GraftCellCatalog extends TableCatalog
     props.get("ttl_micros").foreach { v =>
       require(scala.util.Try(v.toLong).toOption.exists(_ >= 0L),
         s"graftcell: ttl_micros must be a non-negative long, got '$v'")
+    }
+    props.get("max_versions").foreach { v =>
+      require(scala.util.Try(v.toLong).toOption.exists(_ >= 1L),
+        s"graftcell: max_versions must be a positive long, got '$v'")
     }
     props
   }
@@ -117,6 +121,22 @@ class GraftCellCatalog extends TableCatalog
     * arguments are omitted). */
   private[cell] def propsOf(tableName: String): Map[String, String] =
     readProps(new java.io.File(storeOf(tableName)))
+
+  /** Create the destination table of a snapshot CLONE: marker-stamped
+    * like createTable, with the DESCRIPTOR PROPERTIES copied from the
+    * source table (HBase `clone_snapshot` carries the table
+    * descriptor). Refuses an existing destination. Returns the new
+    * store path. */
+  private[cell] def createCloneDest(srcTable: String,
+                                    destTable: String): String = {
+    val srcDir = new java.io.File(storeOf(srcTable))
+    val destIdent = Identifier.of(Array.empty, destTable)
+    val dest = dirOf(destIdent)
+    if (marker(dest).exists()) throw new TableAlreadyExistsException(destIdent)
+    dest.mkdirs()
+    writeProps(dest, readProps(srcDir))
+    dest.getPath
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     requireDefaultNs(namespace)

@@ -103,11 +103,13 @@ object GraftCellProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       p("table", StringType),
       pDefault("ttl_micros", LongType, "-1"),
-      pDefault("tombstone", StringType, "NULL"))
+      pDefault("tombstone", StringType, "NULL"),
+      pDefault("max_versions", LongType, "-1"))
     override def description(): String =
-      "major compaction: resolve latest versions; optional TTL expiry " +
-      "and tombstone GC (defaults from TBLPROPERTIES); " +
-      "truncate-commit through the declared HFile layout"
+      "major compaction: resolve to the max_versions newest versions " +
+      "(default 1); optional TTL expiry and tombstone GC (defaults " +
+      "from TBLPROPERTIES); truncate-commit through the declared " +
+      "HFile layout"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val tableName = input.getUTF8String(0).toString
       val s = catalog.storeOf(tableName)
@@ -118,8 +120,13 @@ object GraftCellProcedures {
       val tomb = (if (input.isNullAt(2)) None
                   else Some(input.getUTF8String(2).toString))
         .orElse(props.get("tombstone"))
+      val maxV = (if (input.isNullAt(3) || input.getLong(3) < 1) None
+                  else Some(input.getLong(3)))
+        .orElse(props.get("max_versions").map(_.toLong))
+        .getOrElse(1L).toInt
       val (dirsBefore, _) = storeStats(s)
-      GraftCellMaintenance.majorCompact(SparkSession.active, s, ttl, tomb)
+      GraftCellMaintenance.majorCompact(SparkSession.active, s, ttl, tomb,
+                                        maxV)
       val (dirsAfter, cellsAfter) = storeStats(s)
       summary("dirs_before" -> dirsBefore, "dirs_after" -> dirsAfter,
               "cells_after" -> cellsAfter)
@@ -237,6 +244,32 @@ object GraftCellProcedures {
     }
   }
 
+  /** `clone_snapshot(table, name, new_table)` — the HBase shell
+    * `clone_snapshot`: a NEW table whose content is the pinned
+    * generation, zero data copy (hard links to the source's region
+    * files — safe against all later source mutations by inode
+    * semantics; see [[GraftCellSnapshot.clone]]). The descriptor
+    * properties travel with the clone. */
+  final class CloneSnapshot(catalog: GraftCellCatalog)
+      extends CellProcedure(catalog, "clone_snapshot") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType), p("name", StringType),
+      p("new_table", StringType))
+    override def description(): String =
+      "create a new table from a named snapshot (zero-copy hard links)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val srcTable = input.getUTF8String(0).toString
+      val snapName = input.getUTF8String(1).toString
+      val destTable = input.getUTF8String(2).toString
+      val src = catalog.storeOf(srcTable)
+      // validate the snapshot BEFORE creating the destination table
+      GraftCellSnapshot.dirs(src, snapName)
+      val dest = catalog.createCloneDest(srcTable, destTable)
+      val (dirs, files) = GraftCellSnapshot.clone(src, snapName, dest)
+      summary("cloned_dirs" -> dirs, "files_linked" -> files)
+    }
+  }
+
   /** `split_region(table, split_key)` — the HBase shell `split`: cut
     * every region file straddling the key into two at exactly the key
     * (one distributed task per victim; crash-safe retire-intent
@@ -284,6 +317,7 @@ object GraftCellProcedures {
     "drop_snapshot" -> new DropSnapshot(catalog),
     "list_snapshots" -> new ListSnapshots(catalog),
     "restore_snapshot" -> new RestoreSnapshot(catalog),
+    "clone_snapshot" -> new CloneSnapshot(catalog),
     "split_region" -> new SplitRegion(catalog),
     "merge_regions" -> new MergeRegions(catalog),
     "repair" -> new Repair(catalog))

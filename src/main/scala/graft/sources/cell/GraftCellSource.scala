@@ -708,6 +708,52 @@ object GraftCellSnapshot {
          pinned.filterNot(d => new java.io.File(store, d).isDirectory))
       }
 
+  /** CLONE a snapshot into a NEW store — the HBase shell
+    * `clone_snapshot`: a fresh table whose content is the pinned
+    * generation, with ZERO data copy. Each pinned dir is re-created in
+    * the destination with HARD LINKS to the source's data files (the
+    * HFile-reference mechanism); the per-dir manifest is COPIED (not
+    * linked) because the clone's metadata evolves independently from
+    * the first mutation on. The link sharing is safe against every
+    * source mutation by inode semantics: in-place DELETE rewrites
+    * publish a NEW inode over the old name (the clone's link keeps the
+    * pre-delete content), and compaction/restore/drop merely unlink
+    * names (the shared inode survives until the clone drops its own
+    * link). Refuses unknown or compaction-invalidated snapshots, and a
+    * destination that already exists. Returns (dirs, files linked). */
+  def clone(store: String, name: String, destStore: String): (Long, Long) = {
+    // complete pending retirements first so no intent-listed file can
+    // leak into the clone
+    CellRetire.repair(store)
+    val pinned = dirs(store, name)
+    val missing = pinned.filterNot(d => new java.io.File(store, d).isDirectory)
+    require(missing.isEmpty,
+      s"graftcell: snapshot '$name' was invalidated by compaction — " +
+      s"pinned dirs no longer exist: ${missing.mkString(", ")}")
+    var files = 0L
+    pinned.foreach { d =>
+      val srcDir = new java.io.File(store, d)
+      val dstDir = new java.io.File(destStore, d)
+      dstDir.mkdirs()
+      Option(srcDir.listFiles).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+        .foreach { f =>
+          java.nio.file.Files.createLink(
+            new java.io.File(dstDir, f.getName).toPath, f.toPath)
+          files += 1
+        }
+      val mf = new java.io.File(srcDir, CellManifest.NAME)
+      if (mf.exists())
+        java.nio.file.Files.copy(mf.toPath,
+          new java.io.File(dstDir, CellManifest.NAME).toPath)
+    }
+    java.nio.file.Files.write(
+      new java.io.File(destStore, "_SUCCESS").toPath, Array.emptyByteArray)
+    CellFooterCache.invalidate(destStore)
+    (pinned.size.toLong, files)
+  }
+
   /** RESTORE the store to a named snapshot's pinned dir set — the HBase
     * shell `restore_snapshot`, the verb users reach for after a bad
     * batch. Zero data copy, crash-safe, and atomic for readers:
@@ -1552,7 +1598,9 @@ object GraftCellMaintenance {
   def majorCompact(spark: org.apache.spark.sql.SparkSession,
                    store: String,
                    ttlMicros: Option[Long] = None,
-                   tombstone: Option[String] = None): Unit = {
+                   tombstone: Option[String] = None,
+                   maxVersions: Int = 1): Unit = {
+    require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val cells = spark.read.format("graftcell").load(store)
@@ -1572,8 +1620,18 @@ object GraftCellMaintenance {
     // test exercises exactly this edge on seeded random stores.
     val w = Window.partitionBy("rowkey", "family", "qualifier")
       .orderBy(col("version").desc, col("value").desc)
+    // maxVersions = the HBase table descriptor's VERSIONS => n: keep
+    // the n NEWEST versions per cell key (default 1 = latest only)
     val latest = live.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+      .filter(col("__rn") <= maxVersions).drop("__rn")
+    // Tombstone semantics are the engine's property-pinned
+    // delete-if-current rule (r14): markers participate in the
+    // newest-wins rank (version desc, value desc) and are then
+    // physically dropped. With maxVersions > 1 a marker therefore
+    // consumes one retained slot and puts ranked below it remain —
+    // deliberately NOT HBase's hide-all-older markers, which would
+    // change the long-pinned single-version GC oracles; retention
+    // (VERSIONS => n) and deletion stay orthogonal knobs.
     val kept = tombstone.fold(latest)(t => latest.filter(col("value") =!= t))
     kept.write.format("graftcell").mode("overwrite").save(store)
     CellFooterCache.invalidate(store)

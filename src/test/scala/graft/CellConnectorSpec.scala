@@ -1031,9 +1031,10 @@ class CellConnectorSpec extends AnyFunSuite {
     // snapshot lifecycle: listProcedures, drop, and failure modes
     val procs = s.sql("SHOW PROCEDURES IN graftproc")
       .select("procedure_name").collect().map(_.getString(0)).sorted.toSeq
-    assert(procs == Seq("compact", "compact_minor", "drop_snapshot",
-                        "list_snapshots", "merge_regions", "repair",
-                        "restore_snapshot", "snapshot", "split_region"),
+    assert(procs == Seq("clone_snapshot", "compact", "compact_minor",
+                        "drop_snapshot", "list_snapshots", "merge_regions",
+                        "repair", "restore_snapshot", "snapshot",
+                        "split_region"),
            s"procedures: $procs")
     // repair on a healthy store is a no-op summary
     val rRow = s.sql("CALL graftproc.repair('t')").collect()
@@ -1269,6 +1270,108 @@ class CellConnectorSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("invalidated"), e.getMessage)
     s.sql("DROP TABLE graftrst.t")
+  }
+
+  test("clone_snapshot: hard-linked clone survives source mutations (r16)") {
+    import scala.collection.JavaConverters._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_clone_spec_").toString
+    s.conf.set("spark.sql.catalog.graftclone",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftclone.root", root)
+    s.sql("""CREATE TABLE graftclone.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell
+             TBLPROPERTIES ('ttl_micros' = '777')""")
+    val store = s"$root/t"
+    s.createDataFrame(
+      ('a' to 'j').map(c =>
+        org.apache.spark.sql.Row(c.toString, "d", "q", 1L, s"v$c")).asJava,
+      GraftCell.SCHEMA)
+      .write.format("graftcell").mode("append").save(store)
+    def readAll(t: String) = s.sql(
+      s"SELECT rowkey, value FROM graftclone.$t ORDER BY rowkey")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val base = readAll("t")
+    s.sql("CALL graftclone.snapshot('t', 'base')")
+    val cr = s.sql(
+      "CALL graftclone.clone_snapshot('t', 'base', 'tclone')").collect()
+    assert(cr(0).getLong(0) == 1L && cr(0).getLong(1) >= 1L,
+      s"clone summary: ${cr.toSeq}")
+    assert(readAll("tclone") == base, "clone does not equal the snapshot")
+    // the descriptor traveled with the clone (HBase clone_snapshot)
+    val shown = s.sql("SHOW TBLPROPERTIES graftclone.tclone").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("ttl_micros").contains("777"), s"clone props: $shown")
+    // INODE SEMANTICS: an in-place DELETE in the source publishes new
+    // inodes over the shared names — the clone keeps the old content
+    s.sql("DELETE FROM graftclone.t WHERE rowkey >= 'h'")
+    assert(readAll("t").size == 7)
+    assert(readAll("tclone") == base, "source DELETE leaked into the clone")
+    // a source major compaction UNLINKS the shared names — clone keeps
+    s.sql("CALL graftclone.compact('t')")
+    assert(readAll("tclone") == base, "source compaction broke the clone")
+    // and the clone is a real independent table: it mutates alone
+    s.sql("DELETE FROM graftclone.tclone WHERE rowkey = 'a'")
+    assert(readAll("tclone").size == 9 && readAll("t").size == 7)
+    // refusals: existing destination; invalidated snapshot (the
+    // compaction above removed base's pinned dir)
+    intercept[Exception] {
+      s.sql("CALL graftclone.clone_snapshot('t', 'base', 'tclone')").collect()
+    }
+    s.sql("DROP TABLE IF EXISTS graftclone.tclone2")
+    val e = intercept[Exception] {
+      s.sql("CALL graftclone.clone_snapshot('t', 'base', 'tclone2')").collect()
+    }
+    assert(e.getMessage.contains("invalidated") ||
+           e.getMessage.contains("no snapshot"), e.getMessage)
+    s.sql("DROP TABLE graftclone.t")
+    s.sql("DROP TABLE graftclone.tclone")
+  }
+
+  test("max_versions retention: compact keeps the n newest versions (r16)") {
+    import scala.collection.JavaConverters._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mv_spec_").toString
+    s.conf.set("spark.sql.catalog.graftmv",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftmv.root", root)
+    def mk(t: String, props: String): Unit = {
+      s.sql(s"""CREATE TABLE graftmv.$t (rowkey STRING, family STRING,
+               qualifier STRING, version BIGINT, value STRING)
+               USING graftcell$props""")
+      // three versions per cell for 5 rowkeys
+      (1L to 3L).foreach { v =>
+        s.createDataFrame(
+          ('a' to 'e').map(c =>
+            org.apache.spark.sql.Row(c.toString, "d", "q", v, s"v$c$v")).asJava,
+          GraftCell.SCHEMA)
+          .write.format("graftcell").mode("append").save(s"$root/$t")
+      }
+    }
+    def content(t: String) = s.sql(
+      s"""SELECT rowkey, version, value FROM graftmv.$t
+          ORDER BY rowkey, version""").collect().toSeq
+    // property-driven retention ≡ explicit-argument retention
+    mk("t1", " TBLPROPERTIES ('max_versions' = '2')")
+    s.sql("CALL graftmv.compact('t1')")
+    mk("t2", "")
+    s.sql("CALL graftmv.compact('t2', -1, NULL, 2)")
+    assert(content("t1") == content("t2"),
+      "property-driven retention diverged from argument-driven")
+    // exactly versions {2,3} survive per cell
+    val got = content("t1").map(r => (r.getString(0), r.getLong(1)))
+    assert(got == ('a' to 'e').flatMap(c =>
+      Seq((c.toString, 2L), (c.toString, 3L))).toSeq, s"kept: $got")
+    // default stays latest-only
+    mk("t3", "")
+    s.sql("CALL graftmv.compact('t3')")
+    assert(content("t3").map(_.getLong(1)).forall(_ == 3L))
+    // refusal: zero/negative retention
+    intercept[Exception] {
+      s.sql("ALTER TABLE graftmv.t3 SET TBLPROPERTIES ('max_versions' = '0')")
+    }
+    Seq("t1", "t2", "t3").foreach(t => s.sql(s"DROP TABLE graftmv.$t"))
   }
 
   test("retire intents close the group-replace publish/delete window; repair completes") {
