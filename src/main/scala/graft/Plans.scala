@@ -46,7 +46,8 @@ object Plans {
     "sql_cell_update", "sql_cell_merge", "sql_cell_time_travel",
     "sql_cell_time_travel_ts", "cell_connector_count_meta",
     "sql_cell_call_compact", "sql_cell_call_snapshot",
-    "sql_cell_checkand", "sql_cell_sync", "cell_connector_gc")
+    "sql_cell_checkand", "sql_cell_sync", "cell_connector_gc",
+    "cell_connector_incremental", "cell_connector_incremental_between")
 
   /** What to explain per key. `obs_metrics`' query RESULT is a 1-row
     * local relation of listener-delivered values; the plan worth
@@ -441,6 +442,12 @@ object Plans {
          |`sql_cell_time_travel_ts` plans a timestamp-pinned dir set
          |(`timestampPin=` in the scan description) resolved from the
          |persisted manifests' monotonic commit stamps.
+         |Round-16 §2.12: `cell_connector_incremental` /
+         |`cell_connector_incremental_between` plan with
+         |`sinceSnapshot=inc1` in the scan description and a
+         |`regionFiles: k/n` denominator that is ALREADY the delta
+         |(live dirs minus the snapshot's pinned dirs — the O(delta)
+         |incremental read), with pushed filters pruning inside it.
          |
          |Perf note (round-2 adjudication of the r01 `sink_hbase_cells`
          |44.3 s outlier): isolated runs at sf0.1 measure 6.6 s cold /

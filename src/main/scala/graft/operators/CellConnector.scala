@@ -103,6 +103,25 @@ object CellConnector extends QueryModule {
           .write.format("graftcell").mode("append").save(path))
     }
 
+  /** Stage the INCREMENTAL store: three deterministic rowkey-band
+    * batches with a named snapshot after each of the first two —
+    * `inc1` pins band 1, `inc2` pins bands 1+2 — the fixture for the
+    * sinceSnapshot keys (delta = bands after the named boundary). */
+  private[graft] def stageInc(s: org.apache.spark.sql.SparkSession,
+                              dir: String): String =
+    stagedOnce(storePath(dir) + "_inc", "_INC_READY") {
+      val path = storePath(dir) + "_inc"
+      val cells = CellQueries.eventCells(s, dir)
+      cells.filter(col("rowkey") < "3")
+        .write.format("graftcell").mode("append").save(path)
+      graft.sources.cell.GraftCellSnapshot.create(path, "inc1")
+      cells.filter(col("rowkey") >= "3" && col("rowkey") < "6")
+        .write.format("graftcell").mode("append").save(path)
+      graft.sources.cell.GraftCellSnapshot.create(path, "inc2")
+      cells.filter(col("rowkey") >= "6")
+        .write.format("graftcell").mode("append").save(path)
+    }
+
   /** Drain a streaming DF to completion (AvailableNow, memory sink). */
   private def drain(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -1010,6 +1029,60 @@ object CellConnector extends QueryModule {
                WHERE rowkey >= '60' AND rowkey < '70'
                ORDER BY rowkey, qualifier""")
     }),
+
+    "cell_connector_incremental" -> ((s, dir) => {
+      // INCREMENTAL read — HBase incremental backup / Iceberg
+      // incremental consumption: `option("sinceSnapshot", name)` plans
+      // ONLY the generations committed AFTER the named snapshot (live
+      // dirs MINUS the snapshot's pinned dirs), so a periodic consumer
+      // ("ship me what's new since my last checkpoint") reads O(delta),
+      // never O(store) — at 100 TB the difference between re-scanning
+      // the table each sync and touching last night's batches. A
+      // metadata operation on the same write-once dir log snapshots
+      // pin; filter pushdown / projection / region pruning compose
+      // unchanged (the delta still footer-prunes). Staged: band 1 →
+      // snapshot inc1 → band 2 → snapshot inc2 → band 3; reading since
+      // inc1 returns exactly bands 2+3 (rowkey >= '3').
+      val path = stageInc(s, dir)
+      s.read.format("graftcell").option("sinceSnapshot", "inc1").load(path)
+        .filter(col("qualifier").isin("event_type", "value"))
+        .select("rowkey", "qualifier", "value")
+        .orderBy("rowkey", "qualifier")
+    }),
+
+    "cell_connector_incremental_between" -> ((s, dir) => {
+      // CHANGES BETWEEN two snapshots: `snapshot` pins the upper bound,
+      // `sinceSnapshot` subtracts the lower — dirs(inc2) − dirs(inc1) =
+      // exactly the generation committed between them (band 2 here).
+      // Both bounds are NAMED manifests, so the window is REPRODUCIBLE:
+      // two consumers (or one consumer retrying after a crash) reading
+      // the same [inc1, inc2) window get byte-identical increments no
+      // matter what has committed since — the checkpointable unit an
+      // incremental ETL contract needs, vs "since" alone which moves
+      // with the live log.
+      val path = stageInc(s, dir)
+      s.read.format("graftcell")
+        .option("snapshot", "inc2").option("sinceSnapshot", "inc1")
+        .load(path)
+        .orderBy("rowkey", "qualifier")
+    }),
+
+    "stream_cell_since" -> ((s, dir) => {
+      // STREAMING from a snapshot boundary: `sinceSnapshot` on
+      // readStream makes the snapshot's pinned dirs the INITIAL offset
+      // (already-delivered), so a fresh checkpoint starts replicating
+      // at the boundary instead of replaying the whole store — the
+      // HBase "bootstrap with a snapshot, then stream the tail"
+      // handoff: bulk-ship dirs(inc1) out of band (clone_snapshot),
+      // then this stream delivers exactly the post-inc1 batches, no
+      // gap, no replay. Offsets stay dir-name sets, so the handoff
+      // composes with exactly-once delivery and admission control
+      // (one committed batch per trigger) unchanged.
+      val path = stageInc(s, dir)
+      drain(s.readStream.format("graftcell")
+              .option("sinceSnapshot", "inc1").load(path))
+        .orderBy("rowkey", "qualifier")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1378,6 +1451,24 @@ object CellConnector extends QueryModule {
             FROM two)
           SELECT rowkey, family, qualifier, version, value
           FROM latest WHERE rn = 1
+          ORDER BY rowkey, qualifier""",
+
+    "cell_connector_incremental" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT rowkey, qualifier, value FROM cells
+          WHERE rowkey >= '3' AND qualifier IN ('event_type', 'value')
+          ORDER BY rowkey, qualifier""",
+
+    "cell_connector_incremental_between" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells
+          WHERE rowkey >= '3' AND rowkey < '6'
+          ORDER BY rowkey, qualifier""",
+
+    "stream_cell_since" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells
+          WHERE rowkey >= '3'
           ORDER BY rowkey, qualifier""",
   )
 }

@@ -627,13 +627,16 @@ class GraftCellTable(path: String,
       pinnedSnapshot.orElse(Option(options.get("snapshot"))),
       Option(options.get("maxPartitionBytes")).map(_.toLong)
         .getOrElse(Long.MaxValue),
-      pinnedDirs)
+      pinnedDirs,
+      Option(options.get("sinceSnapshot")))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     requireLive("write")
     require(info.options().get("snapshot") == null,
             "graftcell: cannot write through a snapshot read option")
+    require(info.options().get("sinceSnapshot") == null,
+            "graftcell: cannot write through a sinceSnapshot read option")
     new GraftCellWriteBuilder(path, info.queryId(),
       Option(info.options().get("maxRowsPerFile")).map(_.toLong).getOrElse(-1L))
   }
@@ -1640,7 +1643,8 @@ object GraftCellMaintenance {
 
 class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
                            maxPartBytes: Long = Long.MaxValue,
-                           pinnedDirs: Option[Seq[String]] = None)
+                           pinnedDirs: Option[Seq[String]] = None,
+                           since: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownTopN with SupportsPushDownAggregates {
@@ -1707,9 +1711,9 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
       agg.aggregateExpressions().forall {
         case _: CountStar => true
         case m: Min => m.column().toString == "rowkey" &&
-          CellFooterCache.filesOf(path, snapshot, pinnedDirs).forall(_.minKey.nonEmpty)
+          CellFooterCache.filesOf(path, snapshot, pinnedDirs, since).forall(_.minKey.nonEmpty)
         case m: Max => m.column().toString == "rowkey" &&
-          CellFooterCache.filesOf(path, snapshot, pinnedDirs).forall(_.maxKey.nonEmpty)
+          CellFooterCache.filesOf(path, snapshot, pinnedDirs, since).forall(_.maxKey.nonEmpty)
         case _ => false
       }
 
@@ -1718,10 +1722,10 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
     else false
 
   override def build(): Scan = aggPushed match {
-    case Some(agg) => new GraftCellAggScan(path, agg, snapshot, pinnedDirs)
+    case Some(agg) => new GraftCellAggScan(path, agg, snapshot, pinnedDirs, since)
     case None =>
       new GraftCellScan(path, pushed, required, limit, topNPushed, snapshot,
-                        maxPartBytes, pinnedDirs)
+                        maxPartBytes, pinnedDirs, since)
   }
 }
 
@@ -1733,11 +1737,12 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
 class GraftCellAggScan(path: String,
     agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
     snapshot: Option[String] = None,
-    pinnedDirs: Option[Seq[String]] = None)
+    pinnedDirs: Option[Seq[String]] = None,
+    since: Option[String] = None)
     extends Scan with Batch {
   import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
 
-  private lazy val metas = CellFooterCache.filesOf(path, snapshot, pinnedDirs)
+  private lazy val metas = CellFooterCache.filesOf(path, snapshot, pinnedDirs, since)
 
   private def answers: Array[(String, Any)] =
     agg.aggregateExpressions().map {
@@ -2072,6 +2077,26 @@ object CellFooterCache {
           .filterNot(m => retired.contains(m.path))
     }
 
+  /** Files of a store under an optional pin, MINUS the dirs a
+    * `sinceSnapshot` pinned — the INCREMENTAL read (HBase incremental
+    * backup / Iceberg incremental consumption): only the generations
+    * committed AFTER the snapshot are planned, so a periodic consumer
+    * reads O(delta), never O(store). Dir-granular by the same contract
+    * as snapshots themselves (committed dirs are write-once; the
+    * in-place file-granular DELETE carries the documented
+    * snapshot-invalidation caveat). An unknown since-snapshot fails
+    * loudly inside [[GraftCellSnapshot.dirs]]. */
+  def filesOf(store: String, snapshot: Option[String],
+              pinnedDirs: Option[Seq[String]],
+              since: Option[String]): Seq[CellFileMeta] =
+    since match {
+      case None => filesOf(store, snapshot, pinnedDirs)
+      case Some(n) =>
+        val excl = GraftCellSnapshot.dirs(store, n).toSet
+        filesOf(store, snapshot, pinnedDirs).filterNot(m =>
+          excl.contains(new java.io.File(m.path).getParentFile.getName))
+    }
+
   /** Count of driver-side parquet footer opens — the cost the persisted
     * manifest exists to eliminate. The manifest spec pins a scan of a
     * connector-written store to ZERO opens; the counter only moves on
@@ -2156,7 +2181,8 @@ class GraftCellScan(path: String, pushed: Array[Filter],
                     topN: Boolean = false,
                     snapshot: Option[String] = None,
                     maxPartBytes: Long = Long.MaxValue,
-                    pinnedDirs: Option[Seq[String]] = None)
+                    pinnedDirs: Option[Seq[String]] = None,
+                    since: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportOrdering {
 
@@ -2184,7 +2210,7 @@ class GraftCellScan(path: String, pushed: Array[Filter],
     * before planInputPartitions, so it participates in file pruning. */
   private var runtime: Array[Filter] = Array.empty
 
-  private lazy val all = CellFooterCache.filesOf(path, snapshot, pinnedDirs)
+  private lazy val all = CellFooterCache.filesOf(path, snapshot, pinnedDirs, since)
   private def effective: Seq[Filter] = (pushed ++ runtime).toSeq
   private def selected = {
     val pruner = new GraftCell.FilePruner(effective)
@@ -2205,6 +2231,7 @@ class GraftCellScan(path: String, pushed: Array[Filter],
     s"GraftCellScan path=$path, " +
     snapshot.fold("")(n => s"snapshot=$n, ") +
     pinnedDirs.fold("")(ds => s"timestampPin=${ds.size} dirs, ") +
+    since.fold("")(n => s"sinceSnapshot=$n, ") +
     s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
     s"ReadSchema: ${required.catalogString}, " +
     (if (limit >= 0) s"${if (topN) "topN" else "limit"}: $limit, " else "") +
@@ -2251,7 +2278,11 @@ class GraftCellScan(path: String, pushed: Array[Filter],
       "graftcell: a snapshot/timestamp pin is a frozen dir set — " +
       "batch-read it; the streaming source follows the LIVE " +
       "committed-dir log")
-    new GraftCellMicroBatchStream(path, pushed, required)
+    // sinceSnapshot composes WITH streaming: the pinned dir set becomes
+    // the INITIAL offset, so a fresh checkpoint starts replicating from
+    // the snapshot boundary instead of replaying the whole store
+    new GraftCellMicroBatchStream(path, pushed, required,
+      since.map(n => GraftCellSnapshot.dirs(path, n)).getOrElse(Nil))
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -2304,7 +2335,8 @@ object GraftCellOffset {
   *    so a filtered consumer still seeks regions instead of scanning.
   */
 class GraftCellMicroBatchStream(path: String, pushed: Array[Filter],
-                                required: StructType)
+                                required: StructType,
+                                sinceDirs: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
@@ -2319,7 +2351,13 @@ class GraftCellMicroBatchStream(path: String, pushed: Array[Filter],
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def initialOffset(): SOffset = GraftCellOffset(Nil)
+  /** Fresh-checkpoint start position: normally the empty set (replay
+    * the whole committed log), or — under `sinceSnapshot` — the
+    * snapshot's pinned dirs marked as already-delivered, so the stream
+    * begins at the snapshot boundary (the HBase "enable replication
+    * after a bootstrap snapshot" handoff: bulk-ship the snapshot,
+    * then stream exactly what committed after it, no gap, no replay). */
+  override def initialOffset(): SOffset = GraftCellOffset.of(sinceDirs)
 
   override def latestOffset(): SOffset =
     throw new UnsupportedOperationException(

@@ -1099,8 +1099,10 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(shown2.get("ttl_micros").contains("9999") &&
            !shown2.contains("tombstone"), s"after alter: $shown2")
     // refusals: unknown property keys, non-long TTL, schema changes
+    // (max_versions stopped being "unknown" when it became the third
+    // descriptor key — its own test covers it now)
     intercept[Exception] {
-      s.sql("ALTER TABLE graftprops.t1 SET TBLPROPERTIES ('max_versions' = '3')")
+      s.sql("ALTER TABLE graftprops.t1 SET TBLPROPERTIES ('coprocessor' = 'x')")
     }
     intercept[Exception] {
       s.sql("ALTER TABLE graftprops.t1 SET TBLPROPERTIES ('ttl_micros' = 'soon')")
@@ -1668,5 +1670,118 @@ class CellConnectorSpec extends AnyFunSuite {
     val viaFooters = CellFooterCache.filesOf(store)
     assert(metas.sortBy(_.path).map(m => (m.path, m.rowCount, m.bytes)) ==
            viaFooters.sortBy(_.path).map(m => (m.path, m.rowCount, m.bytes)))
+  }
+
+  test("sinceSnapshot plans ONLY post-snapshot generations; between-windows are reproducible (r16)") {
+    import graft.sources.cell.{CellFooterCache, GraftCellSnapshot}
+    val root = java.nio.file.Files.createTempDirectory("graft_inc_spec_").toString
+    val store = s"$root/store"
+    def put(keys: (String, String)*): Unit = {
+      import scala.collection.JavaConverters._
+      s.createDataFrame(
+        keys.map { case (rk, v) =>
+          org.apache.spark.sql.Row(rk, "d", "q", 1L, v) }.asJava,
+        GraftCell.SCHEMA)
+        .write.format("graftcell").mode("append").save(store)
+    }
+    put("a" -> "1", "b" -> "2")
+    GraftCellSnapshot.create(store, "s1")
+    put("c" -> "3")
+    GraftCellSnapshot.create(store, "s2")
+    put("d" -> "4")
+
+    // the incremental listing is exactly the live files MINUS s1's
+    // pinned dirs — O(delta) planning, disjoint from the snapshot
+    val s1Dirs = GraftCellSnapshot.dirs(store, "s1").toSet
+    val delta = CellFooterCache.filesOf(store, None, None, Some("s1"))
+    assert(delta.nonEmpty &&
+      delta.forall(m => !s1Dirs.contains(
+        new java.io.File(m.path).getParentFile.getName)))
+    assert(delta.size ==
+      CellFooterCache.filesOf(store).size -
+      CellFooterCache.filesOf(store, Some("s1")).size)
+
+    // the read returns exactly the post-s1 rows, and the plan carries
+    // the since marker (the evidence string PLANS.md prints)
+    val sinceDf = s.read.format("graftcell")
+      .option("sinceSnapshot", "s1").load(store)
+    assert(sinceDf.queryExecution.executedPlan.toString
+      .contains("sinceSnapshot=s1"))
+    assert(sinceDf.select("rowkey").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("c", "d"))
+    // metadata aggregate pushdown composes: COUNT(*) of the delta is
+    // answered from the delta's manifests alone
+    val cnt = sinceDf.groupBy().count()
+    assert(cnt.queryExecution.executedPlan.toString.contains("GraftCellAggScan")
+           || cnt.collect().head.getLong(0) == 2L)
+    assert(cnt.collect().head.getLong(0) == 2L)
+    // pushed filters still prune inside the delta
+    assert(sinceDf.filter(col("rowkey") === "d").collect().map(_.getString(0))
+      .toSeq == Seq("d"))
+
+    // BETWEEN window [s1, s2): both bounds named ⇒ reproducible
+    def window() = s.read.format("graftcell")
+      .option("snapshot", "s2").option("sinceSnapshot", "s1").load(store)
+      .select("rowkey").collect().map(_.getString(0)).toSeq.sorted
+    val w1 = window()
+    assert(w1 == Seq("c"))
+    put("e" -> "5") // the live log moves...
+    assert(window() == w1, "a named window must not move with the live log")
+    // ...and the open-ended since DOES follow it
+    assert(s.read.format("graftcell").option("sinceSnapshot", "s1")
+      .load(store).count() == 3L)
+
+    // refusals: unknown since-snapshot; writes through the option
+    intercept[Exception] {
+      s.read.format("graftcell").option("sinceSnapshot", "nope")
+        .load(store).count()
+    }
+    intercept[Exception] {
+      s.range(0).selectExpr("'a' rowkey", "'d' family", "'q' qualifier",
+                            "1L version", "'v' value")
+        .write.format("graftcell").option("sinceSnapshot", "s1")
+        .mode("append").save(store)
+    }
+  }
+
+  test("streaming sinceSnapshot starts at the snapshot boundary — no replay, tail only (r16)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.cell.GraftCellSnapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_incstream_spec_").toString
+    val (store, cp, out) = (s"$root/store", s"$root/ckpt", s"$root/out")
+    def put(keys: (String, String)*): Unit = {
+      import scala.collection.JavaConverters._
+      s.createDataFrame(
+        keys.map { case (rk, v) =>
+          org.apache.spark.sql.Row(rk, "d", "q", 1L, v) }.asJava,
+        GraftCell.SCHEMA)
+        .write.format("graftcell").mode("append").save(store)
+    }
+    def drain(): (Seq[String], Long) = {
+      val q = s.readStream.format("graftcell")
+        .option("sinceSnapshot", "boot").load(store)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp).start()
+      q.awaitTermination()
+      val rows = s.read.schema(GraftCell.SCHEMA).parquet(out)
+        .select("rowkey").collect().map(_.getString(0)).toSeq.sorted
+      (rows, q.recentProgress.count(_.numInputRows > 0).toLong)
+    }
+    // bootstrap generation, pinned; then two tail batches
+    put("a" -> "1", "b" -> "2")
+    GraftCellSnapshot.create(store, "boot")
+    put("c" -> "3")
+    put("d" -> "4")
+    // fresh checkpoint: the pinned dirs are the INITIAL offset, so the
+    // drain delivers exactly the two tail batches — the bootstrap rows
+    // never replay (they ship out of band via clone_snapshot)
+    val (rows1, fed1) = drain()
+    assert(rows1 == Seq("c", "d"), s"bootstrap replayed: $rows1")
+    assert(fed1 == 2L, s"tail should pace as 2 micro-batches, saw $fed1")
+    // resume composes: a post-boot commit arrives alone on the next drain
+    put("e" -> "5")
+    val (rows2, fed2) = drain()
+    assert(rows2 == Seq("c", "d", "e") && fed2 == 1L)
   }
 }
