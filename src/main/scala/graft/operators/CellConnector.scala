@@ -1067,6 +1067,33 @@ object CellConnector extends QueryModule {
         .orderBy("rowkey", "qualifier")
     }),
 
+    "sql_cell_namespace" -> ((s, dir) => {
+      // NAMESPACES — HBase `create_namespace` / `'ns:table'` (r16): a
+      // namespace is a marker-stamped warehouse subdir, tables resolve
+      // at root/<ns>/<table> through the same GraftCellTable, and the
+      // full SQL surface follows — CREATE NAMESPACE, three-part
+      // CREATE/INSERT/SELECT (with pushdown engaging exactly as in the
+      // default namespace), SHOW NAMESPACES / SHOW TABLES IN, and the
+      // CALL procedures addressing namespaced tables shell-style
+      // ('archive:events_ns'). Pure metadata, like everything in the
+      // catalog: a namespace costs one subdir + one marker at any
+      // table count.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.archive")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.archive.events_ns (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.archive.events_ns SELECT * FROM graft_catalog_src")
+      // the admin surface reaches namespaced tables ('ns:table')
+      s.sql("CALL graftcat.snapshot('archive:events_ns', 'ns_keep')")
+      s.sql("""SELECT rowkey, qualifier, value
+               FROM graftcat.archive.events_ns
+               WHERE rowkey >= '70' AND rowkey < '80'
+               ORDER BY rowkey, qualifier""")
+    }),
+
     "stream_cell_since" -> ((s, dir) => {
       // STREAMING from a snapshot boundary: `sinceSnapshot` on
       // readStream makes the snapshot's pinned dirs the INITIAL offset
@@ -1469,6 +1496,12 @@ object CellConnector extends QueryModule {
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT * FROM cells
           WHERE rowkey >= '3'
+          ORDER BY rowkey, qualifier""",
+
+    "sql_cell_namespace" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT rowkey, qualifier, value FROM cells
+          WHERE rowkey >= '70' AND rowkey < '80'
           ORDER BY rowkey, qualifier""",
   )
 }

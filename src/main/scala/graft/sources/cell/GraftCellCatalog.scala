@@ -28,10 +28,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * all resolve through the same [[GraftCellTable]] as the path-based
   * `format("graftcell")` reads — one implementation, two addressing
   * modes (the catalog is metadata only: a table is its directory).
-  * Namespaces are not supported (HBase's flat table namespace — the
-  * default namespace only); table creation enforces the cell schema,
-  * because a graftcell table IS the cell model. */
+  *
+  * NAMESPACES (r16) follow HBase's model — one level, holding tables
+  * (`create_namespace` / `'ns:table'` in the shell): a namespace is a
+  * marker-stamped SUBDIRECTORY of the warehouse (`root/<ns>/<table>`),
+  * so `CREATE NAMESPACE g.prod`, `CREATE TABLE g.prod.t ...`,
+  * `SHOW TABLES IN g.prod`, and cross-namespace `ALTER TABLE RENAME`
+  * are all directory metadata ops. The default namespace stays the
+  * warehouse root (legacy tables untouched); procedures address
+  * namespaced tables HBase-style (`CALL g.compact('prod:t')`). Nested
+  * namespaces are refused — HBase namespaces don't nest. Table
+  * creation enforces the cell schema, because a graftcell table IS
+  * the cell model. */
 class GraftCellCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var root: java.io.File = _
@@ -52,12 +62,36 @@ class GraftCellCatalog extends TableCatalog
   private def requireDefaultNs(ns: Array[String]): Unit =
     if (ns.nonEmpty) throw new NoSuchNamespaceException(ns)
 
-  private def dirOf(ident: Identifier): java.io.File = {
-    requireDefaultNs(ident.namespace())
-    require(ident.name().nonEmpty && ident.name().forall(c =>
+  private def validSeg(kind: String, s: String): String = {
+    require(s.nonEmpty && s.forall(c =>
       c.isLetterOrDigit || c == '_' || c == '-'),
-      s"graftcell: bad table name '${ident.name()}'")
-    new java.io.File(root, ident.name())
+      s"graftcell: bad $kind name '$s'")
+    s
+  }
+
+  /** Namespace marker — distinguishes a namespace dir from a table dir
+    * (tables carry `_GRAFT_TABLE`) and from stray directories, and
+    * persists the CREATE NAMESPACE metadata. */
+  private def nsMarker(dir: java.io.File) = new java.io.File(dir, "_GRAFT_NS")
+
+  /** Directory of a (single-level, HBase-style) namespace; the empty
+    * namespace is the warehouse root. */
+  private def nsDir(ns: Array[String]): java.io.File = ns match {
+    case Array()  => root
+    case Array(n) => new java.io.File(root, validSeg("namespace", n))
+    case deeper   => throw new NoSuchNamespaceException(deeper)
+  }
+
+  private def nsExists(ns: Array[String]): Boolean = ns match {
+    case Array() => true
+    case _       => nsMarker(nsDir(ns)).exists()
+  }
+
+  private def dirOf(ident: Identifier): java.io.File = {
+    val parent = nsDir(ident.namespace())
+    if (!nsExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    new java.io.File(parent, validSeg("table", ident.name()))
   }
 
   /** A table dir is one the CATALOG created (marker-stamped) — a stray
@@ -130,7 +164,12 @@ class GraftCellCatalog extends TableCatalog
   private[cell] def createCloneDest(srcTable: String,
                                     destTable: String): String = {
     val srcDir = new java.io.File(storeOf(srcTable))
-    val destIdent = Identifier.of(Array.empty, destTable)
+    val destIdent = destTable.split(":", -1) match {
+      case Array(t)     => Identifier.of(Array.empty, t)
+      case Array(ns, t) => Identifier.of(Array(ns), t)
+      case _ => throw new IllegalArgumentException(
+        s"graftcell: bad table reference '$destTable' (use 'table' or 'ns:table')")
+    }
     val dest = dirOf(destIdent)
     if (marker(dest).exists()) throw new TableAlreadyExistsException(destIdent)
     dest.mkdirs()
@@ -139,15 +178,16 @@ class GraftCellCatalog extends TableCatalog
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    requireDefaultNs(namespace)
-    Option(root.listFiles).getOrElse(Array.empty)
+    if (!nsExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Option(nsDir(namespace).listFiles).getOrElse(Array.empty)
       .filter(d => d.isDirectory && marker(d).exists())
-      .map(d => Identifier.of(Array.empty, d.getName))
+      .map(d => Identifier.of(namespace, d.getName))
       .sortBy(_.name())
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace().isEmpty && marker(dirOf(ident)).exists()
+    ident.namespace().length <= 1 && nsExists(ident.namespace()) &&
+      marker(dirOf(ident)).exists()
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
@@ -257,11 +297,19 @@ class GraftCellCatalog extends TableCatalog
     true
   }
 
-  /** Store directory of an existing table (procedure entry point). */
+  /** Store directory of an existing table (procedure entry point).
+    * Accepts the HBase shell's namespaced form `'ns:table'` next to a
+    * bare default-namespace name — procedures stay top-level
+    * (`CALL g.compact('prod:t')`), exactly like the shell. */
   private[cell] def storeOf(tableName: String): String = {
-    val dir = dirOf(Identifier.of(Array.empty, tableName))
-    if (!marker(dir).exists())
-      throw new NoSuchTableException(Identifier.of(Array.empty, tableName))
+    val ident = tableName.split(":", -1) match {
+      case Array(t)     => Identifier.of(Array.empty, t)
+      case Array(ns, t) => Identifier.of(Array(ns), t)
+      case _ => throw new IllegalArgumentException(
+        s"graftcell: bad table reference '$tableName' (use 'table' or 'ns:table')")
+    }
+    val dir = dirOf(ident)
+    if (!marker(dir).exists()) throw new NoSuchTableException(ident)
     dir.getPath
   }
 
@@ -282,6 +330,93 @@ class GraftCellCatalog extends TableCatalog
     requireDefaultNs(namespace)
     GraftCellProcedures.all(this).keys.toSeq.sorted
       .map(n => Identifier.of(Array.empty, n)).toArray
+  }
+
+  // ---- SupportsNamespaces (HBase create_namespace / drop_namespace) ----
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  override def listNamespaces(): Array[Array[String]] =
+    Option(root.listFiles).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && nsMarker(d).exists())
+      .map(d => Array(d.getName)).sortBy(_.head)
+
+  /** HBase namespaces don't nest: children of an existing namespace are
+    * none; asking under an unknown one is an error. */
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    namespace match {
+      case Array() => listNamespaces()
+      case ns if nsExists(ns) => Array.empty
+      case ns => throw new NoSuchNamespaceException(ns)
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length <= 1 && nsExists(namespace)
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : JMap[String, String] = {
+    if (!nsExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val m = new java.util.HashMap[String, String]()
+    if (namespace.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      val bytes = java.nio.file.Files
+        .readAllBytes(nsMarker(nsDir(namespace)).toPath)
+      if (bytes.nonEmpty)
+        mapper.readTree(bytes).properties().asScala
+          .foreach(e => m.put(e.getKey, e.getValue.asText()))
+    }
+    m
+  }
+
+  /** `CREATE NAMESPACE g.<ns>` — one marker-stamped warehouse subdir;
+    * the metadata map (COMMENT / PROPERTIES / Spark's owner stamp)
+    * persists verbatim in the marker, like the HBase namespace
+    * descriptor's configuration. */
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit = {
+    val dir = nsDir(namespace)
+    require(namespace.nonEmpty, "graftcell: cannot create the default namespace")
+    if (nsMarker(dir).exists())
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    require(!marker(dir).exists(),
+      s"graftcell: '${namespace.head}' is already a table")
+    dir.mkdirs()
+    import scala.jdk.CollectionConverters._
+    val node = mapper.createObjectNode()
+    metadata.asScala.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val tmp = new java.io.File(dir, "_GRAFT_NS.tmp")
+    java.nio.file.Files.write(tmp.toPath, mapper.writeValueAsBytes(node))
+    java.nio.file.Files.move(tmp.toPath, nsMarker(dir).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graftcell namespaces carry no alterable metadata")
+
+  /** `DROP NAMESPACE` — refuses a namespace that still holds tables
+    * unless CASCADE (which drops them, HBase-shell style must empty
+    * first; SQL's CASCADE is the explicit opt-in). */
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (namespace.isEmpty)
+      throw new IllegalArgumentException("graftcell: cannot drop the default namespace")
+    if (!nsExists(namespace)) return false
+    val tables = listTables(namespace)
+    if (tables.nonEmpty && !cascade)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(namespace)
+    tables.foreach(dropTable)
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles).getOrElse(Array.empty).foreach(rec)
+      f.delete(); ()
+    }
+    rec(nsDir(namespace))
+    true
   }
 
   override def renameTable(oldIdent: Identifier,

@@ -1784,4 +1784,64 @@ class CellConnectorSpec extends AnyFunSuite {
     val (rows2, fed2) = drain()
     assert(rows2 == Seq("c", "d", "e") && fed2 == 1L)
   }
+
+  test("namespaces: create_namespace / ns:table lifecycle, HBase-style (r16)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ns_spec_").toString
+    s.conf.set("spark.sql.catalog.graftns",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftns.root", root)
+    import scala.collection.JavaConverters._
+
+    s.sql("CREATE NAMESPACE graftns.prod COMMENT 'hot serving'")
+    s.sql("CREATE NAMESPACE graftns.staging")
+    // namespace listing; metadata round-trips through the marker
+    assert(s.sql("SHOW NAMESPACES IN graftns").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("prod", "staging"))
+    assert(s.sql("DESCRIBE NAMESPACE graftns.prod").collect()
+      .exists(r => r.getString(1).contains("hot serving")))
+
+    // tables live at root/<ns>/<table>; same cell schema enforcement
+    s.sql("""CREATE TABLE graftns.prod.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell""")
+    assert(new java.io.File(s"$root/prod/t/_GRAFT_TABLE").exists())
+    s.createDataFrame(
+      ('a' to 'e').map(c =>
+        org.apache.spark.sql.Row(c.toString, "d", "q", 1L, s"v$c")).asJava,
+      GraftCell.SCHEMA).createOrReplaceTempView("graft_ns_src")
+    s.sql("INSERT INTO graftns.prod.t SELECT * FROM graft_ns_src")
+    // 3-part reads push down like any graftcell scan
+    val probe = s.sql(
+      "SELECT rowkey FROM graftns.prod.t WHERE rowkey >= 'c' ORDER BY rowkey")
+    assert(probe.queryExecution.executedPlan.toString.contains("GraftCellScan"))
+    assert(probe.collect().map(_.getString(0)).toSeq == Seq("c", "d", "e"))
+    // namespace scoping: SHOW TABLES per namespace; default ns is empty
+    assert(s.sql("SHOW TABLES IN graftns.prod").collect()
+      .map(_.getString(1)).toSeq == Seq("t"))
+    assert(s.sql("SHOW TABLES IN graftns").collect().isEmpty)
+
+    // procedures address namespaced tables HBase-shell-style ('ns:t')
+    s.sql("CALL graftns.snapshot('prod:t', 'keep')")
+    assert(new java.io.File(s"$root/prod/t/_snapshot_keep.json").exists())
+    s.sql("CALL graftns.clone_snapshot('prod:t', 'keep', 'staging:t2')")
+    assert(s.sql("SELECT count(*) FROM graftns.staging.t2")
+      .collect()(0).getLong(0) == 5L)
+
+    // cross-namespace rename is a directory move (RENAME TO is
+    // catalog-relative in Spark: the destination omits the catalog)
+    s.sql("ALTER TABLE graftns.staging.t2 RENAME TO prod.t2")
+    assert(s.sql("SHOW TABLES IN graftns.prod").collect()
+      .map(_.getString(1)).sorted.toSeq == Seq("t", "t2"))
+
+    // refusals: unknown ns, nested ns, drop non-empty without CASCADE
+    intercept[Exception] { s.sql("CREATE TABLE graftns.nope.t3 (rowkey STRING, " +
+      "family STRING, qualifier STRING, version BIGINT, value STRING) USING graftcell") }
+    intercept[Exception] { s.sql("CREATE NAMESPACE graftns.a.b") }
+    intercept[Exception] { s.sql("DROP NAMESPACE graftns.prod") }
+    // CASCADE drops the namespace with its tables; empty ns drops plain
+    s.sql("DROP NAMESPACE graftns.prod CASCADE")
+    s.sql("DROP NAMESPACE graftns.staging")
+    assert(s.sql("SHOW NAMESPACES IN graftns").collect().isEmpty)
+    assert(!new java.io.File(s"$root/prod").exists())
+  }
 }
