@@ -47,7 +47,8 @@ object Plans {
     "sql_cell_time_travel_ts", "cell_connector_count_meta",
     "sql_cell_call_compact", "sql_cell_call_snapshot",
     "sql_cell_checkand", "sql_cell_sync", "cell_connector_gc",
-    "cell_connector_incremental", "cell_connector_incremental_between")
+    "cell_connector_incremental", "cell_connector_incremental_between",
+    "cell_connector_count_range")
 
   /** What to explain per key. `obs_metrics`' query RESULT is a 1-row
     * local relation of listener-delivered values; the plan worth

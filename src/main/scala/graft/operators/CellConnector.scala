@@ -732,12 +732,32 @@ object CellConnector extends QueryModule {
       // alone — GraftCellAggScan ships ONE row computed from per-file
       // stats, zero data bytes read at any scale (the HBase
       // coprocessor-aggregate analog; at 100 TB this is a pure
-      // metadata query). Any filter/grouping/other function refuses
-      // the pushdown (spec-pinned) and the normal scan runs.
+      // metadata query). Grouping/other functions refuse the pushdown
+      // (spec-pinned) and the normal scan runs; filters keep it only
+      // when region-aligned (r16 — see cell_connector_count_range).
       cells(s, dir).agg(
         count(lit(1)).as("n_cells"),
         min("rowkey").as("min_rowkey"),
         max("rowkey").as("max_rowkey"))),
+
+    "cell_connector_count_range" -> ((s, dir) =>
+      // FILTERED metadata aggregate (r16): a rowkey-range predicate
+      // whose bounds ALIGN with region-file boundaries (here the
+      // first-byte band ['3','4') over the byte-partitioned store)
+      // keeps COUNT/MIN/MAX answerable from the manifest — every file
+      // is provably fully inside or outside, and the included files'
+      // rowCount − nullKeys sums to the exact filtered count (NULL
+      // rowkeys never satisfy a range predicate, which min/max stats
+      // alone cannot see — the manifest's nullKeys stat closes that
+      // hole). At 100 TB a region-aligned band count touches zero data
+      // bytes; a straddling bound falls back to the real scan
+      // (spec-pinned both ways).
+      cells(s, dir)
+        .filter(col("rowkey") >= "3" && col("rowkey") < "4")
+        .agg(
+          count(lit(1)).as("n_cells"),
+          min("rowkey").as("min_rowkey"),
+          max("rowkey").as("max_rowkey"))),
 
     "sql_cell_time_travel_ts" -> ((s, dir) => {
       // TIMESTAMP AS OF through the catalog — time travel by CLOCK over
@@ -1302,6 +1322,14 @@ object CellConnector extends QueryModule {
                  min(rowkey) AS min_rowkey,
                  max(rowkey) AS max_rowkey
           FROM cells""",
+
+    "cell_connector_count_range" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT count(*) AS n_cells,
+                 min(rowkey) AS min_rowkey,
+                 max(rowkey) AS max_rowkey
+          FROM cells
+          WHERE rowkey >= '3' AND rowkey < '4'""",
 
     // the timestamp pin resolves to the era-1 generation = the plain
     // cell rebuild, same oracle shape as the named-snapshot key

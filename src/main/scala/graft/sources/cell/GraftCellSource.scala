@@ -155,6 +155,59 @@ object GraftCell {
   /** The rowkey interval implied by the pushed filters. */
   def keyRange(filters: Seq[Filter]): KeyRange = colRange("rowkey", filters)
 
+  /** True when every filter constrains ONLY the rowkey and is exactly
+    * representable as one [lo, hi] interval — the shapes a metadata
+    * aggregate can consume whole (IN-lists are pruned by envelope only,
+    * so they are NOT range-exact and are excluded). */
+  def rowkeyRangeOnly(filters: Seq[Filter]): Boolean = filters.forall {
+    case EqualTo("rowkey", _: String)            => true
+    case GreaterThan("rowkey", _: String)        => true
+    case GreaterThanOrEqual("rowkey", _: String) => true
+    case LessThan("rowkey", _: String)           => true
+    case LessThanOrEqual("rowkey", _: String)    => true
+    case StringStartsWith("rowkey", _: String)   => true
+    case IsNotNull("rowkey")                     => true
+    case And(l, r) => rowkeyRangeOnly(Seq(l, r))
+    case _ => false
+  }
+
+  /** REGION-ALIGNED aggregate eligibility: Some(fully-included files)
+    * iff EVERY file is provably fully inside or fully outside the
+    * filters' rowkey range — then a filtered COUNT(*) is exactly
+    * `Σ (rowCount − nullKeys)` over the included files (rowkey
+    * predicates exclude NULL rowkeys, which min/max stats cannot see —
+    * hence the manifest's nullKeys stat), and MIN/MAX(rowkey) are the
+    * extremes of their stats. One straddling file, one missing stat,
+    * or one legacy manifest (nullKeys unknown) ⇒ None: the normal scan
+    * runs. Sorted non-overlapping region files make full containment
+    * the COMMON case for band probes — the HBase coprocessor-count
+    * answered from metadata. */
+  def alignedFiles(filters: Seq[Filter],
+                   metas: Seq[CellFileMeta]): Option[Seq[CellFileMeta]] = {
+    if (!rowkeyRangeOnly(filters)) return None
+    val range = keyRange(filters)
+    val included = Seq.newBuilder[CellFileMeta]
+    metas.foreach { m =>
+      if (m.nullKeys.contains(m.rowCount)) {
+        // every rowkey NULL: no row can pass a rowkey predicate
+      } else (m.minKey, m.maxKey, m.nullKeys) match {
+        case (Some(mn), Some(mx), Some(_)) =>
+          val loOk = range.lo.forall { b =>
+            val c = JArrays.compareUnsigned(mn, b.key)
+            c > 0 || (c == 0 && b.inclusive)
+          }
+          val hiOk = range.hi.forall { b =>
+            val c = JArrays.compareUnsigned(mx, b.key)
+            c < 0 || (c == 0 && b.inclusive)
+          }
+          if (loOk && hiOk) included += m
+          else if (mayOverlap(Some(mn), Some(mx), range)) return None // straddles
+        case _ => return None // stats unknown: not provable
+      }
+    }
+    Some(included.result())
+  }
+
   private[cell] object UnsignedBytesOrd extends Ordering[Array[Byte]] {
     def compare(a: Array[Byte], b: Array[Byte]): Int =
       JArrays.compareUnsigned(a, b)
@@ -1161,6 +1214,7 @@ object CellDeleteRewrite {
     var maxFam: Array[Byte] = null
     var minQual: Array[Byte] = null
     var maxQual: Array[Byte] = null
+    var nullKeys = 0L
     val compiled = GraftCell.compileAll(filters)
     try {
       var g = reader.read()
@@ -1179,6 +1233,8 @@ object CellDeleteRewrite {
             if (g.getFieldRepetitionCount(i) > 0)
               update(g.getBinary(i, 0).getBytes)
           }
+          if (g.getFieldRepetitionCount(g.getType.getFieldIndex("rowkey")) == 0)
+            nullKeys += 1
           trackBin("rowkey") { kb =>
             if (minKey == null || JArrays.compareUnsigned(kb, minKey) < 0) minKey = kb
             if (maxKey == null || JArrays.compareUnsigned(kb, maxKey) > 0) maxKey = kb
@@ -1214,7 +1270,8 @@ object CellDeleteRewrite {
         Option(minKey), Option(maxKey), msgType.toString,
         if (minVer == Long.MaxValue) None else Some(minVer),
         if (maxVer == Long.MinValue) None else Some(maxVer),
-        Option(minFam), Option(maxFam), Option(minQual), Option(maxQual))))
+        Option(minFam), Option(maxFam), Option(minQual), Option(maxQual),
+        Some(nullKeys))))
     }
   }
 }
@@ -1253,6 +1310,7 @@ object CellRegionRewrite {
     private var maxFam: Array[Byte] = _
     private var minQual: Array[Byte] = _
     private var maxQual: Array[Byte] = _
+    private var nullKeys = 0L
 
     def write(g: Group): Unit = {
       writer.write(g)
@@ -1262,6 +1320,8 @@ object CellRegionRewrite {
         if (g.getFieldRepetitionCount(i) > 0)
           update(g.getBinary(i, 0).getBytes)
       }
+      if (g.getFieldRepetitionCount(g.getType.getFieldIndex("rowkey")) == 0)
+        nullKeys += 1
       trackBin("rowkey") { kb =>
         if (minKey == null || JArrays.compareUnsigned(kb, minKey) < 0) minKey = kb
         if (maxKey == null || JArrays.compareUnsigned(kb, maxKey) > 0) maxKey = kb
@@ -1290,7 +1350,8 @@ object CellRegionRewrite {
         Option(minKey), Option(maxKey), msgType.toString,
         if (minVer == Long.MaxValue) None else Some(minVer),
         if (maxVer == Long.MinValue) None else Some(maxVer),
-        Option(minFam), Option(maxFam), Option(minQual), Option(maxQual)))
+        Option(minFam), Option(maxFam), Option(minQual), Option(maxQual),
+        Some(nullKeys)))
     }
   }
 
@@ -1705,24 +1766,37 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
     * (the coprocessor-aggregate analog: at 100 TB, zero data bytes
     * read). Any pushed filter, grouping, or other function refuses the
     * pushdown and the normal scan + Spark aggregation runs. */
-  override def supportCompletePushDown(agg: Aggregation): Boolean =
-    pushed.isEmpty && agg.groupByExpressions().isEmpty &&
+  override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    // r16: FILTERED metadata aggregates — a rowkey-range-only predicate
+    // whose bounds align with region-file boundaries (every file fully
+    // in or fully out, the common case for band probes over sorted
+    // non-overlapping regions) keeps COUNT/MIN/MAX answerable from the
+    // manifest: count = Σ (rowCount − nullKeys) over the included
+    // files. Any straddling file, unknown stat, or non-range filter
+    // refuses, and the normal scan + Spark aggregation runs.
+    val metas = CellFooterCache.filesOf(path, snapshot, pinnedDirs, since)
+    val included: Option[Seq[CellFileMeta]] =
+      if (pushed.isEmpty) Some(metas)
+      else GraftCell.alignedFiles(pushed.toSeq, metas)
+    included.isDefined && agg.groupByExpressions().isEmpty &&
       agg.aggregateExpressions().nonEmpty &&
       agg.aggregateExpressions().forall {
         case _: CountStar => true
         case m: Min => m.column().toString == "rowkey" &&
-          CellFooterCache.filesOf(path, snapshot, pinnedDirs, since).forall(_.minKey.nonEmpty)
+          included.get.forall(_.minKey.nonEmpty)
         case m: Max => m.column().toString == "rowkey" &&
-          CellFooterCache.filesOf(path, snapshot, pinnedDirs, since).forall(_.maxKey.nonEmpty)
+          included.get.forall(_.maxKey.nonEmpty)
         case _ => false
       }
+  }
 
   override def pushAggregation(agg: Aggregation): Boolean =
     if (supportCompletePushDown(agg)) { aggPushed = Some(agg); true }
     else false
 
   override def build(): Scan = aggPushed match {
-    case Some(agg) => new GraftCellAggScan(path, agg, snapshot, pinnedDirs, since)
+    case Some(agg) =>
+      new GraftCellAggScan(path, agg, snapshot, pinnedDirs, since, pushed)
     case None =>
       new GraftCellScan(path, pushed, required, limit, topNPushed, snapshot,
                         maxPartBytes, pinnedDirs, since)
@@ -1738,16 +1812,32 @@ class GraftCellAggScan(path: String,
     agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
     snapshot: Option[String] = None,
     pinnedDirs: Option[Seq[String]] = None,
-    since: Option[String] = None)
+    since: Option[String] = None,
+    pushed: Array[Filter] = Array.empty)
     extends Scan with Batch {
   import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
 
-  private lazy val metas = CellFooterCache.filesOf(path, snapshot, pinnedDirs, since)
+  /** Unfiltered: every live file. Filtered (r16): exactly the files
+    * fully inside the pushed rowkey range — the builder only pushes
+    * the aggregate when that split is provable, so a None here means
+    * the store changed shape between planning calls (refuse loudly
+    * rather than answer wrong). */
+  private lazy val metas: Seq[CellFileMeta] = {
+    val all = CellFooterCache.filesOf(path, snapshot, pinnedDirs, since)
+    if (pushed.isEmpty) all
+    else GraftCell.alignedFiles(pushed.toSeq, all).getOrElse(
+      throw new IllegalStateException(
+        "graftcell: region-aligned aggregate eligibility changed " +
+        "between planning and execution"))
+  }
 
   private def answers: Array[(String, Any)] =
     agg.aggregateExpressions().map {
       case _: CountStar =>
-        ("COUNT(*)", metas.map(_.rowCount).sum)
+        // with a rowkey predicate, NULL-rowkey rows never qualify
+        ("COUNT(*)",
+         if (pushed.isEmpty) metas.map(_.rowCount).sum
+         else metas.map(m => m.rowCount - m.nullKeys.get).sum)
       case m: Min if m.column().toString == "rowkey" =>
         ("MIN(rowkey)", metas.flatMap(_.minKey)
           .reduceOption((a, b) => GraftCell.UnsignedBytesOrd.min(a, b))
@@ -1766,8 +1856,9 @@ class GraftCellAggScan(path: String,
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftCellAggScan path=$path, " +
-    s"PushedAggregates: ${answers.map(_._1).mkString("[", ", ", "]")} " +
-    s"(answered from ${metas.size} footers, 0 data bytes)"
+    s"PushedAggregates: ${answers.map(_._1).mkString("[", ", ", "]")}, " +
+    s"PushedFilters: ${pushed.mkString("[", ", ", "]")} " +
+    s"(answered from ${metas.size} region-aligned manifests, 0 data bytes)"
 
   override def planInputPartitions(): Array[InputPartition] =
     Array(CellAggPartition(answers.map(_._2)))
@@ -1810,7 +1901,14 @@ final case class CellFileMeta(path: String, bytes: Long, rowCount: Long,
                               minFam: Option[Array[Byte]] = None,
                               maxFam: Option[Array[Byte]] = None,
                               minQual: Option[Array[Byte]] = None,
-                              maxQual: Option[Array[Byte]] = None)
+                              maxQual: Option[Array[Byte]] = None,
+                              // r16: NULL-rowkey row count — what makes
+                              // a FILTERED COUNT(*) answerable from the
+                              // manifest exactly (rowkey predicates
+                              // exclude nulls; min/max stats can't see
+                              // them). None on legacy manifests =
+                              // unknown (refuse the metadata answer)
+                              nullKeys: Option[Long] = None)
 
 /** PERSISTED per-dir manifest (`_manifest.json` inside each committed
   * batch dir) — the metadata a real 100 TB deployment keeps next to the
@@ -1860,6 +1958,7 @@ object CellManifest {
       m.maxFam.foreach(k => o.put("maxFam", b64e.encodeToString(k)))
       m.minQual.foreach(k => o.put("minQual", b64e.encodeToString(k)))
       m.maxQual.foreach(k => o.put("maxQual", b64e.encodeToString(k)))
+      m.nullKeys.foreach(n => o.put("nullKeys", n))
       o.put("messageType", m.messageType)
     }
     val tmp = new java.io.File(dir, NAME + ".tmp")
@@ -1886,7 +1985,8 @@ object CellManifest {
         Option(o.get("minFam")).map(n => b64d.decode(n.asText())),
         Option(o.get("maxFam")).map(n => b64d.decode(n.asText())),
         Option(o.get("minQual")).map(n => b64d.decode(n.asText())),
-        Option(o.get("maxQual")).map(n => b64d.decode(n.asText())))
+        Option(o.get("maxQual")).map(n => b64d.decode(n.asText())),
+        Option(o.get("nullKeys")).map(_.asLong()))
     }.toSeq
     Some(Data(root.get("committedAtMicros").asLong(), files))
   }
@@ -2152,6 +2252,16 @@ object CellFooterCache {
           val (mn, mx) = binStats("rowkey")
           val (fmn, fmx) = binStats("family")
           val (qmn, qmx) = binStats("qualifier")
+          // rowkey null count from the footer statistics (exactly what
+          // the manifest's nullKeys re-derives); unknown in any block
+          // (isNumNullsSet false) ⇒ None
+          val nstats = blocks.map(_.getColumns.asScala
+            .find(_.getPath.toDotString == "rowkey").map(_.getStatistics))
+          val nulls =
+            if (nstats.nonEmpty && nstats.forall(_.exists(s =>
+                  s != null && s.isNumNullsSet)))
+              Some(nstats.map(_.get.getNumNulls).sum)
+            else None
           val vstats = blocks.flatMap(_.getColumns.asScala
             .find(_.getPath.toDotString == "version").map(_.getStatistics))
           val vusable = vstats.nonEmpty &&
@@ -2165,7 +2275,7 @@ object CellFooterCache {
           CellFileMeta(f.getPath, f.length(),
                        blocks.map(_.getRowCount).sum, mn, mx,
                        md.getFileMetaData.getSchema.toString, vmn, vmx,
-                       fmn, fmx, qmn, qmx)
+                       fmn, fmx, qmn, qmx, nulls)
         } finally r.close()
       }
   }
@@ -2747,6 +2857,7 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
   private var maxFam: Array[Byte] = _
   private var minQual: Array[Byte] = _
   private var maxQual: Array[Byte] = _
+  private var nullKeys = 0L
 
   // lazy open on first row: an empty task commits no region file
   private def open(): Unit = {
@@ -2763,6 +2874,7 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
     minVer = Long.MaxValue; maxVer = Long.MinValue
     minFam = null; maxFam = null
     minQual = null; maxQual = null
+    nullKeys = 0L
   }
 
   private def roll(): Unit = {
@@ -2771,7 +2883,8 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
       Option(minKey), Option(maxKey), msgType.toString,
       if (minVer == Long.MaxValue) None else Some(minVer),
       if (maxVer == Long.MinValue) None else Some(maxVer),
-      Option(minFam), Option(maxFam), Option(minQual), Option(maxQual))
+      Option(minFam), Option(maxFam), Option(minQual), Option(maxQual),
+      Some(nullKeys))
     writer = null
     seq += 1
   }
@@ -2779,6 +2892,7 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
   override def write(row: InternalRow): Unit = {
     if (writer == null) open()
     val g = groups.newGroup()
+    if (row.isNullAt(0)) nullKeys += 1
     var i = 0
     while (i < GraftCell.SCHEMA.length) {
       if (!row.isNullAt(i)) {

@@ -510,15 +510,27 @@ class CellConnectorSpec extends AnyFunSuite {
       .agg(count(lit(1)), min("rowkey"), max("rowkey")).collect()(0)
     assert((r.getLong(0), r.getString(1), r.getString(2)) ==
            (cells.getLong(0), cells.getString(1), cells.getString(2)))
-    // a filter must REFUSE the metadata answer (stats can't see it)
+    // a REGION-ALIGNED filter keeps the metadata answer (r16): the
+    // store is split on the first rowkey byte, so >= '5' puts every
+    // file provably in or out
     val filtered = s.read.format("graftcell").load(store)
       .filter(col("rowkey") >= "5").agg(count(lit(1)).as("n"))
-    assert(!filtered.queryExecution.executedPlan.toString
+    assert(filtered.queryExecution.executedPlan.toString
              .contains("GraftCellAggScan"),
-           "agg pushdown must refuse when a filter is pushed")
+           "aligned filtered agg should stay a metadata answer")
     val wantFiltered = SparkEntry.queries("sink_hbase_cells")(s, dir)
       .filter(col("rowkey") >= "5").count()
     assert(filtered.collect()(0).getLong(0) == wantFiltered)
+    // a STRADDLING bound ('55' cuts region-5 files mid-span) refuses
+    // the metadata answer (stats can't see inside a file)
+    val straddle = s.read.format("graftcell").load(store)
+      .filter(col("rowkey") >= "55").agg(count(lit(1)).as("n"))
+    assert(!straddle.queryExecution.executedPlan.toString
+             .contains("GraftCellAggScan"),
+           "agg pushdown must refuse a straddling bound")
+    val wantStraddle = SparkEntry.queries("sink_hbase_cells")(s, dir)
+      .filter(col("rowkey") >= "55").count()
+    assert(straddle.collect()(0).getLong(0) == wantStraddle)
   }
 
   test("write path emits sorted, non-overlapping region files (declared layout)") {
@@ -1783,6 +1795,78 @@ class CellConnectorSpec extends AnyFunSuite {
     put("e" -> "5")
     val (rows2, fed2) = drain()
     assert(rows2 == Seq("c", "d", "e") && fed2 == 1L)
+  }
+
+  test("filtered COUNT/MIN/MAX answer from manifests when the range is region-aligned (r16)") {
+    import graft.sources.cell.CellFooterCache
+    val root = java.nio.file.Files.createTempDirectory("graft_aggf_spec_").toString
+    val store = s"$root/store"
+    import scala.collection.JavaConverters._
+    // 26 keys + 2 NULL rowkeys, rolled every 5 rows: NULLS FIRST puts
+    // the nulls in file 1 → files [null,null,a..c][d..h][i..m][n..r][s..w][x..z]
+    val rows = Seq(null, null) ++ ('a' to 'z').map(_.toString)
+    s.createDataFrame(
+      rows.map(k => org.apache.spark.sql.Row(k, "d", "q", 1L, s"v$k")).asJava,
+      GraftCell.SCHEMA)
+      .write.format("graftcell").option("maxRowsPerFile", "5")
+      .mode("append").save(store)
+    val metas = CellFooterCache.filesOf(store)
+    assert(metas.map(_.rowCount).sum == 28L)
+    assert(metas.map(_.nullKeys.get).sum == 2L, "write tasks must track null rowkeys")
+    def df = s.read.format("graftcell").load(store)
+    def isMeta(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.executedPlan.toString.contains("GraftCellAggScan")
+
+    // region-aligned band: answered from the manifest, zero data read
+    val aligned = df.filter(col("rowkey") >= "d" && col("rowkey") < "i").groupBy().count()
+    assert(isMeta(aligned), aligned.queryExecution.executedPlan.toString)
+    assert(aligned.collect().head.getLong(0) == 5L)
+    // a band covering the null-bearing file: NULLs never qualify a
+    // rowkey predicate — count is rowCount − nullKeys, not rowCount
+    val nullBand = df.filter(col("rowkey") <= "c").groupBy().count()
+    assert(isMeta(nullBand))
+    assert(nullBand.collect().head.getLong(0) == 3L)
+    // unfiltered COUNT(*) still counts every row, nulls included
+    val full = df.groupBy().count()
+    assert(isMeta(full) && full.collect().head.getLong(0) == 28L)
+    // MIN/MAX ride the same eligibility
+    val mm = df.filter(col("rowkey") >= "d" && col("rowkey") < "i")
+      .agg(min("rowkey"), max("rowkey"))
+    assert(isMeta(mm))
+    assert(mm.collect().head.toSeq == Seq("d", "h"))
+    // a STRADDLING bound refuses the metadata answer and falls back to
+    // the normal scan + Spark aggregation — same value, real read
+    val straddle = df.filter(col("rowkey") >= "e" && col("rowkey") < "k").groupBy().count()
+    assert(!isMeta(straddle))
+    assert(straddle.collect().head.getLong(0) == 6L)
+    // IN-lists are envelope-pruned, not range-exact: never metadata
+    val inList = df.filter(col("rowkey").isin("d", "e")).groupBy().count()
+    assert(!isMeta(inList) && inList.collect().head.getLong(0) == 2L)
+
+    // legacy manifests (no nullKeys) refuse the FILTERED answer but
+    // keep the unfiltered one; value stays correct through the scan
+    val dirName = CellFooterCache.committedDirs(store).head
+    val mf = new java.io.File(s"$store/$dirName/_manifest.json")
+    val stripped = new String(java.nio.file.Files.readAllBytes(mf.toPath))
+      .replaceAll(""","nullKeys":\d+""", "")
+    java.nio.file.Files.write(mf.toPath, stripped.getBytes)
+    CellFooterCache.invalidate(store)
+    assert(CellFooterCache.filesOf(store).forall(_.nullKeys.isEmpty))
+    val legacy = df.filter(col("rowkey") >= "d" && col("rowkey") < "i").groupBy().count()
+    assert(!isMeta(legacy) && legacy.collect().head.getLong(0) == 5L)
+    assert(isMeta(df.groupBy().count()))
+
+    // footer fallback re-derives nullKeys from parquet statistics —
+    // deleting the manifest restores filtered-metadata eligibility
+    assert(mf.delete())
+    CellFooterCache.invalidate(store)
+    val before = CellFooterCache.footerOpens.get()
+    val refs = CellFooterCache.filesOf(store)
+    assert(CellFooterCache.footerOpens.get() > before, "expected footer fallback")
+    assert(refs.map(_.nullKeys.get).sum == 2L,
+      "footer fallback must re-derive nullKeys from parquet stats")
+    val viaFooter = df.filter(col("rowkey") <= "c").groupBy().count()
+    assert(isMeta(viaFooter) && viaFooter.collect().head.getLong(0) == 3L)
   }
 
   test("namespaces: create_namespace / ns:table lifecycle, HBase-style (r16)") {
