@@ -1087,6 +1087,44 @@ object CellConnector extends QueryModule {
         .orderBy("rowkey", "qualifier")
     }),
 
+    "sql_cell_call_export" -> ((s, dir) => {
+      // HBase `ExportSnapshot` as SQL (r16): byte-copy a pinned
+      // generation to an EXTERNAL path — the backup verb for where
+      // clone's hard links can't reach (another filesystem/cluster) —
+      // as one Spark task per region file (cluster bandwidth, not the
+      // driver's), landing a standalone, immediately-readable
+      // graftcell store: per-dir manifests travel verbatim, so the
+      // backup plans from metadata exactly like the source. The live
+      // table is corrupted AFTER the snapshot; the readback probes the
+      // EXPORT, which must carry the pinned generation only. Re-staged
+      // each run (the previous export is wiped first — `_SUCCESS` is
+      // the completed-export marker the procedure refuses to
+      // overwrite).
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_exp (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_exp SELECT * FROM graft_catalog_src")
+      s.sql("CALL graftcat.snapshot('events_exp', 'bak')")
+      s.sql("""INSERT INTO graftcat.events_exp
+               SELECT rowkey, family, qualifier,
+                      version + 1000000 AS version,
+                      concat(value, '#JUNK') AS value
+               FROM graft_catalog_src WHERE rowkey >= '6'""")
+      val dest = "/tmp/graft_export_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rec)
+        f.delete(); ()
+      }
+      rec(new java.io.File(dest))
+      graft.sources.cell.CellFooterCache.invalidate(dest)
+      s.sql(s"CALL graftcat.export_snapshot('events_exp', 'bak', '$dest')")
+      s.read.format("graftcell").load(dest)
+        .orderBy("rowkey", "qualifier")
+    }),
+
     "sql_cell_namespace" -> ((s, dir) => {
       // NAMESPACES — HBase `create_namespace` / `'ns:table'` (r16): a
       // namespace is a marker-stamped warehouse subdir, tables resolve
@@ -1531,5 +1569,10 @@ object CellConnector extends QueryModule {
           SELECT rowkey, qualifier, value FROM cells
           WHERE rowkey >= '70' AND rowkey < '80'
           ORDER BY rowkey, qualifier""",
+
+    // the export carries the pinned (pre-corruption) generation
+    "sql_cell_call_export" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells ORDER BY rowkey, qualifier""",
   )
 }

@@ -270,6 +270,29 @@ object GraftCellProcedures {
     }
   }
 
+  /** `export_snapshot(table, name, dest_path)` — the HBase
+    * `ExportSnapshot` job: byte-copy the pinned generation to an
+    * EXTERNAL location (where clone's hard links can't reach) as a
+    * standalone, immediately-readable graftcell store — one Spark task
+    * per region file, so the backup moves at cluster bandwidth. A
+    * completed export at the destination is refused; a crashed partial
+    * one is wiped and redone (`_SUCCESS` is the idempotence marker). */
+  final class ExportSnapshot(catalog: GraftCellCatalog)
+      extends CellProcedure(catalog, "export_snapshot") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType), p("name", StringType),
+      p("dest_path", StringType))
+    override def description(): String =
+      "byte-copy a named snapshot to an external path (distributed, one task per file)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (dirs, files, bytes) = GraftCellSnapshot.export(
+        SparkSession.active, store(input.getUTF8String(0)),
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+      summary("exported_dirs" -> dirs, "files_copied" -> files,
+              "bytes_copied" -> bytes)
+    }
+  }
+
   /** `split_region(table, split_key)` — the HBase shell `split`: cut
     * every region file straddling the key into two at exactly the key
     * (one distributed task per victim; crash-safe retire-intent
@@ -318,6 +341,7 @@ object GraftCellProcedures {
     "list_snapshots" -> new ListSnapshots(catalog),
     "restore_snapshot" -> new RestoreSnapshot(catalog),
     "clone_snapshot" -> new CloneSnapshot(catalog),
+    "export_snapshot" -> new ExportSnapshot(catalog),
     "split_region" -> new SplitRegion(catalog),
     "merge_regions" -> new MergeRegions(catalog),
     "repair" -> new Repair(catalog))

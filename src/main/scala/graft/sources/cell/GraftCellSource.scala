@@ -810,6 +810,72 @@ object GraftCellSnapshot {
     (pinned.size.toLong, files)
   }
 
+  /** EXPORT a snapshot to an EXTERNAL location as a standalone,
+    * immediately-readable graftcell store — the HBase `ExportSnapshot`
+    * job: where clone's hard links cannot reach (another filesystem /
+    * cluster / backup volume), export pays the byte copy but pays it
+    * DISTRIBUTED — one Spark task per region file, so a 100 TB backup
+    * moves at the cluster's aggregate bandwidth, not the driver's.
+    * Completes pending retirements first (no intent-listed file can
+    * leak in), refuses invalidated snapshots; a destination carrying a
+    * completed export (`_SUCCESS`) is refused, a PARTIAL one (a
+    * crashed earlier export — no marker) is wiped and redone, so the
+    * marker is also the idempotence boundary. Per-dir manifests are
+    * copied verbatim (file names are dir-relative), so the exported
+    * store plans from manifests exactly like the source; legacy
+    * manifest-less dirs export as-is and fall back to footers.
+    * Returns (dirs, files, bytes copied). */
+  def export(spark: org.apache.spark.sql.SparkSession, store: String,
+             name: String, dest: String): (Long, Long, Long) = {
+    CellRetire.repair(store)
+    val pinned = dirs(store, name)
+    val missing = pinned.filterNot(d => new java.io.File(store, d).isDirectory)
+    require(missing.isEmpty,
+      s"graftcell: snapshot '$name' was invalidated by compaction — " +
+      s"pinned dirs no longer exist: ${missing.mkString(", ")}")
+    val destDir = new java.io.File(dest)
+    require(!new java.io.File(destDir, "_SUCCESS").exists(),
+      s"graftcell: destination $dest already holds a completed export")
+    if (destDir.exists()) { // crashed earlier export: wipe and redo
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rec)
+        f.delete(); ()
+      }
+      rec(destDir)
+    }
+    destDir.mkdirs()
+    val files: Seq[(String, String)] = pinned.flatMap { d =>
+      Option(new java.io.File(store, d).listFiles).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+        .map(f => (f.getPath, s"$d/${f.getName}"))
+    }
+    val bytes =
+      if (files.isEmpty) 0L
+      else spark.sparkContext.parallelize(files, files.size).map {
+        case (src, rel) =>
+          val out = new java.io.File(dest, rel)
+          java.nio.file.Files.createDirectories(out.getParentFile.toPath)
+          java.nio.file.Files.copy(new java.io.File(src).toPath, out.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          out.length()
+      }.collect().sum
+    pinned.foreach { d =>
+      val mf = new java.io.File(new java.io.File(store, d), CellManifest.NAME)
+      if (mf.exists()) {
+        val dd = new java.io.File(destDir, d)
+        dd.mkdirs()
+        java.nio.file.Files.copy(mf.toPath,
+          new java.io.File(dd, CellManifest.NAME).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    java.nio.file.Files.write(
+      new java.io.File(destDir, "_SUCCESS").toPath, Array.emptyByteArray)
+    CellFooterCache.invalidate(dest)
+    (pinned.size.toLong, files.size.toLong, bytes)
+  }
+
   /** RESTORE the store to a named snapshot's pinned dir set — the HBase
     * shell `restore_snapshot`, the verb users reach for after a bad
     * batch. Zero data copy, crash-safe, and atomic for readers:

@@ -1044,7 +1044,8 @@ class CellConnectorSpec extends AnyFunSuite {
     val procs = s.sql("SHOW PROCEDURES IN graftproc")
       .select("procedure_name").collect().map(_.getString(0)).sorted.toSeq
     assert(procs == Seq("clone_snapshot", "compact", "compact_minor",
-                        "drop_snapshot", "list_snapshots", "merge_regions",
+                        "drop_snapshot", "export_snapshot",
+                        "list_snapshots", "merge_regions",
                         "repair", "restore_snapshot", "snapshot",
                         "split_region"),
            s"procedures: $procs")
@@ -1867,6 +1868,62 @@ class CellConnectorSpec extends AnyFunSuite {
       "footer fallback must re-derive nullKeys from parquet stats")
     val viaFooter = df.filter(col("rowkey") <= "c").groupBy().count()
     assert(isMeta(viaFooter) && viaFooter.collect().head.getLong(0) == 3L)
+  }
+
+  test("export_snapshot byte-copies the pinned generation; partial exports wiped, completed refused (r16)") {
+    import graft.sources.cell.{CellFooterCache, GraftCellSnapshot}
+    val root = java.nio.file.Files.createTempDirectory("graft_exp_spec_").toString
+    val store = s"$root/store"
+    import scala.collection.JavaConverters._
+    def put(keys: (String, String)*): Unit = s.createDataFrame(
+      keys.map { case (rk, v) =>
+        org.apache.spark.sql.Row(rk, "d", "q", 1L, v) }.asJava,
+      GraftCell.SCHEMA)
+      .write.format("graftcell").mode("append").save(store)
+    put("a" -> "1", "b" -> "2")
+    put("c" -> "3")
+    GraftCellSnapshot.create(store, "bak")
+    put("d" -> "4") // post-snapshot: must NOT export
+
+    val dest = s"$root/backup"
+    // a crashed partial export at the destination is wiped and redone
+    new java.io.File(dest).mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(dest, "junk.parquet").toPath, Array[Byte](1, 2, 3))
+    val (dirs, files, bytes) =
+      GraftCellSnapshot.export(s, store, "bak", dest)
+    assert(dirs == 2L && files == 2L && bytes > 0L)
+    assert(!new java.io.File(dest, "junk.parquet").exists(),
+      "partial export debris must be wiped")
+    // the export is a standalone store carrying the PINNED generation
+    val got = s.read.format("graftcell").load(dest)
+      .select("rowkey").collect().map(_.getString(0)).toSeq.sorted
+    assert(got == Seq("a", "b", "c"), s"exported content: $got")
+    // manifests traveled: planning the export opens ZERO footers
+    val before = CellFooterCache.footerOpens.get()
+    CellFooterCache.invalidate(dest)
+    assert(CellFooterCache.filesOf(dest).size == 2)
+    assert(CellFooterCache.footerOpens.get() == before,
+      "exported manifests must plan without footer opens")
+    // BYTE copy, not links: no exported file shares an inode with the
+    // source (the clone/export distinction — this one survives media
+    // separation), and later source mutations can't reach it
+    def walk(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles).getOrElse(Array.empty).toSeq
+        .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+    walk(new java.io.File(dest)).filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val n = java.nio.file.Files.getAttribute(f.toPath, "unix:nlink")
+          .asInstanceOf[Number].intValue()
+        assert(n == 1, s"${f.getName} is hard-linked ($n)")
+      }
+    // a COMPLETED export refuses overwrite; an invalidated snapshot
+    // refuses export
+    intercept[Exception] { GraftCellSnapshot.export(s, store, "bak", dest) }
+    GraftCellSnapshot.createPinned(store, "gone", Seq("batch_nonexistent"))
+    intercept[Exception] {
+      GraftCellSnapshot.export(s, store, "gone", s"$root/backup2")
+    }
   }
 
   test("namespaces: create_namespace / ns:table lifecycle, HBase-style (r16)") {
