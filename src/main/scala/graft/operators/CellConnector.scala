@@ -1125,6 +1125,48 @@ object CellConnector extends QueryModule {
         .orderBy("rowkey", "qualifier")
     }),
 
+    "sql_cell_call_export_inc" -> ((s, dir) => {
+      // INCREMENTAL backup (r16): `CALL export_snapshot(t, s2, dest,
+      // s1)` exports only the WINDOW dirs(s2) − dirs(s1) — the
+      // generations committed between two named snapshots — so the
+      // nightly backup ships last night's batches, not the table
+      // (same O(delta)-vs-O(store) math as the incremental read, at
+      // the backup volume). The window is reproducible (named
+      // manifests on both ends) and each incremental lands as a
+      // standalone readable store of exactly its window: the readback
+      // here probes the export and must contain generation 2 ONLY —
+      // not the base (before s1), not the junk committed after s2.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_expi (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_expi SELECT * FROM graft_catalog_src")
+      s.sql("CALL graftcat.snapshot('events_expi', 'b1')")
+      s.sql("""INSERT INTO graftcat.events_expi
+               SELECT rowkey, family, qualifier,
+                      version + 1000000 AS version,
+                      concat(value, '~') AS value
+               FROM graft_catalog_src WHERE rowkey >= '6'""")
+      s.sql("CALL graftcat.snapshot('events_expi', 'b2')")
+      s.sql("""INSERT INTO graftcat.events_expi
+               SELECT rowkey, family, qualifier,
+                      version + 2000000 AS version,
+                      concat(value, '#JUNK') AS value
+               FROM graft_catalog_src WHERE rowkey < '2'""")
+      val dest = "/tmp/graft_exportinc_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rec)
+        f.delete(); ()
+      }
+      rec(new java.io.File(dest))
+      graft.sources.cell.CellFooterCache.invalidate(dest)
+      s.sql(s"CALL graftcat.export_snapshot('events_expi', 'b2', '$dest', 'b1')")
+      s.read.format("graftcell").load(dest)
+        .orderBy("rowkey", "qualifier")
+    }),
+
     "sql_cell_namespace" -> ((s, dir) => {
       // NAMESPACES — HBase `create_namespace` / `'ns:table'` (r16): a
       // namespace is a marker-stamped warehouse subdir, tables resolve
@@ -1574,5 +1616,15 @@ object CellConnector extends QueryModule {
     "sql_cell_call_export" ->
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    // the incremental export carries EXACTLY generation 2 (the window
+    // between snapshots b1 and b2)
+    "sql_cell_call_export_inc" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT rowkey, family, qualifier,
+                 version + 1000000 AS version,
+                 value || '~' AS value
+          FROM cells WHERE rowkey >= '6'
+          ORDER BY rowkey, qualifier""",
   )
 }

@@ -281,13 +281,19 @@ object GraftCellProcedures {
       extends CellProcedure(catalog, "export_snapshot") {
     override def parameters(): Array[ProcedureParameter] = Array(
       p("table", StringType), p("name", StringType),
-      p("dest_path", StringType))
+      p("dest_path", StringType),
+      // INCREMENTAL backup: export only dirs(name) − dirs(since_name),
+      // the generations committed between the two named snapshots
+      pDefault("since_name", StringType, "NULL"))
     override def description(): String =
-      "byte-copy a named snapshot to an external path (distributed, one task per file)"
+      "byte-copy a named snapshot (or the window since since_name) to " +
+      "an external path (distributed, one task per file)"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val (dirs, files, bytes) = GraftCellSnapshot.export(
         SparkSession.active, store(input.getUTF8String(0)),
-        input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString,
+        if (input.isNullAt(3)) None
+        else Some(input.getUTF8String(3).toString))
       summary("exported_dirs" -> dirs, "files_copied" -> files,
               "bytes_copied" -> bytes)
     }

@@ -824,11 +824,21 @@ object GraftCellSnapshot {
     * copied verbatim (file names are dir-relative), so the exported
     * store plans from manifests exactly like the source; legacy
     * manifest-less dirs export as-is and fall back to footers.
+    *
+    * `since` turns it into an INCREMENTAL backup — export only the
+    * window dirs(name) − dirs(since), i.e. the generations committed
+    * between two named snapshots: nightly snapshot + incremental
+    * export ships only last night's batches to the backup volume, and
+    * the window is reproducible (both bounds are named manifests).
+    * Each incremental lands as a standalone readable store of its
+    * window; base + incrementals side by side reconstruct the table.
     * Returns (dirs, files, bytes copied). */
   def export(spark: org.apache.spark.sql.SparkSession, store: String,
-             name: String, dest: String): (Long, Long, Long) = {
+             name: String, dest: String,
+             since: Option[String] = None): (Long, Long, Long) = {
     CellRetire.repair(store)
-    val pinned = dirs(store, name)
+    val sinceDirs = since.map(dirs(store, _).toSet).getOrElse(Set.empty)
+    val pinned = dirs(store, name).filterNot(sinceDirs)
     val missing = pinned.filterNot(d => new java.io.File(store, d).isDirectory)
     require(missing.isEmpty,
       s"graftcell: snapshot '$name' was invalidated by compaction — " +

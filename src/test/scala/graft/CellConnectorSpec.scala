@@ -1924,6 +1924,15 @@ class CellConnectorSpec extends AnyFunSuite {
     intercept[Exception] {
       GraftCellSnapshot.export(s, store, "gone", s"$root/backup2")
     }
+    // INCREMENTAL export: the [bak, bak2) window ships ONLY the batch
+    // committed between the two snapshots — the nightly-backup verb
+    GraftCellSnapshot.create(store, "bak2")
+    val (wDirs, wFiles, _) =
+      GraftCellSnapshot.export(s, store, "bak2", s"$root/inc", Some("bak"))
+    assert(wDirs == 1L && wFiles == 1L)
+    val incGot = s.read.format("graftcell").load(s"$root/inc")
+      .select("rowkey").collect().map(_.getString(0)).toSeq
+    assert(incGot == Seq("d"), s"incremental window content: $incGot")
   }
 
   test("namespaces: create_namespace / ns:table lifecycle, HBase-style (r16)") {
