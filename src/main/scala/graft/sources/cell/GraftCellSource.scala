@@ -818,9 +818,11 @@ object GraftCellSnapshot {
     * moves at the cluster's aggregate bandwidth, not the driver's.
     * Completes pending retirements first (no intent-listed file can
     * leak in), refuses invalidated snapshots; a destination carrying a
-    * completed export (`_SUCCESS`) is refused, a PARTIAL one (a
-    * crashed earlier export — no marker) is wiped and redone, so the
-    * marker is also the idempotence boundary. Per-dir manifests are
+    * completed export (`_SUCCESS`) is refused, a PARTIAL one (crashed
+    * mid-export — identified by the `_EXPORTING` intent marker written
+    * before the first byte) is wiped and redone, and any other
+    * non-empty directory is USER DATA and is refused, never deleted.
+    * Per-dir manifests are
     * copied verbatim (file names are dir-relative), so the exported
     * store plans from manifests exactly like the source; legacy
     * manifest-less dirs export as-is and fall back to footers.
@@ -846,14 +848,25 @@ object GraftCellSnapshot {
     val destDir = new java.io.File(dest)
     require(!new java.io.File(destDir, "_SUCCESS").exists(),
       s"graftcell: destination $dest already holds a completed export")
-    if (destDir.exists()) { // crashed earlier export: wipe and redo
-      def rec(f: java.io.File): Unit = {
-        Option(f.listFiles).getOrElse(Array.empty).foreach(rec)
-        f.delete(); ()
-      }
-      rec(destDir)
+    // only a directory THIS protocol started (it carries the
+    // `_EXPORTING` intent marker, written before the first byte) may
+    // be wiped as a crashed partial — an arbitrary pre-existing
+    // non-empty directory is USER DATA and is refused, never deleted
+    val intent = new java.io.File(destDir, "_EXPORTING")
+    if (destDir.exists()) {
+      val entries = Option(destDir.listFiles).getOrElse(Array.empty)
+      if (intent.exists()) { // crashed earlier export: wipe and redo
+        def rec(f: java.io.File): Unit = {
+          Option(f.listFiles).getOrElse(Array.empty).foreach(rec)
+          f.delete(); ()
+        }
+        rec(destDir)
+      } else require(entries.isEmpty,
+        s"graftcell: destination $dest exists and is not a graftcell " +
+        "export in progress — refusing to overwrite")
     }
     destDir.mkdirs()
+    java.nio.file.Files.write(intent.toPath, Array.emptyByteArray)
     val files: Seq[(String, String)] = pinned.flatMap { d =>
       Option(new java.io.File(store, d).listFiles).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -880,6 +893,7 @@ object GraftCellSnapshot {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
+    intent.delete()
     java.nio.file.Files.write(
       new java.io.File(destDir, "_SUCCESS").toPath, Array.emptyByteArray)
     CellFooterCache.invalidate(dest)
@@ -2467,8 +2481,7 @@ class GraftCellScan(path: String, pushed: Array[Filter],
     // sinceSnapshot composes WITH streaming: the pinned dir set becomes
     // the INITIAL offset, so a fresh checkpoint starts replicating from
     // the snapshot boundary instead of replaying the whole store
-    new GraftCellMicroBatchStream(path, pushed, required,
-      since.map(n => GraftCellSnapshot.dirs(path, n)).getOrElse(Nil))
+    new GraftCellMicroBatchStream(path, pushed, required, since)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -2522,7 +2535,7 @@ object GraftCellOffset {
   */
 class GraftCellMicroBatchStream(path: String, pushed: Array[Filter],
                                 required: StructType,
-                                sinceDirs: Seq[String] = Nil)
+                                since: Option[String] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
@@ -2542,8 +2555,13 @@ class GraftCellMicroBatchStream(path: String, pushed: Array[Filter],
     * snapshot's pinned dirs marked as already-delivered, so the stream
     * begins at the snapshot boundary (the HBase "enable replication
     * after a bootstrap snapshot" handoff: bulk-ship the snapshot,
-    * then stream exactly what committed after it, no gap, no replay). */
-  override def initialOffset(): SOffset = GraftCellOffset.of(sinceDirs)
+    * then stream exactly what committed after it, no gap, no replay).
+    * Resolved HERE, not at stream construction: a checkpoint RESUME
+    * never calls initialOffset, so dropping the bootstrap snapshot
+    * after the first run cannot break an established stream (the
+    * offset log owns the position from then on). */
+  override def initialOffset(): SOffset =
+    GraftCellOffset.of(since.map(GraftCellSnapshot.dirs(path, _)).getOrElse(Nil))
 
   override def latestOffset(): SOffset =
     throw new UnsupportedOperationException(

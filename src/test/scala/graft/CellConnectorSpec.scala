@@ -1792,7 +1792,11 @@ class CellConnectorSpec extends AnyFunSuite {
     val (rows1, fed1) = drain()
     assert(rows1 == Seq("c", "d"), s"bootstrap replayed: $rows1")
     assert(fed1 == 2L, s"tail should pace as 2 micro-batches, saw $fed1")
-    // resume composes: a post-boot commit arrives alone on the next drain
+    // resume composes: a post-boot commit arrives alone on the next
+    // drain — and the bootstrap snapshot may be DROPPED between runs
+    // (the offset log owns the position after the first run; the
+    // snapshot is only read by initialOffset on a fresh checkpoint)
+    GraftCellSnapshot.drop(store, "boot")
     put("e" -> "5")
     val (rows2, fed2) = drain()
     assert(rows2 == Seq("c", "d", "e") && fed2 == 1L)
@@ -1886,8 +1890,18 @@ class CellConnectorSpec extends AnyFunSuite {
     put("d" -> "4") // post-snapshot: must NOT export
 
     val dest = s"$root/backup"
-    // a crashed partial export at the destination is wiped and redone
+    // a pre-existing NON-EXPORT directory is user data: refused, not
+    // wiped (only the _EXPORTING intent marker authorizes cleanup)
     new java.io.File(dest).mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(dest, "precious.txt").toPath, Array[Byte](1, 2, 3))
+    intercept[Exception] { GraftCellSnapshot.export(s, store, "bak", dest) }
+    assert(new java.io.File(dest, "precious.txt").exists(),
+      "a refused export must not touch the destination")
+    assert(new java.io.File(dest, "precious.txt").delete())
+    // a crashed PARTIAL export (intent marker present) is wiped, redone
+    java.nio.file.Files.write(
+      new java.io.File(dest, "_EXPORTING").toPath, Array.emptyByteArray)
     java.nio.file.Files.write(
       new java.io.File(dest, "junk.parquet").toPath, Array[Byte](1, 2, 3))
     val (dirs, files, bytes) =
@@ -1895,6 +1909,8 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(dirs == 2L && files == 2L && bytes > 0L)
     assert(!new java.io.File(dest, "junk.parquet").exists(),
       "partial export debris must be wiped")
+    assert(!new java.io.File(dest, "_EXPORTING").exists(),
+      "completed export must clear the intent marker")
     // the export is a standalone store carrying the PINNED generation
     val got = s.read.format("graftcell").load(dest)
       .select("rowkey").collect().map(_.getString(0)).toSeq.sorted
