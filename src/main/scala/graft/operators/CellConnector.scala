@@ -1167,6 +1167,126 @@ object CellConnector extends QueryModule {
         .orderBy("rowkey", "qualifier")
     }),
 
+    "sql_cell_call_bulkload" -> ((s, dir) => {
+      // HBase `completebulkload` / LoadIncrementalHFiles (r16): ADOPT
+      // a completed external graftcell store into a live table — the
+      // missing half of the backup story (export on cluster A,
+      // bulkload on cluster B). One new generation per source dir,
+      // distributed byte-copy (one task per region file), manifest
+      // STATS TRAVELING so the adopted files plan without a footer
+      // open; the source stays read-only (it may be a backup volume).
+      // Fixture: the '6'+ band is prepared in a staging table,
+      // snapshotted, exported; the live table holds the '<6' base;
+      // bulkload adopts the export — the readback must be the WHOLE
+      // cell set, half inserted, half adopted. Re-staged per run
+      // (INSERT OVERWRITE resets both tables; the export dest is
+      // wiped first).
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_bl (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("""INSERT OVERWRITE graftcat.events_bl
+               SELECT * FROM graft_catalog_src WHERE rowkey >= '6'""")
+      s.sql("CALL graftcat.snapshot('events_bl', 'ship')")
+      val dest = "/tmp/graft_bulkload_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rec)
+        f.delete(); ()
+      }
+      rec(new java.io.File(dest))
+      graft.sources.cell.CellFooterCache.invalidate(dest)
+      s.sql(s"CALL graftcat.export_snapshot('events_bl', 'ship', '$dest')")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_bl2 (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("""INSERT OVERWRITE graftcat.events_bl2
+               SELECT * FROM graft_catalog_src WHERE rowkey < '6'""")
+      s.sql(s"CALL graftcat.bulkload('events_bl2', '$dest')")
+      s.sql("SELECT * FROM graftcat.events_bl2")
+        .orderBy("rowkey", "qualifier")
+    }),
+
+    "sql_cell_call_hbck" -> ((s, dir) => {
+      // HBase `hbck` (r16): the REPORT-ONLY consistency check — pure
+      // driver-side metadata (zero data bytes at any store size).
+      // The fixture CONSTRUCTS one instance of each anomaly class on
+      // the table's store and pins the exact counts: a snapshot
+      // invalidated by compaction; a manifest-listed region file
+      // deleted from disk (missing=1); a disk parquet no manifest
+      // lists (orphan=1 — invisible to reads, the manifest is
+      // authoritative); a stale `_tmp_*` dir from a crashed
+      // maintenance op (stale=1). Healthy dimensions stay zero
+      // (pending intents). Every count is layout-independent —
+      // deterministic under any shuffle-partition count.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_hb (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_hb SELECT * FROM graft_catalog_src")
+      s.sql("CALL graftcat.snapshot('events_hb', 'hpin')")
+      s.sql("""INSERT INTO graftcat.events_hb
+               SELECT rowkey, family, qualifier,
+                      version + 1000000 AS version, value
+               FROM graft_catalog_src WHERE rowkey >= '6'""")
+      // compaction collapses to ONE generation and invalidates 'hpin'
+      s.sql("CALL graftcat.compact('events_hb')")
+      val store = "/tmp/graft_catalog_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_hb"
+      val d = graft.sources.cell.CellFooterCache.committedDirs(store)
+      assert(d.size == 1, s"expected one compacted dir, got $d")
+      val dirFile = new java.io.File(store, d.head)
+      // missing: delete the lexicographically-first manifest-listed file
+      val listed = graft.sources.cell.CellManifest.read(dirFile).get.files
+        .map(m => new java.io.File(m.path).getName).sorted
+      new java.io.File(dirFile, listed.head).delete()
+      // orphan: a disk parquet the manifest does not list
+      java.nio.file.Files.write(
+        new java.io.File(dirFile, "zz_orphan.parquet").toPath,
+        Array.emptyByteArray)
+      // stale tmp: a crashed maintenance op's leavings
+      new java.io.File(store, "_tmp_hbck_crash").mkdirs()
+      graft.sources.cell.CellFooterCache.invalidate(store)
+      s.sql("CALL graftcat.hbck('events_hb')")
+    }),
+
+    "sql_cell_call_verify_rep" -> ((s, dir) => {
+      // HBase `VerifyReplication` (r16): a DISTRIBUTED cell-level diff
+      // of two tables, aligned on the full cell key (rowkey, family,
+      // qualifier, version) via one sort-merge full-outer join — the
+      // one shuffle per side the comparison inherently costs; at
+      // 100 TB it runs at cluster bandwidth like the HBase MR job.
+      // The replica diverges three ways by construction: the '6'+
+      // band's values are tilded (mismatch where value is non-NULL;
+      // NULL||'~' stays NULL and null-safe-matches), a version-shifted
+      // extra band exists only in the replica, and the '<6' band
+      // matches verbatim. Nothing is only-in-primary.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_vr (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_vr SELECT * FROM graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_vr2 (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("""INSERT OVERWRITE graftcat.events_vr2
+               SELECT * FROM graft_catalog_src WHERE rowkey < '6'
+               UNION ALL
+               SELECT rowkey, family, qualifier, version,
+                      value || '~' AS value
+               FROM graft_catalog_src WHERE rowkey >= '6'
+               UNION ALL
+               SELECT rowkey, family, qualifier,
+                      version + 5000000 AS version, value
+               FROM graft_catalog_src WHERE rowkey < '2'""")
+      s.sql("CALL graftcat.verify_rep('events_vr', 'events_vr2')")
+    }),
+
     "sql_cell_namespace" -> ((s, dir) => {
       // NAMESPACES — HBase `create_namespace` / `'ns:table'` (r16): a
       // namespace is a marker-stamped warehouse subdir, tables resolve
@@ -1626,5 +1746,35 @@ object CellConnector extends QueryModule {
                  value || '~' AS value
           FROM cells WHERE rowkey >= '6'
           ORDER BY rowkey, qualifier""",
+
+    // the bulkloaded table is base band ∪ adopted export = all cells
+    "sql_cell_call_bulkload" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    // one constructed anomaly per class, exact counts by construction
+    "sql_cell_call_hbck" ->
+      """SELECT CAST(1 AS BIGINT) AS dirs,
+                CAST(1 AS BIGINT) AS missing_files,
+                CAST(1 AS BIGINT) AS orphan_files,
+                CAST(0 AS BIGINT) AS pending_intents,
+                CAST(1 AS BIGINT) AS invalid_snapshots,
+                CAST(1 AS BIGINT) AS stale_tmp_dirs""",
+
+    // diff counts derived from the same cell rebuild: the tilde makes
+    // a mismatch only where value IS NOT NULL (NULL||'~' stays NULL
+    // and null-safe-matches); the shifted band is only-in-replica
+    "sql_cell_call_verify_rep" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT CAST(0 AS BIGINT) AS only_in_table,
+                 (SELECT count(*) FROM cells WHERE rowkey < '2')
+                   AS only_in_other,
+                 (SELECT count(*) FROM cells
+                  WHERE rowkey >= '6' AND value IS NOT NULL)
+                   AS value_mismatch,
+                 (SELECT count(*) FROM cells WHERE rowkey < '6')
+                 + (SELECT count(*) FROM cells
+                    WHERE rowkey >= '6' AND value IS NULL)
+                   AS matching""",
   )
 }

@@ -339,6 +339,72 @@ object GraftCellProcedures {
     }
   }
 
+  /** `bulkload(table, src_path)` — the HBase `completebulkload`
+    * (LoadIncrementalHFiles): adopt a COMPLETED external graftcell
+    * store (an export_snapshot destination, an incremental-export
+    * window, any connector-written store) into the table — one new
+    * generation per source dir, distributed byte-copy, manifest stats
+    * traveling so the adopted files plan without a footer open. The
+    * missing half of the backup story: export on cluster A, bulkload
+    * on cluster B. Source is read-only throughout. */
+  final class Bulkload(catalog: GraftCellCatalog)
+      extends CellProcedure(catalog, "bulkload") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType), p("src_path", StringType))
+    override def description(): String =
+      "adopt a completed external graftcell store (e.g. an export) as " +
+      "new generations (distributed copy, stats travel)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (dirs, files, rows) = GraftCellMaintenance.bulkload(
+        SparkSession.active, store(input.getUTF8String(0)),
+        input.getUTF8String(1).toString)
+      summary("adopted_dirs" -> dirs, "files_copied" -> files,
+              "rows_adopted" -> rows)
+    }
+  }
+
+  /** `hbck(table)` — HBase's `hbck` consistency report, REPORT-ONLY:
+    * manifest↔disk drift (missing / orphan region files), pending
+    * retire intents, compaction-invalidated snapshots, stale tmp dirs.
+    * Pure driver-side metadata (zero data bytes at any store size);
+    * `CALL repair` and re-staging are the fix verbs. */
+  final class Hbck(catalog: GraftCellCatalog)
+      extends CellProcedure(catalog, "hbck") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(p("table", StringType))
+    override def description(): String =
+      "consistency report: manifest drift, pending intents, " +
+      "invalidated snapshots, stale tmp dirs (report-only)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (dirs, missing, orphans, intents, invalid, stale) =
+        GraftCellMaintenance.hbck(store(input.getUTF8String(0)))
+      summary("dirs" -> dirs, "missing_files" -> missing,
+              "orphan_files" -> orphans, "pending_intents" -> intents,
+              "invalid_snapshots" -> invalid, "stale_tmp_dirs" -> stale)
+    }
+  }
+
+  /** `verify_rep(table, other_table)` — HBase's `VerifyReplication`
+    * job: a distributed cell-level diff of two tables (primary vs
+    * replica / source vs bulkloaded copy / table vs restored backup),
+    * aligned on the full cell key via one sort-merge full-outer join.
+    * Report-only. */
+  final class VerifyRep(catalog: GraftCellCatalog)
+      extends CellProcedure(catalog, "verify_rep") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType), p("other_table", StringType))
+    override def description(): String =
+      "cell-level diff of two tables: only-left, only-right, value " +
+      "mismatches, matching (distributed full-outer join)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (onlyL, onlyR, mismatch, matching) =
+        GraftCellMaintenance.verifyRep(SparkSession.active,
+          store(input.getUTF8String(0)), store(input.getUTF8String(1)))
+      summary("only_in_table" -> onlyL, "only_in_other" -> onlyR,
+              "value_mismatch" -> mismatch, "matching" -> matching)
+    }
+  }
+
   def all(catalog: GraftCellCatalog): Map[String, UnboundProcedure] = Map(
     "compact" -> new Compact(catalog),
     "compact_minor" -> new CompactMinor(catalog),
@@ -350,5 +416,8 @@ object GraftCellProcedures {
     "export_snapshot" -> new ExportSnapshot(catalog),
     "split_region" -> new SplitRegion(catalog),
     "merge_regions" -> new MergeRegions(catalog),
-    "repair" -> new Repair(catalog))
+    "repair" -> new Repair(catalog),
+    "bulkload" -> new Bulkload(catalog),
+    "hbck" -> new Hbck(catalog),
+    "verify_rep" -> new VerifyRep(catalog))
 }

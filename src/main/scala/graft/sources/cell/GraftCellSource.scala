@@ -1678,6 +1678,171 @@ object GraftCellMaintenance {
      CellFooterCache.filesOf(store).size.toLong)
   }
 
+  /** BULKLOAD — the HBase `completebulkload` (LoadIncrementalHFiles)
+    * verb, and the missing half of the backup story: ADOPT a completed
+    * external graftcell store (an `export_snapshot` destination, an
+    * incremental-export window, or any connector-written store) into a
+    * live table. Files are byte-copied DISTRIBUTED (one Spark task per
+    * region file — adoption moves at cluster bandwidth) into one new
+    * generation per source dir, preserving the source's batch
+    * granularity (an incremental window adopts as its own generations,
+    * so streaming readers and commit-stamp time travel see the adopted
+    * batches as batches). Each generation publishes through
+    * [[publishReplacement]]'s stage→atomic-rename protocol with a fresh
+    * monotonic commit stamp; manifest STATS TRAVEL from the source
+    * manifest (zero data bytes read for planning — a manifest-less
+    * legacy source dir pays its usual footer scan once, here). Source
+    * dirs adopt in source-commit-stamp order, so the adopted window
+    * replays in the order it was written.
+    *
+    * Refusals: a source without the `_SUCCESS` completion marker is a
+    * half-written store (or a crashed export) — refused, as is an empty
+    * one, the store itself, and a file whose parquet message type
+    * disagrees with the target's existing files (the HFile-format
+    * compatibility check). Source files listed by a pending source
+    * RETIRE intent are already replaced there and are excluded, exactly
+    * as the source's own readers would. The source is READ-ONLY
+    * throughout (copy, never move — it may be a backup volume).
+    * Returns (dirs adopted, files copied, rows adopted). */
+  def bulkload(spark: org.apache.spark.sql.SparkSession,
+               store: String, src: String): (Long, Long, Long) = {
+    val srcFile = new java.io.File(src)
+    val storeFile = new java.io.File(store)
+    require(srcFile.getCanonicalPath != storeFile.getCanonicalPath,
+      s"graftcell: bulkload source and target are the same store: $src")
+    require(new java.io.File(srcFile, "_SUCCESS").exists(),
+      s"graftcell: $src is not a completed graftcell store " +
+      "(no _SUCCESS marker — refusing a half-written source)")
+    CellRetire.repair(store) // target housekeeping, like all maintenance
+    val retired = CellRetire.retiredOf(src)
+    val srcDirs = CellFooterCache.committedDirs(src)
+      .sortBy(d => CellManifest.commitStampOf(src, d))
+    require(srcDirs.nonEmpty,
+      s"graftcell: bulkload source $src has no committed dirs")
+    val targetTypes =
+      CellFooterCache.filesOf(store).map(_.messageType).toSet
+    var dirs = 0L; var files = 0L; var rows = 0L
+    srcDirs.foreach { d =>
+      val metas = CellFooterCache.filesUnder(src, d)
+        .filterNot(m => retired.contains(m.path))
+      metas.foreach(m => require(
+        targetTypes.isEmpty || targetTypes.contains(m.messageType),
+        s"graftcell: bulkload file ${m.path} has parquet message type " +
+        s"'${m.messageType}' incompatible with the target store"))
+      if (metas.nonEmpty) {
+        val tmp = new java.io.File(store, s"_tmp_bulkload_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+        tmp.mkdirs()
+        val tmpPath = tmp.getPath
+        spark.sparkContext
+          .parallelize(metas.map(_.path), metas.size)
+          .foreach { p =>
+            val f = new java.io.File(p)
+            java.nio.file.Files.copy(f.toPath,
+              new java.io.File(tmpPath, f.getName).toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            ()
+          }
+        val adopted = metas.map(m => m.copy(path =
+          new java.io.File(tmp, new java.io.File(m.path).getName).getPath))
+        publishReplacement(store, adopted, Nil, "bulkload")
+        deleteRec(tmp)
+        dirs += 1; files += metas.size; rows += metas.map(_.rowCount).sum
+      }
+    }
+    (dirs, files, rows)
+  }
+
+  /** HBCK — HBase's `hbck` consistency report, REPORT-ONLY (it mutates
+    * nothing; `CALL repair` / re-staging are the fix verbs). Pure
+    * driver-side metadata — O(file names), zero data bytes — so it is
+    * cheap at any store size:
+    *
+    *  - `missing_files`: manifest entries whose region file is GONE
+    *    from disk (corruption — reads of that dir would fail);
+    *  - `orphan_files`: disk parquet files a manifest does NOT list
+    *    (invisible to reads — the manifest is authoritative — but
+    *    occupying space; a crashed pre-manifest writer's leavings);
+    *  - `pending_intents`: committed dirs carrying `_retire.json`
+    *    (an interrupted group-replace — readers already exclude the
+    *    listed files; `CALL repair` completes the deletion);
+    *  - `invalid_snapshots`: snapshot manifests pinning dirs a later
+    *    compaction removed (reads partially empty, restore refused);
+    *  - `stale_tmp_dirs`: `_stage_*` / `_tmp_*` root dirs a crashed
+    *    maintenance op left behind (invisible to reads, reclaimable).
+    *
+    * Manifest-less (legacy) dirs have no declared file set to check
+    * against and contribute nothing. Returns (dirs, missing, orphans,
+    * pending intents, invalid snapshots, stale tmp dirs). */
+  def hbck(store: String): (Long, Long, Long, Long, Long, Long) = {
+    val dirs = CellFooterCache.committedDirs(store)
+    var missing = 0L; var orphans = 0L; var intents = 0L
+    dirs.foreach { d =>
+      val dir = new java.io.File(store, d)
+      if (new java.io.File(dir, CellRetire.NAME).exists()) intents += 1
+      CellManifest.read(dir).foreach { data =>
+        val declared = data.files
+          .map(m => new java.io.File(m.path).getName).toSet
+        val disk = Option(dir.listFiles).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(_.getName).toSet
+        missing += declared.count(!disk.contains(_))
+        orphans += disk.count(!declared.contains(_))
+      }
+    }
+    val invalidSnaps =
+      GraftCellSnapshot.list(store).count(_._3.nonEmpty).toLong
+    val staleTmp = Option(new java.io.File(store).listFiles)
+      .getOrElse(Array.empty)
+      .count(f => f.isDirectory && (f.getName.startsWith("_stage_") ||
+                                    f.getName.startsWith("_tmp_"))).toLong
+    (dirs.size.toLong, missing, orphans, intents, invalidSnaps, staleTmp)
+  }
+
+  /** VERIFY REPLICATION — HBase's `VerifyReplication` job: a
+    * DISTRIBUTED cell-level diff of two stores (primary vs replica,
+    * source vs bulkloaded copy, table vs restored backup). Cells align
+    * on the full cell key (rowkey, family, qualifier, version —
+    * null-safe, so NULL components align rather than vanish) via one
+    * sort-merge full-outer join — the one shuffle per side this
+    * comparison inherently costs; at 100 TB it runs at cluster
+    * bandwidth like the HBase MR job, never through the driver.
+    * Assumes per-store cell-key uniqueness (the compacted store shape —
+    * a store carrying duplicate keys compares pairwise, as the HBase
+    * job's raw-scan alignment would). Returns (cells only in left,
+    * cells only in right, value mismatches, matching cells). */
+  def verifyRep(spark: org.apache.spark.sql.SparkSession,
+                left: String, right: String): (Long, Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{col, lit, sum, when}
+    def side(p: String, tag: String) =
+      spark.read.format("graftcell").load(p)
+        .select(col("rowkey").as(s"${tag}_rowkey"),
+                col("family").as(s"${tag}_family"),
+                col("qualifier").as(s"${tag}_qualifier"),
+                col("version").as(s"${tag}_version"),
+                col("value").as(s"${tag}_value"),
+                lit(1).as(s"${tag}_present"))
+    val l = side(left, "l")
+    val r = side(right, "r")
+    val joined = l.join(r,
+      col("l_rowkey") <=> col("r_rowkey") &&
+      col("l_family") <=> col("r_family") &&
+      col("l_qualifier") <=> col("r_qualifier") &&
+      col("l_version") <=> col("r_version"), "full_outer")
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val row = joined.agg(
+      cnt(col("r_present").isNull).as("only_left"),
+      cnt(col("l_present").isNull).as("only_right"),
+      cnt(col("l_present").isNotNull && col("r_present").isNotNull &&
+          !(col("l_value") <=> col("r_value"))).as("mismatch"),
+      cnt(col("l_present").isNotNull && col("r_present").isNotNull &&
+          (col("l_value") <=> col("r_value"))).as("matching"))
+      .collect()(0)
+    def g(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+    (g(0), g(1), g(2), g(3))
+  }
+
   /** MINOR COMPACTION: merge every committed batch dir whose total
     * bytes are ≤ `maxBytes` into ONE new batch, leaving larger
     * generations untouched — HBase's size-tiered minor compaction,

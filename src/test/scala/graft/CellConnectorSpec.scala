@@ -1043,11 +1043,11 @@ class CellConnectorSpec extends AnyFunSuite {
     // snapshot lifecycle: listProcedures, drop, and failure modes
     val procs = s.sql("SHOW PROCEDURES IN graftproc")
       .select("procedure_name").collect().map(_.getString(0)).sorted.toSeq
-    assert(procs == Seq("clone_snapshot", "compact", "compact_minor",
-                        "drop_snapshot", "export_snapshot",
-                        "list_snapshots", "merge_regions",
+    assert(procs == Seq("bulkload", "clone_snapshot", "compact",
+                        "compact_minor", "drop_snapshot", "export_snapshot",
+                        "hbck", "list_snapshots", "merge_regions",
                         "repair", "restore_snapshot", "snapshot",
-                        "split_region"),
+                        "split_region", "verify_rep"),
            s"procedures: $procs")
     // repair on a healthy store is a no-op summary
     val rRow = s.sql("CALL graftproc.repair('t')").collect()
@@ -1949,6 +1949,145 @@ class CellConnectorSpec extends AnyFunSuite {
     val incGot = s.read.format("graftcell").load(s"$root/inc")
       .select("rowkey").collect().map(_.getString(0)).toSeq
     assert(incGot == Seq("d"), s"incremental window content: $incGot")
+  }
+
+  test("bulkload adopts a completed external store: stats travel, source read-only, refusals (r16)") {
+    import graft.sources.cell.{CellFooterCache, CellRetire, GraftCellMaintenance}
+    val root = java.nio.file.Files.createTempDirectory("graft_bl_spec_").toString
+    val src = s"$root/src"
+    val store = s"$root/store"
+    import scala.collection.JavaConverters._
+    def put(path: String, keys: (String, String)*): Unit = s.createDataFrame(
+      keys.map { case (rk, v) =>
+        org.apache.spark.sql.Row(rk, "d", "q", 1L, v) }.asJava,
+      GraftCell.SCHEMA)
+      .write.format("graftcell").mode("append").save(path)
+    put(src, "m" -> "1", "n" -> "2") // source batch 1
+    put(src, "p" -> "3")             // source batch 2
+    put(store, "a" -> "0")           // the live table's own generation
+    val (dirs, files, rows) = GraftCellMaintenance.bulkload(s, store, src)
+    assert((dirs, files, rows) == ((2L, 2L, 3L)),
+      s"bulkload summary: ($dirs, $files, $rows)")
+    // content = target ∪ adopted; SOURCE dir granularity preserved
+    // (one adopted generation per source dir — the incremental window
+    // replays as batches)
+    val got = s.read.format("graftcell").load(store)
+      .select("rowkey").collect().map(_.getString(0)).toSeq.sorted
+    assert(got == Seq("a", "m", "n", "p"), s"bulkloaded content: $got")
+    assert(CellFooterCache.committedDirs(store).size == 3)
+    // the source is READ-ONLY throughout: both dirs still committed,
+    // content unchanged (copy, never move — it may be a backup volume)
+    assert(CellFooterCache.committedDirs(src).size == 2)
+    assert(s.read.format("graftcell").load(src).count() == 3L)
+    // manifest STATS TRAVELED: re-planning the grown store opens zero
+    // parquet footers
+    CellFooterCache.invalidate(store)
+    val before = CellFooterCache.footerOpens.get()
+    assert(CellFooterCache.filesOf(store).size == 3)
+    assert(CellFooterCache.footerOpens.get() == before,
+      "adopted generations must plan from traveled manifests")
+    // refusals: a source without _SUCCESS is a half-written store;
+    // a completed-but-empty source has nothing to adopt; the store
+    // itself is not a source
+    val bad = s"$root/bad"
+    new java.io.File(bad).mkdirs()
+    intercept[Exception] { GraftCellMaintenance.bulkload(s, store, bad) }
+    java.nio.file.Files.write(
+      new java.io.File(bad, "_SUCCESS").toPath, Array.emptyByteArray)
+    intercept[Exception] { GraftCellMaintenance.bulkload(s, store, bad) }
+    intercept[Exception] { GraftCellMaintenance.bulkload(s, store, store) }
+    // files listed by a PENDING source retire intent are already
+    // replaced there — excluded, exactly as the source's own readers
+    // would exclude them. (Dir names are random UUIDs, so identify
+    // the two source batches by row count: the 2-row "mn" batch
+    // publishes an intent retiring the 1-row "p" batch's file.)
+    val byDir = CellFooterCache.committedDirs(src)
+      .map(d => d -> CellFooterCache.filesUnder(src, d))
+    val mnDir = byDir.find(_._2.exists(_.rowCount == 2L)).get
+    val pDir = byDir.find(_._2.exists(_.rowCount == 1L)).get
+    CellRetire.write(new java.io.File(src, mnDir._1),
+                     pDir._2.map(_.path))
+    CellFooterCache.invalidate(src)
+    val store2 = s"$root/store2"
+    val (d2, f2, r2) = GraftCellMaintenance.bulkload(s, store2, src)
+    assert((d2, f2, r2) == ((1L, 1L, 2L)),
+      s"retired source files must not adopt: ($d2, $f2, $r2)")
+    val got2 = s.read.format("graftcell").load(store2)
+      .select("rowkey").collect().map(_.getString(0)).toSeq.sorted
+    assert(got2 == Seq("m", "n"), s"store2 content: $got2")
+  }
+
+  test("hbck counts each drift class exactly; healthy store is all zeros (r16)") {
+    import graft.sources.cell.{CellFooterCache, CellManifest, CellRetire,
+                               GraftCellMaintenance, GraftCellSnapshot}
+    val root = java.nio.file.Files.createTempDirectory("graft_hbck_spec_").toString
+    val store = s"$root/store"
+    import scala.collection.JavaConverters._
+    def put(keys: (String, String)*): Unit = s.createDataFrame(
+      keys.map { case (rk, v) =>
+        org.apache.spark.sql.Row(rk, "d", "q", 1L, v) }.asJava,
+      GraftCell.SCHEMA)
+      .write.format("graftcell").mode("append").save(store)
+    put("a" -> "1")
+    put("b" -> "2")
+    assert(GraftCellMaintenance.hbck(store) == ((2L, 0L, 0L, 0L, 0L, 0L)),
+      "a healthy two-generation store must report all zeros")
+    // a PENDING retire intent (the group-replace mid-window state:
+    // published dir carries _retire.json, listed file still on disk)
+    val ds = CellFooterCache.committedDirs(store)
+    val dir1File = CellFooterCache.filesUnder(store, ds.head).head.path
+    CellRetire.write(new java.io.File(store, ds.last), Seq(dir1File))
+    CellFooterCache.invalidate(store)
+    assert(GraftCellMaintenance.hbck(store)._4 == 1L,
+      "a pending intent must be reported")
+    // repair completes it (file deleted, emptied dir dropped) — hbck
+    // converges back to clean, one dir
+    CellRetire.repair(store)
+    assert(GraftCellMaintenance.hbck(store) == ((1L, 0L, 0L, 0L, 0L, 0L)))
+    // one instance of each remaining class: a manifest-listed file
+    // deleted from disk; an orphan parquet no manifest lists; an
+    // invalidated snapshot (pinned dir gone); a stale _tmp_ dir
+    val dirFile = new java.io.File(store,
+      CellFooterCache.committedDirs(store).head)
+    val listed = CellManifest.read(dirFile).get.files
+      .map(m => new java.io.File(m.path).getName).sorted
+    assert(new java.io.File(dirFile, listed.head).delete())
+    java.nio.file.Files.write(
+      new java.io.File(dirFile, "zz_orphan.parquet").toPath,
+      Array.emptyByteArray)
+    GraftCellSnapshot.createPinned(store, "gone", Seq("batch_nonexistent"))
+    new java.io.File(store, "_tmp_crashed_op").mkdirs()
+    CellFooterCache.invalidate(store)
+    assert(GraftCellMaintenance.hbck(store) == ((1L, 1L, 1L, 0L, 1L, 1L)),
+      "each constructed anomaly must be counted exactly once")
+  }
+
+  test("verify_rep: identical stores fully match; each divergence class counted once (r16)") {
+    import graft.sources.cell.GraftCellMaintenance
+    val root = java.nio.file.Files.createTempDirectory("graft_vr_spec_").toString
+    val left = s"$root/left"
+    val right = s"$root/right"
+    import scala.collection.JavaConverters._
+    def put(path: String, rows: (String, String, Long, String)*): Unit =
+      s.createDataFrame(
+        rows.map { case (rk, q, ver, v) =>
+          org.apache.spark.sql.Row(rk, "d", q, ver, v) }.asJava,
+        GraftCell.SCHEMA)
+        .write.format("graftcell").mode("append").save(path)
+    put(left, ("a", "q", 1L, "1"), ("b", "q", 1L, "2"),
+              ("d", "q", 1L, null))
+    // replica: 'a' matches, 'b' diverges in value, 'c' exists only
+    // here, 'd' carries NULL on both sides (null-safe ⇒ matching),
+    // and left's 'd' at version 2 is missing here (only-left)
+    put(right, ("a", "q", 1L, "1"), ("b", "q", 1L, "X"),
+               ("c", "q", 1L, "3"), ("d", "q", 1L, null))
+    put(left, ("d", "q", 2L, "late"))
+    assert(GraftCellMaintenance.verifyRep(s, left, left) ==
+           ((0L, 0L, 0L, 4L)), "self-diff must fully match")
+    assert(GraftCellMaintenance.verifyRep(s, left, right) ==
+           ((1L, 1L, 1L, 2L)),
+      "one only-left, one only-right, one mismatch, two matching " +
+      "(incl. the null-safe NULL value)")
   }
 
   test("namespaces: create_namespace / ns:table lifecycle, HBase-style (r16)") {
