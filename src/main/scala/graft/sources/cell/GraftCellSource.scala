@@ -1813,6 +1813,18 @@ object GraftCellMaintenance {
     * cells only in right, value mismatches, matching cells). */
   def verifyRep(spark: org.apache.spark.sql.SparkSession,
                 left: String, right: String): (Long, Long, Long, Long) = {
+    val row = repDiff(spark, left, right).collect()(0)
+    def g(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+    (g(0), g(1), g(2), g(3))
+  }
+
+  /** The verify_rep diff frame itself (factored so `graft.Plans` can
+    * dump its executed physical plan as scale evidence): one null-safe
+    * full-outer sort-merge join on the full cell key, one partial+final
+    * conditional-count aggregate. */
+  private[graft] def repDiff(spark: org.apache.spark.sql.SparkSession,
+                             left: String, right: String)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, sum, when}
     def side(p: String, tag: String) =
       spark.read.format("graftcell").load(p)
@@ -1822,25 +1834,20 @@ object GraftCellMaintenance {
                 col("version").as(s"${tag}_version"),
                 col("value").as(s"${tag}_value"),
                 lit(1).as(s"${tag}_present"))
-    val l = side(left, "l")
-    val r = side(right, "r")
-    val joined = l.join(r,
+    val joined = side(left, "l").join(side(right, "r"),
       col("l_rowkey") <=> col("r_rowkey") &&
       col("l_family") <=> col("r_family") &&
       col("l_qualifier") <=> col("r_qualifier") &&
       col("l_version") <=> col("r_version"), "full_outer")
     def cnt(c: org.apache.spark.sql.Column) =
       sum(when(c, 1L).otherwise(0L))
-    val row = joined.agg(
+    joined.agg(
       cnt(col("r_present").isNull).as("only_left"),
       cnt(col("l_present").isNull).as("only_right"),
       cnt(col("l_present").isNotNull && col("r_present").isNotNull &&
           !(col("l_value") <=> col("r_value"))).as("mismatch"),
       cnt(col("l_present").isNotNull && col("r_present").isNotNull &&
           (col("l_value") <=> col("r_value"))).as("matching"))
-      .collect()(0)
-    def g(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
-    (g(0), g(1), g(2), g(3))
   }
 
   /** MINOR COMPACTION: merge every committed batch dir whose total
