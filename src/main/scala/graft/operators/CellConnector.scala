@@ -950,6 +950,63 @@ object CellConnector extends QueryModule {
                ORDER BY rowkey, qualifier""")
     }),
 
+    "sql_cell_call_normalize" -> ((s, dir) => {
+      // HBase's region NORMALIZER as SQL (r16 — SimpleRegionNormalizer
+      // as `CALL normalize(t)`): one pass PLANS from manifest stats
+      // alone — files > 2×target split at the byte-midpoint of their
+      // key range (the zero-IO analog of HBase's mid-storefile split
+      // point), then runs of adjacent files totalling ≤ target merge
+      // back to one; target defaults to the store's MEAN file size, so
+      // the verb self-scales with no knob to mis-set at 100 TB. Here
+      // the two phases are exercised explicitly: target=1 forces the
+      // split pass on every region file, target=1 GiB forces the merge
+      // pass back to one file per dir, and the final no-argument CALL
+      // runs the self-scaling default (one more midpoint split of the
+      // now-dominant big file). Split siblings never re-merge in-pass
+      // (their summed bytes exceed the merge bound by construction).
+      // Content must be byte-identical through all three passes —
+      // oracle = the plain rebuild. Re-staged each run.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_norm (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_norm SELECT * FROM graft_catalog_src")
+      s.sql("CALL graftcat.normalize('events_norm', 1)")
+      s.sql("CALL graftcat.normalize('events_norm', 1073741824)")
+      s.sql("CALL graftcat.normalize('events_norm')")
+      s.sql("""SELECT * FROM graftcat.events_norm
+               ORDER BY rowkey, qualifier""")
+    }),
+
+    "sql_cell_truncate" -> ((s, dir) => {
+      // TRUNCATE TABLE through the catalog (r16 — the HBase shell
+      // `truncate`: keep the table and its descriptor, drop ALL data).
+      // GraftCellTable OVERRIDES TruncatableTable.truncateTable() with
+      // a metadata-only retire-all publish — one atomic rename, zero
+      // data bytes read (the SupportsDelete DEFAULT would rewrite
+      // every region file through deleteWhere(always_true) just to
+      // learn all rows match; the spec proves the zero-IO claim by
+      // corrupting every region file first). Band A is loaded and
+      // truncated away; the readback is the post-truncate band alone —
+      // the oracle. INSERT OVERWRITE re-arms the fixture every run.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_trunc (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_trunc SELECT * FROM graft_catalog_src")
+      s.sql("TRUNCATE TABLE graftcat.events_trunc")
+      s.sql("""INSERT INTO graftcat.events_trunc
+               SELECT rowkey, family, qualifier, version,
+                      concat('survivor-', value)
+               FROM graft_catalog_src WHERE rowkey < '3'""")
+      s.sql("""SELECT * FROM graftcat.events_trunc
+               ORDER BY rowkey, qualifier""")
+    }),
+
     "sql_cell_tblproperties" -> ((s, dir) => {
       // PERSISTED TABLE PROPERTIES (r16) — the HBase table DESCRIPTOR:
       // TTL and tombstone policy are declared ONCE at CREATE TABLE
@@ -1474,6 +1531,21 @@ object CellConnector extends QueryModule {
     "sql_cell_call_merge" ->
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    // normalizer passes (forced split, forced merge, self-scaling
+    // default) are content-neutral region surgery
+    "sql_cell_call_normalize" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    // everything before the truncate is dropped; the survivor band is
+    // re-inserted afterwards with a marked value
+    "sql_cell_truncate" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT rowkey, family, qualifier, version,
+                 'survivor-' || value AS value
+          FROM cells WHERE rowkey < '3'
+          ORDER BY rowkey, qualifier""",
 
     // same GC model as cell_connector_gc (tombstone + 10-day TTL off
     // the store-max horizon), here driven by persisted TBLPROPERTIES

@@ -339,6 +339,33 @@ object GraftCellProcedures {
     }
   }
 
+  /** `normalize(table, target_bytes = -1)` — the HBase region
+    * NORMALIZER (SimpleRegionNormalizer) as one CALL: split every
+    * region file > 2×target at the byte-midpoint of its key range,
+    * then merge runs of adjacent files totalling ≤ target. Target
+    * defaults to the store's MEAN file size, so the verb is
+    * self-scaling. Planning is manifest-stats-only (zero data bytes
+    * before the surgery); one pass per CALL, repeated CALLs converge;
+    * content byte-identical throughout. */
+  final class Normalize(catalog: GraftCellCatalog)
+      extends CellProcedure(catalog, "normalize") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType),
+      pDefault("target_bytes", LongType, "-1"))
+    override def description(): String =
+      "region normalizer: split files > 2x target (default: mean file " +
+      "size) at their key midpoint, merge adjacent runs <= target"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val s = store(input.getUTF8String(0))
+      val target = if (input.isNullAt(1)) -1L else input.getLong(1)
+      val (split, runs, before, after, tgt) = GraftCellMaintenance
+        .normalize(SparkSession.active, s, target)
+      summary("files_split" -> split, "runs_merged" -> runs,
+              "files_before" -> before, "files_after" -> after,
+              "target_bytes" -> tgt)
+    }
+  }
+
   /** `bulkload(table, src_path)` — the HBase `completebulkload`
     * (LoadIncrementalHFiles): adopt a COMPLETED external graftcell
     * store (an export_snapshot destination, an incremental-export
@@ -416,6 +443,7 @@ object GraftCellProcedures {
     "export_snapshot" -> new ExportSnapshot(catalog),
     "split_region" -> new SplitRegion(catalog),
     "merge_regions" -> new MergeRegions(catalog),
+    "normalize" -> new Normalize(catalog),
     "repair" -> new Repair(catalog),
     "bulkload" -> new Bulkload(catalog),
     "hbck" -> new Hbck(catalog),

@@ -657,6 +657,18 @@ class GraftCellTable(path: String,
     }
     CellFooterCache.invalidate(path)
   }
+
+  /** `TRUNCATE TABLE` — the HBase shell `truncate` (drop all data,
+    * keep table + descriptor), METADATA-ONLY: overrides the
+    * SupportsDelete default, which would route through
+    * `deleteWhere(always_true)` and rewrite every region file just to
+    * learn all rows match. See [[GraftCellMaintenance.truncate]]. */
+  override def truncateTable(): Boolean = {
+    requireLive("TRUNCATE")
+    GraftCellMaintenance.truncate(path)
+    true
+  }
+
   /** Persisted table properties (the HBase table-descriptor policy
     * knobs — TTL, tombstone) + provider, surfaced to SHOW
     * TBLPROPERTIES / DESCRIBE EXTENDED. Catalog-loaded tables carry
@@ -1607,9 +1619,15 @@ object GraftCellMaintenance {
     * straddle and are left alone. Returns (files split, files
     * created). */
   def splitRegion(spark: org.apache.spark.sql.SparkSession,
-                  store: String, splitKey: String): (Long, Long) = {
+                  store: String, splitKey: String): (Long, Long) =
+    splitRegionAt(spark, store, UTF8String.fromString(splitKey).getBytes)
+
+  /** [[splitRegion]] at a raw byte key — [[normalize]]'s midpoint keys
+    * are byte-fraction midpoints, not necessarily valid UTF-8. */
+  private[cell] def splitRegionAt(spark: org.apache.spark.sql.SparkSession,
+                                  store: String,
+                                  key: Array[Byte]): (Long, Long) = {
     CellRetire.repair(store) // never resurrect pending retirements
-    val key = UTF8String.fromString(splitKey).getBytes
     val victims = CellFooterCache.filesOf(store).filter(m =>
       m.minKey.exists(JArrays.compareUnsigned(_, key) < 0) &&
       m.maxKey.exists(JArrays.compareUnsigned(_, key) >= 0))
@@ -1676,6 +1694,123 @@ object GraftCellMaintenance {
     deleteRec(tmp)
     (runs.size.toLong, before.size.toLong,
      CellFooterCache.filesOf(store).size.toLong)
+  }
+
+  /** Byte-fraction MIDPOINT of two rowkeys (the arithmetic of HBase's
+    * `Bytes.split`): rowkeys compare lexicographically, i.e. as
+    * big-endian binary fractions 0.b₁b₂…, so the midpoint is
+    * (min+max)/2 computed at one extra byte of precision — ZERO IO,
+    * the normalizer's split point comes from manifest stats alone (the
+    * zero-read analog of HBase picking the mid-storefile key). For
+    * lexicographic min < max the result is strictly greater than min;
+    * it can land above max only in the degenerate trailing-0x00 case
+    * (min="a", max="a"+NUL — numerically equal fractions), where the
+    * split finds no straddling victim and the file is left alone. */
+  private[graft] def midKey(min: Array[Byte], max: Array[Byte]): Array[Byte] = {
+    val n = math.max(min.length, max.length) + 1
+    def at(a: Array[Byte], i: Int): Int = if (i < a.length) a(i) & 0xff else 0
+    // sum = min + max as right-0x00-padded big-endian digits, LSB-first
+    val digits = new Array[Int](n)
+    var carry = 0
+    var i = n - 1
+    while (i >= 0) {
+      val v = at(min, i) + at(max, i) + carry
+      digits(i) = v & 0xff
+      carry = v >>> 8
+      i -= 1
+    }
+    // divide (carry . digits) by 2, MSB-first with remainder
+    val out = new Array[Byte](n)
+    var rem = carry // the sum's integer digit (0 or 1)
+    i = 0
+    while (i < n) {
+      val v = (rem << 8) + digits(i)
+      out(i) = (v >>> 1).toByte
+      rem = v & 1
+      i += 1
+    }
+    out
+  }
+
+  /** REGION NORMALIZER (r16 — HBase's SimpleRegionNormalizer as one
+    * `CALL normalize(t)` pass): bring region-file sizes toward a
+    * target using MANIFEST STATS alone to plan (zero data bytes read
+    * before the surgery itself) —
+    *
+    *  - SPLIT: every file > 2×target is cut at the byte-midpoint of
+    *    its key range ([[midKey]]) via the same distributed crash-safe
+    *    rewrite as `CALL split_region`;
+    *  - MERGE: runs of adjacent files totalling ≤ target k-way-merge
+    *    into one ([[mergeRegions]]).
+    *
+    * `target` defaults to the pre-state MEAN file size (HBase's
+    * normalizer targets the average region size), so the verb is
+    * self-scaling — no knob to mis-set at 100 TB. One planning pass
+    * per CALL, like the HBase normalizer chore; repeated CALLs
+    * converge. Fresh split siblings can never re-merge in the same
+    * pass: their summed bytes are the oversized original's, > 2×target
+    * and therefore over the merge bound by construction. Content is
+    * byte-identical through the surgery. Returns (files split, runs
+    * merged, files before, files after, target bytes). */
+  def normalize(spark: org.apache.spark.sql.SparkSession, store: String,
+                targetBytes: Long = -1L): (Long, Long, Long, Long, Long) = {
+    CellRetire.repair(store)
+    val files = CellFooterCache.filesOf(store)
+    val before = files.size.toLong
+    if (files.isEmpty) return (0L, 0L, 0L, 0L, 0L)
+    val target =
+      if (targetBytes > 0) targetBytes
+      else math.max(1L, files.map(_.bytes).sum / files.size)
+    val victims = files.filter(m =>
+      m.bytes > 2 * target && m.minKey.nonEmpty && m.maxKey.nonEmpty &&
+      JArrays.compareUnsigned(m.minKey.get, m.maxKey.get) < 0)
+    // one split key per victim, deduped (victims can share a key range)
+    // and applied in key order — a deterministic publish sequence under
+    // any victim enumeration order
+    val keys = victims.map(m => midKey(m.minKey.get, m.maxKey.get))
+      .distinctBy(_.toSeq)
+      .sortWith(JArrays.compareUnsigned(_, _) < 0)
+    var filesSplit = 0L
+    keys.foreach { k => filesSplit += splitRegionAt(spark, store, k)._1 }
+    val (runs, _, after) = mergeRegions(spark, store, target)
+    (filesSplit, runs, before, after, target)
+  }
+
+  /** TRUNCATE — the HBase shell `truncate`: drop ALL data, keep the
+    * table and its descriptor (TBLPROPERTIES). METADATA-ONLY: one
+    * empty replacement generation whose retire intent lists every live
+    * region file (the same atomic publish as restore/split/merge), so
+    * ZERO data bytes are read and truncating a 100 TB table costs
+    * O(region files) of driver-side metadata. The DSv2 DEFAULT would
+    * route TRUNCATE through `deleteWhere(always_true)` — one
+    * distributed read-and-rewrite task per region file just to learn
+    * that every row matches; the override is the difference between a
+    * metadata flip and a full-table scan. Crash-safe: readers see the
+    * empty set from the rename onward, an interrupted cleanup is
+    * completed by `CALL repair`. Single-writer like every maintenance
+    * verb; existing snapshots are invalidated (the documented
+    * no-archive-dir caveat — `CALL hbck` reports them). Returns
+    * (dirs dropped, files retired). */
+  def truncate(store: String): (Long, Long) = {
+    CellRetire.repair(store)
+    val dirs = CellFooterCache.committedDirs(store)
+    val files = dirs.flatMap(d => CellFooterCache.filesUnder(store, d))
+      .map(_.path)
+    if (files.isEmpty) return (0L, 0L) // already empty (marker dirs only)
+    val marker = publishReplacement(store, Nil, files, "truncate")
+    // dirs emptied of data by the publish were removed with it; sweep
+    // remaining no-data dirs (older restore/truncate markers) so the
+    // live dir set is exactly the fresh marker
+    CellFooterCache.committedDirs(store)
+      .filterNot(_ == marker)
+      .map(new java.io.File(store, _)).filter(_.isDirectory)
+      .foreach { d =>
+        val hasData = Option(d.listFiles).getOrElse(Array.empty)
+          .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+        if (!hasData) deleteRec(d)
+      }
+    CellFooterCache.invalidate(store)
+    (dirs.size.toLong, files.size.toLong)
   }
 
   /** BULKLOAD — the HBase `completebulkload` (LoadIncrementalHFiles)

@@ -346,7 +346,9 @@ class CellConnectorSpec extends AnyFunSuite {
     val left = s.sql("SELECT rowkey FROM graftspec.t ORDER BY rowkey")
       .collect().map(_.getString(0)).toSeq
     assert(left == ('b' to 'j').map(_.toString))
-    // TRUNCATE arrives as deleteWhere(AlwaysTrue) — must empty the store
+    // TRUNCATE takes the metadata-only truncateTable override (r16 —
+    // no longer the deleteWhere(AlwaysTrue) default) — must empty the
+    // store just the same
     s.sql("TRUNCATE TABLE graftspec.t")
     assert(s.sql("SELECT count(*) FROM graftspec.t").collect()(0).getLong(0) == 0L)
     assert(graft.sources.cell.CellFooterCache
@@ -1046,8 +1048,8 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(procs == Seq("bulkload", "clone_snapshot", "compact",
                         "compact_minor", "drop_snapshot", "export_snapshot",
                         "hbck", "list_snapshots", "merge_regions",
-                        "repair", "restore_snapshot", "snapshot",
-                        "split_region", "verify_rep"),
+                        "normalize", "repair", "restore_snapshot",
+                        "snapshot", "split_region", "verify_rep"),
            s"procedures: $procs")
     // repair on a healthy store is a no-op summary
     val rRow = s.sql("CALL graftproc.repair('t')").collect()
@@ -2148,5 +2150,120 @@ class CellConnectorSpec extends AnyFunSuite {
     s.sql("DROP NAMESPACE graftns.staging")
     assert(s.sql("SHOW NAMESPACES IN graftns").collect().isEmpty)
     assert(!new java.io.File(s"$root/prod").exists())
+  }
+
+  test("normalize: splits oversized files at the key midpoint, merges small runs (r16)") {
+    import graft.sources.cell.{CellFooterCache, GraftCellMaintenance}
+    import scala.collection.JavaConverters._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_norm_spec_").toString
+    val store = s"$root/store"
+    // ~2 KB of seeded-random (incompressible) value per row: at spec
+    // scale the rowkey BLOOM (~1 MB/file) dominates file bytes and
+    // flattens any size contrast — real data has to outweigh it for
+    // byte-size-based normalizer decisions to mean anything
+    def blob(i: Int): String = {
+      val r = new scala.util.Random(i)
+      val sb = new StringBuilder(2048)
+      while (sb.length < 2048) sb.append(r.nextLong().toHexString)
+      sb.toString
+    }
+    def cells(lo: Int, n: Int) = s.createDataFrame(
+      (lo until lo + n).map(i =>
+        org.apache.spark.sql.Row(f"$i%05d", "d", "q", 1L, blob(i))).asJava,
+      GraftCell.SCHEMA)
+    // dir A: 10000 rows (~20 MB); dir B: 900 rows ROLLED at 100/file —
+    // one dir of many small adjacent files (~1.2 MB each)
+    cells(0, 10000).write.format("graftcell").mode("append").save(store)
+    cells(20000, 900).write.format("graftcell")
+      .option("maxRowsPerFile", "100").mode("append").save(store)
+    val files0 = CellFooterCache.filesOf(store)
+    val before = s.read.format("graftcell").load(store)
+      .orderBy("rowkey", "qualifier", "version").collect().toSeq
+    // pass 1 at the DEFAULT (mean) target: every file > 2x mean splits
+    // (the big batch's files dwarf the mean), small runs merge
+    val (split1, runs1, b1, a1, tgt1) =
+      GraftCellMaintenance.normalize(SparkFixture.spark, store)
+    val expectedVictims = files0.count(_.bytes > 2 * tgt1)
+    assert(split1 == expectedVictims && split1 >= 1L,
+      s"pass 1 split $split1 of $expectedVictims oversized (target $tgt1)")
+    assert(runs1 >= 1L, s"pass 1 merged no small runs (target $tgt1)")
+    assert(b1 == files0.size.toLong,
+      s"pass 1 before=$b1 vs staged ${files0.size}")
+    // content is byte-identical through the surgery
+    val after = s.read.format("graftcell").load(store)
+      .orderBy("rowkey", "qualifier", "version").collect().toSeq
+    assert(after == before, "normalize changed table content")
+    // a midpoint split actually balances a uniformly-keyed file: every
+    // split half holds strictly fewer rows than the original whole
+    val maxRows0 = files0.map(_.rowCount).max
+    assert(CellFooterCache.filesOf(store).map(_.rowCount).max < maxRows0,
+      "no split half is smaller than the pre-split maximum")
+    // a huge explicit target merges each dir to ONE file, and repeating
+    // it is a fixpoint (split siblings never re-merge IN-pass; across
+    // passes the merged store is simply no longer oversized)
+    val (s2, r2, _, afterFiles, _) =
+      GraftCellMaintenance.normalize(SparkFixture.spark, store,
+                                     1073741824L)
+    assert(s2 == 0L && r2 >= 1L,
+      s"huge-target pass: split=$s2 merged=$r2")
+    assert(afterFiles < a1,
+      s"huge-target normalize must reduce the file count ($a1 -> $afterFiles)")
+    assert(GraftCellMaintenance.normalize(SparkFixture.spark, store,
+             1073741824L)._1 == 0L)
+    assert(s.read.format("graftcell").load(store)
+      .orderBy("rowkey", "qualifier", "version").collect().toSeq == before)
+    // midKey arithmetic (HBase Bytes.split): the byte-fraction midpoint
+    // is strictly above min and at-or-below max at one extra byte of
+    // precision; ISO-8859-1 keeps byte order = string order
+    def mid(a: String, b: String) = new String(
+      GraftCellMaintenance.midKey(a.getBytes("UTF-8"), b.getBytes("UTF-8")),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(mid("a", "c") == "b\u0000")
+    assert(mid("00000", "09999") > "00000" && mid("00000", "09999") <= "09999")
+    assert(mid("a", "b") > "a" && mid("a", "b") < "b") // adjacent keys
+  }
+
+  test("TRUNCATE TABLE is metadata-only: survives corrupted region files; descriptor kept (r16)") {
+    import graft.sources.cell.{CellFooterCache, GraftCellMaintenance}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_trunc_spec_").toString
+    s.conf.set("spark.sql.catalog.grafttr",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.grafttr.root", root)
+    s.sql("""CREATE TABLE grafttr.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell TBLPROPERTIES ('ttl_micros'='123')""")
+    val store = s"$root/t"
+    s.sql("INSERT INTO grafttr.t VALUES ('a','d','q',1,'v1'), ('b','d','q',1,'v2')")
+    s.sql("INSERT INTO grafttr.t VALUES ('c','d','q',1,'v3')")
+    s.sql("CALL grafttr.snapshot('t', 'pre')")
+    // ZERO-IO proof: clobber every region file with garbage bytes — a
+    // truncate that read ANY data byte would throw; the metadata-only
+    // retire-all cannot notice (the SupportsDelete default it overrides
+    // would rewrite every file and fail here)
+    CellFooterCache.committedDirs(store).foreach { d =>
+      CellFooterCache.filesUnder(store, d).foreach { m =>
+        java.nio.file.Files.write(new java.io.File(m.path).toPath,
+          "not parquet".getBytes("UTF-8")); () } }
+    s.sql("TRUNCATE TABLE grafttr.t")
+    assert(s.sql("SELECT * FROM grafttr.t").collect().isEmpty,
+      "truncated table must read back empty")
+    // the descriptor survives (HBase truncate keeps the table schema
+    // and its properties), and the table is immediately writable again
+    val props = s.sql("SHOW TBLPROPERTIES grafttr.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("ttl_micros").contains("123"), s"props: $props")
+    s.sql("INSERT INTO grafttr.t VALUES ('z','d','q',2,'after')")
+    assert(s.sql("SELECT rowkey, value FROM grafttr.t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("z", "after")))
+    // pre-truncate snapshots are invalidated (the documented
+    // no-archive-dir caveat) and CALL hbck reports them
+    assert(GraftCellMaintenance.hbck(store)._5 == 1L,
+      "the pre-truncate snapshot must be reported invalidated")
+    // truncating an already-empty store is a no-op summary
+    s.sql("TRUNCATE TABLE grafttr.t")
+    assert(s.sql("SELECT * FROM grafttr.t").collect().isEmpty)
+    assert(GraftCellMaintenance.truncate(store) == ((0L, 0L)))
   }
 }
