@@ -49,7 +49,8 @@ object Plans {
     "sql_cell_checkand", "sql_cell_sync", "cell_connector_gc",
     "cell_connector_incremental", "cell_connector_incremental_between",
     "cell_connector_count_range", "sql_cell_namespace",
-    "sql_cell_call_export", "sql_cell_call_bulkload")
+    "sql_cell_call_export", "sql_cell_call_bulkload",
+    "sql_cell_truncate", "sql_cell_call_normalize")
 
   /** What to explain per key. `obs_metrics`' query RESULT is a 1-row
     * local relation of listener-delivered values; the plan worth
