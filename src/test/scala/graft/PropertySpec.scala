@@ -206,4 +206,34 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("midKey: strictly above min, at-or-below max except the " +
+       "trailing-NUL degeneracy (r16 normalizer split points)") {
+    import graft.sources.cell.GraftCellMaintenance.midKey
+    import java.util.{Arrays => JA}
+    val byteGen = Gen.chooseNum(0, 255).map(_.toByte)
+    val keyGen = Gen.chooseNum(0, 6)
+      .flatMap(n => Gen.listOfN(n, byteGen)).map(_.toArray)
+    // two byte arrays are the SAME binary fraction iff they differ only
+    // by trailing 0x00s — the one case where no key can sit strictly
+    // between them (the normalizer's straddle filter then finds no
+    // victim, by design)
+    def stripZeros(a: Array[Byte]): Array[Byte] = {
+      var n = a.length
+      while (n > 0 && a(n - 1) == 0) n -= 1
+      a.take(n)
+    }
+    forAllSeeded(Gen.zip(keyGen, keyGen), samples = 400) { case (x, y) =>
+      val c = JA.compareUnsigned(x, y)
+      if (c != 0) {
+        val (lo, hi) = if (c < 0) (x, y) else (y, x)
+        val m = midKey(lo, hi)
+        assert(JA.compareUnsigned(lo, m) < 0,
+          s"mid not strictly above min: lo=${lo.toSeq} mid=${m.toSeq}")
+        if (!JA.equals(stripZeros(lo), stripZeros(hi)))
+          assert(JA.compareUnsigned(m, hi) <= 0,
+            s"mid above max: hi=${hi.toSeq} mid=${m.toSeq}")
+      }
+    }
+  }
 }
