@@ -50,7 +50,9 @@ object Plans {
     "cell_connector_incremental", "cell_connector_incremental_between",
     "cell_connector_count_range", "sql_cell_namespace",
     "sql_cell_call_export", "sql_cell_call_bulkload",
-    "sql_cell_truncate", "sql_cell_call_normalize")
+    "sql_cell_truncate", "sql_cell_call_normalize",
+    "sql_cell_meta_files", "sql_cell_meta_snapshots",
+    "sql_cell_meta_history")
 
   /** What to explain per key. `obs_metrics`' query RESULT is a 1-row
     * local relation of listener-delivered values; the plan worth

@@ -86,6 +86,31 @@ object CellConnector extends QueryModule {
                "/tmp/graft_catalog_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
   }
 
+  /** Stage the metadata-table fixture `graftcat.events_meta` — shared
+    * by the three `sql_cell_meta_*` keys, RE-STAGED each run (the
+    * OVERWRITE resets the commit history to exactly two generations):
+    * overwrite (generation 1, all event cells) → snapshot s1 → append
+    * (generation 2, the '6' band re-inserted with shifted versions) →
+    * snapshot s2. Same deterministic shape as the list_snapshots key. */
+  private def stageMetaTable(s: org.apache.spark.sql.SparkSession,
+                             dir: String): Unit = {
+    registerCatalog(s, dir)
+    CellQueries.eventCells(s, dir)
+      .createOrReplaceTempView("graft_catalog_src")
+    s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_meta (
+               rowkey STRING, family STRING, qualifier STRING,
+               version BIGINT, value STRING) USING graftcell""")
+    s.sql("INSERT OVERWRITE graftcat.events_meta SELECT * FROM graft_catalog_src")
+    s.sql("CALL graftcat.snapshot('events_meta', 's1')")
+    s.sql("""INSERT INTO graftcat.events_meta
+             SELECT rowkey, family, qualifier,
+                    version + 1000000 AS version,
+                    concat(value, '~') AS value
+             FROM graft_catalog_src WHERE rowkey >= '6' AND rowkey < '7'""")
+    s.sql("CALL graftcat.snapshot('events_meta', 's2')")
+    ()
+  }
+
   /** Stage the CDC store: the SAME event cells, written as THREE
     * connector-write batches split on deterministic rowkey bands — a
     * replication log of three committed batches for the streaming read
@@ -1093,6 +1118,57 @@ object CellConnector extends QueryModule {
       s.sql("CALL graftcat.list_snapshots('events_ls')")
     }),
 
+    "sql_cell_meta_files" -> ((s, dir) => {
+      // METADATA TABLE `t.files` (r16): one row per live region file,
+      // served from the persisted manifests — planned as one partition
+      // per committed dir, parsed executor-side (GraftCellMetaTables).
+      // The key AGGREGATES the file rows to the store's data-derived
+      // totals, so the answer is independent of how many files each
+      // generation happened to roll (3-vs-7-partition legs lay out
+      // different file sets, same totals) and the oracle can recompute
+      // it from the raw cells: the files table is exact iff its
+      // per-file stats sum/fold to the true corpus stats.
+      stageMetaTable(s, dir)
+      s.sql("""SELECT count(DISTINCT batch_dir) AS n_dirs,
+                      sum(n_rows) AS n_rows,
+                      sum(null_keys) AS n_null_keys,
+                      min(min_key) AS min_rowkey,
+                      max(max_key) AS max_rowkey,
+                      min(min_version) AS min_version,
+                      max(max_version) AS max_version,
+                      min(min_family) AS min_family,
+                      max(max_family) AS max_family,
+                      min(min_qualifier) AS min_qualifier,
+                      max(max_qualifier) AS max_qualifier
+               FROM graftcat.events_meta.files""")
+    }),
+
+    "sql_cell_meta_snapshots" -> ((s, dir) => {
+      // METADATA TABLE `t.snapshots` (r16): list_snapshots plus what
+      // each pinned generation READS (row total, min/max rowkey from
+      // the pinned manifests, retire intents subtracted — VERSION AS
+      // OF semantics). Layout-independent columns only: s1 pins the
+      // overwrite generation, s2 overwrite + append, so the row totals
+      // are the statement row counts whatever the file layout.
+      stageMetaTable(s, dir)
+      s.sql("""SELECT name, n_rows, min_key, max_key
+               FROM graftcat.events_meta.snapshots
+               ORDER BY name""")
+    }),
+
+    "sql_cell_meta_history" -> ((s, dir) => {
+      // METADATA TABLE `t.history` (r16): the commit log — one row per
+      // generation in monotonic commit-stamp order with the running
+      // row total (what TIMESTAMP AS OF up to that commit returns).
+      // The key reads the layout-independent columns: generation
+      // ordinals and row counts are fixed by the two INSERT statements
+      // regardless of parallelism; dir names and commit stamps are not.
+      stageMetaTable(s, dir)
+      s.sql("""SELECT generation, n_rows, cumulative_rows
+               FROM graftcat.events_meta.history
+               ORDER BY generation""")
+    }),
+
     "sql_cell_connector" -> ((s, dir) => {
       // The SQL surface over the connector: the store registered as a
       // (session-scoped) SQL table via `CREATE TEMPORARY VIEW ... USING
@@ -1587,6 +1663,65 @@ object CellConnector extends QueryModule {
          UNION ALL
          SELECT 's2', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
          ORDER BY name""",
+
+    // the files metadata table is exact iff its per-file manifest stats
+    // fold back to the true corpus stats: two generations (overwrite +
+    // the '6'-band append with versions shifted 1e6), zero null rowkeys
+    "sql_cell_meta_files" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+               appended AS (
+                 SELECT rowkey, family, qualifier,
+                        version + 1000000 AS version,
+                        value || '~' AS value
+                 FROM cells WHERE rowkey >= '6' AND rowkey < '7'),
+               allcells AS (
+                 SELECT * FROM cells UNION ALL SELECT * FROM appended)
+          SELECT CAST(2 AS BIGINT) AS n_dirs,
+                 count(*) AS n_rows,
+                 CAST(0 AS BIGINT) AS n_null_keys,
+                 min(rowkey) AS min_rowkey, max(rowkey) AS max_rowkey,
+                 min(version) AS min_version, max(version) AS max_version,
+                 min(family) AS min_family, max(family) AS max_family,
+                 min(qualifier) AS min_qualifier,
+                 max(qualifier) AS max_qualifier
+          FROM allcells""",
+
+    // s1 reads the overwrite generation (all cells); s2 adds the '6'
+    // band's re-insert — whose keys lie inside the full range, so the
+    // min/max rowkey are those of the full corpus for both
+    "sql_cell_meta_snapshots" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+               appended AS (
+                 SELECT rowkey FROM cells
+                 WHERE rowkey >= '6' AND rowkey < '7')
+          SELECT 's1' AS name,
+                 (SELECT count(*) FROM cells) AS n_rows,
+                 (SELECT min(rowkey) FROM cells) AS min_key,
+                 (SELECT max(rowkey) FROM cells) AS max_key
+          UNION ALL
+          SELECT 's2',
+                 (SELECT count(*) FROM cells) +
+                   (SELECT count(*) FROM appended),
+                 (SELECT min(rowkey) FROM cells),
+                 (SELECT max(rowkey) FROM cells)
+          ORDER BY name""",
+
+    // the commit log: generation 1 = the overwrite (full corpus),
+    // generation 2 = the '6'-band append; cumulative = running total
+    "sql_cell_meta_history" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+               appended AS (
+                 SELECT rowkey FROM cells
+                 WHERE rowkey >= '6' AND rowkey < '7')
+          SELECT CAST(1 AS BIGINT) AS generation,
+                 (SELECT count(*) FROM cells) AS n_rows,
+                 (SELECT count(*) FROM cells) AS cumulative_rows
+          UNION ALL
+          SELECT CAST(2 AS BIGINT),
+                 (SELECT count(*) FROM appended),
+                 (SELECT count(*) FROM cells) +
+                   (SELECT count(*) FROM appended)
+          ORDER BY generation""",
 
     "cell_connector_count_meta" ->
       s"""WITH cells AS (${CellQueries.eventCellsSql})

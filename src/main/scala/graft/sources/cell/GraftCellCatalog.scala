@@ -189,11 +189,40 @@ class GraftCellCatalog extends TableCatalog
     ident.namespace().length <= 1 && nsExists(ident.namespace()) &&
       marker(dirOf(ident)).exists()
 
-  override def loadTable(ident: Identifier): Table = {
-    val dir = dirOf(ident)
-    if (!marker(dir).exists()) throw new NoSuchTableException(ident)
-    new GraftCellTable(dir.getPath, tableProps = readProps(dir))
-  }
+  /** Store dir of an existing DATA table at (ns, name), or None —
+    * the no-throw resolution used by loadTable and the metadata-table
+    * fallback (bad segments and unknown namespaces are simply "not a
+    * data table" here, not errors). */
+  private def existingDataDir(ns: Array[String],
+                              name: String): Option[java.io.File] =
+    scala.util.Try {
+      if (ns.length <= 1 && nsExists(ns)) {
+        val d = new java.io.File(nsDir(ns), validSeg("table", name))
+        if (marker(d).exists()) Some(d) else None
+      } else None
+    }.toOption.flatten
+
+  /** METADATA-TABLE resolution (see [[GraftCellMeta]]): a nested
+    * identifier whose LAST segment is a metadata kind and whose PREFIX
+    * names an existing data table — `g.t.files`, `g.ns.t.snapshots` —
+    * loads the read-only metadata view of that table's store. Only
+    * consulted after normal resolution fails, so a REAL table named
+    * e.g. `snapshots` inside a namespace always wins. */
+  private def metaTableOf(ident: Identifier): Option[Table] =
+    if (!GraftCellMeta.KINDS.contains(ident.name())) None
+    else (ident.namespace() match {
+      case Array(t)     => existingDataDir(Array.empty, t)
+      case Array(ns, t) => existingDataDir(Array(ns), t)
+      case _            => None
+    }).map(d => new GraftCellMetaTable(d.getPath, ident.name()))
+
+  override def loadTable(ident: Identifier): Table =
+    existingDataDir(ident.namespace(), ident.name()) match {
+      case Some(dir) =>
+        new GraftCellTable(dir.getPath, tableProps = readProps(dir))
+      case None =>
+        metaTableOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    }
 
   /** `VERSION AS OF '<snapshot>'` time travel: the version string is a
     * named snapshot of the table's store (the manifest written by
