@@ -1386,6 +1386,44 @@ object CellConnector extends QueryModule {
       s.sql("CALL graftcat.hbck('events_hb')")
     }),
 
+    "sql_cell_call_vacuum" -> ((s, dir) => {
+      // HBase's CLEANER CHORES as one verb (r16) — the FIX side of
+      // what hbck reports: the fixture constructs one reclaimable
+      // anomaly per class (a snapshot invalidated by compaction, an
+      // orphan parquet no manifest lists, a stale `_tmp_*` dir) and
+      // the CALL deletes them, pinning the exact counts. No
+      // missing-file corruption here (vacuum reclaims garbage, it
+      // does not repair corruption) and no pending intent (spec
+      // covers the repair-first path) — both dimensions stay zero.
+      // Metadata-only driver work: zero data bytes at any store size,
+      // and every count is layout-independent.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_vc (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_vc SELECT * FROM graft_catalog_src")
+      s.sql("CALL graftcat.snapshot('events_vc', 'vpin')")
+      s.sql("""INSERT INTO graftcat.events_vc
+               SELECT rowkey, family, qualifier,
+                      version + 1000000 AS version, value
+               FROM graft_catalog_src WHERE rowkey >= '6'""")
+      // compaction collapses to ONE generation and invalidates 'vpin'
+      s.sql("CALL graftcat.compact('events_vc')")
+      val store = "/tmp/graft_catalog_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_vc"
+      val d = graft.sources.cell.CellFooterCache.committedDirs(store)
+      assert(d.size == 1, s"expected one compacted dir, got $d")
+      java.nio.file.Files.write(
+        new java.io.File(new java.io.File(store, d.head),
+                         "zz_orphan.parquet").toPath,
+        Array.emptyByteArray)
+      new java.io.File(store, "_tmp_vacuum_crash").mkdirs()
+      graft.sources.cell.CellFooterCache.invalidate(store)
+      s.sql("CALL graftcat.vacuum('events_vc', true)")
+    }),
+
     "sql_cell_call_verify_rep" -> ((s, dir) => {
       // HBase `VerifyReplication` (r16): a DISTRIBUTED cell-level diff
       // of two tables, aligned on the full cell key (rowkey, family,
@@ -1967,6 +2005,14 @@ object CellConnector extends QueryModule {
                 CAST(0 AS BIGINT) AS pending_intents,
                 CAST(1 AS BIGINT) AS invalid_snapshots,
                 CAST(1 AS BIGINT) AS stale_tmp_dirs""",
+
+    // one reclaimable anomaly per class by construction; no pending
+    // intent and no corruption, so intents_completed = 0
+    "sql_cell_call_vacuum" ->
+      """SELECT CAST(0 AS BIGINT) AS intents_completed,
+                CAST(1 AS BIGINT) AS orphan_files_deleted,
+                CAST(1 AS BIGINT) AS stale_tmp_dirs_deleted,
+                CAST(1 AS BIGINT) AS invalid_snapshots_dropped""",
 
     // diff counts derived from the same cell rebuild: the tilde makes
     // a mismatch only where value IS NOT NULL (NULL||'~' stays NULL

@@ -411,6 +411,29 @@ object GraftCellProcedures {
     }
   }
 
+  /** `vacuum(table, drop_invalid_snapshots = false)` — HBase's cleaner
+    * chores: complete pending retirements, delete orphan data files
+    * (manifest-authoritative — invisible to reads) and stale tmp dirs,
+    * optionally drop invalidated snapshot manifests. The FIX verb for
+    * what `hbck` reports; see [[GraftCellMaintenance.vacuum]]. */
+  final class Vacuum(catalog: GraftCellCatalog)
+      extends CellProcedure(catalog, "vacuum") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType),
+      pDefault("drop_invalid_snapshots", BooleanType, "false"))
+    override def description(): String =
+      "cleaner chores: complete pending retirements, delete orphan " +
+      "files and stale tmp dirs, optionally drop invalidated snapshots"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (intents, orphans, stale, snaps) = GraftCellMaintenance.vacuum(
+        store(input.getUTF8String(0)), input.getBoolean(1))
+      summary("intents_completed" -> intents,
+              "orphan_files_deleted" -> orphans,
+              "stale_tmp_dirs_deleted" -> stale,
+              "invalid_snapshots_dropped" -> snaps)
+    }
+  }
+
   /** `verify_rep(table, other_table)` — HBase's `VerifyReplication`
     * job: a distributed cell-level diff of two tables (primary vs
     * replica / source vs bulkloaded copy / table vs restored backup),
@@ -447,5 +470,6 @@ object GraftCellProcedures {
     "repair" -> new Repair(catalog),
     "bulkload" -> new Bulkload(catalog),
     "hbck" -> new Hbck(catalog),
+    "vacuum" -> new Vacuum(catalog),
     "verify_rep" -> new VerifyRep(catalog))
 }

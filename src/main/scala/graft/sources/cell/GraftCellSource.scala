@@ -1934,6 +1934,64 @@ object GraftCellMaintenance {
     (dirs.size.toLong, missing, orphans, intents, invalidSnaps, staleTmp)
   }
 
+  /** VACUUM — HBase's cleaner chores (HFile/log cleaner) as one verb,
+    * and the FIX side of the anomaly classes `hbck` only REPORTS:
+    *
+    *  1. pending retirements are COMPLETED first (CellRetire.repair —
+    *     an in-flight group replace's victim files are deliberate
+    *     deletions mid-protocol, NOT garbage; collecting them as
+    *     orphans would race the protocol that owns them);
+    *  2. ORPHAN data files — parquet on disk that no manifest lists —
+    *     are deleted. Orphans are invisible to every read (the
+    *     manifest is authoritative), so this reclaims bytes without
+    *     changing any query result; the sweep applies ONLY to
+    *     manifest-bearing dirs, because a legacy dir's files are all
+    *     live by definition (footer-scan planning has no manifest to
+    *     disagree with);
+    *  3. STALE TMP DIRS (`_stage_*` / `_tmp_*` crash leavings) are
+    *     removed;
+    *  4. optionally, INVALIDATED snapshot manifests (pinned dirs a
+    *     later compaction/truncate removed — permanently unreadable,
+    *     unrestorable) are dropped, so `list_snapshots`/hbck stop
+    *     carrying dead pins. Off by default: dropping a manifest is
+    *     how an operator loses the evidence of WHICH generation died.
+    *
+    * Metadata-only driver work — O(file names), zero data bytes at any
+    * store size. Same single-writer maintenance contract as compaction
+    * (a concurrent writer's live `_stage_*` dir would be swept).
+    * Returns (intents completed, orphan files deleted, stale tmp dirs
+    * deleted, invalid snapshots dropped). */
+  def vacuum(store: String,
+             dropInvalidSnapshots: Boolean): (Long, Long, Long, Long) = {
+    val (intents, _) = CellRetire.repair(store)
+    var orphans = 0L
+    CellFooterCache.committedDirs(store).foreach { d =>
+      val dir = new java.io.File(store, d)
+      CellManifest.read(dir).foreach { data =>
+        val declared = data.files
+          .map(m => new java.io.File(m.path).getName).toSet
+        Option(dir.listFiles).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+                       !declared.contains(f.getName))
+          .foreach { f => f.delete(); orphans += 1 }
+      }
+    }
+    var staleTmp = 0L
+    Option(new java.io.File(store).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && (f.getName.startsWith("_stage_") ||
+                                     f.getName.startsWith("_tmp_")))
+      .foreach { d => deleteRec(d); staleTmp += 1 }
+    val droppedSnaps =
+      if (!dropInvalidSnapshots) 0L
+      else {
+        val dead = GraftCellSnapshot.list(store).filter(_._3.nonEmpty)
+        dead.foreach { case (n, _, _) => GraftCellSnapshot.drop(store, n) }
+        dead.size.toLong
+      }
+    CellFooterCache.invalidate(store)
+    (intents, orphans, staleTmp, droppedSnaps)
+  }
+
   /** VERIFY REPLICATION — HBase's `VerifyReplication` job: a
     * DISTRIBUTED cell-level diff of two stores (primary vs replica,
     * source vs bulkloaded copy, table vs restored backup). Cells align

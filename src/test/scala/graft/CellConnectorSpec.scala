@@ -1049,7 +1049,7 @@ class CellConnectorSpec extends AnyFunSuite {
                         "compact_minor", "drop_snapshot", "export_snapshot",
                         "hbck", "list_snapshots", "merge_regions",
                         "normalize", "repair", "restore_snapshot",
-                        "snapshot", "split_region", "verify_rep"),
+                        "snapshot", "split_region", "vacuum", "verify_rep"),
            s"procedures: $procs")
     // repair on a healthy store is a no-op summary
     val rRow = s.sql("CALL graftproc.repair('t')").collect()
@@ -2062,6 +2062,56 @@ class CellConnectorSpec extends AnyFunSuite {
     CellFooterCache.invalidate(store)
     assert(GraftCellMaintenance.hbck(store) == ((1L, 1L, 1L, 0L, 1L, 1L)),
       "each constructed anomaly must be counted exactly once")
+  }
+
+  test("vacuum reclaims each garbage class, reads unchanged, hbck converges (r16)") {
+    import graft.sources.cell.{CellFooterCache, CellRetire,
+                               GraftCellMaintenance, GraftCellSnapshot}
+    val root = java.nio.file.Files.createTempDirectory("graft_vac_spec_").toString
+    val store = s"$root/store"
+    import scala.collection.JavaConverters._
+    def put(keys: (String, String)*): Unit = s.createDataFrame(
+      keys.map { case (rk, v) =>
+        org.apache.spark.sql.Row(rk, "d", "q", 1L, v) }.asJava,
+      GraftCell.SCHEMA)
+      .write.format("graftcell").mode("append").save(store)
+    def readback() = s.read.format("graftcell").load(store)
+      .collect().sortBy(_.getString(0)).toSeq
+    put("a" -> "1")
+    put("b" -> "2")
+    // a healthy store vacuums to all zeros (nothing to reclaim)
+    assert(GraftCellMaintenance.vacuum(store, true) == ((0L, 0L, 0L, 0L)))
+    // one reclaimable per class: a pending intent (group-replace
+    // mid-window — its victim is already excluded from reads), an
+    // orphan parquet in the SURVIVING dir, a stale stage dir, and a
+    // compaction-dead snapshot manifest
+    val ds = CellFooterCache.committedDirs(store)
+    val victim = CellFooterCache.filesUnder(store, ds.head).head.path
+    val carrier = new java.io.File(store, ds.last)
+    CellRetire.write(carrier, Seq(victim))
+    java.nio.file.Files.write(
+      new java.io.File(carrier, "zz_orphan.parquet").toPath,
+      Array.emptyByteArray)
+    new java.io.File(store, "_stage_crashed").mkdirs()
+    GraftCellSnapshot.createPinned(store, "gone", Seq("batch_nonexistent"))
+    CellFooterCache.invalidate(store)
+    val before = readback()
+    // without the flag: garbage reclaimed, the dead manifest KEPT
+    // (dropping it is the operator's explicit opt-in)
+    assert(GraftCellMaintenance.vacuum(store, false) == ((1L, 1L, 1L, 0L)))
+    assert(GraftCellSnapshot.list(store).map(_._1) == Seq("gone"))
+    // a VALID snapshot survives the flagged pass; only the dead drops
+    GraftCellSnapshot.create(store, "keep")
+    assert(GraftCellMaintenance.vacuum(store, true) == ((0L, 0L, 0L, 1L)))
+    assert(GraftCellSnapshot.list(store).map(_._1) == Seq("keep"))
+    // converged: hbck reports clean (intent completion dropped the
+    // emptied victim dir, so one dir remains), and the readback is
+    // bit-identical to the pre-vacuum view — orphans were invisible,
+    // the intent's victim was already excluded
+    assert(GraftCellMaintenance.hbck(store) == ((1L, 0L, 0L, 0L, 0L, 0L)))
+    assert(readback() == before)
+    assert(before.map(_.getString(0)) == Seq("b"),
+      "the intent's victim row was excluded before AND after")
   }
 
   test("verify_rep: identical stores fully match; each divergence class counted once (r16)") {
