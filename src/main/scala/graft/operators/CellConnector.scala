@@ -1118,6 +1118,28 @@ object CellConnector extends QueryModule {
       s.sql("CALL graftcat.list_snapshots('events_ls')")
     }),
 
+    "sql_cell_ctas" -> ((s, dir) => {
+      // CTAS through the graftcell catalog (r16): `CREATE TABLE ... AS
+      // SELECT` materializes a query as a NEW cell table in one
+      // statement — Spark's v2 CTAS drives the catalog's createTable
+      // (cell schema enforced: a SELECT that is not cell-shaped is
+      // refused before any write) and then the connector's declared
+      // write distribution (range shuffle on rowkey), so the new
+      // table is born with sorted, manifest-bearing region files
+      // exactly like an INSERT-loaded one. DROP+CTAS per run keeps
+      // the result deterministic. REPLACE TABLE AS SELECT works via
+      // the same path (spec-pinned, incl. the cell-schema refusal).
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.events_ctas")
+      s.sql("""CREATE TABLE graftcat.events_ctas USING graftcell AS
+               SELECT * FROM graft_catalog_src
+               WHERE rowkey >= '4' AND rowkey < '6'""")
+      s.sql("""SELECT * FROM graftcat.events_ctas
+               ORDER BY rowkey, qualifier""")
+    }),
+
     "sql_cell_meta_files" -> ((s, dir) => {
       // METADATA TABLE `t.files` (r16): one row per live region file,
       // served from the persisted manifests — planned as one partition
@@ -1701,6 +1723,13 @@ object CellConnector extends QueryModule {
          UNION ALL
          SELECT 's2', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
          ORDER BY name""",
+
+    // CTAS lands exactly the selected band as a fresh cell table
+    "sql_cell_ctas" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells
+          WHERE rowkey >= '4' AND rowkey < '6'
+          ORDER BY rowkey, qualifier""",
 
     // the files metadata table is exact iff its per-file manifest stats
     // fold back to the true corpus stats: two generations (overwrite +

@@ -2064,6 +2064,38 @@ class CellConnectorSpec extends AnyFunSuite {
       "each constructed anomaly must be counted exactly once")
   }
 
+  test("CTAS / RTAS through the catalog: cell schema enforced, content exact (r16)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ctas_spec_").toString
+    s.conf.set("spark.sql.catalog.ctasspec",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.ctasspec.root", root)
+    s.sql("""CREATE TABLE ctasspec.src (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING) USING graftcell""")
+    s.sql("""INSERT INTO ctasspec.src VALUES
+             ('a','d','q',1,'v'), ('b','d','q',2,'w'), ('c','d','q',3,'x')""")
+    // CTAS: the catalog's createTable + the connector's declared write
+    // distribution in one statement — the new table is a normal store
+    s.sql("""CREATE TABLE ctasspec.dst USING graftcell AS
+             SELECT * FROM ctasspec.src WHERE rowkey < 'c'""")
+    assert(s.sql("SELECT rowkey FROM ctasspec.dst ORDER BY rowkey")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    // born manifest-bearing: reading it plans with zero footer opens
+    val before = graft.sources.cell.CellFooterCache.footerOpens.get()
+    s.sql("SELECT count(*) FROM ctasspec.dst").collect()
+    assert(graft.sources.cell.CellFooterCache.footerOpens.get() == before)
+    // RTAS replaces the table's content through the same path
+    s.sql("""REPLACE TABLE ctasspec.dst USING graftcell AS
+             SELECT * FROM ctasspec.src WHERE rowkey = 'c'""")
+    assert(s.sql("SELECT rowkey FROM ctasspec.dst").collect()
+      .map(_.getString(0)).toSeq == Seq("c"))
+    // the cell-schema gate fires BEFORE any write: a non-cell SELECT
+    // is refused and no table is left behind
+    intercept[Exception](
+      s.sql("CREATE TABLE ctasspec.bad USING graftcell AS SELECT 1 AS x"))
+    assert(!s.sql("SHOW TABLES IN ctasspec").collect()
+      .map(_.getAs[String]("tableName")).contains("bad"))
+  }
+
   test("vacuum reclaims each garbage class, reads unchanged, hbck converges (r16)") {
     import graft.sources.cell.{CellFooterCache, CellRetire,
                                GraftCellMaintenance, GraftCellSnapshot}
