@@ -52,7 +52,8 @@ object Plans {
     "sql_cell_call_export", "sql_cell_call_bulkload",
     "sql_cell_truncate", "sql_cell_call_normalize",
     "sql_cell_meta_files", "sql_cell_meta_snapshots",
-    "sql_cell_meta_history", "sql_cell_call_vacuum", "sql_cell_ctas")
+    "sql_cell_meta_history", "sql_cell_call_vacuum", "sql_cell_ctas",
+    "join_cell_broadcast")
 
   /** What to explain per key. `obs_metrics`' query RESULT is a 1-row
     * local relation of listener-delivered values; the plan worth

@@ -1118,6 +1118,29 @@ object CellConnector extends QueryModule {
       s.sql("CALL graftcat.list_snapshots('events_ls')")
     }),
 
+    "join_cell_broadcast" -> ((s, dir) => {
+      // STATS-DRIVEN BROADCAST (r16): the scan reports POST-PRUNING
+      // size/rows (SupportsReportStatistics from the manifest stats of
+      // the surviving files), so a band probe over the store joins the
+      // events table as a BROADCAST build side with no hint — at
+      // 100 TB the difference between shuffling the fact table against
+      // a one-region probe and shipping the probe to the fact. The
+      // plan is pinned (PLANS.md + spec: a threshold between band size
+      // and table size broadcasts the band, never the full scan).
+      val c = cells(s, dir)
+        .filter(col("rowkey") >= "6" && col("rowkey") < "7" &&
+                col("qualifier") === "user_id")
+        .select(col("rowkey"), col("value").as("uid"))
+      val ev = graft.Tables.events(s, dir)
+        .select(col("event_id").cast("string").as("eid"),
+                col("event_type"))
+      c.join(ev, col("rowkey") === col("eid"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("uid")).as("first_uid"))
+        .orderBy(col("event_type"))
+    }),
+
     "sql_cell_ctas" -> ((s, dir) => {
       // CTAS through the graftcell catalog (r16): `CREATE TABLE ... AS
       // SELECT` materializes a query as a NEW cell table in one
@@ -1723,6 +1746,20 @@ object CellConnector extends QueryModule {
          UNION ALL
          SELECT 's2', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
          ORDER BY name""",
+
+    // band-pruned cell scan joined back to events on the rowkey
+    "join_cell_broadcast" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+               band AS (
+                 SELECT rowkey, value AS uid FROM cells
+                 WHERE rowkey >= '6' AND rowkey < '7'
+                   AND qualifier = 'user_id')
+          SELECT e.event_type, count(*) AS n_events,
+                 min(b.uid) AS first_uid
+          FROM band b JOIN events e
+            ON b.rowkey = CAST(e.event_id AS VARCHAR)
+          GROUP BY e.event_type
+          ORDER BY e.event_type""",
 
     // CTAS lands exactly the selected band as a fresh cell table
     "sql_cell_ctas" ->

@@ -2850,11 +2850,18 @@ class GraftCellScan(path: String, pushed: Array[Filter],
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
-    // post-file-pruning size: what AQE/broadcast planning should see
+    // post-file-pruning size: what AQE/broadcast planning should see —
+    // a band probe over a 100 TB store reports its few surviving
+    // region files, so the planner can BROADCAST the pruned side of a
+    // join instead of shuffling the fact table against it (spec-pinned:
+    // a threshold between band size and table size broadcasts the band)
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(math.max(1L, selected.map(_.bytes).sum))
+    // exact row total of the planned files (manifest rowCount; the
+    // residual row-level filter can only shrink it — same upper-bound
+    // semantics as parquet's row-group stats)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.empty()
+      java.util.OptionalLong.of(selected.map(_.rowCount).sum)
   }
 }
 

@@ -2064,6 +2064,39 @@ class CellConnectorSpec extends AnyFunSuite {
       "each constructed anomaly must be counted exactly once")
   }
 
+  test("scan statistics: post-pruning bytes + exact rows drive broadcast (r16)") {
+    import org.apache.spark.sql.functions.col
+    SparkEntry.queries("scan_cell_connector")(s, dir).queryExecution // stage
+    val store = "/tmp/graft_cellstore_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val full = s.read.format("graftcell").load(store)
+    val band = full.filter(col("rowkey") >= "6" && col("rowkey") < "7")
+    val fullStats = full.queryExecution.optimizedPlan.stats
+    val bandStats = band.queryExecution.optimizedPlan.stats
+    // pruning shrinks what the planner sees, and numRows is the exact
+    // manifest row total of the surviving files (the '6' band aligns
+    // with the region split, so it equals the true band count)
+    assert(bandStats.sizeInBytes < fullStats.sizeInBytes,
+      s"band ${bandStats.sizeInBytes} !< full ${fullStats.sizeInBytes}")
+    assert(bandStats.rowCount.contains(BigInt(band.count())))
+    assert(fullStats.rowCount.contains(BigInt(full.count())))
+    // a threshold BETWEEN band size and full size: the band joins as a
+    // broadcast build with no hint; two full scans stay sort-merge —
+    // so it is the POST-PRUNING stats making the decision
+    val mid = (bandStats.sizeInBytes + fullStats.sizeInBytes) / 2
+    val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", mid.toString)
+    try {
+      val bandJoin = band.select(col("rowkey"))
+        .join(full.select(col("rowkey").as("rk2")), col("rowkey") === col("rk2"))
+      assert(bandJoin.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      val fullJoin = full.select(col("rowkey"))
+        .join(full.select(col("rowkey").as("rk2")), col("rowkey") === col("rk2"))
+      assert(!fullJoin.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("CTAS / RTAS through the catalog: cell schema enforced, content exact (r16)") {
     val root = java.nio.file.Files.createTempDirectory("graft_ctas_spec_").toString
     s.conf.set("spark.sql.catalog.ctasspec",
