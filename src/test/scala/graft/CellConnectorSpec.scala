@@ -2150,9 +2150,13 @@ class CellConnectorSpec extends AnyFunSuite {
     // mid-window — its victim is already excluded from reads), an
     // orphan parquet in the SURVIVING dir, a stale stage dir, and a
     // compaction-dead snapshot manifest
+    // pick the victim BY CONTENT (the file holding row 'a'), not by
+    // dir order — batch-dir names need not sort in creation order
     val ds = CellFooterCache.committedDirs(store)
-    val victim = CellFooterCache.filesUnder(store, ds.head).head.path
-    val carrier = new java.io.File(store, ds.last)
+    val victimDir = ds.find(d => CellFooterCache.filesUnder(store, d)
+      .exists(_.minKey.exists(new String(_) == "a"))).get
+    val victim = CellFooterCache.filesUnder(store, victimDir).head.path
+    val carrier = new java.io.File(store, ds.filterNot(_ == victimDir).head)
     CellRetire.write(carrier, Seq(victim))
     java.nio.file.Files.write(
       new java.io.File(carrier, "zz_orphan.parquet").toPath,
