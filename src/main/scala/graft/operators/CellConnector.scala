@@ -111,6 +111,35 @@ object CellConnector extends QueryModule {
     ()
   }
 
+  /** Stage the two co-BUCKETED catalog tables of the storage-
+    * partitioned-join keys: same `buckets` descriptor (8), so their
+    * writes cluster on the catalog's `bucket(8, rowkey)` function and
+    * their scans report compatible KeyGroupedPartitioning.
+    * `events_bkt` holds every event cell; `events_bkt_band` the
+    * '5'-and-up band with tilded values (NULL-propagating `||`, the
+    * verify_rep convention). INSERT OVERWRITE per run = deterministic
+    * single generation regardless of prior state. */
+  private def stageSpjTables(s: org.apache.spark.sql.SparkSession,
+                             dir: String): Unit = {
+    registerCatalog(s, dir)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    CellQueries.eventCells(s, dir)
+      .createOrReplaceTempView("graft_catalog_src")
+    Seq("events_bkt", "events_bkt_band").foreach { t =>
+      s.sql(s"""CREATE TABLE IF NOT EXISTS graftcat.$t (
+                  rowkey STRING, family STRING, qualifier STRING,
+                  version BIGINT, value STRING)
+                USING graftcell TBLPROPERTIES('buckets'='8')""")
+    }
+    s.sql("INSERT OVERWRITE graftcat.events_bkt SELECT * FROM graft_catalog_src")
+    s.sql("""INSERT OVERWRITE graftcat.events_bkt_band
+             SELECT rowkey, family, qualifier,
+                    version + 1000000 AS version,
+                    value || '~' AS value
+             FROM graft_catalog_src WHERE rowkey >= '5'""")
+    ()
+  }
+
   /** Stage the CDC store: the SAME event cells, written as THREE
     * connector-write batches split on deterministic rowkey bands — a
     * replication log of three committed batches for the streaming read
@@ -1118,6 +1147,44 @@ object CellConnector extends QueryModule {
       s.sql("CALL graftcat.list_snapshots('events_ls')")
     }),
 
+    "join_cell_spj" -> ((s, dir) => {
+      // STORAGE-PARTITIONED JOIN (r16): two cell tables created with
+      // the same `buckets` descriptor cluster their writes on the
+      // catalog's `bucket(8, rowkey)` V2 function, land bucket-pure
+      // bucket-tagged region files, and their scans report
+      // KeyGroupedPartitioning — so this join (AND the group-by on the
+      // join key above it) plans with ZERO exchange on either side:
+      // Spark aligns the two scans' bucket partitions task-by-task.
+      // At 100 TB this is the fact-to-fact join shape (HBase salted
+      // tables co-located by the same salt): the alternative shuffles
+      // BOTH tables end to end — the single largest avoidable data
+      // movement in the engine. Spec pins the exchange-free plan, the
+      // compact/mismatch degrade paths, and bucket purity; the oracle
+      // pins the results.
+      stageSpjTables(s, dir)
+      s.sql("""SELECT a.rowkey, count(*) AS n_pairs,
+                      min(a.value) AS a_val, min(b.value) AS b_val
+               FROM graftcat.events_bkt a
+               JOIN graftcat.events_bkt_band b ON a.rowkey = b.rowkey
+               GROUP BY a.rowkey
+               ORDER BY a.rowkey""")
+    }),
+
+    "agg_cell_bucketed" -> ((s, dir) => {
+      // BUCKETED AGGREGATION (r16): a GROUP BY on the bucket column of
+      // one bucketed table — KeyGroupedPartitioning already satisfies
+      // the aggregate's clustering requirement, so the plan is
+      // scan → (local) sort → partial+final aggregate with ZERO
+      // exchange: the pre-shuffled-on-write layout amortizes the
+      // aggregation shuffle across every query that groups on rowkey.
+      stageSpjTables(s, dir)
+      s.sql("""SELECT rowkey, count(*) AS n_cells,
+                      min(qualifier) AS first_qual, max(value) AS max_val
+               FROM graftcat.events_bkt
+               GROUP BY rowkey
+               ORDER BY rowkey""")
+    }),
+
     "join_cell_broadcast" -> ((s, dir) => {
       // STATS-DRIVEN BROADCAST (r16): the scan reports POST-PRUNING
       // size/rows (SupportsReportStatistics from the manifest stats of
@@ -1746,6 +1813,28 @@ object CellConnector extends QueryModule {
          UNION ALL
          SELECT 's2', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
          ORDER BY name""",
+
+    // co-bucketed join = plain rowkey join over the cell rebuild and
+    // its tilded '5'-band twin (the layout buys the plan, not the rows)
+    "join_cell_spj" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+               band AS (
+                 SELECT rowkey, value || '~' AS value FROM cells
+                 WHERE rowkey >= '5')
+          SELECT a.rowkey, count(*) AS n_pairs,
+                 min(a.value) AS a_val, min(band.value) AS b_val
+          FROM cells a JOIN band ON a.rowkey = band.rowkey
+          GROUP BY a.rowkey
+          ORDER BY a.rowkey""",
+
+    // bucketed group-by = plain per-rowkey aggregate of the rebuild
+    "agg_cell_bucketed" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT rowkey, count(*) AS n_cells,
+                 min(qualifier) AS first_qual, max(value) AS max_val
+          FROM cells
+          GROUP BY rowkey
+          ORDER BY rowkey""",
 
     // band-pruned cell scan joined back to events on the rowkey
     "join_cell_broadcast" ->

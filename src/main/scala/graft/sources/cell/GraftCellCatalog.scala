@@ -42,7 +42,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the cell model. */
 class GraftCellCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var root: java.io.File = _
 
@@ -108,7 +109,8 @@ class GraftCellCatalog extends TableCatalog
     * HBase-descriptor policy knobs the maintenance ops consume.
     * Anything else (except Spark's own reserved properties) is
     * refused: a property that silently does nothing is a lie. */
-  private val ALLOWED_PROPS = Set("ttl_micros", "tombstone", "max_versions")
+  private val ALLOWED_PROPS =
+    Set("ttl_micros", "tombstone", "max_versions", "buckets")
   private val SPARK_RESERVED = Set("provider", "owner", "location",
     "comment", "external", "is_managed_location", "format")
 
@@ -124,6 +126,10 @@ class GraftCellCatalog extends TableCatalog
     props.get("max_versions").foreach { v =>
       require(scala.util.Try(v.toLong).toOption.exists(_ >= 1L),
         s"graftcell: max_versions must be a positive long, got '$v'")
+    }
+    props.get("buckets").foreach { v =>
+      require(scala.util.Try(v.toInt).toOption.exists(b => b >= 1 && b <= 4096),
+        s"graftcell: buckets must be an int in [1, 4096], got '$v'")
     }
     props
   }
@@ -299,10 +305,22 @@ class GraftCellCatalog extends TableCatalog
                           changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!marker(dir).exists()) throw new NoSuchTableException(ident)
+    // `buckets` is fixed at CREATE: the existing region files were
+    // hashed against it, and flipping the descriptor would claim a
+    // co-partitioning the data doesn't have. (The file-name tags carry
+    // their own bucket count, so even a hand-edited marker degrades to
+    // a shuffle, never a wrong join — but the honest surface is to
+    // refuse.) Re-bucketing = CTAS into a new table.
+    def noBuckets(p: String): Unit =
+      if (p == "buckets") throw new UnsupportedOperationException(
+        "graftcell: 'buckets' is fixed at CREATE TABLE (region files " +
+        "are hashed against it) — re-bucket via CREATE TABLE ... AS SELECT")
     val updated = changes.foldLeft(readProps(dir)) {
       case (props, sp: TableChange.SetProperty) =>
+        noBuckets(sp.property())
         props + (sp.property() -> sp.value())
       case (props, rp: TableChange.RemoveProperty) =>
+        noBuckets(rp.property())
         props - rp.property()
       case (_, other) =>
         throw new UnsupportedOperationException(
@@ -359,6 +377,24 @@ class GraftCellCatalog extends TableCatalog
     requireDefaultNs(namespace)
     GraftCellProcedures.all(this).keys.toSeq.sorted
       .map(n => Identifier.of(Array.empty, n)).toArray
+  }
+
+  // ---- FunctionCatalog (the `bucket` transform of bucketed stores) ----
+
+  /** One catalog function: `bucket` — what the bucketed write's
+    * declared distribution evaluates and the storage-partitioned-join
+    * compatibility check resolves (see [[GraftBucketFunction]]). Lives
+    * in the default namespace like the procedures. */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    requireDefaultNs(namespace)
+    Array(Identifier.of(Array.empty, "bucket"))
   }
 
   // ---- SupportsNamespaces (HBase create_namespace / drop_namespace) ----

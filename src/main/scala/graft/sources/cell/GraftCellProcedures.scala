@@ -125,8 +125,13 @@ object GraftCellProcedures {
         .orElse(props.get("max_versions").map(_.toLong))
         .getOrElse(1L).toInt
       val (dirsBefore, _) = storeStats(s)
+      // bucketed tables compact INTO their layout (HBase: compaction
+      // never changes the salt) — the rewrite re-clusters on the
+      // descriptor's bucket count, so storage-partitioned joins
+      // survive maintenance
       GraftCellMaintenance.majorCompact(SparkSession.active, s, ttl, tomb,
-                                        maxV)
+                                        maxV,
+                                        props.get("buckets").map(_.toInt))
       val (dirsAfter, cellsAfter) = storeStats(s)
       summary("dirs_before" -> dirsBefore, "dirs_after" -> dirsAfter,
               "cells_after" -> cellsAfter)

@@ -585,6 +585,12 @@ class GraftCellTable(path: String,
       s"graftcell: $op is not allowed on a time-travel " +
       "(VERSION AS OF / TIMESTAMP AS OF) table")
 
+  /** Bucket count of a BUCKETED table (descriptor property `buckets`,
+    * catalog-validated at CREATE) — drives the bucket-clustered write
+    * distribution and the scan's key-grouped partitioning report.
+    * Path-addressed tables carry no descriptor, hence never bucket. */
+  private val buckets: Option[Int] = tableProps.get("buckets").map(_.toInt)
+
   /** Hidden metadata column `_region_file`: region-file provenance per
     * cell (the `which HFile` question), selectable like Spark's own
     * `_metadata.file_path`, and the row-level operation's required
@@ -693,7 +699,8 @@ class GraftCellTable(path: String,
       Option(options.get("maxPartitionBytes")).map(_.toLong)
         .getOrElse(Long.MaxValue),
       pinnedDirs,
-      Option(options.get("sinceSnapshot")))
+      Option(options.get("sinceSnapshot")),
+      buckets)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -702,8 +709,22 @@ class GraftCellTable(path: String,
             "graftcell: cannot write through a snapshot read option")
     require(info.options().get("sinceSnapshot") == null,
             "graftcell: cannot write through a sinceSnapshot read option")
+    // `option("buckets", n)` is the PATH-mode bucket request (no
+    // catalog ⇒ no FunctionCatalog ⇒ the bucket transform could not
+    // resolve in a declared distribution): the writer still tags and
+    // rolls bucket-pure files — roll-on-bucket-change guarantees
+    // purity whatever the arrangement — but the CALLER owns the
+    // clustering (majorCompact pre-shuffles; an unarranged write just
+    // rolls more files, never mis-tags). A catalog table's descriptor
+    // wins; asking for a different count through the option is a lie
+    // and is refused.
+    val optBuckets = Option(info.options().get("buckets")).map(_.toInt)
+    require(buckets.isEmpty || optBuckets.forall(buckets.contains),
+      s"graftcell: write option buckets=${optBuckets.get} contradicts " +
+      s"the table descriptor buckets=${buckets.get}")
     new GraftCellWriteBuilder(path, info.queryId(),
-      Option(info.options().get("maxRowsPerFile")).map(_.toLong).getOrElse(-1L))
+      Option(info.options().get("maxRowsPerFile")).map(_.toLong).getOrElse(-1L),
+      buckets.orElse(optBuckets), declareTransform = buckets.isDefined)
   }
 }
 
@@ -2118,7 +2139,8 @@ object GraftCellMaintenance {
                    store: String,
                    ttlMicros: Option[Long] = None,
                    tombstone: Option[String] = None,
-                   maxVersions: Int = 1): Unit = {
+                   maxVersions: Int = 1,
+                   buckets: Option[Int] = None): Unit = {
     require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
@@ -2152,7 +2174,29 @@ object GraftCellMaintenance {
     // change the long-pinned single-version GC oracles; retention
     // (VERSIONS => n) and deletion stay orthogonal knobs.
     val kept = tombstone.fold(latest)(t => latest.filter(col("value") =!= t))
-    kept.write.format("graftcell").mode("overwrite").save(store)
+    buckets match {
+      case Some(n) =>
+        // BUCKET-PRESERVING compaction (the HBase invariant: compaction
+        // never changes the salt/region layout): the procedure passes
+        // the table descriptor's bucket count, the GC'd cells re-cluster
+        // on the SAME GraftBucket arithmetic the original write used,
+        // and the path write's `buckets` option makes the writer roll
+        // tagged bucket-pure files — so a compacted bucketed table KEEPS
+        // its storage-partitioned joins (spec-pinned: zero-exchange join
+        // after CALL compact). Without this, one maintenance pass would
+        // silently demote every future join to a full shuffle.
+        val bucketOf = udf((k: String) =>
+          GraftBucket.of(if (k == null) null else
+            k.getBytes(java.nio.charset.StandardCharsets.UTF_8), n))
+        kept
+          .repartition(n, bucketOf(col("rowkey")))
+          .sortWithinPartitions(bucketOf(col("rowkey")), col("rowkey"),
+            col("family"), col("qualifier"), col("version"))
+          .write.format("graftcell").option("buckets", n)
+          .mode("overwrite").save(store)
+      case None =>
+        kept.write.format("graftcell").mode("overwrite").save(store)
+    }
     CellFooterCache.invalidate(store)
   }
 }
@@ -2160,7 +2204,8 @@ object GraftCellMaintenance {
 class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
                            maxPartBytes: Long = Long.MaxValue,
                            pinnedDirs: Option[Seq[String]] = None,
-                           since: Option[String] = None)
+                           since: Option[String] = None,
+                           buckets: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownTopN with SupportsPushDownAggregates {
@@ -2254,7 +2299,7 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
       new GraftCellAggScan(path, agg, snapshot, pinnedDirs, since, pushed)
     case None =>
       new GraftCellScan(path, pushed, required, limit, topNPushed, snapshot,
-                        maxPartBytes, pinnedDirs, since)
+                        maxPartBytes, pinnedDirs, since, buckets)
   }
 }
 
@@ -2747,9 +2792,11 @@ class GraftCellScan(path: String, pushed: Array[Filter],
                     snapshot: Option[String] = None,
                     maxPartBytes: Long = Long.MaxValue,
                     pinnedDirs: Option[Seq[String]] = None,
-                    since: Option[String] = None)
+                    since: Option[String] = None,
+                    buckets: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering with SupportsReportOrdering {
+    with SupportsRuntimeFiltering with SupportsReportOrdering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   /** Every partition (a region file or a byte-range split of one) is
     * sorted by (rowkey, family, qualifier) — the declared write
@@ -2782,6 +2829,49 @@ class GraftCellScan(path: String, pushed: Array[Filter],
     all.filter(pruner.mayMatch)
   }
 
+  /** KEY-GROUPED partitioning of a bucketed store — what makes a join
+    * of two co-bucketed cell tables SHUFFLE-FREE on both sides
+    * (Spark's storage-partitioned join; needs
+    * `spark.sql.sources.v2.bucketing.enabled`). Valid only on
+    * EVIDENCE: the descriptor declares n buckets, rowkey is still
+    * projected (the partition expression must resolve against the
+    * output), and EVERY planned file carries a `-b<id>of<n>` tag whose
+    * count matches the descriptor — a rewritten (compacted / split /
+    * merged) file drops its tag, an adopted file may carry a foreign
+    * count, and either silently degrades the scan to unkeyed (a
+    * shuffle, never a wrong join). Computed over the PUSHED-filter
+    * file set, deliberately ignoring runtime filters: Spark validates
+    * the partition-key count reported at planning time, and a runtime
+    * filter that empties a bucket must shrink the bucket's CONTENT
+    * (planInputPartitions emits an empty keyed partition for it), not
+    * the key set. */
+  private lazy val keyedBuckets: Option[(Int, Array[Int])] =
+    buckets.flatMap { n =>
+      if (!required.fieldNames.contains("rowkey")) None
+      else {
+        val pruner = new GraftCell.FilePruner(pushed.toSeq)
+        val sel = all.filter(pruner.mayMatch)
+        val tags = sel.map(m => GraftBucket.parse(m.path))
+        if (sel.nonEmpty && tags.forall(_.exists(_._2 == n)))
+          Some((n, tags.flatten.map(_._1).distinct.sorted.toArray))
+        else None
+      }
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedBuckets match {
+      case Some((n, ids)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, "rowkey")),
+            ids.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("rowkey"))
@@ -2808,7 +2898,7 @@ class GraftCellScan(path: String, pushed: Array[Filter],
     val need = required.fieldNames.toSet ++
       eff.flatMap(GraftCell.referenced)
     val fetch = GraftCell.SCHEMA.fields.map(_.name).filter(need.contains)
-    selected.flatMap { m =>
+    val base = selected.flatMap { m =>
       // Large region files SPLIT by byte range (row-group aligned by
       // parquet's midpoint rule, so every row group lands in exactly
       // one split): one region file is NOT the parallelism unit at
@@ -2824,9 +2914,26 @@ class GraftCellScan(path: String, pushed: Array[Filter],
         val end = if (i == nSplits - 1) Long.MaxValue
                   else (i + 1) * (m.bytes / nSplits + 1)
         CellInputPartition(m.path, fetch, required.fieldNames, eff.toArray,
-                           m.messageType, limit, start, end): InputPartition
+                           m.messageType, limit, start, end)
       }
-    }.toArray
+    }
+    keyedBuckets match {
+      case Some((_, ids)) =>
+        // keyed mode: every partition carries its file's bucket id (the
+        // HasPartitionKey Spark groups SPJ tasks by), and every bucket
+        // the PLANNING-time report counted stays present — a runtime
+        // filter that emptied one contributes an empty keyed partition,
+        // keeping the key set exactly as validated
+        val byBucket = base.groupBy(p => GraftBucket.parse(p.file).get._1)
+        ids.flatMap { id =>
+          byBucket.get(id) match {
+            case Some(ps) => ps.map(p =>
+              CellBucketInputPartition(p, id): InputPartition)
+            case None => Seq(CellEmptyInputPartition(id): InputPartition)
+          }
+        }.toArray
+      case None => base.map(p => p: InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -2985,9 +3092,44 @@ final case class CellInputPartition(file: String, fetch: Array[String],
                                     rangeEnd: Long = Long.MaxValue)
     extends InputPartition
 
+/** A [[CellInputPartition]] of a BUCKETED store, keyed by its file's
+  * bucket id — the `HasPartitionKey` Spark's storage-partitioned join
+  * groups tasks by (all splits of bucket k, both join sides, land in
+  * the same task; no exchange). */
+final case class CellBucketInputPartition(base: CellInputPartition,
+                                          bucketId: Int)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
+
+/** A bucket the planning-time key-grouped report counted whose every
+  * file a RUNTIME filter then pruned: the key must stay in the planned
+  * set (Spark validates the key count it was promised), the content is
+  * legitimately empty. */
+final case class CellEmptyInputPartition(bucketId: Int)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
+
 class CellPartitionReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CellPartitionReader(partition.asInstanceOf[CellInputPartition])
+    partition match {
+      case CellBucketInputPartition(base, _) => new CellPartitionReader(base)
+      case CellEmptyInputPartition(_) =>
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = false
+          override def get(): InternalRow =
+            throw new IllegalStateException("empty bucket partition")
+          override def close(): Unit = ()
+        }
+      case p: CellInputPartition => new CellPartitionReader(p)
+      case other => throw new IllegalArgumentException(
+        s"graftcell: unexpected input partition $other")
+    }
 }
 
 class CellPartitionReader(p: CellInputPartition)
@@ -3095,7 +3237,9 @@ class CellPartitionReader(p: CellInputPartition)
   * usual rename-based commit (object stores would swap in a manifest
   * commit, which [[CellFooterCache]] already models). */
 class GraftCellWriteBuilder(path: String, queryId: String,
-                            maxRowsPerFile: Long = -1L)
+                            maxRowsPerFile: Long = -1L,
+                            buckets: Option[Int] = None,
+                            declareTransform: Boolean = true)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
@@ -3103,11 +3247,14 @@ class GraftCellWriteBuilder(path: String, queryId: String,
     doTruncate = true; this
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new GraftCellWrite(path, queryId, doTruncate, maxRowsPerFile)
+    new GraftCellWrite(path, queryId, doTruncate, maxRowsPerFile, buckets,
+                       declareTransform)
 }
 
 class GraftCellWrite(path: String, queryId: String, truncate: Boolean,
-                     maxRowsPerFile: Long = -1L)
+                     maxRowsPerFile: Long = -1L,
+                     buckets: Option[Int] = None,
+                     declareTransform: Boolean = true)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection}
@@ -3116,14 +3263,43 @@ class GraftCellWrite(path: String, queryId: String, truncate: Boolean,
   private def asc(c: String) =
     E.sort(E.column(c), SortDirection.ASCENDING)
 
-  override def requiredDistribution(): Distribution =
-    Distributions.ordered(Array(asc("rowkey")))
+  /** BUCKETED tables (descriptor `buckets` = n) cluster the write on
+    * the catalog's `bucket(n, rowkey)` function instead of the global
+    * rowkey range: every task holds whole buckets, rows arrive
+    * bucket-grouped (the leading sort key) and cell-key-sorted within
+    * each bucket, and the writer rolls a fresh BUCKET-PURE, bucket-
+    * tagged region file per bucket — the layout the scan reports as
+    * `KeyGroupedPartitioning`, which is what lets two co-bucketed
+    * stores JOIN WITH NO SHUFFLE ON EITHER SIDE (Spark's storage-
+    * partitioned join). Catalyst resolves the transform through the
+    * table's FunctionCatalog, so this path engages only for
+    * catalog-routed writes — exactly where the descriptor lives. */
+  override def requiredDistribution(): Distribution = buckets match {
+    // PATH-mode bucket writes (option-driven — majorCompact preserving
+    // a bucketed layout) declare NOTHING: there is no FunctionCatalog
+    // to resolve the transform through, the caller pre-arranged the
+    // clustering, and a declared rowkey range shuffle here would
+    // destroy it. The writer's roll-on-bucket-change keeps files pure
+    // either way.
+    case Some(n) if declareTransform =>
+      Distributions.clustered(Array(E.bucket(n, "rowkey")))
+    case Some(_) => Distributions.unspecified()
+    case None    => Distributions.ordered(Array(asc("rowkey")))
+  }
   override def requiredOrdering()
-      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    Array(asc("rowkey"), asc("family"), asc("qualifier"), asc("version"))
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val cellKey = Array(asc("rowkey"), asc("family"), asc("qualifier"),
+                        asc("version"))
+    buckets match {
+      case Some(n) if declareTransform =>
+        E.sort(E.bucket(n, "rowkey"), SortDirection.ASCENDING) +: cellKey
+      case Some(_) => Array.empty
+      case None => cellKey
+    }
+  }
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-    new GraftCellBatchWrite(path, queryId, truncate, maxRowsPerFile)
+    new GraftCellBatchWrite(path, queryId, truncate, maxRowsPerFile, buckets)
 
   /** Streaming write — the replication PRODUCER: each micro-batch epoch
     * publishes one `batch_<queryId>_ep<epoch>` dir through the same
@@ -3137,11 +3313,12 @@ class GraftCellWrite(path: String, queryId: String, truncate: Boolean,
     * applies per epoch (Catalyst plans the range shuffle inside each
     * micro-batch). */
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-    new GraftCellStreamingWrite(path, queryId, maxRowsPerFile)
+    new GraftCellStreamingWrite(path, queryId, maxRowsPerFile, buckets)
 }
 
 class GraftCellStreamingWrite(path: String, queryId: String,
-                              maxRowsPerFile: Long = -1L)
+                              maxRowsPerFile: Long = -1L,
+                              buckets: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -3152,7 +3329,7 @@ class GraftCellStreamingWrite(path: String, queryId: String,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory = {
     new java.io.File(path).mkdirs()
-    new CellStreamingDataWriterFactory(path, queryId, maxRowsPerFile)
+    new CellStreamingDataWriterFactory(path, queryId, maxRowsPerFile, buckets)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -3191,13 +3368,14 @@ class GraftCellStreamingWrite(path: String, queryId: String,
 }
 
 class CellStreamingDataWriterFactory(path: String, queryId: String,
-                                     maxRowsPerFile: Long = -1L)
+                                     maxRowsPerFile: Long = -1L,
+                                     buckets: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
     val tmp = new java.io.File(path, s"_tmp_${queryId}_ep$epochId")
     tmp.mkdirs()
-    new CellDataWriter(tmp.getPath, partitionId, maxRowsPerFile)
+    new CellDataWriter(tmp.getPath, partitionId, maxRowsPerFile, buckets)
   }
 }
 
@@ -3208,7 +3386,8 @@ final case class CellFilesCommitted(files: Seq[CellFileMeta])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean,
-                          maxRowsPerFile: Long = -1L)
+                          maxRowsPerFile: Long = -1L,
+                          buckets: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -3216,7 +3395,7 @@ class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     tmpDir.mkdirs()
-    new CellDataWriterFactory(tmpDir.getPath, maxRowsPerFile)
+    new CellDataWriterFactory(tmpDir.getPath, maxRowsPerFile, buckets)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -3263,11 +3442,12 @@ class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean,
   }
 }
 
-class CellDataWriterFactory(tmpDir: String, maxRowsPerFile: Long = -1L)
+class CellDataWriterFactory(tmpDir: String, maxRowsPerFile: Long = -1L,
+                            buckets: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new CellDataWriter(tmpDir, partitionId, maxRowsPerFile)
+    new CellDataWriter(tmpDir, partitionId, maxRowsPerFile, buckets)
 }
 
 /** Sorted region file(s) per (range-partitioned) task. Rows arrive
@@ -3281,7 +3461,8 @@ class CellDataWriterFactory(tmpDir: String, maxRowsPerFile: Long = -1L)
   * groups whose [min,max] straddles the key but which provably don't
   * contain it. */
 class CellDataWriter(tmpDir: String, partitionId: Int,
-                     maxRowsPerFile: Long = -1L)
+                     maxRowsPerFile: Long = -1L,
+                     buckets: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
@@ -3325,9 +3506,19 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
   private var maxQual: Array[Byte] = _
   private var nullKeys = 0L
 
+  // BUCKETED writes (see GraftCellWrite): the declared ordering leads
+  // with bucket(n, rowkey), so a task's rows arrive bucket-grouped —
+  // one open writer suffices, rolling on every bucket boundary keeps
+  // each emitted file BUCKET-PURE, and the file name carries the
+  // `-b<id>of<n>` tag the scan's key-grouped partitioning report
+  // verifies (GraftBucket.tag: the count rides along so a file from a
+  // differently-bucketed layout can never pass for co-partitioned).
+  private var curBucket = -1
+
   // lazy open on first row: an empty task commits no region file
   private def open(): Unit = {
-    file = f"$tmpDir/part-$partitionId%05d-$seq%04d.parquet"
+    val tag = buckets.fold("")(n => GraftBucket.tag(curBucket, n))
+    file = f"$tmpDir/part-$partitionId%05d-$seq%04d$tag.parquet"
     writer = ExampleParquetWriter
       .builder(new Path(file))
       .withConf(new Configuration())
@@ -3356,6 +3547,12 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
   }
 
   override def write(row: InternalRow): Unit = {
+    buckets.foreach { n =>
+      val b = GraftBucket.of(
+        if (row.isNullAt(0)) null else row.getUTF8String(0).getBytes, n)
+      if (writer != null && b != curBucket) roll()
+      curBucket = b
+    }
     if (writer == null) open()
     val g = groups.newGroup()
     if (row.isNullAt(0)) nullKeys += 1

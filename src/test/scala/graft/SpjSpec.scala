@@ -1,0 +1,203 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.cell.GraftBucket
+
+/** Gates the BUCKETED-store / storage-partitioned-join surface
+  * (SURVEY §2.16): the bucket-clustered write layout, the scan's
+  * KeyGroupedPartitioning report, the exchange-free join and
+  * aggregation plans, and — the correctness half — every path where
+  * the layout claim must DEGRADE to a shuffle rather than lie
+  * (untagged rewrites, mismatched bucket counts). */
+class SpjSpec extends AnyFunSuite {
+  private lazy val s = SparkFixture.spark
+  private val root = "/tmp/graft_spj_spec"
+
+  private def registerCat(): Unit = {
+    s.conf.set("spark.sql.catalog.gspj",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.gspj.root", root)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+  }
+
+  private def mkTable(name: String, buckets: Option[Int],
+                      rows: Seq[(String, String, String, Long, String)]): Unit = {
+    registerCat()
+    new java.io.File(root).mkdirs()
+    s.sql(s"DROP TABLE IF EXISTS gspj.$name")
+    val props = buckets.fold("")(n => s" TBLPROPERTIES('buckets'='$n')")
+    s.sql(s"""CREATE TABLE gspj.$name (rowkey STRING, family STRING,
+              qualifier STRING, version BIGINT, value STRING)
+              USING graftcell$props""")
+    insert(name, rows)
+  }
+
+  private def insert(name: String,
+                     rows: Seq[(String, String, String, Long, String)]): Unit = {
+    import s.implicits._
+    rows.toDF("rowkey", "family", "qualifier", "version", "value")
+      .createOrReplaceTempView("spj_src")
+    s.sql(s"INSERT INTO gspj.$name SELECT * FROM spj_src")
+    ()
+  }
+
+  private def rowsA: Seq[(String, String, String, Long, String)] =
+    (1 to 300).map(i => (f"k$i%03d", "f", "q", 1L, s"a$i")) :+
+      ((null: String), "f", "q", 1L, "anull")
+  private def rowsB: Seq[(String, String, String, Long, String)] =
+    (151 to 450).map(i => (f"k$i%03d", "f", "q", 1L, s"b$i"))
+
+  /** Execute (AQE finalizes) and return the physical plan string. */
+  private def ranPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+  private def exchanges(plan: String): Int =
+    "Exchange".r.findAllIn(plan).length
+
+  /** The join under test, with broadcast disabled so the only two
+    * possible shapes are SPJ (no exchange) and shuffled SMJ/SHJ. */
+  private def joined(a: String, b: String): org.apache.spark.sql.DataFrame =
+    s.sql(s"""SELECT /*+ MERGE(a) */ a.rowkey, a.value AS av, b.value AS bv
+              FROM gspj.$a a JOIN gspj.$b b ON a.rowkey = b.rowkey""")
+
+  private val expectedJoin: Set[(String, String, String)] =
+    (151 to 300).map(i => (f"k$i%03d", s"a$i", s"b$i")).toSet
+
+  test("co-bucketed tables join storage-partitioned: zero exchange, exact rows") {
+    mkTable("spj_a1", Some(8), rowsA)
+    mkTable("spj_b1", Some(8), rowsB)
+    val df = joined("spj_a1", "spj_b1")
+    val plan = ranPlan(df)
+    assert(exchanges(plan) == 0, s"expected exchange-free SPJ plan:\n$plan")
+    assert(df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2))).toSet == expectedJoin)
+  }
+
+  test("a second generation keeps SPJ but drops the per-partition ordering claim") {
+    mkTable("spj_a2", Some(8), rowsA)
+    mkTable("spj_b2", Some(8), rowsB)
+    // generation 2: every bucket now spans TWO files — Spark's own
+    // guard (ordering valid only for single-partition key groups) must
+    // insert sorts under the merge join, and rows must stay exact
+    insert("spj_a2", (301 to 360).map(i => (f"k$i%03d", "f", "q", 1L, s"a$i")))
+    insert("spj_b2", (451 to 460).map(i => (f"k$i%03d", "f", "q", 1L, s"b$i")))
+    val df = joined("spj_a2", "spj_b2")
+    val plan = ranPlan(df)
+    assert(exchanges(plan) == 0, s"expected exchange-free SPJ plan:\n$plan")
+    assert(plan.contains("Sort "),
+      s"multi-file buckets must re-sort before the merge join:\n$plan")
+    val expected = expectedJoin ++
+      (301 to 360).map(i => (f"k$i%03d", s"a$i", s"b$i"))
+    assert(df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2))).toSet == expected)
+  }
+
+  test("group-by on the bucket column aggregates with zero exchange") {
+    mkTable("spj_g", Some(8), rowsA)
+    val df = s.sql("""SELECT rowkey, count(*) AS c, max(value) AS mx
+                      FROM gspj.spj_g GROUP BY rowkey""")
+    val plan = ranPlan(df)
+    assert(exchanges(plan) == 0, s"expected exchange-free aggregate:\n$plan")
+    assert(df.count() == 301) // 300 keys + the NULL-rowkey group
+  }
+
+  test("major compaction preserves the bucket layout: SPJ survives maintenance") {
+    mkTable("spj_a3", Some(8), rowsA)
+    mkTable("spj_b3", Some(8), rowsB)
+    // two generations, then compact back to one — the HBase invariant:
+    // compaction never changes the salt layout, so the rewrite
+    // re-clusters on the descriptor's bucket count and the join stays
+    // exchange-free afterwards
+    insert("spj_a3", (301 to 320).map(i => (f"k$i%03d", "f", "q", 1L, s"a$i")))
+    s.sql("CALL gspj.compact('spj_a3')")
+    val files = Option(new java.io.File(root, "spj_a3").listFiles)
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !d.getName.startsWith("_"))
+      .flatMap(d => Option(d.listFiles).getOrElse(Array.empty))
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty &&
+      files.forall(f => GraftBucket.parse(f.getName).exists(_._2 == 8)),
+      s"compacted files must stay bucket-tagged: ${files.map(_.getName).toSeq}")
+    val df = joined("spj_a3", "spj_b3")
+    val plan = ranPlan(df)
+    assert(exchanges(plan) == 0,
+      s"compaction must not demote the join to a shuffle:\n$plan")
+    val expected = expectedJoin ++
+      (301 to 320).map(i => (f"k$i%03d", s"a$i", s"b$i"))
+    assert(df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2))).toSet == expected)
+  }
+
+  test("region surgery drops the tags and the join degrades to a shuffle, same rows") {
+    mkTable("spj_a3b", Some(8), rowsA)
+    mkTable("spj_b3b", Some(8), rowsB)
+    // split_region rewrites straddling files under new (untagged)
+    // names — a hash-bucketed file spans nearly the whole key space,
+    // so the cut hits most buckets; the scan must DEGRADE to unkeyed
+    // rather than claim a co-partitioning the files no longer prove
+    s.sql("CALL gspj.split_region('spj_a3b', 'k150')")
+    val df = joined("spj_a3b", "spj_b3b")
+    val plan = ranPlan(df)
+    assert(exchanges(plan) > 0,
+      s"untagged (split) files must not claim co-partitioning:\n$plan")
+    assert(df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2))).toSet == expectedJoin)
+  }
+
+  test("mismatched bucket counts never co-partition (tag carries its count)") {
+    mkTable("spj_a4", Some(8), rowsA)
+    mkTable("spj_c4", Some(4), rowsB)
+    val df = joined("spj_a4", "spj_c4")
+    val plan = ranPlan(df)
+    assert(exchanges(plan) > 0,
+      s"8-bucket and 4-bucket layouts must shuffle:\n$plan")
+    assert(df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2))).toSet == expectedJoin)
+  }
+
+  test("bucket purity: every committed file's rows hash to its file-name tag") {
+    mkTable("spj_p", Some(8), rowsA)
+    val files = Option(new java.io.File(root, "spj_p").listFiles)
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !d.getName.startsWith("_"))
+      .flatMap(d => Option(d.listFiles).getOrElse(Array.empty))
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val tag = GraftBucket.parse(f.getName)
+      assert(tag.exists(_._2 == 8), s"untagged bucketed file ${f.getName}")
+      val keys = s.read.parquet(f.getPath).select("rowkey").collect()
+        .map(r => if (r.isNullAt(0)) null
+                  else r.getString(0).getBytes("UTF-8"))
+      assert(keys.nonEmpty)
+      keys.foreach(k =>
+        assert(GraftBucket.of(k, 8) == tag.get._1,
+          s"row in ${f.getName} hashes to ${GraftBucket.of(k, 8)}"))
+    }
+    // the NULL rowkey landed in bucket 0, like the function says
+    assert(GraftBucket.of(null, 8) == 0)
+  }
+
+  test("the bucket function is SQL-callable and the descriptor is fixed at CREATE") {
+    mkTable("spj_f", Some(8), rowsA.take(3))
+    // the catalog serves bucket(n, rowkey) as a V2 function — the same
+    // arithmetic the writer used
+    val viaSql = s.sql("SELECT gspj.bucket(8, 'k001') AS b").collect()(0).getInt(0)
+    assert(viaSql == GraftBucket.of("k001".getBytes("UTF-8"), 8))
+    // re-bucketing in place would lie about the existing files
+    val e = intercept[Exception] {
+      s.sql("ALTER TABLE gspj.spj_f SET TBLPROPERTIES('buckets'='4')")
+    }
+    assert(e.getMessage.contains("fixed at CREATE"))
+    // and nonsense counts are refused before any directory appears
+    val bad = intercept[Exception] {
+      s.sql("""CREATE TABLE gspj.spj_bad (rowkey STRING, family STRING,
+               qualifier STRING, version BIGINT, value STRING)
+               USING graftcell TBLPROPERTIES('buckets'='0')""")
+    }
+    assert(bad.getMessage.contains("buckets"))
+    assert(!new java.io.File(root, "spj_bad").exists())
+  }
+}
