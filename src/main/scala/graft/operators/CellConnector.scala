@@ -1162,7 +1162,12 @@ object CellConnector extends QueryModule {
       // compact/mismatch degrade paths, and bucket purity; the oracle
       // pins the results.
       stageSpjTables(s, dir)
-      s.sql("""SELECT a.rowkey, count(*) AS n_pairs,
+      // MERGE hint: at toy SF the band side fits under the broadcast
+      // threshold and Catalyst would (correctly) broadcast — the hint
+      // pins the plan to the sort-merge shape the key exists to
+      // evidence, which is what the planner picks unaided at the
+      // fact-to-fact sizes this layout targets
+      s.sql("""SELECT /*+ MERGE(a) */ a.rowkey, count(*) AS n_pairs,
                       min(a.value) AS a_val, min(b.value) AS b_val
                FROM graftcat.events_bkt a
                JOIN graftcat.events_bkt_band b ON a.rowkey = b.rowkey
