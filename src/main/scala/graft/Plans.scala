@@ -53,7 +53,8 @@ object Plans {
     "sql_cell_truncate", "sql_cell_call_normalize",
     "sql_cell_meta_files", "sql_cell_meta_snapshots",
     "sql_cell_meta_history", "sql_cell_call_vacuum", "sql_cell_ctas",
-    "join_cell_broadcast", "join_cell_spj", "agg_cell_bucketed")
+    "join_cell_broadcast", "join_cell_spj", "agg_cell_bucketed",
+    "cell_connector_bucket_get")
 
   /** What to explain per key. `obs_metrics`' query RESULT is a 1-row
     * local relation of listener-delivered values; the plan worth

@@ -1175,6 +1175,24 @@ object CellConnector extends QueryModule {
                ORDER BY a.rowkey""")
     }),
 
+    "cell_connector_bucket_get" -> ((s, dir) => {
+      // BUCKET-PRUNED point gets (r16) — HBase salted-scan semantics:
+      // on a hash-bucketed store every region file spans nearly the
+      // whole key range, so min/max stats prune NOTHING for a point
+      // probe; the file-name bucket tag is the missing evidence. An
+      // eq/IN rowkey probe (and OR-unions of them, and runtime DPP key
+      // sets) now plans only the files whose tag equals a probed key's
+      // bucket — at 100 TB a multiget touches k files out of n·dirs,
+      // exactly like a salted HBase get touches one salt. Spec pins
+      // regionFiles k/n on the plan; the oracle pins the rows.
+      stageSpjTables(s, dir)
+      s.sql("""SELECT rowkey, family, qualifier, version, value
+               FROM graftcat.events_bkt
+               WHERE rowkey IN ('7', '42', '128', '999')
+                  OR rowkey = '600'
+               ORDER BY rowkey, qualifier, version""")
+    }),
+
     "agg_cell_bucketed" -> ((s, dir) => {
       // BUCKETED AGGREGATION (r16): a GROUP BY on the bucket column of
       // one bucketed table — KeyGroupedPartitioning already satisfies
@@ -1831,6 +1849,15 @@ object CellConnector extends QueryModule {
           FROM cells a JOIN band ON a.rowkey = band.rowkey
           GROUP BY a.rowkey
           ORDER BY a.rowkey""",
+
+    // bucket-pruned multiget = a plain point-set probe of the rebuild
+    "cell_connector_bucket_get" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT rowkey, family, qualifier, version, value
+          FROM cells
+          WHERE rowkey IN ('7', '42', '128', '999')
+             OR rowkey = '600'
+          ORDER BY rowkey, qualifier, version""",
 
     // bucketed group-by = plain per-rowkey aggregate of the rebuild
     "agg_cell_bucketed" ->

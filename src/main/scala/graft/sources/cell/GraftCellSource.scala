@@ -338,6 +338,62 @@ object GraftCell {
     case f         => Seq(f)
   }
 
+  /** POINT SETS for bucket pruning on BUCKETED stores (HBase
+    * salted-scan semantics: a get touches only its salt's store
+    * files). Each returned set is a NECESSARY condition "any matching
+    * row's rowkey ∈ set" derived from the conjunction: `rowkey = k`
+    * and `rowkey IN (...)` contribute their keys; an `Or` contributes
+    * the UNION of one necessary set from each side (so a multiget OR
+    * of point probes still prunes) and nothing when either side has
+    * no point shape; everything else contributes nothing — bucket
+    * pruning then simply doesn't engage, it can never widen a result.
+    * NULL literals are skipped (a pushed point predicate never
+    * matches a NULL rowkey). This layer exists because min/max stats
+    * are USELESS on a hash layout — every bucket file spans nearly
+    * the whole key range, so without it a point get on a bucketed
+    * store reads all n buckets instead of 1. */
+  private[cell] def pointSets(filters: Seq[Filter]): Seq[Seq[Array[Byte]]] =
+    conjuncts(filters).flatMap {
+      case EqualTo("rowkey", v: String) => Seq(Seq(utf8(v)))
+      case In("rowkey", vs)
+          if vs.nonEmpty && vs.forall(v => v == null || v.isInstanceOf[String]) =>
+        Seq(vs.toSeq.collect { case s: String => utf8(s) })
+      case Or(l, r) =>
+        (pointSets(Seq(l)), pointSets(Seq(r))) match {
+          case (ls, rs) if ls.nonEmpty && rs.nonEmpty =>
+            Seq(ls.head ++ rs.head)
+          case _ => Nil
+        }
+      case _ => Nil
+    }.filter(_.nonEmpty)
+
+  /** Keep `m` under bucket pruning: a file tagged `-b<id>of<n>` (with
+    * n matching the table's declared bucket count) can hold a key k
+    * only if `GraftBucket.of(k, n) == id`; untagged or foreign-count
+    * files carry no evidence and are kept. Mirrors the keep-on-no-
+    * evidence rule of every other pruning layer. */
+  private[cell] def bucketKeep(m: CellFileMeta,
+                               sets: Seq[Seq[Array[Byte]]],
+                               n: Int): Boolean =
+    GraftBucket.parse(m.path) match {
+      case Some((id, bn)) if bn == n =>
+        sets.forall(_.exists(k => GraftBucket.of(k, n) == id))
+      case _ => true
+    }
+
+  /** [[pointSets]]-driven file pruning for a bucketed store: identity
+    * when the filter set has no point shape or the store declares no
+    * buckets. */
+  private[cell] def bucketPrune(metas: Seq[CellFileMeta],
+                                filters: Seq[Filter],
+                                buckets: Option[Int]): Seq[CellFileMeta] =
+    buckets match {
+      case Some(n) =>
+        val sets = pointSets(filters)
+        if (sets.isEmpty) metas else metas.filter(bucketKeep(_, sets, n))
+      case None => metas
+    }
+
   /** File-level pruning against the FULL accepted filter set — the
     * HBase MULTI-GET: beyond the folded [lo,hi] interval (`keyRange`),
     * every rowkey IN-list prunes PER KEY — a file survives an IN-list
@@ -643,8 +699,12 @@ class GraftCellTable(path: String,
     requireLive("DELETE")
     val spark = org.apache.spark.sql.SparkSession.active
     val pruner = new GraftCell.FilePruner(filters.toSeq)
-    val victims = CellFooterCache.filesOf(path)
-      .filter(pruner.mayMatch)
+    // a point DELETE on a bucketed table rewrites only the key's
+    // bucket files, not every file whose useless hash-layout [min,max]
+    // happens to span the key
+    val victims = GraftCell.bucketPrune(
+        CellFooterCache.filesOf(path).filter(pruner.mayMatch),
+        filters.toSeq, buckets)
       .map(_.path)
     if (victims.nonEmpty) {
       // each task returns the rewritten file's fresh manifest stats
@@ -2825,8 +2885,12 @@ class GraftCellScan(path: String, pushed: Array[Filter],
   private lazy val all = CellFooterCache.filesOf(path, snapshot, pinnedDirs, since)
   private def effective: Seq[Filter] = (pushed ++ runtime).toSeq
   private def selected = {
-    val pruner = new GraftCell.FilePruner(effective)
-    all.filter(pruner.mayMatch)
+    val eff = effective
+    val pruner = new GraftCell.FilePruner(eff)
+    // bucket pruning stacks on the stat pruning: on a hash layout the
+    // min/max stats span everything, the bucket tag is the evidence a
+    // point get (or a runtime DPP key set) prunes by
+    GraftCell.bucketPrune(all.filter(pruner.mayMatch), eff, buckets)
   }
 
   /** KEY-GROUPED partitioning of a bucketed store — what makes a join
@@ -2850,7 +2914,8 @@ class GraftCellScan(path: String, pushed: Array[Filter],
       if (!required.fieldNames.contains("rowkey")) None
       else {
         val pruner = new GraftCell.FilePruner(pushed.toSeq)
-        val sel = all.filter(pruner.mayMatch)
+        val sel = GraftCell.bucketPrune(
+          all.filter(pruner.mayMatch), pushed.toSeq, buckets)
         val tags = sel.map(m => GraftBucket.parse(m.path))
         if (sel.nonEmpty && tags.forall(_.exists(_._2 == n)))
           Some((n, tags.flatten.map(_._1).distinct.sorted.toArray))

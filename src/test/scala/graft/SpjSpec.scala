@@ -180,6 +180,68 @@ class SpjSpec extends AnyFunSuite {
     assert(GraftBucket.of(null, 8) == 0)
   }
 
+  test("point gets plan only the probed keys' bucket files; ranges don't engage") {
+    mkTable("spj_pt", Some(8), rowsA)
+    val rf = raw"regionFiles: (\d+)/(\d+)".r
+    def planned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val m = rf.findFirstMatchIn(df.queryExecution.executedPlan.toString).get
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    // a single get touches exactly its key's bucket file
+    val eq = s.sql("SELECT value FROM gspj.spj_pt WHERE rowkey = 'k007'")
+    assert(planned(eq) == (1, 8), s"eq probe planned ${planned(eq)}")
+    assert(eq.collect().map(_.getString(0)).toSeq == Seq("a7"))
+    // a multiget touches at most one file per probed key
+    val in = s.sql(
+      "SELECT value FROM gspj.spj_pt WHERE rowkey IN ('k001','k002','k003')")
+    assert(planned(in)._1 <= 3 && planned(in)._2 == 8)
+    assert(in.collect().map(_.getString(0)).toSet == Set("a1", "a2", "a3"))
+    // OR of point probes prunes as the union of the disjuncts' keys
+    val or = s.sql(
+      "SELECT value FROM gspj.spj_pt WHERE rowkey = 'k001' OR rowkey = 'k250'")
+    assert(planned(or)._1 <= 2)
+    assert(or.collect().map(_.getString(0)).toSet == Set("a1", "a250"))
+    // a RANGE has no point shape — the bucket layer must not engage
+    // (a broad range overlaps every bucket file's [min,max], so all 8
+    // survive the stat layer and dropping any would lose rows; narrow
+    // edge ranges are the STAT pruner's job and still prune)
+    val range = s.sql(
+      "SELECT value FROM gspj.spj_pt WHERE rowkey >= 'k001' AND rowkey < 'k299'")
+    assert(planned(range) == (8, 8))
+    assert(range.count() == 298)
+    // NULL rowkeys are untouched by point pruning (IS NULL isn't a point)
+    assert(s.sql("SELECT value FROM gspj.spj_pt WHERE rowkey IS NULL")
+      .collect().map(_.getString(0)).toSeq == Seq("anull"))
+    // pruning never drops a true key: every 13th key answers its get
+    (1 to 300 by 13).foreach { i =>
+      val k = f"k$i%03d"
+      val got = s.sql(s"SELECT value FROM gspj.spj_pt WHERE rowkey = '$k'")
+      assert(planned(got)._1 == 1)
+      assert(got.collect().map(_.getString(0)).toSeq == Seq(s"a$i"), k)
+    }
+  }
+
+  test("a point DELETE on a bucketed table rewrites only the key's bucket file") {
+    mkTable("spj_del", Some(8), rowsA)
+    val dir = new java.io.File(root, "spj_del")
+    def fileMtimes(): Map[String, Long] =
+      Option(dir.listFiles).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && !d.getName.startsWith("_"))
+        .flatMap(d => Option(d.listFiles).getOrElse(Array.empty))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = fileMtimes()
+    s.sql("DELETE FROM gspj.spj_del WHERE rowkey = 'k007'")
+    val after = fileMtimes()
+    val touched = after.keySet.filter(k =>
+      !before.contains(k) || before(k) != after(k))
+    assert(touched.size <= 1,
+      s"point delete rewrote ${touched.size} files: $touched")
+    assert(s.sql("SELECT count(*) FROM gspj.spj_del").collect()(0).getLong(0)
+      == rowsA.size - 1)
+    assert(s.sql("SELECT * FROM gspj.spj_del WHERE rowkey = 'k007'").count() == 0)
+  }
+
   test("the bucket function is SQL-callable and the descriptor is fixed at CREATE") {
     mkTable("spj_f", Some(8), rowsA.take(3))
     // the catalog serves bucket(n, rowkey) as a V2 function — the same
