@@ -123,6 +123,11 @@ object CellConnector extends QueryModule {
                              dir: String): Unit = {
     registerCatalog(s, dir)
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // one-side storage-partitioned shuffle: an unbucketed join side may
+    // be shuffled INTO the bucketed side's reported key grouping (the
+    // exchange evaluates the catalog's own bucket function), leaving
+    // the store side exchange-free — join_cell_spj_oneside pins it
+    s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
     CellQueries.eventCells(s, dir)
       .createOrReplaceTempView("graft_catalog_src")
     Seq("events_bkt", "events_bkt_band").foreach { t =>
@@ -1175,6 +1180,29 @@ object CellConnector extends QueryModule {
                ORDER BY a.rowkey""")
     }),
 
+    "join_cell_spj_oneside" -> ((s, dir) => {
+      // ONE-SIDE storage-partitioned shuffle (r16): joining the
+      // bucketed store to an UNBUCKETED source, Spark shuffles ONLY
+      // that source INTO the store's reported key grouping — the
+      // exchange is `keygroupedpartitioning(bucket(8, k))`, evaluating
+      // the catalog's own V2 bucket function per row — and the store
+      // side feeds the join with no exchange at all. At 100 TB this is
+      // the fact-dim shape: shuffle the dim, never the fact. Spec pins
+      // the plan (one key-grouped exchange on the dim side, zero on
+      // the scan side); the oracle pins the rows.
+      stageSpjTables(s, dir)
+      graft.Tables.events(s, dir)
+        .select(col("event_id").cast("string").as("k"),
+                col("event_type"))
+        .createOrReplaceTempView("spj_dim")
+      s.sql("""SELECT /*+ MERGE(a) */ d.event_type,
+                      count(*) AS n_cells, min(a.value) AS first_val
+               FROM graftcat.events_bkt a
+               JOIN spj_dim d ON a.rowkey = d.k
+               GROUP BY d.event_type
+               ORDER BY d.event_type""")
+    }),
+
     "cell_connector_bucket_get" -> ((s, dir) => {
       // BUCKET-PRUNED point gets (r16) — HBase salted-scan semantics:
       // on a hash-bucketed store every region file spans nearly the
@@ -1849,6 +1877,17 @@ object CellConnector extends QueryModule {
           FROM cells a JOIN band ON a.rowkey = band.rowkey
           GROUP BY a.rowkey
           ORDER BY a.rowkey""",
+
+    // one-side-shuffled fact-dim join = plain join of the rebuild to
+    // the events dim, grouped by the dim attribute
+    "join_cell_spj_oneside" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT e.event_type, count(*) AS n_cells,
+                 min(c.value) AS first_val
+          FROM cells c JOIN events e
+            ON c.rowkey = CAST(e.event_id AS VARCHAR)
+          GROUP BY e.event_type
+          ORDER BY e.event_type""",
 
     // bucket-pruned multiget = a plain point-set probe of the rebuild
     "cell_connector_bucket_get" ->

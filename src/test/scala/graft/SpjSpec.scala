@@ -19,6 +19,7 @@ class SpjSpec extends AnyFunSuite {
                classOf[graft.sources.cell.GraftCellCatalog].getName)
     s.conf.set("spark.sql.catalog.gspj.root", root)
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
   }
 
   private def mkTable(name: String, buckets: Option[Int],
@@ -178,6 +179,30 @@ class SpjSpec extends AnyFunSuite {
     }
     // the NULL rowkey landed in bucket 0, like the function says
     assert(GraftBucket.of(null, 8) == 0)
+  }
+
+  test("an unbucketed side shuffles INTO the store's grouping; the store side never shuffles") {
+    mkTable("spj_os", Some(8), rowsA)
+    import s.implicits._
+    (151 to 450).map(i => (f"k$i%03d", s"w$i")).toDF("k", "w")
+      .createOrReplaceTempView("spj_os_dim")
+    val df = s.sql(
+      """SELECT /*+ MERGE(a) */ a.rowkey, a.value AS av, d.w
+         FROM gspj.spj_os a JOIN spj_os_dim d ON a.rowkey = d.k""")
+    val plan = ranPlan(df)
+    // the ONE exchange is the dim side re-clustered by the catalog's
+    // own bucket function into the store's reported key grouping...
+    assert(plan.contains("Exchange keygroupedpartitioning"),
+      s"expected a key-grouped dim-side shuffle:\n$plan")
+    assert(plan.contains("BoundBucket"),
+      s"the exchange must evaluate the catalog bucket function:\n$plan")
+    // ...and the store side feeds the join with no exchange at all
+    assert(!plan.contains("Exchange hashpartitioning") &&
+           !plan.contains("Exchange rangepartitioning"),
+      s"no classic shuffle may appear on either side:\n$plan")
+    assert(df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2))).toSet ==
+      (151 to 300).map(i => (f"k$i%03d", s"a$i", s"w$i")).toSet)
   }
 
   test("point gets plan only the probed keys' bucket files; ranges don't engage") {
