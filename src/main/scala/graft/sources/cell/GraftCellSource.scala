@@ -678,7 +678,7 @@ class GraftCellTable(path: String,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     requireLive("UPDATE/MERGE/DELETE")
-    () => new GraftCellRowLevelOperation(path, info.command())
+    () => new GraftCellRowLevelOperation(path, info.command(), buckets)
   }
 
   /** `DELETE FROM ... WHERE` — the HBase ranged-delete surface, file-
@@ -1089,7 +1089,8 @@ object GraftCellSnapshot {
   * instance at commit time, after the runtime filter has landed. */
 class GraftCellRowLevelOperation(
     path: String,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    private[cell] val buckets: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   /** The COW scan of this operation — set when the scan builds, read
@@ -1271,11 +1272,26 @@ class GraftCellGroupReplaceWrite(path: String, queryId: String,
 
   private def asc(c: String) = E.sort(E.column(c), SortDirection.ASCENDING)
 
-  override def requiredDistribution(): Distribution =
-    Distributions.ordered(Array(asc("rowkey")))
+  // Bucketed tables: the replacement generation re-clusters on the
+  // descriptor's bucket transform (catalog-routed DML always has the
+  // FunctionCatalog in scope), so UPDATE/MERGE/stream-apply PRESERVE
+  // the storage-partitioned-join layout — the HBase salt survives a
+  // Put exactly as it survives a compaction. Unbucketed tables keep
+  // the declared HFile range shuffle.
+  override def requiredDistribution(): Distribution = op.buckets match {
+    case Some(n) => Distributions.clustered(Array(E.bucket(n, "rowkey")))
+    case None    => Distributions.ordered(Array(asc("rowkey")))
+  }
   override def requiredOrdering()
-      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    Array(asc("rowkey"), asc("family"), asc("qualifier"), asc("version"))
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val cellKey = Array(asc("rowkey"), asc("family"), asc("qualifier"),
+                        asc("version"))
+    op.buckets match {
+      case Some(n) =>
+        E.sort(E.bucket(n, "rowkey"), SortDirection.ASCENDING) +: cellKey
+      case None => cellKey
+    }
+  }
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
     new GraftCellGroupReplaceBatchWrite(path, queryId, op)
@@ -1293,7 +1309,7 @@ class GraftCellGroupReplaceBatchWrite(path: String, queryId: String,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     tmpDir.mkdirs()
-    new CellDataWriterFactory(tmpDir.getPath)
+    new CellDataWriterFactory(tmpDir.getPath, buckets = op.buckets)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

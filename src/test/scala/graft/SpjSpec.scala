@@ -131,6 +131,32 @@ class SpjSpec extends AnyFunSuite {
       r.getString(2))).toSet == expected)
   }
 
+  test("UPDATE preserves the layout: rewritten files stay tagged, SPJ survives DML") {
+    mkTable("spj_u", Some(8), rowsA)
+    mkTable("spj_bu", Some(8), rowsB)
+    // group-granular COW: the one matched region file is replaced by a
+    // bucket-clustered, tagged rewrite — the salt survives a Put
+    s.sql("UPDATE gspj.spj_u SET value = 'upd' WHERE rowkey = 'k200'")
+    val files = Option(new java.io.File(root, "spj_u").listFiles)
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !d.getName.startsWith("_"))
+      .flatMap(d => Option(d.listFiles).getOrElse(Array.empty))
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty &&
+      files.forall(f => GraftBucket.parse(f.getName).exists(_._2 == 8)),
+      s"COW rewrite must stay bucket-tagged: ${files.map(_.getName).toSeq}")
+    val df = joined("spj_u", "spj_bu")
+    val plan = ranPlan(df)
+    assert(exchanges(plan) == 0,
+      s"DML must not demote the join to a shuffle:\n$plan")
+    val expected = expectedJoin.map {
+      case ("k200", _, bv) => ("k200", "upd", bv)
+      case t => t
+    }
+    assert(df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2))).toSet == expected)
+  }
+
   test("region surgery drops the tags and the join degrades to a shuffle, same rows") {
     mkTable("spj_a3b", Some(8), rowsA)
     mkTable("spj_b3b", Some(8), rowsB)
