@@ -1188,6 +1188,44 @@ object CellConnector extends QueryModule {
                ORDER BY a.rowkey""")
     }),
 
+    "sql_cell_script_batch" -> ((s, dir) => {
+      // SQL SCRIPTING (Spark 4 `BEGIN ... END`) driving the cell
+      // catalog — the operational "delete in batches" script every
+      // HBase operator runs against a big table (one band-ranged
+      // DELETE per iteration instead of one giant statement, so each
+      // commit retires only that band's region files and the cluster
+      // never holds a table-wide operation): DECLARE + WHILE + SET
+      // with the loop variable folding into each DELETE's pushed
+      // rowkey range (file pruning engages per iteration exactly as
+      // with a literal predicate). The script's final SELECT returns
+      // the table readback; the oracle rebuilds the same end state
+      // relationally. Control-flow semantics (FOR over a query,
+      // IF/LEAVE, variable scoping) are spec-pinned in SqlSurfaceSpec.
+      registerCatalog(s, dir)
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_script (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_script SELECT * FROM graft_catalog_src")
+      s.sql("""
+        BEGIN
+          DECLARE band INT DEFAULT 0;
+          WHILE band < 5 DO
+            DELETE FROM graftcat.events_script
+            WHERE rowkey >= CAST(band AS STRING)
+              AND rowkey < CAST(band + 1 AS STRING)
+              AND qualifier = 'user_id';
+            SET band = band + 1;
+          END WHILE;
+          SELECT rowkey, qualifier, version, value
+          FROM graftcat.events_script
+          WHERE rowkey < '2'
+          ORDER BY rowkey, qualifier;
+        END""")
+    }),
+
     "join_cell_spj_oneside" -> ((s, dir) => {
       // ONE-SIDE storage-partitioned shuffle (r16): joining the
       // bucketed store to an UNBUCKETED source, Spark shuffles ONLY
@@ -1885,6 +1923,17 @@ object CellConnector extends QueryModule {
           FROM cells a JOIN band ON a.rowkey = band.rowkey
           GROUP BY a.rowkey
           ORDER BY a.rowkey""",
+
+    // the batched-delete script's end state, rebuilt relationally:
+    // bands 0-4 lose their user_id cells, the probe band readback
+    "sql_cell_script_batch" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT rowkey, qualifier, version, value
+          FROM cells
+          WHERE rowkey < '2'
+            AND NOT (qualifier = 'user_id'
+                     AND rowkey >= '0' AND rowkey < '5')
+          ORDER BY rowkey, qualifier""",
 
     // one-side-shuffled fact-dim join = plain join of the rebuild to
     // the events dim, grouped by the dim attribute

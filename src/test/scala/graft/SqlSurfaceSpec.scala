@@ -189,4 +189,40 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(bfs.nonEmpty && bfs == cte,
       s"BFS/CTE mismatch; first diff: ${bfs.zip(cte).find(p => p._1 != p._2)}")
   }
+
+  test("SQL scripting: WHILE/SET, FOR-over-query, and IF all evaluate exactly") {
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    // WHILE + SET arithmetic: the canonical loop, exact
+    assert(spark.sql("""
+      BEGIN
+        DECLARE total BIGINT DEFAULT 0;
+        DECLARE i INT DEFAULT 1;
+        WHILE i <= 10 DO
+          SET total = total + i * i;
+          SET i = i + 1;
+        END WHILE;
+        SELECT total AS sum_sq;
+      END""").collect()(0).getLong(0) == 385L)
+    // FOR over a query: row-by-row accumulation equals the aggregate
+    assert(spark.sql("""
+      BEGIN
+        DECLARE acc BIGINT DEFAULT 0;
+        FOR r AS SELECT id FROM range(1, 21) DO
+          SET acc = acc + r.id;
+        END FOR;
+        SELECT acc;
+      END""").collect()(0).getLong(0) == 210L)
+    // IF branches on data: the loop leaves early via a labeled LEAVE
+    assert(spark.sql("""
+      BEGIN
+        DECLARE n INT DEFAULT 0;
+        loop_label: WHILE true DO
+          SET n = n + 1;
+          IF n >= 7 THEN
+            LEAVE loop_label;
+          END IF;
+        END WHILE;
+        SELECT n;
+      END""").collect()(0).getInt(0) == 7)
+  }
 }
