@@ -394,6 +394,34 @@ object Sources extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    "udtf_sql_table" -> ((s, dir) => {
+      // Spark 4 SQL TABLE functions (CREATE FUNCTION ... RETURNS TABLE
+      // RETURN <query>): a reusable parameterized VIEW invoked in FROM,
+      // incl. CORRELATED via LATERAL — and like the scalar SQL UDFs the
+      // body INLINES into the plan, so the correlated call decorrelates
+      // to an ordinary join and the segment predicate reaches the scan
+      // (no optimizer black box, unlike a Scala/Python UDTF). The 100 TB
+      // shape: shared subquery logic as a declared function, planner
+      // still owns the whole tree.
+      T.views(s, dir, "customer", "orders")
+      if (!s.catalog.functionExists("graft_seg_orders"))
+        s.sql("""CREATE TEMPORARY FUNCTION graft_seg_orders(seg STRING)
+                 RETURNS TABLE (o_orderkey BIGINT, o_totalprice DOUBLE)
+                 RETURN SELECT o.o_orderkey, o.o_totalprice
+                        FROM orders o JOIN customer c
+                          ON o.o_custkey = c.c_custkey
+                        WHERE c.c_mktsegment = seg
+                          AND o.o_totalprice > 100000""")
+      // decimal sum: double aggregation order is nondeterministic (§2.0)
+      s.sql("""SELECT m.seg, count(*) AS n_orders,
+                      CAST(sum(CAST(t.o_totalprice AS DECIMAL(18,2)))
+                           AS DECIMAL(18,2)) AS revenue
+               FROM (VALUES ('BUILDING'), ('MACHINERY')) AS m(seg),
+                    LATERAL graft_seg_orders(m.seg) t
+               GROUP BY m.seg
+               ORDER BY m.seg""")
+    }),
+
     "udtf_shingles" -> ((s, dir) =>
       // Generator op: doc -> positional 3-gram word shingles. Pure
       // Column version (sequence+slice+posexplode) keeps it inside
@@ -504,6 +532,17 @@ object Sources extends QueryModule {
                 CAST(o_orderkey % 16 AS VARCHAR) || '_' ||
                   CAST(o_orderkey AS VARCHAR) AS rowkey_col
          FROM orders ORDER BY o_orderkey""",
+
+    "udtf_sql_table" ->
+      """SELECT m.seg, count(*) AS n_orders,
+                CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS revenue
+         FROM (VALUES ('BUILDING'), ('MACHINERY')) AS m(seg)
+         JOIN customer c ON c.c_mktsegment = m.seg
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         WHERE o.o_totalprice > 100000
+         GROUP BY m.seg
+         ORDER BY m.seg""",
 
     "udtf_shingles" ->
       """SELECT doc_id,

@@ -190,6 +190,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
       s"BFS/CTE mismatch; first diff: ${bfs.zip(cte).find(p => p._1 != p._2)}")
   }
 
+  test("udtf_sql_table: the table function INLINES — no call survives, twin-identical") {
+    val df = SparkEntry.queries("udtf_sql_table")(spark, sf)
+    // the lateral call decorrelates into plain joins: the optimized
+    // plan must carry no trace of the function (an optimizer black box
+    // would); pushdown evidence is the segment filter reaching the join
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("graft_seg_orders"),
+      s"SQL table function call survived optimization:\n$optimized")
+    val twin = spark.sql(
+      """SELECT m.seg, count(*) AS n_orders,
+                CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS revenue
+         FROM (VALUES ('BUILDING'), ('MACHINERY')) AS m(seg)
+         JOIN customer c ON c.c_mktsegment = m.seg
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         WHERE o.o_totalprice > 100000
+         GROUP BY m.seg ORDER BY m.seg""")
+    assert(rows(df) == rows(twin),
+      "lateral table-function result drifted from the direct-join twin")
+  }
+
   test("SQL scripting: WHILE/SET, FOR-over-query, and IF all evaluate exactly") {
     spark.conf.set("spark.sql.scripting.enabled", "true")
     // WHILE + SET arithmetic: the canonical loop, exact
