@@ -1188,6 +1188,22 @@ object CellConnector extends QueryModule {
                ORDER BY a.rowkey""")
     }),
 
+    "cell_connector_sample" -> ((s, dir) => {
+      // TABLESAMPLE pushdown (r16) — the HBase RandomRowFilter: the
+      // pushed sample drops non-members INSIDE the reader (at 100 TB a
+      // 5% probe moves 5% of the bytes off the executors), and
+      // membership is DETERMINISTIC ROW IDENTITY (md5 of
+      // seed:rowkey:qualifier under fraction·10000), not a PRNG — the
+      // same sample whatever the partitioning, file layout, or task
+      // order, and exactly recomputable by the oracle. Spark removes
+      // its own Sample node (complete push, spec-pinned along with the
+      // refusal paths: replacement sampling, sample-under-agg).
+      cells(s, dir)
+        .sample(withReplacement = false, fraction = 0.05, seed = 42L)
+        .select("rowkey", "family", "qualifier", "version", "value")
+        .orderBy("rowkey", "family", "qualifier", "version")
+    }),
+
     "sql_cell_script_batch" -> ((s, dir) => {
       // SQL SCRIPTING (Spark 4 `BEGIN ... END`) driving the cell
       // catalog — the operational "delete in batches" script every
@@ -1923,6 +1939,18 @@ object CellConnector extends QueryModule {
           FROM cells a JOIN band ON a.rowkey = band.rowkey
           GROUP BY a.rowkey
           ORDER BY a.rowkey""",
+
+    // the deterministic sample rule, recomputed verbatim: md5 of
+    // seed:rowkey:qualifier (NULLs as empty), first 8 hex digits mod
+    // 10000 under 500 (= 5% of 10000)
+    "cell_connector_sample" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT rowkey, family, qualifier, version, value
+          FROM cells
+          WHERE ('0x' || substr(md5('42:' || coalesce(rowkey, '')
+                                 || ':' || coalesce(qualifier, '')),
+                                1, 8))::UBIGINT % 10000 < 500
+          ORDER BY rowkey, family, qualifier, version""",
 
     // the batched-delete script's end state, rebuilt relationally:
     // bands 0-4 lose their user_id cells, the probe band readback

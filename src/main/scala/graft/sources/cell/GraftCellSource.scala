@@ -2284,7 +2284,8 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
                            buckets: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-    with SupportsPushDownTopN with SupportsPushDownAggregates {
+    with SupportsPushDownTopN with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownTableSample {
   import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder => VSortOrder}
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 
@@ -2293,6 +2294,30 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
   private var limit: Int = -1
   private var topNPushed = false
   private var aggPushed: Option[Aggregation] = None
+  private var sample: Option[(Double, Long)] = None
+
+  /** COMPLETE TABLESAMPLE pushdown — the HBase RandomRowFilter: the
+    * reader drops non-sampled rows before they ever reach Spark (at
+    * 100 TB a 1% sample probe moves 1% of the bytes off the executors,
+    * and composes with the limit early-exit). The membership rule is
+    * DETERMINISTIC ROW IDENTITY, not a PRNG: keep a cell iff
+    * `md5("<seed>:<rowkey>:<qualifier>")`'s first 8 hex digits, mod
+    * 10000, fall under `fraction * 10000` (NULL components hash as
+    * empty strings). Same sample whatever the partitioning, file
+    * layout, or task order — repeatable across runs AND re-layouts,
+    * which a per-partition PRNG seed can never be — and exactly
+    * recomputable by the DuckDB oracle from the same parquet. Bounds
+    * other than [0, f], replacement sampling, and sampling under a
+    * complete aggregate pushdown are refused (Spark keeps its own
+    * Sample node). */
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+                               withReplacement: Boolean,
+                               seed: Long): Boolean = {
+    val ok = !withReplacement && lowerBound == 0.0 &&
+      upperBound > 0.0 && upperBound <= 1.0 && aggPushed.isEmpty
+    if (ok) sample = Some((upperBound, seed))
+    ok
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition(GraftCell.acceptable)
@@ -2354,6 +2379,7 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
     val included: Option[Seq[CellFileMeta]] =
       if (pushed.isEmpty) Some(metas)
       else GraftCell.alignedFiles(pushed.toSeq, metas)
+    sample.isEmpty && // a sampled COUNT cannot come from manifest stats
     included.isDefined && agg.groupByExpressions().isEmpty &&
       agg.aggregateExpressions().nonEmpty &&
       agg.aggregateExpressions().forall {
@@ -2375,7 +2401,7 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
       new GraftCellAggScan(path, agg, snapshot, pinnedDirs, since, pushed)
     case None =>
       new GraftCellScan(path, pushed, required, limit, topNPushed, snapshot,
-                        maxPartBytes, pinnedDirs, since, buckets)
+                        maxPartBytes, pinnedDirs, since, buckets, sample)
   }
 }
 
@@ -2869,7 +2895,8 @@ class GraftCellScan(path: String, pushed: Array[Filter],
                     maxPartBytes: Long = Long.MaxValue,
                     pinnedDirs: Option[Seq[String]] = None,
                     since: Option[String] = None,
-                    buckets: Option[Int] = None)
+                    buckets: Option[Int] = None,
+                    sample: Option[(Double, Long)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -2971,13 +2998,16 @@ class GraftCellScan(path: String, pushed: Array[Filter],
     s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
     s"ReadSchema: ${required.catalogString}, " +
     (if (limit >= 0) s"${if (topN) "topN" else "limit"}: $limit, " else "") +
+    sample.fold("") { case (f, seed) => s"sample: $f seed=$seed, " } +
     s"regionFiles: ${selected.size}/${all.size}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // fetch set = projected ∪ filter-referenced (store column order)
+    // fetch set = projected ∪ filter-referenced (store column order);
+    // a pushed sample reads its identity columns even when projected away
     val eff = effective
     val need = required.fieldNames.toSet ++
-      eff.flatMap(GraftCell.referenced)
+      eff.flatMap(GraftCell.referenced) ++
+      (if (sample.isDefined) Set("rowkey", "qualifier") else Set.empty)
     val fetch = GraftCell.SCHEMA.fields.map(_.name).filter(need.contains)
     val base = selected.flatMap { m =>
       // Large region files SPLIT by byte range (row-group aligned by
@@ -2995,7 +3025,8 @@ class GraftCellScan(path: String, pushed: Array[Filter],
         val end = if (i == nSplits - 1) Long.MaxValue
                   else (i + 1) * (m.bytes / nSplits + 1)
         CellInputPartition(m.path, fetch, required.fieldNames, eff.toArray,
-                           m.messageType, limit, start, end)
+                           m.messageType, limit, start, end,
+                           sample.fold(-1.0)(_._1), sample.fold(0L)(_._2))
       }
     }
     keyedBuckets match {
@@ -3170,7 +3201,9 @@ final case class CellInputPartition(file: String, fetch: Array[String],
                                     fileMessageType: String,
                                     limit: Int = -1,
                                     rangeStart: Long = 0L,
-                                    rangeEnd: Long = Long.MaxValue)
+                                    rangeEnd: Long = Long.MaxValue,
+                                    sampleFrac: Double = -1.0,
+                                    sampleSeed: Long = 0L)
     extends InputPartition
 
 /** A [[CellInputPartition]] of a BUCKETED store, keyed by its file's
@@ -3215,6 +3248,33 @@ class CellPartitionReaderFactory extends PartitionReaderFactory {
 
 class CellPartitionReader(p: CellInputPartition)
     extends PartitionReader[InternalRow] {
+
+  // Pushed TABLESAMPLE (see GraftCellScanBuilder.pushTableSample):
+  // deterministic row-identity membership — md5("<seed>:<rk>:<qual>"),
+  // first 4 bytes as an unsigned int, mod 10000, under fraction·10000.
+  // NULL components hash as empty strings, exactly like the oracle's
+  // coalesce. One MessageDigest per reader, reset per row.
+  private val sampleThreshold: Int =
+    if (p.sampleFrac >= 0) Math.round(p.sampleFrac * 10000).toInt else -1
+  private val sampleMd =
+    if (sampleThreshold >= 0) java.security.MessageDigest.getInstance("MD5")
+    else null
+  private def sampled(get: String => Any): Boolean = {
+    if (sampleThreshold < 0) return true
+    val sb = new java.lang.StringBuilder()
+    sb.append(p.sampleSeed).append(':')
+    val rk = get("rowkey")
+    if (rk != null) sb.append(rk.toString)
+    sb.append(':')
+    val q = get("qualifier")
+    if (q != null) sb.append(q.toString)
+    sampleMd.reset()
+    val d = sampleMd.digest(
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+            ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    (v % 10000L) < sampleThreshold
+  }
 
   // Projection = the fetch-set subset of the FILE's own message type, so
   // repetition/logical types always match the footer exactly.
@@ -3277,7 +3337,7 @@ class CellPartitionReader(p: CellInputPartition)
         i += 1
       }
       val get = (c: String) => fetched(fetchIdx(c))
-      if (compiledFilters.forall(f => f(get))) {
+      if (compiledFilters.forall(f => f(get)) && sampled(get)) {
         val out = new Array[Any](outIdx.length)
         var j = 0
         while (j < outIdx.length) {

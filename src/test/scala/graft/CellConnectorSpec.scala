@@ -96,6 +96,43 @@ class CellConnectorSpec extends AnyFunSuite {
            s"range scan should prune region files: ${m.get.matched}")
   }
 
+  test("TABLESAMPLE pushdown: deterministic identity sample inside the reader") {
+    val df = SparkEntry.queries("cell_connector_sample")(s, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // complete push: the scan carries the sample, Spark's node is gone
+    assert(plan.contains("sample: 0.05 seed=42"), plan)
+    assert(!plan.contains("Sample ("),
+      s"Spark's Sample node must be elided on a complete push:\n$plan")
+    // the rule recomputed independently over the unsampled read
+    val store = "/tmp/graft_cellstore_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val full = s.read.format("graftcell").load(store)
+      .select("rowkey", "qualifier").collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def keep(rk: String, q: String): Boolean = {
+      md.reset()
+      val d = md.digest(s"42:${Option(rk).getOrElse("")}:${Option(q).getOrElse("")}"
+        .getBytes("UTF-8"))
+      val v = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+              ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      (v % 10000L) < 500
+    }
+    val expected = full.count(r => keep(r.getString(0), r.getString(1)))
+    assert(df.count() == expected)
+    assert(expected > 0 && expected < full.length) // genuinely sampled
+    // replacement sampling is refused: Spark keeps its own Sample node
+    // (case-sensitive "Sample" — the scan's own marker prints lowercase)
+    val wr = s.read.format("graftcell").load(store)
+      .sample(withReplacement = true, fraction = 0.05, seed = 42L)
+    val wrPlan = wr.queryExecution.executedPlan.toString
+    assert(wrPlan.contains("Sample") && !wrPlan.contains("sample: "),
+      s"replacement sampling must stay above the scan:\n$wrPlan")
+    // sample under COUNT(*): the metadata aggregate must refuse — a
+    // sampled count can't come from manifest stats
+    val cnt = s.read.format("graftcell").load(store)
+      .sample(withReplacement = false, fraction = 0.05, seed = 42L).count()
+    assert(cnt == expected)
+  }
+
   test("multi-get plans fewer region files than the IN-list envelope") {
     val rf = "regionFiles: (\\d+)/(\\d+)".r
     def planned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
