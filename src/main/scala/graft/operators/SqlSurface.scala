@@ -222,6 +222,28 @@ object SqlSurface extends QueryModule {
         |> ORDER BY l_returnflag, l_linestatus""")
     }),
 
+    "sql_exec_immediate" -> ((s, dir) => {
+      // EXECUTE IMMEDIATE (r16) — parameterized DYNAMIC SQL, the
+      // injection-safe template surface (the JDBC PreparedStatement
+      // analog inside the engine): the SQL text is a value, parameters
+      // bind by NAME from a declared SESSION VARIABLE (:floor) and
+      // from a literal (:excl) — never string concatenation. Binding
+      // happens before analysis, so the parameter lands as a foldable
+      // literal and pushdown/pruning see a constant predicate exactly
+      // as in the static twin. Decimal-pinned sum (§2.0).
+      graft.Tables.views(s, dir, "customer")
+      s.sql("DECLARE OR REPLACE VARIABLE bal_floor DOUBLE DEFAULT 5000.0")
+      s.sql("""EXECUTE IMMEDIATE
+                 'SELECT c_mktsegment, count(*) AS n_cust,
+                         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                              AS DECIMAL(18,2)) AS total_bal
+                  FROM customer
+                  WHERE c_acctbal >= :floor AND c_mktsegment <> :excl
+                  GROUP BY c_mktsegment
+                  ORDER BY c_mktsegment'
+               USING bal_floor AS floor, 'MACHINERY' AS excl""")
+    }),
+
     "obs_metrics" -> ((s, dir) => {
       // Production observability: metrics computed by the SAME pass
       // that does the work (Dataset.observe plants a CollectMetrics
@@ -323,6 +345,15 @@ object SqlSurface extends QueryModule {
           GROUP BY l_returnflag, l_linestatus
           ORDER BY l_returnflag, l_linestatus"""
     },
+
+    "sql_exec_immediate" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS total_bal
+         FROM customer
+         WHERE c_acctbal >= 5000.0 AND c_mktsegment <> 'MACHINERY'
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
 
     "obs_metrics" ->
       """SELECT count(*) AS n_rows,
