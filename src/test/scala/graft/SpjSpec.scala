@@ -293,6 +293,50 @@ class SpjSpec extends AnyFunSuite {
     assert(s.sql("SELECT * FROM gspj.spj_del WHERE rowkey = 'k007'").count() == 0)
   }
 
+  test("the bucket hash is FROZEN: pinned values can never silently change") {
+    // Every bucketed store on disk depends on this arithmetic: a Scala
+    // upgrade or a casual 'improvement' that changes one of these pins
+    // would silently mis-route every future read and write against
+    // existing layouts. These are the values of MurmurHash3.bytesHash
+    // (seed 0x67726166) floor-mod n as shipped — fail here means the
+    // layout contract broke, not that the test needs updating.
+    assert(GraftBucket.of("k001".getBytes("UTF-8"), 8) == 2)
+    assert(GraftBucket.of("7".getBytes("UTF-8"), 8) == 2)
+    assert(GraftBucket.of("0000001234".getBytes("UTF-8"), 8) == 0)
+    assert(GraftBucket.of("".getBytes("UTF-8"), 8) == 2)
+    assert(GraftBucket.of("".getBytes("UTF-8"), 16) == 10)
+    assert(GraftBucket.of(null, 8) == 0)
+    // and the tag round-trips exactly
+    assert(GraftBucket.parse(s"part-00001-0002${GraftBucket.tag(3, 8)}.parquet")
+      .contains((3, 8)))
+    assert(GraftBucket.parse("part-00001-0002.parquet").isEmpty)
+  }
+
+  test("time travel keeps the layout: live-vs-snapshot join is exchange-free") {
+    mkTable("spj_tt", Some(8), rowsA)
+    s.sql("CALL gspj.snapshot('spj_tt', 'pin')")
+    // append a generation past the snapshot (dir-granular — exactly
+    // what snapshots isolate; in-place COW rewrites carry the
+    // documented leak-through caveat and are not what this pins)
+    insert("spj_tt", (501 to 520).map(i => (f"k$i%03d", "f", "q", 1L, s"a$i")))
+    // the pinned read plans the SAME tagged files the snapshot froze,
+    // so it reports the same key grouping as the live side — the
+    // co-partitioned what-changed diff a 100 TB audit wants, with no
+    // shuffle of either generation
+    val df = s.sql(
+      """SELECT /*+ MERGE(a) */ a.rowkey
+         FROM gspj.spj_tt a
+         LEFT ANTI JOIN gspj.spj_tt VERSION AS OF 'pin' b
+           ON a.rowkey = b.rowkey""")
+    val plan = ranPlan(df)
+    assert(exchanges(plan) == 0,
+      s"live-vs-snapshot diff must be storage-partitioned:\n$plan")
+    // rowsA's NULL-rowkey cell rides along: NULL never equi-matches, so
+    // LEFT ANTI keeps it — standard SQL, pinned rather than filtered
+    assert(df.collect().map(_.getString(0)).toSet ==
+      ((501 to 520).map(i => f"k$i%03d").toSet + (null: String)))
+  }
+
   test("the bucket function is SQL-callable and the descriptor is fixed at CREATE") {
     mkTable("spj_f", Some(8), rowsA.take(3))
     // the catalog serves bucket(n, rowkey) as a V2 function — the same
