@@ -230,13 +230,17 @@ object SqlSurface extends QueryModule {
       // from a literal (:excl) — never string concatenation. Binding
       // happens before analysis, so the parameter lands as a foldable
       // literal and pushdown/pruning see a constant predicate exactly
-      // as in the static twin. Decimal-pinned sum (§2.0).
+      // as in the static twin. The sum is decimal-pinned then routed
+      // through the §2.0 STRING->DOUBLE convention: r16's driver gate
+      // hash-mismatched the DECIMAL(18,2) emit (rows+schema matched;
+      // every local typed check passed), so the output representation
+      // is pinned to DOUBLE the same way as the other 314 keys.
       graft.Tables.views(s, dir, "customer")
       s.sql("DECLARE OR REPLACE VARIABLE bal_floor DOUBLE DEFAULT 5000.0")
       s.sql("""EXECUTE IMMEDIATE
                  'SELECT c_mktsegment, count(*) AS n_cust,
-                         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
-                              AS DECIMAL(18,2)) AS total_bal
+                         CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                                   AS STRING) AS DOUBLE) AS total_bal
                   FROM customer
                   WHERE c_acctbal >= :floor AND c_mktsegment <> :excl
                   GROUP BY c_mktsegment
@@ -348,8 +352,8 @@ object SqlSurface extends QueryModule {
 
     "sql_exec_immediate" ->
       """SELECT c_mktsegment, count(*) AS n_cust,
-                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
-                     AS DECIMAL(18,2)) AS total_bal
+                CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                          AS STRING) AS DOUBLE) AS total_bal
          FROM customer
          WHERE c_acctbal >= 5000.0 AND c_mktsegment <> 'MACHINERY'
          GROUP BY c_mktsegment
