@@ -63,10 +63,11 @@ class GraftCellCatalog extends TableCatalog
   private def requireDefaultNs(ns: Array[String]): Unit =
     if (ns.nonEmpty) throw new NoSuchNamespaceException(ns)
 
+  private def segOk(s: String): Boolean =
+    s.nonEmpty && s.forall(c => c.isLetterOrDigit || c == '_' || c == '-')
+
   private def validSeg(kind: String, s: String): String = {
-    require(s.nonEmpty && s.forall(c =>
-      c.isLetterOrDigit || c == '_' || c == '-'),
-      s"graftcell: bad $kind name '$s'")
+    require(segOk(s), s"graftcell: bad $kind name '$s'")
     s
   }
 
@@ -85,6 +86,11 @@ class GraftCellCatalog extends TableCatalog
 
   private def nsExists(ns: Array[String]): Boolean = ns match {
     case Array() => true
+    // a probe with characters we'd never accept at CREATE is simply
+    // "does not exist" — throwing IllegalArgumentException here
+    // surfaces as an opaque analysis failure for unrelated multi-part
+    // identifiers routed through this catalog
+    case Array(n) if !segOk(n) => false
     case _       => nsMarker(nsDir(ns)).exists()
   }
 
@@ -193,7 +199,7 @@ class GraftCellCatalog extends TableCatalog
 
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace().length <= 1 && nsExists(ident.namespace()) &&
-      marker(dirOf(ident)).exists()
+      segOk(ident.name()) && marker(dirOf(ident)).exists()
 
   /** Store dir of an existing DATA table at (ns, name), or None —
     * the no-throw resolution used by loadTable and the metadata-table
@@ -235,8 +241,8 @@ class GraftCellCatalog extends TableCatalog
     * [[GraftCellSnapshot.create]]) — the loaded table reads AS OF that
     * pinned dir set and refuses writes and row-level operations. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val dir = dirOf(ident)
-    if (!marker(dir).exists()) throw new NoSuchTableException(ident)
+    val dir = existingDataDir(ident.namespace(), ident.name())
+      .getOrElse(throw new NoSuchTableException(ident))
     // fail fast on an unknown snapshot name (clearer than an empty read)
     GraftCellSnapshot.dirs(dir.getPath, version)
     new GraftCellTable(dir.getPath, Some(version), tableProps = readProps(dir))
@@ -254,8 +260,8 @@ class GraftCellCatalog extends TableCatalog
     * view. `timestamp` arrives in microseconds since the epoch (the
     * engine's TimestampType resolution). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val dir = dirOf(ident)
-    if (!marker(dir).exists()) throw new NoSuchTableException(ident)
+    val dir = existingDataDir(ident.namespace(), ident.name())
+      .getOrElse(throw new NoSuchTableException(ident))
     val store = dir.getPath
     val stamps = CellFooterCache.committedDirs(store)
       .map(d => d -> CellManifest.commitStampOf(store, d))

@@ -97,7 +97,12 @@ object GraftCellProcedures {
     * back to the table's persisted TBLPROPERTIES (r16 — the HBase
     * table descriptor: TTL/tombstone policy lives WITH the table, so
     * plain `CALL compact(t)` applies the declared policy); an explicit
-    * argument overrides the property for that run. */
+    * argument overrides the property for that run — INCLUDING the off
+    * direction (r17): `ttl_micros = 0` means "explicitly no TTL this
+    * run" and `tombstone = ''` means "explicitly no tombstone GC",
+    * distinct from the omitted defaults (-1 / NULL) that fall through
+    * to the property. `max_versions` needs no sentinel: its off
+    * direction IS the default policy, expressible as an explicit 1. */
   final class Compact(catalog: GraftCellCatalog)
       extends CellProcedure(catalog, "compact") {
     override def parameters(): Array[ProcedureParameter] = Array(
@@ -114,12 +119,15 @@ object GraftCellProcedures {
       val tableName = input.getUTF8String(0).toString
       val s = catalog.storeOf(tableName)
       val props = catalog.propsOf(tableName)
-      val ttl = (if (input.isNullAt(1) || input.getLong(1) < 0) None
-                 else Some(input.getLong(1)))
-        .orElse(props.get("ttl_micros").map(_.toLong))
-      val tomb = (if (input.isNullAt(2)) None
-                  else Some(input.getUTF8String(2).toString))
-        .orElse(props.get("tombstone"))
+      val ttl =
+        if (input.isNullAt(1) || input.getLong(1) < 0)
+          props.get("ttl_micros").map(_.toLong) // omitted: table policy
+        else if (input.getLong(1) == 0L) None   // explicit off
+        else Some(input.getLong(1))
+      val tomb =
+        if (input.isNullAt(2)) props.get("tombstone") // omitted
+        else Some(input.getUTF8String(2).toString)
+          .filter(_.nonEmpty)                         // '' = explicit off
       val maxV = (if (input.isNullAt(3) || input.getLong(3) < 1) None
                   else Some(input.getLong(3)))
         .orElse(props.get("max_versions").map(_.toLong))

@@ -185,7 +185,13 @@ object GraftCell {
   def alignedFiles(filters: Seq[Filter],
                    metas: Seq[CellFileMeta]): Option[Seq[CellFileMeta]] = {
     if (!rowkeyRangeOnly(filters)) return None
-    val range = keyRange(filters)
+    // Eligibility accepts And(l, r), but colRange's fold has no And
+    // case — fold over the FLATTENED conjuncts so a nested
+    // And(>=lo, <hi) rowkey filter tightens the interval instead of
+    // silently contributing FULL_RANGE (which would count every
+    // stats-complete file as fully included and return the
+    // unfiltered aggregate).
+    val range = keyRange(conjuncts(filters))
     val included = Seq.newBuilder[CellFileMeta]
     metas.foreach { m =>
       if (m.nullKeys.contains(m.rowCount)) {
@@ -3074,13 +3080,20 @@ class GraftCellScan(path: String, pushed: Array[Filter],
     // region files, so the planner can BROADCAST the pruned side of a
     // join instead of shuffling the fact table against it (spec-pinned:
     // a threshold between band size and table size broadcasts the band)
+    // a pushed TABLESAMPLE keeps ~fraction of every file's rows — scale
+    // both stats by it, or a 1% sample would still report 100% of the
+    // rows and suppress exactly the broadcasts the pushdown enables
+    private val frac = sample.map(_._1).getOrElse(1.0)
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(math.max(1L, selected.map(_.bytes).sum))
+      java.util.OptionalLong.of(
+        math.max(1L, (selected.map(_.bytes).sum * frac).toLong))
     // exact row total of the planned files (manifest rowCount; the
     // residual row-level filter can only shrink it — same upper-bound
-    // semantics as parquet's row-group stats)
+    // semantics as parquet's row-group stats), sample-scaled
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(selected.map(_.rowCount).sum)
+      java.util.OptionalLong.of(
+        math.max(if (selected.exists(_.rowCount > 0)) 1L else 0L,
+                 (selected.map(_.rowCount).sum * frac).toLong))
   }
 }
 
@@ -3434,13 +3447,22 @@ class GraftCellWrite(path: String, queryId: String, truncate: Boolean,
     buckets match {
       case Some(n) if declareTransform =>
         E.sort(E.bucket(n, "rowkey"), SortDirection.ASCENDING) +: cellKey
+      // path mode can't declare bucket(n, rowkey) (no FunctionCatalog
+      // to resolve it) and a plain rowkey sort would interleave
+      // buckets into a file-per-row roll storm — the caller owns the
+      // arrangement, and CellDataWriter verifies it (verifyOrder)
       case Some(_) => Array.empty
       case None => cellKey
     }
   }
 
+  // path-mode bucketed writes carry no Spark-enforced ordering, so the
+  // writer checks sortedness itself (see CellDataWriter.checkOrder)
+  private def verifyOrder = buckets.isDefined && !declareTransform
+
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-    new GraftCellBatchWrite(path, queryId, truncate, maxRowsPerFile, buckets)
+    new GraftCellBatchWrite(path, queryId, truncate, maxRowsPerFile, buckets,
+                            verifyOrder)
 
   /** Streaming write — the replication PRODUCER: each micro-batch epoch
     * publishes one `batch_<queryId>_ep<epoch>` dir through the same
@@ -3454,12 +3476,14 @@ class GraftCellWrite(path: String, queryId: String, truncate: Boolean,
     * applies per epoch (Catalyst plans the range shuffle inside each
     * micro-batch). */
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-    new GraftCellStreamingWrite(path, queryId, maxRowsPerFile, buckets)
+    new GraftCellStreamingWrite(path, queryId, maxRowsPerFile, buckets,
+                                verifyOrder)
 }
 
 class GraftCellStreamingWrite(path: String, queryId: String,
                               maxRowsPerFile: Long = -1L,
-                              buckets: Option[Int] = None)
+                              buckets: Option[Int] = None,
+                              verifyOrder: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -3470,7 +3494,8 @@ class GraftCellStreamingWrite(path: String, queryId: String,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory = {
     new java.io.File(path).mkdirs()
-    new CellStreamingDataWriterFactory(path, queryId, maxRowsPerFile, buckets)
+    new CellStreamingDataWriterFactory(path, queryId, maxRowsPerFile, buckets,
+                                       verifyOrder)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -3510,13 +3535,15 @@ class GraftCellStreamingWrite(path: String, queryId: String,
 
 class CellStreamingDataWriterFactory(path: String, queryId: String,
                                      maxRowsPerFile: Long = -1L,
-                                     buckets: Option[Int] = None)
+                                     buckets: Option[Int] = None,
+                                     verifyOrder: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
     val tmp = new java.io.File(path, s"_tmp_${queryId}_ep$epochId")
     tmp.mkdirs()
-    new CellDataWriter(tmp.getPath, partitionId, maxRowsPerFile, buckets)
+    new CellDataWriter(tmp.getPath, partitionId, maxRowsPerFile, buckets,
+                       verifyOrder)
   }
 }
 
@@ -3528,7 +3555,8 @@ final case class CellFilesCommitted(files: Seq[CellFileMeta])
 
 class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean,
                           maxRowsPerFile: Long = -1L,
-                          buckets: Option[Int] = None)
+                          buckets: Option[Int] = None,
+                          verifyOrder: Boolean = false)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -3536,7 +3564,8 @@ class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     tmpDir.mkdirs()
-    new CellDataWriterFactory(tmpDir.getPath, maxRowsPerFile, buckets)
+    new CellDataWriterFactory(tmpDir.getPath, maxRowsPerFile, buckets,
+                              verifyOrder)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -3584,11 +3613,13 @@ class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean,
 }
 
 class CellDataWriterFactory(tmpDir: String, maxRowsPerFile: Long = -1L,
-                            buckets: Option[Int] = None)
+                            buckets: Option[Int] = None,
+                            verifyOrder: Boolean = false)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new CellDataWriter(tmpDir, partitionId, maxRowsPerFile, buckets)
+    new CellDataWriter(tmpDir, partitionId, maxRowsPerFile, buckets,
+                       verifyOrder)
 }
 
 /** Sorted region file(s) per (range-partitioned) task. Rows arrive
@@ -3603,7 +3634,8 @@ class CellDataWriterFactory(tmpDir: String, maxRowsPerFile: Long = -1L,
   * contain it. */
 class CellDataWriter(tmpDir: String, partitionId: Int,
                      maxRowsPerFile: Long = -1L,
-                     buckets: Option[Int] = None)
+                     buckets: Option[Int] = None,
+                     verifyOrder: Boolean = false)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
@@ -3656,6 +3688,51 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
   // differently-bucketed layout can never pass for co-partitioned).
   private var curBucket = -1
 
+  // PATH-mode bucketed writes declare no ordering (no FunctionCatalog
+  // to resolve bucket(n, rowkey) through), yet the scan reports every
+  // region file as cell-key-sorted — so the writer itself verifies the
+  // caller's arrangement and fails loudly on the first out-of-order
+  // row instead of publishing a file the scan would let Spark elide
+  // sorts over (silently wrong merges). Catalog routes declare the
+  // ordering, so Spark sorts and this stays off the hot path.
+  private var prevKey: Array[Byte] = _
+  private var prevFam: Array[Byte] = _
+  private var prevQual: Array[Byte] = _
+  private var prevVer: java.lang.Long = _
+  private var verifySeen = false
+  // nulls-first ascending — the declared write ordering's null order
+  private def cmpNf(a: Array[Byte], b: Array[Byte]): Int =
+    if (a == null && b == null) 0
+    else if (a == null) -1
+    else if (b == null) 1
+    else JArrays.compareUnsigned(a, b)
+  private def checkOrder(row: InternalRow): Unit = {
+    def bytesAt(i: Int): Array[Byte] =
+      if (row.isNullAt(i)) null else row.getUTF8String(i).getBytes
+    val kb = bytesAt(0); val fb = bytesAt(1); val qb = bytesAt(2)
+    val vv: java.lang.Long = if (row.isNullAt(3)) null else row.getLong(3)
+    if (verifySeen) {
+      var c = cmpNf(kb, prevKey)
+      if (c == 0) c = cmpNf(fb, prevFam)
+      if (c == 0) c = cmpNf(qb, prevQual)
+      if (c == 0) c = (prevVer, vv) match {
+        case (null, null) => 0
+        case (null, _)    => 1
+        case (_, null)    => -1
+        case (p, v)       => java.lang.Long.compare(v, p)
+      }
+      if (c < 0) throw new IllegalStateException(
+        "graftcell: out-of-order row in a bucketed path-mode write " +
+        "(option(\"buckets\", n) callers must pre-sort each partition " +
+        "by (bucket, rowkey, family, qualifier, version); the scan " +
+        s"reports region files as sorted): rowkey=${
+          if (kb == null) "NULL" else new String(kb, "UTF-8")} after ${
+          if (prevKey == null) "NULL" else new String(prevKey, "UTF-8")}")
+    }
+    prevKey = kb; prevFam = fb; prevQual = qb; prevVer = vv
+    verifySeen = true
+  }
+
   // lazy open on first row: an empty task commits no region file
   private def open(): Unit = {
     val tag = buckets.fold("")(n => GraftBucket.tag(curBucket, n))
@@ -3673,6 +3750,7 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
     minFam = null; maxFam = null
     minQual = null; maxQual = null
     nullKeys = 0L
+    verifySeen = false // the sortedness claim is per region file
   }
 
   private def roll(): Unit = {
@@ -3695,6 +3773,7 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
       curBucket = b
     }
     if (writer == null) open()
+    if (verifyOrder) checkOrder(row)
     val g = groups.newGroup()
     if (row.isNullAt(0)) nullKeys += 1
     var i = 0

@@ -1171,6 +1171,78 @@ class CellConnectorSpec extends AnyFunSuite {
     s.sql("DROP TABLE graftprops.t2")
   }
 
+  test("explicit-off compact arguments override the descriptor policy " +
+       "(ADVICE r16: ttl_micros = 0 / tombstone = '' are the off sentinels)") {
+    import scala.collection.JavaConverters._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_off_spec_").toString
+    s.conf.set("spark.sql.catalog.graftoff",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftoff.root", root)
+    s.sql("""CREATE TABLE graftoff.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell
+             TBLPROPERTIES ('ttl_micros' = '1500',
+                            'tombstone' = '__TOMB__',
+                            'max_versions' = '2')""")
+    val fixture = ('a' to 'j').map(c => (c.toString, 1000L, s"v$c")) ++
+      Seq(("c", 2000L, "__TOMB__"), ("d", 1L, "ancient"))
+    s.createDataFrame(
+      fixture.map { case (k, v, value) =>
+        org.apache.spark.sql.Row(k, "d", "q", v, value) }.asJava,
+      GraftCell.SCHEMA)
+      .write.format("graftcell").mode("append").save(s"$root/t")
+    def cells() = s.sql(
+      "SELECT rowkey, version, value FROM graftoff.t ORDER BY rowkey, version")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val before = cells()
+    // the off-run: TTL and tombstone EXPLICITLY disabled for this run
+    // despite the declared policy; version resolution (max_versions = 2
+    // from the descriptor) keeps every cell — no key has > 2 versions
+    s.sql("CALL graftoff.compact('t', 0, '')")
+    assert(cells() == before,
+      "an explicit-off compact must not apply the descriptor's GC policy")
+    // a plain compact then applies the policy: the marker is physically
+    // dropped (delete-if-current — with max_versions = 2 the put ranked
+    // below it remains, the engine's pinned tombstone model) and the
+    // TTL-expired ancient version is gone
+    s.sql("CALL graftoff.compact('t')")
+    val after = cells()
+    assert(!after.exists(_._3 == "__TOMB__"), s"tombstone GC must run: $after")
+    assert(!after.exists(_._2 == 1L), s"TTL expiry must run: $after")
+    assert(after.map(_._1).toSet == ('a' to 'j').map(_.toString).toSet)
+    s.sql("DROP TABLE graftoff.t")
+  }
+
+  test("catalog probes with invalid identifier characters resolve to " +
+       "'not found', never IllegalArgumentException (ADVICE r16)") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_badid_spec_").toString
+    s.conf.set("spark.sql.catalog.graftbad",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftbad.root", root)
+    // touch the catalog so the manager instantiates it
+    s.sql("SHOW TABLES IN graftbad").collect()
+    val cat = s.sessionState.catalogManager.catalog("graftbad")
+      .asInstanceOf[TableCatalog]
+    // exists-probes: false, not a throw
+    assert(!cat.tableExists(Identifier.of(Array.empty[String], "no such!")))
+    assert(!cat.tableExists(Identifier.of(Array("bad ns"), "t")))
+    // load-probes: the analysis-friendly NoSuchTableException
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchTableException] {
+      cat.loadTable(Identifier.of(Array.empty[String], "bad:name"))
+    }
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchTableException] {
+      cat.loadTable(Identifier.of(Array("bad ns"), "t"), "snap")
+    }
+    // and through SQL: a weird multipart identifier routed to this
+    // catalog surfaces as the standard not-found analysis error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT * FROM graftbad.`a b`.`t c`").collect()
+    }
+  }
+
   test("split_region cuts a straddling file at the key; probes plan fewer files (r16)") {
     import graft.sources.cell.CellFooterCache
     import scala.collection.JavaConverters._
@@ -2132,6 +2204,28 @@ class CellConnectorSpec extends AnyFunSuite {
       assert(!fullJoin.queryExecution.executedPlan.toString
         .contains("BroadcastHashJoin"))
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("a pushed TABLESAMPLE scales the reported statistics (ADVICE r16)") {
+    import org.apache.spark.sql.functions.col
+    SparkEntry.queries("scan_cell_connector")(s, dir).queryExecution // stage
+    val store = "/tmp/graft_cellstore_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val full = s.read.format("graftcell").load(store)
+    val sampled = full.sample(0.1, 7L)
+    // the sample must actually be pushed (no Sample node survives)
+    assert(!sampled.queryExecution.optimizedPlan.toString.contains("Sample"),
+      s"sample not pushed:\n${sampled.queryExecution.optimizedPlan}")
+    val fs = full.queryExecution.optimizedPlan.stats
+    val ss = sampled.queryExecution.optimizedPlan.stats
+    // a 10% pushed sample reports ~10% of the rows and bytes — without
+    // the scaling a 1% sample still reported 100% and suppressed the
+    // broadcasts the pushdown exists to enable
+    assert(ss.rowCount.isDefined && fs.rowCount.isDefined)
+    assert(ss.rowCount.get * 5 < fs.rowCount.get,
+      s"sampled rows ${ss.rowCount} not scaled vs full ${fs.rowCount}")
+    assert(ss.rowCount.get > 0, "scaling must not zero a non-empty scan")
+    assert(ss.sizeInBytes * 5 < fs.sizeInBytes,
+      s"sampled bytes ${ss.sizeInBytes} not scaled vs full ${fs.sizeInBytes}")
   }
 
   test("CTAS / RTAS through the catalog: cell schema enforced, content exact (r16)") {

@@ -207,6 +207,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("alignedFiles is invariant under conjunct flattening (ADVICE r16: " +
+       "a nested And rowkey filter must tighten the fold, not widen it)") {
+    // rowkeyRangeOnly accepts And(l, r), so the range fold must see the
+    // FLATTENED conjuncts: before the r17 fix, And(>=lo, <hi) folded as
+    // FULL_RANGE and every stats-complete file counted as fully
+    // included — the filtered metadata COUNT would have returned the
+    // unfiltered answer.
+    import graft.sources.cell.{CellFileMeta, GraftCell}
+    import org.apache.spark.sql.sources._
+    def meta(lo: String, hi: String) =
+      CellFileMeta("f", 1L, 10L, Some(lo.getBytes("UTF-8")),
+        Some(hi.getBytes("UTF-8")), "t", Some(0L), Some(1L),
+        None, None, None, None, Some(0L))
+    // concrete regression: files entirely outside [b, d) must not count
+    val metas = Seq(meta("a", "a"), meta("b", "c"), meta("e", "z"))
+    val nested = Seq(And(GreaterThanOrEqual("rowkey", "b"),
+                         LessThan("rowkey", "d")))
+    val flat = Seq(GreaterThanOrEqual("rowkey", "b"),
+                   LessThan("rowkey", "d"): Filter)
+    assert(GraftCell.alignedFiles(nested, metas) ==
+           GraftCell.alignedFiles(flat, metas))
+    assert(GraftCell.alignedFiles(nested, metas).exists(_.size == 1))
+    // property: random range-only shapes, nested vs flat, random stats
+    val keyGen = Gen.oneOf("0", "1", "5", "7", "9", "a", "z")
+    val leafGen: Gen[Filter] = Gen.oneOf(
+      keyGen.map(k => EqualTo("rowkey", k): Filter),
+      keyGen.map(k => GreaterThanOrEqual("rowkey", k): Filter),
+      keyGen.map(k => LessThan("rowkey", k): Filter),
+      keyGen.map(k => StringStartsWith("rowkey", k): Filter),
+      Gen.const(IsNotNull("rowkey"): Filter))
+    val metaGen = for { a <- keyGen; b <- keyGen } yield
+      if (a <= b) meta(a, b) else meta(b, a)
+    val caseGen = for {
+      a <- leafGen; b <- leafGen; c <- leafGen
+      ms <- Gen.listOfN(20, metaGen)
+    } yield (a, b, c, ms)
+    forAllSeeded(caseGen, samples = 60) { case (a, b, c, ms) =>
+      assert(GraftCell.alignedFiles(Seq(And(a, And(b, c))), ms) ==
+             GraftCell.alignedFiles(Seq(a, b, c), ms),
+        s"nested/flat divergence on And($a, And($b, $c))")
+    }
+  }
+
   test("midKey: strictly above min, at-or-below max except the " +
        "trailing-NUL degeneracy (r16 normalizer split points)") {
     import graft.sources.cell.GraftCellMaintenance.midKey
