@@ -1136,6 +1136,44 @@ object CellConnector extends QueryModule {
                ORDER BY rowkey, qualifier""")
     }),
 
+    "sql_cell_snapshot_archive" -> ((s, dir) => {
+      // SNAPSHOT ARCHIVE (r17 — the HBase archive dir, closing the
+      // long-documented "no-archive-dir caveat"): a MAJOR COMPACTION
+      // between the snapshot and the restore. In HBase, compaction
+      // moves snapshot-referenced HFiles to the archive and a snapshot
+      // survives any maintenance until explicitly dropped; here the
+      // compaction's truncate-overwrite renames the pinned generations
+      // under `_archive/` (metadata-only — one rename per dir, hard
+      // links for partial retirement) and restore REVIVES them.
+      // Sequence: pin 'keep' → corrupting append → compact (collapses
+      // live to one generation; pre-compact dirs archived; 'keep'
+      // reports ZERO missing) → restore 'keep' → the table reads the
+      // pinned generation exactly. The oracle is the plain rebuild —
+      // byte-identical to pre-corruption, pre-compaction content.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_ar (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_ar SELECT * FROM graft_catalog_src")
+      s.sql("CALL graftcat.snapshot('events_ar', 'keep')")
+      s.sql("""INSERT INTO graftcat.events_ar
+               SELECT rowkey, family, qualifier,
+                      version + 1000000 AS version,
+                      concat(value, '#CORRUPT') AS value
+               FROM graft_catalog_src WHERE rowkey >= '7'""")
+      s.sql("CALL graftcat.compact('events_ar')")
+      // the compaction must NOT have invalidated the snapshot
+      val ls = s.sql("CALL graftcat.list_snapshots('events_ar')")
+        .collect().filter(_.getString(0) == "keep")
+      assert(ls.length == 1 && ls(0).getLong(2) == 0L,
+        s"snapshot must survive compaction via the archive: ${ls.toSeq}")
+      s.sql("CALL graftcat.restore_snapshot('events_ar', 'keep')")
+      s.sql("""SELECT * FROM graftcat.events_ar
+               ORDER BY rowkey, qualifier""")
+    }),
+
     "sql_cell_call_list_snapshots" -> ((s, dir) => {
       // HBase shell `list_snapshots` as SQL (r16): one row per snapshot
       // manifest — name, pinned-dir count, and how many pinned dirs a
@@ -1567,15 +1605,19 @@ object CellConnector extends QueryModule {
     }),
 
     "sql_cell_call_hbck" -> ((s, dir) => {
-      // HBase `hbck` (r16): the REPORT-ONLY consistency check — pure
-      // driver-side metadata (zero data bytes at any store size).
-      // The fixture CONSTRUCTS one instance of each anomaly class on
-      // the table's store and pins the exact counts: a snapshot
-      // invalidated by compaction; a manifest-listed region file
-      // deleted from disk (missing=1); a disk parquet no manifest
-      // lists (orphan=1 — invisible to reads, the manifest is
-      // authoritative); a stale `_tmp_*` dir from a crashed
-      // maintenance op (stale=1). Healthy dimensions stay zero
+      // HBase `hbck` (r16; archive-aware r17): the REPORT-ONLY
+      // consistency check — pure driver-side metadata (zero data bytes
+      // at any store size). The fixture CONSTRUCTS one instance of
+      // each anomaly class on the table's store and pins the exact
+      // counts: a manifest-listed region file deleted from disk
+      // (missing=1); a disk parquet no manifest lists (orphan=1 —
+      // invisible to reads, the manifest is authoritative); a snapshot
+      // whose pin is in NEITHER live nor archive (invalid=1 — since
+      // r17 compaction ARCHIVES pinned generations, so 'hpin' below
+      // stays VALID and only the explicitly-dead pin counts); a stale
+      // `_tmp_*` dir from a crashed maintenance op (stale=1); an
+      // archived file no snapshot pins (unreferenced=1 — the class
+      // vacuum's archive sweep reclaims). Healthy dimensions stay zero
       // (pending intents). Every count is layout-independent —
       // deterministic under any shuffle-partition count.
       registerCatalog(s, dir)
@@ -1590,7 +1632,8 @@ object CellConnector extends QueryModule {
                SELECT rowkey, family, qualifier,
                       version + 1000000 AS version, value
                FROM graft_catalog_src WHERE rowkey >= '6'""")
-      // compaction collapses to ONE generation and invalidates 'hpin'
+      // compaction collapses to ONE live generation; 'hpin''s pinned
+      // generations move to _archive/ and the snapshot STAYS VALID
       s.sql("CALL graftcat.compact('events_hb')")
       val store = "/tmp/graft_catalog_" +
         dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_hb"
@@ -1605,6 +1648,15 @@ object CellConnector extends QueryModule {
       java.nio.file.Files.write(
         new java.io.File(dirFile, "zz_orphan.parquet").toPath,
         Array.emptyByteArray)
+      // invalid: a pin resolving neither live nor archived
+      graft.sources.cell.GraftCellSnapshot.createPinned(
+        store, "gone", Seq("batch_nonexistent"))
+      // unreferenced archived: a file in the archive nothing pins
+      val deadArch = new java.io.File(store, "_archive/batch_dead")
+      deadArch.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(deadArch, "dead.parquet").toPath,
+        Array.emptyByteArray)
       // stale tmp: a crashed maintenance op's leavings
       new java.io.File(store, "_tmp_hbck_crash").mkdirs()
       graft.sources.cell.CellFooterCache.invalidate(store)
@@ -1612,11 +1664,13 @@ object CellConnector extends QueryModule {
     }),
 
     "sql_cell_call_vacuum" -> ((s, dir) => {
-      // HBase's CLEANER CHORES as one verb (r16) — the FIX side of
-      // what hbck reports: the fixture constructs one reclaimable
-      // anomaly per class (a snapshot invalidated by compaction, an
-      // orphan parquet no manifest lists, a stale `_tmp_*` dir) and
-      // the CALL deletes them, pinning the exact counts. No
+      // HBase's CLEANER CHORES as one verb (r16; archive-aware r17) —
+      // the FIX side of what hbck reports: the fixture constructs one
+      // reclaimable anomaly per class (a snapshot whose pin is in
+      // neither live nor archive — compaction no longer invalidates,
+      // 'vpin' survives via the archive; an orphan parquet no manifest
+      // lists; a stale `_tmp_*` dir; an archived file nothing pins)
+      // and the CALL deletes them, pinning the exact counts. No
       // missing-file corruption here (vacuum reclaims garbage, it
       // does not repair corruption) and no pending intent (spec
       // covers the repair-first path) — both dimensions stay zero.
@@ -1634,7 +1688,7 @@ object CellConnector extends QueryModule {
                SELECT rowkey, family, qualifier,
                       version + 1000000 AS version, value
                FROM graft_catalog_src WHERE rowkey >= '6'""")
-      // compaction collapses to ONE generation and invalidates 'vpin'
+      // compaction archives 'vpin''s generations; the snapshot LIVES
       s.sql("CALL graftcat.compact('events_vc')")
       val store = "/tmp/graft_catalog_" +
         dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_vc"
@@ -1645,6 +1699,15 @@ object CellConnector extends QueryModule {
                          "zz_orphan.parquet").toPath,
         Array.emptyByteArray)
       new java.io.File(store, "_tmp_vacuum_crash").mkdirs()
+      // a dead pin (drop-eligible) + an unpinned archived file
+      // (sweep-eligible) — the two classes the flagged pass reclaims
+      graft.sources.cell.GraftCellSnapshot.createPinned(
+        store, "gone", Seq("batch_nonexistent"))
+      val deadArch = new java.io.File(store, "_archive/batch_dead")
+      deadArch.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(deadArch, "dead.parquet").toPath,
+        Array.emptyByteArray)
       graft.sources.cell.CellFooterCache.invalidate(store)
       s.sql("CALL graftcat.vacuum('events_vc', true)")
     }),
@@ -1915,6 +1978,13 @@ object CellConnector extends QueryModule {
     // restore repoints the live table to the pre-corruption snapshot,
     // so the result is the plain cell rebuild — corrupt rows gone
     "sql_cell_call_restore" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    // r17 archive: snapshot → corrupting append → COMPACT → restore
+    // still returns the pinned generation (the compaction archived it
+    // instead of destroying it), so the oracle is again the rebuild
+    "sql_cell_snapshot_archive" ->
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT * FROM cells ORDER BY rowkey, qualifier""",
 
@@ -2308,22 +2378,28 @@ object CellConnector extends QueryModule {
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT * FROM cells ORDER BY rowkey, qualifier""",
 
-    // one constructed anomaly per class, exact counts by construction
+    // one constructed anomaly per class, exact counts by construction;
+    // r17: compaction archives (hpin valid), only the explicitly-dead
+    // pin counts as invalid, and one unpinned archived file is staged
     "sql_cell_call_hbck" ->
       """SELECT CAST(1 AS BIGINT) AS dirs,
                 CAST(1 AS BIGINT) AS missing_files,
                 CAST(1 AS BIGINT) AS orphan_files,
                 CAST(0 AS BIGINT) AS pending_intents,
                 CAST(1 AS BIGINT) AS invalid_snapshots,
-                CAST(1 AS BIGINT) AS stale_tmp_dirs""",
+                CAST(1 AS BIGINT) AS stale_tmp_dirs,
+                CAST(1 AS BIGINT) AS unreferenced_archived""",
 
     // one reclaimable anomaly per class by construction; no pending
-    // intent and no corruption, so intents_completed = 0
+    // intent and no corruption, so intents_completed = 0; r17: 'vpin'
+    // survives compaction via the archive, only the dead pin drops,
+    // and the one unpinned archived file is swept
     "sql_cell_call_vacuum" ->
       """SELECT CAST(0 AS BIGINT) AS intents_completed,
                 CAST(1 AS BIGINT) AS orphan_files_deleted,
                 CAST(1 AS BIGINT) AS stale_tmp_dirs_deleted,
-                CAST(1 AS BIGINT) AS invalid_snapshots_dropped""",
+                CAST(1 AS BIGINT) AS invalid_snapshots_dropped,
+                CAST(1 AS BIGINT) AS archived_files_reclaimed""",
 
     // diff counts derived from the same cell rebuild: the tilde makes
     // a mismatch only where value IS NOT NULL (NULL||'~' stays NULL

@@ -1,0 +1,216 @@
+package graft.sources.cell
+
+import java.io.File
+import java.nio.file.{Files, StandardCopyOption}
+
+/** The HBase ARCHIVE directory (r17 — closes the long-documented
+  * "no-archive-dir caveat"): maintenance rewrites that retire region
+  * files a snapshot still pins MOVE them under `<store>/_archive/<dir>/`
+  * instead of deleting them, so snapshots survive compaction, truncate,
+  * restore, split, merge and normalize — exactly HBase's semantics,
+  * where compaction moves snapshot-referenced HFiles to the archive and
+  * a snapshot stays restorable until it is explicitly dropped.
+  *
+  * Cost model (the 100 TB argument): archiving is METADATA ONLY — a
+  * whole retired generation moves by ONE directory rename, a partially
+  * retired one by hard links (same-filesystem, zero data bytes); the
+  * archive holds inodes the snapshots already logically owned. Space is
+  * reclaimed by [[sweep]] the moment the last pinning snapshot is
+  * dropped (`drop_snapshot` / `vacuum` both sweep).
+  *
+  * Granularity: snapshot manifests are file-granular since r17 (v2 —
+  * see [[GraftCellSnapshot]]), so a later snapshot of a dir that lost
+  * files to a split never resurrects the archived originals alongside
+  * their split replacements. Legacy v1 manifests (dir names only) pin
+  * whole dirs: their archived dirs resolve wholesale, and only when the
+  * live dir is gone.
+  *
+  * In-place DML rewrites (UPDATE / DELETE / MERGE) deliberately do NOT
+  * archive: the engine's documented file-granular copy-on-write model
+  * has snapshots observe in-place rewrites (a snapshot pins names, a
+  * rewrite keeps the name) — the archive preserves GENERATIONS against
+  * maintenance, it does not turn DML into MVCC. */
+object CellArchive {
+  val DIR = "_archive"
+
+  def root(store: String): File = new File(store, DIR)
+  def dirOf(store: String, dirName: String): File =
+    new File(root(store), dirName)
+
+  /** Union pin map across every snapshot manifest of the store:
+    * dir name -> None (some v1 manifest pins the WHOLE dir) or
+    * Some(pinned file names). O(snapshots) small JSON reads. */
+  def pins(store: String): Map[String, Option[Set[String]]] = {
+    val perSnap = GraftCellSnapshot.names(store)
+      .map(n => GraftCellSnapshot.pinned(store, n))
+    perSnap.foldLeft(Map.empty[String, Option[Set[String]]]) { (acc, m) =>
+      m.foldLeft(acc) {
+        case (a, (d, names)) => a.get(d) match {
+          case Some(None)                    => a // whole-dir pin absorbs
+          case _ if names.isEmpty            => a + (d -> None)
+          case Some(Some(prev))              => a + (d -> Some(prev ++ names.get))
+          case None                          => a + (d -> names)
+        }
+      }
+    }
+  }
+
+  /** Archive the named files of live dir `dirName` (hard links + a
+    * folded archive manifest), IF any snapshot pins the dir. Must run
+    * BEFORE the live files are deleted. Idempotent: an existing link is
+    * replaced (re-archiving after a crash, or a revived file retired
+    * again, both land on the current inode). */
+  def archiveRetiring(store: String, dirName: String,
+                      names: Set[String]): Unit = {
+    if (names.isEmpty || !pins(store).contains(dirName)) return
+    val metas = CellFooterCache.filesUnder(store, dirName)
+      .filter(m => names.contains(new File(m.path).getName))
+    if (metas.isEmpty) return
+    val dst = dirOf(store, dirName)
+    dst.mkdirs()
+    metas.foreach { m =>
+      val link = new File(dst, new File(m.path).getName)
+      if (link.exists()) link.delete()
+      Files.createLink(link.toPath, new File(m.path).toPath)
+    }
+    foldManifest(store, dirName, dst, metas)
+  }
+
+  /** Retire a whole live dir: ONE rename into the archive when pinned
+    * (fast path — manifest and stats travel with it), a link-merge when
+    * part of the dir was archived earlier, plain delete when no
+    * snapshot pins it. */
+  def retireDir(store: String, dir: File): Unit = {
+    val pinnedDirs = pins(store)
+    if (!pinnedDirs.contains(dir.getName)) { deleteRec(dir); return }
+    val dst = dirOf(store, dir.getName)
+    if (!dst.exists()) {
+      root(store).mkdirs()
+      Files.move(dir.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
+      ()
+    } else {
+      // earlier partial retirement already created the archive dir:
+      // link the remaining live files in, fold their entries, drop live
+      val metas = CellFooterCache.filesUnder(store, dir.getName)
+      metas.foreach { m =>
+        val link = new File(dst, new File(m.path).getName)
+        if (link.exists()) link.delete()
+        Files.createLink(link.toPath, new File(m.path).toPath)
+      }
+      foldManifest(store, dir.getName, dst, metas)
+      deleteRec(dir)
+    }
+  }
+
+  /** Merge `metas` (paths still pointing at the LIVE dir; only names
+    * matter — the manifest stores names) into the archive dir's
+    * manifest, creating it if absent. The commit stamp is the source
+    * dir's (an archive entry is the old generation, not a new one). */
+  private def foldManifest(store: String, dirName: String, dst: File,
+                           metas: Seq[CellFileMeta]): Unit = {
+    val srcStamp = CellManifest.read(new File(store, dirName))
+      .map(_.committedAtMicros)
+    val existing = CellManifest.read(dst)
+    val stamp = existing.map(_.committedAtMicros)
+      .orElse(srcStamp)
+      .getOrElse(new File(store, dirName).lastModified() * 1000L)
+    val prior = existing.map(_.files).getOrElse(Nil)
+    val newNames = metas.map(m => new File(m.path).getName).toSet
+    val merged = prior.filterNot(m =>
+      newNames.contains(new File(m.path).getName)) ++
+      metas.map(m => m.copy(path = new File(dst, new File(m.path).getName).getPath))
+    CellManifest.write(dst, stamp, merged)
+  }
+
+  /** File metas a snapshot resolves for one pinned dir: live entries
+    * first (a live name always wins — in-place rewrites flow through),
+    * archived entries for pinned names no longer live. `names` = None
+    * is a legacy v1 whole-dir pin: the live dir wins wholesale; only a
+    * fully retired dir falls back to its archive copy. */
+  def resolvePinned(store: String, dirName: String,
+                    names: Option[Set[String]]): Seq[CellFileMeta] = {
+    val liveDir = new File(store, dirName)
+    val live = if (liveDir.isDirectory)
+      CellFooterCache.filesUnder(store, dirName) else Nil
+    val liveKept = names.fold(live)(ns =>
+      live.filter(m => ns.contains(new File(m.path).getName)))
+    val archDir = dirOf(store, dirName)
+    if (!archDir.isDirectory) return liveKept
+    val liveNames = liveKept.map(m => new File(m.path).getName).toSet
+    val archived = names match {
+      case Some(ns) =>
+        CellFooterCache.filesUnder(store, s"$DIR/$dirName")
+          .filter { m =>
+            val n = new File(m.path).getName
+            ns.contains(n) && !liveNames.contains(n)
+          }
+      case None =>
+        if (liveDir.isDirectory) Nil
+        else CellFooterCache.filesUnder(store, s"$DIR/$dirName")
+    }
+    liveKept ++ archived
+  }
+
+  /** Reclaim every archived file no remaining snapshot pins (HBase's
+    * HFile cleaner over the archive). Returns files reclaimed. Also
+    * drops archive dirs emptied by the sweep and folds the archive
+    * manifests, so [[unreferenced]] converges to zero. */
+  def sweep(store: String): Long = {
+    val pinnedDirs = pins(store)
+    var reclaimed = 0L
+    Option(root(store).listFiles).getOrElse(Array.empty)
+      .filter(_.isDirectory).foreach { d =>
+        pinnedDirs.get(d.getName) match {
+          case Some(None) => // whole-dir pin: keep everything
+          case Some(Some(names)) =>
+            val dead = Option(d.listFiles).getOrElse(Array.empty)
+              .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+                           !names.contains(f.getName))
+            dead.foreach { f => f.delete(); reclaimed += 1 }
+            if (dead.nonEmpty)
+              CellManifest.applyRewrite(d, dead.map(_.getPath).toSet, Map.empty)
+            if (!hasData(d)) deleteRec(d)
+          case None =>
+            reclaimed += Option(d.listFiles).getOrElse(Array.empty)
+              .count(f => f.isFile && f.getName.endsWith(".parquet")).toLong
+            deleteRec(d)
+        }
+      }
+    if (!hasData(root(store)) &&
+        Option(root(store).listFiles).exists(_.isEmpty)) {
+      root(store).delete()
+      ()
+    }
+    CellFooterCache.invalidate(store)
+    reclaimed
+  }
+
+  /** Count of archived files no snapshot pins — the report-only side of
+    * [[sweep]], surfaced by `CALL hbck`. Zero on a healthy store. */
+  def unreferenced(store: String): Long = {
+    val pinnedDirs = pins(store)
+    Option(root(store).listFiles).getOrElse(Array.empty)
+      .filter(_.isDirectory).map { d =>
+        pinnedDirs.get(d.getName) match {
+          case Some(None) => 0L
+          case Some(Some(names)) =>
+            Option(d.listFiles).getOrElse(Array.empty)
+              .count(f => f.isFile && f.getName.endsWith(".parquet") &&
+                          !names.contains(f.getName)).toLong
+          case None =>
+            Option(d.listFiles).getOrElse(Array.empty)
+              .count(f => f.isFile && f.getName.endsWith(".parquet")).toLong
+        }
+      }.sum
+  }
+
+  private def hasData(d: File): Boolean =
+    Option(d.listFiles).getOrElse(Array.empty).exists(f =>
+      (f.isFile && f.getName.endsWith(".parquet")) ||
+      (f.isDirectory && hasData(f)))
+
+  private def deleteRec(f: File): Unit = {
+    Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
+  }
+}

@@ -71,10 +71,13 @@ object GraftCellMeta {
     * procedure (pinned_dirs / missing_dirs), plus what the pinned
     * generation READS: row/byte totals and the min/max rowkey, summed
     * from the pinned dirs' manifests with retire intents subtracted —
-    * i.e. exactly `VERSION AS OF` semantics. An INVALIDATED snapshot
-    * (missing_dirs > 0 — compaction removed pinned dirs) reports NULL
-    * stats: the generation can no longer be read back in full, and a
-    * number computed from the surviving half would be a lie. */
+    * i.e. exactly `VERSION AS OF` semantics — since r17 resolved
+    * through the `_archive/` dir, so a compacted-away pinned
+    * generation still reports its true stats. An INVALIDATED snapshot
+    * (missing > 0 — a pin in neither live nor archive: a v1-era loss
+    * or a vacuumed archive) reports NULL stats: the generation can no
+    * longer be read back in full, and a number computed from the
+    * surviving half would be a lie. */
   val SNAPSHOTS_SCHEMA: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
     StructField("pinned_dirs", LongType, nullable = false),

@@ -416,11 +416,12 @@ object GraftCellProcedures {
       "consistency report: manifest drift, pending intents, " +
       "invalidated snapshots, stale tmp dirs (report-only)"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val (dirs, missing, orphans, intents, invalid, stale) =
+      val (dirs, missing, orphans, intents, invalid, stale, archOrphans) =
         GraftCellMaintenance.hbck(store(input.getUTF8String(0)))
       summary("dirs" -> dirs, "missing_files" -> missing,
               "orphan_files" -> orphans, "pending_intents" -> intents,
-              "invalid_snapshots" -> invalid, "stale_tmp_dirs" -> stale)
+              "invalid_snapshots" -> invalid, "stale_tmp_dirs" -> stale,
+              "unreferenced_archived" -> archOrphans)
     }
   }
 
@@ -438,12 +439,14 @@ object GraftCellProcedures {
       "cleaner chores: complete pending retirements, delete orphan " +
       "files and stale tmp dirs, optionally drop invalidated snapshots"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val (intents, orphans, stale, snaps) = GraftCellMaintenance.vacuum(
-        store(input.getUTF8String(0)), input.getBoolean(1))
+      val (intents, orphans, stale, snaps, archived) =
+        GraftCellMaintenance.vacuum(
+          store(input.getUTF8String(0)), input.getBoolean(1))
       summary("intents_completed" -> intents,
               "orphan_files_deleted" -> orphans,
               "stale_tmp_dirs_deleted" -> stale,
-              "invalid_snapshots_dropped" -> snaps)
+              "invalid_snapshots_dropped" -> snaps,
+              "archived_files_reclaimed" -> archived)
     }
   }
 

@@ -802,10 +802,18 @@ class GraftCellTable(path: String,
   * (`.option("snapshot", name)`) plans exactly the pinned dirs through
   * the same footer-pruned scan. Time travel at 100 TB is therefore a
   * metadata operation: create = list + write one small JSON file.
-  * Caveat (as in HBase without an archive dir): major compaction
-  * (TRUNCATE overwrite) deletes old generations and invalidates
-  * snapshots that pinned them — pinned dirs that no longer exist read
-  * as empty. */
+  *
+  * Since r17 manifests are FILE-GRANULAR (v2: `{"v":2,"dirs":{dir:
+  * [names]}}`) and maintenance rewrites ARCHIVE pinned files instead
+  * of deleting them (see [[CellArchive]]) — so compaction, truncate,
+  * restore, split and merge no longer invalidate snapshots: a pinned
+  * file resolves live-first, then through `_archive/<dir>/`, exactly
+  * HBase's archive-dir semantics. Legacy v1 manifests (a JSON array of
+  * dir names) keep their dir-granular resolution. The remaining
+  * invalidation path is a pin whose file is in NEITHER place (a v1-era
+  * loss, or an archive reclaimed by `vacuum`'s drop-invalid flag). The
+  * documented in-place DML caveat stands: rewrites keep the file name,
+  * so snapshots observe them. */
 object GraftCellSnapshot {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -816,14 +824,27 @@ object GraftCellSnapshot {
     new java.io.File(store, s"_snapshot_$name.json")
   }
 
-  /** Pin the currently committed dir set under `name` (atomic publish:
-    * tmp file + rename, so a concurrent reader sees old or new manifest,
-    * never a torn one). Returns the pinned dirs. */
+  /** Pin the current READ VIEW under `name` — per committed dir, the
+    * file NAMES visible to a batch reader right now (manifest entries
+    * minus pending retire intents), as a v2 manifest. Atomic publish:
+    * tmp file + rename, so a concurrent reader sees old or new
+    * manifest, never a torn one. Returns the pinned dirs. */
   def create(store: String, name: String): Seq[String] = {
+    val retired = CellRetire.retiredOf(store)
     val dirs = CellFooterCache.committedDirs(store)
+    val root = mapper.createObjectNode()
+    root.put("v", 2)
+    val dnode = root.putObject("dirs")
+    dirs.foreach { d =>
+      val arr = dnode.putArray(d)
+      CellFooterCache.filesUnder(store, d)
+        .filterNot(m => retired.contains(m.path))
+        .map(m => new java.io.File(m.path).getName).sorted
+        .foreach(arr.add)
+    }
     val tmp = java.io.File.createTempFile("_snaptmp_", ".json",
                                           new java.io.File(store))
-    java.nio.file.Files.write(tmp.toPath, mapper.writeValueAsBytes(dirs.toArray))
+    java.nio.file.Files.write(tmp.toPath, mapper.writeValueAsBytes(root))
     java.nio.file.Files.move(tmp.toPath, manifest(store, name).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -842,26 +863,66 @@ object GraftCellSnapshot {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def drop(store: String, name: String): Unit = {
-    manifest(store, name).delete(); ()
+  /** Drop a snapshot manifest AND reclaim archived files it alone
+    * pinned (the HBase archive cleaner runs on snapshot deletion).
+    * `sweep = false` defers reclamation to the caller's own sweep —
+    * vacuum drops dead manifests mid-pass and counts the whole
+    * reclamation in one final sweep. */
+  def drop(store: String, name: String, sweep: Boolean = true): Unit = {
+    manifest(store, name).delete()
+    if (sweep) CellArchive.sweep(store)
+    ()
   }
 
-  /** All snapshots of a store, sorted by name: (name, pinned dirs,
-    * missing dirs) — `missing` counts pinned dirs a later compaction /
-    * truncate removed (a nonzero count means the snapshot is
-    * INVALIDATED: it reads partially empty and cannot be restored).
-    * The HBase shell `list_snapshots`. */
-  def list(store: String): Seq[(String, Seq[String], Seq[String])] =
+  /** Snapshot names of a store, sorted. */
+  def names(store: String): Seq[String] =
     Option(new java.io.File(store).listFiles).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith("_snapshot_") &&
                    f.getName.endsWith(".json"))
       .map(_.getName.stripPrefix("_snapshot_").stripSuffix(".json"))
       .sorted.toSeq
-      .map { n =>
-        val pinned = dirs(store, n)
-        (n, pinned,
-         pinned.filterNot(d => new java.io.File(store, d).isDirectory))
+
+  /** One snapshot's pin map: dir -> Some(pinned file names) for a v2
+    * manifest, or None for a legacy v1 whole-dir pin. */
+  def pinned(store: String, name: String)
+      : Map[String, Option[Set[String]]] = {
+    val f = manifest(store, name)
+    require(f.exists(), s"graftcell: no snapshot '$name' in $store")
+    val root = mapper.readTree(java.nio.file.Files.readAllBytes(f.toPath))
+    if (root.isArray)
+      root.elements().asScala.map(_.asText() -> None).toMap
+    else
+      root.get("dirs").properties().asScala.map { e =>
+        e.getKey -> Some(e.getValue.elements().asScala
+          .map(_.asText()).toSet): (String, Option[Set[String]])
+      }.toMap
+  }
+
+  /** All snapshots of a store, sorted by name: (name, pinned dirs,
+    * missing items) — `missing` lists pins resolving NEITHER live NOR
+    * in the archive (v2: "dir/file" per lost file; v1: the dir name).
+    * Nonzero = the snapshot is INVALIDATED: it reads partially empty
+    * and cannot be restored/cloned/exported. With the r17 archive this
+    * only happens to v1-era losses or a vacuumed archive. The HBase
+    * shell `list_snapshots`. */
+  def list(store: String): Seq[(String, Seq[String], Seq[String])] =
+    names(store).map { n =>
+      val pins = pinned(store, n)
+      val dirsSorted = pins.keys.toSeq.sorted
+      val missing = dirsSorted.flatMap { d =>
+        pins(d) match {
+          case Some(ns) =>
+            val resolved = CellArchive.resolvePinned(store, d, Some(ns))
+              .map(m => new java.io.File(m.path).getName).toSet
+            ns.toSeq.sorted.filterNot(resolved).map(f => s"$d/$f")
+          case None =>
+            if (new java.io.File(store, d).isDirectory ||
+                CellArchive.dirOf(store, d).isDirectory) Nil
+            else Seq(d)
+        }
       }
+      (n, dirsSorted, missing)
+    }
 
   /** CLONE a snapshot into a NEW store — the HBase shell
     * `clone_snapshot`: a fresh table whose content is the pinned
@@ -880,33 +941,59 @@ object GraftCellSnapshot {
     // complete pending retirements first so no intent-listed file can
     // leak into the clone
     CellRetire.repair(store)
-    val pinned = dirs(store, name)
-    val missing = pinned.filterNot(d => new java.io.File(store, d).isDirectory)
-    require(missing.isEmpty,
-      s"graftcell: snapshot '$name' was invalidated by compaction — " +
-      s"pinned dirs no longer exist: ${missing.mkString(", ")}")
+    val pinnedAll = requireResolvable(store, name)
     var files = 0L
-    pinned.foreach { d =>
-      val srcDir = new java.io.File(store, d)
+    pinnedAll.foreach { case (d, metas) =>
       val dstDir = new java.io.File(destStore, d)
       dstDir.mkdirs()
-      Option(srcDir.listFiles).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-        .foreach { f =>
-          java.nio.file.Files.createLink(
-            new java.io.File(dstDir, f.getName).toPath, f.toPath)
-          files += 1
-        }
-      val mf = new java.io.File(srcDir, CellManifest.NAME)
-      if (mf.exists())
-        java.nio.file.Files.copy(mf.toPath,
-          new java.io.File(dstDir, CellManifest.NAME).toPath)
+      // pinned files resolve live-first, then through the archive —
+      // cloning a compacted-away generation links its archived inodes
+      metas.sortBy(_.path).foreach { m =>
+        java.nio.file.Files.createLink(
+          new java.io.File(dstDir, new java.io.File(m.path).getName).toPath,
+          new java.io.File(m.path).toPath)
+        files += 1
+      }
+      // the clone's manifest is WRITTEN from the resolved metas (not
+      // copied): a partially archived source dir has no single manifest
+      // file that matches the pinned view
+      val stamp = CellManifest.read(new java.io.File(store, d))
+        .orElse(CellManifest.read(CellArchive.dirOf(store, d)))
+        .map(_.committedAtMicros)
+      stamp.foreach(ts => CellManifest.write(dstDir, ts,
+        metas.map(m => m.copy(path =
+          new java.io.File(dstDir, new java.io.File(m.path).getName).getPath))))
     }
     java.nio.file.Files.write(
       new java.io.File(destStore, "_SUCCESS").toPath, Array.emptyByteArray)
     CellFooterCache.invalidate(destStore)
-    (pinned.size.toLong, files)
+    (pinnedAll.size.toLong, files)
+  }
+
+  /** Resolve every pin of snapshot `name` through live-then-archive,
+    * refusing (with the historical 'invalidated' wording) if anything
+    * is in neither place — the one remaining way a snapshot dies. */
+  private def requireResolvable(store: String, name: String)
+      : Seq[(String, Seq[CellFileMeta])] = {
+    val pins = pinned(store, name)
+    val resolved = pins.keys.toSeq.sorted.map { d =>
+      d -> CellArchive.resolvePinned(store, d, pins(d))
+    }
+    val missing = resolved.flatMap { case (d, metas) =>
+      pins(d) match {
+        case Some(ns) =>
+          val got = metas.map(m => new java.io.File(m.path).getName).toSet
+          ns.toSeq.sorted.filterNot(got).map(f => s"$d/$f")
+        case None =>
+          if (new java.io.File(store, d).isDirectory ||
+              CellArchive.dirOf(store, d).isDirectory) Nil
+          else Seq(d)
+      }
+    }
+    require(missing.isEmpty,
+      s"graftcell: snapshot '$name' was invalidated — pinned files " +
+      s"exist neither live nor archived: ${missing.mkString(", ")}")
+    resolved
   }
 
   /** EXPORT a snapshot to an EXTERNAL location as a standalone,
@@ -939,11 +1026,8 @@ object GraftCellSnapshot {
              since: Option[String] = None): (Long, Long, Long) = {
     CellRetire.repair(store)
     val sinceDirs = since.map(dirs(store, _).toSet).getOrElse(Set.empty)
-    val pinned = dirs(store, name).filterNot(sinceDirs)
-    val missing = pinned.filterNot(d => new java.io.File(store, d).isDirectory)
-    require(missing.isEmpty,
-      s"graftcell: snapshot '$name' was invalidated by compaction — " +
-      s"pinned dirs no longer exist: ${missing.mkString(", ")}")
+    val pinned = requireResolvable(store, name)
+      .filterNot { case (d, _) => sinceDirs(d) }
     val destDir = new java.io.File(dest)
     require(!new java.io.File(destDir, "_SUCCESS").exists(),
       s"graftcell: destination $dest already holds a completed export")
@@ -966,11 +1050,11 @@ object GraftCellSnapshot {
     }
     destDir.mkdirs()
     java.nio.file.Files.write(intent.toPath, Array.emptyByteArray)
-    val files: Seq[(String, String)] = pinned.flatMap { d =>
-      Option(new java.io.File(store, d).listFiles).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-        .map(f => (f.getPath, s"$d/${f.getName}"))
+    // pinned files resolve live-first then through the archive, so an
+    // exported backup of a compacted-away generation still ships it
+    val files: Seq[(String, String)] = pinned.flatMap { case (d, metas) =>
+      metas.sortBy(_.path)
+        .map(m => (m.path, s"$d/${new java.io.File(m.path).getName}"))
     }
     val bytes =
       if (files.isEmpty) 0L
@@ -982,14 +1066,17 @@ object GraftCellSnapshot {
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           out.length()
       }.collect().sum
-    pinned.foreach { d =>
-      val mf = new java.io.File(new java.io.File(store, d), CellManifest.NAME)
-      if (mf.exists()) {
+    pinned.foreach { case (d, metas) =>
+      // write the export's manifest from the resolved metas — the
+      // source's live manifest can't describe archived pins
+      val stamp = CellManifest.read(new java.io.File(store, d))
+        .orElse(CellManifest.read(CellArchive.dirOf(store, d)))
+        .map(_.committedAtMicros)
+      stamp.foreach { ts =>
         val dd = new java.io.File(destDir, d)
         dd.mkdirs()
-        java.nio.file.Files.copy(mf.toPath,
-          new java.io.File(dd, CellManifest.NAME).toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        CellManifest.write(dd, ts, metas.map(m => m.copy(path =
+          new java.io.File(dd, new java.io.File(m.path).getName).getPath)))
       }
     }
     intent.delete()
@@ -1013,24 +1100,28 @@ object GraftCellSnapshot {
     *  3. delete the orphan files/dirs and drop the intent — a crash
     *     anywhere in this half is completed by `CALL repair`.
     *
-    * Like compaction this is single-writer store maintenance; OTHER
-    * snapshots that pinned an orphan dir are invalidated (the
-    * documented no-archive-dir caveat). Cells deleted IN PLACE from
-    * pinned dirs since the snapshot (DELETE rewrites) are not
-    * resurrected — restore repoints the dir set, it does not undo
-    * rewrites. Returns (pinned dirs, orphan files retired). */
+    * Like compaction this is single-writer store maintenance. Since
+    * r17 the archive makes restore TOTAL over maintenance history:
+    * pinned generations a compaction/truncate retired are REVIVED from
+    * `_archive/` (hard links back under their original dir names —
+    * metadata-only), and OTHER snapshots pinning the retired orphan
+    * dirs stay valid because the orphan retirement itself archives
+    * (see [[CellArchive]]). Cells deleted IN PLACE from pinned files
+    * since the snapshot (DELETE rewrites keep the file name) are not
+    * resurrected — the documented DML caveat. A crash mid-restore
+    * leaves a store readable without the not-yet-revived archived
+    * files; re-running the restore completes it (the archive links are
+    * never consumed, only copied). Returns (pinned dirs, orphan files
+    * retired). */
   def restore(store: String, name: String): (Long, Long) = {
     // complete any pending retirement first: the orphan listing below
     // must not resurrect files an interrupted group-replace already
     // excluded
     CellRetire.repair(store)
-    val pinned = dirs(store, name)
-    val missing = pinned.filterNot(d => new java.io.File(store, d).isDirectory)
-    require(missing.isEmpty,
-      s"graftcell: snapshot '$name' was invalidated by compaction — " +
-      s"pinned dirs no longer exist: ${missing.mkString(", ")}")
+    val resolved = requireResolvable(store, name)
+    val pinnedSet = resolved.map(_._1).toSet
     val orphans = CellFooterCache.committedDirs(store)
-      .filterNot(pinned.toSet)
+      .filterNot(pinnedSet)
     val orphanFiles = orphans
       .flatMap(d => CellFooterCache.filesUnder(store, d)).map(_.path)
     if (orphans.nonEmpty) {
@@ -1039,29 +1130,71 @@ object GraftCellSnapshot {
       // orphan dirs emptied of data by the publish are removed with it;
       // dirs that held no data files (e.g. an older restore marker) are
       // swept here so the live dir set IS the pinned set + this marker
+      // (archived if another snapshot pins them)
       orphans.map(new java.io.File(store, _)).filter(_.isDirectory)
         .foreach { d =>
           val hasData = Option(d.listFiles).getOrElse(Array.empty)
             .exists(f => f.isFile && f.getName.endsWith(".parquet"))
-          if (!hasData) {
-            def rec(f: java.io.File): Unit = {
-              Option(f.listFiles).getOrElse(Array.empty).foreach(rec)
-              f.delete(); ()
-            }
-            rec(d)
+          if (!hasData) CellArchive.retireDir(store, d)
+        }
+    }
+    // REVIVE archived pins AFTER the orphan cut (never alongside the
+    // replacements that retired them — no double-count window): a
+    // fully retired dir comes back by one staged rename; a partially
+    // retired one gets its archived files hard-linked back in and the
+    // live manifest refolded
+    resolved.foreach { case (d, metas) =>
+      val archived = metas.filter(_.path.contains(
+        java.io.File.separator + CellArchive.DIR + java.io.File.separator))
+      if (archived.nonEmpty) {
+        val liveDir = new java.io.File(store, d)
+        def rebase(m: CellFileMeta) = m.copy(path =
+          new java.io.File(liveDir, new java.io.File(m.path).getName).getPath)
+        if (!liveDir.isDirectory) {
+          val stage = new java.io.File(store, s"_revive_$d")
+          deleteRec(stage)
+          stage.mkdirs()
+          archived.foreach { m =>
+            java.nio.file.Files.createLink(
+              new java.io.File(stage, new java.io.File(m.path).getName).toPath,
+              new java.io.File(m.path).toPath)
+          }
+          val stamp = CellManifest.read(CellArchive.dirOf(store, d))
+            .map(_.committedAtMicros)
+            .getOrElse(CellManifest.nextCommitStamp(store))
+          CellManifest.write(stage, stamp, archived.map(rebase))
+          java.nio.file.Files.move(stage.toPath, liveDir.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          ()
+        } else {
+          archived.foreach { m =>
+            val link = new java.io.File(liveDir, new java.io.File(m.path).getName)
+            if (!link.exists())
+              java.nio.file.Files.createLink(link.toPath,
+                new java.io.File(m.path).toPath)
+          }
+          CellManifest.read(liveDir).foreach { data =>
+            val have = data.files.map(m => new java.io.File(m.path).getName).toSet
+            val add = archived.filterNot(m =>
+              have.contains(new java.io.File(m.path).getName)).map(rebase)
+            if (add.nonEmpty)
+              CellManifest.write(liveDir, data.committedAtMicros,
+                                 data.files ++ add)
           }
         }
-      CellFooterCache.invalidate(store)
+      }
     }
-    (pinned.size.toLong, orphanFiles.size.toLong)
+    CellFooterCache.invalidate(store)
+    (resolved.size.toLong, orphanFiles.size.toLong)
   }
 
   /** The dir set a snapshot pinned; error if the snapshot is unknown. */
-  def dirs(store: String, name: String): Seq[String] = {
-    val f = manifest(store, name)
-    require(f.exists(), s"graftcell: no snapshot '$name' in $store")
-    mapper.readValue(java.nio.file.Files.readAllBytes(f.toPath),
-                     classOf[Array[String]]).toSeq
+  def dirs(store: String, name: String): Seq[String] =
+    pinned(store, name).keys.toSeq.sorted
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
   }
 }
 
@@ -1683,13 +1816,19 @@ object GraftCellMaintenance {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     CellManifest.write(stage, CellManifest.nextCommitStamp(store), newFiles)
-    if (replaced.nonEmpty) CellRetire.write(stage, replaced)
+    // maintenance retirement ARCHIVES snapshot-pinned victims (r17):
+    // the intent carries archive=true so a crash-completing repair
+    // archives too, never deleting a pinned file the inline path would
+    // have preserved
+    if (replaced.nonEmpty) CellRetire.write(stage, replaced, archive = true)
     java.nio.file.Files.move(stage.toPath, dest.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     replaced.groupBy(f => new java.io.File(f).getParent).foreach {
       case (dirPath, files) =>
-        files.foreach(f => new java.io.File(f).delete())
         val dir = new java.io.File(dirPath)
+        CellArchive.archiveRetiring(store, dir.getName,
+          files.map(f => new java.io.File(f).getName).toSet)
+        files.foreach(f => new java.io.File(f).delete())
         CellManifest.applyRewrite(dir, files.toSet, Map.empty)
         val remaining = Option(dir.listFiles).getOrElse(Array.empty)
           .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -1910,7 +2049,7 @@ object GraftCellMaintenance {
       .foreach { d =>
         val hasData = Option(d.listFiles).getOrElse(Array.empty)
           .exists(f => f.isFile && f.getName.endsWith(".parquet"))
-        if (!hasData) deleteRec(d)
+        if (!hasData) CellArchive.retireDir(store, d)
       }
     CellFooterCache.invalidate(store)
     (dirs.size.toLong, files.size.toLong)
@@ -2012,7 +2151,7 @@ object GraftCellMaintenance {
     * Manifest-less (legacy) dirs have no declared file set to check
     * against and contribute nothing. Returns (dirs, missing, orphans,
     * pending intents, invalid snapshots, stale tmp dirs). */
-  def hbck(store: String): (Long, Long, Long, Long, Long, Long) = {
+  def hbck(store: String): (Long, Long, Long, Long, Long, Long, Long) = {
     val dirs = CellFooterCache.committedDirs(store)
     var missing = 0L; var orphans = 0L; var intents = 0L
     dirs.foreach { d =>
@@ -2033,8 +2172,13 @@ object GraftCellMaintenance {
     val staleTmp = Option(new java.io.File(store).listFiles)
       .getOrElse(Array.empty)
       .count(f => f.isDirectory && (f.getName.startsWith("_stage_") ||
-                                    f.getName.startsWith("_tmp_"))).toLong
-    (dirs.size.toLong, missing, orphans, intents, invalidSnaps, staleTmp)
+                                    f.getName.startsWith("_tmp_") ||
+                                    f.getName.startsWith("_revive_"))).toLong
+    // r17: archived region files no snapshot pins — garbage the sweep
+    // (drop_snapshot / vacuum) should have reclaimed
+    val archiveOrphans = CellArchive.unreferenced(store)
+    (dirs.size.toLong, missing, orphans, intents, invalidSnaps, staleTmp,
+     archiveOrphans)
   }
 
   /** VACUUM — HBase's cleaner chores (HFile/log cleaner) as one verb,
@@ -2063,9 +2207,10 @@ object GraftCellMaintenance {
     * store size. Same single-writer maintenance contract as compaction
     * (a concurrent writer's live `_stage_*` dir would be swept).
     * Returns (intents completed, orphan files deleted, stale tmp dirs
-    * deleted, invalid snapshots dropped). */
+    * deleted, invalid snapshots dropped, archived files reclaimed). */
   def vacuum(store: String,
-             dropInvalidSnapshots: Boolean): (Long, Long, Long, Long) = {
+             dropInvalidSnapshots: Boolean)
+      : (Long, Long, Long, Long, Long) = {
     val (intents, _) = CellRetire.repair(store)
     var orphans = 0L
     CellFooterCache.committedDirs(store).foreach { d =>
@@ -2082,17 +2227,23 @@ object GraftCellMaintenance {
     var staleTmp = 0L
     Option(new java.io.File(store).listFiles).getOrElse(Array.empty)
       .filter(f => f.isDirectory && (f.getName.startsWith("_stage_") ||
-                                     f.getName.startsWith("_tmp_")))
+                                     f.getName.startsWith("_tmp_") ||
+                                     f.getName.startsWith("_revive_")))
       .foreach { d => deleteRec(d); staleTmp += 1 }
     val droppedSnaps =
       if (!dropInvalidSnapshots) 0L
       else {
         val dead = GraftCellSnapshot.list(store).filter(_._3.nonEmpty)
-        dead.foreach { case (n, _, _) => GraftCellSnapshot.drop(store, n) }
+        dead.foreach { case (n, _, _) =>
+          GraftCellSnapshot.drop(store, n, sweep = false) }
         dead.size.toLong
       }
+    // r17: the archive cleaner chore — reclaim archived files no
+    // remaining snapshot pins (drop_snapshot sweeps too; this catches
+    // manifests deleted out-of-band)
+    val archiveReclaimed = CellArchive.sweep(store)
     CellFooterCache.invalidate(store)
-    (intents, orphans, staleTmp, droppedSnaps)
+    (intents, orphans, staleTmp, droppedSnaps, archiveReclaimed)
   }
 
   /** VERIFY REPLICATION — HBase's `VerifyReplication` job: a
@@ -2185,13 +2336,10 @@ object GraftCellMaintenance {
       spark.read.format("graftcell").option("snapshot", work).load(store)
         .write.format("graftcell").mode("append").save(store)
     } finally GraftCellSnapshot.drop(store, work)
-    victims.foreach { d =>
-      def rec(f: java.io.File): Unit = {
-        Option(f.listFiles).getOrElse(Array.empty).foreach(rec)
-        f.delete(); ()
-      }
-      rec(new java.io.File(store, d))
-    }
+    // victim dirs a USER snapshot pins are archived, not deleted (the
+    // work snapshot above is already dropped and never pins them here)
+    victims.foreach(d =>
+      CellArchive.retireDir(store, new java.io.File(store, d)))
     CellFooterCache.invalidate(store)
     victims
   }
@@ -2654,18 +2802,43 @@ object CellRetire {
   val NAME = "_retire.json"
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** Written into the STAGE dir before the publish rename. */
-  def write(dir: java.io.File, replaced: Seq[String]): Unit = {
+  /** Written into the STAGE dir before the publish rename. `archive`
+    * marks a MAINTENANCE retirement (compaction/restore/split/merge):
+    * a crash-completing [[repair]] must archive snapshot-pinned
+    * victims exactly like the inline path would have (r17). DML
+    * group-replace intents stay archive=false — the documented
+    * in-place caveat. Format: a bare JSON array (legacy, no archive)
+    * or `{"archive":true,"files":[...]}`. */
+  def write(dir: java.io.File, replaced: Seq[String],
+            archive: Boolean = false): Unit = {
+    val payload: Any =
+      if (!archive) replaced.sorted.toArray
+      else {
+        val root = mapper.createObjectNode()
+        root.put("archive", true)
+        val arr = root.putArray("files")
+        replaced.sorted.foreach(arr.add)
+        root
+      }
     java.nio.file.Files.write(new java.io.File(dir, NAME).toPath,
-      mapper.writeValueAsBytes(replaced.sorted.toArray))
+      mapper.writeValueAsBytes(payload))
     ()
   }
 
-  def read(dir: java.io.File): Seq[String] = {
+  def read(dir: java.io.File): Seq[String] = readFull(dir)._1
+
+  /** (retired paths, archive flag). */
+  def readFull(dir: java.io.File): (Seq[String], Boolean) = {
     val f = new java.io.File(dir, NAME)
-    if (!f.exists()) Nil
-    else mapper.readValue(java.nio.file.Files.readAllBytes(f.toPath),
-                          classOf[Array[String]]).toSeq
+    if (!f.exists()) (Nil, false)
+    else {
+      val root = mapper.readTree(java.nio.file.Files.readAllBytes(f.toPath))
+      if (root.isArray)
+        (root.elements().asScala.map(_.asText()).toSeq, false)
+      else
+        (root.get("files").elements().asScala.map(_.asText()).toSeq,
+         root.get("archive").asBoolean(false))
+    }
   }
 
   def clear(dir: java.io.File): Unit = {
@@ -2686,14 +2859,17 @@ object CellRetire {
     var removed = 0L
     CellFooterCache.committedDirs(store).foreach { d =>
       val dir = new java.io.File(store, d)
-      val listed = read(dir)
+      val (listed, archiveFlag) = readFull(dir)
       if (listed.nonEmpty) {
         intents += 1
         listed.groupBy(f => new java.io.File(f).getParent).foreach {
           case (parent, files) =>
             val live = files.filter(f => new java.io.File(f).isFile)
-            live.foreach { f => new java.io.File(f).delete(); removed += 1 }
             val pdir = new java.io.File(parent)
+            if (archiveFlag)
+              CellArchive.archiveRetiring(store, pdir.getName,
+                live.map(f => new java.io.File(f).getName).toSet)
+            live.foreach { f => new java.io.File(f).delete(); removed += 1 }
             CellManifest.applyRewrite(pdir, files.toSet, Map.empty)
             // a dir emptied of data files is retired with its metadata
             // — the same end-state the interrupted commit would have
@@ -2756,17 +2932,20 @@ object CellFooterCache {
       .filterNot(m => retired.contains(m.path))
   }
 
-  /** Files of a store, optionally AS OF a named snapshot: the manifest
-    * replaces the live dir listing (dropping dirs a compaction removed
-    * since — they read as empty rather than resurrecting). */
+  /** Files of a store, optionally AS OF a named snapshot: pinned files
+    * resolve LIVE-FIRST (in-place rewrites flow through — the
+    * documented DML caveat), then through `_archive/<dir>/` (r17 —
+    * generations a compaction/truncate/restore retired survive for
+    * every snapshot that pins them, as in HBase's archive dir). A pin
+    * in neither place reads as empty (`list_snapshots` reports it). */
   def filesOf(store: String, snapshot: Option[String]): Seq[CellFileMeta] =
     snapshot match {
       case None => filesOf(store)
       case Some(n) =>
         val retired = CellRetire.retiredOf(store)
-        GraftCellSnapshot.dirs(store, n)
-          .filter(d => new java.io.File(store, d).isDirectory)
-          .flatMap(filesUnder(store, _))
+        val pins = GraftCellSnapshot.pinned(store, n)
+        pins.keys.toSeq.sorted
+          .flatMap(d => CellArchive.resolvePinned(store, d, pins(d)))
           .filterNot(m => retired.contains(m.path))
     }
 
@@ -3578,9 +3757,13 @@ class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean,
     val stage = new java.io.File(path, s"_stage_$queryId")
     val dest = new java.io.File(path, s"batch_$queryId")
     if (truncate) {
+      // the TRUNCATE overwrite (major compaction) retires every live
+      // generation — dirs a snapshot pins move to the archive (one
+      // rename each, manifest travels) instead of dying with the
+      // rewrite (r17: snapshots survive compaction, as in HBase)
       Option(new java.io.File(path).listFiles).getOrElse(Array.empty)
         .filter(d => d.isDirectory && !d.getName.startsWith("_"))
-        .foreach(deleteRec)
+        .foreach(d => CellArchive.retireDir(path, d))
     }
     // clear a dead earlier attempt's stage dir: per-file ATOMIC_MOVE
     // below has no REPLACE_EXISTING, so leftovers would fail the retry

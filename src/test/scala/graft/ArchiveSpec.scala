@@ -1,0 +1,164 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.cell.{CellArchive, CellFooterCache, CellManifest,
+                           CellRetire, GraftCell, GraftCellSnapshot}
+
+/** Gates the r17 SNAPSHOT ARCHIVE (SURVEY §2.14 — the HBase archive
+  * dir): maintenance rewrites move snapshot-pinned region files under
+  * `_archive/<dir>/` instead of deleting them, snapshot reads resolve
+  * live-then-archive at FILE granularity (v2 manifests), restore
+  * revives archived generations, and the sweep reclaims archived files
+  * the moment nothing pins them. The whole-dir paths (compaction,
+  * truncate) are gated by the flipped restore/clone/truncate cases in
+  * CellConnectorSpec; this suite covers the file-granular half. */
+class ArchiveSpec extends AnyFunSuite {
+  private lazy val s = SparkFixture.spark
+
+  test("partial retirement (split): the pinned file archives, a LATER " +
+       "snapshot never double-counts, restore revives in place") {
+    import scala.collection.JavaConverters._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_arch_spec_").toString
+    s.conf.set("spark.sql.catalog.graftarch",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftarch.root", root)
+    s.sql("""CREATE TABLE graftarch.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell""")
+    val store = s"$root/t"
+    // ONE batch dir holding TWO region files (roll at 13 rows), so a
+    // split can retire one file while the dir stays live — the
+    // file-granular archive case a whole-dir rename can't model
+    s.createDataFrame(
+      ('a' to 'z').map(c =>
+        org.apache.spark.sql.Row(c.toString, "d", "q", 1L, s"v$c")).asJava,
+      GraftCell.SCHEMA).coalesce(1)
+      .write.format("graftcell").option("maxRowsPerFile", 13)
+      .mode("append").save(store)
+    val d0 = CellFooterCache.committedDirs(store)
+    assert(d0.size == 1 && CellFooterCache.filesOf(store).size == 2)
+    val batch = d0.head
+    def readAll() = s.sql(
+      "SELECT rowkey, value FROM graftarch.t ORDER BY rowkey")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    def readAsOf(n: String) = s.sql(
+      s"""SELECT rowkey, value FROM graftarch.t VERSION AS OF '$n'
+          ORDER BY rowkey""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val original = readAll()
+    s.sql("CALL graftarch.snapshot('t', 's1')")
+    // split inside the FIRST file's span: that file is retired (its
+    // halves publish in a new dir), the second file stays live
+    s.sql("CALL graftarch.split_region('t', 'g')").collect()
+    assert(CellFooterCache.committedDirs(store).size == 2)
+    // the retired file went to the archive, pinned by s1
+    val arch = CellArchive.dirOf(store, batch)
+    assert(arch.isDirectory &&
+      Option(arch.listFiles).get.exists(_.getName.endsWith(".parquet")),
+      "the split victim must be archived (s1 pins its dir)")
+    // s1 reads the ORIGINAL generation through the archive
+    assert(readAsOf("s1") == original)
+    assert(GraftCellSnapshot.list(store).find(_._1 == "s1")
+      .exists(_._3.isEmpty), "s1 must report zero missing")
+    // a snapshot taken AFTER the split pins the post-split file set —
+    // file-granular v2 pins mean the archived original is NOT
+    // resurrected next to its split halves (no double count)
+    s.sql("CALL graftarch.snapshot('t', 's2')")
+    assert(readAsOf("s2") == original, "s2 must read exactly once")
+    assert(readAll() == original)
+    // restore s1: the split dir (pinned by s2) archives as it retires,
+    // and the archived victim hard-links BACK into its still-live dir
+    s.sql("CALL graftarch.restore_snapshot('t', 's1')").collect()
+    assert(readAll() == original, "restore must revive the archived file")
+    assert(CellFooterCache.filesOf(store).size == 2, "pre-split layout")
+    // BOTH snapshots remain fully readable after the restore
+    assert(readAsOf("s1") == original)
+    assert(readAsOf("s2") == original)
+    // the live manifest refolded exactly (no footer fallback)
+    val opens = CellFooterCache.footerOpens.get()
+    CellFooterCache.invalidate(store)
+    assert(CellFooterCache.filesOf(store).size == 2)
+    assert(CellFooterCache.footerOpens.get() == opens,
+      "revive must fold the manifest, not fall back to footers")
+    // drops sweep exactly what the dropped snapshot alone pinned
+    s.sql("CALL graftarch.drop_snapshot('t', 's1')")
+    assert(readAsOf("s2") == original, "s2 must survive s1's drop")
+    s.sql("CALL graftarch.drop_snapshot('t', 's2')")
+    assert(CellArchive.unreferenced(store) == 0L)
+    assert(!CellArchive.root(store).exists(),
+      "an empty archive must be removed by the sweep")
+    assert(readAll() == original)
+    s.sql("DROP TABLE graftarch.t")
+  }
+
+  test("crash-completing repair archives maintenance victims exactly " +
+       "like the inline path (archive-flagged retire intent)") {
+    import scala.collection.JavaConverters._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_archrep_spec_").toString
+    val store = s"$root/store"
+    def put(keys: (String, String)*): Unit = s.createDataFrame(
+      keys.map { case (rk, v) =>
+        org.apache.spark.sql.Row(rk, "d", "q", 1L, v) }.asJava,
+      GraftCell.SCHEMA)
+      .write.format("graftcell").mode("append").save(store)
+    put("a" -> "1")
+    put("b" -> "2")
+    GraftCellSnapshot.create(store, "pin")
+    val ds = CellFooterCache.committedDirs(store)
+    val victimDir = ds.find(d => CellFooterCache.filesUnder(store, d)
+      .exists(_.minKey.exists(new String(_) == "a"))).get
+    val victim = CellFooterCache.filesUnder(store, victimDir).head.path
+    val carrier = new java.io.File(store, ds.filterNot(_ == victimDir).head)
+    // the mid-window crash state of a MAINTENANCE publish: intent
+    // written (archive = true), victim not yet deleted
+    CellRetire.write(carrier, Seq(victim), archive = true)
+    CellFooterCache.invalidate(store)
+    CellRetire.repair(store)
+    // the victim was archived before deletion — "pin" still reads it
+    assert(!new java.io.File(victim).exists())
+    val asOf = CellFooterCache.filesOf(store, Some("pin"))
+    assert(asOf.exists(_.path.contains("_archive")),
+      s"repair must archive the pinned victim: ${asOf.map(_.path)}")
+    val rows = s.read.format("graftcell").option("snapshot", "pin")
+      .load(store).collect().map(_.getString(0)).sorted.toSeq
+    assert(rows == Seq("a", "b"),
+      "the snapshot must read the repaired-away generation in full")
+    // a DML-shaped intent (no archive flag) keeps the documented
+    // caveat: repair deletes without archiving
+    val victim2 = CellFooterCache.filesUnder(store, victimDir)
+      .headOption.map(_.path)
+    assert(victim2.isEmpty, "victim dir was emptied and dropped")
+  }
+
+  test("legacy v1 snapshot manifests keep dir-granular semantics " +
+       "through the archive (whole-dir resolve, live dir wins)") {
+    import scala.collection.JavaConverters._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_archv1_spec_").toString
+    val store = s"$root/store"
+    def put(keys: (String, String)*): Unit = s.createDataFrame(
+      keys.map { case (rk, v) =>
+        org.apache.spark.sql.Row(rk, "d", "q", 1L, v) }.asJava,
+      GraftCell.SCHEMA)
+      .write.format("graftcell").mode("append").save(store)
+    put("a" -> "1")
+    val d = CellFooterCache.committedDirs(store).head
+    // createPinned writes the legacy dir-name array format
+    GraftCellSnapshot.createPinned(store, "old", Seq(d))
+    assert(GraftCellSnapshot.pinned(store, "old") == Map(d -> None))
+    // live dir present: resolves live, archive ignored
+    assert(CellFooterCache.filesOf(store, Some("old")).size == 1)
+    // archive the whole dir (as a compaction would), drop the live one
+    CellArchive.retireDir(store, new java.io.File(store, d))
+    CellFooterCache.invalidate(store)
+    assert(!new java.io.File(store, d).exists())
+    // the v1 pin resolves the archived dir wholesale — still readable
+    val metas = CellFooterCache.filesOf(store, Some("old"))
+    assert(metas.size == 1 && metas.head.path.contains("_archive"))
+    assert(GraftCellSnapshot.list(store) ==
+           Seq(("old", Seq(d), Seq.empty[String])))
+  }
+}

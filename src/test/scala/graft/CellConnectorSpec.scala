@@ -1385,16 +1385,27 @@ class CellConnectorSpec extends AnyFunSuite {
     intercept[Exception] {
       s.sql("CALL graftrst.restore_snapshot('t', 'nope')").collect()
     }
-    // refusal: snapshot invalidated by compaction (pinned dirs gone) —
-    // and list reports it as missing rather than lying
+    // r17 ARCHIVE: compaction retires the pinned generation into
+    // _archive/ instead of destroying it — list reports 0 missing and
+    // restore brings the pinned generation back (HBase archive-dir
+    // semantics: a snapshot survives any maintenance until dropped)
     s.sql("CALL graftrst.compact('t')")
     val ls3 = s.sql("CALL graftrst.list_snapshots('t')").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(ls3 == Seq(("good", 1L, 1L)), s"invalidated list: $ls3")
-    val e = intercept[Exception] {
+    assert(ls3 == Seq(("good", 1L, 0L)), s"post-compact list: $ls3")
+    assert(new java.io.File(store, "_archive").isDirectory,
+      "compaction must archive the pinned generation")
+    s.sql("CALL graftrst.restore_snapshot('t', 'good')").collect()
+    assert(readAll() == good,
+      "restore after compaction must return the pinned generation")
+    // a snapshot dies only when explicitly dropped — and the drop
+    // sweeps the archived files it alone pinned
+    s.sql("CALL graftrst.drop_snapshot('t', 'good')")
+    intercept[Exception] {
       s.sql("CALL graftrst.restore_snapshot('t', 'good')").collect()
     }
-    assert(e.getMessage.contains("invalidated"), e.getMessage)
+    assert(graft.sources.cell.CellArchive.unreferenced(store) == 0L,
+      "drop_snapshot must sweep archived files nothing pins")
     s.sql("DROP TABLE graftrst.t")
   }
 
@@ -1440,19 +1451,29 @@ class CellConnectorSpec extends AnyFunSuite {
     // and the clone is a real independent table: it mutates alone
     s.sql("DELETE FROM graftclone.tclone WHERE rowkey = 'a'")
     assert(readAll("tclone").size == 9 && readAll("t").size == 7)
-    // refusals: existing destination; invalidated snapshot (the
-    // compaction above removed base's pinned dir)
+    // refusal: existing destination
     intercept[Exception] {
       s.sql("CALL graftclone.clone_snapshot('t', 'base', 'tclone')").collect()
     }
+    // r17 ARCHIVE: the compaction above moved base's pinned generation
+    // to _archive/, so cloning it still works — and the clone carries
+    // the snapshot's RESOLVED view: the in-place DELETE flowed through
+    // (pinned names, rewritten inodes — the documented DML caveat),
+    // the compaction did not
     s.sql("DROP TABLE IF EXISTS graftclone.tclone2")
+    s.sql("CALL graftclone.clone_snapshot('t', 'base', 'tclone2')").collect()
+    assert(readAll("tclone2") == base.filterNot(_._1 >= "h"),
+      "archived clone must equal the snapshot's post-DML resolved view")
+    // only an explicit drop kills the snapshot
+    s.sql("CALL graftclone.drop_snapshot('t', 'base')")
+    s.sql("DROP TABLE IF EXISTS graftclone.tclone3")
     val e = intercept[Exception] {
-      s.sql("CALL graftclone.clone_snapshot('t', 'base', 'tclone2')").collect()
+      s.sql("CALL graftclone.clone_snapshot('t', 'base', 'tclone3')").collect()
     }
-    assert(e.getMessage.contains("invalidated") ||
-           e.getMessage.contains("no snapshot"), e.getMessage)
+    assert(e.getMessage.contains("no snapshot"), e.getMessage)
     s.sql("DROP TABLE graftclone.t")
     s.sql("DROP TABLE graftclone.tclone")
+    s.sql("DROP TABLE graftclone.tclone2")
   }
 
   test("max_versions retention: compact keeps the n newest versions (r16)") {
@@ -2141,7 +2162,7 @@ class CellConnectorSpec extends AnyFunSuite {
       .write.format("graftcell").mode("append").save(store)
     put("a" -> "1")
     put("b" -> "2")
-    assert(GraftCellMaintenance.hbck(store) == ((2L, 0L, 0L, 0L, 0L, 0L)),
+    assert(GraftCellMaintenance.hbck(store) == ((2L, 0L, 0L, 0L, 0L, 0L, 0L)),
       "a healthy two-generation store must report all zeros")
     // a PENDING retire intent (the group-replace mid-window state:
     // published dir carries _retire.json, listed file still on disk)
@@ -2154,7 +2175,7 @@ class CellConnectorSpec extends AnyFunSuite {
     // repair completes it (file deleted, emptied dir dropped) — hbck
     // converges back to clean, one dir
     CellRetire.repair(store)
-    assert(GraftCellMaintenance.hbck(store) == ((1L, 0L, 0L, 0L, 0L, 0L)))
+    assert(GraftCellMaintenance.hbck(store) == ((1L, 0L, 0L, 0L, 0L, 0L, 0L)))
     // one instance of each remaining class: a manifest-listed file
     // deleted from disk; an orphan parquet no manifest lists; an
     // invalidated snapshot (pinned dir gone); a stale _tmp_ dir
@@ -2168,8 +2189,14 @@ class CellConnectorSpec extends AnyFunSuite {
       Array.emptyByteArray)
     GraftCellSnapshot.createPinned(store, "gone", Seq("batch_nonexistent"))
     new java.io.File(store, "_tmp_crashed_op").mkdirs()
+    // r17: an archived file no snapshot pins (a manifest deleted
+    // out-of-band) — the class the archive sweep reclaims
+    val archDir = new java.io.File(store, "_archive/batch_dead")
+    archDir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(archDir, "dead.parquet").toPath, Array.emptyByteArray)
     CellFooterCache.invalidate(store)
-    assert(GraftCellMaintenance.hbck(store) == ((1L, 1L, 1L, 0L, 1L, 1L)),
+    assert(GraftCellMaintenance.hbck(store) == ((1L, 1L, 1L, 0L, 1L, 1L, 1L)),
       "each constructed anomaly must be counted exactly once")
   }
 
@@ -2276,7 +2303,7 @@ class CellConnectorSpec extends AnyFunSuite {
     put("a" -> "1")
     put("b" -> "2")
     // a healthy store vacuums to all zeros (nothing to reclaim)
-    assert(GraftCellMaintenance.vacuum(store, true) == ((0L, 0L, 0L, 0L)))
+    assert(GraftCellMaintenance.vacuum(store, true) == ((0L, 0L, 0L, 0L, 0L)))
     // one reclaimable per class: a pending intent (group-replace
     // mid-window — its victim is already excluded from reads), an
     // orphan parquet in the SURVIVING dir, a stale stage dir, and a
@@ -2298,17 +2325,17 @@ class CellConnectorSpec extends AnyFunSuite {
     val before = readback()
     // without the flag: garbage reclaimed, the dead manifest KEPT
     // (dropping it is the operator's explicit opt-in)
-    assert(GraftCellMaintenance.vacuum(store, false) == ((1L, 1L, 1L, 0L)))
+    assert(GraftCellMaintenance.vacuum(store, false) == ((1L, 1L, 1L, 0L, 0L)))
     assert(GraftCellSnapshot.list(store).map(_._1) == Seq("gone"))
     // a VALID snapshot survives the flagged pass; only the dead drops
     GraftCellSnapshot.create(store, "keep")
-    assert(GraftCellMaintenance.vacuum(store, true) == ((0L, 0L, 0L, 1L)))
+    assert(GraftCellMaintenance.vacuum(store, true) == ((0L, 0L, 0L, 1L, 0L)))
     assert(GraftCellSnapshot.list(store).map(_._1) == Seq("keep"))
     // converged: hbck reports clean (intent completion dropped the
     // emptied victim dir, so one dir remains), and the readback is
     // bit-identical to the pre-vacuum view — orphans were invisible,
     // the intent's victim was already excluded
-    assert(GraftCellMaintenance.hbck(store) == ((1L, 0L, 0L, 0L, 0L, 0L)))
+    assert(GraftCellMaintenance.hbck(store) == ((1L, 0L, 0L, 0L, 0L, 0L, 0L)))
     assert(readback() == before)
     assert(before.map(_.getString(0)) == Seq("b"),
       "the intent's victim row was excluded before AND after")
@@ -2507,10 +2534,15 @@ class CellConnectorSpec extends AnyFunSuite {
     s.sql("INSERT INTO grafttr.t VALUES ('z','d','q',2,'after')")
     assert(s.sql("SELECT rowkey, value FROM grafttr.t").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("z", "after")))
-    // pre-truncate snapshots are invalidated (the documented
-    // no-archive-dir caveat) and CALL hbck reports them
-    assert(GraftCellMaintenance.hbck(store)._5 == 1L,
-      "the pre-truncate snapshot must be reported invalidated")
+    // r17 ARCHIVE: the pre-truncate snapshot SURVIVES — its pinned
+    // generations moved to _archive/ by rename (still zero data IO:
+    // the clobbered garbage bytes above were never read), hbck reports
+    // no invalid snapshot and no unreferenced archived file
+    val hb = GraftCellMaintenance.hbck(store)
+    assert(hb._5 == 0L && hb._7 == 0L,
+      s"the pre-truncate snapshot must survive via the archive: $hb")
+    assert(new java.io.File(store, "_archive").isDirectory,
+      "truncate must archive the pinned generations")
     // truncating an already-empty store is a no-op summary
     s.sql("TRUNCATE TABLE grafttr.t")
     assert(s.sql("SELECT * FROM grafttr.t").collect().isEmpty)

@@ -81,20 +81,32 @@ class MetaTablesSpec extends AnyFunSuite {
     } finally CellRetire.clear(dir)
   }
 
-  test("snapshots metadata: VERSION AS OF stats; invalidated reports NULL") {
-    staged("ts")
+  test("snapshots metadata: VERSION AS OF stats; archived generations " +
+       "keep true stats; a truly-gone pin reports NULL") {
+    val store = staged("ts")
     s.sql("CALL metaspec.snapshot('ts', 'keep')")
-    // the overwrite drops both dirs 'keep' pinned: 'keep' is invalidated
+    // the overwrite retires both dirs 'keep' pinned — r17: they move
+    // to _archive/, so 'keep' stays fully readable with true stats
     s.sql("INSERT OVERWRITE metaspec.ts VALUES ('x', 'd', 'q9', 20, 'w')")
     s.sql("CALL metaspec.snapshot('ts', 'fresh')")
+    // a pin that is in NEITHER live nor archive is the one remaining
+    // invalidation (v1-era loss / reclaimed archive)
+    graft.sources.cell.GraftCellSnapshot.createPinned(
+      store, "gone", Seq("batch_nonexistent"))
     val rows = s.sql("""SELECT name, missing_dirs, n_rows, min_key, max_key
                         FROM metaspec.ts.snapshots ORDER BY name""").collect()
-    assert(rows.map(_.getString(0)).toSeq == Seq("fresh", "keep"))
-    val fresh = rows(0); val keep = rows(1)
+    assert(rows.map(_.getString(0)).toSeq == Seq("fresh", "gone", "keep"))
+    val fresh = rows(0); val gone = rows(1); val keep = rows(2)
     assert(fresh.getLong(1) == 0L && fresh.getLong(2) == 1L &&
            fresh.getString(3) == "x" && fresh.getString(4) == "x")
-    assert(keep.getLong(1) > 0L && keep.isNullAt(2) &&
-           keep.isNullAt(3) && keep.isNullAt(4))
+    assert(keep.getLong(1) == 0L && keep.getLong(2) == 6L &&
+           keep.getString(3) == "a" && keep.getString(4) == "f",
+      s"archived snapshot must keep true stats: $keep")
+    assert(gone.getLong(1) > 0L && gone.isNullAt(2) &&
+           gone.isNullAt(3) && gone.isNullAt(4))
+    // and VERSION AS OF the archived snapshot reads the full content
+    assert(s.sql("SELECT count(*) FROM metaspec.ts VERSION AS OF 'keep'")
+      .collect().head.getLong(0) == 6L)
   }
 
   test("history metadata: commit order, sizes, running total") {
