@@ -88,7 +88,13 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
-    val slowest = results.toSeq.sortBy(-_._2).take(50).sortBy(_._1)
+    // the four BASELINE.md probe twins always ride the stdout line, so
+    // the baseline ratio reads straight off BENCH_rN (VERDICT r16 #7)
+    val baselineProbes = Seq("agg_groupby", "join_inner_bhj",
+                             "win_topk_group", "topk_global")
+    val slowest = (results.toSeq.sortBy(-_._2).take(50) ++
+        baselineProbes.flatMap(k => results.get(k).map(k -> _)))
+      .distinct.sortBy(_._1)
     val omitted = results.size - slowest.size
     println(line(slowest,
       s""""q_omitted":$omitted,"detail":"BENCH_FULL.json","""))

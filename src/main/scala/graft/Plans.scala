@@ -56,7 +56,8 @@ object Plans {
     "join_cell_broadcast", "join_cell_spj", "agg_cell_bucketed",
     "cell_connector_bucket_get", "join_cell_spj_oneside",
     "sql_cell_script_batch", "udtf_sql_table", "cell_connector_sample",
-    "sql_exec_immediate")
+    "sql_exec_immediate",
+    "cell_connector_fuzzy", "sql_cell_snapshot_archive")
 
   /** What to explain per key. `obs_metrics`' query RESULT is a 1-row
     * local relation of listener-delivered values; the plan worth

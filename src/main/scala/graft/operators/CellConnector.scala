@@ -364,6 +364,40 @@ object CellConnector extends QueryModule {
                 col("rowkey").startsWith("42"))
         .orderBy("rowkey", "qualifier")),
 
+    "cell_connector_fuzzy" -> ((s, dir) => {
+      // HBase FuzzyRowFilter (r17): a FIXED-POSITION wildcard probe
+      // over a SALTED rowkey schema — `option("fuzzy", "?-1995-03")`
+      // matches any salt (position 0 is the wildcard) and the fixed
+      // year-month segment, the classic "one month across every salt"
+      // scan that plain prefix/range pushdown cannot express (the salt
+      // destroys the prefix). File pruning uses the fixed byte
+      // segments two ways: the pattern's leading fixed run as an
+      // ordinary prefix interval, and — the new algebra — the COMMON
+      // PREFIX of a file's [min,max] (every key in a byte-ordered
+      // interval shares it), so a region file whose stats reveal a
+      // different salt-month is skipped without reading a byte. At
+      // 100 TB: touch ~1/72 of every salt's region files instead of
+      // the whole store (PLANS.md pins regionFiles k/n). Rows are then
+      // matched exactly in the reader. Store staged once: orders keyed
+      // `<md5-salt-hex>-<date>-<orderkey>`, connector-written (range
+      // shuffle ⇒ sorted, salt-clustered region files).
+      val path = stagedOnce(storePath(dir) + "_fuzzy", "_FUZZY_READY") {
+        graft.Tables.views(s, dir, "orders")
+        s.sql("""SELECT concat(substring(md5(cast(o_orderkey AS STRING)), 1, 1),
+                        '-', cast(o_orderdate AS STRING), '-',
+                        lpad(cast(o_orderkey AS STRING), 12, '0')) AS rowkey,
+                        'o' AS family, 'priority' AS qualifier,
+                        CAST(1 AS BIGINT) AS version,
+                        o_orderpriority AS value
+                 FROM orders""")
+          .write.format("graftcell").option("maxRowsPerFile", 400)
+          .mode("append").save(storePath(dir) + "_fuzzy")
+      }
+      s.read.format("graftcell").option("fuzzy", "?-1995-03").load(path)
+        .select("rowkey", "value")
+        .orderBy("rowkey")
+    }),
+
     "cell_connector_snapshot" -> ((s, dir) => {
       // TIME TRAVEL via named SNAPSHOTS — HBase snapshot semantics with
       // zero data copy: a snapshot is a manifest pinning the committed
@@ -1845,6 +1879,20 @@ object CellConnector extends QueryModule {
              OR (rowkey >= '85' AND rowkey < '90')
              OR rowkey LIKE '42%'
           ORDER BY rowkey, qualifier""",
+
+    // the fuzzy pattern '?-1995-03': position 0 free (the salt),
+    // position 1 '-' (true by construction), positions 2-8 fixed —
+    // recomputed verbatim over the same salted-rowkey derivation
+    "cell_connector_fuzzy" ->
+      """WITH cells AS (
+           SELECT concat(substring(md5(cast(o_orderkey AS VARCHAR)), 1, 1),
+                         '-', cast(o_orderdate AS VARCHAR), '-',
+                         lpad(cast(o_orderkey AS VARCHAR), 12, '0')) AS rowkey,
+                  o_orderpriority AS value
+           FROM orders)
+         SELECT rowkey, value FROM cells
+         WHERE substring(rowkey, 3, 7) = '1995-03'
+         ORDER BY rowkey""",
 
     "cell_connector_snapshot" ->
       s"""WITH cells AS (${CellQueries.eventCellsSql})

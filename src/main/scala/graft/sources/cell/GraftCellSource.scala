@@ -124,6 +124,66 @@ object GraftCell {
     }
   }
 
+  /** HBase FuzzyRowFilter (r17): a FIXED-POSITION wildcard pattern
+    * over the rowkey — `?` matches any single byte, every other byte
+    * is fixed, and a key matches iff it is at least pattern-length
+    * long and agrees at every fixed position (the classic
+    * salted-schema scan: `?-2024-06` probes one month across every
+    * salt). Pattern bytes are UTF-8. */
+  final case class FuzzyKey(bytes: Array[Byte], fixed: Array[Boolean]) {
+    def matches(key: Array[Byte]): Boolean = {
+      if (key == null || key.length < bytes.length) return false
+      var i = 0
+      while (i < bytes.length) {
+        if (fixed(i) && key(i) != bytes(i)) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  object FuzzyKey {
+    def parse(pattern: String): FuzzyKey = {
+      require(pattern.nonEmpty, "graftcell: empty fuzzy pattern")
+      val b = utf8(pattern)
+      FuzzyKey(b, b.map(_ != '?'.toByte))
+    }
+  }
+
+  /** File-level NECESSARY conditions for a fuzzy pattern — the piece
+    * the [min,max] interval algebra cannot express for mid-key fixed
+    * segments. Two sound prunes:
+    *  1. the pattern's LEADING fixed run is a plain prefix interval
+    *     ([p, prefixStop(p)) — byte-order math);
+    *  2. every key in [min,max] shares min/max's COMMON PREFIX (byte
+    *     order: min = C·a…, max = C·b…, min ≤ k ≤ max ⇒ k = C·…), so
+    *     a fixed pattern byte INSIDE that common prefix that disagrees
+    *     proves the file holds no match — exactly what makes the
+    *     salted time-range probe skip every other month's region files
+    *     in every salt. Missing stats ⇒ keep (evidence-only, like
+    *     every pruning layer). */
+  def fuzzyMayMatch(min: Option[Array[Byte]], max: Option[Array[Byte]],
+                    f: FuzzyKey): Boolean = {
+    val leadLen = f.fixed.takeWhile(identity).length
+    if (leadLen > 0) {
+      val p = JArrays.copyOfRange(f.bytes, 0, leadLen)
+      val r = KeyRange(Some(Bound(p, true)),
+                       prefixStop(p).map(Bound(_, false)))
+      if (!mayOverlap(min, max, r)) return false
+    }
+    (min, max) match {
+      case (Some(mn), Some(mx)) =>
+        var i = 0
+        val n = math.min(math.min(mn.length, mx.length), f.bytes.length)
+        while (i < n && mn(i) == mx(i)) {
+          if (f.fixed(i) && f.bytes(i) != mn(i)) return false
+          i += 1
+        }
+        true
+      case _ => true
+    }
+  }
+
   /** Fold the accepted filters' constraints on ONE string column into
     * an interval (r16 generalization of the rowkey fold: family and
     * qualifier stats prune with exactly the same math). */
@@ -766,7 +826,8 @@ class GraftCellTable(path: String,
         .getOrElse(Long.MaxValue),
       pinnedDirs,
       Option(options.get("sinceSnapshot")),
-      buckets)
+      buckets,
+      Option(options.get("fuzzy")))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -2435,7 +2496,8 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
                            maxPartBytes: Long = Long.MaxValue,
                            pinnedDirs: Option[Seq[String]] = None,
                            since: Option[String] = None,
-                           buckets: Option[Int] = None)
+                           buckets: Option[Int] = None,
+                           fuzzy: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownTopN with SupportsPushDownAggregates
@@ -2534,6 +2596,7 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
       if (pushed.isEmpty) Some(metas)
       else GraftCell.alignedFiles(pushed.toSeq, metas)
     sample.isEmpty && // a sampled COUNT cannot come from manifest stats
+    fuzzy.isEmpty && // fuzzy is row-level: stats cannot answer it
     included.isDefined && agg.groupByExpressions().isEmpty &&
       agg.aggregateExpressions().nonEmpty &&
       agg.aggregateExpressions().forall {
@@ -2555,7 +2618,8 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
       new GraftCellAggScan(path, agg, snapshot, pinnedDirs, since, pushed)
     case None =>
       new GraftCellScan(path, pushed, required, limit, topNPushed, snapshot,
-                        maxPartBytes, pinnedDirs, since, buckets, sample)
+                        maxPartBytes, pinnedDirs, since, buckets, sample,
+                        fuzzy)
   }
 }
 
@@ -3081,10 +3145,17 @@ class GraftCellScan(path: String, pushed: Array[Filter],
                     pinnedDirs: Option[Seq[String]] = None,
                     since: Option[String] = None,
                     buckets: Option[Int] = None,
-                    sample: Option[(Double, Long)] = None)
+                    sample: Option[(Double, Long)] = None,
+                    fuzzy: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  // HBase FuzzyRowFilter (r17): parsed once; prunes files by the fixed
+  // byte segments (leading-prefix interval + min/max common-prefix
+  // disagreement), evaluated exactly per row in the reader
+  private val fuzzyKey: Option[GraftCell.FuzzyKey] =
+    fuzzy.map(GraftCell.FuzzyKey.parse)
 
   /** Every partition (a region file or a byte-range split of one) is
     * sorted by (rowkey, family, qualifier) — the declared write
@@ -3117,8 +3188,12 @@ class GraftCellScan(path: String, pushed: Array[Filter],
     val pruner = new GraftCell.FilePruner(eff)
     // bucket pruning stacks on the stat pruning: on a hash layout the
     // min/max stats span everything, the bucket tag is the evidence a
-    // point get (or a runtime DPP key set) prunes by
-    GraftCell.bucketPrune(all.filter(pruner.mayMatch), eff, buckets)
+    // point get (or a runtime DPP key set) prunes by; fuzzy pruning
+    // stacks the same way (fixed-position evidence the interval
+    // algebra can't see)
+    val statKept = all.filter(m => pruner.mayMatch(m) &&
+      fuzzyKey.forall(GraftCell.fuzzyMayMatch(m.minKey, m.maxKey, _)))
+    GraftCell.bucketPrune(statKept, eff, buckets)
   }
 
   /** KEY-GROUPED partitioning of a bucketed store — what makes a join
@@ -3184,6 +3259,7 @@ class GraftCellScan(path: String, pushed: Array[Filter],
     s"ReadSchema: ${required.catalogString}, " +
     (if (limit >= 0) s"${if (topN) "topN" else "limit"}: $limit, " else "") +
     sample.fold("") { case (f, seed) => s"sample: $f seed=$seed, " } +
+    fuzzy.fold("")(p => s"fuzzy: $p, ") +
     s"regionFiles: ${selected.size}/${all.size}"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -3192,7 +3268,8 @@ class GraftCellScan(path: String, pushed: Array[Filter],
     val eff = effective
     val need = required.fieldNames.toSet ++
       eff.flatMap(GraftCell.referenced) ++
-      (if (sample.isDefined) Set("rowkey", "qualifier") else Set.empty)
+      (if (sample.isDefined) Set("rowkey", "qualifier") else Set.empty) ++
+      (if (fuzzy.isDefined) Set("rowkey") else Set.empty)
     val fetch = GraftCell.SCHEMA.fields.map(_.name).filter(need.contains)
     val base = selected.flatMap { m =>
       // Large region files SPLIT by byte range (row-group aligned by
@@ -3211,7 +3288,8 @@ class GraftCellScan(path: String, pushed: Array[Filter],
                   else (i + 1) * (m.bytes / nSplits + 1)
         CellInputPartition(m.path, fetch, required.fieldNames, eff.toArray,
                            m.messageType, limit, start, end,
-                           sample.fold(-1.0)(_._1), sample.fold(0L)(_._2))
+                           sample.fold(-1.0)(_._1), sample.fold(0L)(_._2),
+                           fuzzy.orNull)
       }
     }
     keyedBuckets match {
@@ -3247,6 +3325,9 @@ class GraftCellScan(path: String, pushed: Array[Filter],
       "graftcell: a snapshot/timestamp pin is a frozen dir set — " +
       "batch-read it; the streaming source follows the LIVE " +
       "committed-dir log")
+    require(fuzzy.isEmpty,
+      "graftcell: the fuzzy option is a batch-scan probe; filter the " +
+      "stream above the source instead")
     // sinceSnapshot composes WITH streaming: the pinned dir set becomes
     // the INITIAL offset, so a fresh checkpoint starts replicating from
     // the snapshot boundary instead of replaying the whole store
@@ -3395,7 +3476,8 @@ final case class CellInputPartition(file: String, fetch: Array[String],
                                     rangeStart: Long = 0L,
                                     rangeEnd: Long = Long.MaxValue,
                                     sampleFrac: Double = -1.0,
-                                    sampleSeed: Long = 0L)
+                                    sampleSeed: Long = 0L,
+                                    fuzzyPattern: String = null)
     extends InputPartition
 
 /** A [[CellInputPartition]] of a BUCKETED store, keyed by its file's
@@ -3502,6 +3584,19 @@ class CellPartitionReader(p: CellInputPartition)
     }
   }
 
+  // fuzzy rowkey pattern (HBase FuzzyRowFilter): exact row-level check —
+  // the file-level pruning already happened at planning
+  private val fuzzyKey: GraftCell.FuzzyKey =
+    if (p.fuzzyPattern == null) null
+    else GraftCell.FuzzyKey.parse(p.fuzzyPattern)
+  private def fuzzyOk(get: String => Any): Boolean = {
+    if (fuzzyKey == null) return true
+    get("rowkey") match {
+      case u: UTF8String => fuzzyKey.matches(u.getBytes)
+      case _             => false // NULL rowkey can never match
+    }
+  }
+
   private val fetchIdx = p.fetch.zipWithIndex.toMap
   // -1 = the `_region_file` metadata column (constant per partition)
   private val outIdx: Array[Int] =
@@ -3529,7 +3624,8 @@ class CellPartitionReader(p: CellInputPartition)
         i += 1
       }
       val get = (c: String) => fetched(fetchIdx(c))
-      if (compiledFilters.forall(f => f(get)) && sampled(get)) {
+      if (compiledFilters.forall(f => f(get)) && fuzzyOk(get) &&
+          sampled(get)) {
         val out = new Array[Any](outIdx.length)
         var j = 0
         while (j < outIdx.length) {

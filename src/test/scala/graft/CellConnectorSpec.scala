@@ -2233,6 +2233,90 @@ class CellConnectorSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("fuzzy rowkey probe (FuzzyRowFilter): files pruned by fixed byte " +
+       "segments, rows matched exactly, salt position free (r17)") {
+    import org.apache.spark.sql.functions.col
+    // dedicated salted store: 4 salts × days, rowkey <salt>-<date>-<id>,
+    // ONE sorted connector write rolling small files so each region
+    // file spans a narrow salt+month slice (what the common-prefix
+    // algebra prunes by)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fuzzy_spec_").toString
+    val rows = for {
+      salt <- 0 to 3; month <- 1 to 4; day <- 1 to 25
+    } yield (f"$salt-2024-$month%02d-$day%02d-x", "d", "q", 1L,
+             s"v$salt/$month/$day")
+    import scala.collection.JavaConverters._
+    s.createDataFrame(
+      rows.map { case (k, f, q, v, value) =>
+        org.apache.spark.sql.Row(k, f, q, v, value) }.asJava,
+      GraftCell.SCHEMA)
+      .write.format("graftcell").option("maxRowsPerFile", 10)
+      .mode("append").save(root)
+    val df = s.read.format("graftcell").option("fuzzy", "?-2024-03")
+      .load(root).select("rowkey", "value")
+    // exact semantics: equals the LIKE twin evaluated without pushdown
+    val expect = s.read.format("graftcell").load(root)
+      .filter(col("rowkey").substr(3, 7) === "2024-03")
+      .select("rowkey", "value").collect().map(_.toString).sorted.toSeq
+    assert(df.collect().map(_.toString).sorted.toSeq == expect)
+    assert(expect.size == 4 * 25)
+    // plan-shaped evidence: the fuzzy probe plans a strict subset of
+    // the region files (one month out of four, in every salt)
+    val plan = df.queryExecution.executedPlan.toString
+    val rf = "regionFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(plan).get
+    assert(rf.group(1).toInt < rf.group(2).toInt / 2,
+      s"fuzzy pruning must skip most files: $rf\n$plan")
+    assert(plan.contains("fuzzy: ?-2024-03"), s"plan must show the probe")
+    // a leading-FIXED pattern also engages the plain prefix interval
+    val one = s.read.format("graftcell").option("fuzzy", "2-2024-01")
+      .load(root).select("rowkey")
+    assert(one.count() == 25)
+    val rf1 = "regionFiles: (\\d+)/(\\d+)".r
+      .findFirstMatchIn(one.queryExecution.executedPlan.toString).get
+    assert(rf1.group(1).toInt <= rf.group(1).toInt,
+      "a salt-fixed probe must prune at least as hard as the open one")
+    // refusals: metadata aggregates and streaming never see fuzzy rows
+    val cnt = s.read.format("graftcell").option("fuzzy", "?-2024-03")
+      .load(root).count()
+    assert(cnt == 4 * 25, "COUNT must reflect the fuzzy filter " +
+      "(the metadata aggregate pushdown must refuse under fuzzy)")
+    val se = intercept[IllegalArgumentException] {
+      new graft.sources.cell.GraftCellScan(root, Array.empty,
+        GraftCell.SCHEMA, fuzzy = Some("?-2024-03"))
+        .toMicroBatchStream("/tmp/unused")
+    }
+    assert(se.getMessage.contains("fuzzy"))
+    // SOUNDNESS property: a file whose [min,max] provably contains a
+    // matching key is never pruned (random patterns over random keys)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val keyGen = org.scalacheck.Gen.listOfN(6,
+      Gen.oneOf('0', '1', '7', 'a', 'b')).map(_.mkString)
+    val patGen = Gen.listOfN(4,
+      Gen.oneOf('0', '1', '7', 'a', '?')).map(_.mkString)
+    val caseGen = for {
+      ks <- Gen.listOfN(12, keyGen); p <- patGen
+    } yield (ks, p)
+    (1 to 80).foreach { i =>
+      caseGen(org.scalacheck.Gen.Parameters.default, Seed(i.toLong))
+        .foreach { case (ks, p) =>
+          val fk = GraftCell.FuzzyKey.parse(p)
+          val bs = ks.map(_.getBytes("UTF-8"))
+          val mn = bs.min(Ordering.comparatorToOrdering(
+            java.util.Arrays.compareUnsigned(_: Array[Byte], _: Array[Byte])))
+          val mx = bs.max(Ordering.comparatorToOrdering(
+            java.util.Arrays.compareUnsigned(_: Array[Byte], _: Array[Byte])))
+          val anyMatch = bs.exists(fk.matches)
+          val kept = GraftCell.fuzzyMayMatch(Some(mn), Some(mx), fk)
+          assert(!anyMatch || kept,
+            s"unsound prune: pattern '$p' matches a key in $ks")
+          // and missing stats always keep
+          assert(GraftCell.fuzzyMayMatch(None, None, fk))
+        }
+    }
+  }
+
   test("a pushed TABLESAMPLE scales the reported statistics (ADVICE r16)") {
     import org.apache.spark.sql.functions.col
     SparkEntry.queries("scan_cell_connector")(s, dir).queryExecution // stage
