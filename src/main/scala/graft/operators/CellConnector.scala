@@ -1140,6 +1140,43 @@ object CellConnector extends QueryModule {
                ORDER BY rowkey, qualifier""")
     }),
 
+    "sql_cell_family_policy" -> ((s, dir) => {
+      // PER-FAMILY descriptor policies (r17 — HBase sets TTL/VERSIONS
+      // per COLUMN FAMILY in the table descriptor): `family.<f>.<knob>`
+      // TBLPROPERTIES override the table level for that family, so a
+      // hot family and an audit family age differently under ONE
+      // `CALL compact`. Fixture: every cell written to BOTH families
+      // at version 1000, then re-written at 2000000 — the table policy
+      // (ttl 1500, max_versions 1) expires hot's old generation and
+      // keeps only its newest, while audit's overrides (a practically
+      // infinite TTL, VERSIONS => 2) retain both. One compact, one
+      // distributed rewrite, two retention outcomes — the plan is the
+      // same single window shuffle; the policy is a codegen'd literal
+      // map lookup per row, no extra shuffle or join.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_fam (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell
+               TBLPROPERTIES ('ttl_micros' = '1500',
+                              'family.audit.ttl_micros' = '864000000000',
+                              'family.audit.max_versions' = '2')""")
+      s.sql("""INSERT OVERWRITE graftcat.events_fam
+               SELECT rowkey, f.family, qualifier,
+                      CAST(1000 AS BIGINT) AS version, value
+               FROM graft_catalog_src
+               LATERAL VIEW explode(array('hot', 'audit')) f AS family""")
+      s.sql("""INSERT INTO graftcat.events_fam
+               SELECT rowkey, f.family, qualifier,
+                      CAST(2000000 AS BIGINT) AS version, value || '~'
+               FROM graft_catalog_src
+               LATERAL VIEW explode(array('hot', 'audit')) f AS family""")
+      s.sql("CALL graftcat.compact('events_fam')")
+      s.sql("""SELECT * FROM graftcat.events_fam
+               ORDER BY rowkey, family, qualifier, version""")
+    }),
+
     "sql_cell_call_restore" -> ((s, dir) => {
       // HBase shell `restore_snapshot` as SQL (r16) — the verb users
       // reach for after a bad batch: pin the good generation
@@ -2022,6 +2059,24 @@ object CellConnector extends QueryModule {
           SELECT rowkey, family, qualifier, version, value
           FROM r WHERE rn = 1 AND value != '__TOMBSTONE__'
           ORDER BY rowkey, qualifier""",
+
+    // per-family retention recomputed directly: the hot family keeps
+    // only the newest generation (table ttl 1500 expires v1000 anyway,
+    // max_versions 1), audit keeps both (family overrides: huge TTL,
+    // VERSIONS => 2); event_id is unique so each (rowkey, qualifier)
+    // carries exactly the two constructed versions
+    "sql_cell_family_policy" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT rowkey, family, qualifier, version, value FROM (
+            SELECT rowkey, 'audit' AS family, qualifier,
+                   CAST(1000 AS BIGINT) AS version, value FROM cells
+            UNION ALL
+            SELECT rowkey, 'audit', qualifier,
+                   CAST(2000000 AS BIGINT), value || '~' FROM cells
+            UNION ALL
+            SELECT rowkey, 'hot', qualifier,
+                   CAST(2000000 AS BIGINT), value || '~' FROM cells)
+          ORDER BY rowkey, family, qualifier, version""",
 
     // restore repoints the live table to the pre-corruption snapshot,
     // so the result is the plain cell rebuild — corrupt rows gone

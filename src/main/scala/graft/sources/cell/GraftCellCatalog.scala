@@ -117,25 +117,37 @@ class GraftCellCatalog extends TableCatalog
     * refused: a property that silently does nothing is a lie. */
   private val ALLOWED_PROPS =
     Set("ttl_micros", "tombstone", "max_versions", "buckets")
+  // per-COLUMN-FAMILY policy keys (r17 — HBase's per-family descriptor):
+  // `family.<f>.ttl_micros` / `.tombstone` / `.max_versions` override
+  // the table-level policy for that family in CALL compact
+  private val FAMILY_PROP =
+    "family\\.([A-Za-z0-9_-]+)\\.(ttl_micros|tombstone|max_versions)".r
   private val SPARK_RESERVED = Set("provider", "owner", "location",
     "comment", "external", "is_managed_location", "format")
 
   private def validated(props: Map[String, String]): Map[String, String] = {
-    val unknown = props.keySet -- ALLOWED_PROPS
+    val unknown = props.keySet.filterNot(k =>
+      ALLOWED_PROPS.contains(k) || FAMILY_PROP.pattern.matcher(k).matches())
     require(unknown.isEmpty,
       s"graftcell: unsupported table properties ${unknown.mkString(", ")} " +
-      s"(supported: ${ALLOWED_PROPS.toSeq.sorted.mkString(", ")})")
-    props.get("ttl_micros").foreach { v =>
+      s"(supported: ${ALLOWED_PROPS.toSeq.sorted.mkString(", ")} and " +
+      "family.<f>.{ttl_micros, tombstone, max_versions})")
+    def checkTtl(k: String, v: String): Unit =
       require(scala.util.Try(v.toLong).toOption.exists(_ >= 0L),
-        s"graftcell: ttl_micros must be a non-negative long, got '$v'")
-    }
-    props.get("max_versions").foreach { v =>
+        s"graftcell: $k must be a non-negative long, got '$v'")
+    def checkMaxV(k: String, v: String): Unit =
       require(scala.util.Try(v.toLong).toOption.exists(_ >= 1L),
-        s"graftcell: max_versions must be a positive long, got '$v'")
-    }
-    props.get("buckets").foreach { v =>
-      require(scala.util.Try(v.toInt).toOption.exists(b => b >= 1 && b <= 4096),
-        s"graftcell: buckets must be an int in [1, 4096], got '$v'")
+        s"graftcell: $k must be a positive long, got '$v'")
+    props.foreach {
+      case (k @ "ttl_micros", v)   => checkTtl(k, v)
+      case (k @ "max_versions", v) => checkMaxV(k, v)
+      case (k @ "buckets", v) =>
+        require(scala.util.Try(v.toInt).toOption
+                  .exists(b => b >= 1 && b <= 4096),
+          s"graftcell: buckets must be an int in [1, 4096], got '$v'")
+      case (k @ FAMILY_PROP(_, "ttl_micros"), v)   => checkTtl(k, v)
+      case (k @ FAMILY_PROP(_, "max_versions"), v) => checkMaxV(k, v)
+      case _ => ()
     }
     props
   }

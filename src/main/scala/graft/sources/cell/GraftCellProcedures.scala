@@ -119,19 +119,38 @@ object GraftCellProcedures {
       val tableName = input.getUTF8String(0).toString
       val s = catalog.storeOf(tableName)
       val props = catalog.propsOf(tableName)
+      val ttlExplicit = !(input.isNullAt(1) || input.getLong(1) < 0)
       val ttl =
-        if (input.isNullAt(1) || input.getLong(1) < 0)
-          props.get("ttl_micros").map(_.toLong) // omitted: table policy
+        if (!ttlExplicit) props.get("ttl_micros").map(_.toLong) // table policy
         else if (input.getLong(1) == 0L) None   // explicit off
         else Some(input.getLong(1))
+      val tombExplicit = !input.isNullAt(2)
       val tomb =
-        if (input.isNullAt(2)) props.get("tombstone") // omitted
+        if (!tombExplicit) props.get("tombstone") // omitted
         else Some(input.getUTF8String(2).toString)
-          .filter(_.nonEmpty)                         // '' = explicit off
-      val maxV = (if (input.isNullAt(3) || input.getLong(3) < 1) None
-                  else Some(input.getLong(3)))
+          .filter(_.nonEmpty)                     // '' = explicit off
+      val maxVExplicit = !(input.isNullAt(3) || input.getLong(3) < 1)
+      val maxV = (if (!maxVExplicit) None else Some(input.getLong(3)))
         .orElse(props.get("max_versions").map(_.toLong))
         .getOrElse(1L).toInt
+      // per-family descriptor policies (r17): `family.<f>.<knob>`
+      // TBLPROPERTIES override the table level for that family — but an
+      // EXPLICIT argument overrides everything for its dimension (one
+      // run with the policy forced uniform must be expressible)
+      val famRe =
+        "family\\.([A-Za-z0-9_-]+)\\.(ttl_micros|tombstone|max_versions)".r
+      val familyPolicies = props.toSeq
+        .collect { case (famRe(f, knob), v) => (f, knob, v) }
+        .groupBy(_._1).map { case (f, knobs) =>
+          val m = knobs.map(k => k._2 -> k._3).toMap
+          f -> GraftCellMaintenance.FamilyPolicy(
+            ttlMicros = if (ttlExplicit) None
+                        else m.get("ttl_micros").map(_.toLong),
+            tombstone = if (tombExplicit) None else m.get("tombstone"),
+            maxVersions = if (maxVExplicit) None
+                          else m.get("max_versions").map(_.toInt))
+        }.filter(_._2 !=
+          GraftCellMaintenance.FamilyPolicy(None, None, None))
       val (dirsBefore, _) = storeStats(s)
       // bucketed tables compact INTO their layout (HBase: compaction
       // never changes the salt) — the rewrite re-clusters on the
@@ -139,7 +158,8 @@ object GraftCellProcedures {
       // survive maintenance
       GraftCellMaintenance.majorCompact(SparkSession.active, s, ttl, tomb,
                                         maxV,
-                                        props.get("buckets").map(_.toInt))
+                                        props.get("buckets").map(_.toInt),
+                                        familyPolicies)
       val (dirsAfter, cellsAfter) = storeStats(s)
       summary("dirs_before" -> dirsBefore, "dirs_after" -> dirsAfter,
               "cells_after" -> cellsAfter)

@@ -2426,24 +2426,72 @@ object GraftCellMaintenance {
     * atomic rename. At 100 TB this is the shape HBase runs
     * region-by-region; here the bulk-load range shuffle partitions
     * the key space instead, so the rewrite scales with executors. */
+  /** Per-COLUMN-FAMILY policy overrides (r17 — HBase sets TTL /
+    * VERSIONS / KEEP_DELETED per family in the table descriptor): each
+    * defined field overrides the table-level value for cells of that
+    * family; an undefined field falls through to the table-level
+    * policy. A hot `f:` family and an audit `a:` family can therefore
+    * age differently under ONE compact. */
+  final case class FamilyPolicy(ttlMicros: Option[Long] = None,
+                                tombstone: Option[String] = None,
+                                maxVersions: Option[Int] = None)
+
   def majorCompact(spark: org.apache.spark.sql.SparkSession,
                    store: String,
                    ttlMicros: Option[Long] = None,
                    tombstone: Option[String] = None,
                    maxVersions: Int = 1,
-                   buckets: Option[Int] = None): Unit = {
+                   buckets: Option[Int] = None,
+                   familyPolicies: Map[String, FamilyPolicy] = Map.empty)
+      : Unit = {
     require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
+    familyPolicies.foreach { case (f, p) =>
+      p.maxVersions.foreach(v => require(v >= 1,
+        s"family.$f.max_versions must be >= 1, got $v"))
+      p.ttlMicros.foreach(v => require(v >= 0,
+        s"family.$f.ttl_micros must be >= 0, got $v"))
+    }
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val cells = spark.read.format("graftcell").load(store)
-    val live = ttlMicros match {
-      case Some(ttl) =>
-        val horizon = cells.agg((max(col("version")) - ttl).as("__horizon"))
-        cells.crossJoin(broadcast(horizon))
-          .filter(col("version") >= col("__horizon"))
-          .drop("__horizon")
-      case None => cells
+
+    // per-family policy columns: a foldable literal map keyed by
+    // family, table-level fallback — one codegen'd lookup per row, no
+    // extra shuffle or join anywhere in the plan
+    def famExpr[T](pick: FamilyPolicy => Option[T],
+                   table: Option[T],
+                   asLit: T => org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = {
+      val m = familyPolicies.collect {
+        case (f, p) if pick(p).isDefined => f -> pick(p).get
+      }
+      val dflt = table.map(asLit).getOrElse(lit(null))
+      if (m.isEmpty) dflt
+      else {
+        val entries = m.toSeq.sortBy(_._1)
+          .flatMap { case (f, v) => Seq(lit(f), asLit(v)) }
+        when(col("family").isNull, dflt)
+          .otherwise(coalesce(element_at(map(entries: _*), col("family")),
+                              dflt))
+      }
     }
+    val ttlExpr = famExpr[Long](_.ttlMicros, ttlMicros, lit(_))
+    val tombExpr = famExpr[String](_.tombstone, tombstone, lit(_))
+    val maxVExpr = famExpr[Int](_.maxVersions, Some(maxVersions), lit(_))
+
+    val anyTtl = ttlMicros.isDefined ||
+      familyPolicies.values.exists(_.ttlMicros.isDefined)
+    val live =
+      if (!anyTtl) cells
+      else {
+        // the deterministic compaction clock stays GLOBAL (store-max
+        // version), the horizon offset is per family
+        val horizon = cells.agg(max(col("version")).as("__maxv"))
+        cells.crossJoin(broadcast(horizon))
+          .filter(ttlExpr.isNull ||
+                  col("version") >= col("__maxv") - ttlExpr)
+          .drop("__maxv")
+      }
     // version desc resolves to the newest write; the value-desc
     // tiebreak makes a same-version conflict (two puts at one cell
     // version — HBase resolves by memstore sequence id, which a
@@ -2455,7 +2503,7 @@ object GraftCellMaintenance {
     // maxVersions = the HBase table descriptor's VERSIONS => n: keep
     // the n NEWEST versions per cell key (default 1 = latest only)
     val latest = live.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxVersions).drop("__rn")
+      .filter(col("__rn") <= coalesce(maxVExpr, lit(1))).drop("__rn")
     // Tombstone semantics are the engine's property-pinned
     // delete-if-current rule (r14): markers participate in the
     // newest-wins rank (version desc, value desc) and are then
@@ -2464,7 +2512,11 @@ object GraftCellMaintenance {
     // deliberately NOT HBase's hide-all-older markers, which would
     // change the long-pinned single-version GC oracles; retention
     // (VERSIONS => n) and deletion stay orthogonal knobs.
-    val kept = tombstone.fold(latest)(t => latest.filter(col("value") =!= t))
+    val anyTomb = tombstone.isDefined ||
+      familyPolicies.values.exists(_.tombstone.isDefined)
+    val kept =
+      if (!anyTomb) latest
+      else latest.filter(tombExpr.isNull || col("value") =!= tombExpr)
     buckets match {
       case Some(n) =>
         // BUCKET-PRESERVING compaction (the HBase invariant: compaction

@@ -1214,6 +1214,77 @@ class CellConnectorSpec extends AnyFunSuite {
     s.sql("DROP TABLE graftoff.t")
   }
 
+  test("per-family descriptor policies: families age independently " +
+       "under one compact; explicit args override; bad keys refused (r17)") {
+    import scala.collection.JavaConverters._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fam_spec_").toString
+    s.conf.set("spark.sql.catalog.graftfam",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftfam.root", root)
+    s.sql("""CREATE TABLE graftfam.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell
+             TBLPROPERTIES ('ttl_micros' = '1500',
+                            'tombstone' = '__TOMB__',
+                            'family.audit.ttl_micros' = '999999999',
+                            'family.audit.max_versions' = '2',
+                            'family.audit.tombstone' = '__NEVER__')""")
+    def load(): Unit = {
+      val rows = for {
+        fam <- Seq("hot", "audit"); k <- 'a' to 'e'
+        v <- Seq(1000L, 2000000L)
+      } yield org.apache.spark.sql.Row(k.toString, fam, "q", v,
+        if (fam == "hot" && k == 'a' && v == 2000000L) "__TOMB__"
+        else s"$fam$k$v")
+      s.createDataFrame(rows.asJava, GraftCell.SCHEMA)
+        .write.format("graftcell").mode("append").save(s"$root/t")
+    }
+    load()
+    def cells() = s.sql(
+      """SELECT rowkey, family, version, value FROM graftfam.t
+         ORDER BY rowkey, family, version""").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 r.getString(3))).toSeq
+    // ONE compact, two retention outcomes:
+    s.sql("CALL graftfam.compact('t')")
+    val after = cells()
+    val hot = after.filter(_._2 == "hot")
+    val audit = after.filter(_._2 == "audit")
+    // hot: table policy — ttl 1500 expires v1000, max_versions 1 keeps
+    // the newest, the table tombstone physically drops hot 'a''s marker
+    assert(hot.forall(_._3 == 2000000L), s"hot ttl/retention: $hot")
+    assert(!hot.exists(_._1 == "a"), s"hot tombstone must drop 'a': $hot")
+    assert(hot.size == 4)
+    // audit: family overrides — huge ttl keeps v1000, VERSIONS => 2
+    // keeps both, the family tombstone ('__NEVER__') matches nothing
+    assert(audit.size == 10 && audit.count(_._3 == 1000L) == 5,
+      s"audit must keep both generations: $audit")
+    // explicit arguments override the FAMILY overrides too: force
+    // max_versions 1 uniformly — audit collapses to its newest as well
+    // (ttl/tombstone explicitly off so only retention acts)
+    s.sql("CALL graftfam.compact('t', 0, '', 1)")
+    val uniform = cells()
+    assert(uniform.forall(_._3 == 2000000L) &&
+           uniform.count(_._2 == "audit") == 5,
+      s"an explicit argument must override the family policy: $uniform")
+    // property validation: unknown family knob, non-numeric ttl,
+    // zero max_versions — all refused
+    intercept[Exception] {
+      s.sql("""ALTER TABLE graftfam.t
+               SET TBLPROPERTIES ('family.hot.coprocessor' = 'x')""")
+    }
+    intercept[Exception] {
+      s.sql("""ALTER TABLE graftfam.t
+               SET TBLPROPERTIES ('family.hot.ttl_micros' = 'soon')""")
+    }
+    intercept[Exception] {
+      s.sql("""ALTER TABLE graftfam.t
+               SET TBLPROPERTIES ('family.hot.max_versions' = '0')""")
+    }
+    s.sql("DROP TABLE graftfam.t")
+  }
+
   test("catalog probes with invalid identifier characters resolve to " +
        "'not found', never IllegalArgumentException (ADVICE r16)") {
     import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
