@@ -57,7 +57,8 @@ object Plans {
     "cell_connector_bucket_get", "join_cell_spj_oneside",
     "sql_cell_script_batch", "udtf_sql_table", "cell_connector_sample",
     "sql_exec_immediate",
-    "cell_connector_fuzzy", "sql_cell_snapshot_archive")
+    "cell_connector_fuzzy", "sql_cell_snapshot_archive",
+    "sql_cell_family_policy", "sql_cell_call_rebucket")
 
   /** What to explain per key. `obs_metrics`' query RESULT is a 1-row
     * local relation of listener-delivered values; the plan worth

@@ -1140,6 +1140,34 @@ object CellConnector extends QueryModule {
                ORDER BY rowkey, qualifier""")
     }),
 
+    "sql_cell_call_rebucket" -> ((s, dir) => {
+      // REBUCKET (r17) — in-place layout evolution for the ONE layout
+      // property with no evolution verb until now: `buckets` is
+      // create-time-fixed (ALTER refused — the files on disk are
+      // hashed against it), so changing a table's bucket count meant
+      // CTAS to a new table. `CALL rebucket(t, n)` rewrites the layout
+      // in ONE publish (content verbatim — same truncate-overwrite
+      // protocol as compaction, archived generations preserved) and
+      // repoints the descriptor through the catalog's sanctioned path.
+      // Crash between the two steps = tag/descriptor mismatch = the
+      // scan degrades to unkeyed (a shuffle, never a wrong join);
+      // re-running completes. The key creates a 4-bucket table,
+      // rebuckets to 8, and reads the content back — layout surgery is
+      // content-neutral, so the oracle is the plain rebuild; the spec
+      // pins the layout half (SPJ working at the new n, old tags gone).
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_rb (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell
+               TBLPROPERTIES ('buckets' = '4')""")
+      s.sql("INSERT OVERWRITE graftcat.events_rb SELECT * FROM graft_catalog_src")
+      s.sql("CALL graftcat.rebucket('events_rb', 8)")
+      s.sql("""SELECT * FROM graftcat.events_rb
+               ORDER BY rowkey, qualifier""")
+    }),
+
     "sql_cell_family_policy" -> ((s, dir) => {
       // PER-FAMILY descriptor policies (r17 — HBase sets TTL/VERSIONS
       // per COLUMN FAMILY in the table descriptor): `family.<f>.<knob>`
@@ -2059,6 +2087,12 @@ object CellConnector extends QueryModule {
           SELECT rowkey, family, qualifier, version, value
           FROM r WHERE rn = 1 AND value != '__TOMBSTONE__'
           ORDER BY rowkey, qualifier""",
+
+    // rebucket is layout surgery — content-neutral by contract, so the
+    // oracle is the plain rebuild
+    "sql_cell_call_rebucket" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells ORDER BY rowkey, qualifier""",
 
     // per-family retention recomputed directly: the hot family keeps
     // only the newest generation (table ttl 1500 expires v1000 anyway,

@@ -180,6 +180,19 @@ class GraftCellCatalog extends TableCatalog
   private[cell] def propsOf(tableName: String): Map[String, String] =
     readProps(new java.io.File(storeOf(tableName)))
 
+  /** The SANCTIONED descriptor rewrite behind `CALL rebucket` (r17):
+    * ALTER refuses `buckets` because the files on disk are hashed
+    * against the declared count — a bare property flip would lie. The
+    * rebucket procedure REWRITES the layout first and then repoints
+    * the descriptor through this internal path (the one caller for
+    * whom the files and the count agree again). */
+  private[cell] def setBuckets(tableName: String, n: Int): Unit = {
+    require(n >= 1 && n <= 4096,
+      s"graftcell: buckets must be in [1, 4096], got $n")
+    val dir = new java.io.File(storeOf(tableName))
+    writeProps(dir, readProps(dir) + ("buckets" -> n.toString))
+  }
+
   /** Create the destination table of a snapshot CLONE: marker-stamped
     * like createTable, with the DESCRIPTOR PROPERTIES copied from the
     * source table (HBase `clone_snapshot` carries the table

@@ -470,6 +470,34 @@ object GraftCellProcedures {
     }
   }
 
+  /** `rebucket(table, buckets)` — the ONE-PUBLISH layout evolution for
+    * the create-time-fixed `buckets` descriptor (r17): rewrite every
+    * cell into the new clustering (content verbatim — no GC; archived
+    * generations preserved for snapshots), THEN repoint the descriptor
+    * through the catalog's sanctioned path. Crash between the two
+    * steps degrades the scan to unkeyed (tag/descriptor mismatch — a
+    * shuffle, never a wrong join); re-running completes. */
+  final class Rebucket(catalog: GraftCellCatalog)
+      extends CellProcedure(catalog, "rebucket") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType), p("buckets", LongType))
+    override def description(): String =
+      "rewrite the table into a new bucket count and repoint the " +
+      "descriptor (layout evolution; content verbatim)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val tableName = input.getUTF8String(0).toString
+      val s = catalog.storeOf(tableName)
+      val n = input.getLong(1).toInt
+      val before = catalog.propsOf(tableName)
+        .get("buckets").map(_.toLong).getOrElse(0L)
+      GraftCellMaintenance.rebucket(SparkSession.active, s, n)
+      catalog.setBuckets(tableName, n)
+      val (_, cells) = storeStats(s)
+      summary("buckets_before" -> before, "buckets_after" -> n.toLong,
+              "cells" -> cells)
+    }
+  }
+
   /** `verify_rep(table, other_table)` — HBase's `VerifyReplication`
     * job: a distributed cell-level diff of two tables (primary vs
     * replica / source vs bulkloaded copy / table vs restored backup),
@@ -507,5 +535,6 @@ object GraftCellProcedures {
     "bulkload" -> new Bulkload(catalog),
     "hbck" -> new Hbck(catalog),
     "vacuum" -> new Vacuum(catalog),
-    "verify_rep" -> new VerifyRep(catalog))
+    "verify_rep" -> new VerifyRep(catalog),
+    "rebucket" -> new Rebucket(catalog))
 }

@@ -2358,6 +2358,37 @@ object GraftCellMaintenance {
           (col("l_value") <=> col("r_value"))).as("matching"))
   }
 
+  /** REBUCKET (r17): one-publish LAYOUT rewrite to a new bucket count —
+    * until now `buckets` was the only layout property with no in-place
+    * evolution verb (ALTER refuses it, correctly: the files on disk
+    * are hashed against the declared count; the answer was CTAS to a
+    * new table). Content-VERBATIM: the same truncate-overwrite publish
+    * as major compaction (snapshot-pinned old generations are ARCHIVED,
+    * not destroyed) but with NO GC — every cell version survives, only
+    * the clustering changes. One shuffle on the new bucket arithmetic,
+    * one atomic publish; the CALLER (the rebucket procedure) repoints
+    * the descriptor AFTER this commits, so a crash in between leaves
+    * new-n-tagged files under an old-n descriptor — which the scan's
+    * tag-evidence rule reads as UNKEYED (a shuffle, never a wrong
+    * join) until a re-run completes the descriptor flip. */
+  def rebucket(spark: org.apache.spark.sql.SparkSession,
+               store: String, n: Int): Unit = {
+    require(n >= 1 && n <= 4096,
+      s"graftcell: rebucket count must be in [1, 4096], got $n")
+    import org.apache.spark.sql.functions._
+    val cells = spark.read.format("graftcell").load(store)
+    val bucketOf = udf((k: String) =>
+      GraftBucket.of(if (k == null) null else
+        k.getBytes(java.nio.charset.StandardCharsets.UTF_8), n))
+    cells
+      .repartition(n, bucketOf(col("rowkey")))
+      .sortWithinPartitions(bucketOf(col("rowkey")), col("rowkey"),
+        col("family"), col("qualifier"), col("version"))
+      .write.format("graftcell").option("buckets", n)
+      .mode("overwrite").save(store)
+    CellFooterCache.invalidate(store)
+  }
+
   /** MINOR COMPACTION: merge every committed batch dir whose total
     * bytes are ≤ `maxBytes` into ONE new batch, leaving larger
     * generations untouched — HBase's size-tiered minor compaction,
@@ -2375,6 +2406,7 @@ object GraftCellMaintenance {
     * window could see a victim's cells twice, which is why the store
     * must be quiesced for maintenance (the spec runs it so).
     * Returns the merged (deleted) dirs; no-op below 2 victims. */
+
   def minorCompact(spark: org.apache.spark.sql.SparkSession,
                    store: String, maxBytes: Long): Seq[String] = {
     // Complete pending RETIREMENTS first (ADVICE r15): the victim

@@ -1085,8 +1085,9 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(procs == Seq("bulkload", "clone_snapshot", "compact",
                         "compact_minor", "drop_snapshot", "export_snapshot",
                         "hbck", "list_snapshots", "merge_regions",
-                        "normalize", "repair", "restore_snapshot",
-                        "snapshot", "split_region", "vacuum", "verify_rep"),
+                        "normalize", "rebucket", "repair",
+                        "restore_snapshot", "snapshot", "split_region",
+                        "vacuum", "verify_rep"),
            s"procedures: $procs")
     // repair on a healthy store is a no-op summary
     val rRow = s.sql("CALL graftproc.repair('t')").collect()

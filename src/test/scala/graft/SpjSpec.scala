@@ -358,6 +358,54 @@ class SpjSpec extends AnyFunSuite {
     assert(!new java.io.File(root, "spj_bad").exists())
   }
 
+  test("CALL rebucket: one-publish layout evolution — SPJ works at the " +
+       "new n on both sides, old tags gone, crash window degrades (r17)") {
+    // two co-bucketed 4-bucket tables join exchange-free; rebucket ONE
+    // side to 8 → counts mismatch → honest shuffle; rebucket the other
+    // → SPJ returns at n = 8
+    mkTable("spj_rb_a", Some(4), rowsA)
+    mkTable("spj_rb_b", Some(4), rowsB)
+    assert(exchanges(ranPlan(joined("spj_rb_a", "spj_rb_b"))) == 0)
+    s.sql("CALL gspj.rebucket('spj_rb_a', 8)")
+    // descriptor repointed; every file re-tagged at the new count
+    val files = Option(new java.io.File(root, "spj_rb_a").listFiles)
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !d.getName.startsWith("_"))
+      .flatMap(d => Option(d.listFiles).getOrElse(Array.empty))
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty &&
+      files.forall(f => GraftBucket.parse(f.getName).exists(_._2 == 8)),
+      s"old-n tags must be gone: ${files.map(_.getName).toSeq}")
+    val shown = s.sql("SHOW TBLPROPERTIES gspj.spj_rb_a").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("buckets").contains("8"), s"descriptor: $shown")
+    // mismatched counts (8 vs 4) never co-partition — shuffle, exact rows
+    val mixed = joined("spj_rb_a", "spj_rb_b")
+    assert(exchanges(ranPlan(mixed)) > 0)
+    assert(mixed.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2))).toSet == expectedJoin)
+    // rebucket the other side too: SPJ returns at the new count
+    s.sql("CALL gspj.rebucket('spj_rb_b', 8)")
+    val df = joined("spj_rb_a", "spj_rb_b")
+    assert(exchanges(ranPlan(df)) == 0,
+      s"SPJ must work at the new bucket count")
+    assert(df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2))).toSet == expectedJoin)
+    // CRASH WINDOW: rewrite committed, descriptor flip lost — the scan
+    // must degrade to unkeyed (tag count 16 ≠ descriptor 8), rows exact
+    graft.sources.cell.GraftCellMaintenance
+      .rebucket(s, s"$root/spj_rb_a", 16)
+    val crashed = joined("spj_rb_a", "spj_rb_b")
+    assert(exchanges(ranPlan(crashed)) > 0,
+      "a half-done rebucket must degrade, never lie")
+    assert(crashed.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2))).toSet == expectedJoin)
+    // re-running the verb completes the evolution
+    s.sql("CALL gspj.rebucket('spj_rb_a', 16)")
+    s.sql("CALL gspj.rebucket('spj_rb_b', 16)")
+    assert(exchanges(ranPlan(joined("spj_rb_a", "spj_rb_b"))) == 0)
+  }
+
   test("path-mode bucketed writes verify the caller's sort: out-of-order " +
        "rows fail loudly instead of publishing a mis-advertised file (r17)") {
     // option("buckets", n) declares no Spark-enforced ordering (no
