@@ -379,18 +379,28 @@ object CellConnector extends QueryModule {
       // 100 TB: touch ~1/72 of every salt's region files instead of
       // the whole store (PLANS.md pins regionFiles k/n). Rows are then
       // matched exactly in the reader. Store staged once: orders keyed
-      // `<md5-salt-hex>-<date>-<orderkey>`, connector-written (range
-      // shuffle ⇒ sorted, salt-clustered region files).
-      val path = stagedOnce(storePath(dir) + "_fuzzy", "_FUZZY_READY") {
+      // `<md5-derived-salt>-<date>-<orderkey>` over 4 salts,
+      // connector-written (range shuffle ⇒ sorted, salt-clustered
+      // region files) rolling small files so each spans a narrow
+      // date slice within its salt — the layout the common-prefix
+      // algebra prunes by, at every SF.
+      val path = stagedOnce(storePath(dir) + "_fuzzy", "_FUZZY_READY_V2") {
         graft.Tables.views(s, dir, "orders")
-        s.sql("""SELECT concat(substring(md5(cast(o_orderkey AS STRING)), 1, 1),
+        // roll to ~200 region files at ANY SF: ~50 files per salt over
+        // the 7-year date span ⇒ each file covers ~1.7 months, the
+        // granularity a month probe prunes at (HBase: region count
+        // grows with data; file span in keyspace stays narrow)
+        val perFile = math.max(8L, s.table("orders").count() / 200)
+        s.sql("""SELECT concat(
+                        CAST(ascii(substring(md5(cast(o_orderkey AS STRING)),
+                                             1, 1)) % 4 AS STRING),
                         '-', cast(o_orderdate AS STRING), '-',
                         lpad(cast(o_orderkey AS STRING), 12, '0')) AS rowkey,
                         'o' AS family, 'priority' AS qualifier,
                         CAST(1 AS BIGINT) AS version,
                         o_orderpriority AS value
                  FROM orders""")
-          .write.format("graftcell").option("maxRowsPerFile", 400)
+          .write.format("graftcell").option("maxRowsPerFile", perFile)
           .mode("append").save(storePath(dir) + "_fuzzy")
       }
       s.read.format("graftcell").option("fuzzy", "?-1995-03").load(path)
@@ -1950,9 +1960,11 @@ object CellConnector extends QueryModule {
     // recomputed verbatim over the same salted-rowkey derivation
     "cell_connector_fuzzy" ->
       """WITH cells AS (
-           SELECT concat(substring(md5(cast(o_orderkey AS VARCHAR)), 1, 1),
-                         '-', cast(o_orderdate AS VARCHAR), '-',
-                         lpad(cast(o_orderkey AS VARCHAR), 12, '0')) AS rowkey,
+           SELECT concat(
+                    CAST(ascii(substring(md5(cast(o_orderkey AS VARCHAR)),
+                                         1, 1)) % 4 AS VARCHAR),
+                    '-', cast(o_orderdate AS VARCHAR), '-',
+                    lpad(cast(o_orderkey AS VARCHAR), 12, '0')) AS rowkey,
                   o_orderpriority AS value
            FROM orders)
          SELECT rowkey, value FROM cells
