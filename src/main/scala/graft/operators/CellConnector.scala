@@ -1732,7 +1732,12 @@ object CellConnector extends QueryModule {
       registerCatalog(s, dir)
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_hb (
+      // hermetic per run: the key EMITS archive/snapshot counts, so a
+      // previous run's archived generations (released when the fixture
+      // re-creates its snapshot) must not accumulate across runs —
+      // DROP wipes the store dir including _archive and manifests
+      s.sql("DROP TABLE IF EXISTS graftcat.events_hb")
+      s.sql("""CREATE TABLE graftcat.events_hb (
                  rowkey STRING, family STRING, qualifier STRING,
                  version BIGINT, value STRING) USING graftcell""")
       s.sql("INSERT OVERWRITE graftcat.events_hb SELECT * FROM graft_catalog_src")
@@ -1788,7 +1793,12 @@ object CellConnector extends QueryModule {
       registerCatalog(s, dir)
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_vc (
+      // hermetic per run: the key EMITS archive/snapshot counts, so a
+      // previous run's archived generations (released when the fixture
+      // re-creates its snapshot) must not accumulate across runs —
+      // DROP wipes the store dir including _archive and manifests
+      s.sql("DROP TABLE IF EXISTS graftcat.events_vc")
+      s.sql("""CREATE TABLE graftcat.events_vc (
                  rowkey STRING, family STRING, qualifier STRING,
                  version BIGINT, value STRING) USING graftcell""")
       s.sql("INSERT OVERWRITE graftcat.events_vc SELECT * FROM graft_catalog_src")
