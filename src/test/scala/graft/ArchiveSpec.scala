@@ -133,6 +133,58 @@ class ArchiveSpec extends AnyFunSuite {
     assert(victim2.isEmpty, "victim dir was emptied and dropped")
   }
 
+  test("export and minor compaction honor the archive: a compacted-away " +
+       "snapshot exports byte-faithfully; minor victims archive") {
+    import scala.collection.JavaConverters._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_archexp_spec_").toString
+    val store = s"$root/store"
+    def put(keys: (String, String)*): Unit = s.createDataFrame(
+      keys.map { case (rk, v) =>
+        org.apache.spark.sql.Row(rk, "d", "q", 1L, v) }.asJava,
+      GraftCell.SCHEMA)
+      .write.format("graftcell").mode("append").save(store)
+    put("a" -> "1", "b" -> "2")
+    put("c" -> "3")
+    GraftCellSnapshot.create(store, "pin")
+    // MINOR compaction merges both small generations — the victims are
+    // pinned, so they must move to the archive, and the snapshot keeps
+    // reading the ORIGINAL generations (not the merged twin)
+    graft.sources.cell.GraftCellMaintenance.minorCompact(
+      s, store, Long.MaxValue)
+    assert(CellFooterCache.committedDirs(store).size == 1,
+      "minor compaction must merge to one generation")
+    val pinRead = s.read.format("graftcell").option("snapshot", "pin")
+      .load(store).collect().map(r => (r.getString(0), r.getString(4)))
+      .sorted.toSeq
+    assert(pinRead == Seq(("a", "1"), ("b", "2"), ("c", "3")),
+      s"the snapshot must survive minor compaction: $pinRead")
+    assert(CellFooterCache.filesOf(store, Some("pin"))
+      .forall(_.path.contains("_archive")),
+      "every pinned file should now resolve through the archive")
+    // EXPORT the archived snapshot to an external destination: the
+    // backup is standalone, readable, equal to the pinned content, and
+    // media-independent (no inode shared with the archive)
+    val dest = s"$root/backup"
+    val (dirs, files, bytes) =
+      GraftCellSnapshot.export(s, store, "pin", dest)
+    assert(dirs == 2L && files >= 2L && bytes > 0L,
+      s"export summary: ($dirs, $files, $bytes)")
+    val back = s.read.format("graftcell").load(dest)
+      .collect().map(r => (r.getString(0), r.getString(4))).sorted.toSeq
+    assert(back == pinRead, "the export must equal the archived snapshot")
+    def inos(dir: java.io.File): Set[Long] =
+      Option(dir.listFiles).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => java.nio.file.Files.getAttribute(f.toPath, "unix:ino")
+          .asInstanceOf[Number].longValue()).toSet ++
+      Option(dir.listFiles).getOrElse(Array.empty)
+        .filter(_.isDirectory).flatMap(inos).toSet
+    assert((inos(new java.io.File(dest)) &
+            inos(CellArchive.root(store))).isEmpty,
+      "an export must copy bytes, never share inodes with the archive")
+  }
+
   test("legacy v1 snapshot manifests keep dir-granular semantics " +
        "through the archive (whole-dir resolve, live dir wins)") {
     import scala.collection.JavaConverters._
