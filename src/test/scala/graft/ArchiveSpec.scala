@@ -185,6 +185,87 @@ class ArchiveSpec extends AnyFunSuite {
       "an export must copy bytes, never share inodes with the archive")
   }
 
+  test("model check: through RANDOM maintenance sequences every snapshot " +
+       "reads exactly its pinned content and the live view its own") {
+    // The archive's end-to-end contract as one property: run a seeded
+    // random sequence of maintenance ops (append / major / minor /
+    // split / normalize / snapshot / restore / drop) against a model
+    // that tracks the EXPECTED row set of the live view and of every
+    // snapshot; after every op, reality must equal the model for all
+    // of them. Appends use unique rowkeys at one version, so every op
+    // in the set is content-neutral by contract — any divergence is an
+    // archive/retire/revive bug, not semantics.
+    import scala.collection.JavaConverters._
+    import graft.sources.cell.GraftCellMaintenance
+    (1 to 2).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_archmodel_${seed}_").toString
+      val store = s"$root/store"
+      var nextKey = 0
+      var live = Set.empty[(String, String)]
+      val snaps = scala.collection.mutable.LinkedHashMap
+        .empty[String, Set[(String, String)]]
+      var snapId = 0
+      def append(): Unit = {
+        val rows = (1 to 1 + rng.nextInt(4)).map { _ =>
+          nextKey += 1
+          (f"k$nextKey%05d", s"v$nextKey")
+        }
+        s.createDataFrame(rows.map { case (k, v) =>
+            org.apache.spark.sql.Row(k, "d", "q", 1L, v) }.asJava,
+          GraftCell.SCHEMA)
+          .write.format("graftcell").mode("append").save(store)
+        live ++= rows
+      }
+      def readSet(snap: Option[String]): Set[(String, String)] = {
+        val r = snap.fold(s.read.format("graftcell"))(n =>
+          s.read.format("graftcell").option("snapshot", n))
+        r.load(store).select("rowkey", "value").collect()
+          .map(x => (x.getString(0), x.getString(1))).toSet
+      }
+      append() // never operate on an empty store
+      (1 to 10).foreach { step =>
+        val op = rng.nextInt(7)
+        val what = op match {
+          case 0 => append(); "append"
+          case 1 => GraftCellMaintenance.majorCompact(s, store); "major"
+          case 2 =>
+            GraftCellMaintenance.minorCompact(s, store, Long.MaxValue)
+            "minor"
+          case 3 =>
+            val k = f"k${1 + rng.nextInt(math.max(nextKey, 1))}%05d"
+            GraftCellMaintenance.splitRegion(s, store, k); s"split@$k"
+          case 4 =>
+            snapId += 1
+            GraftCellSnapshot.create(store, s"s$snapId")
+            snaps(s"s$snapId") = live; s"snapshot s$snapId"
+          case 5 if snaps.nonEmpty =>
+            val n = snaps.keys.toSeq(rng.nextInt(snaps.size))
+            GraftCellSnapshot.restore(store, n)
+            live = snaps(n); s"restore $n"
+          case 6 if snaps.nonEmpty =>
+            val n = snaps.keys.toSeq(rng.nextInt(snaps.size))
+            GraftCellSnapshot.drop(store, n)
+            snaps.remove(n); s"drop $n"
+          case _ => append(); "append"
+        }
+        assert(readSet(None) == live,
+          s"seed $seed step $step ($what): live view diverged from model")
+        snaps.foreach { case (n, want) =>
+          assert(readSet(Some(n)) == want,
+            s"seed $seed step $step ($what): snapshot $n diverged")
+        }
+      }
+      // teardown: dropping every snapshot reclaims the whole archive
+      snaps.keys.toSeq.foreach(GraftCellSnapshot.drop(store, _))
+      assert(CellArchive.unreferenced(store) == 0L)
+      assert(!CellArchive.root(store).exists(),
+        s"seed $seed: archive must be empty once nothing pins it")
+      assert(readSet(None) == live)
+    }
+  }
+
   test("legacy v1 snapshot manifests keep dir-granular semantics " +
        "through the archive (whole-dir resolve, live dir wins)") {
     import scala.collection.JavaConverters._
