@@ -59,10 +59,15 @@ object CellArchive {
     * folded archive manifest), IF any snapshot pins the dir. Must run
     * BEFORE the live files are deleted. Idempotent: an existing link is
     * replaced (re-archiving after a crash, or a revived file retired
-    * again, both land on the current inode). */
+    * again, both land on the current inode). Callers retiring MANY
+    * dirs pass a pre-computed `pinned` map so the snapshot manifests
+    * parse once per operation, not once per dir. */
   def archiveRetiring(store: String, dirName: String,
-                      names: Set[String]): Unit = {
-    if (names.isEmpty || !pins(store).contains(dirName)) return
+                      names: Set[String],
+                      pinned: Map[String, Option[Set[String]]] = null)
+      : Unit = {
+    val p = if (pinned != null) pinned else pins(store)
+    if (names.isEmpty || !p.contains(dirName)) return
     val metas = CellFooterCache.filesUnder(store, dirName)
       .filter(m => names.contains(new File(m.path).getName))
     if (metas.isEmpty) return
@@ -79,9 +84,11 @@ object CellArchive {
   /** Retire a whole live dir: ONE rename into the archive when pinned
     * (fast path — manifest and stats travel with it), a link-merge when
     * part of the dir was archived earlier, plain delete when no
-    * snapshot pins it. */
-  def retireDir(store: String, dir: File): Unit = {
-    val pinnedDirs = pins(store)
+    * snapshot pins it. Callers retiring MANY dirs pass a pre-computed
+    * `pinned` map (one manifest parse per operation, not per dir). */
+  def retireDir(store: String, dir: File,
+                pinned: Map[String, Option[Set[String]]] = null): Unit = {
+    val pinnedDirs = if (pinned != null) pinned else pins(store)
     if (!pinnedDirs.contains(dir.getName)) { deleteRec(dir); return }
     val dst = dirOf(store, dir.getName)
     if (!dst.exists()) {

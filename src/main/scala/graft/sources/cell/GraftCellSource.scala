@@ -1192,11 +1192,12 @@ object GraftCellSnapshot {
       // dirs that held no data files (e.g. an older restore marker) are
       // swept here so the live dir set IS the pinned set + this marker
       // (archived if another snapshot pins them)
+      val pinnedNow = CellArchive.pins(store)
       orphans.map(new java.io.File(store, _)).filter(_.isDirectory)
         .foreach { d =>
           val hasData = Option(d.listFiles).getOrElse(Array.empty)
             .exists(f => f.isFile && f.getName.endsWith(".parquet"))
-          if (!hasData) CellArchive.retireDir(store, d)
+          if (!hasData) CellArchive.retireDir(store, d, pinnedNow)
         }
     }
     // REVIVE archived pins AFTER the orphan cut (never alongside the
@@ -1884,11 +1885,12 @@ object GraftCellMaintenance {
     if (replaced.nonEmpty) CellRetire.write(stage, replaced, archive = true)
     java.nio.file.Files.move(stage.toPath, dest.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val pinned = CellArchive.pins(store) // once per publish, not per dir
     replaced.groupBy(f => new java.io.File(f).getParent).foreach {
       case (dirPath, files) =>
         val dir = new java.io.File(dirPath)
         CellArchive.archiveRetiring(store, dir.getName,
-          files.map(f => new java.io.File(f).getName).toSet)
+          files.map(f => new java.io.File(f).getName).toSet, pinned)
         files.foreach(f => new java.io.File(f).delete())
         CellManifest.applyRewrite(dir, files.toSet, Map.empty)
         val remaining = Option(dir.listFiles).getOrElse(Array.empty)
@@ -2104,13 +2106,14 @@ object GraftCellMaintenance {
     // dirs emptied of data by the publish were removed with it; sweep
     // remaining no-data dirs (older restore/truncate markers) so the
     // live dir set is exactly the fresh marker
+    val pinned = CellArchive.pins(store)
     CellFooterCache.committedDirs(store)
       .filterNot(_ == marker)
       .map(new java.io.File(store, _)).filter(_.isDirectory)
       .foreach { d =>
         val hasData = Option(d.listFiles).getOrElse(Array.empty)
           .exists(f => f.isFile && f.getName.endsWith(".parquet"))
-        if (!hasData) CellArchive.retireDir(store, d)
+        if (!hasData) CellArchive.retireDir(store, d, pinned)
       }
     CellFooterCache.invalidate(store)
     (dirs.size.toLong, files.size.toLong)
@@ -2431,8 +2434,9 @@ object GraftCellMaintenance {
     } finally GraftCellSnapshot.drop(store, work)
     // victim dirs a USER snapshot pins are archived, not deleted (the
     // work snapshot above is already dropped and never pins them here)
+    val pinned = CellArchive.pins(store)
     victims.foreach(d =>
-      CellArchive.retireDir(store, new java.io.File(store, d)))
+      CellArchive.retireDir(store, new java.io.File(store, d), pinned))
     CellFooterCache.invalidate(store)
     victims
   }
@@ -3005,6 +3009,7 @@ object CellRetire {
   def repair(store: String): (Long, Long) = {
     var intents = 0L
     var removed = 0L
+    lazy val pinned = CellArchive.pins(store) // once per repair pass
     CellFooterCache.committedDirs(store).foreach { d =>
       val dir = new java.io.File(store, d)
       val (listed, archiveFlag) = readFull(dir)
@@ -3016,7 +3021,7 @@ object CellRetire {
             val pdir = new java.io.File(parent)
             if (archiveFlag)
               CellArchive.archiveRetiring(store, pdir.getName,
-                live.map(f => new java.io.File(f).getName).toSet)
+                live.map(f => new java.io.File(f).getName).toSet, pinned)
             live.foreach { f => new java.io.File(f).delete(); removed += 1 }
             CellManifest.applyRewrite(pdir, files.toSet, Map.empty)
             // a dir emptied of data files is retired with its metadata
@@ -3940,10 +3945,12 @@ class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean,
       // the TRUNCATE overwrite (major compaction) retires every live
       // generation — dirs a snapshot pins move to the archive (one
       // rename each, manifest travels) instead of dying with the
-      // rewrite (r17: snapshots survive compaction, as in HBase)
+      // rewrite (r17: snapshots survive compaction, as in HBase);
+      // the pin map parses once for the whole pass
+      val pinned = CellArchive.pins(path)
       Option(new java.io.File(path).listFiles).getOrElse(Array.empty)
         .filter(d => d.isDirectory && !d.getName.startsWith("_"))
-        .foreach(d => CellArchive.retireDir(path, d))
+        .foreach(d => CellArchive.retireDir(path, d, pinned))
     }
     // clear a dead earlier attempt's stage dir: per-file ATOMIC_MOVE
     // below has no REPLACE_EXISTING, so leftovers would fail the retry
