@@ -1283,6 +1283,40 @@ object CellConnector extends QueryModule {
                ORDER BY rowkey, qualifier""")
     }),
 
+    "sql_cell_snapshot_mvcc" -> ((s, dir) => {
+      // SNAPSHOT ISOLATION UNDER ROW-LEVEL DML (r18 — the MVCC
+      // completion): before r18 a snapshot observed later
+      // UPDATE/DELETE/MERGE (in-place rewrites kept the pinned file
+      // names — the long-documented caveat). Now every DML rewrite on
+      // a manifest-bearing store publishes NEW file names (a `-rK`
+      // rewrite counter on the ranged-DELETE path, fresh batch dirs on
+      // the group-replace path) and ARCHIVES snapshot-pinned
+      // originals, so (dir, name) is write-once and a snapshot reads
+      // its creation-time content through DML exactly as it does
+      // through a compaction — what every modern table format gives
+      // and HBase's MVCC read point gives per-RPC. Sequence: stage →
+      // snapshot 'iso' → ranged DELETE (deleteWhere path) + UPDATE
+      // (group-replace path) → the snapshot read returns the BASE
+      // cells exactly; the oracle is the plain rebuild. Metadata-only
+      // at any scale: the isolation costs one hard link per retired
+      // pinned file. Re-staged each run (INSERT OVERWRITE) so the key
+      // is idempotent for the gate.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_mvcc (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_mvcc SELECT * FROM graft_catalog_src")
+      s.sql("CALL graftcat.snapshot('events_mvcc', 'iso')")
+      s.sql("DELETE FROM graftcat.events_mvcc WHERE rowkey >= '9'")
+      s.sql("""UPDATE graftcat.events_mvcc
+               SET value = concat(value, '*')
+               WHERE rowkey >= '2' AND rowkey < '3'""")
+      s.sql("""SELECT * FROM graftcat.events_mvcc VERSION AS OF 'iso'
+               ORDER BY rowkey, qualifier""")
+    }),
+
     "sql_cell_call_list_snapshots" -> ((s, dir) => {
       // HBase shell `list_snapshots` as SQL (r16): one row per snapshot
       // manifest — name, pinned-dir count, and how many pinned dirs a
@@ -2144,6 +2178,13 @@ object CellConnector extends QueryModule {
     // still returns the pinned generation (the compaction archived it
     // instead of destroying it), so the oracle is again the rebuild
     "sql_cell_snapshot_archive" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    // r18 MVCC: snapshot → ranged DELETE + band UPDATE → the snapshot
+    // read is ISOLATED (DML rewrites publish new names and archive the
+    // pinned originals), so the oracle is again the plain rebuild
+    "sql_cell_snapshot_mvcc" ->
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT * FROM cells ORDER BY rowkey, qualifier""",
 

@@ -25,11 +25,16 @@ import java.nio.file.{Files, StandardCopyOption}
   * whole dirs: their archived dirs resolve wholesale, and only when the
   * live dir is gone.
   *
-  * In-place DML rewrites (UPDATE / DELETE / MERGE) deliberately do NOT
-  * archive: the engine's documented file-granular copy-on-write model
-  * has snapshots observe in-place rewrites (a snapshot pins names, a
-  * rewrite keeps the name) — the archive preserves GENERATIONS against
-  * maintenance, it does not turn DML into MVCC. */
+  * Row-level DML (UPDATE / DELETE / MERGE) archives too since r18 —
+  * the MVCC completion: rewritten region files get NEW names
+  * (`-rK` rewrite counters on the ranged-DELETE path, fresh batch-dir
+  * names on the group-replace path), so (dir, name) is WRITE-ONCE on
+  * every manifest-bearing store and a snapshot pinning the old name
+  * resolves its creation-time content through the archive exactly as
+  * it does across a compaction. The one remaining leak-through is the
+  * LEGACY manifest-less dir (the plain-parquet stager's `region=k`
+  * layout), whose ranged DELETE still rewrites in place — there is no
+  * manifest to swap atomically under a new name. */
 object CellArchive {
   val DIR = "_archive"
 
@@ -130,10 +135,12 @@ object CellArchive {
   }
 
   /** File metas a snapshot resolves for one pinned dir: live entries
-    * first (a live name always wins — in-place rewrites flow through),
-    * archived entries for pinned names no longer live. `names` = None
-    * is a legacy v1 whole-dir pin: the live dir wins wholesale; only a
-    * fully retired dir falls back to its archive copy. */
+    * first (a live name always wins — sound since r18 because
+    * (dir, name) is write-once on manifest-bearing stores; only a
+    * legacy in-place rewrite still flows through), archived entries
+    * for pinned names no longer live. `names` = None is a legacy v1
+    * whole-dir pin: the live dir wins wholesale; only a fully retired
+    * dir falls back to its archive copy. */
   def resolvePinned(store: String, dirName: String,
                     names: Option[Set[String]]): Seq[CellFileMeta] = {
     val liveDir = new File(store, dirName)

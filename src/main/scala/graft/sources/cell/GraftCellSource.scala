@@ -774,17 +774,39 @@ class GraftCellTable(path: String,
       .map(_.path)
     if (victims.nonEmpty) {
       // each task returns the rewritten file's fresh manifest stats
-      // (None = every row matched, file removed), so the affected dirs'
-      // persisted manifests stay exact without a single footer open
+      // (None = every row matched), so the affected dirs' persisted
+      // manifests stay exact without a single footer open.
+      // MANIFEST-BEARING dirs rewrite to NEW names (r18 — MVCC under
+      // DML): the manifest swap is the atomic visibility point, the
+      // originals are archived-if-pinned and deleted AFTER it, so a
+      // snapshot pinning the old names keeps its creation-time content
+      // through the archive, and (dir, name) stays write-once. Legacy
+      // manifest-less dirs rewrite in place (footer listings have no
+      // atomic swap; the documented no-isolation caveat narrows to
+      // exactly them).
+      val manifested: Set[String] = victims
+        .map(f => new java.io.File(f).getParent).distinct
+        .filter(d => CellManifest.read(new java.io.File(d)).isDefined)
+        .toSet
+      val work = victims.map(f =>
+        (f, !manifested.contains(new java.io.File(f).getParent)))
       val results = spark.sparkContext
-        .parallelize(victims, victims.size)
-        .map(f => CellDeleteRewrite.rewriteFile(f, filters))
+        .parallelize(work, work.size)
+        .map { case (f, inPlace) =>
+          CellDeleteRewrite.rewriteFile(f, filters, inPlace) }
         .collect()
+      lazy val pinned = CellArchive.pins(path) // once per statement
       results.groupBy(r => new java.io.File(r._1).getParent).foreach {
-        case (dir, rs) =>
-          CellManifest.applyRewrite(new java.io.File(dir),
+        case (dirPath, rs) =>
+          val dir = new java.io.File(dirPath)
+          if (manifested.contains(dirPath))
+            CellArchive.archiveRetiring(path, dir.getName,
+              rs.map(r => new java.io.File(r._1).getName).toSet, pinned)
+          CellManifest.applyRewrite(dir,
             removed = rs.collect { case (p, None) => p }.toSet,
             replaced = rs.collect { case (p, Some(m)) => p -> m }.toMap)
+          if (manifested.contains(dirPath))
+            rs.foreach { case (p, _) => new java.io.File(p).delete() }
       }
     }
     CellFooterCache.invalidate(path)
@@ -872,9 +894,13 @@ class GraftCellTable(path: String,
   * HBase's archive-dir semantics. Legacy v1 manifests (a JSON array of
   * dir names) keep their dir-granular resolution. The remaining
   * invalidation path is a pin whose file is in NEITHER place (a v1-era
-  * loss, or an archive reclaimed by `vacuum`'s drop-invalid flag). The
-  * documented in-place DML caveat stands: rewrites keep the file name,
-  * so snapshots observe them. */
+  * loss, or an archive reclaimed by `vacuum`'s drop-invalid flag).
+  * Since r18 row-level DML is MVCC-complete on manifest-bearing
+  * stores: rewrites publish NEW file names and archive pinned
+  * originals, so a snapshot reads its creation-time content through
+  * UPDATE/DELETE/MERGE as well as through maintenance. Only a legacy
+  * manifest-less dir still rewrites in place (pinned names, rewritten
+  * content — the caveat narrowed to exactly that layout). */
 object GraftCellSnapshot {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -1167,9 +1193,10 @@ object GraftCellSnapshot {
     * `_archive/` (hard links back under their original dir names —
     * metadata-only), and OTHER snapshots pinning the retired orphan
     * dirs stay valid because the orphan retirement itself archives
-    * (see [[CellArchive]]). Cells deleted IN PLACE from pinned files
-    * since the snapshot (DELETE rewrites keep the file name) are not
-    * resurrected — the documented DML caveat. A crash mid-restore
+    * (see [[CellArchive]]). Since r18 DML retirements archive too, so
+    * a restore also rolls back post-snapshot UPDATE/DELETE/MERGE on
+    * manifest-bearing stores (legacy manifest-less dirs keep the
+    * in-place caveat). A crash mid-restore
     * leaves a store readable without the not-yet-revived archived
     * files; re-running the restore completes it (the archive links are
     * never consumed, only copied). Returns (pinned dirs, orphan files
@@ -1538,16 +1565,27 @@ class GraftCellGroupReplaceBatchWrite(path: String, queryId: String,
     // the RETIRE INTENT rides the same atomic publish: from the instant
     // this batch is visible, batch readers exclude the replaced files —
     // no reader can double-count them during the delete window below,
-    // and a crash anywhere past this point is recoverable (CALL repair)
-    if (replaced.nonEmpty) CellRetire.write(stage, replaced)
+    // and a crash anywhere past this point is recoverable (CALL repair).
+    // archive=true (r18 — MVCC under DML): snapshot-pinned victims are
+    // ARCHIVED before deletion, inline below and equally by a
+    // crash-completing repair, so a snapshot reads its creation-time
+    // content through UPDATE / MERGE / group DELETE exactly as it does
+    // through compaction
+    if (replaced.nonEmpty) CellRetire.write(stage, replaced, archive = true)
     java.nio.file.Files.move(stage.toPath, dest.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     // 2. retire exactly the scanned region files; non-scanned files
-    //    (and their dirs' manifests) are never touched
+    //    (and their dirs' manifests) are never touched. Replaced names
+    //    never return (rewritten rows publish under NEW names in the
+    //    new batch dir), so an archived old name can never collide
+    //    with a live one.
+    val pinned = CellArchive.pins(path) // once per commit, not per dir
     replaced.groupBy(f => new java.io.File(f).getParent).foreach {
       case (dirPath, files) =>
-        files.foreach(f => new java.io.File(f).delete())
         val dir = new java.io.File(dirPath)
+        CellArchive.archiveRetiring(path, dir.getName,
+          files.map(f => new java.io.File(f).getName).toSet, pinned)
+        files.foreach(f => new java.io.File(f).delete())
         CellManifest.applyRewrite(dir, files.toSet, Map.empty)
         // a dir emptied of data files is retired with its metadata
         val remaining = Option(dir.listFiles).getOrElse(Array.empty)
@@ -1574,25 +1612,54 @@ class GraftCellGroupReplaceBatchWrite(path: String, queryId: String,
 
 /** Executor-side single-file DELETE rewrite (see
   * [[GraftCellTable.deleteWhere]]): streams the file's rows through the
-  * exact filter eval, writes survivors to `<file>.tmp` (invisible to
-  * readers — only `*.parquet` is listed), then atomically renames over
-  * the original; an emptied file is removed instead. Runs as one Spark
-  * task per victim file — the same per-region parallelism unit as the
-  * scan. */
+  * exact filter eval and writes the survivors.
+  *
+  * MANIFEST-BEARING dirs (every connector-written store) rewrite to a
+  * NEW file name (r18 — the MVCC half of DML): `X.parquet` becomes
+  * `X-r1.parquet` (the bucket tag, if any, stays in tag position so
+  * the layout evidence survives), the original is left untouched for
+  * the driver to archive-if-pinned and delete AFTER the atomic
+  * manifest swap — so (dir, name) is WRITE-ONCE and a snapshot pinning
+  * the old name keeps its creation-time content through the archive.
+  * LEGACY manifest-less dirs (`inPlace = true`) keep the historical
+  * in-place rewrite (`<file>.tmp` + atomic same-name rename; an
+  * emptied file is removed) — there is no manifest to swap atomically,
+  * and a new name would double-count against the footer listing during
+  * the rewrite window. Runs as one Spark task per victim file — the
+  * same per-region parallelism unit as the scan. */
 object CellDeleteRewrite {
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
   import org.apache.parquet.hadoop.metadata.CompressionCodecName
 
-  /** Returns (file, Some(new stats)) for a surviving rewrite, or
-    * (file, None) when every row matched and the file was removed —
-    * the driver folds these into the dir's persisted manifest. */
-  def rewriteFile(file: String,
-                  filters: Array[Filter]): (String, Option[CellFileMeta]) = {
+  /** `part-x[-rK][-b<i>of<n>].parquet` → same name with the rewrite
+    * counter bumped (r1 when absent). Names never repeat within a dir,
+    * so archived old generations can never collide with live ones. */
+  private[graft] def nextRewriteName(name: String): String = {
+    val Re = raw"^(.*?)(?:-r(\d+))?(-b\d+of\d+)?\.parquet$$".r
+    name match {
+      case Re(stem, r, tag) =>
+        val k = Option(r).map(_.toInt + 1).getOrElse(1)
+        s"$stem-r$k${Option(tag).getOrElse("")}.parquet"
+      case _ => name.stripSuffix(".parquet") + "-r1.parquet"
+    }
+  }
+
+  /** Returns (file, Some(new stats)) for a surviving rewrite — the
+    * stats' `path` is the REWRITTEN file (a fresh `-rK` name unless
+    * `inPlace`) — or (file, None) when every row matched (the file is
+    * removed here only when `inPlace`; otherwise the driver retires
+    * it). The driver folds these into the dir's persisted manifest. */
+  def rewriteFile(file: String, filters: Array[Filter],
+                  inPlace: Boolean): (String, Option[CellFileMeta]) = {
     val conf = new Configuration()
     val fr = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), conf))
     val msgType = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
-    val tmpFile = new java.io.File(file + ".tmp")
+    val target =
+      if (inPlace) file
+      else new java.io.File(new java.io.File(file).getParentFile,
+        nextRewriteName(new java.io.File(file).getName)).getPath
+    val tmpFile = new java.io.File(target + ".tmp")
     tmpFile.delete() // stale tmp from a failed earlier attempt
     val reader = ParquetReader
       .builder(new GroupReadSupport(), new Path(file))
@@ -1659,14 +1726,17 @@ object CellDeleteRewrite {
     } finally { reader.close(); writer.close() }
     if (kept == 0L) {
       tmpFile.delete()
-      new java.io.File(file).delete()
+      // a NEW-NAME rewrite leaves the original for the driver (archive-
+      // if-pinned, then delete after the manifest swap); in-place mode
+      // has no manifest to coordinate with and removes it here
+      if (inPlace) { new java.io.File(file).delete(); () }
       (file, None)
     } else {
       java.nio.file.Files.move(tmpFile.toPath,
-        new java.io.File(file).toPath,
+        new java.io.File(target).toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      (file, Some(CellFileMeta(file, new java.io.File(file).length(), kept,
+      (file, Some(CellFileMeta(target, new java.io.File(target).length(), kept,
         Option(minKey), Option(maxKey), msgType.toString,
         if (minVer == Long.MaxValue) None else Some(minVer),
         if (maxVer == Long.MinValue) None else Some(maxVer),
@@ -2955,12 +3025,14 @@ object CellRetire {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Written into the STAGE dir before the publish rename. `archive`
-    * marks a MAINTENANCE retirement (compaction/restore/split/merge):
-    * a crash-completing [[repair]] must archive snapshot-pinned
-    * victims exactly like the inline path would have (r17). DML
-    * group-replace intents stay archive=false — the documented
-    * in-place caveat. Format: a bare JSON array (legacy, no archive)
-    * or `{"archive":true,"files":[...]}`. */
+    * marks a retirement whose snapshot-pinned victims a
+    * crash-completing [[repair]] must archive exactly like the inline
+    * path would have — MAINTENANCE retirements
+    * (compaction/restore/split/merge) since r17, and DML group-replace
+    * retirements since r18 (the MVCC completion: snapshots read their
+    * creation-time content through UPDATE/MERGE too). Format: a bare
+    * JSON array (legacy, no archive) or
+    * `{"archive":true,"files":[...]}`. */
   def write(dir: java.io.File, replaced: Seq[String],
             archive: Boolean = false): Unit = {
     val payload: Any =
@@ -3086,9 +3158,11 @@ object CellFooterCache {
   }
 
   /** Files of a store, optionally AS OF a named snapshot: pinned files
-    * resolve LIVE-FIRST (in-place rewrites flow through — the
-    * documented DML caveat), then through `_archive/<dir>/` (r17 —
-    * generations a compaction/truncate/restore retired survive for
+    * resolve LIVE-FIRST — sound because (dir, name) is write-once on
+    * manifest-bearing stores since r18 (a live pinned name IS the
+    * pinned content; only a legacy in-place rewrite can still change a
+    * name's content) — then through `_archive/<dir>/` (r17 —
+    * generations a compaction/truncate/restore/DML retired survive for
     * every snapshot that pins them, as in HBase's archive dir). A pin
     * in neither place reads as empty (`list_snapshots` reports it). */
   def filesOf(store: String, snapshot: Option[String]): Seq[CellFileMeta] =

@@ -194,7 +194,9 @@ class ArchiveSpec extends AnyFunSuite {
     // snapshot; after every op, reality must equal the model for all
     // of them. Appends use unique rowkeys at one version, so every op
     // in the set is content-neutral by contract — any divergence is an
-    // archive/retire/revive bug, not semantics.
+    // archive/retire/revive bug, not semantics. r18 adds ranged DELETE
+    // to the op set: the model mutates ONLY the live view, so any
+    // snapshot observing the delete is an MVCC bug.
     import scala.collection.JavaConverters._
     import graft.sources.cell.GraftCellMaintenance
     (1 to 2).foreach { seed =>
@@ -226,7 +228,7 @@ class ArchiveSpec extends AnyFunSuite {
       }
       append() // never operate on an empty store
       (1 to 10).foreach { step =>
-        val op = rng.nextInt(7)
+        val op = rng.nextInt(8)
         val what = op match {
           case 0 => append(); "append"
           case 1 => GraftCellMaintenance.majorCompact(s, store); "major"
@@ -248,6 +250,16 @@ class ArchiveSpec extends AnyFunSuite {
             val n = snaps.keys.toSeq(rng.nextInt(snaps.size))
             GraftCellSnapshot.drop(store, n)
             snaps.remove(n); s"drop $n"
+          case 7 if live.size >= 2 =>
+            // ranged DELETE (r18 MVCC op): mutates the LIVE model only;
+            // never the smallest key, so the store never empties
+            val keys = live.map(_._1).toSeq.sorted
+            val k = keys(1 + rng.nextInt(keys.size - 1))
+            new graft.sources.cell.GraftCellTable(store).deleteWhere(
+              Array[org.apache.spark.sql.sources.Filter](
+                org.apache.spark.sql.sources.GreaterThanOrEqual("rowkey", k)))
+            live = live.filterNot(_._1 >= k)
+            s"delete>=$k"
           case _ => append(); "append"
         }
         assert(readSet(None) == live,
@@ -293,5 +305,103 @@ class ArchiveSpec extends AnyFunSuite {
     assert(metas.size == 1 && metas.head.path.contains("_archive"))
     assert(GraftCellSnapshot.list(store) ==
            Seq(("old", Seq(d), Seq.empty[String])))
+  }
+
+  test("rewrite names bump the -rK counter and keep the bucket tag in " +
+       "tag position (write-once (dir, name) invariant)") {
+    import graft.sources.cell.CellDeleteRewrite.nextRewriteName
+    assert(nextRewriteName("part-00001-0002.parquet") ==
+           "part-00001-0002-r1.parquet")
+    assert(nextRewriteName("part-00001-0002-r1.parquet") ==
+           "part-00001-0002-r2.parquet")
+    assert(nextRewriteName("part-00001-0002-b3of8.parquet") ==
+           "part-00001-0002-r1-b3of8.parquet")
+    assert(nextRewriteName("part-00001-0002-r7-b3of8.parquet") ==
+           "part-00001-0002-r8-b3of8.parquet")
+    // the scan's layout evidence survives the rewrite
+    assert(graft.sources.cell.GraftBucket
+      .parse(nextRewriteName("part-00001-0002-b3of8.parquet"))
+      .contains((3, 8)))
+  }
+
+  test("MVCC under row-level DML (r18): a snapshot reads its " +
+       "creation-time content through DELETE and UPDATE; the sweep " +
+       "reclaims the DML archive") {
+    import scala.collection.JavaConverters._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_archmvcc_spec_").toString
+    s.conf.set("spark.sql.catalog.graftmvcc",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftmvcc.root", root)
+    s.sql("""CREATE TABLE graftmvcc.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell""")
+    val store = s"$root/t"
+    s.createDataFrame(
+      ('a' to 'z').map(c =>
+        org.apache.spark.sql.Row(c.toString, "d", "q", 1L, s"v$c")).asJava,
+      GraftCell.SCHEMA).coalesce(1)
+      .write.format("graftcell").option("maxRowsPerFile", 13)
+      .mode("append").save(store)
+    def readAll() = s.sql(
+      "SELECT rowkey, value FROM graftmvcc.t ORDER BY rowkey")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    def readAsOf(n: String) = s.sql(
+      s"""SELECT rowkey, value FROM graftmvcc.t VERSION AS OF '$n'
+          ORDER BY rowkey""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val original = readAll()
+    val namesBefore = CellFooterCache.filesOf(store)
+      .map(m => new java.io.File(m.path).getName).toSet
+    s.sql("CALL graftmvcc.snapshot('t', 'iso')")
+    // ranged DELETE — the deleteWhere new-name path: the victim file
+    // rewrites under a fresh -r1 name, the pinned original archives
+    s.sql("DELETE FROM graftmvcc.t WHERE rowkey >= 'w'")
+    // group-replace UPDATE — the COW path: victims retire into the
+    // archive, the rewritten rows publish as a new batch dir
+    s.sql("""UPDATE graftmvcc.t SET value = concat(value, '*')
+             WHERE rowkey < 'c'""")
+    val mutated = original.filterNot(_._1 >= "w").map {
+      case (k, v) if k < "c" => (k, v + "*")
+      case kv                => kv
+    }
+    assert(readAll() == mutated, "live view must see the DML")
+    // the snapshot is ISOLATED: creation-time content, exactly
+    assert(readAsOf("iso") == original,
+      "snapshot must not observe row-level DML (MVCC)")
+    assert(GraftCellSnapshot.list(store).find(_._1 == "iso")
+      .exists(_._3.isEmpty), "iso must report zero missing")
+    // (dir, name) is write-once: no surviving live file kept a
+    // rewritten original's name with different content — the DELETE
+    // victim's name is gone from the live set and lives in the archive
+    val liveNames = CellFooterCache.filesOf(store)
+      .map(m => new java.io.File(m.path).getName).toSet
+    val retiredNames = namesBefore -- liveNames
+    assert(retiredNames.nonEmpty, "DML must retire the old names")
+    assert(liveNames.exists(_.contains("-r1")),
+      s"the ranged DELETE must publish a -r1 rewrite name: $liveNames")
+    assert(CellArchive.root(store).isDirectory,
+      "pinned DML victims must be archived")
+    // the manifest swap stays exact: a cold re-plan opens no footers
+    val opens = CellFooterCache.footerOpens.get()
+    CellFooterCache.invalidate(store)
+    CellFooterCache.filesOf(store)
+    assert(CellFooterCache.footerOpens.get() == opens,
+      "DML rewrite left the manifest stale (footer fallback)")
+    // a snapshot taken AFTER the DML pins the mutated view
+    s.sql("CALL graftmvcc.snapshot('t', 'post')")
+    assert(readAsOf("post") == mutated)
+    // and survives a major compaction via the archive, independently
+    s.sql("CALL graftmvcc.compact('t')")
+    assert(readAsOf("iso") == original, "iso must survive compaction")
+    assert(readAsOf("post") == mutated, "post must survive compaction")
+    // restore rolls the table back THROUGH the DML (r18)
+    s.sql("CALL graftmvcc.restore_snapshot('t', 'iso')").collect()
+    assert(readAll() == original, "restore must undo row-level DML")
+    // drops reclaim exactly what the dropped snapshots alone pinned
+    s.sql("CALL graftmvcc.drop_snapshot('t', 'iso')")
+    s.sql("CALL graftmvcc.drop_snapshot('t', 'post')")
+    assert(CellArchive.unreferenced(store) == 0L)
+    s.sql("DROP TABLE graftmvcc.t")
   }
 }

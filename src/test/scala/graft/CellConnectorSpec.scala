@@ -182,6 +182,27 @@ class CellConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("sql_cell_snapshot_mvcc: the snapshot read is the untouched base; " +
+       "the live table carries the DML (r18)") {
+    val got = SparkEntry.queries("sql_cell_snapshot_mvcc")(s, dir)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(4)))
+      .toSeq
+    // snapshot == the plain rebuild: no '9'-band rows missing, no
+    // '2'-band stars — isolation through both DML paths
+    val base = SparkEntry.queries("sink_hbase_cells")(s, dir)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(4)))
+      .toSeq
+    assert(got == base, "snapshot must read its creation-time content")
+    assert(base.exists(_._1 >= "9"), "fixture must cover the deleted band")
+    // the LIVE table saw both statements
+    val live = s.sql("""SELECT rowkey, value FROM graftcat.events_mvcc
+                        ORDER BY rowkey, qualifier""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(!live.exists(_._1 >= "9"), "live must see the DELETE")
+    assert(live.filter(r => r._1 >= "2" && r._1 < "3").forall(_._2.endsWith("*")),
+      "live must see the UPDATE")
+  }
+
   test("maxRowsPerFile rolls region files: finer granularity, still disjoint") {
     import graft.sources.cell.CellFooterCache
     SparkEntry.queries("cell_connector_split_regions")(s, dir).queryExecution // stage
@@ -1512,8 +1533,8 @@ class CellConnectorSpec extends AnyFunSuite {
     val shown = s.sql("SHOW TBLPROPERTIES graftclone.tclone").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(shown.get("ttl_micros").contains("777"), s"clone props: $shown")
-    // INODE SEMANTICS: an in-place DELETE in the source publishes new
-    // inodes over the shared names — the clone keeps the old content
+    // a source DELETE retires the shared names (r18: the rewrite
+    // publishes a NEW -r1 name) — the clone keeps its own links
     s.sql("DELETE FROM graftclone.t WHERE rowkey >= 'h'")
     assert(readAll("t").size == 7)
     assert(readAll("tclone") == base, "source DELETE leaked into the clone")
@@ -1527,15 +1548,15 @@ class CellConnectorSpec extends AnyFunSuite {
     intercept[Exception] {
       s.sql("CALL graftclone.clone_snapshot('t', 'base', 'tclone')").collect()
     }
-    // r17 ARCHIVE: the compaction above moved base's pinned generation
-    // to _archive/, so cloning it still works — and the clone carries
-    // the snapshot's RESOLVED view: the in-place DELETE flowed through
-    // (pinned names, rewritten inodes — the documented DML caveat),
-    // the compaction did not
+    // r17 ARCHIVE + r18 MVCC: the compaction above moved base's pinned
+    // generation to _archive/, so cloning it still works — and since
+    // the ranged DELETE rewrote under a NEW name and archived the
+    // pinned original, the clone carries the snapshot's FULL
+    // creation-time content (snapshot isolation under DML)
     s.sql("DROP TABLE IF EXISTS graftclone.tclone2")
     s.sql("CALL graftclone.clone_snapshot('t', 'base', 'tclone2')").collect()
-    assert(readAll("tclone2") == base.filterNot(_._1 >= "h"),
-      "archived clone must equal the snapshot's post-DML resolved view")
+    assert(readAll("tclone2") == base,
+      "archived clone must equal the snapshot's creation-time content")
     // only an explicit drop kills the snapshot
     s.sql("CALL graftclone.drop_snapshot('t', 'base')")
     s.sql("DROP TABLE IF EXISTS graftclone.tclone3")

@@ -316,8 +316,8 @@ class SpjSpec extends AnyFunSuite {
     mkTable("spj_tt", Some(8), rowsA)
     s.sql("CALL gspj.snapshot('spj_tt', 'pin')")
     // append a generation past the snapshot (dir-granular — exactly
-    // what snapshots isolate; in-place COW rewrites carry the
-    // documented leak-through caveat and are not what this pins)
+    // what snapshots isolate; since r18 row-level DML isolates too,
+    // but an append is what this layout case pins)
     insert("spj_tt", (501 to 520).map(i => (f"k$i%03d", "f", "q", 1L, s"a$i")))
     // the pinned read plans the SAME tagged files the snapshot froze,
     // so it reports the same key grouping as the live side — the
