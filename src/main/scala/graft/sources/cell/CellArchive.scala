@@ -35,6 +35,133 @@ import java.nio.file.{Files, StandardCopyOption}
   * LEGACY manifest-less dir (the plain-parquet stager's `region=k`
   * layout), whose ranged DELETE still rewrites in place — there is no
   * manifest to swap atomically under a new name. */
+/** APPEND-ONLY structural-history log (`_travel_log.jsonl` at the
+  * store root) — what makes `TIMESTAMP AS OF` TOTAL-OR-LOUD over
+  * maintenance and DML history (r18, VERDICT r17 #1). Two event kinds,
+  * one JSON line each, FILE-granular:
+  *
+  *  - RETIRE `{"event":"retire","dir":d,"stamp":s,"supersededAt":S,
+  *    "files":[names]}`: the named files of generation `d` (committed
+  *    at `s`) left the live view when the generation committed at `S`
+  *    replaced them — a compaction / truncate / restore orphan cut /
+  *    split / merge victim set, or a group-replace DML victim set.
+  *  - REVIVE `{"event":"revive","dir":d,"at":R,"files":[names]}`: a
+  *    restore hard-linked the named archived files back into the live
+  *    view at commit stamp `R`.
+  *
+  * A file's VIEW MEMBERSHIP at time `ts` is then event-sourced: live
+  * from its dir's commit stamp, out at each retire `supersededAt ≤
+  * ts`, back in at each revive `at ≤ ts` (stamps are strictly
+  * monotonic per store, so the replay order is total). A clock travel
+  * to `ts` materializes every member file — live dirs serve their
+  * members directly, retired members resolve from `_archive/<d>/` —
+  * and REFUSES LOUDLY when a member resolves NOWHERE (an unpinned
+  * retirement, or an archive swept by drop_snapshot/vacuum): before
+  * r18 a timestamp inside a minor-compacted window passed the
+  * first-commit guard and silently read a THINNED table. In-dir
+  * content rewrites (ranged DELETE `-rK` renames) are deliberately NOT
+  * events: they replace a name inside a still-live generation, so the
+  * documented "travel reads the pinned generations' current content"
+  * caveat applies and no row silently vanishes. O(structural
+  * rewrites) small lines of driver-side metadata; read only by
+  * `loadTable(ident, ts)`, never on a data path. */
+object CellTravelLog {
+  val NAME = "_travel_log.jsonl"
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** `kind` ∈ retire | revive | born. `stamp` is the generation's
+    * commit stamp (retire events only; -1 otherwise), `at` the event
+    * time. A `born` event marks a file that did NOT exist at its dir's
+    * commit stamp — the `-rK` rename of an event-bearing name (see
+    * [[GraftCellTable.deleteWhere]]): without it the new name would
+    * claim membership of windows before the rename. */
+  final case class Event(kind: String, dir: String, stamp: Long,
+                         at: Long, files: Seq[String]) {
+    def revive: Boolean = kind == "revive"
+  }
+
+  private def write(store: String, node: com.fasterxml.jackson.databind
+      .node.ObjectNode): Unit = {
+    val line = (mapper.writeValueAsString(node) + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Files.write(new File(store, NAME).toPath, line,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    ()
+  }
+
+  /** Log a retirement: `files` of generation `dirName` (committed at
+    * `stamp`) replaced by the generation committed at `supersededAt`.
+    * An empty file set (a data-less marker generation) loses nothing
+    * and is not logged. */
+  def retire(store: String, dirName: String, stamp: Long,
+             files: Seq[String], supersededAt: Long): Unit = {
+    if (files.isEmpty) return
+    val node = mapper.createObjectNode()
+    node.put("event", "retire")
+    node.put("dir", dirName)
+    node.put("stamp", stamp)
+    node.put("supersededAt", supersededAt)
+    val arr = node.putArray("files")
+    files.sorted.foreach(arr.add)
+    write(store, node)
+  }
+
+  private def inEvent(store: String, kind: String, dirName: String,
+                      files: Seq[String], at: Long): Unit = {
+    if (files.isEmpty) return
+    val node = mapper.createObjectNode()
+    node.put("event", kind)
+    node.put("dir", dirName)
+    node.put("at", at)
+    val arr = node.putArray("files")
+    files.sorted.foreach(arr.add)
+    write(store, node)
+  }
+
+  /** Log a restore revival: archived `files` of `dirName` re-entered
+    * the live view at commit stamp `at`. */
+  def revive(store: String, dirName: String, files: Seq[String],
+             at: Long): Unit = inEvent(store, "revive", dirName, files, at)
+
+  /** Log a mid-generation birth: `files` of `dirName` first existed at
+    * `at` (a DML `-rK` rename of an event-bearing name), not at the
+    * dir's commit stamp. */
+  def born(store: String, dirName: String, files: Seq[String],
+           at: Long): Unit = inEvent(store, "born", dirName, files, at)
+
+  /** Log the retirement of a dir's CURRENT full content — call BEFORE
+    * destroying or archiving it wholesale. */
+  def retireWhole(store: String, dir: File, supersededAt: Long): Unit = {
+    val stamp = CellManifest.commitStampOf(store, dir.getName)
+    val names = CellFooterCache.filesUnder(store, dir.getName)
+      .map(m => new File(m.path).getName)
+    retire(store, dir.getName, stamp, names, supersededAt)
+  }
+
+  /** All events, in append (= stamp) order. For retire events `stamp`
+    * is the generation's commit stamp and `at` the superseding stamp;
+    * for revive/born events `stamp` is unknown (-1) and `at` the
+    * event's own stamp. */
+  def read(store: String): Seq[Event] = {
+    val f = new File(store, NAME)
+    if (!f.exists()) return Nil
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq
+      .filter(_.nonEmpty).map { line =>
+        val n = mapper.readTree(line)
+        val files = n.get("files").elements().asScala.map(_.asText()).toSeq
+        val kind = n.get("event").asText()
+        if (kind == "retire")
+          Event(kind, n.get("dir").asText(), n.get("stamp").asLong(),
+                n.get("supersededAt").asLong(), files)
+        else
+          Event(kind, n.get("dir").asText(), -1L,
+                n.get("at").asLong(), files)
+      }
+  }
+}
+
 object CellArchive {
   val DIR = "_archive"
 
@@ -90,9 +217,14 @@ object CellArchive {
     * (fast path — manifest and stats travel with it), a link-merge when
     * part of the dir was archived earlier, plain delete when no
     * snapshot pins it. Callers retiring MANY dirs pass a pre-computed
-    * `pinned` map (one manifest parse per operation, not per dir). */
+    * `pinned` map (one manifest parse per operation, not per dir).
+    * `supersededAt` (≥ 0) is the commit stamp of the generation that
+    * REPLACED this one — recorded in the [[CellTravelLog]] so
+    * `TIMESTAMP AS OF` stays total-or-loud over the retirement. */
   def retireDir(store: String, dir: File,
-                pinned: Map[String, Option[Set[String]]] = null): Unit = {
+                pinned: Map[String, Option[Set[String]]] = null,
+                supersededAt: Long = -1L): Unit = {
+    if (supersededAt >= 0L) CellTravelLog.retireWhole(store, dir, supersededAt)
     val pinnedDirs = if (pinned != null) pinned else pins(store)
     if (!pinnedDirs.contains(dir.getName)) { deleteRec(dir); return }
     val dst = dirOf(store, dir.getName)

@@ -276,28 +276,100 @@ class GraftCellCatalog extends TableCatalog
   /** `TIMESTAMP AS OF <ts>` time travel over the COMMIT-STAMPED
     * persisted manifests: every committed batch dir carries a strictly
     * monotonic `committedAtMicros` (see [[CellManifest]]), so a
-    * timestamp resolves to the dirs committed at or before it — a pure
-    * metadata operation, like the named-snapshot path, with zero data
-    * copy or footer reads. A timestamp before the table's first commit
-    * is refused (there was no table to read then); one at or past the
-    * newest commit reads the full live dir set. The pinned table
-    * refuses writes and row-level operations like any time-travel
-    * view. `timestamp` arrives in microseconds since the epoch (the
-    * engine's TimestampType resolution). */
+    * timestamp resolves to the generations committed at or before it —
+    * a pure metadata operation, like the named-snapshot path, with
+    * zero data copy or footer reads. A timestamp before the table's
+    * first KNOWN commit (live or logged-retired) is refused (there was
+    * no table to read then); one at or past the newest commit reads
+    * the full live dir set. The pinned table refuses writes and
+    * row-level operations like any time-travel view. `timestamp`
+    * arrives in microseconds since the epoch (the engine's
+    * TimestampType resolution).
+    *
+    * TOTAL-OR-LOUD over maintenance and DML history (r18, VERDICT r17
+    * #1): view membership of every file is replayed from the
+    * [[CellTravelLog]] — live from its generation's commit stamp, OUT
+    * at each logged retirement `supersededAt ≤ ts`, back IN at each
+    * logged restore revival `≤ ts`. Members resolve from the live dirs
+    * or (for retired generations a snapshot kept pinned) from
+    * `_archive/<dir>/` restricted to exactly the retirement-time
+    * names; a member that resolves NOWHERE — an unpinned retirement,
+    * or an archive swept by drop_snapshot/vacuum — REFUSES with the
+    * missing files named, instead of silently reading a thinned table
+    * (the pre-r18 behavior inside a minor-compacted window). In-dir
+    * `-rK` DELETE rewrites are not view events: travel reads the
+    * pinned generations' CURRENT content, the documented caveat. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir = existingDataDir(ident.namespace(), ident.name())
       .getOrElse(throw new NoSuchTableException(ident))
     val store = dir.getPath
-    val stamps = CellFooterCache.committedDirs(store)
-      .map(d => d -> CellManifest.commitStampOf(store, d))
-    require(stamps.nonEmpty,
+    val live = CellFooterCache.committedDirs(store)
+    val liveStamps: Map[String, Long] =
+      live.map(d => d -> CellManifest.commitStampOf(store, d)).toMap
+    val events = CellTravelLog.read(store)
+    val retires = events.filter(_.kind == "retire")
+    val known = liveStamps.values ++ retires.map(_.stamp)
+    require(known.nonEmpty,
       s"graftcell: table ${ident.name()} has no committed data to time-travel")
-    val first = stamps.map(_._2).min
+    val first = known.min
     require(timestamp >= first,
       s"graftcell: TIMESTAMP AS OF $timestamp precedes the table's " +
       s"first commit ($first)")
-    val pinned = stamps.filter(_._2 <= timestamp).map(_._1).sorted
-    new GraftCellTable(store, None, Some(pinned), readProps(dir))
+    def namesUnder(d: String): Seq[String] =
+      CellFooterCache.filesUnder(store, d)
+        .map(m => new java.io.File(m.path).getName)
+    // per-file OUT/IN toggles in append (= stamp) order
+    val eventsByFile: Map[(String, String), Seq[(Long, String)]] =
+      events.flatMap(e => e.files.map(n => ((e.dir, n), (e.at, e.kind))))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // a generation's birth: its live stamp, else its retire-entry stamp
+    val birth: Map[String, Long] =
+      retires.map(e => e.dir -> e.stamp).toMap ++ liveStamps
+    def member(d: String, n: String): Boolean =
+      eventsByFile.get((d, n)) match {
+        case None => birth.get(d).exists(_ <= timestamp)
+        case Some(evs) => evs.filter(_._1 <= timestamp).lastOption match {
+          case Some((_, kind)) => kind != "retire"
+          case None =>
+            // no event yet at ts: alive since the dir's commit — unless
+            // the name was BORN later (a post-ts -rK rename product)
+            birth.get(d).exists(_ <= timestamp) &&
+              !evs.exists(_._2 == "born")
+        }
+      }
+    val pins = Seq.newBuilder[CellGenPin]
+    // live generations: wholesale when every current file is a member
+    live.filter(d => liveStamps(d) <= timestamp).sorted.foreach { d =>
+      val names = namesUnder(d)
+      val kept = names.filter(n => member(d, n))
+      if (kept.size == names.size) pins += CellGenPin(d)
+      else if (kept.nonEmpty) pins += CellGenPin(d, Some(kept.toSet))
+    }
+    // retired members resolve from the archive — or the travel refuses
+    val liveNames: Map[String, Set[String]] =
+      live.map(d => d -> namesUnder(d).toSet).toMap
+    val missing = Seq.newBuilder[String]
+    val archPins = scala.collection.mutable.LinkedHashMap
+      .empty[String, Set[String]]
+    eventsByFile.keys.toSeq.sorted.foreach { case (d, n) =>
+      val liveHere = liveNames.get(d).exists(_.contains(n))
+      if (!liveHere && member(d, n)) {
+        if (namesUnder(s"${CellArchive.DIR}/$d").contains(n))
+          archPins(d) = archPins.getOrElse(d, Set.empty) + n
+        else missing += s"$d/$n"
+      }
+    }
+    val lost = missing.result()
+    require(lost.isEmpty,
+      s"graftcell: TIMESTAMP AS OF $timestamp cannot be reconstructed — " +
+      "these region files were part of the view then but were retired " +
+      "by later maintenance/DML and resolve neither live nor archived " +
+      "(retirement unpinned by any snapshot, or archive swept): " +
+      s"${lost.sorted.mkString(", ")}; refusing a silently partial read")
+    archPins.foreach { case (d, ns) =>
+      pins += CellGenPin(s"${CellArchive.DIR}/$d", Some(ns))
+    }
+    new GraftCellTable(store, None, Some(pins.result()), readProps(dir))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -688,7 +688,7 @@ object GraftCell {
 
 class GraftCellTable(path: String,
                      pinnedSnapshot: Option[String] = None,
-                     pinnedDirs: Option[Seq[String]] = None,
+                     pinnedDirs: Option[Seq[CellGenPin]] = None,
                      tableProps: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -796,12 +796,33 @@ class GraftCellTable(path: String,
           CellDeleteRewrite.rewriteFile(f, filters, inPlace) }
         .collect()
       lazy val pinned = CellArchive.pins(path) // once per statement
+      // a rewritten name that carries travel-log history needs explicit
+      // rename events: without them the OLD name would claim view
+      // membership it just lost, and the NEW name would claim windows
+      // from before it existed (the revived-then-DELETEd corner).
+      // Event-less names stay unlogged — the documented "travel reads
+      // current content" caveat for plain in-generation DML.
+      lazy val eventNames: Set[(String, String)] =
+        CellTravelLog.read(path)
+          .flatMap(e => e.files.map(n => (e.dir, n))).toSet
+      lazy val renameStamp = CellManifest.nextCommitStamp(path)
       results.groupBy(r => new java.io.File(r._1).getParent).foreach {
         case (dirPath, rs) =>
           val dir = new java.io.File(dirPath)
-          if (manifested.contains(dirPath))
+          if (manifested.contains(dirPath)) {
             CellArchive.archiveRetiring(path, dir.getName,
               rs.map(r => new java.io.File(r._1).getName).toSet, pinned)
+            rs.foreach { case (p, newMeta) =>
+              val oldName = new java.io.File(p).getName
+              if (eventNames.contains((dir.getName, oldName))) {
+                CellTravelLog.retire(path, dir.getName,
+                  CellManifest.commitStampOf(path, dir.getName),
+                  Seq(oldName), renameStamp)
+                newMeta.foreach(m => CellTravelLog.born(path, dir.getName,
+                  Seq(new java.io.File(m.path).getName), renameStamp))
+              }
+            }
+          }
           CellManifest.applyRewrite(dir,
             removed = rs.collect { case (p, None) => p }.toSet,
             replaced = rs.collect { case (p, Some(m)) => p -> m }.toMap)
@@ -1212,9 +1233,12 @@ object GraftCellSnapshot {
       .filterNot(pinnedSet)
     val orphanFiles = orphans
       .flatMap(d => CellFooterCache.filesUnder(store, d)).map(_.path)
+    // the revival's travel-log event time: the orphan cut's publish
+    // stamp when one happens, else a fresh monotonic stamp
+    var reviveStamp = -1L
     if (orphans.nonEmpty) {
-      GraftCellMaintenance.publishReplacement(
-        store, Nil, orphanFiles, "restore")
+      reviveStamp = GraftCellMaintenance.publishReplacement(
+        store, Nil, orphanFiles, "restore")._2
       // orphan dirs emptied of data by the publish are removed with it;
       // dirs that held no data files (e.g. an older restore marker) are
       // swept here so the live dir set IS the pinned set + this marker
@@ -1236,6 +1260,7 @@ object GraftCellSnapshot {
       val archived = metas.filter(_.path.contains(
         java.io.File.separator + CellArchive.DIR + java.io.File.separator))
       if (archived.nonEmpty) {
+        if (reviveStamp < 0L) reviveStamp = CellManifest.nextCommitStamp(store)
         val liveDir = new java.io.File(store, d)
         def rebase(m: CellFileMeta) = m.copy(path =
           new java.io.File(liveDir, new java.io.File(m.path).getName).getPath)
@@ -1271,6 +1296,10 @@ object GraftCellSnapshot {
                                  data.files ++ add)
           }
         }
+        // travel log (r18): the archived files re-entered the live view
+        // here — clock travel replays this as an IN event
+        CellTravelLog.revive(store, d,
+          archived.map(m => new java.io.File(m.path).getName), reviveStamp)
       }
     }
     CellFooterCache.invalidate(store)
@@ -1561,7 +1590,8 @@ class GraftCellGroupReplaceBatchWrite(path: String, queryId: String,
         new java.io.File(stage, src.getName).toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    CellManifest.write(stage, CellManifest.nextCommitStamp(path), metas.toSeq)
+    val commitStamp = CellManifest.nextCommitStamp(path)
+    CellManifest.write(stage, commitStamp, metas.toSeq)
     // the RETIRE INTENT rides the same atomic publish: from the instant
     // this batch is visible, batch readers exclude the replaced files —
     // no reader can double-count them during the delete window below,
@@ -1583,8 +1613,13 @@ class GraftCellGroupReplaceBatchWrite(path: String, queryId: String,
     replaced.groupBy(f => new java.io.File(f).getParent).foreach {
       case (dirPath, files) =>
         val dir = new java.io.File(dirPath)
-        CellArchive.archiveRetiring(path, dir.getName,
-          files.map(f => new java.io.File(f).getName).toSet, pinned)
+        val names = files.map(f => new java.io.File(f).getName)
+        // travel log (r18): the replaced files leave the view here,
+        // superseded by this batch — a clock travel into the window
+        // resolves them from the archive or refuses loudly
+        CellTravelLog.retire(path, dir.getName,
+          CellManifest.commitStampOf(path, dir.getName), names, commitStamp)
+        CellArchive.archiveRetiring(path, dir.getName, names.toSet, pinned)
         files.foreach(f => new java.io.File(f).delete())
         CellManifest.applyRewrite(dir, files.toSet, Map.empty)
         // a dir emptied of data files is retired with its metadata
@@ -1931,11 +1966,12 @@ object GraftCellMaintenance {
     * files and exclude the replaced ones; the second half (delete the
     * replaced files, fold their dirs' manifests, drop dirs emptied of
     * data) is completed by `CALL repair` if interrupted. Single-writer
-    * maintenance, like compaction. Returns the published dir name. */
+    * maintenance, like compaction. Returns the published dir name and
+    * its commit stamp (the travel-log superseding point). */
   private[cell] def publishReplacement(store: String,
                                        newFiles: Seq[CellFileMeta],
                                        replaced: Seq[String],
-                                       tag: String): String = {
+                                       tag: String): (String, Long) = {
     val id = java.util.UUID.randomUUID().toString.replace("-", "")
     val stage = new java.io.File(store, s"_stage_${tag}_$id")
     val dest = new java.io.File(store, s"batch_${tag}_$id")
@@ -1947,7 +1983,8 @@ object GraftCellMaintenance {
         new java.io.File(stage, src.getName).toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    CellManifest.write(stage, CellManifest.nextCommitStamp(store), newFiles)
+    val commitStamp = CellManifest.nextCommitStamp(store)
+    CellManifest.write(stage, commitStamp, newFiles)
     // maintenance retirement ARCHIVES snapshot-pinned victims (r17):
     // the intent carries archive=true so a crash-completing repair
     // archives too, never deleting a pinned file the inline path would
@@ -1959,8 +1996,13 @@ object GraftCellMaintenance {
     replaced.groupBy(f => new java.io.File(f).getParent).foreach {
       case (dirPath, files) =>
         val dir = new java.io.File(dirPath)
-        CellArchive.archiveRetiring(store, dir.getName,
-          files.map(f => new java.io.File(f).getName).toSet, pinned)
+        val names = files.map(f => new java.io.File(f).getName)
+        // travel log (r18): the victims leave the view, superseded by
+        // this publish — total-or-loud TIMESTAMP AS OF over the rewrite
+        CellTravelLog.retire(store, dir.getName,
+          CellManifest.commitStampOf(store, dir.getName), names,
+          commitStamp)
+        CellArchive.archiveRetiring(store, dir.getName, names.toSet, pinned)
         files.foreach(f => new java.io.File(f).delete())
         CellManifest.applyRewrite(dir, files.toSet, Map.empty)
         val remaining = Option(dir.listFiles).getOrElse(Array.empty)
@@ -1971,7 +2013,7 @@ object GraftCellMaintenance {
     java.nio.file.Files.write(new java.io.File(store, "_SUCCESS").toPath,
                               Array.emptyByteArray)
     CellFooterCache.invalidate(store)
-    dest.getName
+    (dest.getName, commitStamp)
   }
 
   private def deleteRec(f: java.io.File): Unit = {
@@ -2172,7 +2214,7 @@ object GraftCellMaintenance {
     val files = dirs.flatMap(d => CellFooterCache.filesUnder(store, d))
       .map(_.path)
     if (files.isEmpty) return (0L, 0L) // already empty (marker dirs only)
-    val marker = publishReplacement(store, Nil, files, "truncate")
+    val (marker, _) = publishReplacement(store, Nil, files, "truncate")
     // dirs emptied of data by the publish were removed with it; sweep
     // remaining no-data dirs (older restore/truncate markers) so the
     // live dir set is exactly the fresh marker
@@ -2503,10 +2545,15 @@ object GraftCellMaintenance {
         .write.format("graftcell").mode("append").save(store)
     } finally GraftCellSnapshot.drop(store, work)
     // victim dirs a USER snapshot pins are archived, not deleted (the
-    // work snapshot above is already dropped and never pins them here)
+    // work snapshot above is already dropped and never pins them here);
+    // the merged batch — the newest commit — supersedes them in the
+    // travel log, so TIMESTAMP AS OF into the merged window resolves
+    // the victims from the archive or refuses loudly (r18)
     val pinned = CellArchive.pins(store)
+    val sup = CellFooterCache.committedDirs(store)
+      .map(d => CellManifest.commitStampOf(store, d)).max
     victims.foreach(d =>
-      CellArchive.retireDir(store, new java.io.File(store, d), pinned))
+      CellArchive.retireDir(store, new java.io.File(store, d), pinned, sup))
     CellFooterCache.invalidate(store)
     victims
   }
@@ -2652,7 +2699,7 @@ object GraftCellMaintenance {
 
 class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
                            maxPartBytes: Long = Long.MaxValue,
-                           pinnedDirs: Option[Seq[String]] = None,
+                           pinnedDirs: Option[Seq[CellGenPin]] = None,
                            since: Option[String] = None,
                            buckets: Option[Int] = None,
                            fuzzy: Option[String] = None)
@@ -2789,7 +2836,7 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
 class GraftCellAggScan(path: String,
     agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
     snapshot: Option[String] = None,
-    pinnedDirs: Option[Seq[String]] = None,
+    pinnedDirs: Option[Seq[CellGenPin]] = None,
     since: Option[String] = None,
     pushed: Array[Filter] = Array.empty)
     extends Scan with Batch {
@@ -2860,6 +2907,12 @@ class CellAggReaderFactory extends PartitionReaderFactory {
       override def close(): Unit = ()
     }
 }
+
+/** One pinned generation of a `TIMESTAMP AS OF` read (r18): a live dir
+  * served wholesale (`names` = None), or an `_archive/<dir>` slice
+  * restricted to exactly the retirement-time file names from the
+  * travel log. */
+final case class CellGenPin(dir: String, names: Option[Set[String]] = None)
 
 /** Per-file metadata from the parquet footer (the manifest entry).
   * `minVer`/`maxVer` are the version column's footer stats — the HBase
@@ -3091,6 +3144,17 @@ object CellRetire {
           case (parent, files) =>
             val live = files.filter(f => new java.io.File(f).isFile)
             val pdir = new java.io.File(parent)
+            // travel log (r18): a crash-completing repair records the
+            // retirement exactly like the inline path, superseded by
+            // the intent-carrying batch. A duplicate of an
+            // already-logged entry replays idempotently (same OUT
+            // event at the same stamp); a dir the crash already
+            // destroyed has nothing recoverable to record.
+            if (pdir.isDirectory && CellManifest.read(pdir).isDefined)
+              CellTravelLog.retire(store, pdir.getName,
+                CellManifest.commitStampOf(store, pdir.getName),
+                files.map(f => new java.io.File(f).getName),
+                CellManifest.commitStampOf(store, d))
             if (archiveFlag)
               CellArchive.archiveRetiring(store, pdir.getName,
                 live.map(f => new java.io.File(f).getName).toSet, pinned)
@@ -3177,17 +3241,25 @@ object CellFooterCache {
     }
 
   /** Files of a store under an optional snapshot OR an explicit pinned
-    * dir set (TIMESTAMP AS OF resolution — dirs whose manifest commit
-    * stamp is ≤ the requested time; same drop-removed-dirs semantics
-    * as snapshots). */
+    * GENERATION set (TIMESTAMP AS OF resolution — computed by
+    * `GraftCellCatalog.loadTable(ident, ts)` from the commit stamps and
+    * the travel log): each pin is a live dir served wholesale, or an
+    * `_archive/<dir>` slice restricted to exactly the file names the
+    * travel log recorded at retirement (the archive dir can also hold
+    * other eras' files — folded DML retirements — that must NOT ride
+    * along). */
   def filesOf(store: String, snapshot: Option[String],
-              pinnedDirs: Option[Seq[String]]): Seq[CellFileMeta] =
+              pinnedDirs: Option[Seq[CellGenPin]]): Seq[CellFileMeta] =
     pinnedDirs match {
       case None => filesOf(store, snapshot)
-      case Some(dirs) =>
+      case Some(pins) =>
         val retired = CellRetire.retiredOf(store)
-        dirs.filter(d => new java.io.File(store, d).isDirectory)
-          .flatMap(filesUnder(store, _))
+        pins.filter(p => new java.io.File(store, p.dir).isDirectory)
+          .flatMap { p =>
+            val fs = filesUnder(store, p.dir)
+            p.names.fold(fs)(ns =>
+              fs.filter(m => ns.contains(new java.io.File(m.path).getName)))
+          }
           .filterNot(m => retired.contains(m.path))
     }
 
@@ -3201,7 +3273,7 @@ object CellFooterCache {
     * snapshot-invalidation caveat). An unknown since-snapshot fails
     * loudly inside [[GraftCellSnapshot.dirs]]. */
   def filesOf(store: String, snapshot: Option[String],
-              pinnedDirs: Option[Seq[String]],
+              pinnedDirs: Option[Seq[CellGenPin]],
               since: Option[String]): Seq[CellFileMeta] =
     since match {
       case None => filesOf(store, snapshot, pinnedDirs)
@@ -3305,7 +3377,7 @@ class GraftCellScan(path: String, pushed: Array[Filter],
                     topN: Boolean = false,
                     snapshot: Option[String] = None,
                     maxPartBytes: Long = Long.MaxValue,
-                    pinnedDirs: Option[Seq[String]] = None,
+                    pinnedDirs: Option[Seq[CellGenPin]] = None,
                     since: Option[String] = None,
                     buckets: Option[Int] = None,
                     sample: Option[(Double, Long)] = None,
@@ -4015,16 +4087,23 @@ class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean,
     // the property the micro-batch (replication) reader depends on.
     val stage = new java.io.File(path, s"_stage_$queryId")
     val dest = new java.io.File(path, s"batch_$queryId")
+    // the commit stamp is fixed BEFORE any retirement, over the
+    // pre-retire dir set: it both supersedes the retired generations
+    // in the travel log and stays strictly above their stamps (a
+    // post-retire nextCommitStamp could regress below them under
+    // clock skew)
+    val commitStamp = CellManifest.nextCommitStamp(path)
     if (truncate) {
       // the TRUNCATE overwrite (major compaction) retires every live
       // generation — dirs a snapshot pins move to the archive (one
       // rename each, manifest travels) instead of dying with the
       // rewrite (r17: snapshots survive compaction, as in HBase);
-      // the pin map parses once for the whole pass
+      // the pin map parses once for the whole pass, and every
+      // retirement lands in the travel log superseded by this commit
       val pinned = CellArchive.pins(path)
       Option(new java.io.File(path).listFiles).getOrElse(Array.empty)
         .filter(d => d.isDirectory && !d.getName.startsWith("_"))
-        .foreach(d => CellArchive.retireDir(path, d, pinned))
+        .foreach(d => CellArchive.retireDir(path, d, pinned, commitStamp))
     }
     // clear a dead earlier attempt's stage dir: per-file ATOMIC_MOVE
     // below has no REPLACE_EXISTING, so leftovers would fail the retry
@@ -4038,7 +4117,7 @@ class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     // manifest rides the same atomic publish as the data files
-    CellManifest.write(stage, CellManifest.nextCommitStamp(path), metas.toSeq)
+    CellManifest.write(stage, commitStamp, metas.toSeq)
     java.nio.file.Files.move(stage.toPath, dest.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     deleteRec(tmpDir)

@@ -324,6 +324,83 @@ class ArchiveSpec extends AnyFunSuite {
       .contains((3, 8)))
   }
 
+  test("TIMESTAMP AS OF is total-or-loud over maintenance history (r18): " +
+       "archived windows reconstruct exactly, lost windows refuse loudly") {
+    import scala.collection.JavaConverters._
+    import graft.sources.cell.{CellManifest, CellTravelLog}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ttl_spec_").toString
+    s.conf.set("spark.sql.catalog.graftttl",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftttl.root", root)
+    s.sql("""CREATE TABLE graftttl.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell""")
+    val store = s"$root/t"
+    def put(r: Range): Unit = s.createDataFrame(
+      r.map(i => org.apache.spark.sql.Row(f"k$i%03d", "d", "q", 1L, s"v$i"))
+        .asJava, GraftCell.SCHEMA)
+      .write.format("graftcell").mode("append").save(store)
+    def newest(): Long = CellFooterCache.committedDirs(store)
+      .map(d => CellManifest.commitStampOf(store, d)).max
+    def travel(ts: Long) = s.sql(
+      s"""SELECT rowkey FROM graftttl.t
+          TIMESTAMP AS OF timestamp_micros(${ts}L) ORDER BY rowkey""")
+      .collect().map(_.getString(0)).toSeq
+    put(1 to 10) // era 1
+    s.sql("CALL graftttl.snapshot('t', 'keep')") // pins era 1
+    val t1 = newest()
+    put(11 to 20) // era 2 — unpinned
+    val t2 = newest()
+    // minor compaction merges both eras: era 1 archives (pinned),
+    // era 2 dies
+    s.sql(s"CALL graftttl.compact_minor('t', ${Long.MaxValue}L)")
+    val t3 = newest()
+    // 1. the minor-compacted window reconstructs EXACTLY through the
+    //    archive — the pre-r18 silent-partial path, now total
+    assert(travel(t1) == (1 to 10).map(i => f"k$i%03d"),
+      "travel into the compacted window must return the exact era-1 view")
+    // 2. era 2's window is LOST (unpinned retirement) — loud refusal,
+    //    naming the missing files, never a thinned read
+    val e2 = intercept[Exception] { travel(t2) }
+    assert(e2.getMessage.contains("cannot be reconstructed") &&
+           e2.getMessage.contains("refusing a silently partial read"),
+      s"era-2 travel must refuse loudly: ${e2.getMessage}")
+    // 3. at/past the merge the full live view reads as always
+    assert(travel(t3) == (1 to 20).map(i => f"k$i%03d"))
+    // 4. pre-creation timestamps still refuse
+    val e0 = intercept[Exception] { travel(t1 - 1000000L) }
+    assert(e0.getMessage.contains("precedes"), e0.getMessage)
+    // 5. REVIVE interleaving never double-counts: snapshot the merged
+    //    generation, restore 'keep' (revives era 1, retires the merged
+    //    gen into the archive via 'post') — travel into the merged
+    //    window still reads the MERGED view once, not era1+merged
+    s.sql("CALL graftttl.snapshot('t', 'post')")
+    s.sql("CALL graftttl.restore_snapshot('t', 'keep')").collect()
+    assert(s.sql("SELECT count(*) FROM graftttl.t").collect()(0).getLong(0)
+             == 10L, "restore must rewind to era 1")
+    assert(travel(t3) == (1 to 20).map(i => f"k$i%03d"),
+      "travel into the merged window after a restore must read the " +
+      "merged generation exactly once (no revive double-count)")
+    assert(travel(t1) == (1 to 10).map(i => f"k$i%03d"),
+      "the era-1 window still reconstructs after the restore")
+    // 6. sweeping the archive turns a reconstructable window LOUD:
+    //    dropping 'post' reclaims the merged generation's archive (the
+    //    revived era-1 dirs stay live, so the current view is intact),
+    //    and the t3 travel that just worked now refuses instead of
+    //    silently thinning
+    s.sql("CALL graftttl.drop_snapshot('t', 'post')")
+    s.sql("CALL graftttl.drop_snapshot('t', 'keep')")
+    val e3 = intercept[Exception] { travel(t3) }
+    assert(e3.getMessage.contains("cannot be reconstructed"),
+      s"a swept archive must refuse, not thin: ${e3.getMessage}")
+    // the travel log recorded retire AND revive events
+    val evs = CellTravelLog.read(store)
+    assert(evs.exists(!_.revive) && evs.exists(_.revive),
+      s"expected retire and revive events, got $evs")
+    s.sql("DROP TABLE graftttl.t")
+  }
+
   test("MVCC under row-level DML (r18): a snapshot reads its " +
        "creation-time content through DELETE and UPDATE; the sweep " +
        "reclaims the DML archive") {

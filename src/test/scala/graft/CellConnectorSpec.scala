@@ -447,13 +447,27 @@ class CellConnectorSpec extends AnyFunSuite {
                          TIMESTAMP AS OF timestamp_micros(${stamps(1)}L)""")
       .collect()(0).getLong(0)
     assert(live > want.size, s"live-era read $live vs era-1 ${want.size}")
-    // a timestamp BEFORE the first commit is refused, not empty-read
+    // a timestamp BEFORE the current first commit is refused, never
+    // empty- or thin-read: "precedes" on a fresh store, or (r18) the
+    // total-or-loud "cannot be reconstructed" when the travel log
+    // remembers an earlier overwritten generation in that window
     val e = intercept[Exception] {
       s.sql(s"""SELECT * FROM graftcat.events_tts
                 TIMESTAMP AS OF timestamp_micros(${stamps(0) - 1}L)""").collect()
     }
     assert(e.getMessage != null &&
-           e.getMessage.contains("precedes"), s"wrong refusal: $e")
+           (e.getMessage.contains("precedes") ||
+            e.getMessage.contains("cannot be reconstructed")),
+           s"wrong refusal: $e")
+    // and a timestamp before everything the log has ever seen still
+    // says "precedes"
+    val firstKnown = (stamps ++ graft.sources.cell.CellTravelLog
+      .read(store).filter(_.kind == "retire").map(_.stamp)).min
+    val e0 = intercept[Exception] {
+      s.sql(s"""SELECT * FROM graftcat.events_tts
+                TIMESTAMP AS OF timestamp_micros(${firstKnown - 1}L)""").collect()
+    }
+    assert(e0.getMessage.contains("precedes"), s"wrong refusal: $e0")
     // DML through a timestamp pin is refused like any time-travel view
     intercept[Exception] {
       s.sql(s"""DELETE FROM graftcat.events_tts
