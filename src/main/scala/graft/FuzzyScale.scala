@@ -40,8 +40,8 @@ object FuzzyScale {
     val rf = "regionFiles: (\\d+)/(\\d+)".r
 
     val root = "/tmp/graft_fuzzyscale"
-    println("| region files | fuzzy probe (s) | planned k/n | unpushed twin (s) | rows |")
-    println("|---|---|---|---|---|")
+    println("| region files | fuzzy probe (s) | planned k/n | unpushed twin (s) | rows | 2-pattern probe (s) | planned k/n | rows |")
+    println("|---|---|---|---|---|---|---|---|")
     Seq(16, 64, 256, 1024).foreach { nFiles =>
       val store = s"$root/s_$nFiles"
       deleteRec(new java.io.File(store))
@@ -72,7 +72,21 @@ object FuzzyScale {
         .select("rowkey")
       val (twinS, twinRows) = minOf3(twin.count())
       require(fuzzyRows == twinRows, s"$fuzzyRows != $twinRows")
-      println(f"| $nFiles | $fuzzyS%.3f | $kn | $twinS%.3f | $fuzzyRows |")
+      // r18 multi-pattern: TWO months OR-ed in one probe — the union
+      // plan must track its two slices, not the store
+      val multi = spark.read.format("graftcell")
+        .option("fuzzy", """["?-2024-03","?-2022-07"]""")
+        .load(store).select("rowkey")
+      val (multiS, multiRows) = minOf3(multi.count())
+      val knm = rf.findFirstMatchIn(multi.queryExecution.executedPlan.toString)
+        .map(m => s"${m.group(1)}/${m.group(2)}").getOrElse("?")
+      val mtwin = spark.read.format("graftcell").load(store)
+        .filter(substring(col("rowkey"), 3, 7) === "2024-03" ||
+                substring(col("rowkey"), 3, 7) === "2022-07")
+        .select("rowkey")
+      require(multiRows == mtwin.count(), s"multi twin mismatch")
+      println(f"| $nFiles | $fuzzyS%.3f | $kn | $twinS%.3f | $fuzzyRows " +
+              f"| $multiS%.3f | $knm | $multiRows |")
     }
     deleteRec(new java.io.File(root))
     spark.stop()

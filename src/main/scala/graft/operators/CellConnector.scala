@@ -408,6 +408,29 @@ object CellConnector extends QueryModule {
         .orderBy("rowkey")
     }),
 
+    "cell_connector_fuzzy_multi" -> ((s, dir) => {
+      // MULTI-PATTERN FuzzyRowFilter (r18 — HBase's real signature
+      // takes a LIST of (pattern, mask) pairs OR-ed together; r17's
+      // option held one): `option("fuzzy", """["?-1995-03",
+      // "?-1997-11"]""")` probes TWO months across every salt in one
+      // scan — the multi-tenant / multi-month shape. File pruning is
+      // the UNION of the per-pattern survivors (the same Or algebra
+      // the multirange key uses for pushed disjunctions): a region
+      // file is planned iff ANY pattern's fixed segments could match
+      // its [min,max], so at 100 TB the scan touches ~2 month-slices
+      // per salt instead of the store (spec pins the union plan still
+      // under half the files on the 4-salt store, and ≥ each single
+      // pattern's plan). Rows are matched exactly in the reader as the
+      // disjunction. Same staged salted orders store as the
+      // single-pattern key.
+      queries("cell_connector_fuzzy")(s, dir).queryExecution // stage
+      val path = storePath(dir) + "_fuzzy"
+      s.read.format("graftcell")
+        .option("fuzzy", """["?-1995-03","?-1997-11"]""").load(path)
+        .select("rowkey", "value")
+        .orderBy("rowkey")
+    }),
+
     "cell_connector_snapshot" -> ((s, dir) => {
       // TIME TRAVEL via named SNAPSHOTS — HBase snapshot semantics with
       // zero data copy: a snapshot is a manifest pinning the committed
@@ -2066,6 +2089,21 @@ object CellConnector extends QueryModule {
            FROM orders)
          SELECT rowkey, value FROM cells
          WHERE substring(rowkey, 3, 7) = '1995-03'
+         ORDER BY rowkey""",
+
+    // the OR-ed pattern list: two fixed year-month segments across
+    // every salt, recomputed verbatim over the same derivation
+    "cell_connector_fuzzy_multi" ->
+      """WITH cells AS (
+           SELECT concat(
+                    CAST(ascii(substring(md5(cast(o_orderkey AS VARCHAR)),
+                                         1, 1)) % 4 AS VARCHAR),
+                    '-', cast(o_orderdate AS VARCHAR), '-',
+                    lpad(cast(o_orderkey AS VARCHAR), 12, '0')) AS rowkey,
+                  o_orderpriority AS value
+           FROM orders)
+         SELECT rowkey, value FROM cells
+         WHERE substring(rowkey, 3, 7) IN ('1995-03', '1997-11')
          ORDER BY rowkey""",
 
     "cell_connector_snapshot" ->

@@ -148,6 +148,28 @@ object GraftCell {
       val b = utf8(pattern)
       FuzzyKey(b, b.map(_ != '?'.toByte))
     }
+
+    /** The `fuzzy` option's value: ONE pattern, or a JSON array of
+      * patterns OR-ed together — HBase's real FuzzyRowFilter signature
+      * takes a LIST of (pattern, mask) pairs (r18: the multi-tenant /
+      * multi-month scan, `["?-2024-03","?-2024-11"]`). A key matches
+      * the filter iff it matches ANY listed pattern; file pruning is
+      * the UNION of the per-pattern survivors. */
+    def parseList(opt: String): Seq[FuzzyKey] =
+      if (!opt.trim.startsWith("[")) Seq(parse(opt))
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = mapper.readTree(opt)
+        require(node.isArray && node.size() > 0,
+          s"graftcell: fuzzy expects a pattern or a non-empty JSON " +
+          s"array of patterns, got '$opt'")
+        (0 until node.size()).map { i =>
+          val e = node.get(i)
+          require(e.isTextual,
+            s"graftcell: fuzzy array entries must be strings, got '$e'")
+          parse(e.asText())
+        }
+      }
   }
 
   /** File-level NECESSARY conditions for a fuzzy pattern — the piece
@@ -3386,11 +3408,12 @@ class GraftCellScan(path: String, pushed: Array[Filter],
     with SupportsRuntimeFiltering with SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
-  // HBase FuzzyRowFilter (r17): parsed once; prunes files by the fixed
-  // byte segments (leading-prefix interval + min/max common-prefix
-  // disagreement), evaluated exactly per row in the reader
-  private val fuzzyKey: Option[GraftCell.FuzzyKey] =
-    fuzzy.map(GraftCell.FuzzyKey.parse)
+  // HBase FuzzyRowFilter (r17; pattern LIST since r18): parsed once;
+  // prunes files by the fixed byte segments (leading-prefix interval +
+  // min/max common-prefix disagreement), OR-union across patterns,
+  // evaluated exactly per row in the reader
+  private val fuzzyKeys: Seq[GraftCell.FuzzyKey] =
+    fuzzy.fold(Seq.empty[GraftCell.FuzzyKey])(GraftCell.FuzzyKey.parseList)
 
   /** Every partition (a region file or a byte-range split of one) is
     * sorted by (rowkey, family, qualifier) — the declared write
@@ -3425,9 +3448,11 @@ class GraftCellScan(path: String, pushed: Array[Filter],
     // min/max stats span everything, the bucket tag is the evidence a
     // point get (or a runtime DPP key set) prunes by; fuzzy pruning
     // stacks the same way (fixed-position evidence the interval
-    // algebra can't see)
+    // algebra can't see) — a file survives a pattern LIST iff ANY
+    // pattern could match it (the union of per-pattern survivors)
     val statKept = all.filter(m => pruner.mayMatch(m) &&
-      fuzzyKey.forall(GraftCell.fuzzyMayMatch(m.minKey, m.maxKey, _)))
+      (fuzzyKeys.isEmpty ||
+       fuzzyKeys.exists(GraftCell.fuzzyMayMatch(m.minKey, m.maxKey, _))))
     GraftCell.bucketPrune(statKept, eff, buckets)
   }
 
@@ -3819,15 +3844,18 @@ class CellPartitionReader(p: CellInputPartition)
     }
   }
 
-  // fuzzy rowkey pattern (HBase FuzzyRowFilter): exact row-level check —
-  // the file-level pruning already happened at planning
-  private val fuzzyKey: GraftCell.FuzzyKey =
-    if (p.fuzzyPattern == null) null
-    else GraftCell.FuzzyKey.parse(p.fuzzyPattern)
+  // fuzzy rowkey pattern(s) (HBase FuzzyRowFilter; OR-ed list since
+  // r18): exact row-level check — the file-level pruning already
+  // happened at planning. A key matches iff it matches ANY pattern.
+  private val fuzzyKeys: Seq[GraftCell.FuzzyKey] =
+    if (p.fuzzyPattern == null) Nil
+    else GraftCell.FuzzyKey.parseList(p.fuzzyPattern)
   private def fuzzyOk(get: String => Any): Boolean = {
-    if (fuzzyKey == null) return true
+    if (fuzzyKeys.isEmpty) return true
     get("rowkey") match {
-      case u: UTF8String => fuzzyKey.matches(u.getBytes)
+      case u: UTF8String =>
+        val bytes = u.getBytes
+        fuzzyKeys.exists(_.matches(bytes))
       case _             => false // NULL rowkey can never match
     }
   }

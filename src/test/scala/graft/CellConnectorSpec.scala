@@ -2424,6 +2424,57 @@ class CellConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-pattern fuzzy (r18): the pattern LIST ORs, pruning is the " +
+       "union of per-pattern survivors, malformed lists refuse") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fuzzym_spec_").toString
+    val rows = for {
+      salt <- 0 to 3; month <- 1 to 4; day <- 1 to 25
+    } yield (f"$salt-2024-$month%02d-$day%02d-x", "d", "q", 1L,
+             s"v$salt/$month/$day")
+    import scala.collection.JavaConverters._
+    s.createDataFrame(
+      rows.map { case (k, f, q, v, value) =>
+        org.apache.spark.sql.Row(k, f, q, v, value) }.asJava,
+      GraftCell.SCHEMA)
+      .write.format("graftcell").option("maxRowsPerFile", 10)
+      .mode("append").save(root)
+    def planned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val m = "regionFiles: (\\d+)/(\\d+)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString).get
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    def probe(opt: String) = s.read.format("graftcell")
+      .option("fuzzy", opt).load(root).select("rowkey", "value")
+    // exact semantics: the list is the DISJUNCTION of its patterns
+    val multi = probe("""["?-2024-01","?-2024-04"]""")
+    val expect = s.read.format("graftcell").load(root)
+      .filter(col("rowkey").substr(3, 7) === "2024-01" ||
+              col("rowkey").substr(3, 7) === "2024-04")
+      .select("rowkey", "value").collect().map(_.toString).sorted.toSeq
+    assert(multi.collect().map(_.toString).sorted.toSeq == expect)
+    assert(expect.size == 2 * 4 * 25)
+    // pruning = union of the per-pattern survivors: at least each
+    // single plan, at most their sum, and still well under the store
+    val (km, n) = planned(multi)
+    val (k1, _) = planned(probe("?-2024-01"))
+    val (k4, _) = planned(probe("?-2024-04"))
+    assert(km >= math.max(k1, k4) && km <= k1 + k4,
+      s"union pruning out of bounds: $km vs $k1 + $k4")
+    // two months of four (plus boundary straddlers) still skip files
+    assert(km < n * 3 / 4, s"union plan must still skip files: $km/$n")
+    // a list with one leading-fixed disjunct prunes that disjunct by
+    // the prefix interval too — never wider than the two open probes
+    val (kf, _) = planned(probe("""["2-2024-01","?-2024-04"]"""))
+    assert(kf <= km, s"salt-fixed disjunct must prune at least as hard")
+    // single-pattern back-compat unchanged; malformed lists refuse
+    assert(probe("?-2024-01").count() == 4 * 25)
+    intercept[Exception] { probe("[]").count() }
+    intercept[Exception] { probe("""[3]""").count() }
+    intercept[Exception] { probe("""["?-2024-01", 3]""").count() }
+  }
+
   test("a pushed TABLESAMPLE scales the reported statistics (ADVICE r16)") {
     import org.apache.spark.sql.functions.col
     SparkEntry.queries("scan_cell_connector")(s, dir).queryExecution // stage
