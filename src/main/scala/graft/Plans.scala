@@ -373,6 +373,42 @@ object Plans {
       df.queryExecution.executedPlan.toString + "```\n"
   }
 
+  /** Round-18 evidence: VALUE manifest stats — the
+    * SingleColumnValueFilter analog's file pruning. A value-only probe
+    * carries no rowkey constraint, so until r18 it planned every
+    * region file; with value min/max in the write-task stats
+    * (truncation-sound 64-byte bounds, zero extra IO) a TIME-BATCHED
+    * store — one append per era, keys interleaved — skips every other
+    * era's files: `regionFiles: k/n` with k ≪ n and the rowkey
+    * completely unconstrained. */
+  private def valuePruneSection(s: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    import scala.collection.JavaConverters._
+    import graft.sources.cell.GraftCell
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_plans_val_").toString + "/t"
+    (0 to 2).foreach { era =>
+      s.createDataFrame(
+        (0 until 40).map { i =>
+          org.apache.spark.sql.Row(f"k${i * 3 + era}%04d", "d", "q", 1L,
+                                   f"202$era-${i % 12 + 1}%02d") }.asJava,
+        GraftCell.SCHEMA).coalesce(1)
+        .write.format("graftcell").option("maxRowsPerFile", 10)
+        .mode("append").save(store)
+    }
+    val df = s.read.format("graftcell").load(store)
+      .filter(col("value") >= "2021-" && col("value") < "2022-")
+      .select("rowkey", "value")
+    df.collect()
+    "## value_stats_prune (executed value-only probe over a " +
+      "time-batched three-era store)\n\nEach era appended separately " +
+      "(values cluster per generation, rowkeys interleave — rowkey " +
+      "stats are useless for this probe), yet the 2021 value band " +
+      "plans only era 1's region files from the manifest's value " +
+      "min/max:\n\n```\n" +
+      df.queryExecution.executedPlan.toString + "```\n"
+  }
+
   /** Round-16 §2.13 evidence: the verify_rep diff executed on two
     * staged stores that diverge one cell each way. The plan to read:
     * two GraftCellScans (full schema — the diff needs every cell),
@@ -425,6 +461,7 @@ object Plans {
       mergeSkewSection(spark) + "\n" +
       regionSurgerySection(spark) + "\n" +
       qualifierPruneSection(spark) + "\n" +
+      valuePruneSection(spark) + "\n" +
       verifyRepSection(spark)
     val header =
       s"""# PLANS — formatted physical plans of headline queries
@@ -499,6 +536,11 @@ object Plans {
          |two connector scans into a null-safe full-outer SortMergeJoin
          |on the full cell key plus one conditional-count aggregate,
          |the cross-cluster integrity check at cluster bandwidth.
+         |Round-18: `value_stats_prune` — the executed value-only probe
+         |over a time-batched three-era store planning only its era's
+         |region files from the manifest's new value min/max (the
+         |SingleColumnValueFilter analog; rowkey completely
+         |unconstrained).
          |
          |Perf note (round-2 adjudication of the r01 `sink_hbase_cells`
          |44.3 s outlier): isolated runs at sf0.1 measure 6.6 s cold /

@@ -124,6 +124,21 @@ object GraftCell {
     }
   }
 
+  /** VALUE-stat truncation bound (r18): manifest entries carry value
+    * min/max for file pruning, but values can be document-sized — cap
+    * the stored stat at 64 bytes with SOUND truncation: a prefix of
+    * the min is ≤ the min (lower bound stays lower), and
+    * [[prefixStop]] of the max's prefix is > every string with that
+    * prefix ≥ the max (upper bound stays upper; all-0xFF prefix ⇒
+    * unbounded ⇒ None, keep). Pruning stays evidence-only either
+    * way. */
+  private[cell] val STAT_TRUNC = 64
+  private[graft] def truncStatMin(b: Array[Byte]): Array[Byte] =
+    if (b.length <= STAT_TRUNC) b else JArrays.copyOfRange(b, 0, STAT_TRUNC)
+  private[graft] def truncStatMax(b: Array[Byte]): Option[Array[Byte]] =
+    if (b.length <= STAT_TRUNC) Some(b)
+    else prefixStop(JArrays.copyOfRange(b, 0, STAT_TRUNC))
+
   /** HBase FuzzyRowFilter (r17): a FIXED-POSITION wildcard pattern
     * over the rowkey — `?` matches any single byte, every other byte
     * is fixed, and a key matches iff it is at least pattern-length
@@ -557,6 +572,10 @@ object GraftCell {
       // generations written for another column family / column set)
       mayOverlap(m.minFam, m.maxFam, colRange("family", flat)) &&
       mayOverlap(m.minQual, m.maxQual, colRange("qualifier", flat)) &&
+      // r18: VALUE stats — the SingleColumnValueFilter analog's file
+      // pruning (a time-batched ingest's value band skips other eras'
+      // region files without reading a byte)
+      mayOverlap(m.minVal, m.maxVal, colRange("value", flat)) &&
       flat.forall {
         case Or(l, r) =>
           fileMayMatch(m, Seq(l)) || fileMayMatch(m, Seq(r))
@@ -579,6 +598,7 @@ object GraftCell {
     private val vr = verRange(flat)
     private val famRange = colRange("family", flat)
     private val qualRange = colRange("qualifier", flat)
+    private val valRange = colRange("value", flat)
     private val sortedInLists: Seq[Array[Array[Byte]]] = flat.collect {
       case In("rowkey", vs)
           if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
@@ -598,6 +618,7 @@ object GraftCell {
       verMayOverlap(m.minVer, m.maxVer, vr) &&
       mayOverlap(m.minFam, m.maxFam, famRange) &&
       mayOverlap(m.minQual, m.maxQual, qualRange) &&
+      mayOverlap(m.minVal, m.maxVal, valRange) &&
       sortedInLists.forall(keys => anyKeyIn(keys, m.minKey, m.maxKey)) &&
       orPruners.forall { case (l, r) => l.mayMatch(m) || r.mayMatch(m) }
     private def anyKeyIn(sorted: Array[Array[Byte]],
@@ -1738,6 +1759,8 @@ object CellDeleteRewrite {
     var maxFam: Array[Byte] = null
     var minQual: Array[Byte] = null
     var maxQual: Array[Byte] = null
+    var minVal: Array[Byte] = null
+    var maxVal: Array[Byte] = null
     var nullKeys = 0L
     val compiled = GraftCell.compileAll(filters)
     try {
@@ -1771,6 +1794,10 @@ object CellDeleteRewrite {
             if (minQual == null || JArrays.compareUnsigned(kb, minQual) < 0) minQual = kb
             if (maxQual == null || JArrays.compareUnsigned(kb, maxQual) > 0) maxQual = kb
           }
+          trackBin("value") { kb =>
+            if (minVal == null || JArrays.compareUnsigned(kb, minVal) < 0) minVal = kb
+            if (maxVal == null || JArrays.compareUnsigned(kb, maxVal) > 0) maxVal = kb
+          }
           val vi = g.getType.getFieldIndex("version")
           if (g.getFieldRepetitionCount(vi) > 0) {
             val v = g.getLong(vi, 0)
@@ -1798,7 +1825,9 @@ object CellDeleteRewrite {
         if (minVer == Long.MaxValue) None else Some(minVer),
         if (maxVer == Long.MinValue) None else Some(maxVer),
         Option(minFam), Option(maxFam), Option(minQual), Option(maxQual),
-        Some(nullKeys))))
+        Some(nullKeys),
+        Option(minVal).map(GraftCell.truncStatMin),
+        Option(maxVal).flatMap(GraftCell.truncStatMax))))
     }
   }
 }
@@ -1837,6 +1866,8 @@ object CellRegionRewrite {
     private var maxFam: Array[Byte] = _
     private var minQual: Array[Byte] = _
     private var maxQual: Array[Byte] = _
+    private var minVal: Array[Byte] = _
+    private var maxVal: Array[Byte] = _
     private var nullKeys = 0L
 
     def write(g: Group): Unit = {
@@ -1861,6 +1892,10 @@ object CellRegionRewrite {
         if (minQual == null || JArrays.compareUnsigned(kb, minQual) < 0) minQual = kb
         if (maxQual == null || JArrays.compareUnsigned(kb, maxQual) > 0) maxQual = kb
       }
+      trackBin("value") { kb =>
+        if (minVal == null || JArrays.compareUnsigned(kb, minVal) < 0) minVal = kb
+        if (maxVal == null || JArrays.compareUnsigned(kb, maxVal) > 0) maxVal = kb
+      }
       val vi = g.getType.getFieldIndex("version")
       if (g.getFieldRepetitionCount(vi) > 0) {
         val v = g.getLong(vi, 0)
@@ -1878,7 +1913,9 @@ object CellRegionRewrite {
         if (minVer == Long.MaxValue) None else Some(minVer),
         if (maxVer == Long.MinValue) None else Some(maxVer),
         Option(minFam), Option(maxFam), Option(minQual), Option(maxQual),
-        Some(nullKeys)))
+        Some(nullKeys),
+        Option(minVal).map(GraftCell.truncStatMin),
+        Option(maxVal).flatMap(GraftCell.truncStatMax)))
     }
   }
 
@@ -2961,7 +2998,17 @@ final case class CellFileMeta(path: String, bytes: Long, rowCount: Long,
                               // exclude nulls; min/max stats can't see
                               // them). None on legacy manifests =
                               // unknown (refuse the metadata answer)
-                              nullKeys: Option[Long] = None)
+                              nullKeys: Option[Long] = None,
+                              // r18: VALUE min/max (the HBase
+                              // SingleColumnValueFilter analog's file
+                              // pruning) — TRUNCATION-SOUND bounds
+                              // (min prefix-truncated low, max
+                              // prefix-stopped high, see
+                              // GraftCell.truncStat*) so document-sized
+                              // values cost ≤ 2×64 bytes per manifest
+                              // entry. None on older manifests (keep)
+                              minVal: Option[Array[Byte]] = None,
+                              maxVal: Option[Array[Byte]] = None)
 
 /** PERSISTED per-dir manifest (`_manifest.json` inside each committed
   * batch dir) — the metadata a real 100 TB deployment keeps next to the
@@ -3012,6 +3059,8 @@ object CellManifest {
       m.minQual.foreach(k => o.put("minQual", b64e.encodeToString(k)))
       m.maxQual.foreach(k => o.put("maxQual", b64e.encodeToString(k)))
       m.nullKeys.foreach(n => o.put("nullKeys", n))
+      m.minVal.foreach(k => o.put("minVal", b64e.encodeToString(k)))
+      m.maxVal.foreach(k => o.put("maxVal", b64e.encodeToString(k)))
       o.put("messageType", m.messageType)
     }
     val tmp = new java.io.File(dir, NAME + ".tmp")
@@ -3039,7 +3088,9 @@ object CellManifest {
         Option(o.get("maxFam")).map(n => b64d.decode(n.asText())),
         Option(o.get("minQual")).map(n => b64d.decode(n.asText())),
         Option(o.get("maxQual")).map(n => b64d.decode(n.asText())),
-        Option(o.get("nullKeys")).map(_.asLong()))
+        Option(o.get("nullKeys")).map(_.asLong()),
+        Option(o.get("minVal")).map(n => b64d.decode(n.asText())),
+        Option(o.get("maxVal")).map(n => b64d.decode(n.asText())))
     }.toSeq
     Some(Data(root.get("committedAtMicros").asLong(), files))
   }
@@ -3360,6 +3411,7 @@ object CellFooterCache {
           val (mn, mx) = binStats("rowkey")
           val (fmn, fmx) = binStats("family")
           val (qmn, qmx) = binStats("qualifier")
+          val (vmnB, vmxB) = binStats("value")
           // rowkey null count from the footer statistics (exactly what
           // the manifest's nullKeys re-derives); unknown in any block
           // (isNumNullsSet false) ⇒ None
@@ -3383,7 +3435,9 @@ object CellFooterCache {
           CellFileMeta(f.getPath, f.length(),
                        blocks.map(_.getRowCount).sum, mn, mx,
                        md.getFileMetaData.getSchema.toString, vmn, vmx,
-                       fmn, fmx, qmn, qmx, nulls)
+                       fmn, fmx, qmn, qmx, nulls,
+                       vmnB.map(GraftCell.truncStatMin),
+                       vmxB.flatMap(GraftCell.truncStatMax))
         } finally r.close()
       }
   }
@@ -4229,6 +4283,10 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
   private var minQual: Array[Byte] = _
   private var maxQual: Array[Byte] = _
   private var nullKeys = 0L
+  // r18: VALUE min/max ride along (truncation-sound at emit) — the
+  // SingleColumnValueFilter analog's file-pruning evidence
+  private var minVal: Array[Byte] = _
+  private var maxVal: Array[Byte] = _
 
   // BUCKETED writes (see GraftCellWrite): the declared ordering leads
   // with bucket(n, rowkey), so a task's rows arrive bucket-grouped —
@@ -4300,6 +4358,7 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
     minVer = Long.MaxValue; maxVer = Long.MinValue
     minFam = null; maxFam = null
     minQual = null; maxQual = null
+    minVal = null; maxVal = null
     nullKeys = 0L
     verifySeen = false // the sortedness claim is per region file
   }
@@ -4311,7 +4370,9 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
       if (minVer == Long.MaxValue) None else Some(minVer),
       if (maxVer == Long.MinValue) None else Some(maxVer),
       Option(minFam), Option(maxFam), Option(minQual), Option(maxQual),
-      Some(nullKeys))
+      Some(nullKeys),
+      Option(minVal).map(GraftCell.truncStatMin),
+      Option(maxVal).flatMap(GraftCell.truncStatMax))
     writer = null
     seq += 1
   }
@@ -4353,6 +4414,11 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
                 JArrays.compareUnsigned(bytes, minQual) < 0) minQual = bytes
             if (maxQual == null ||
                 JArrays.compareUnsigned(bytes, maxQual) > 0) maxQual = bytes
+          } else if (i == 4) { // value
+            if (minVal == null ||
+                JArrays.compareUnsigned(bytes, minVal) < 0) minVal = bytes
+            if (maxVal == null ||
+                JArrays.compareUnsigned(bytes, maxVal) > 0) maxVal = bytes
           }
         }
       }

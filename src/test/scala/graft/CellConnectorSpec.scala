@@ -2475,6 +2475,65 @@ class CellConnectorSpec extends AnyFunSuite {
     intercept[Exception] { probe("""["?-2024-01", 3]""").count() }
   }
 
+  test("value-column stats prune region files (SingleColumnValueFilter " +
+       "analog, r18): time-batched eras skip, truncation stays sound") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.cell.CellFooterCache
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_valstat_spec_").toString
+    import scala.collection.JavaConverters._
+    // three "eras": values cluster per append (batch), keys interleave
+    (0 to 2).foreach { era =>
+      s.createDataFrame(
+        (0 until 40).map { i =>
+          org.apache.spark.sql.Row(f"k${i * 3 + era}%04d", "d", "q", 1L,
+                                   f"202$era-${i % 12 + 1}%02d") }.asJava,
+        GraftCell.SCHEMA).coalesce(1)
+        .write.format("graftcell").option("maxRowsPerFile", 10)
+        .mode("append").save(root)
+    }
+    val df = s.read.format("graftcell").load(root)
+      .filter(col("value") >= "2021-" && col("value") < "2022-")
+      .select("rowkey", "value")
+    // exact rows: the unpushed twin over the same store
+    val expect = s.read.format("graftcell").load(root).collect()
+      .filter(r => r.getString(4) >= "2021-" && r.getString(4) < "2022-")
+      .map(r => (r.getString(0), r.getString(4))).sorted.toSeq
+    assert(df.collect().map(r => (r.getString(0), r.getString(1)))
+      .sorted.toSeq == expect)
+    assert(expect.size == 40)
+    // plan evidence: only era-1's files survive (4 of 12)
+    val plan = df.queryExecution.executedPlan.toString
+    val rf = "regionFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(plan).get
+    assert(rf.group(2).toInt == 12 && rf.group(1).toInt <= 4,
+      s"value band must plan only its era's files: ${rf.matched}\n$plan")
+    // manifest entries carry the value stats (no footer fallback)
+    val metas = CellFooterCache.filesOf(root)
+    assert(metas.forall(m => m.minVal.nonEmpty && m.maxVal.nonEmpty))
+    // truncation soundness: long values cap at 64 bytes with a lower
+    // min and a STRICTLY higher max (prefixStop), never a lying bound
+    val longVal = "x" * 200
+    assert(new String(GraftCell.truncStatMin(longVal.getBytes("UTF-8")))
+             == "x" * 64)
+    val tmax = GraftCell.truncStatMax(longVal.getBytes("UTF-8")).get
+    assert(java.util.Arrays.compareUnsigned(
+             tmax, longVal.getBytes("UTF-8")) > 0,
+      "truncated max must stay an upper bound")
+    assert(tmax.length <= 64)
+    // all-0xFF prefix ⇒ unbounded ⇒ None (keep — evidence only)
+    assert(GraftCell.truncStatMax(Array.fill(100)(0xFF.toByte)).isEmpty)
+    // a DELETE rewrite refreshes the value stats exactly (new -r1 file
+    // still prunes; cold re-plan needs no footers)
+    new graft.sources.cell.GraftCellTable(root).deleteWhere(
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThanOrEqual("rowkey", "k0100")))
+    CellFooterCache.invalidate(root)
+    val opens0 = CellFooterCache.footerOpens.get()
+    assert(CellFooterCache.filesOf(root)
+      .forall(m => m.minVal.nonEmpty && m.maxVal.nonEmpty))
+    assert(CellFooterCache.footerOpens.get() == opens0)
+  }
+
   test("a pushed TABLESAMPLE scales the reported statistics (ADVICE r16)") {
     import org.apache.spark.sql.functions.col
     SparkEntry.queries("scan_cell_connector")(s, dir).queryExecution // stage
