@@ -1430,6 +1430,43 @@ object CellConnector extends QueryModule {
                ORDER BY rowkey, qualifier""")
     }),
 
+    "sql_cell_family_compression" -> ((s, dir) => {
+      // PER-FAMILY COMPRESSION descriptors (r18 — HBase's COMPRESSION
+      // column-family knob, VERDICT r17 #7): `family.<f>.compression`
+      // TBLPROPERTIES (plus a table-level `compression` default) select
+      // the parquet codec of every region file holding that family's
+      // cells. The writer routes rows to CODEC-KEYED sinks — each
+      // emitted file is codec-pure, still cell-key-sorted (a
+      // subsequence of the sorted input), and carries a `-z<CODEC>`
+      // name tag (SNAPPY, the default, stays untagged) that travels
+      // through manifests/snapshots/clone and keeps split/merge/DELETE
+      // rewrites codec-faithful. The descriptor travels through
+      // maintenance like the r17 family policies: CALL compact /
+      // compact_minor / rebucket pass the codec properties as write
+      // options, so the compacted generation re-encodes per family.
+      // The key: dual-family insert (d → ZSTD via the table default,
+      // audit → GZIP override) → CALL compact → readback is
+      // byte-identical to the rebuild (codecs change encoding, never
+      // content — spec-pinned in the parquet footers). Re-staged each
+      // run; idempotent for the gate.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_zip (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell
+               TBLPROPERTIES('compression'='ZSTD',
+                             'family.audit.compression'='GZIP')""")
+      s.sql("""INSERT OVERWRITE graftcat.events_zip
+               SELECT * FROM graft_catalog_src
+               UNION ALL
+               SELECT rowkey, 'audit' AS family, qualifier, version, value
+               FROM graft_catalog_src""")
+      s.sql("CALL graftcat.compact('events_zip')")
+      s.sql("""SELECT * FROM graftcat.events_zip
+               ORDER BY rowkey, family, qualifier""")
+    }),
+
     "sql_cell_call_list_snapshots" -> ((s, dir) => {
       // HBase shell `list_snapshots` as SQL (r16): one row per snapshot
       // manifest — name, pinned-dir count, and how many pinned dirs a
@@ -2325,6 +2362,17 @@ object CellConnector extends QueryModule {
     "sql_cell_snapshot_mvcc" ->
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT * FROM cells ORDER BY rowkey, qualifier""",
+
+    // r18 per-family compression: codecs change the encoding, never
+    // the content — the oracle is the dual-family rebuild
+    "sql_cell_family_compression" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+          two AS (
+            SELECT * FROM cells
+            UNION ALL
+            SELECT rowkey, 'audit' AS family, qualifier, version, value
+            FROM cells)
+          SELECT * FROM two ORDER BY rowkey, family, qualifier""",
 
     // deterministic by construction: s1 pins the single overwrite dir,
     // s2 pins overwrite + one append; nothing was compacted ⇒ missing=0

@@ -75,6 +75,14 @@ object GraftCellProcedures {
      dirs.flatMap(CellFooterCache.filesUnder(store, _)).map(_.rowCount).sum)
   }
 
+  /** The compression descriptor subset of a table's properties —
+    * passed as write options so maintenance rewrites re-encode with
+    * the declared codecs (r18). */
+  private def codecPropsOf(props: Map[String, String]): Map[String, String] =
+    props.filter { case (k, _) =>
+      k == "compression" ||
+      (k.startsWith("family.") && k.endsWith(".compression")) }
+
   /** One class per procedure; `bind` ignores the input schema (all
     * parameters are declared IN scalars — Spark coerces and fills
     * defaults before `call`). */
@@ -159,7 +167,8 @@ object GraftCellProcedures {
       GraftCellMaintenance.majorCompact(SparkSession.active, s, ttl, tomb,
                                         maxV,
                                         props.get("buckets").map(_.toInt),
-                                        familyPolicies)
+                                        familyPolicies,
+                                        codecPropsOf(props))
       val (dirsAfter, cellsAfter) = storeStats(s)
       summary("dirs_before" -> dirsBefore, "dirs_after" -> dirsAfter,
               "cells_after" -> cellsAfter)
@@ -176,9 +185,11 @@ object GraftCellProcedures {
     override def description(): String =
       "minor compaction: merge small committed batches, verbatim content"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val s = store(input.getUTF8String(0))
+      val tableName = input.getUTF8String(0).toString
+      val s = catalog.storeOf(tableName)
       val merged = GraftCellMaintenance
-        .minorCompact(SparkSession.active, s, input.getLong(1))
+        .minorCompact(SparkSession.active, s, input.getLong(1),
+                      codecPropsOf(catalog.propsOf(tableName)))
       val (dirsAfter, _) = storeStats(s)
       summary("merged_dirs" -> merged.size.toLong,
               "dirs_after" -> dirsAfter)
@@ -490,7 +501,8 @@ object GraftCellProcedures {
       val n = input.getLong(1).toInt
       val before = catalog.propsOf(tableName)
         .get("buckets").map(_.toLong).getOrElse(0L)
-      GraftCellMaintenance.rebucket(SparkSession.active, s, n)
+      GraftCellMaintenance.rebucket(SparkSession.active, s, n,
+        codecPropsOf(catalog.propsOf(tableName)))
       catalog.setBuckets(tableName, n)
       val (_, cells) = storeStats(s)
       summary("buckets_before" -> before, "buckets_after" -> n.toLong,

@@ -787,7 +787,11 @@ class GraftCellTable(path: String,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     requireLive("UPDATE/MERGE/DELETE")
-    () => new GraftCellRowLevelOperation(path, info.command(), buckets)
+    val codecs = CellCodecs.of(tableProps.filter { case (k, _) =>
+      k == "compression" || (k.startsWith("family.") &&
+                             k.endsWith(".compression")) })
+    () => new GraftCellRowLevelOperation(path, info.command(), buckets,
+                                         codecs)
   }
 
   /** `DELETE FROM ... WHERE` — the HBase ranged-delete surface, file-
@@ -935,9 +939,25 @@ class GraftCellTable(path: String,
     require(buckets.isEmpty || optBuckets.forall(buckets.contains),
       s"graftcell: write option buckets=${optBuckets.get} contradicts " +
       s"the table descriptor buckets=${buckets.get}")
+    // compression descriptor (r18): table properties first, write
+    // options overlay (the path-mode maintenance rewrites pass the
+    // catalog's descriptor through options — asCaseSensitiveMap so
+    // family names keep their case)
+    val optMap: Map[String, String] = {
+      val b = Map.newBuilder[String, String]
+      info.options().asCaseSensitiveMap()
+        .forEach((k, v) => b += (k -> v))
+      b.result()
+    }
+    def codecKeys(m: Map[String, String]): Map[String, String] =
+      m.filter { case (k, _) =>
+        k == "compression" || (k.startsWith("family.") &&
+                               k.endsWith(".compression")) }
+    val codecProps = codecKeys(tableProps) ++ codecKeys(optMap)
     new GraftCellWriteBuilder(path, info.queryId(),
       Option(info.options().get("maxRowsPerFile")).map(_.toLong).getOrElse(-1L),
-      buckets.orElse(optBuckets), declareTransform = buckets.isDefined)
+      buckets.orElse(optBuckets), declareTransform = buckets.isDefined,
+      codecs = CellCodecs.of(codecProps))
   }
 }
 
@@ -1390,7 +1410,8 @@ object GraftCellSnapshot {
 class GraftCellRowLevelOperation(
     path: String,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-    private[cell] val buckets: Option[Int] = None)
+    private[cell] val buckets: Option[Int] = None,
+    private[cell] val codecs: CellCodecs = CellCodecs.DEFAULT)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   /** The COW scan of this operation — set when the scan builds, read
@@ -1609,7 +1630,8 @@ class GraftCellGroupReplaceBatchWrite(path: String, queryId: String,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     tmpDir.mkdirs()
-    new CellDataWriterFactory(tmpDir.getPath, buckets = op.buckets)
+    new CellDataWriterFactory(tmpDir.getPath, buckets = op.buckets,
+                              codecs = op.codecs)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1744,7 +1766,8 @@ object CellDeleteRewrite {
       .withConf(conf).build()
     val writer = ExampleParquetWriter.builder(new Path(tmpFile.getPath))
       .withConf(conf).withType(msgType)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      // the input's codec travels through the rewrite (r18 name tag)
+      .withCompressionCodec(GraftCellCodecTag.of(file))
       .withBloomFilterEnabled("rowkey", true)
       .build()
     var kept = 0L
@@ -1850,11 +1873,12 @@ object CellRegionRewrite {
   /** Streaming stats-tracking writer (the CellDataWriter shape, over
     * raw parquet Groups): rows pass through verbatim, min/max rowkey
     * bytes and the version TimeRange are tracked exactly. */
-  private final class TrackedWriter(path: String, msgType: MessageType) {
+  private final class TrackedWriter(path: String, msgType: MessageType,
+      codec: CompressionCodecName = CompressionCodecName.SNAPPY) {
     private val writer: ParquetWriter[Group] = ExampleParquetWriter
       .builder(new Path(path))
       .withConf(new Configuration()).withType(msgType)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withCompressionCodec(codec)
       .withBloomFilterEnabled("rowkey", true)
       .build()
     private var rows = 0L
@@ -1937,9 +1961,16 @@ object CellRegionRewrite {
   def splitFile(file: String, splitKey: Array[Byte],
                 tmpDir: String): Seq[CellFileMeta] = {
     val msgType = fileSchema(file)
+    // the halves keep the input's CODEC and re-carry its name tag at
+    // tag position (after the .lo/.hi infix, so the tag parser matches
+    // the final name); the bucket tag is deliberately dropped, as for
+    // every rewrite (documented: rewritten files degrade to unkeyed)
+    val codec = GraftCellCodecTag.of(file)
+    val ctag = GraftCellCodecTag.tag(codec)
     val base = new java.io.File(file).getName.stripSuffix(".parquet")
-    val lo = new TrackedWriter(s"$tmpDir/$base.lo.parquet", msgType)
-    val hi = new TrackedWriter(s"$tmpDir/$base.hi.parquet", msgType)
+      .replaceAll("(-z[A-Z0-9_]+)?(-b\\d+of\\d+)?$", "")
+    val lo = new TrackedWriter(s"$tmpDir/$base.lo$ctag.parquet", msgType, codec)
+    val hi = new TrackedWriter(s"$tmpDir/$base.hi$ctag.parquet", msgType, codec)
     val reader = openReader(file)
     try {
       var g = reader.read()
@@ -1989,7 +2020,12 @@ object CellRegionRewrite {
       else java.lang.Long.compare(a.getLong(ai, 0), b.getLong(bi, 0))
     }
     val msgType = fileSchema(files.head)
-    val out = new TrackedWriter(s"$tmpDir/$outName", msgType)
+    // runs are codec-grouped (see mergeRegions); the merged file keeps
+    // the run's codec and carries its name tag
+    val codec = GraftCellCodecTag.of(files.head)
+    val out = new TrackedWriter(
+      s"$tmpDir/${outName.stripSuffix(".parquet")}" +
+        s"${GraftCellCodecTag.tag(codec)}.parquet", msgType, codec)
     val readers = files.map(openReader)
     try {
       val heap = new java.util.PriorityQueue[(Group, Int)](
@@ -2147,7 +2183,11 @@ object GraftCellMaintenance {
         var bytes = 0L
         sorted.foreach { m =>
           if (cur.nonEmpty && (bytes + m.bytes > maxBytes ||
-                               m.messageType != cur.head.messageType)) {
+                               m.messageType != cur.head.messageType ||
+                               // never blend codecs: the merged file is
+                               // re-encoded with its run's codec (r18)
+                               GraftCellCodecTag.of(m.path) !=
+                                 GraftCellCodecTag.of(cur.head.path))) {
             out += cur; cur = Vector.empty; bytes = 0L
           }
           cur :+= m; bytes += m.bytes
@@ -2546,7 +2586,8 @@ object GraftCellMaintenance {
     * tag-evidence rule reads as UNKEYED (a shuffle, never a wrong
     * join) until a re-run completes the descriptor flip. */
   def rebucket(spark: org.apache.spark.sql.SparkSession,
-               store: String, n: Int): Unit = {
+               store: String, n: Int,
+               codecProps: Map[String, String] = Map.empty): Unit = {
     require(n >= 1 && n <= 4096,
       s"graftcell: rebucket count must be in [1, 4096], got $n")
     import org.apache.spark.sql.functions._
@@ -2559,6 +2600,7 @@ object GraftCellMaintenance {
       .sortWithinPartitions(bucketOf(col("rowkey")), col("rowkey"),
         col("family"), col("qualifier"), col("version"))
       .write.format("graftcell").option("buckets", n)
+      .options(codecProps)
       .mode("overwrite").save(store)
     CellFooterCache.invalidate(store)
   }
@@ -2582,7 +2624,9 @@ object GraftCellMaintenance {
     * Returns the merged (deleted) dirs; no-op below 2 victims. */
 
   def minorCompact(spark: org.apache.spark.sql.SparkSession,
-                   store: String, maxBytes: Long): Seq[String] = {
+                   store: String, maxBytes: Long,
+                   codecProps: Map[String, String] = Map.empty)
+      : Seq[String] = {
     // Complete pending RETIREMENTS first (ADVICE r15): the victim
     // deletion below removes dirs wholesale, including any
     // `_retire.json` a crash-interrupted group-replace left behind. If
@@ -2601,7 +2645,8 @@ object GraftCellMaintenance {
     GraftCellSnapshot.createPinned(store, work, victims)
     try {
       spark.read.format("graftcell").option("snapshot", work).load(store)
-        .write.format("graftcell").mode("append").save(store)
+        .write.format("graftcell").options(codecProps)
+        .mode("append").save(store)
     } finally GraftCellSnapshot.drop(store, work)
     // victim dirs a USER snapshot pins are archived, not deleted (the
     // work snapshot above is already dropped and never pins them here);
@@ -2654,7 +2699,8 @@ object GraftCellMaintenance {
                    tombstone: Option[String] = None,
                    maxVersions: Int = 1,
                    buckets: Option[Int] = None,
-                   familyPolicies: Map[String, FamilyPolicy] = Map.empty)
+                   familyPolicies: Map[String, FamilyPolicy] = Map.empty,
+                   codecProps: Map[String, String] = Map.empty)
       : Unit = {
     require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
     familyPolicies.foreach { case (f, p) =>
@@ -2748,9 +2794,11 @@ object GraftCellMaintenance {
           .sortWithinPartitions(bucketOf(col("rowkey")), col("rowkey"),
             col("family"), col("qualifier"), col("version"))
           .write.format("graftcell").option("buckets", n)
+          .options(codecProps)
           .mode("overwrite").save(store)
       case None =>
-        kept.write.format("graftcell").mode("overwrite").save(store)
+        kept.write.format("graftcell").options(codecProps)
+          .mode("overwrite").save(store)
     }
     CellFooterCache.invalidate(store)
   }
@@ -3985,7 +4033,8 @@ class CellPartitionReader(p: CellInputPartition)
 class GraftCellWriteBuilder(path: String, queryId: String,
                             maxRowsPerFile: Long = -1L,
                             buckets: Option[Int] = None,
-                            declareTransform: Boolean = true)
+                            declareTransform: Boolean = true,
+                            codecs: CellCodecs = CellCodecs.DEFAULT)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
@@ -3994,13 +4043,14 @@ class GraftCellWriteBuilder(path: String, queryId: String,
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
     new GraftCellWrite(path, queryId, doTruncate, maxRowsPerFile, buckets,
-                       declareTransform)
+                       declareTransform, codecs)
 }
 
 class GraftCellWrite(path: String, queryId: String, truncate: Boolean,
                      maxRowsPerFile: Long = -1L,
                      buckets: Option[Int] = None,
-                     declareTransform: Boolean = true)
+                     declareTransform: Boolean = true,
+                     codecs: CellCodecs = CellCodecs.DEFAULT)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection}
@@ -4054,7 +4104,7 @@ class GraftCellWrite(path: String, queryId: String, truncate: Boolean,
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
     new GraftCellBatchWrite(path, queryId, truncate, maxRowsPerFile, buckets,
-                            verifyOrder)
+                            verifyOrder, codecs)
 
   /** Streaming write — the replication PRODUCER: each micro-batch epoch
     * publishes one `batch_<queryId>_ep<epoch>` dir through the same
@@ -4069,13 +4119,14 @@ class GraftCellWrite(path: String, queryId: String, truncate: Boolean,
     * micro-batch). */
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new GraftCellStreamingWrite(path, queryId, maxRowsPerFile, buckets,
-                                verifyOrder)
+                                verifyOrder, codecs)
 }
 
 class GraftCellStreamingWrite(path: String, queryId: String,
                               maxRowsPerFile: Long = -1L,
                               buckets: Option[Int] = None,
-                              verifyOrder: Boolean = false)
+                              verifyOrder: Boolean = false,
+                              codecs: CellCodecs = CellCodecs.DEFAULT)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -4087,7 +4138,7 @@ class GraftCellStreamingWrite(path: String, queryId: String,
       : StreamingDataWriterFactory = {
     new java.io.File(path).mkdirs()
     new CellStreamingDataWriterFactory(path, queryId, maxRowsPerFile, buckets,
-                                       verifyOrder)
+                                       verifyOrder, codecs)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -4128,14 +4179,15 @@ class GraftCellStreamingWrite(path: String, queryId: String,
 class CellStreamingDataWriterFactory(path: String, queryId: String,
                                      maxRowsPerFile: Long = -1L,
                                      buckets: Option[Int] = None,
-                                     verifyOrder: Boolean = false)
+                                     verifyOrder: Boolean = false,
+                                     codecs: CellCodecs = CellCodecs.DEFAULT)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
     val tmp = new java.io.File(path, s"_tmp_${queryId}_ep$epochId")
     tmp.mkdirs()
     new CellDataWriter(tmp.getPath, partitionId, maxRowsPerFile, buckets,
-                       verifyOrder)
+                       verifyOrder, codecs)
   }
 }
 
@@ -4148,7 +4200,8 @@ final case class CellFilesCommitted(files: Seq[CellFileMeta])
 class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean,
                           maxRowsPerFile: Long = -1L,
                           buckets: Option[Int] = None,
-                          verifyOrder: Boolean = false)
+                          verifyOrder: Boolean = false,
+                          codecs: CellCodecs = CellCodecs.DEFAULT)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -4157,7 +4210,7 @@ class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     tmpDir.mkdirs()
     new CellDataWriterFactory(tmpDir.getPath, maxRowsPerFile, buckets,
-                              verifyOrder)
+                              verifyOrder, codecs)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -4217,14 +4270,80 @@ class GraftCellBatchWrite(path: String, queryId: String, truncate: Boolean,
   }
 }
 
+/** Compression configuration of a write (r18 — the HBase COMPRESSION
+  * column-family descriptor): a table-level default plus per-family
+  * overrides, persisted as TBLPROPERTIES (`compression`,
+  * `family.<f>.compression`) and honored by every write path —
+  * inserts, DML rewrites, and (via write options) the path-mode
+  * maintenance rewrites, so the declared codecs TRAVEL THROUGH
+  * COMPACTION like the r17 family policies. */
+final case class CellCodecs(
+    default: org.apache.parquet.hadoop.metadata.CompressionCodecName,
+    perFamily: Map[String,
+      org.apache.parquet.hadoop.metadata.CompressionCodecName])
+
+object CellCodecs {
+  import org.apache.parquet.hadoop.metadata.CompressionCodecName
+
+  /** Codecs every Spark runtime decodes without native extras. */
+  val SUPPORTED: Seq[String] = Seq("UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD")
+  val DEFAULT: CellCodecs = CellCodecs(CompressionCodecName.SNAPPY, Map.empty)
+
+  def codec(name: String, key: String): CompressionCodecName = {
+    val up = name.toUpperCase(java.util.Locale.ROOT)
+    require(SUPPORTED.contains(up),
+      s"graftcell: $key must be one of ${SUPPORTED.mkString(", ")}, " +
+      s"got '$name'")
+    CompressionCodecName.valueOf(up)
+  }
+
+  private val FamRe = raw"family\.([A-Za-z0-9_-]+)\.compression".r
+
+  /** Resolve from table properties (catalog descriptor) and/or write
+    * options (path-mode maintenance). */
+  def of(props: Map[String, String]): CellCodecs = {
+    val default = props.get("compression")
+      .map(codec(_, "compression"))
+      .getOrElse(CompressionCodecName.SNAPPY)
+    val fams = props.collect {
+      case (FamRe(f), v) => f -> codec(v, s"family.$f.compression")
+    }
+    if (fams.isEmpty && default == CompressionCodecName.SNAPPY) DEFAULT
+    else CellCodecs(default, fams)
+  }
+}
+
+/** `-z<CODEC>` region-file name tag (r18): emitted for every non-SNAPPY
+  * file (SNAPPY — the default — stays untagged, so pre-r18 names are
+  * unchanged). Like the bucket tag, the codec lives in the NAME so it
+  * travels verbatim through manifests, snapshots, clone, export and
+  * bulkload — and split/merge/DELETE rewrites re-encode their outputs
+  * with the input's codec instead of silently resetting to the
+  * default. */
+object GraftCellCodecTag {
+  import org.apache.parquet.hadoop.metadata.CompressionCodecName
+  private val Re = raw"-z([A-Z0-9_]+)(?:-r\d+)?(?:-b\d+of\d+)?\.parquet$$".r
+
+  def tag(c: CompressionCodecName): String =
+    if (c == CompressionCodecName.SNAPPY) "" else s"-z${c.name()}"
+
+  /** Codec of a region file, from its name tag; untagged = SNAPPY. */
+  def of(path: String): CompressionCodecName =
+    Re.findFirstMatchIn(path)
+      .flatMap(m => scala.util.Try(
+        CompressionCodecName.valueOf(m.group(1))).toOption)
+      .getOrElse(CompressionCodecName.SNAPPY)
+}
+
 class CellDataWriterFactory(tmpDir: String, maxRowsPerFile: Long = -1L,
                             buckets: Option[Int] = None,
-                            verifyOrder: Boolean = false)
+                            verifyOrder: Boolean = false,
+                            codecs: CellCodecs = CellCodecs.DEFAULT)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new CellDataWriter(tmpDir, partitionId, maxRowsPerFile, buckets,
-                       verifyOrder)
+                       verifyOrder, codecs)
 }
 
 /** Sorted region file(s) per (range-partitioned) task. Rows arrive
@@ -4240,7 +4359,8 @@ class CellDataWriterFactory(tmpDir: String, maxRowsPerFile: Long = -1L,
 class CellDataWriter(tmpDir: String, partitionId: Int,
                      maxRowsPerFile: Long = -1L,
                      buckets: Option[Int] = None,
-                     verifyOrder: Boolean = false)
+                     verifyOrder: Boolean = false,
+                     codecs: CellCodecs = CellCodecs.DEFAULT)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
@@ -4262,40 +4382,150 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
   private val groups = new SimpleGroupFactory(msgType)
 
   private val files = scala.collection.mutable.ArrayBuffer.empty[CellFileMeta]
-  private var file: String = _
-  private var writer: ParquetWriter[Group] = _
+  // file sequence shared across sinks: names stay unique per task
   private var seq = 0
-  private var rowsInFile = 0L
-  // manifest stats, tracked per file while writing (exact, not footer-
-  // derived): min/max rowkey in unsigned byte order — the same order as
-  // parquet UTF8 statistics and UTF8String comparison — plus the
-  // version TimeRange. Each getBytes call returns a fresh copy (the
-  // UnsafeRow backing is never exactly spanned), so retaining the
-  // min/max arrays is safe.
-  private var minKey: Array[Byte] = _
-  private var maxKey: Array[Byte] = _
-  private var minVer = Long.MaxValue
-  private var maxVer = Long.MinValue
-  // r16: family/qualifier min/max ride the same task-tracked stats —
-  // zero extra IO, and the manifest gains the per-CF pruning bounds
-  private var minFam: Array[Byte] = _
-  private var maxFam: Array[Byte] = _
-  private var minQual: Array[Byte] = _
-  private var maxQual: Array[Byte] = _
-  private var nullKeys = 0L
-  // r18: VALUE min/max ride along (truncation-sound at emit) — the
-  // SingleColumnValueFilter analog's file-pruning evidence
-  private var minVal: Array[Byte] = _
-  private var maxVal: Array[Byte] = _
 
-  // BUCKETED writes (see GraftCellWrite): the declared ordering leads
-  // with bucket(n, rowkey), so a task's rows arrive bucket-grouped —
-  // one open writer suffices, rolling on every bucket boundary keeps
-  // each emitted file BUCKET-PURE, and the file name carries the
-  // `-b<id>of<n>` tag the scan's key-grouped partitioning report
-  // verifies (GraftBucket.tag: the count rides along so a file from a
-  // differently-bucketed layout can never pass for co-partitioned).
-  private var curBucket = -1
+  /** One open region file + its task-tracked manifest stats. The
+    * default write uses ONE sink; per-family compression (r18 — the
+    * HBase per-CF COMPRESSION descriptor) keys sinks by RESOLVED
+    * CODEC, so each emitted file is codec-pure and carries a
+    * `-z<CODEC>` name tag (omitted for the default SNAPPY — names are
+    * byte-identical to pre-r18 when no codec property is set) that
+    * travels through manifests/snapshots/clone and lets split/merge/
+    * DELETE rewrites re-encode with the same codec. Rows arrive
+    * cell-key-sorted; each sink sees a subsequence, so every emitted
+    * file keeps the declared sort order, and bucket purity holds per
+    * sink (roll on bucket change). */
+  private final class Sink(codec: CompressionCodecName) {
+    private val codecTag = GraftCellCodecTag.tag(codec)
+    var writer: ParquetWriter[Group] = _
+    var file: String = _
+    private var rowsInFile = 0L
+    var curBucket = -1
+    // manifest stats, tracked per file while writing (exact, not
+    // footer-derived): min/max rowkey in unsigned byte order — the
+    // same order as parquet UTF8 statistics and UTF8String comparison
+    // — plus the version TimeRange, per-CF bounds, value bounds and
+    // the NULL-rowkey count. Each getBytes call returns a fresh copy
+    // (the UnsafeRow backing is never exactly spanned), so retaining
+    // the min/max arrays is safe.
+    private var minKey: Array[Byte] = _
+    private var maxKey: Array[Byte] = _
+    private var minVer = Long.MaxValue
+    private var maxVer = Long.MinValue
+    private var minFam: Array[Byte] = _
+    private var maxFam: Array[Byte] = _
+    private var minQual: Array[Byte] = _
+    private var maxQual: Array[Byte] = _
+    private var minVal: Array[Byte] = _
+    private var maxVal: Array[Byte] = _
+    private var nullKeys = 0L
+
+    // lazy open on first row: an empty sink commits no region file
+    private def open(): Unit = {
+      val tag = buckets.fold("")(n => GraftBucket.tag(curBucket, n))
+      file = f"$tmpDir/part-$partitionId%05d-$seq%04d$codecTag$tag.parquet"
+      seq += 1
+      writer = ExampleParquetWriter
+        .builder(new Path(file))
+        .withConf(new Configuration())
+        .withType(msgType)
+        .withCompressionCodec(codec)
+        .withBloomFilterEnabled("rowkey", true)
+        .build()
+      rowsInFile = 0L
+      minKey = null; maxKey = null
+      minVer = Long.MaxValue; maxVer = Long.MinValue
+      minFam = null; maxFam = null
+      minQual = null; maxQual = null
+      minVal = null; maxVal = null
+      nullKeys = 0L
+    }
+
+    def roll(): Unit = if (writer != null) {
+      writer.close()
+      files += CellFileMeta(file, new java.io.File(file).length(), rowsInFile,
+        Option(minKey), Option(maxKey), msgType.toString,
+        if (minVer == Long.MaxValue) None else Some(minVer),
+        if (maxVer == Long.MinValue) None else Some(maxVer),
+        Option(minFam), Option(maxFam), Option(minQual), Option(maxQual),
+        Some(nullKeys),
+        Option(minVal).map(GraftCell.truncStatMin),
+        Option(maxVal).flatMap(GraftCell.truncStatMax))
+      writer = null
+    }
+
+    def write(row: InternalRow): Unit = {
+      buckets.foreach { n =>
+        val b = GraftBucket.of(
+          if (row.isNullAt(0)) null else row.getUTF8String(0).getBytes, n)
+        if (writer != null && b != curBucket) roll()
+        curBucket = b
+      }
+      if (writer == null) open()
+      val g = groups.newGroup()
+      if (row.isNullAt(0)) nullKeys += 1
+      var i = 0
+      while (i < GraftCell.SCHEMA.length) {
+        if (!row.isNullAt(i)) {
+          if (GraftCell.SCHEMA(i).name == "version") {
+            val v = row.getLong(i)
+            g.add(i, v)
+            if (v < minVer) minVer = v
+            if (v > maxVer) maxVer = v
+          } else {
+            val bytes = row.getUTF8String(i).getBytes
+            g.add(i, Binary.fromConstantByteArray(bytes))
+            if (i == 0) { // rowkey
+              if (minKey == null ||
+                  JArrays.compareUnsigned(bytes, minKey) < 0) minKey = bytes
+              if (maxKey == null ||
+                  JArrays.compareUnsigned(bytes, maxKey) > 0) maxKey = bytes
+            } else if (i == 1) { // family
+              if (minFam == null ||
+                  JArrays.compareUnsigned(bytes, minFam) < 0) minFam = bytes
+              if (maxFam == null ||
+                  JArrays.compareUnsigned(bytes, maxFam) > 0) maxFam = bytes
+            } else if (i == 2) { // qualifier
+              if (minQual == null ||
+                  JArrays.compareUnsigned(bytes, minQual) < 0) minQual = bytes
+              if (maxQual == null ||
+                  JArrays.compareUnsigned(bytes, maxQual) > 0) maxQual = bytes
+            } else if (i == 4) { // value
+              if (minVal == null ||
+                  JArrays.compareUnsigned(bytes, minVal) < 0) minVal = bytes
+              if (maxVal == null ||
+                  JArrays.compareUnsigned(bytes, maxVal) > 0) maxVal = bytes
+            }
+          }
+        }
+        i += 1
+      }
+      writer.write(g)
+      rowsInFile += 1
+      if (maxRowsPerFile > 0 && rowsInFile >= maxRowsPerFile) roll()
+    }
+
+    def abort(): Unit = {
+      if (writer != null) writer.close()
+      if (file != null) { new java.io.File(file).delete(); () }
+    }
+  }
+
+  // default path: ONE sink (file names and behavior byte-identical to
+  // pre-r18); per-family codecs route rows to codec-keyed sinks
+  private val defaultSink = new Sink(codecs.default)
+  private val codecSinks =
+    scala.collection.mutable.LinkedHashMap.empty[CompressionCodecName, Sink]
+  private def sinkFor(row: InternalRow): Sink =
+    if (codecs.perFamily.isEmpty) defaultSink
+    else {
+      val fam = if (row.isNullAt(1)) null else row.getUTF8String(1).toString
+      val codec = if (fam == null) codecs.default
+                  else codecs.perFamily.getOrElse(fam, codecs.default)
+      if (codec == codecs.default) defaultSink
+      else codecSinks.getOrElseUpdate(codec, new Sink(codec))
+    }
 
   // PATH-mode bucketed writes declare no ordering (no FunctionCatalog
   // to resolve bucket(n, rowkey) through), yet the scan reports every
@@ -4303,7 +4533,13 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
   // caller's arrangement and fails loudly on the first out-of-order
   // row instead of publishing a file the scan would let Spark elide
   // sorts over (silently wrong merges). Catalog routes declare the
-  // ordering, so Spark sorts and this stays off the hot path.
+  // ordering, so Spark sorts and this stays off the hot path. The
+  // check runs on the INPUT stream (before codec routing): a sorted
+  // input keeps every sink subsequence sorted. The sortedness claim
+  // resets at each BUCKET boundary (rowkeys legitimately restart when
+  // the leading sort key advances), matching the per-region-file claim
+  // the scan reports.
+  private var prevBucket = -1
   private var prevKey: Array[Byte] = _
   private var prevFam: Array[Byte] = _
   private var prevQual: Array[Byte] = _
@@ -4320,6 +4556,11 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
       if (row.isNullAt(i)) null else row.getUTF8String(i).getBytes
     val kb = bytesAt(0); val fb = bytesAt(1); val qb = bytesAt(2)
     val vv: java.lang.Long = if (row.isNullAt(3)) null else row.getLong(3)
+    buckets.foreach { n =>
+      val b = GraftBucket.of(kb, n)
+      if (b != prevBucket) verifySeen = false
+      prevBucket = b
+    }
     if (verifySeen) {
       var c = cmpNf(kb, prevKey)
       if (c == 0) c = cmpNf(fb, prevFam)
@@ -4342,101 +4583,20 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
     verifySeen = true
   }
 
-  // lazy open on first row: an empty task commits no region file
-  private def open(): Unit = {
-    val tag = buckets.fold("")(n => GraftBucket.tag(curBucket, n))
-    file = f"$tmpDir/part-$partitionId%05d-$seq%04d$tag.parquet"
-    writer = ExampleParquetWriter
-      .builder(new Path(file))
-      .withConf(new Configuration())
-      .withType(msgType)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .withBloomFilterEnabled("rowkey", true)
-      .build()
-    rowsInFile = 0L
-    minKey = null; maxKey = null
-    minVer = Long.MaxValue; maxVer = Long.MinValue
-    minFam = null; maxFam = null
-    minQual = null; maxQual = null
-    minVal = null; maxVal = null
-    nullKeys = 0L
-    verifySeen = false // the sortedness claim is per region file
-  }
-
-  private def roll(): Unit = {
-    writer.close()
-    files += CellFileMeta(file, new java.io.File(file).length(), rowsInFile,
-      Option(minKey), Option(maxKey), msgType.toString,
-      if (minVer == Long.MaxValue) None else Some(minVer),
-      if (maxVer == Long.MinValue) None else Some(maxVer),
-      Option(minFam), Option(maxFam), Option(minQual), Option(maxQual),
-      Some(nullKeys),
-      Option(minVal).map(GraftCell.truncStatMin),
-      Option(maxVal).flatMap(GraftCell.truncStatMax))
-    writer = null
-    seq += 1
-  }
-
   override def write(row: InternalRow): Unit = {
-    buckets.foreach { n =>
-      val b = GraftBucket.of(
-        if (row.isNullAt(0)) null else row.getUTF8String(0).getBytes, n)
-      if (writer != null && b != curBucket) roll()
-      curBucket = b
-    }
-    if (writer == null) open()
     if (verifyOrder) checkOrder(row)
-    val g = groups.newGroup()
-    if (row.isNullAt(0)) nullKeys += 1
-    var i = 0
-    while (i < GraftCell.SCHEMA.length) {
-      if (!row.isNullAt(i)) {
-        if (GraftCell.SCHEMA(i).name == "version") {
-          val v = row.getLong(i)
-          g.add(i, v)
-          if (v < minVer) minVer = v
-          if (v > maxVer) maxVer = v
-        } else {
-          val bytes = row.getUTF8String(i).getBytes
-          g.add(i, Binary.fromConstantByteArray(bytes))
-          if (i == 0) { // rowkey
-            if (minKey == null ||
-                JArrays.compareUnsigned(bytes, minKey) < 0) minKey = bytes
-            if (maxKey == null ||
-                JArrays.compareUnsigned(bytes, maxKey) > 0) maxKey = bytes
-          } else if (i == 1) { // family
-            if (minFam == null ||
-                JArrays.compareUnsigned(bytes, minFam) < 0) minFam = bytes
-            if (maxFam == null ||
-                JArrays.compareUnsigned(bytes, maxFam) > 0) maxFam = bytes
-          } else if (i == 2) { // qualifier
-            if (minQual == null ||
-                JArrays.compareUnsigned(bytes, minQual) < 0) minQual = bytes
-            if (maxQual == null ||
-                JArrays.compareUnsigned(bytes, maxQual) > 0) maxQual = bytes
-          } else if (i == 4) { // value
-            if (minVal == null ||
-                JArrays.compareUnsigned(bytes, minVal) < 0) minVal = bytes
-            if (maxVal == null ||
-                JArrays.compareUnsigned(bytes, maxVal) > 0) maxVal = bytes
-          }
-        }
-      }
-      i += 1
-    }
-    writer.write(g)
-    rowsInFile += 1
-    if (maxRowsPerFile > 0 && rowsInFile >= maxRowsPerFile) roll()
+    sinkFor(row).write(row)
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    if (writer != null) roll()
+    defaultSink.roll()
+    codecSinks.values.foreach(_.roll())
     CellFilesCommitted(files.toSeq)
   }
 
   override def abort(): Unit = {
-    if (writer != null) writer.close()
-    if (file != null) { new java.io.File(file).delete(); () }
+    defaultSink.abort()
+    codecSinks.values.foreach(_.abort())
     files.foreach(m => new java.io.File(m.path).delete())
   }
 

@@ -2534,6 +2534,62 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(CellFooterCache.footerOpens.get() == opens0)
   }
 
+  test("per-family compression descriptors (r18): codec-pure files with " +
+       "-z name tags; codecs travel through compaction and DML rewrites") {
+    import graft.sources.cell.{CellFooterCache, GraftCellCodecTag}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+    def footerCodec(path: String): String = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new Path(path), new org.apache.hadoop.conf.Configuration()))
+      try r.getFooter.getBlocks.get(0).getColumns.get(0)
+        .getCodec.name()
+      finally r.close()
+    }
+    // the contract key stages + compacts the dual-codec table
+    val n = SparkEntry.queries("sql_cell_family_compression")(s, dir).count()
+    assert(n > 0)
+    val store = "/tmp/graft_catalog_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_zip"
+    def checkStore(): Unit = {
+      val metas = CellFooterCache.filesOf(store)
+      assert(metas.nonEmpty)
+      metas.foreach { m =>
+        // codec-pure: the family range decides the expected codec
+        val fam = m.minFam.map(new String(_, "UTF-8"))
+        assert(m.minFam.map(_.toSeq) == m.maxFam.map(_.toSeq),
+          s"codec-pure file must be family-range-pure here: ${m.path}")
+        val expect = if (fam.contains("audit")) "GZIP" else "ZSTD"
+        assert(footerCodec(m.path) == expect,
+          s"wrong codec for $fam: ${m.path}")
+        // the name tag agrees with the actual footer codec
+        assert(GraftCellCodecTag.of(m.path).name() == expect,
+          s"name tag disagrees with footer: ${m.path}")
+      }
+    }
+    checkStore() // post-compact: the descriptor traveled through CALL compact
+    // a ranged DELETE rewrite keeps each file's codec (-z tag parsed
+    // from the input name; new -rK names carry it forward)
+    s.sql("DELETE FROM graftcat.events_zip WHERE rowkey >= '11' AND rowkey < '12'")
+    checkStore()
+    assert(CellFooterCache.filesOf(store)
+      .exists(m => m.path.contains("-r1")), "expected a -r1 rewrite name")
+    // validation: unsupported codec names refuse at CREATE/ALTER
+    val e = intercept[Exception] {
+      s.sql("""CREATE TABLE graftcat.events_zip_bad (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell
+               TBLPROPERTIES('compression'='LZO')""")
+    }
+    assert(e.getMessage.contains("must be one of"), e.getMessage)
+    val e2 = intercept[Exception] {
+      s.sql("""ALTER TABLE graftcat.events_zip
+               SET TBLPROPERTIES('family.audit.compression'='BROTLI')""")
+    }
+    assert(e2.getMessage.contains("must be one of"), e2.getMessage)
+  }
+
   test("a pushed TABLESAMPLE scales the reported statistics (ADVICE r16)") {
     import org.apache.spark.sql.functions.col
     SparkEntry.queries("scan_cell_connector")(s, dir).queryExecution // stage
