@@ -1725,6 +1725,39 @@ object CellConnector extends QueryModule {
                ORDER BY generation""")
     }),
 
+    "sql_cell_meta_travel_log" -> ((s, dir) => {
+      // METADATA TABLE `t.travel_log` (r18): the structural-history
+      // events `TIMESTAMP AS OF` replays, from plain SQL — the
+      // operator's "what would a travel into this window need"
+      // inspection (which generations retired when, superseded by
+      // what, revived by which restore). HERMETIC fixture (DROP +
+      // CREATE wipes the log): overwrite era 1 → snapshot 'keep' →
+      // append era 2 → compact_minor merges both (2 retire events:
+      // era 1 archived via the pin, era 2 deleted) → restore 'keep'
+      // (1 retire of the merged orphan + 1 revive of era 1). The key
+      // reads the layout-independent projection: event kinds and
+      // per-kind counts are fixed by the statement sequence whatever
+      // the parallelism; dirs, stamps, and file counts are not.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.events_tlog")
+      s.sql("""CREATE TABLE graftcat.events_tlog (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_tlog SELECT * FROM graft_catalog_src")
+      s.sql("CALL graftcat.snapshot('events_tlog', 'keep')")
+      s.sql("""INSERT INTO graftcat.events_tlog
+               SELECT rowkey, family, qualifier,
+                      version + 1000000 AS version, value
+               FROM graft_catalog_src WHERE rowkey >= '6' AND rowkey < '7'""")
+      s.sql(s"CALL graftcat.compact_minor('events_tlog', ${Long.MaxValue}L)")
+      s.sql("CALL graftcat.restore_snapshot('events_tlog', 'keep')")
+      s.sql("""SELECT event, CAST(count(*) AS BIGINT) AS n_events
+               FROM graftcat.events_tlog.travel_log
+               GROUP BY event ORDER BY event""")
+    }),
+
     "sql_cell_connector" -> ((s, dir) => {
       // The SQL surface over the connector: the store registered as a
       // (session-scoped) SQL table via `CREATE TEMPORARY VIEW ... USING
@@ -2527,6 +2560,16 @@ object CellConnector extends QueryModule {
                  (SELECT count(*) FROM cells) +
                    (SELECT count(*) FROM appended)
           ORDER BY generation""",
+
+    // r18 travel-log meta table: the hermetic fixture's statement
+    // sequence fixes the event census exactly — 3 retirements (era 1 +
+    // era 2 into the minor compact, the merged orphan into the
+    // restore) and 1 revival (era 1 back from the archive)
+    "sql_cell_meta_travel_log" ->
+      """SELECT 'retire' AS event, CAST(3 AS BIGINT) AS n_events
+         UNION ALL
+         SELECT 'revive' AS event, CAST(1 AS BIGINT) AS n_events
+         ORDER BY event""",
 
     "cell_connector_count_meta" ->
       s"""WITH cells AS (${CellQueries.eventCellsSql})

@@ -16,6 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM g.t.files       -- one row per live region file
   *   SELECT * FROM g.t.snapshots   -- one row per snapshot manifest
   *   SELECT * FROM g.t.history     -- one row per committed generation
+  *   SELECT * FROM g.t.travel_log  -- one row per structural-history
+  *                                 -- event (r18: what TIMESTAMP AS OF
+  *                                 -- replays)
   * }}}
   *
   * resolve to read-only tables computed from the SAME persisted
@@ -45,7 +48,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftCellMeta {
   /** The recognized metadata-table names (the nested identifier's last
     * segment). */
-  val KINDS: Set[String] = Set("files", "snapshots", "history")
+  val KINDS: Set[String] = Set("files", "snapshots", "history",
+                               "travel_log")
 
   /** One row per LIVE region file (committed dirs, retire intents
     * subtracted) — the persisted manifest stats verbatim: nullable
@@ -101,10 +105,25 @@ object GraftCellMeta {
     StructField("n_bytes", LongType, nullable = false),
     StructField("cumulative_rows", LongType, nullable = false)))
 
+  /** One row per travel-log event (r18 — `TIMESTAMP AS OF`'s
+    * structural history, see [[CellTravelLog]]), in append (= stamp)
+    * order: retire events carry the retired generation's commit stamp
+    * and the superseding stamp in `at`; revive/born events carry only
+    * their own event time. `n_files` is the event's file-name count —
+    * the operator's "what would a travel into this window need"
+    * inspection, from plain SQL. */
+  val TRAVEL_SCHEMA: StructType = StructType(Seq(
+    StructField("event", StringType, nullable = false),
+    StructField("batch_dir", StringType, nullable = false),
+    StructField("stamp", TimestampType, nullable = true),
+    StructField("at", TimestampType, nullable = false),
+    StructField("n_files", LongType, nullable = false)))
+
   def schemaOf(kind: String): StructType = kind match {
-    case "files"     => FILES_SCHEMA
-    case "snapshots" => SNAPSHOTS_SCHEMA
-    case "history"   => HISTORY_SCHEMA
+    case "files"      => FILES_SCHEMA
+    case "snapshots"  => SNAPSHOTS_SCHEMA
+    case "history"    => HISTORY_SCHEMA
+    case "travel_log" => TRAVEL_SCHEMA
     case other => throw new IllegalArgumentException(
       s"graftcell: unknown metadata table '$other'")
   }
@@ -159,6 +178,15 @@ object GraftCellMeta {
         stats._1, stats._2, stats._3, stats._4)): InternalRow
     }.toArray
 
+  private[cell] def travelRows(store: String): Array[InternalRow] =
+    CellTravelLog.read(store).map { e =>
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(e.kind),
+        UTF8String.fromString(e.dir),
+        if (e.kind == "retire") Long.box(e.stamp) else null,
+        e.at, e.files.size.toLong)): InternalRow
+    }.toArray
+
   private[cell] def historyRows(store: String): Array[InternalRow] = {
     val retired = CellRetire.retiredOf(store)
     val dirs = CellFooterCache.committedDirs(store)
@@ -199,6 +227,9 @@ class GraftCellMetaTable(store: String, kind: String)
       case "history" =>
         GraftCellMetaLocalScan(GraftCellMeta.HISTORY_SCHEMA,
           GraftCellMeta.historyRows(store), s"history of $store")
+      case "travel_log" =>
+        GraftCellMetaLocalScan(GraftCellMeta.TRAVEL_SCHEMA,
+          GraftCellMeta.travelRows(store), s"travel log of $store")
     }
 }
 

@@ -126,6 +126,31 @@ class MetaTablesSpec extends AnyFunSuite {
       s.sql("SELECT count(*) FROM metaspec.th").collect().head.getLong(0))
   }
 
+  test("travel_log metadata: structural-history events as rows (r18)") {
+    staged("tt")
+    // fresh table: no structural rewrite yet → empty log
+    assert(s.sql("SELECT * FROM metaspec.tt.travel_log").count() == 0L)
+    s.sql("CALL metaspec.snapshot('tt', 'pin')")
+    s.sql(s"CALL metaspec.compact_minor('tt', ${Long.MaxValue}L)")
+    val rows = s.sql("""SELECT event, batch_dir, stamp, at, n_files
+                        FROM metaspec.tt.travel_log
+                        ORDER BY at, batch_dir""").collect()
+    // both staged generations retired by the minor compaction
+    assert(rows.length == 2 && rows.forall(_.getString(0) == "retire"))
+    assert(rows.forall(r => r.getLong(4) > 0L))
+    // retire rows carry the generation stamp AND the superseding time,
+    // strictly ordered (the window TIMESTAMP AS OF replays)
+    rows.foreach { r =>
+      assert(r.getTimestamp(2).getTime <= r.getTimestamp(3).getTime)
+    }
+    // a restore appends its revive event
+    s.sql("CALL metaspec.restore_snapshot('tt', 'pin')")
+    val kinds = s.sql("""SELECT event, count(*) FROM metaspec.tt.travel_log
+                         GROUP BY event ORDER BY event""").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(kinds("revive") >= 1L && kinds("retire") >= 3L, kinds.toString)
+  }
+
   test("resolution precedence: a real data table shadows metadata names") {
     root // force catalog registration
     s.sql("CREATE NAMESPACE IF NOT EXISTS metaspec.ns1")
@@ -159,5 +184,6 @@ class MetaTablesSpec extends AnyFunSuite {
     assert(!listed.exists(GraftCellMetaNames.contains))
   }
 
-  private val GraftCellMetaNames = Set("files", "snapshots", "history")
+  private val GraftCellMetaNames =
+    Set("files", "snapshots", "history", "travel_log")
 }
