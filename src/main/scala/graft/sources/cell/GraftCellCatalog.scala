@@ -307,73 +307,8 @@ class GraftCellCatalog extends TableCatalog
     val dir = existingDataDir(ident.namespace(), ident.name())
       .getOrElse(throw new NoSuchTableException(ident))
     val store = dir.getPath
-    val live = CellFooterCache.committedDirs(store)
-    val liveStamps: Map[String, Long] =
-      live.map(d => d -> CellManifest.commitStampOf(store, d)).toMap
-    val events = CellTravelLog.read(store)
-    val retires = events.filter(_.kind == "retire")
-    val known = liveStamps.values ++ retires.map(_.stamp)
-    require(known.nonEmpty,
-      s"graftcell: table ${ident.name()} has no committed data to time-travel")
-    val first = known.min
-    require(timestamp >= first,
-      s"graftcell: TIMESTAMP AS OF $timestamp precedes the table's " +
-      s"first commit ($first)")
-    def namesUnder(d: String): Seq[String] =
-      CellFooterCache.filesUnder(store, d)
-        .map(m => new java.io.File(m.path).getName)
-    // per-file OUT/IN toggles in append (= stamp) order
-    val eventsByFile: Map[(String, String), Seq[(Long, String)]] =
-      events.flatMap(e => e.files.map(n => ((e.dir, n), (e.at, e.kind))))
-        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    // a generation's birth: its live stamp, else its retire-entry stamp
-    val birth: Map[String, Long] =
-      retires.map(e => e.dir -> e.stamp).toMap ++ liveStamps
-    def member(d: String, n: String): Boolean =
-      eventsByFile.get((d, n)) match {
-        case None => birth.get(d).exists(_ <= timestamp)
-        case Some(evs) => evs.filter(_._1 <= timestamp).lastOption match {
-          case Some((_, kind)) => kind != "retire"
-          case None =>
-            // no event yet at ts: alive since the dir's commit — unless
-            // the name was BORN later (a post-ts -rK rename product)
-            birth.get(d).exists(_ <= timestamp) &&
-              !evs.exists(_._2 == "born")
-        }
-      }
-    val pins = Seq.newBuilder[CellGenPin]
-    // live generations: wholesale when every current file is a member
-    live.filter(d => liveStamps(d) <= timestamp).sorted.foreach { d =>
-      val names = namesUnder(d)
-      val kept = names.filter(n => member(d, n))
-      if (kept.size == names.size) pins += CellGenPin(d)
-      else if (kept.nonEmpty) pins += CellGenPin(d, Some(kept.toSet))
-    }
-    // retired members resolve from the archive — or the travel refuses
-    val liveNames: Map[String, Set[String]] =
-      live.map(d => d -> namesUnder(d).toSet).toMap
-    val missing = Seq.newBuilder[String]
-    val archPins = scala.collection.mutable.LinkedHashMap
-      .empty[String, Set[String]]
-    eventsByFile.keys.toSeq.sorted.foreach { case (d, n) =>
-      val liveHere = liveNames.get(d).exists(_.contains(n))
-      if (!liveHere && member(d, n)) {
-        if (namesUnder(s"${CellArchive.DIR}/$d").contains(n))
-          archPins(d) = archPins.getOrElse(d, Set.empty) + n
-        else missing += s"$d/$n"
-      }
-    }
-    val lost = missing.result()
-    require(lost.isEmpty,
-      s"graftcell: TIMESTAMP AS OF $timestamp cannot be reconstructed — " +
-      "these region files were part of the view then but were retired " +
-      "by later maintenance/DML and resolve neither live nor archived " +
-      "(retirement unpinned by any snapshot, or archive swept): " +
-      s"${lost.sorted.mkString(", ")}; refusing a silently partial read")
-    archPins.foreach { case (d, ns) =>
-      pins += CellGenPin(s"${CellArchive.DIR}/$d", Some(ns))
-    }
-    new GraftCellTable(store, None, Some(pins.result()), readProps(dir))
+    val pins = GraftCellTimeTravel.resolve(store, timestamp, ident.name())
+    new GraftCellTable(store, None, Some(pins), readProps(dir))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -196,7 +196,12 @@ class ArchiveSpec extends AnyFunSuite {
     // in the set is content-neutral by contract — any divergence is an
     // archive/retire/revive bug, not semantics. r18 adds ranged DELETE
     // to the op set: the model mutates ONLY the live view, so any
-    // snapshot observing the delete is an MVCC bug.
+    // snapshot observing the delete is an MVCC bug. r18 also
+    // property-gates TOTAL-OR-LOUD clock travel: the model records the
+    // live view at every commit stamp, and after every op a TIMESTAMP
+    // AS OF sweep over ALL recorded stamps must return EXACTLY the
+    // view recorded at that stamp or refuse loudly — a travel that
+    // returns anything else (the pre-r18 silent thinning) fails here.
     import scala.collection.JavaConverters._
     import graft.sources.cell.GraftCellMaintenance
     (1 to 2).foreach { seed =>
@@ -226,7 +231,40 @@ class ArchiveSpec extends AnyFunSuite {
         r.load(store).select("rowkey", "value").collect()
           .map(x => (x.getString(0), x.getString(1))).toSet
       }
+      import graft.sources.cell.{CellManifest, GraftCellTimeTravel}
+      def newestStamp(): Long = CellFooterCache.committedDirs(store)
+        .map(d => CellManifest.commitStampOf(store, d)).max
+      // the view recorded at each commit stamp (later same-stamp
+      // entries win: an in-dir DELETE mutates content without a new
+      // stamp — the documented travel caveat)
+      val viewAt = scala.collection.mutable.LinkedHashMap.empty[
+        Long, Set[(String, String)]]
+      def readPins(ts: Long): Set[(String, String)] = {
+        val pins = GraftCellTimeTravel.resolve(store, ts, "model")
+        val metas = CellFooterCache.filesOf(store, None, Some(pins))
+        if (metas.isEmpty) Set.empty
+        else s.read.parquet(metas.map(_.path): _*)
+          .select("rowkey", "value").collect()
+          .map(x => (x.getString(0), x.getString(1))).toSet
+      }
+      def travelSweep(step: Int, what: String): Unit =
+        viewAt.foreach { case (ts, want) =>
+          scala.util.Try(readPins(ts)) match {
+            case scala.util.Success(got) =>
+              assert(got == want,
+                s"seed $seed step $step ($what): TIMESTAMP AS OF $ts " +
+                s"returned a WRONG view (${got.size} rows vs the " +
+                s"recorded ${want.size}) — total-or-loud violated")
+            case scala.util.Failure(e) =>
+              assert(e.getMessage != null &&
+                     (e.getMessage.contains("cannot be reconstructed") ||
+                      e.getMessage.contains("precedes")),
+                s"seed $seed step $step ($what): travel to $ts failed " +
+                s"with a non-loud error: $e")
+          }
+        }
       append() // never operate on an empty store
+      viewAt(newestStamp()) = live
       (1 to 10).foreach { step =>
         val op = rng.nextInt(8)
         val what = op match {
@@ -268,6 +306,11 @@ class ArchiveSpec extends AnyFunSuite {
           assert(readSet(Some(n)) == want,
             s"seed $seed step $step ($what): snapshot $n diverged")
         }
+        // record the view at the current newest stamp and sweep EVERY
+        // recorded stamp: exact reconstruction or loud refusal, never
+        // a silently wrong answer
+        viewAt(newestStamp()) = live
+        travelSweep(step, what)
       }
       // teardown: dropping every snapshot reclaims the whole archive
       snaps.keys.toSeq.foreach(GraftCellSnapshot.drop(store, _))
