@@ -139,7 +139,13 @@ class PropertySpec extends AnyFunSuite {
       keyGen.map(k => StringStartsWith("qualifier", k.take(1))),
       Gen.chooseNum(1, 5).flatMap(n =>
         Gen.listOfN(n, keyGen).map(ks =>
-          In("qualifier", ks.distinct.toArray[Any]))))
+          In("qualifier", ks.distinct.toArray[Any]))),
+      // r18: VALUE predicates (the SingleColumnValueFilter analog's
+      // file pruning rides the same interval algebra)
+      keyGen.map(k => EqualTo("value", k)),
+      keyGen.map(k => GreaterThanOrEqual("value", k)),
+      keyGen.map(k => LessThan("value", k)),
+      keyGen.map(k => StringStartsWith("value", k.take(1))))
     // r16: OR disjunctions (the MultiRowRangeFilter pushdown) — both
     // flat Or(leaf, leaf) and the nested Or(Or(..), ..) / Or(And(..),
     // ..) shapes Catalyst actually emits for 3+ ranges
@@ -163,7 +169,8 @@ class PropertySpec extends AnyFunSuite {
       val maxKey = if (keySides == "both" || keySides == "maxOnly")
         Some(mx.getBytes("UTF-8")) else None
       // family/qualifier stats (r16) derive from the same key pool so
-      // the generated predicates actually hit/miss them
+      // the generated predicates actually hit/miss them; value stats
+      // (r18) too — including the truncated form long values persist
       val (qmn, qmx) = if (lo <= hi) (lo, hi) else (hi, lo)
       CellFileMeta("f", 1L, 1L, minKey, maxKey, "t",
         if (haveVer) Some(math.min(vlo, vhi)) else None,
@@ -171,7 +178,14 @@ class PropertySpec extends AnyFunSuite {
         if (keySides == "both") Some(mn.take(1).getBytes("UTF-8")) else None,
         if (keySides == "both") Some(mx.take(1).getBytes("UTF-8")) else None,
         if (keySides != "none") Some(qmn.getBytes("UTF-8")) else None,
-        if (keySides != "none") Some(qmx.getBytes("UTF-8")) else None)
+        if (keySides != "none") Some(qmx.getBytes("UTF-8")) else None,
+        None,
+        if (keySides != "none")
+          Some(graft.sources.cell.GraftCell.truncStatMin(
+            qmn.getBytes("UTF-8"))) else None,
+        if (keySides != "none")
+          graft.sources.cell.GraftCell.truncStatMax(qmx.getBytes("UTF-8"))
+        else None)
     }
     val caseGen = for {
       nf <- Gen.chooseNum(0, 4)
@@ -199,11 +213,51 @@ class PropertySpec extends AnyFunSuite {
           case "rowkey"    => UTF8String.fromString(k)
           case "family"    => UTF8String.fromString(k.take(1))
           case "qualifier" => UTF8String.fromString(q)
+          case "value"     => UTF8String.fromString(q)
           case "version"   => java.lang.Long.valueOf(v)
         }
         assert(compiled(get) == GraftCell.eval(f, get),
           s"compile diverges on ($k,$q,$v) with $f")
       }
+    }
+  }
+
+  test("value-stat truncation is SOUND: a file holding a matching value " +
+       "is never pruned by its truncated bounds (r18)") {
+    // Long values persist 64-byte truncated stats (min prefix-
+    // truncated low, max prefix-stopped high). Soundness = for every
+    // (value set, predicate): if ANY value satisfies the predicate,
+    // the file's truncated [minVal, maxVal] must keep it. Lengths
+    // straddle the 64-byte cap and include 0xFF-heavy tails (the
+    // prefixStop saturation edge).
+    import graft.sources.cell.{CellFileMeta, GraftCell}
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.unsafe.types.UTF8String
+    val valGen = for {
+      n <- Gen.chooseNum(1, 100)
+      cs <- Gen.listOfN(n, Gen.oneOf('0', 'a', 'z', 'ÿ'))
+    } yield cs.mkString
+    val caseGen = for {
+      vs <- Gen.listOfN(8, valGen)
+      probe <- Gen.oneOf(valGen, Gen.oneOf(vs).flatMap(v =>
+        Gen.oneOf(v, v.take(math.max(1, v.length / 2)))))
+      pred <- Gen.oneOf[Filter](
+        EqualTo("value", probe), GreaterThanOrEqual("value", probe),
+        LessThan("value", probe), StringStartsWith("value", probe.take(2)))
+    } yield (vs, pred)
+    forAllSeeded(caseGen, samples = 120) { case (vs, pred) =>
+      val ord: Ordering[Array[Byte]] = Ordering.comparatorToOrdering(
+        java.util.Arrays.compareUnsigned(_: Array[Byte], _: Array[Byte]))
+      val bytes = vs.map(_.getBytes("UTF-8"))
+      val meta = CellFileMeta("f", 1L, vs.size.toLong, None, None, "t",
+        minVal = Some(GraftCell.truncStatMin(bytes.min(ord))),
+        maxVal = GraftCell.truncStatMax(bytes.max(ord)))
+      val anyMatch = vs.exists(v =>
+        GraftCell.eval(pred, _ => UTF8String.fromString(v)))
+      val kept = GraftCell.fileMayMatch(meta, Seq(pred))
+      assert(!anyMatch || kept,
+        s"unsound truncation prune: $pred matches a value in " +
+        s"${vs.map(_.take(8))}")
     }
   }
 
