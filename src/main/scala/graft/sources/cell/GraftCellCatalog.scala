@@ -300,9 +300,11 @@ class GraftCellCatalog extends TableCatalog
     * names; a member that resolves NOWHERE — an unpinned retirement,
     * or an archive swept by drop_snapshot/vacuum — REFUSES with the
     * missing files named, instead of silently reading a thinned table
-    * (the pre-r18 behavior inside a minor-compacted window). In-dir
-    * `-rK` DELETE rewrites are not view events: travel reads the
-    * pinned generations' CURRENT content, the documented caveat. */
+    * (the pre-r18 behavior inside a minor-compacted window). Ranged
+    * DELETE `-rK` renames are events too, at their own stamps — clock
+    * travel is total-or-loud over row-level DML exactly as over
+    * maintenance (legacy manifest-less dirs keep the in-place
+    * current-content caveat). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir = existingDataDir(ident.namespace(), ident.name())
       .getOrElse(throw new NoSuchTableException(ident))

@@ -843,32 +843,27 @@ class GraftCellTable(path: String,
           CellDeleteRewrite.rewriteFile(f, filters, inPlace) }
         .collect()
       lazy val pinned = CellArchive.pins(path) // once per statement
-      // a rewritten name that carries travel-log history needs explicit
-      // rename events: without them the OLD name would claim view
-      // membership it just lost, and the NEW name would claim windows
-      // from before it existed (the revived-then-DELETEd corner).
-      // Event-less names stay unlogged — the documented "travel reads
-      // current content" caveat for plain in-generation DML.
-      lazy val eventNames: Set[(String, String)] =
-        CellTravelLog.read(path)
-          .flatMap(e => e.files.map(n => (e.dir, n))).toSet
+      // every rename is a travel-log event pair (r18 — same
+      // total-or-loud contract as the group-replace DML path): the OLD
+      // name retires at the rename stamp (a clock travel into an
+      // earlier window reconstructs it from the archive when a
+      // snapshot pinned it, refuses loudly when not — never silently
+      // reads post-DELETE content), and the NEW name is BORN at the
+      // rename stamp (it never claims windows from before it existed).
       lazy val renameStamp = CellManifest.nextCommitStamp(path)
       results.groupBy(r => new java.io.File(r._1).getParent).foreach {
         case (dirPath, rs) =>
           val dir = new java.io.File(dirPath)
           if (manifested.contains(dirPath)) {
-            CellArchive.archiveRetiring(path, dir.getName,
-              rs.map(r => new java.io.File(r._1).getName).toSet, pinned)
-            rs.foreach { case (p, newMeta) =>
-              val oldName = new java.io.File(p).getName
-              if (eventNames.contains((dir.getName, oldName))) {
-                CellTravelLog.retire(path, dir.getName,
-                  CellManifest.commitStampOf(path, dir.getName),
-                  Seq(oldName), renameStamp)
-                newMeta.foreach(m => CellTravelLog.born(path, dir.getName,
-                  Seq(new java.io.File(m.path).getName), renameStamp))
-              }
-            }
+            val olds = rs.map(r => new java.io.File(r._1).getName)
+            val news = rs.flatMap(_._2)
+              .map(m => new java.io.File(m.path).getName)
+            CellArchive.archiveRetiring(path, dir.getName, olds.toSet,
+                                        pinned)
+            CellTravelLog.retire(path, dir.getName,
+              CellManifest.commitStampOf(path, dir.getName), olds,
+              renameStamp)
+            CellTravelLog.born(path, dir.getName, news, renameStamp)
           }
           CellManifest.applyRewrite(dir,
             removed = rs.collect { case (p, None) => p }.toSet,

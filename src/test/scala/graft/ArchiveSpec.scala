@@ -231,12 +231,19 @@ class ArchiveSpec extends AnyFunSuite {
         r.load(store).select("rowkey", "value").collect()
           .map(x => (x.getString(0), x.getString(1))).toSet
       }
-      import graft.sources.cell.{CellManifest, GraftCellTimeTravel}
-      def newestStamp(): Long = CellFooterCache.committedDirs(store)
-        .map(d => CellManifest.commitStampOf(store, d)).max
-      // the view recorded at each commit stamp (later same-stamp
-      // entries win: an in-dir DELETE mutates content without a new
-      // stamp — the documented travel caveat)
+      import graft.sources.cell.{CellManifest, CellTravelLog,
+                                 GraftCellTimeTravel}
+      // the view recorded at each point of structural history: the
+      // newest commit stamp, or the latest travel-log event stamp when
+      // that is newer (a ranged DELETE renames at its own event stamp
+      // without committing a generation)
+      def latestViewStamp(): Long = {
+        val commits = CellFooterCache.committedDirs(store)
+          .map(d => CellManifest.commitStampOf(store, d)).max
+        math.max(commits,
+          CellTravelLog.read(store).map(_.at).maxOption
+            .getOrElse(Long.MinValue))
+      }
       val viewAt = scala.collection.mutable.LinkedHashMap.empty[
         Long, Set[(String, String)]]
       def readPins(ts: Long): Set[(String, String)] = {
@@ -264,7 +271,7 @@ class ArchiveSpec extends AnyFunSuite {
           }
         }
       append() // never operate on an empty store
-      viewAt(newestStamp()) = live
+      viewAt(latestViewStamp()) = live
       (1 to 10).foreach { step =>
         val op = rng.nextInt(8)
         val what = op match {
@@ -306,10 +313,11 @@ class ArchiveSpec extends AnyFunSuite {
           assert(readSet(Some(n)) == want,
             s"seed $seed step $step ($what): snapshot $n diverged")
         }
-        // record the view at the current newest stamp and sweep EVERY
-        // recorded stamp: exact reconstruction or loud refusal, never
-        // a silently wrong answer
-        viewAt(newestStamp()) = live
+        // record the view at the current history point and sweep
+        // EVERY recorded stamp: exact reconstruction or loud refusal,
+        // never a silently wrong answer — through appends, compactions,
+        // splits, normalizes, restores, drops AND ranged DELETEs
+        viewAt(latestViewStamp()) = live
         travelSweep(step, what)
       }
       // teardown: dropping every snapshot reclaims the whole archive
@@ -473,6 +481,8 @@ class ArchiveSpec extends AnyFunSuite {
     val original = readAll()
     val namesBefore = CellFooterCache.filesOf(store)
       .map(m => new java.io.File(m.path).getName).toSet
+    val t0 = CellFooterCache.committedDirs(store)
+      .map(d => graft.sources.cell.CellManifest.commitStampOf(store, d)).max
     s.sql("CALL graftmvcc.snapshot('t', 'iso')")
     // ranged DELETE — the deleteWhere new-name path: the victim file
     // rewrites under a fresh -r1 name, the pinned original archives
@@ -508,6 +518,16 @@ class ArchiveSpec extends AnyFunSuite {
     CellFooterCache.filesOf(store)
     assert(CellFooterCache.footerOpens.get() == opens,
       "DML rewrite left the manifest stale (footer fallback)")
+    // CLOCK TRAVEL through the DML (r18 — total-or-loud over ranged
+    // DELETE too): the pre-DML window reconstructs the ORIGINAL view
+    // from the archive ('iso' pins the originals, so the rename
+    // retired them into _archive/), never post-DELETE content
+    val t0View = s.sql(
+      s"""SELECT rowkey, value FROM graftmvcc.t
+          TIMESTAMP AS OF timestamp_micros(${t0}L) ORDER BY rowkey""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(t0View == original,
+      "travel into the pre-DML window must reconstruct the original")
     // a snapshot taken AFTER the DML pins the mutated view
     s.sql("CALL graftmvcc.snapshot('t', 'post')")
     assert(readAsOf("post") == mutated)
