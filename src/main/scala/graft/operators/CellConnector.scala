@@ -1943,8 +1943,12 @@ object CellConnector extends QueryModule {
       // stays VALID and only the explicitly-dead pin counts); a stale
       // `_tmp_*` dir from a crashed maintenance op (stale=1); an
       // archived file no snapshot pins (unreferenced=1 — the class
-      // vacuum's archive sweep reclaims). Healthy dimensions stay zero
-      // (pending intents). Every count is layout-independent —
+      // vacuum's archive sweep reclaims); and (r18) one LOST TRAVEL
+      // WINDOW — the unpinned era-2 generation the compaction
+      // destroyed, whose window a TIMESTAMP AS OF would refuse
+      // (lost_travel_windows=1: the admin verb reports lost history
+      // before anyone pays a refused query). Healthy dimensions stay
+      // zero (pending intents). Every count is layout-independent —
       // deterministic under any shuffle-partition count.
       registerCatalog(s, dir)
       CellQueries.eventCells(s, dir)
@@ -2823,7 +2827,8 @@ object CellConnector extends QueryModule {
                 CAST(0 AS BIGINT) AS pending_intents,
                 CAST(1 AS BIGINT) AS invalid_snapshots,
                 CAST(1 AS BIGINT) AS stale_tmp_dirs,
-                CAST(1 AS BIGINT) AS unreferenced_archived""",
+                CAST(1 AS BIGINT) AS unreferenced_archived,
+                CAST(1 AS BIGINT) AS lost_travel_windows""",
 
     // one reclaimable anomaly per class by construction; no pending
     // intent and no corruption, so intents_completed = 0; r17: 'vpin'

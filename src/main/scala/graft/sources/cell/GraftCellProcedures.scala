@@ -447,12 +447,14 @@ object GraftCellProcedures {
       "consistency report: manifest drift, pending intents, " +
       "invalidated snapshots, stale tmp dirs (report-only)"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val (dirs, missing, orphans, intents, invalid, stale, archOrphans) =
+      val (dirs, missing, orphans, intents, invalid, stale, archOrphans,
+           lostWindows) =
         GraftCellMaintenance.hbck(store(input.getUTF8String(0)))
       summary("dirs" -> dirs, "missing_files" -> missing,
               "orphan_files" -> orphans, "pending_intents" -> intents,
               "invalid_snapshots" -> invalid, "stale_tmp_dirs" -> stale,
-              "unreferenced_archived" -> archOrphans)
+              "unreferenced_archived" -> archOrphans,
+              "lost_travel_windows" -> lostWindows)
     }
   }
 

@@ -2418,10 +2418,19 @@ object GraftCellMaintenance {
     *  - `stale_tmp_dirs`: `_stage_*` / `_tmp_*` root dirs a crashed
     *    maintenance op left behind (invisible to reads, reclaimable).
     *
+    *  - `lost_travel_windows` (r18): distinct supersession points in
+    *    the travel log whose window can no longer be reconstructed
+    *    (probed at the last instant before each supersession) — the
+    *    historical timestamps a `TIMESTAMP AS OF` would refuse, so an
+    *    operator learns about lost history from the admin verb, not
+    *    from a refused query.
+    *
     * Manifest-less (legacy) dirs have no declared file set to check
     * against and contribute nothing. Returns (dirs, missing, orphans,
-    * pending intents, invalid snapshots, stale tmp dirs). */
-  def hbck(store: String): (Long, Long, Long, Long, Long, Long, Long) = {
+    * pending intents, invalid snapshots, stale tmp dirs, unreferenced
+    * archived, lost travel windows). */
+  def hbck(store: String)
+      : (Long, Long, Long, Long, Long, Long, Long, Long) = {
     val dirs = CellFooterCache.committedDirs(store)
     var missing = 0L; var orphans = 0L; var intents = 0L
     dirs.foreach { d =>
@@ -2447,8 +2456,14 @@ object GraftCellMaintenance {
     // r17: archived region files no snapshot pins — garbage the sweep
     // (drop_snapshot / vacuum) should have reclaimed
     val archiveOrphans = CellArchive.unreferenced(store)
+    // r18: travel windows that would refuse (report-only, like the rest)
+    val lostWindows = CellTravelLog.read(store)
+      .filter(_.kind == "retire").map(_.at).distinct
+      .count(at => scala.util.Try(
+        GraftCellTimeTravel.resolve(store, at - 1, store)).isFailure)
+      .toLong
     (dirs.size.toLong, missing, orphans, intents, invalidSnaps, staleTmp,
-     archiveOrphans)
+     archiveOrphans, lostWindows)
   }
 
   /** VACUUM — HBase's cleaner chores (HFile/log cleaner) as one verb,

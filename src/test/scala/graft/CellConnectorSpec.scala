@@ -2269,7 +2269,8 @@ class CellConnectorSpec extends AnyFunSuite {
       .write.format("graftcell").mode("append").save(store)
     put("a" -> "1")
     put("b" -> "2")
-    assert(GraftCellMaintenance.hbck(store) == ((2L, 0L, 0L, 0L, 0L, 0L, 0L)),
+    assert(GraftCellMaintenance.hbck(store) ==
+             ((2L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)),
       "a healthy two-generation store must report all zeros")
     // a PENDING retire intent (the group-replace mid-window state:
     // published dir carries _retire.json, listed file still on disk)
@@ -2282,7 +2283,10 @@ class CellConnectorSpec extends AnyFunSuite {
     // repair completes it (file deleted, emptied dir dropped) — hbck
     // converges back to clean, one dir
     CellRetire.repair(store)
-    assert(GraftCellMaintenance.hbck(store) == ((1L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    // the completed retirement destroyed an UNPINNED generation: its
+    // travel window is now a reported lost window (r18)
+    assert(GraftCellMaintenance.hbck(store) ==
+             ((1L, 0L, 0L, 0L, 0L, 0L, 0L, 1L)))
     // one instance of each remaining class: a manifest-listed file
     // deleted from disk; an orphan parquet no manifest lists; an
     // invalidated snapshot (pinned dir gone); a stale _tmp_ dir
@@ -2303,7 +2307,8 @@ class CellConnectorSpec extends AnyFunSuite {
     java.nio.file.Files.write(
       new java.io.File(archDir, "dead.parquet").toPath, Array.emptyByteArray)
     CellFooterCache.invalidate(store)
-    assert(GraftCellMaintenance.hbck(store) == ((1L, 1L, 1L, 0L, 1L, 1L, 1L)),
+    assert(GraftCellMaintenance.hbck(store) ==
+             ((1L, 1L, 1L, 0L, 1L, 1L, 1L, 1L)),
       "each constructed anomaly must be counted exactly once")
   }
 
@@ -2692,7 +2697,8 @@ class CellConnectorSpec extends AnyFunSuite {
     // emptied victim dir, so one dir remains), and the readback is
     // bit-identical to the pre-vacuum view — orphans were invisible,
     // the intent's victim was already excluded
-    assert(GraftCellMaintenance.hbck(store) == ((1L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(GraftCellMaintenance.hbck(store) ==
+             ((1L, 0L, 0L, 0L, 0L, 0L, 0L, 1L)))
     assert(readback() == before)
     assert(before.map(_.getString(0)) == Seq("b"),
       "the intent's victim row was excluded before AND after")
