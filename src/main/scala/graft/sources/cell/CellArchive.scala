@@ -175,11 +175,18 @@ object GraftCellTimeTravel {
     * when any member file resolves neither live nor archived — never
     * a silently partial pin set. */
   def resolve(store: String, timestamp: Long,
-              tableLabel: String): Seq[CellGenPin] = {
+              tableLabel: String): Seq[CellGenPin] =
+    resolveWith(store, timestamp, tableLabel, CellTravelLog.read(store))
+
+  /** [[resolve]] over a PRE-PARSED event list — callers probing many
+    * timestamps (hbck's lost-window report) parse the log once and
+    * replay per stamp in memory (ADVICE r18). */
+  private[cell] def resolveWith(store: String, timestamp: Long,
+      tableLabel: String,
+      events: Seq[CellTravelLog.Event]): Seq[CellGenPin] = {
     val live = CellFooterCache.committedDirs(store)
     val liveStamps: Map[String, Long] =
       live.map(d => d -> CellManifest.commitStampOf(store, d)).toMap
-    val events = CellTravelLog.read(store)
     val retires = events.filter(_.kind == "retire")
     val known = liveStamps.values ++ retires.map(_.stamp)
     require(known.nonEmpty,

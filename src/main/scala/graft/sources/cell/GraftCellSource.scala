@@ -169,22 +169,57 @@ object GraftCell {
       * takes a LIST of (pattern, mask) pairs (r18: the multi-tenant /
       * multi-month scan, `["?-2024-03","?-2024-11"]`). A key matches
       * the filter iff it matches ANY listed pattern; file pruning is
-      * the UNION of the per-pattern survivors. */
-    def parseList(opt: String): Seq[FuzzyKey] =
-      if (!opt.trim.startsWith("[")) Seq(parse(opt))
+      * the UNION of the per-pattern survivors.
+      *
+      * Since r19 each array entry may also be HBase's explicit
+      * (pattern, mask) PAIR form — `{"pattern":"a?c","mask":[0,1,0]}`
+      * with mask byte 1 = wildcard, 0 = fixed (the
+      * `FuzzyRowFilter(List<Pair<byte[],byte[]>>)` signature) — which
+      * makes a LITERAL `?` byte at a fixed position expressible; the
+      * string form keeps `?` as its wildcard marker. A `[`-leading
+      * literal single pattern that does NOT parse as JSON falls back
+      * to the single-pattern form (ADVICE r18: `[` is a legal rowkey
+      * byte; r17 accepted it bare). */
+    def parseList(opt: String): Seq[FuzzyKey] = {
+      val node =
+        if (!opt.trim.startsWith("[")) null
+        else try {
+          new com.fasterxml.jackson.databind.ObjectMapper().readTree(opt)
+        } catch {
+          // not JSON at all ⇒ a literal pattern that happens to start
+          // with '[' — the pre-r18 single-pattern contract
+          case _: com.fasterxml.jackson.core.JacksonException => null
+        }
+      if (node == null) Seq(parse(opt))
       else {
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val node = mapper.readTree(opt)
         require(node.isArray && node.size() > 0,
           s"graftcell: fuzzy expects a pattern or a non-empty JSON " +
           s"array of patterns, got '$opt'")
         (0 until node.size()).map { i =>
           val e = node.get(i)
-          require(e.isTextual,
-            s"graftcell: fuzzy array entries must be strings, got '$e'")
-          parse(e.asText())
+          if (e.isTextual) parse(e.asText())
+          else {
+            require(e.isObject && e.has("pattern") && e.has("mask") &&
+                e.get("pattern").isTextual && e.get("mask").isArray,
+              s"graftcell: fuzzy array entries must be strings or " +
+              s"""{"pattern":…,"mask":[0|1,…]} pairs, got '$e'""")
+            val bytes = UTF8String.fromString(e.get("pattern").asText()).getBytes
+            val mask = e.get("mask")
+            require(mask.size() == bytes.length,
+              s"graftcell: fuzzy mask length ${mask.size()} != pattern " +
+              s"byte length ${bytes.length} for '$e'")
+            val fixed = Array.tabulate(bytes.length) { j =>
+              val m = mask.get(j).asInt(-1)
+              require(m == 0 || m == 1,
+                s"graftcell: fuzzy mask bytes must be 0 (fixed) or 1 " +
+                s"(wildcard), got '${mask.get(j)}' in '$e'")
+              m == 0
+            }
+            FuzzyKey(bytes, fixed)
+          }
         }
       }
+    }
   }
 
   /** File-level NECESSARY conditions for a fuzzy pattern — the piece
@@ -850,6 +885,11 @@ class GraftCellTable(path: String,
       // snapshot pinned it, refuses loudly when not — never silently
       // reads post-DELETE content), and the NEW name is BORN at the
       // rename stamp (it never claims windows from before it existed).
+      // A per-dir REWRITE INTENT (r19, [[CellRewriteIntent]]) persists
+      // the whole planned sequence FIRST, so a crash anywhere between
+      // the log append and the manifest swap is crash-completed by
+      // `CALL repair` instead of leaving the log asserting a rename
+      // that never became visible.
       lazy val renameStamp = CellManifest.nextCommitStamp(path)
       results.groupBy(r => new java.io.File(r._1).getParent).foreach {
         case (dirPath, rs) =>
@@ -858,6 +898,7 @@ class GraftCellTable(path: String,
             val olds = rs.map(r => new java.io.File(r._1).getName)
             val news = rs.flatMap(_._2)
               .map(m => new java.io.File(m.path).getName)
+            CellRewriteIntent.write(dir, renameStamp, rs.toSeq)
             CellArchive.archiveRetiring(path, dir.getName, olds.toSet,
                                         pinned)
             CellTravelLog.retire(path, dir.getName,
@@ -868,8 +909,10 @@ class GraftCellTable(path: String,
           CellManifest.applyRewrite(dir,
             removed = rs.collect { case (p, None) => p }.toSet,
             replaced = rs.collect { case (p, Some(m)) => p -> m }.toMap)
-          if (manifested.contains(dirPath))
+          if (manifested.contains(dirPath)) {
             rs.foreach { case (p, _) => new java.io.File(p).delete() }
+            CellRewriteIntent.clear(dir)
+          }
       }
     }
     CellFooterCache.invalidate(path)
@@ -2436,6 +2479,10 @@ object GraftCellMaintenance {
     dirs.foreach { d =>
       val dir = new java.io.File(store, d)
       if (new java.io.File(dir, CellRetire.NAME).exists()) intents += 1
+      // r19: a pending in-dir rewrite intent (interrupted ranged
+      // DELETE) is the same anomaly class — repair completes it
+      if (new java.io.File(dir, CellRewriteIntent.NAME).exists())
+        intents += 1
       CellManifest.read(dir).foreach { data =>
         val declared = data.files
           .map(m => new java.io.File(m.path).getName).toSet
@@ -2456,11 +2503,18 @@ object GraftCellMaintenance {
     // r17: archived region files no snapshot pins — garbage the sweep
     // (drop_snapshot / vacuum) should have reclaimed
     val archiveOrphans = CellArchive.unreferenced(store)
-    // r18: travel windows that would refuse (report-only, like the rest)
-    val lostWindows = CellTravelLog.read(store)
+    // r18: travel windows that would refuse (report-only, like the
+    // rest). The log parses ONCE and each candidate stamp replays over
+    // the shared event list (ADVICE r18: per-stamp resolve() calls
+    // re-read the log — O(retirements × log) exactly on the stores
+    // with the most structural history; dir listings stay cached in
+    // CellFooterCache either way).
+    val travelEvents = CellTravelLog.read(store)
+    val lostWindows = travelEvents
       .filter(_.kind == "retire").map(_.at).distinct
       .count(at => scala.util.Try(
-        GraftCellTimeTravel.resolve(store, at - 1, store)).isFailure)
+        GraftCellTimeTravel.resolveWith(store, at - 1, store,
+                                        travelEvents)).isFailure)
       .toLong
     (dirs.size.toLong, missing, orphans, intents, invalidSnaps, staleTmp,
      archiveOrphans, lostWindows)
@@ -3097,30 +3151,56 @@ object CellManifest {
 
   final case class Data(committedAtMicros: Long, files: Seq[CellFileMeta])
 
+  /** One file meta as a JSON node (name-relative — shared by the
+    * manifest proper and the r19 rewrite intent). */
+  private[cell] def encodeMeta(
+      o: com.fasterxml.jackson.databind.node.ObjectNode,
+      m: CellFileMeta): Unit = {
+    o.put("name", new java.io.File(m.path).getName)
+    o.put("bytes", m.bytes)
+    o.put("rows", m.rowCount)
+    m.minKey.foreach(k => o.put("minKey", b64e.encodeToString(k)))
+    m.maxKey.foreach(k => o.put("maxKey", b64e.encodeToString(k)))
+    m.minVer.foreach(v => o.put("minVer", v))
+    m.maxVer.foreach(v => o.put("maxVer", v))
+    m.minFam.foreach(k => o.put("minFam", b64e.encodeToString(k)))
+    m.maxFam.foreach(k => o.put("maxFam", b64e.encodeToString(k)))
+    m.minQual.foreach(k => o.put("minQual", b64e.encodeToString(k)))
+    m.maxQual.foreach(k => o.put("maxQual", b64e.encodeToString(k)))
+    m.nullKeys.foreach(n => o.put("nullKeys", n))
+    m.minVal.foreach(k => o.put("minVal", b64e.encodeToString(k)))
+    m.maxVal.foreach(k => o.put("maxVal", b64e.encodeToString(k)))
+    o.put("messageType", m.messageType)
+    ()
+  }
+
+  /** Inverse of [[encodeMeta]]: the meta's `path` resolves under
+    * `dir`. */
+  private[cell] def decodeMeta(dir: java.io.File,
+      o: com.fasterxml.jackson.databind.JsonNode): CellFileMeta =
+    CellFileMeta(
+      new java.io.File(dir, o.get("name").asText()).getPath,
+      o.get("bytes").asLong(), o.get("rows").asLong(),
+      Option(o.get("minKey")).map(n => b64d.decode(n.asText())),
+      Option(o.get("maxKey")).map(n => b64d.decode(n.asText())),
+      o.get("messageType").asText(),
+      Option(o.get("minVer")).map(_.asLong()),
+      Option(o.get("maxVer")).map(_.asLong()),
+      Option(o.get("minFam")).map(n => b64d.decode(n.asText())),
+      Option(o.get("maxFam")).map(n => b64d.decode(n.asText())),
+      Option(o.get("minQual")).map(n => b64d.decode(n.asText())),
+      Option(o.get("maxQual")).map(n => b64d.decode(n.asText())),
+      Option(o.get("nullKeys")).map(_.asLong()),
+      Option(o.get("minVal")).map(n => b64d.decode(n.asText())),
+      Option(o.get("maxVal")).map(n => b64d.decode(n.asText())))
+
   def write(dir: java.io.File, committedAtMicros: Long,
             metas: Seq[CellFileMeta]): Unit = {
     val root = mapper.createObjectNode()
     root.put("v", 1)
     root.put("committedAtMicros", committedAtMicros)
     val arr = root.putArray("files")
-    metas.sortBy(_.path).foreach { m =>
-      val o = arr.addObject()
-      o.put("name", new java.io.File(m.path).getName)
-      o.put("bytes", m.bytes)
-      o.put("rows", m.rowCount)
-      m.minKey.foreach(k => o.put("minKey", b64e.encodeToString(k)))
-      m.maxKey.foreach(k => o.put("maxKey", b64e.encodeToString(k)))
-      m.minVer.foreach(v => o.put("minVer", v))
-      m.maxVer.foreach(v => o.put("maxVer", v))
-      m.minFam.foreach(k => o.put("minFam", b64e.encodeToString(k)))
-      m.maxFam.foreach(k => o.put("maxFam", b64e.encodeToString(k)))
-      m.minQual.foreach(k => o.put("minQual", b64e.encodeToString(k)))
-      m.maxQual.foreach(k => o.put("maxQual", b64e.encodeToString(k)))
-      m.nullKeys.foreach(n => o.put("nullKeys", n))
-      m.minVal.foreach(k => o.put("minVal", b64e.encodeToString(k)))
-      m.maxVal.foreach(k => o.put("maxVal", b64e.encodeToString(k)))
-      o.put("messageType", m.messageType)
-    }
+    metas.sortBy(_.path).foreach(m => encodeMeta(arr.addObject(), m))
     val tmp = new java.io.File(dir, NAME + ".tmp")
     java.nio.file.Files.write(tmp.toPath, mapper.writeValueAsBytes(root))
     java.nio.file.Files.move(tmp.toPath, new java.io.File(dir, NAME).toPath,
@@ -3133,23 +3213,8 @@ object CellManifest {
     val f = new java.io.File(dir, NAME)
     if (!f.exists()) return None
     val root = mapper.readTree(java.nio.file.Files.readAllBytes(f.toPath))
-    val files = root.get("files").elements().asScala.map { o =>
-      CellFileMeta(
-        new java.io.File(dir, o.get("name").asText()).getPath,
-        o.get("bytes").asLong(), o.get("rows").asLong(),
-        Option(o.get("minKey")).map(n => b64d.decode(n.asText())),
-        Option(o.get("maxKey")).map(n => b64d.decode(n.asText())),
-        o.get("messageType").asText(),
-        Option(o.get("minVer")).map(_.asLong()),
-        Option(o.get("maxVer")).map(_.asLong()),
-        Option(o.get("minFam")).map(n => b64d.decode(n.asText())),
-        Option(o.get("maxFam")).map(n => b64d.decode(n.asText())),
-        Option(o.get("minQual")).map(n => b64d.decode(n.asText())),
-        Option(o.get("maxQual")).map(n => b64d.decode(n.asText())),
-        Option(o.get("nullKeys")).map(_.asLong()),
-        Option(o.get("minVal")).map(n => b64d.decode(n.asText())),
-        Option(o.get("maxVal")).map(n => b64d.decode(n.asText())))
-    }.toSeq
+    val files = root.get("files").elements().asScala
+      .map(decodeMeta(dir, _)).toSeq
     Some(Data(root.get("committedAtMicros").asLong(), files))
   }
 
@@ -3168,14 +3233,21 @@ object CellManifest {
     }
 
   /** Monotonic commit stamp for a store: strictly greater than every
-    * existing dir's stamp, and at least the wall clock. Dirs without a
-    * manifest contribute their directory mtime (legacy fallback). */
+    * existing dir's stamp AND every travel-log event stamp, and at
+    * least the wall clock. Dirs without a manifest contribute their
+    * directory mtime (legacy fallback). The travel-log floor (ADVICE
+    * r18) anchors stamps that only the LOG persisted — a ranged
+    * DELETE's renameStamp commits no generation, so without it a
+    * backwards clock step could hand a later commit a stamp BELOW an
+    * already-logged event, breaking the log's strictly-monotonic
+    * replay order (a travel into that window would reconstruct a
+    * state that never existed). */
   def nextCommitStamp(store: String): Long = {
     val existing = CellFooterCache.committedDirs(store).map { d =>
       val dir = new java.io.File(store, d)
       read(dir).map(_.committedAtMicros)
         .getOrElse(dir.lastModified() * 1000L)
-    }
+    } ++ CellTravelLog.read(store).map(_.at)
     math.max(System.currentTimeMillis() * 1000L,
              existing.maxOption.getOrElse(Long.MinValue) match {
                case Long.MinValue => Long.MinValue + 1
@@ -3309,6 +3381,133 @@ object CellRetire {
       }
     }
     CellFooterCache.invalidate(store)
+    // r19: pending IN-DIR rewrite intents (the ranged-DELETE crash
+    // shield) crash-complete in the same repair pass
+    val (ri, rr) = CellRewriteIntent.repair(store)
+    (intents + ri, removed + rr)
+  }
+}
+
+/** IN-DIR REWRITE INTENTS (r19) — the ranged-DELETE analog of
+  * [[CellRetire]], closing the ADVICE r18 crash window: the
+  * manifest-bearing DELETE path renames victim files to fresh `-rK`
+  * names and must (1) archive pinned originals, (2) append the travel
+  * log's retire/born event pair, (3) swap the manifest, (4) delete the
+  * originals — and a crash between (2) and (3) used to leave the log
+  * asserting a rename the manifest never made visible: any later
+  * `TIMESTAMP AS OF ≥ renameStamp` silently dropped ALL of that file's
+  * rows (the old name reads as retired, the new name is in no
+  * manifest). The intent is written into the affected dir BEFORE any
+  * of (1)–(4), carrying the rename stamp and the complete old→new
+  * mapping WITH the rewritten files' manifest stats (the `-rK` files
+  * themselves were already durably written by the executor tasks), so
+  * `CALL repair` can crash-complete the whole sequence from any
+  * interruption point. Readers never consult it — a manifest-bearing
+  * dir plans from its manifest, which either still lists the olds
+  * (swap pending: the pre-DELETE content, correct) or already lists
+  * the news (swap done). `hbck` counts pending intents; `vacuum`
+  * completes them before its orphan sweep (an intent's new files are
+  * manifest-orphans only while the intent is pending). */
+object CellRewriteIntent {
+  val NAME = "_rewrite_intent.json"
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  final case class Pending(stamp: Long,
+                           renames: Seq[(String, Option[CellFileMeta])])
+
+  /** Persist the intent (atomic tmp+rename, like the manifest).
+    * `renames` pairs each victim's ABSOLUTE path with the rewritten
+    * file's stats (None = every row matched; the old file is simply
+    * removed). */
+  def write(dir: java.io.File, stamp: Long,
+            renames: Seq[(String, Option[CellFileMeta])]): Unit = {
+    val root = mapper.createObjectNode()
+    root.put("stamp", stamp)
+    val arr = root.putArray("renames")
+    renames.sortBy(_._1).foreach { case (old, meta) =>
+      val o = arr.addObject()
+      o.put("old", new java.io.File(old).getName)
+      meta.foreach(m => CellManifest.encodeMeta(o.putObject("new"), m))
+    }
+    val tmp = new java.io.File(dir, NAME + ".tmp")
+    java.nio.file.Files.write(tmp.toPath, mapper.writeValueAsBytes(root))
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(dir, NAME).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  def read(dir: java.io.File): Option[Pending] = {
+    val f = new java.io.File(dir, NAME)
+    if (!f.exists()) return None
+    val root = mapper.readTree(java.nio.file.Files.readAllBytes(f.toPath))
+    val renames = root.get("renames").elements().asScala.map { o =>
+      (new java.io.File(dir, o.get("old").asText()).getPath,
+       Option(o.get("new")).map(CellManifest.decodeMeta(dir, _)))
+    }.toSeq
+    Some(Pending(root.get("stamp").asLong(), renames))
+  }
+
+  def clear(dir: java.io.File): Unit = {
+    new java.io.File(dir, NAME).delete(); ()
+  }
+
+  def pendingOf(store: String): Long =
+    CellFooterCache.committedDirs(store)
+      .count(d => new java.io.File(new java.io.File(store, d), NAME)
+        .exists()).toLong
+
+  /** Crash-complete every pending in-dir rewrite: re-drive the archive
+    * / travel-log / manifest-swap / delete sequence idempotently from
+    * wherever the interrupted DELETE stopped. Returns (intents
+    * completed, old files deleted). */
+  def repair(store: String): (Long, Long) = {
+    var intents = 0L
+    var removed = 0L
+    lazy val pinned = CellArchive.pins(store)
+    lazy val logged = CellTravelLog.read(store)
+    CellFooterCache.committedDirs(store).foreach { d =>
+      val dir = new java.io.File(store, d)
+      read(dir).foreach { p =>
+        intents += 1
+        val oldNames = p.renames.map(r => new java.io.File(r._1).getName)
+        CellManifest.read(dir) match {
+          case Some(data) =>
+            val listed = data.files
+              .map(m => new java.io.File(m.path).getName).toSet
+            if (oldNames.exists(listed.contains)) {
+              // crash BEFORE the manifest swap: finish (1)–(3)
+              CellArchive.archiveRetiring(store, d,
+                oldNames.filter(listed.contains).toSet, pinned)
+              val newNames = p.renames.flatMap(_._2)
+                .map(m => new java.io.File(m.path).getName)
+              val dirStamp = CellManifest.commitStampOf(store, d)
+              def already(kind: String, names: Seq[String]) =
+                logged.exists(e => e.kind == kind && e.dir == d &&
+                  e.at == p.stamp && e.files == names.sorted)
+              if (!already("retire", oldNames))
+                CellTravelLog.retire(store, d, dirStamp, oldNames, p.stamp)
+              if (!already("born", newNames))
+                CellTravelLog.born(store, d, newNames, p.stamp)
+              CellManifest.applyRewrite(dir,
+                removed = p.renames.collect { case (o, None) => o }.toSet,
+                replaced = p.renames.collect {
+                  case (o, Some(m)) => o -> m }.toMap)
+            }
+            // swap done (now or earlier): delete lingering originals
+            p.renames.foreach { case (o, _) =>
+              val f = new java.io.File(o)
+              if (f.isFile) { f.delete(); removed += 1 }
+            }
+            clear(dir)
+          case None =>
+            // a legacy dir never writes an intent; a manifest that
+            // vanished out-of-band leaves nothing completable
+            clear(dir)
+        }
+      }
+    }
+    if (intents > 0) CellFooterCache.invalidate(store)
     (intents, removed)
   }
 }
@@ -4548,7 +4747,13 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
   // input keeps every sink subsequence sorted. The sortedness claim
   // resets at each BUCKET boundary (rowkeys legitimately restart when
   // the leading sort key advances), matching the per-region-file claim
-  // the scan reports.
+  // the scan reports. DELIBERATE r18 tightening (noted per ADVICE): it
+  // no longer ALSO resets at maxRowsPerFile rolls — per-family codec
+  // routing splits one input stream across codec-keyed sinks, so input
+  // rolls stopped aligning with sink-file boundaries and a
+  // sorted-within-each-roll-but-not-monotone input could publish an
+  // unsorted sink file under the per-roll claim. Bucketed path-mode
+  // callers must sort the whole task partition, not just each roll.
   private var prevBucket = -1
   private var prevKey: Array[Byte] = _
   private var prevFam: Array[Byte] = _

@@ -544,4 +544,134 @@ class ArchiveSpec extends AnyFunSuite {
     assert(CellArchive.unreferenced(store) == 0L)
     s.sql("DROP TABLE graftmvcc.t")
   }
+
+  test("nextCommitStamp anchors on travel-log event stamps (r19): a " +
+       "backwards clock step can never commit below a logged rename") {
+    import graft.sources.cell.CellTravelLog
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_stamp_spec_").toString
+    // a ranged DELETE's renameStamp commits NO generation — only the
+    // log persists it. Simulate one logged far ahead of the wall clock
+    // (= the wall clock stepped back after it): the next commit stamp
+    // must still land strictly above it, or the log's replay order
+    // breaks (ADVICE r18).
+    val future = System.currentTimeMillis() * 1000L + 3600L * 1000000L
+    CellTravelLog.retire(store, "batch_x", future - 10, Seq("f.parquet"),
+                         future)
+    assert(CellManifest.nextCommitStamp(store) > future,
+      "commit stamps must fold the travel log's max event stamp into " +
+      "their monotonicity floor")
+  }
+
+  test("crash-completing repair of an interrupted ranged DELETE (r19): " +
+       "the rewrite intent closes the log-vs-manifest window") {
+    import scala.collection.JavaConverters._
+    import graft.sources.cell.{CellDeleteRewrite, CellRewriteIntent,
+                               CellTravelLog}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_rwint_spec_").toString
+    s.conf.set("spark.sql.catalog.graftrwi",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftrwi.root", root)
+    s.sql("""CREATE TABLE graftrwi.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell""")
+    val store = s"$root/t"
+    s.createDataFrame(
+      ('a' to 'z').map(c =>
+        org.apache.spark.sql.Row(c.toString, "d", "q", 1L, s"v$c")).asJava,
+      GraftCell.SCHEMA).coalesce(1)
+      .write.format("graftcell").option("maxRowsPerFile", 13)
+      .mode("append").save(store)
+    def readAll() = s.sql(
+      "SELECT rowkey, value FROM graftrwi.t ORDER BY rowkey")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val original = readAll()
+    s.sql("CALL graftrwi.snapshot('t', 'iso')")
+    val t0 = CellFooterCache.committedDirs(store)
+      .map(d => CellManifest.commitStampOf(store, d)).max
+    // SIMULATED CRASH mid `DELETE FROM t WHERE rowkey >= 'w'` at the
+    // exact ADVICE r18 window: executor rewrites durable, intent
+    // written, archive + travel-log retire/born appended — driver dies
+    // BEFORE CellManifest.applyRewrite. Pre-r19 this state was
+    // unrepairable: the log asserts the rename, the manifest never saw
+    // it, so any travel ≥ renameStamp silently dropped the file's rows.
+    val victim = CellFooterCache.filesOf(store).find(m =>
+      m.maxKey.exists(b => new String(b, "UTF-8") >= "w")).get
+    val victimName = new java.io.File(victim.path).getName
+    val dir = new java.io.File(victim.path).getParentFile
+    val filters: Array[org.apache.spark.sql.sources.Filter] =
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("rowkey", "w"))
+    val res = CellDeleteRewrite.rewriteFile(victim.path, filters,
+                                            inPlace = false)
+    val renameStamp = CellManifest.nextCommitStamp(store)
+    CellRewriteIntent.write(dir, renameStamp, Seq(res))
+    CellArchive.archiveRetiring(store, dir.getName, Set(victimName))
+    CellTravelLog.retire(store, dir.getName,
+      CellManifest.commitStampOf(store, dir.getName), Seq(victimName),
+      renameStamp)
+    CellTravelLog.born(store, dir.getName,
+      res._2.toSeq.map(m => new java.io.File(m.path).getName), renameStamp)
+    CellFooterCache.invalidate(store)
+    // live reads still serve the pre-DELETE manifest — never half state
+    assert(readAll() == original,
+      "the un-swapped manifest must keep serving the pre-DELETE view")
+    // hbck REPORTS the pending rewrite intent
+    val h = s.sql("CALL graftrwi.hbck('t')").collect()(0)
+    assert(h.getAs[Long]("pending_intents") == 1L,
+      s"hbck must count the pending rewrite intent: $h")
+    // repair CRASH-COMPLETES: manifest swap, old-file deletion, intent
+    val rep = s.sql("CALL graftrwi.repair('t')").collect()(0)
+    assert(rep.getAs[Long]("intents_completed") == 1L, rep.toString)
+    val deleted = original.filterNot(_._1 >= "w")
+    assert(readAll() == deleted,
+      "repair must complete the manifest swap (post-DELETE view)")
+    assert(CellRewriteIntent.pendingOf(store) == 0L, "intent must clear")
+    assert(!new java.io.File(victim.path).isFile,
+      "repair must delete the replaced original")
+    // the travel log stays consistent — NO duplicate events appended
+    // (the crash already logged the pair; repair detects and skips)
+    val evs = CellTravelLog.read(store).filter(_.at == renameStamp)
+    assert(evs.count(_.kind == "retire") == 1 &&
+           evs.count(_.kind == "born") == 1,
+      s"repair must not duplicate already-logged events: $evs")
+    // total-or-loud travel across the completed rename: the pre-DML
+    // window reconstructs the original via the archive, the post-DML
+    // window reads the deleted view
+    def travel(ts: Long) = s.sql(
+      s"""SELECT rowkey, value FROM graftrwi.t
+          TIMESTAMP AS OF timestamp_micros(${ts}L) ORDER BY rowkey""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(travel(t0) == original,
+      "pre-DELETE travel must reconstruct the original through repair")
+    assert(travel(renameStamp) == deleted,
+      "post-DELETE travel must read the rename's view")
+    // the snapshot stays isolated and the second repair is a no-op
+    assert(s.sql("SELECT rowkey FROM graftrwi.t VERSION AS OF 'iso'")
+      .count() == 26L)
+    val rep2 = s.sql("CALL graftrwi.repair('t')").collect()(0)
+    assert(rep2.getAs[Long]("intents_completed") == 0L, "idempotent")
+    // EARLIER crash point (intent written, nothing else yet): repair
+    // drives the WHOLE sequence including the missing log events
+    val victim2 = CellFooterCache.filesOf(store).find(m =>
+      m.maxKey.exists(b => new String(b, "UTF-8") >= "t")).get
+    val v2Name = new java.io.File(victim2.path).getName
+    val dir2 = new java.io.File(victim2.path).getParentFile
+    val f2: Array[org.apache.spark.sql.sources.Filter] =
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("rowkey", "t"))
+    val res2 = CellDeleteRewrite.rewriteFile(victim2.path, f2,
+                                             inPlace = false)
+    val stamp2 = CellManifest.nextCommitStamp(store)
+    CellRewriteIntent.write(dir2, stamp2, Seq(res2))
+    CellFooterCache.invalidate(store)
+    s.sql("CALL graftrwi.repair('t')")
+    assert(readAll() == deleted.filterNot(_._1 >= "t"),
+      "repair from the intent-only crash point must finish the DELETE")
+    assert(CellTravelLog.read(store).exists(e =>
+        e.kind == "retire" && e.at == stamp2 && e.files == Seq(v2Name)),
+      "repair must append the missing retire event itself")
+    assert(travel(renameStamp) == deleted,
+      "the pre-second-DELETE window must survive (iso pins the victim)")
+    s.sql("DROP TABLE graftrwi.t")
+  }
 }

@@ -2480,6 +2480,43 @@ class CellConnectorSpec extends AnyFunSuite {
     intercept[Exception] { probe("""["?-2024-01", 3]""").count() }
   }
 
+  test("fuzzy (pattern, mask) pair form + '['-literal fallback (r19): " +
+       "a literal '?' byte is expressible, '['-leading patterns parse") {
+    import scala.collection.JavaConverters._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fuzzyp_spec_").toString
+    // rowkeys exercising BOTH blind spots of the string form: a
+    // literal '?' at a fixed position, and a literal leading '['
+    val keys = Seq("a?c-1", "abc-1", "axc-2", "[x-202", "[y-202", "zz-9")
+    s.createDataFrame(
+      keys.map(k => org.apache.spark.sql.Row(k, "d", "q", 1L, s"v$k"))
+        .asJava, GraftCell.SCHEMA)
+      .coalesce(1).write.format("graftcell").mode("append").save(root)
+    def probe(opt: String) = s.read.format("graftcell")
+      .option("fuzzy", opt).load(root).select("rowkey")
+      .collect().map(_.getString(0)).sorted.toSeq
+    // string form: '?' is the wildcard — matches all three a_c keys
+    assert(probe("a?c") == Seq("a?c-1", "abc-1", "axc-2"))
+    // pair form, all-fixed mask: the literal '?' byte — ONE key
+    assert(probe("""[{"pattern":"a?c","mask":[0,0,0]}]""") == Seq("a?c-1"))
+    // pair form, wildcard via mask byte 1 (HBase's signature): same
+    // semantics as the string form's '?'
+    assert(probe("""[{"pattern":"a.c","mask":[0,1,0]}]""") ==
+      Seq("a?c-1", "abc-1", "axc-2"))
+    // pair + string forms mix in one list (disjunction)
+    assert(probe("""["zz", {"pattern":"a?c","mask":[0,0,0]}]""") ==
+      Seq("a?c-1", "zz-9"))
+    // ADVICE r18 back-compat: a '['-leading LITERAL pattern that is
+    // not JSON parses as the r17 single-pattern form again
+    assert(probe("[?-202") == Seq("[x-202", "[y-202"))
+    // malformed pair entries refuse loudly
+    intercept[Exception] {
+      probe("""[{"pattern":"abc","mask":[0,1]}]""") } // length mismatch
+    intercept[Exception] {
+      probe("""[{"pattern":"abc","mask":[0,2,0]}]""") } // bad mask byte
+    intercept[Exception] { probe("""[{"pattern":"abc"}]""") } // no mask
+  }
+
   test("value-column stats prune region files (SingleColumnValueFilter " +
        "analog, r18): time-batched eras skip, truncation stays sound") {
     import org.apache.spark.sql.functions.col
