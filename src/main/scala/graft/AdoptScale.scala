@@ -75,7 +75,9 @@ object AdoptScale {
         "adoption must add exactly the window's files")
       val hbS = timeOnce {
         val r = GraftCellMaintenance.hbck(store)
-        assert(r == ((r._1, 0L, 0L, 0L, 0L, 0L)), s"unclean store: $r")
+        assert((r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9) ==
+                 ((0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)),
+          s"unclean store: $r")
       }
       val vrS = timeOnce {
         val (ol, or, mm, _) =

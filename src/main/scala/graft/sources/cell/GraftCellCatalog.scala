@@ -116,14 +116,17 @@ class GraftCellCatalog extends TableCatalog
     * Anything else (except Spark's own reserved properties) is
     * refused: a property that silently does nothing is a lie. */
   private val ALLOWED_PROPS =
-    Set("ttl_micros", "tombstone", "max_versions", "buckets", "compression")
+    Set("ttl_micros", "tombstone", "max_versions", "buckets", "compression",
+        "delete_markers")
   // per-COLUMN-FAMILY policy keys (r17 — HBase's per-family descriptor;
-  // r18 adds compression): `family.<f>.ttl_micros` / `.tombstone` /
-  // `.max_versions` override the table-level policy for that family in
-  // CALL compact, `family.<f>.compression` selects that family's
-  // region-file parquet codec on every write path
+  // r18 adds compression, r19 delete_markers): `family.<f>.ttl_micros`
+  // / `.tombstone` / `.max_versions` / `.delete_markers` override the
+  // table-level policy for that family in CALL compact,
+  // `family.<f>.compression` selects that family's region-file parquet
+  // codec on every write path
   private val FAMILY_PROP =
-    "family\\.([A-Za-z0-9_-]+)\\.(ttl_micros|tombstone|max_versions|compression)".r
+    ("family\\.([A-Za-z0-9_-]+)\\." +
+     "(ttl_micros|tombstone|max_versions|compression|delete_markers)").r
   private val SPARK_RESERVED = Set("provider", "owner", "location",
     "comment", "external", "is_managed_location", "format")
 
@@ -133,7 +136,8 @@ class GraftCellCatalog extends TableCatalog
     require(unknown.isEmpty,
       s"graftcell: unsupported table properties ${unknown.mkString(", ")} " +
       s"(supported: ${ALLOWED_PROPS.toSeq.sorted.mkString(", ")} and " +
-      "family.<f>.{ttl_micros, tombstone, max_versions, compression})")
+      "family.<f>.{ttl_micros, tombstone, max_versions, compression, " +
+      "delete_markers})")
     def checkTtl(k: String, v: String): Unit =
       require(scala.util.Try(v.toLong).toOption.exists(_ >= 0L),
         s"graftcell: $k must be a non-negative long, got '$v'")
@@ -148,9 +152,15 @@ class GraftCellCatalog extends TableCatalog
                   .exists(b => b >= 1 && b <= 4096),
           s"graftcell: buckets must be an int in [1, 4096], got '$v'")
       case (k @ "compression", v) => CellCodecs.codec(v, k)
+      case (k @ "delete_markers", v) =>
+        require(v == "current" || v == "hide-all-older",
+          s"graftcell: $k must be 'current' or 'hide-all-older', got '$v'")
       case (k @ FAMILY_PROP(_, "ttl_micros"), v)   => checkTtl(k, v)
       case (k @ FAMILY_PROP(_, "max_versions"), v) => checkMaxV(k, v)
       case (k @ FAMILY_PROP(_, "compression"), v)  => CellCodecs.codec(v, k)
+      case (k @ FAMILY_PROP(_, "delete_markers"), v) =>
+        require(v == "current" || v == "hide-all-older",
+          s"graftcell: $k must be 'current' or 'hide-all-older', got '$v'")
       case _ => ()
     }
     props

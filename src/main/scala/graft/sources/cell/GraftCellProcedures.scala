@@ -117,12 +117,17 @@ object GraftCellProcedures {
       p("table", StringType),
       pDefault("ttl_micros", LongType, "-1"),
       pDefault("tombstone", StringType, "NULL"),
-      pDefault("max_versions", LongType, "-1"))
+      pDefault("max_versions", LongType, "-1"),
+      // r19: 'current' (engine default) | 'hide-all-older' (HBase's
+      // KEEP_DELETED_CELLS=FALSE marker semantics); NULL falls back to
+      // the `delete_markers` / `family.<f>.delete_markers` properties
+      pDefault("delete_markers", StringType, "NULL"))
     override def description(): String =
       "major compaction: resolve to the max_versions newest versions " +
       "(default 1); optional TTL expiry and tombstone GC (defaults " +
-      "from TBLPROPERTIES); truncate-commit through the declared " +
-      "HFile layout"
+      "from TBLPROPERTIES; delete_markers = 'hide-all-older' masks " +
+      "every version at or below a marker); truncate-commit through " +
+      "the declared HFile layout"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val tableName = input.getUTF8String(0).toString
       val s = catalog.storeOf(tableName)
@@ -141,12 +146,16 @@ object GraftCellProcedures {
       val maxV = (if (!maxVExplicit) None else Some(input.getLong(3)))
         .orElse(props.get("max_versions").map(_.toLong))
         .getOrElse(1L).toInt
+      val dmExplicit = !input.isNullAt(4)
+      val dm =
+        if (!dmExplicit) props.get("delete_markers")
+        else Some(input.getUTF8String(4).toString).filter(_.nonEmpty)
       // per-family descriptor policies (r17): `family.<f>.<knob>`
       // TBLPROPERTIES override the table level for that family — but an
       // EXPLICIT argument overrides everything for its dimension (one
       // run with the policy forced uniform must be expressible)
-      val famRe =
-        "family\\.([A-Za-z0-9_-]+)\\.(ttl_micros|tombstone|max_versions)".r
+      val famRe = ("family\\.([A-Za-z0-9_-]+)\\." +
+        "(ttl_micros|tombstone|max_versions|delete_markers)").r
       val familyPolicies = props.toSeq
         .collect { case (famRe(f, knob), v) => (f, knob, v) }
         .groupBy(_._1).map { case (f, knobs) =>
@@ -156,9 +165,11 @@ object GraftCellProcedures {
                         else m.get("ttl_micros").map(_.toLong),
             tombstone = if (tombExplicit) None else m.get("tombstone"),
             maxVersions = if (maxVExplicit) None
-                          else m.get("max_versions").map(_.toInt))
+                          else m.get("max_versions").map(_.toInt),
+            deleteMarkers = if (dmExplicit) None
+                            else m.get("delete_markers"))
         }.filter(_._2 !=
-          GraftCellMaintenance.FamilyPolicy(None, None, None))
+          GraftCellMaintenance.FamilyPolicy(None, None, None, None))
       val (dirsBefore, _) = storeStats(s)
       // bucketed tables compact INTO their layout (HBase: compaction
       // never changes the salt) — the rewrite re-clusters on the
@@ -168,7 +179,8 @@ object GraftCellProcedures {
                                         maxV,
                                         props.get("buckets").map(_.toInt),
                                         familyPolicies,
-                                        codecPropsOf(props))
+                                        codecPropsOf(props),
+                                        deleteMarkers = dm)
       val (dirsAfter, cellsAfter) = storeStats(s)
       summary("dirs_before" -> dirsBefore, "dirs_after" -> dirsAfter,
               "cells_after" -> cellsAfter)
@@ -448,13 +460,36 @@ object GraftCellProcedures {
       "invalidated snapshots, stale tmp dirs (report-only)"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val (dirs, missing, orphans, intents, invalid, stale, archOrphans,
-           lostWindows) =
+           lostWindows, legacyDirs) =
         GraftCellMaintenance.hbck(store(input.getUTF8String(0)))
       summary("dirs" -> dirs, "missing_files" -> missing,
               "orphan_files" -> orphans, "pending_intents" -> intents,
               "invalid_snapshots" -> invalid, "stale_tmp_dirs" -> stale,
               "unreferenced_archived" -> archOrphans,
-              "lost_travel_windows" -> lostWindows)
+              "lost_travel_windows" -> lostWindows,
+              "legacy_dirs" -> legacyDirs)
+    }
+  }
+
+  /** `upgrade_manifests(table)` — retire the legacy-dir caveat class
+    * (r19): derive exact per-file manifests from parquet footers
+    * EXECUTOR-side for every manifest-less committed dir, stamped at
+    * the dir's mtime (the value commitStampOf already reported) and
+    * published atomically — after which write-once (dir, name), MVCC
+    * under DML, total-or-loud travel and zero-footer planning hold
+    * store-wide. Idempotent; `hbck` counts `legacy_dirs` until run. */
+  final class UpgradeManifests(catalog: GraftCellCatalog)
+      extends CellProcedure(catalog, "upgrade_manifests") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(p("table", StringType))
+    override def description(): String =
+      "derive persisted manifests for legacy (manifest-less) dirs " +
+      "from parquet footers, executor-side; extends the MVCC/travel " +
+      "guarantees store-wide"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (dirs, files) = GraftCellMaintenance.upgradeManifests(
+        SparkSession.active, store(input.getUTF8String(0)))
+      summary("dirs_upgraded" -> dirs, "files_indexed" -> files)
     }
   }
 
@@ -548,6 +583,7 @@ object GraftCellProcedures {
     "repair" -> new Repair(catalog),
     "bulkload" -> new Bulkload(catalog),
     "hbck" -> new Hbck(catalog),
+    "upgrade_manifests" -> new UpgradeManifests(catalog),
     "vacuum" -> new Vacuum(catalog),
     "verify_rep" -> new VerifyRep(catalog),
     "rebucket" -> new Rebucket(catalog))

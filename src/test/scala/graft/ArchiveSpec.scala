@@ -545,6 +545,75 @@ class ArchiveSpec extends AnyFunSuite {
     s.sql("DROP TABLE graftmvcc.t")
   }
 
+  test("upgrade_manifests retires the legacy caveat (r19): a pre-manifest " +
+       "layout upgrades, then snapshots isolate through DELETE and UPDATE") {
+    import scala.collection.JavaConverters._
+    import graft.sources.cell.CellTravelLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_upg_spec_").toString
+    s.conf.set("spark.sql.catalog.graftupg",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftupg.root", root)
+    s.sql("""CREATE TABLE graftupg.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell""")
+    val store = s"$root/t"
+    // LEGACY layout: plain parquet written behind the catalog's back,
+    // two region dirs, no manifests anywhere
+    s.createDataFrame(
+      ('a' to 'z').map(c =>
+        org.apache.spark.sql.Row(c.toString, "d", "q", 1L, s"v$c")).asJava,
+      GraftCell.SCHEMA)
+      .withColumn("region",
+        org.apache.spark.sql.functions.expr("CASE WHEN rowkey < 'n' THEN 0 ELSE 1 END"))
+      .repartition(org.apache.spark.sql.functions.col("region"))
+      .sortWithinPartitions("region", "rowkey")
+      .write.mode("append").partitionBy("region").parquet(store)
+    CellFooterCache.invalidate(store)
+    def readAll() = s.sql(
+      "SELECT rowkey, value FROM graftupg.t ORDER BY rowkey")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val original = readAll()
+    assert(original.size == 26)
+    val hb = s.sql("CALL graftupg.hbck('t')").collect()(0)
+    assert(hb.getAs[Long]("legacy_dirs") == 2L, hb.toString)
+    // upgrade: exact footers → manifests, mtime commit stamps
+    val up = s.sql("CALL graftupg.upgrade_manifests('t')").collect()(0)
+    assert(up.getAs[Long]("dirs_upgraded") == 2L, up.toString)
+    assert(s.sql("CALL graftupg.hbck('t')").collect()(0)
+      .getAs[Long]("legacy_dirs") == 0L)
+    // the manifest is EXACT: a cold re-plan opens no footers
+    val opens = CellFooterCache.footerOpens.get()
+    CellFooterCache.invalidate(store)
+    assert(readAll() == original)
+    assert(CellFooterCache.footerOpens.get() == opens,
+      "upgraded manifests must serve planning without footer opens")
+    // MVCC now holds: snapshot isolates through DELETE + UPDATE
+    s.sql("CALL graftupg.snapshot('t', 'iso')")
+    val t0 = CellFooterCache.committedDirs(store)
+      .map(d => CellManifest.commitStampOf(store, d)).max
+    s.sql("DELETE FROM graftupg.t WHERE rowkey >= 'w'")
+    s.sql("UPDATE graftupg.t SET value = concat(value, '*') WHERE rowkey < 'c'")
+    val mutated = original.filterNot(_._1 >= "w").map {
+      case (k, v) if k < "c" => (k, v + "*")
+      case kv                => kv
+    }
+    assert(readAll() == mutated)
+    assert(s.sql("SELECT rowkey, value FROM graftupg.t VERSION AS OF 'iso' ORDER BY rowkey")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq == original,
+      "the upgraded store must give snapshot isolation through DML")
+    // clock travel into the pre-DML window reconstructs the original
+    val t0View = s.sql(
+      s"""SELECT rowkey, value FROM graftupg.t
+          TIMESTAMP AS OF timestamp_micros(${t0}L) ORDER BY rowkey""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(t0View == original,
+      "pre-DML clock travel must hold on an upgraded store")
+    assert(CellTravelLog.read(store).nonEmpty,
+      "DML on the upgraded store must log travel events")
+    s.sql("DROP TABLE graftupg.t")
+  }
+
   test("nextCommitStamp anchors on travel-log event stamps (r19): a " +
        "backwards clock step can never commit below a logged rename") {
     import graft.sources.cell.CellTravelLog

@@ -607,6 +607,66 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(straddle.collect()(0).getLong(0) == wantStraddle)
   }
 
+  test("grouped metadata COUNT (r19): COUNT(*) GROUP BY family answers " +
+       "from family-pure manifests; a straddling file refuses") {
+    import scala.collection.JavaConverters._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_gfam_spec_").toString + "/t"
+    def rows(fam: String, ks: Seq[String]) = s.createDataFrame(
+      ks.map(k => org.apache.spark.sql.Row(k, fam, "q", 1L, s"v$k")).asJava,
+      GraftCell.SCHEMA)
+    // one append per family → every region file is family-pure
+    rows("d", ('a' to 'j').map(_.toString))
+      .write.format("graftcell").mode("append").save(store)
+    rows("m", ('a' to 'e').map(_.toString))
+      .write.format("graftcell").mode("append").save(store)
+    val df = s.read.format("graftcell").load(store)
+      .groupBy(col("family")).agg(count(lit(1)).as("n")).orderBy("family")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftCellAggScan") &&
+           plan.contains("PushedGroupBy: [family]"),
+      s"grouped COUNT not answered from manifests:\n$plan")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+           Seq(("d", 10L), ("m", 5L)))
+    // NULL families land in the NULL group — nullFams evidence, not a
+    // guess (a file may be all-null-family and still answer)
+    s.createDataFrame(
+      Seq(org.apache.spark.sql.Row("zz", null, "q", 1L, "vz"),
+          org.apache.spark.sql.Row("zy", null, "q", 1L, "vy")).asJava,
+      GraftCell.SCHEMA)
+      .write.format("graftcell").mode("append").save(store)
+    val withNull = s.read.format("graftcell").load(store)
+      .groupBy(col("family")).agg(count(lit(1)).as("n")).orderBy("family")
+    assert(withNull.queryExecution.executedPlan.toString
+             .contains("PushedGroupBy: [family]"))
+    assert(withNull.collect()
+             .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+           Seq((null, 2L), ("d", 10L), ("m", 5L)))
+    // a FAMILY-STRADDLING file (two families in one append; same
+    // rowkey, so the declared rowkey-clustered distribution provably
+    // lands both in ONE file) refuses — the normal scan runs and the
+    // answer stays correct
+    s.createDataFrame(
+      Seq(org.apache.spark.sql.Row("k1", "d", "q", 1L, "v1"),
+          org.apache.spark.sql.Row("k1", "m", "q", 1L, "v2")).asJava,
+      GraftCell.SCHEMA)
+      .write.format("graftcell").mode("append").save(store)
+    val mixed = s.read.format("graftcell").load(store)
+      .groupBy(col("family")).agg(count(lit(1)).as("n")).orderBy("family")
+    assert(!mixed.queryExecution.executedPlan.toString
+             .contains("GraftCellAggScan"),
+      "grouped pushdown must refuse a family-straddling file")
+    assert(mixed.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+           Seq((null, 2L), ("d", 11L), ("m", 6L)))
+    // other group-by columns refuse (qualifier is not family-pure
+    // evidence) — correctness via the normal scan
+    val byQual = s.read.format("graftcell").load(store)
+      .groupBy(col("qualifier")).agg(count(lit(1)).as("n"))
+    assert(!byQual.queryExecution.executedPlan.toString
+             .contains("GraftCellAggScan"))
+    assert(byQual.collect()(0).getLong(1) == 19L)
+  }
+
   test("write path emits sorted, non-overlapping region files (declared layout)") {
     // RequiresDistributionAndOrdering evidence: after the connector
     // write, every committed file's footer [min,max] rowkey interval is
@@ -1122,7 +1182,7 @@ class CellConnectorSpec extends AnyFunSuite {
                         "hbck", "list_snapshots", "merge_regions",
                         "normalize", "rebucket", "repair",
                         "restore_snapshot", "snapshot", "split_region",
-                        "vacuum", "verify_rep"),
+                        "upgrade_manifests", "vacuum", "verify_rep"),
            s"procedures: $procs")
     // repair on a healthy store is a no-op summary
     val rRow = s.sql("CALL graftproc.repair('t')").collect()
@@ -1626,6 +1686,65 @@ class CellConnectorSpec extends AnyFunSuite {
       s.sql("ALTER TABLE graftmv.t3 SET TBLPROPERTIES ('max_versions' = '0')")
     }
     Seq("t1", "t2", "t3").foreach(t => s.sql(s"DROP TABLE graftmv.$t"))
+  }
+
+  test("hide-all-older delete markers (r19): a marker masks every " +
+       "version at or below it — marker and masked drop together; the " +
+       "default family keeps the pinned delete-if-current rule") {
+    import scala.collection.JavaConverters._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dm_spec_").toString
+    s.conf.set("spark.sql.catalog.graftdm",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftdm.root", root)
+    def mk(t: String, props: String): Unit = {
+      s.sql(s"""CREATE TABLE graftdm.$t (rowkey STRING, family STRING,
+               qualifier STRING, version BIGINT, value STRING)
+               USING graftcell$props""")
+      val rows = for {
+        fam <- Seq("cur", "hba"); c <- 'a' to 'e'
+        (v, value) <- Seq(1L -> "old", 2L -> "mid", 3L -> "__D__") ++
+          (if (c >= 'c') Seq(4L -> "new") else Nil)
+      } yield org.apache.spark.sql.Row(c.toString, fam, "q", v, value)
+      s.createDataFrame(rows.asJava, GraftCell.SCHEMA)
+        .write.format("graftcell").mode("append").save(s"$root/$t")
+    }
+    def content(t: String) = s.sql(
+      s"""SELECT family, rowkey, version, value FROM graftdm.$t
+          ORDER BY family, rowkey, version""").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 r.getString(3))).toSeq
+    mk("t1", """ TBLPROPERTIES ('tombstone' = '__D__',
+                'max_versions' = '2',
+                'family.hba.delete_markers' = 'hide-all-older')""")
+    s.sql("CALL graftdm.compact('t1')")
+    val got = content("t1")
+    // default family: the marker ranks like a put and consumes a
+    // retained slot, then drops — version 2 RESURFACES where no newer
+    // put exists (delete-if-current, the long-pinned engine rule)
+    val expCur = Seq("a", "b").map(k => ("cur", k, 2L, "mid")) ++
+      Seq("c", "d", "e").map(k => ("cur", k, 4L, "new"))
+    // hide-all-older family: marker at 3 masks versions ≤ 3 — marker
+    // AND masked versions drop TOGETHER; only the post-marker put lives
+    val expHba = Seq("c", "d", "e").map(k => ("hba", k, 4L, "new"))
+    assert(got == expCur ++ expHba, s"got: $got")
+    assert(got.forall(_._4 != "__D__"), "no marker may survive")
+    // explicit-argument override forces the mode uniform for one run
+    mk("t2", " TBLPROPERTIES ('tombstone' = '__D__', 'max_versions' = '2')")
+    s.sql("CALL graftdm.compact('t2', -1, NULL, -1, 'hide-all-older')")
+    assert(content("t2") ==
+      Seq("cur", "hba").flatMap(f =>
+        Seq("c", "d", "e").map(k => (f, k, 4L, "new"))),
+      "explicit delete_markers argument must apply to every family")
+    // refusals: an unknown mode is a lie, at CREATE and at CALL
+    intercept[Exception] {
+      s.sql("ALTER TABLE graftdm.t2 SET TBLPROPERTIES " +
+            "('delete_markers' = 'sometimes')")
+    }
+    intercept[Exception] {
+      s.sql("CALL graftdm.compact('t2', -1, NULL, -1, 'bogus')")
+    }
+    Seq("t1", "t2").foreach(t => s.sql(s"DROP TABLE graftdm.$t"))
   }
 
   test("retire intents close the group-replace publish/delete window; repair completes") {
@@ -2270,7 +2389,7 @@ class CellConnectorSpec extends AnyFunSuite {
     put("a" -> "1")
     put("b" -> "2")
     assert(GraftCellMaintenance.hbck(store) ==
-             ((2L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)),
+             ((2L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)),
       "a healthy two-generation store must report all zeros")
     // a PENDING retire intent (the group-replace mid-window state:
     // published dir carries _retire.json, listed file still on disk)
@@ -2286,7 +2405,7 @@ class CellConnectorSpec extends AnyFunSuite {
     // the completed retirement destroyed an UNPINNED generation: its
     // travel window is now a reported lost window (r18)
     assert(GraftCellMaintenance.hbck(store) ==
-             ((1L, 0L, 0L, 0L, 0L, 0L, 0L, 1L)))
+             ((1L, 0L, 0L, 0L, 0L, 0L, 0L, 1L, 0L)))
     // one instance of each remaining class: a manifest-listed file
     // deleted from disk; an orphan parquet no manifest lists; an
     // invalidated snapshot (pinned dir gone); a stale _tmp_ dir
@@ -2308,7 +2427,7 @@ class CellConnectorSpec extends AnyFunSuite {
       new java.io.File(archDir, "dead.parquet").toPath, Array.emptyByteArray)
     CellFooterCache.invalidate(store)
     assert(GraftCellMaintenance.hbck(store) ==
-             ((1L, 1L, 1L, 0L, 1L, 1L, 1L, 1L)),
+             ((1L, 1L, 1L, 0L, 1L, 1L, 1L, 1L, 0L)),
       "each constructed anomaly must be counted exactly once")
   }
 
@@ -2735,7 +2854,7 @@ class CellConnectorSpec extends AnyFunSuite {
     // bit-identical to the pre-vacuum view — orphans were invisible,
     // the intent's victim was already excluded
     assert(GraftCellMaintenance.hbck(store) ==
-             ((1L, 0L, 0L, 0L, 0L, 0L, 0L, 1L)))
+             ((1L, 0L, 0L, 0L, 0L, 0L, 0L, 1L, 0L)))
     assert(readback() == before)
     assert(before.map(_.getString(0)) == Seq("b"),
       "the intent's victim row was excluded before AND after")
