@@ -33,8 +33,8 @@ object CellConnector extends QueryModule {
     * and rowkey-sorted within partitions so every data file's footer
     * carries a tight min/max rowkey (the HFile metadata the connector
     * prunes on). */
-  private[operators] def stage(s: org.apache.spark.sql.SparkSession,
-                               dir: String): String = {
+  private[graft] def stage(s: org.apache.spark.sql.SparkSession,
+                           dir: String): String = {
     val path = storePath(dir)
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       CellQueries.eventCells(s, dir)
@@ -934,6 +934,51 @@ object CellConnector extends QueryModule {
       s.read.format("graftcell").load(path)
         .groupBy(col("family")).agg(count(lit(1)).as("n_cells"))
         .orderBy("family")
+    }),
+
+    "cell_connector_value_bloom" -> ((s, dir) => {
+      // VALUE-BLOOM point probe (r19 — VERDICT r18 #7): every
+      // generation's value [min,max] SPANS the probe space by
+      // construction (alternating extreme enum values within each
+      // file), so the r18 range stats keep everything — only the
+      // manifest's per-file 512-byte value bloom can prune. The
+      // absent candidate ('mm') is bloom-refuted in every file; the
+      // present one ('zz') plans only the first generation's files.
+      // Inline plan assertions pin both prunes; the row result is the
+      // oracle-checked present-value band. At 100 TB this is the
+      // SingleColumnValueFilter point probe costing O(matching files),
+      // not O(store).
+      val path = storePath(dir) + "_vb"
+      stagedOnce(path, "_STAGED_VBLOOM") {
+        val base = CellQueries.eventCells(s, dir)
+        val band = substring(col("rowkey"), 2, 1) < "5"
+        base.select(col("rowkey"), col("family"), col("qualifier"),
+                    col("version"),
+                    when(band, "aa").otherwise("zz").as("value"))
+          .write.format("graftcell").mode("append").save(path)
+        base.select(col("rowkey"), col("family"), col("qualifier"),
+                    (col("version") + 1000000L).as("version"),
+                    when(band, "bb").otherwise("yy").as("value"))
+          .write.format("graftcell").mode("append").save(path)
+      }
+      def planned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+        val m = "regionFiles: (\\d+)/(\\d+)".r
+          .findFirstMatchIn(df.queryExecution.executedPlan.toString).get
+        (m.group(1).toInt, m.group(2).toInt)
+      }
+      val absent = s.read.format("graftcell").load(path)
+        .filter(col("value") === "mm")
+      assert(planned(absent)._1 == 0,
+        s"bloom must refute the absent value in every file: " +
+        s"${planned(absent)}")
+      val probe = s.read.format("graftcell").load(path)
+        .filter(col("value").isin("zz", "mm"))
+        .select(col("rowkey"), col("version"), col("value"))
+        .orderBy("rowkey", "version")
+      val (k, n) = planned(probe)
+      assert(k > 0 && k < n,
+        s"bloom must plan only the present value's generation: $k/$n")
+      probe
     }),
 
     "cell_connector_count_range" -> ((s, dir) =>
@@ -2735,6 +2780,24 @@ object CellConnector extends QueryModule {
                  min(rowkey) AS min_rowkey,
                  max(rowkey) AS max_rowkey
           FROM cells""",
+
+    // r19 value-bloom point probe: the present-value band of the
+    // alternating-enum rebuild (the absent candidate matches nothing)
+    "cell_connector_value_bloom" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+          g AS (
+            SELECT rowkey, version,
+                   CASE WHEN substring(rowkey, 2, 1) < '5'
+                        THEN 'aa' ELSE 'zz' END AS value
+            FROM cells
+            UNION ALL
+            SELECT rowkey, version + 1000000,
+                   CASE WHEN substring(rowkey, 2, 1) < '5'
+                        THEN 'bb' ELSE 'yy' END
+            FROM cells)
+          SELECT rowkey, version, value FROM g
+          WHERE value IN ('zz', 'mm')
+          ORDER BY rowkey, version""",
 
     // r19 grouped metadata COUNT: three per-family copies of the cell
     // rebuild — the oracle groups the same union the store holds

@@ -593,6 +593,22 @@ object GraftCell {
                     r: VerRange): Boolean =
     maxV.forall(_ >= r.lo) && minV.forall(_ <= r.hi)
 
+  /** VALUE point-probe candidate sets (r19): one entry per value
+    * equality / IN conjunct. A file survives each entry iff ANY listed
+    * candidate may be in its [[CellValueBloom]]. */
+  def valuePoints(flat: Seq[Filter]): Seq[Seq[Array[Byte]]] = flat.collect {
+    case EqualTo("value", v: String) => Seq(utf8(v))
+    case In("value", vs)
+        if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      vs.toSeq.map(v => utf8(v.asInstanceOf[String]))
+  }
+
+  /** Bloom file pruning: no bloom (legacy / saturated) ⇒ keep. */
+  def bloomMayMatch(bloom: Option[Array[Byte]],
+                    points: Seq[Seq[Array[Byte]]]): Boolean =
+    bloom.isEmpty || points.forall(cands =>
+      cands.exists(CellValueBloom.mayContain(bloom.get, _)))
+
   /** Full file-level pruning over a footer entry: rowkey interval +
     * per-key IN-lists (multi-get) + version TimeRange + per-disjunct
     * OR recursion (which, unlike the byte-level overload above, sees
@@ -611,6 +627,8 @@ object GraftCell {
       // pruning (a time-batched ingest's value band skips other eras'
       // region files without reading a byte)
       mayOverlap(m.minVal, m.maxVal, colRange("value", flat)) &&
+      // r19: VALUE bloom — point evidence the range stats can't give
+      bloomMayMatch(m.valueBloom, valuePoints(flat)) &&
       flat.forall {
         case Or(l, r) =>
           fileMayMatch(m, Seq(l)) || fileMayMatch(m, Seq(r))
@@ -634,6 +652,7 @@ object GraftCell {
     private val famRange = colRange("family", flat)
     private val qualRange = colRange("qualifier", flat)
     private val valRange = colRange("value", flat)
+    private val valPoints = valuePoints(flat)
     private val sortedInLists: Seq[Array[Array[Byte]]] = flat.collect {
       case In("rowkey", vs)
           if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
@@ -654,6 +673,7 @@ object GraftCell {
       mayOverlap(m.minFam, m.maxFam, famRange) &&
       mayOverlap(m.minQual, m.maxQual, qualRange) &&
       mayOverlap(m.minVal, m.maxVal, valRange) &&
+      bloomMayMatch(m.valueBloom, valPoints) &&
       sortedInLists.forall(keys => anyKeyIn(keys, m.minKey, m.maxKey)) &&
       orPruners.forall { case (l, r) => l.mayMatch(m) || r.mayMatch(m) }
     private def anyKeyIn(sorted: Array[Array[Byte]],
@@ -735,6 +755,21 @@ object GraftCell {
       case EqualTo("rowkey", v: String) =>
         FilterApi.eq(col, Binary.fromConstantByteArray(utf8(v))): FilterPredicate
     }
+    // value POINT probes ride the predicate too (r19): parquet answers
+    // them from row-group stats, dictionary pages and the value bloom
+    // the write path now enables — the row-group half of the
+    // SingleColumnValueFilter point probe (file half: manifest bloom)
+    val vb = FilterApi.binaryColumn("value")
+    val valPointPreds: Seq[FilterPredicate] = flat.collect {
+      case EqualTo("value", v: String) =>
+        FilterApi.eq(vb, Binary.fromConstantByteArray(utf8(v))): FilterPredicate
+      case In("value", vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        val set = new java.util.HashSet[Binary]()
+        vs.foreach(v =>
+          set.add(Binary.fromConstantByteArray(utf8(v.asInstanceOf[String]))))
+        FilterApi.in(vb, set): FilterPredicate
+    }
     // version TimeRange rides the same predicate for row-group skipping
     val vr = verRange(flat)
     val vcol = FilterApi.longColumn("version")
@@ -756,7 +791,8 @@ object GraftCell {
           yield FilterApi.or(a, b)
       case _ => None
     }
-    (parquetRange(keyRange(flat)).toSeq ++ points ++ vpreds ++ orPreds)
+    (parquetRange(keyRange(flat)).toSeq ++ points ++ valPointPreds ++
+     vpreds ++ orPreds)
       .reduceOption(FilterApi.and)
   }
 
@@ -1811,6 +1847,8 @@ object CellDeleteRewrite {
       // the input's codec travels through the rewrite (r18 name tag)
       .withCompressionCodec(GraftCellCodecTag.of(file))
       .withBloomFilterEnabled("rowkey", true)
+      .withBloomFilterEnabled("value", true)
+      .withBloomFilterNDV("value", 4096)
       .build()
     var kept = 0L
     // manifest stats of the surviving rows (same tracking as the write
@@ -1828,6 +1866,7 @@ object CellDeleteRewrite {
     var maxVal: Array[Byte] = null
     var nullKeys = 0L
     var nullFams = 0L
+    val valueBloom = CellValueBloom.empty()
     val compiled = GraftCell.compileAll(filters)
     try {
       var g = reader.read()
@@ -1865,6 +1904,7 @@ object CellDeleteRewrite {
           trackBin("value") { kb =>
             if (minVal == null || JArrays.compareUnsigned(kb, minVal) < 0) minVal = kb
             if (maxVal == null || JArrays.compareUnsigned(kb, maxVal) > 0) maxVal = kb
+            CellValueBloom.add(valueBloom, kb)
           }
           val vi = g.getType.getFieldIndex("version")
           if (g.getFieldRepetitionCount(vi) > 0) {
@@ -1896,7 +1936,8 @@ object CellDeleteRewrite {
         Some(nullKeys),
         Option(minVal).map(GraftCell.truncStatMin),
         Option(maxVal).flatMap(GraftCell.truncStatMax),
-        nullFams = Some(nullFams))))
+        nullFams = Some(nullFams),
+        valueBloom = CellValueBloom.finish(valueBloom))))
     }
   }
 }
@@ -1926,6 +1967,8 @@ object CellRegionRewrite {
       .withConf(new Configuration()).withType(msgType)
       .withCompressionCodec(codec)
       .withBloomFilterEnabled("rowkey", true)
+      .withBloomFilterEnabled("value", true)
+      .withBloomFilterNDV("value", 4096)
       .build()
     private var rows = 0L
     private var minKey: Array[Byte] = _
@@ -1940,6 +1983,7 @@ object CellRegionRewrite {
     private var maxVal: Array[Byte] = _
     private var nullKeys = 0L
     private var nullFams = 0L
+    private val valueBloom = CellValueBloom.empty()
 
     def write(g: Group): Unit = {
       writer.write(g)
@@ -1968,6 +2012,7 @@ object CellRegionRewrite {
       trackBin("value") { kb =>
         if (minVal == null || JArrays.compareUnsigned(kb, minVal) < 0) minVal = kb
         if (maxVal == null || JArrays.compareUnsigned(kb, maxVal) > 0) maxVal = kb
+        CellValueBloom.add(valueBloom, kb)
       }
       val vi = g.getType.getFieldIndex("version")
       if (g.getFieldRepetitionCount(vi) > 0) {
@@ -1989,7 +2034,8 @@ object CellRegionRewrite {
         Some(nullKeys),
         Option(minVal).map(GraftCell.truncStatMin),
         Option(maxVal).flatMap(GraftCell.truncStatMax),
-        nullFams = Some(nullFams)))
+        nullFams = Some(nullFams),
+        valueBloom = CellValueBloom.finish(valueBloom)))
     }
   }
 
@@ -3225,6 +3271,73 @@ class CellAggReaderFactory extends PartitionReaderFactory {
     }
 }
 
+/** Per-file VALUE BLOOM (r19 — VERDICT r18 #7): point evidence for
+  * `value = k` probes, generalizing the rowkey bloom machinery to the
+  * value column at FILE granularity. The 64-byte truncated value
+  * RANGE stats (r18) prune era bands; a point probe inside a band
+  * needs membership evidence, which ranges cannot give — the manifest
+  * carries a fixed 512-byte bloom (4096 bits, k=3, FNV-1a + avalanche
+  * finalizer: deterministic across JVMs and partitionings) per region
+  * file, built exactly while writing. A SATURATED bloom (> half bits
+  * set, ≈ >950 distinct values) is stored as None — no evidence, keep
+  * the file — so high-cardinality value columns cost nothing and prune
+  * nothing, while the time-batched / enum-valued stores that motivate
+  * SingleColumnValueFilter probes skip whole files. Evidence-only like
+  * every pruning layer: the reader still evaluates exactly. */
+object CellValueBloom {
+  val BYTES = 512
+  private val BITS = BYTES * 8
+  private val K = 3
+
+  /** 64-bit FNV-1a with a splitmix-style finalizer (FNV alone clusters
+    * low bits on short ASCII values). */
+  private def hash(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
+    h
+  }
+  private def bit(h: Long, i: Int): Int = {
+    val x = h + i.toLong * 0x9e3779b97f4a7c15L
+    ((x ^ (x >>> 32)).toInt & Int.MaxValue) % BITS
+  }
+
+  def empty(): Array[Byte] = new Array[Byte](BYTES)
+
+  def add(bloom: Array[Byte], value: Array[Byte]): Unit = {
+    val h = hash(value)
+    var i = 0
+    while (i < K) {
+      val p = bit(h, i)
+      bloom(p >> 3) = (bloom(p >> 3) | (1 << (p & 7))).toByte
+      i += 1
+    }
+  }
+
+  def mayContain(bloom: Array[Byte], value: Array[Byte]): Boolean = {
+    val h = hash(value)
+    var i = 0
+    while (i < K) {
+      val p = bit(h, i)
+      if ((bloom(p >> 3) & (1 << (p & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Some(bloom) iff still informative (≤ half the bits set). */
+  def finish(bloom: Array[Byte]): Option[Array[Byte]] = {
+    var set = 0
+    var i = 0
+    while (i < bloom.length) {
+      set += java.lang.Integer.bitCount(bloom(i) & 0xff); i += 1
+    }
+    if (set * 2 <= BITS) Some(bloom) else None
+  }
+}
+
 /** One pinned generation of a `TIMESTAMP AS OF` read (r18): a live dir
   * served wholesale (`names` = None), or an `_archive/<dir>` slice
   * restricted to exactly the retirement-time file names from the
@@ -3273,7 +3386,12 @@ final case class CellFileMeta(path: String, bytes: Long, rowCount: Long,
                               // nullKeys precedent, one column over).
                               // None on older manifests = unknown
                               // (refuse the grouped metadata answer)
-                              nullFams: Option[Long] = None)
+                              nullFams: Option[Long] = None,
+                              // r19: per-file VALUE bloom (see
+                              // [[CellValueBloom]]) — point evidence
+                              // for value probes; None = saturated or
+                              // legacy (keep the file)
+                              valueBloom: Option[Array[Byte]] = None)
 
 /** PERSISTED per-dir manifest (`_manifest.json` inside each committed
   * batch dir) — the metadata a real 100 TB deployment keeps next to the
@@ -3324,6 +3442,7 @@ object CellManifest {
     m.minVal.foreach(k => o.put("minVal", b64e.encodeToString(k)))
     m.maxVal.foreach(k => o.put("maxVal", b64e.encodeToString(k)))
     m.nullFams.foreach(n => o.put("nullFams", n))
+    m.valueBloom.foreach(b => o.put("valueBloom", b64e.encodeToString(b)))
     o.put("messageType", m.messageType)
     ()
   }
@@ -3347,7 +3466,8 @@ object CellManifest {
       Option(o.get("nullKeys")).map(_.asLong()),
       Option(o.get("minVal")).map(n => b64d.decode(n.asText())),
       Option(o.get("maxVal")).map(n => b64d.decode(n.asText())),
-      Option(o.get("nullFams")).map(_.asLong()))
+      Option(o.get("nullFams")).map(_.asLong()),
+      Option(o.get("valueBloom")).map(n => b64d.decode(n.asText())))
 
   def write(dir: java.io.File, committedAtMicros: Long,
             metas: Seq[CellFileMeta]): Unit = {
@@ -4004,9 +4124,13 @@ class GraftCellScan(path: String, pushed: Array[Filter],
   /** Vectorized (ColumnarBatch) decode iff NO residual row-level work
     * remains in the reader — see [[CellColumnarPartitionReader]]. A
     * SCAN-level decision because Spark requires the columnar answer to
-    * be uniform across one scan's partitions. */
+    * be uniform across one scan's partitions.
+    * `spark.graft.cell.vectorized=false` is the operational kill
+    * switch (and the ColumnarScale A/B lever). */
   private def batched: Boolean =
-    effective.isEmpty && fuzzy.isEmpty && sample.isEmpty
+    effective.isEmpty && fuzzy.isEmpty && sample.isEmpty &&
+    org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.cell.vectorized", "true") != "false"
 
   override def planInputPartitions(): Array[InputPartition] = {
     // fetch set = projected ∪ filter-referenced (store column order);
@@ -4327,6 +4451,13 @@ class CellPartitionReaderFactory extends PartitionReaderFactory {
   * scan's projected order. Byte-range splits map to a `FileSplit`
   * [start, start+length) with parquet's midpoint row-group rule — the
   * same split semantics as the row path's `withFileRange`. */
+object CellColumnarPartitionReader {
+  /** Batch row capacity: Spark's default 4096 doubled — the cell
+    * schema is 4 short strings + a long, so 8192-row batches still sit
+    * well under exec memory while halving per-batch bookkeeping. */
+  private[cell] val CAPACITY = 8192
+}
+
 class CellColumnarPartitionReader(p: CellInputPartition)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
@@ -4356,7 +4487,7 @@ class CellColumnarPartitionReader(p: CellInputPartition)
         null, // convertTz: cell columns are strings + one int64
         "CORRECTED", "UTC", "CORRECTED", "UTC", // rebase — no datetimes
         false, // on-heap: executors here run without off-heap pools
-        4096)
+        CellColumnarPartitionReader.CAPACITY)
     val length =
       if (p.rangeEnd == Long.MaxValue) Long.MaxValue - p.rangeStart
       else p.rangeEnd - p.rangeStart
@@ -4949,6 +5080,7 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
     private var maxVal: Array[Byte] = _
     private var nullKeys = 0L
     private var nullFams = 0L
+    private var valueBloom: Array[Byte] = _
 
     // lazy open on first row: an empty sink commits no region file
     private def open(): Unit = {
@@ -4961,6 +5093,12 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
         .withType(msgType)
         .withCompressionCodec(codec)
         .withBloomFilterEnabled("rowkey", true)
+        // r19: value bloom for row-group point skipping — NDV-capped
+        // (~5 KB) unlike the rowkey bloom's default sizing, so every
+        // small file doesn't grow by a megabyte of bitset; above 4096
+        // distinct values the FPP degrades gracefully (still sound)
+        .withBloomFilterEnabled("value", true)
+        .withBloomFilterNDV("value", 4096)
         .build()
       rowsInFile = 0L
       minKey = null; maxKey = null
@@ -4970,6 +5108,7 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
       minVal = null; maxVal = null
       nullKeys = 0L
       nullFams = 0L
+      valueBloom = CellValueBloom.empty()
     }
 
     def roll(): Unit = if (writer != null) {
@@ -4982,7 +5121,8 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
         Some(nullKeys),
         Option(minVal).map(GraftCell.truncStatMin),
         Option(maxVal).flatMap(GraftCell.truncStatMax),
-        nullFams = Some(nullFams))
+        nullFams = Some(nullFams),
+        valueBloom = CellValueBloom.finish(valueBloom))
       writer = null
     }
 
@@ -5028,6 +5168,7 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
                   JArrays.compareUnsigned(bytes, minVal) < 0) minVal = bytes
               if (maxVal == null ||
                   JArrays.compareUnsigned(bytes, maxVal) > 0) maxVal = bytes
+              CellValueBloom.add(valueBloom, bytes)
             }
           }
         }

@@ -2695,6 +2695,75 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(CellFooterCache.footerOpens.get() == opens0)
   }
 
+  test("value BLOOM prunes files on point probes (r19): membership " +
+       "evidence inside spanning ranges; saturated blooms keep the file") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.cell.CellFooterCache
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vbloom_spec_").toString
+    import scala.collection.JavaConverters._
+    def put(prefix: String, values: Seq[String]): Unit = s.createDataFrame(
+      values.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(f"$prefix$i%04d", "d", "q", 1L, v) }.asJava,
+      GraftCell.SCHEMA)
+      .write.format("graftcell").mode("append").save(root)
+    // two generations whose VALUE RANGES both span the whole alphabet
+    // (alternating extremes) — range stats keep everything; only
+    // membership evidence can prune
+    put("a", (0 until 20).map(i => if (i % 2 == 0) "aa" else "zz"))
+    put("b", (0 until 20).map(i => if (i % 2 == 0) "bb" else "yy"))
+    val total = CellFooterCache.filesOf(root).size
+    assert(CellFooterCache.filesOf(root).forall(_.valueBloom.nonEmpty),
+      "enum-valued files must carry an informative bloom")
+    def planned(df: org.apache.spark.sql.DataFrame): Int =
+      "regionFiles: (\\d+)/(\\d+)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .get.group(1).toInt
+    // an ABSENT value inside every file's [min,max]: bloom prunes ALL
+    val absent = s.read.format("graftcell").load(root)
+      .filter(col("value") === "mm")
+    assert(planned(absent) == 0,
+      s"bloom must prune every file for an absent point value " +
+      s"(${planned(absent)}/$total)\n${absent.queryExecution.executedPlan}")
+    assert(absent.count() == 0L)
+    // a PRESENT value plans only its generation's files
+    val present = s.read.format("graftcell").load(root)
+      .filter(col("value") === "zz").select("rowkey")
+    assert(planned(present) < total && planned(present) > 0)
+    assert(present.count() == 10L)
+    // IN-list: union of candidates — 'zz' present, 'qq' absent
+    val inList = s.read.format("graftcell").load(root)
+      .filter(col("value").isin("zz", "qq"))
+    assert(planned(inList) == planned(present))
+    assert(inList.count() == 10L)
+    // SATURATION: a high-cardinality generation stores NO bloom (no
+    // evidence ⇒ keep) — probes stay correct, the file stays planned
+    put("c", (0 until 6000).map(i => f"u$i%05d"))
+    val cFiles = CellFooterCache.filesOf(root).filter(m =>
+      new String(m.minKey.get, "UTF-8").startsWith("c"))
+    assert(cFiles.nonEmpty && cFiles.forall(_.valueBloom.isEmpty),
+      "a saturated bloom must be dropped (evidence-only)")
+    // an absent value INSIDE every generation's [min,max]: the a/b
+    // files prune by bloom, the saturated c files keep (no evidence)
+    val absent2 = s.read.format("graftcell").load(root)
+      .filter(col("value") === "u03000a")
+    assert(planned(absent2) == cFiles.size,
+      "bloom-less files must stay planned; bloomed ones still prune")
+    assert(absent2.count() == 0L)
+    // a DELETE rewrite refreshes the bloom exactly (the -r1 file's
+    // bloom no longer claims the dropped value; b prunes by bloom, c
+    // by range — nothing left to plan)
+    new graft.sources.cell.GraftCellTable(root).deleteWhere(
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("value", "zz")))
+    CellFooterCache.invalidate(root)
+    val gone = s.read.format("graftcell").load(root)
+      .filter(col("value") === "zz")
+    assert(planned(gone) == 0,
+      "the rewritten file's refreshed bloom must prune its old value")
+    assert(gone.count() == 0L)
+  }
+
   test("per-family compression descriptors (r18): codec-pure files with " +
        "-z name tags; codecs travel through compaction and DML rewrites") {
     import graft.sources.cell.{CellFooterCache, GraftCellCodecTag}
