@@ -1424,27 +1424,20 @@ object CellConnector extends QueryModule {
                TBLPROPERTIES ('tombstone' = '__DEL__',
                               'max_versions' = '2',
                               'family.hba.delete_markers' = 'hide-all-older')""")
+      // ONE overwrite staging the whole version history (4 separate
+      // INSERT commits would pay 4 write shuffles for fixture content
+      // a single statement expresses)
       s.sql("""INSERT OVERWRITE graftcat.events_dm
                SELECT rowkey, f.family, qualifier,
-                      CAST(1000 AS BIGINT) AS version, value
-               FROM graft_catalog_src
-               LATERAL VIEW explode(array('cur', 'hba')) f AS family""")
-      s.sql("""INSERT INTO graftcat.events_dm
-               SELECT rowkey, f.family, qualifier,
-                      CAST(2000 AS BIGINT), value || '~'
-               FROM graft_catalog_src
-               LATERAL VIEW explode(array('cur', 'hba')) f AS family""")
-      s.sql("""INSERT INTO graftcat.events_dm
-               SELECT rowkey, f.family, qualifier,
-                      CAST(3000 AS BIGINT), '__DEL__'
-               FROM graft_catalog_src
-               LATERAL VIEW explode(array('cur', 'hba')) f AS family""")
-      s.sql("""INSERT INTO graftcat.events_dm
-               SELECT rowkey, f.family, qualifier,
-                      CAST(4000 AS BIGINT), value || '+'
+                      CAST(v.ver AS BIGINT) AS version,
+                      CASE v.ver WHEN 1000 THEN value
+                                 WHEN 2000 THEN value || '~'
+                                 WHEN 3000 THEN '__DEL__'
+                                 ELSE value || '+' END AS value
                FROM graft_catalog_src
                LATERAL VIEW explode(array('cur', 'hba')) f AS family
-               WHERE rowkey >= '5'""")
+               LATERAL VIEW explode(array(1000, 2000, 3000, 4000)) v AS ver
+               WHERE v.ver < 4000 OR rowkey >= '5'""")
       s.sql("CALL graftcat.compact('events_dm')")
       s.sql("""SELECT * FROM graftcat.events_dm
                ORDER BY rowkey, family, qualifier, version""")

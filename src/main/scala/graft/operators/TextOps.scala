@@ -211,6 +211,65 @@ object TextOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    "text_bpe_train" -> ((s, dir) => {
+      // BPE TRAINING (r19 — completes the text_bpe story: the merge
+      // table is LEARNED here, not only applied): the classic
+      // vocab-based trainer. One corpus pass builds the weighted word
+      // vocabulary (explode → groupBy — the only corpus-sized
+      // shuffle); then 8 rank rounds run entirely on the VOCAB table
+      // (bounded by distinct words, tiny next to the corpus at any
+      // scale): count adjacent symbol pairs weighted by word count,
+      // pick the max (ties broken lexicographically — deterministic
+      // under any partitioning), merge ALL its occurrences, repeat.
+      // Each round's winner is ONE collected row (the decision the
+      // driver must broadcast anyway — the legitimate driver-side
+      // collect); the vocab localCheckpoints per round so round r
+      // never replays rounds 1..r-1's lineage. Output = the learned
+      // merge table (rank, lhs, rhs, merged, pair_count) — exactly
+      // the broadcast artifact text_bpe applies. The DuckDB oracle
+      // replays the identical 8 rounds as chained CTE stages, so the
+      // LEARNED TABLE itself is hash-checked cross-engine. Pair
+      // counts are non-increasing in rank by construction (a merge
+      // only creates pairs bounded by its own count) — spec-pinned.
+      val norm = trim(regexp_replace(lower(coalesce(col("text"), lit(""))),
+                                     "[^a-z]+", " "))
+      var vocab = T.load(s, dir, "documents")
+        .select(explode(split(norm, " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(regexp_replace(col("w"), "(.)", "|$1|").as("sym"),
+                col("cnt"))
+        .localCheckpoint()
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      (1 to 8).foreach { r =>
+        val l = split(regexp_replace(col("sym"), "^\\||\\|$", ""),
+                      "\\|\\|")
+        val pairs = vocab
+          .select(l.as("l"), col("cnt"))
+          .select(explode(arrays_zip(
+                    slice(col("l"), lit(1), size(col("l")) - 1),
+                    slice(col("l"), lit(2), size(col("l")) - 1))).as("p"),
+                  col("cnt"))
+          .select(col("p").getField("0").as("a"),
+                  col("p").getField("1").as("b"), col("cnt"))
+        val top = pairs.groupBy("a", "b").agg(sum("cnt").as("c"))
+          .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+          .collect()(0)
+        val a = top.getString(0)
+        val b = top.getString(1)
+        val c = top.getLong(2)
+        merges += ((r, a, b, s"$a$b", c))
+        vocab = vocab
+          .select(replace(col("sym"), lit(s"|$a||$b|"), lit(s"|$a$b|"))
+                    .as("sym"), col("cnt"))
+          .localCheckpoint()
+      }
+      import s.implicits._
+      merges.result()
+        .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+        .orderBy("rank")
+    }),
+
     "text_repetition" -> ((s, dir) => {
       // Repetition-based quality signals (the Gopher/MassiveText family):
       // duplicate-word fraction and most-frequent-word fraction per doc.
@@ -448,6 +507,44 @@ object TextOps extends QueryModule {
                        "CAST(bpe_tokens AS DOUBLE) / n_chars_az")}
                      ELSE NULL END AS compression
          FROM c ORDER BY doc_id"""
+    },
+
+    "text_bpe_train" -> {
+      // the identical 8 training rounds as chained CTE stages: pair
+      // counts from list slicing, top-1 with the same lexicographic
+      // tiebreak, merge via the same boundary-explicit replace
+      def stage(i: Int): String =
+        s"""p$i AS (SELECT unnest(range(1, length(l))) AS idx, l, cnt
+                    FROM (SELECT str_split(trim(sym, '|'), '||') AS l,
+                                 cnt
+                          FROM v${i - 1}) q$i),
+            c$i AS (SELECT l[idx] AS a, l[idx + 1] AS b,
+                           sum(cnt) AS c
+                    FROM p$i GROUP BY 1, 2),
+            t$i AS (SELECT a, b, c FROM c$i
+                    ORDER BY c DESC, a, b LIMIT 1),
+            v$i AS (SELECT replace(v.sym,
+                                   '|' || t.a || '||' || t.b || '|',
+                                   '|' || t.a || t.b || '|') AS sym,
+                           v.cnt
+                    FROM v${i - 1} v, t$i t)"""
+      val unions = (1 to 8).map(i =>
+        s"""SELECT $i AS rank, a AS lhs, b AS rhs, a || b AS merged,
+                   CAST(c AS BIGINT) AS pair_count FROM t$i""")
+        .mkString(" UNION ALL ")
+      s"""WITH words AS (
+            SELECT w, count(*) AS cnt FROM (
+              SELECT unnest(string_split(
+                       trim(regexp_replace(lower(coalesce(text, '')),
+                                           '[^a-z]+', ' ', 'g')),
+                       ' ')) AS w
+              FROM documents) q
+            WHERE w <> '' GROUP BY w),
+          v0 AS (SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS sym,
+                        cnt
+                 FROM words),
+          ${(1 to 8).map(stage).mkString(",\n          ")}
+          SELECT * FROM ($unions) ORDER BY rank"""
     },
 
     "text_repetition" ->

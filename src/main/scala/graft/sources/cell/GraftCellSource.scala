@@ -5005,6 +5005,60 @@ class CellDataWriterFactory(tmpDir: String, maxRowsPerFile: Long = -1L,
                        verifyOrder, codecs)
 }
 
+/** Direct InternalRow → parquet WriteSupport for the cell schema
+  * (r19) — the WRITE-side twin of the vectorized read path:
+  * CellDataWriter used to build one parquet-example `Group` (a boxed
+  * object tree) per row only for GroupWriteSupport to walk it back
+  * apart. This consumes the shuffled UnsafeRow directly — per field
+  * one isNullAt + addBinary/addLong on the RecordConsumer, no
+  * intermediate objects beyond the byte copy parquet's page builders
+  * require — on EVERY connector write (inserts, DML rewrites,
+  * compaction/maintenance outputs). Fields are positional in
+  * [[GraftCell.SCHEMA]] order, exactly how Spark hands rows to the
+  * sink. */
+class CellWriteSupport(msgType: org.apache.parquet.schema.MessageType)
+    extends org.apache.parquet.hadoop.api.WriteSupport[InternalRow] {
+  private var consumer: org.apache.parquet.io.api.RecordConsumer = _
+  private val names = msgType.getFields.asScala.map(_.getName).toArray
+  private val versionIdx = names.indexOf("version")
+
+  override def init(conf: Configuration)
+      : org.apache.parquet.hadoop.api.WriteSupport.WriteContext =
+    new org.apache.parquet.hadoop.api.WriteSupport.WriteContext(
+      msgType, java.util.Collections.emptyMap[String, String]())
+
+  override def prepareForWrite(
+      rc: org.apache.parquet.io.api.RecordConsumer): Unit = consumer = rc
+
+  override def write(row: InternalRow): Unit = {
+    consumer.startMessage()
+    var i = 0
+    while (i < names.length) {
+      if (!row.isNullAt(i)) {
+        consumer.startField(names(i), i)
+        if (i == versionIdx) consumer.addLong(row.getLong(i))
+        else consumer.addBinary(
+          Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+        consumer.endField(names(i), i)
+      }
+      i += 1
+    }
+    consumer.endMessage()
+  }
+}
+
+/** ParquetWriter.Builder over [[CellWriteSupport]] — keeps the stock
+  * builder surface (codec, bloom filters, page sizes). */
+class CellParquetWriterBuilder(path: Path,
+                               msgType: org.apache.parquet.schema.MessageType)
+    extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+      InternalRow, CellParquetWriterBuilder](path) {
+  override def self(): CellParquetWriterBuilder = this
+  override def getWriteSupport(conf: Configuration)
+      : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+    new CellWriteSupport(msgType)
+}
+
 /** Sorted region file(s) per (range-partitioned) task. Rows arrive
   * rowkey-sorted (the declared write ordering), so ROLLING to a new
   * file every `maxRowsPerFile` rows — the HBase region SPLIT-ON-SIZE —
@@ -5021,10 +5075,7 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
                      verifyOrder: Boolean = false,
                      codecs: CellCodecs = CellCodecs.DEFAULT)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-  import org.apache.parquet.example.data.Group
-  import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.ParquetWriter
-  import org.apache.parquet.hadoop.example.ExampleParquetWriter
   import org.apache.parquet.hadoop.metadata.CompressionCodecName
   import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -5038,7 +5089,6 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
     }
     b.named("cell")
   }
-  private val groups = new SimpleGroupFactory(msgType)
 
   private val files = scala.collection.mutable.ArrayBuffer.empty[CellFileMeta]
   // file sequence shared across sinks: names stay unique per task
@@ -5057,7 +5107,7 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
     * sink (roll on bucket change). */
   private final class Sink(codec: CompressionCodecName) {
     private val codecTag = GraftCellCodecTag.tag(codec)
-    var writer: ParquetWriter[Group] = _
+    var writer: ParquetWriter[InternalRow] = _
     var file: String = _
     private var rowsInFile = 0L
     var curBucket = -1
@@ -5087,10 +5137,8 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
       val tag = buckets.fold("")(n => GraftBucket.tag(curBucket, n))
       file = f"$tmpDir/part-$partitionId%05d-$seq%04d$codecTag$tag.parquet"
       seq += 1
-      writer = ExampleParquetWriter
-        .builder(new Path(file))
+      writer = new CellParquetWriterBuilder(new Path(file), msgType)
         .withConf(new Configuration())
-        .withType(msgType)
         .withCompressionCodec(codec)
         .withBloomFilterEnabled("rowkey", true)
         // r19: value bloom for row-group point skipping — NDV-capped
@@ -5134,7 +5182,6 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
         curBucket = b
       }
       if (writer == null) open()
-      val g = groups.newGroup()
       if (row.isNullAt(0)) nullKeys += 1
       if (row.isNullAt(1)) nullFams += 1
       var i = 0
@@ -5142,12 +5189,10 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
         if (!row.isNullAt(i)) {
           if (GraftCell.SCHEMA(i).name == "version") {
             val v = row.getLong(i)
-            g.add(i, v)
             if (v < minVer) minVer = v
             if (v > maxVer) maxVer = v
           } else {
             val bytes = row.getUTF8String(i).getBytes
-            g.add(i, Binary.fromConstantByteArray(bytes))
             if (i == 0) { // rowkey
               if (minKey == null ||
                   JArrays.compareUnsigned(bytes, minKey) < 0) minKey = bytes
@@ -5174,7 +5219,9 @@ class CellDataWriter(tmpDir: String, partitionId: Int,
         }
         i += 1
       }
-      writer.write(g)
+      // r19: the row goes to parquet DIRECTLY (CellWriteSupport) — no
+      // per-row Group tree on the connector write path anymore
+      writer.write(row)
       rowsInFile += 1
       if (maxRowsPerFile > 0 && rowsInFile >= maxRowsPerFile) roll()
     }

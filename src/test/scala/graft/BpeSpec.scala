@@ -55,4 +55,58 @@ class BpeSpec extends AnyFunSuite {
     val (c1, t1) = refBpe("the and")
     assert(c1 == 6 && t1 == 2, s"'the and' must merge to 2 tokens: $t1")
   }
+
+  test("text_bpe_train learns the exact greedy merge table (r19): " +
+       "round-1 winner matches an independent pair count, pair counts " +
+       "are non-increasing, and applying the learned table compresses") {
+    val table = SparkEntry.queries("text_bpe_train")(s, SparkFixture.sf001)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+                 r.getString(3), r.getLong(4)))
+    assert(table.length == 8 && table.map(_._1).toSeq == (1 to 8),
+      s"8 ranked merges expected: ${table.toSeq}")
+    table.foreach { case (_, a, b, m, _) => assert(m == a + b) }
+    // greedy invariant: a merge only creates pairs bounded by its own
+    // count, so the winning count can never increase with rank
+    val counts = table.map(_._5).toSeq
+    assert(counts == counts.sorted.reverse,
+      s"pair counts must be non-increasing: $counts")
+    // independent round-1 cross-check: count weighted adjacent char
+    // pairs over the word vocabulary in plain JVM code
+    val docs = s.read
+      .parquet(SparkFixture.sf001 + "/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val vocab = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { t =>
+      Option(t).getOrElse("").toLowerCase.replaceAll("[^a-z]+", " ")
+        .trim.split(" ").filter(_.nonEmpty)
+        .foreach(w => vocab(w) = vocab.getOrElse(w, 0L) + 1L)
+    }
+    val pairCnt = scala.collection.mutable.Map.empty[(String, String), Long]
+    vocab.foreach { case (w, c) =>
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1))
+        pairCnt(k) = pairCnt.getOrElse(k, 0L) + c
+      }
+    }
+    val expectTop = pairCnt.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.head
+    assert((table(0)._2, table(0)._3) == expectTop._1 &&
+           table(0)._5 == expectTop._2,
+      s"round-1 winner ${table(0)} != independent count $expectTop")
+    // the LEARNED table applied like text_bpe compresses the corpus
+    def applyMerges(text: String): (Long, Long) = {
+      val norm = Option(text).getOrElse("")
+        .toLowerCase.replaceAll("[^a-z]+", " ").trim
+      val sym = norm.map(ch => s"|$ch|").mkString
+      val merged = table.foldLeft(sym) { case (m, (_, a, b, _, _)) =>
+        m.replace(s"|$a||$b|", s"|$a$b|") }
+      (norm.count(_ != ' ').toLong,
+       (merged.count(_ == '|') / 2 - merged.count(_ == ' ')).toLong)
+    }
+    val (chars, toks) = docs.map(applyMerges)
+      .foldLeft((0L, 0L)) { case ((c, t), (c2, t2)) => (c + c2, t + t2) }
+    assert(toks < chars,
+      s"the learned merges must compress: $toks tokens / $chars chars")
+  }
 }
