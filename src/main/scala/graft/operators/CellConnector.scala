@@ -75,6 +75,25 @@ object CellConnector extends QueryModule {
     path
   }
 
+  /** Stage the FAMILY-PURE store (one connector append per family, so
+    * every region file holds exactly one family with zero null
+    * families) — the per-CF store-file layout the grouped metadata
+    * aggregates (`cell_connector_count_family` / `_minmax_family`)
+    * answer from. Staged once per sf-dir behind a wipe-on-partial
+    * marker. */
+  private def stageFamStore(s: org.apache.spark.sql.SparkSession,
+                            dir: String): String = {
+    val path = storePath(dir) + "_fam"
+    stagedOnce(path, "_STAGED_COUNT_FAM") {
+      val base = CellQueries.eventCells(s, dir)
+      Seq("d", "m", "x").foreach { fam =>
+        base.select(col("rowkey"), lit(fam).as("family"),
+                    col("qualifier"), col("version"), col("value"))
+          .write.format("graftcell").mode("append").save(path)
+      }
+    }
+  }
+
   /** Register the graftcell TableCatalog for this sf-dir's warehouse
     * (idempotent; catalogs load lazily on first `graftcat.` reference,
     * so setting the conf on a live session works). */
@@ -922,18 +941,37 @@ object CellConnector extends QueryModule {
       // `status`/`describe` ops query for free). A family-straddling
       // file, unknown stat, filter, or other grouping refuses and the
       // normal scan + Spark aggregation runs (spec-pinned both ways).
-      val path = storePath(dir) + "_fam"
-      stagedOnce(path, "_STAGED_COUNT_FAM") {
-        val base = CellQueries.eventCells(s, dir)
-        Seq("d", "m", "x").foreach { fam =>
-          base.select(col("rowkey"), lit(fam).as("family"),
-                      col("qualifier"), col("version"), col("value"))
-            .write.format("graftcell").mode("append").save(path)
-        }
-      }
+      val path = stageFamStore(s, dir)
       s.read.format("graftcell").load(path)
         .groupBy(col("family")).agg(count(lit(1)).as("n_cells"))
         .orderBy("family")
+    }),
+
+    "cell_connector_minmax_family" -> ((s, dir) => {
+      // GROUPED metadata EXTREMES (r19 — the count_family arm widened):
+      // `MIN(version) / MAX(version) GROUP BY family` answered from the
+      // manifests' per-file version TimeRanges when every live file is
+      // family-pure AND group-pure outright (nullFams 0 or rowCount) —
+      // each file's TimeRange then belongs whole to exactly one group,
+      // so the grouped extremes are exact per-file folds. This is the
+      // "when was each column family last written / how far back does
+      // it go" ops query (HBase surfaces it per-store-file in the
+      // region server UI), metadata-only at any store size. Mixed
+      // null-family files, straddling files, filters, or other
+      // groupings refuse (spec-pinned) and the normal scan runs.
+      val path = stageFamStore(s, dir)
+      val df = s.read.format("graftcell").load(path)
+        .groupBy(col("family"))
+        .agg(count(lit(1)).as("n_cells"),
+             min("version").as("min_ver"),
+             max("version").as("max_ver"))
+        .orderBy("family")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftCellAggScan") &&
+             plan.contains("PushedGroupBy: [family]") &&
+             plan.contains("MIN(version)") && plan.contains("MAX(version)"),
+        s"grouped version extremes not answered from manifests:\n$plan")
+      df
     }),
 
     "cell_connector_value_bloom" -> ((s, dir) => {
@@ -2797,6 +2835,14 @@ object CellConnector extends QueryModule {
     "cell_connector_count_family" ->
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT f.fam AS family, count(*) AS n_cells
+          FROM cells
+          CROSS JOIN (VALUES ('d'), ('m'), ('x')) AS f(fam)
+          GROUP BY f.fam ORDER BY family""",
+
+    "cell_connector_minmax_family" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT f.fam AS family, count(*) AS n_cells,
+                 min(version) AS min_ver, max(version) AS max_ver
           FROM cells
           CROSS JOIN (VALUES ('d'), ('m'), ('x')) AS f(fam)
           GROUP BY f.fam ORDER BY family""",

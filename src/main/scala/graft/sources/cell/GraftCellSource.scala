@@ -3017,7 +3017,7 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
     with SupportsPushDownTopN with SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownTableSample {
   import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder => VSortOrder}
-  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GraftCell.SCHEMA
@@ -3109,31 +3109,54 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
     val included: Option[Seq[CellFileMeta]] =
       if (pushed.isEmpty) Some(metas)
       else GraftCell.alignedFiles(pushed.toSeq, metas)
-    // r19: GROUPED metadata COUNT — `COUNT(*) GROUP BY family` is
-    // manifest-answerable when every live file is FAMILY-PURE
-    // (minFam == maxFam) with a known NULL-family count: each file
-    // contributes whole to exactly one group (+ its nulls to the NULL
-    // group). The per-family INSERT / per-CF store-file layout makes
-    // purity the common case; ANY straddling file, unknown stat,
-    // filter, or other grouping refuses and the normal scan runs —
-    // evidence-only, like every metadata answer.
+    // r19: GROUPED metadata aggregates — `COUNT(*) / MIN(version) /
+    // MAX(version) GROUP BY family` are manifest-answerable when every
+    // live file is FAMILY-PURE (minFam == maxFam) with a known
+    // NULL-family count: each file contributes whole to exactly one
+    // group (+ its nulls to the NULL group). The per-family INSERT /
+    // per-CF store-file layout makes purity the common case; ANY
+    // straddling file, unknown stat, filter, or other grouping refuses
+    // and the normal scan runs — evidence-only, like every metadata
+    // answer. Version MIN/MAX additionally require the file to be
+    // GROUP-PURE OUTRIGHT (nullFams 0 or rowCount): a mixed file's
+    // version TimeRange spans the family group AND the NULL group, so
+    // neither group's extreme is attributable — COUNT alone tolerates
+    // the mix because nullFams splits it exactly.
+    def versionAgg(e: AggregateFunc): Boolean = e match {
+      case m: Min => m.column().toString == "version"
+      case m: Max => m.column().toString == "version"
+      case _ => false
+    }
+    // a version extreme needs a known TimeRange on every row-bearing
+    // file; None is indistinguishable from "legacy manifest" (refuse)
+    def verStatsOk(ms: Seq[CellFileMeta]): Boolean =
+      ms.filter(_.rowCount > 0)
+        .forall(m => m.minVer.isDefined && m.maxVer.isDefined)
+    val gExprs = agg.aggregateExpressions()
     val groupedOk = agg.groupByExpressions().length == 1 &&
       agg.groupByExpressions()(0).toString == "family" &&
       pushed.isEmpty &&
-      agg.aggregateExpressions().nonEmpty &&
-      agg.aggregateExpressions().forall(_.isInstanceOf[CountStar]) &&
+      gExprs.nonEmpty &&
+      gExprs.forall(e => e.isInstanceOf[CountStar] || versionAgg(e)) &&
       metas.filter(_.rowCount > 0).forall(m =>
         m.nullFams.isDefined &&
         (m.nullFams.get == m.rowCount ||
          (m.minFam.isDefined && m.maxFam.isDefined &&
-          JArrays.equals(m.minFam.get, m.maxFam.get))))
+          JArrays.equals(m.minFam.get, m.maxFam.get)))) &&
+      (!gExprs.exists(versionAgg) ||
+       (verStatsOk(metas) && metas.filter(_.rowCount > 0).forall(m =>
+          m.nullFams.get == 0L || m.nullFams.get == m.rowCount)))
     sample.isEmpty && // a sampled COUNT cannot come from manifest stats
     fuzzy.isEmpty && // fuzzy is row-level: stats cannot answer it
     included.isDefined &&
     (groupedOk || (agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().nonEmpty &&
-      agg.aggregateExpressions().forall {
+      gExprs.nonEmpty &&
+      gExprs.forall {
         case _: CountStar => true
+        case m: Min if m.column().toString == "version" =>
+          verStatsOk(included.get)
+        case m: Max if m.column().toString == "version" =>
+          verStatsOk(included.get)
         case m: Min => m.column().toString == "rowkey" &&
           included.get.forall(_.minKey.nonEmpty)
         case m: Max => m.column().toString == "rowkey" &&
@@ -3186,6 +3209,22 @@ class GraftCellAggScan(path: String,
 
   private def grouped: Boolean = agg.groupByExpressions().nonEmpty
 
+  /** (name, type) per pushed aggregate — schema from the EXPRESSIONS,
+    * never from answer values (a NULL MIN must not mistype a column). */
+  private def fields: Array[(String, org.apache.spark.sql.types.DataType)] =
+    agg.aggregateExpressions().map {
+      case _: CountStar => ("COUNT(*)", LongType)
+      case m: Min if m.column().toString == "version" =>
+        ("MIN(version)", LongType)
+      case m: Max if m.column().toString == "version" =>
+        ("MAX(version)", LongType)
+      case m: Min if m.column().toString == "rowkey" =>
+        ("MIN(rowkey)", StringType)
+      case m: Max if m.column().toString == "rowkey" =>
+        ("MAX(rowkey)", StringType)
+      case other => throw new IllegalStateException(s"unpushable agg $other")
+    }
+
   private def answers: Array[(String, Any)] =
     agg.aggregateExpressions().map {
       case _: CountStar =>
@@ -3193,6 +3232,14 @@ class GraftCellAggScan(path: String,
         ("COUNT(*)",
          if (pushed.isEmpty) metas.map(_.rowCount).sum
          else metas.map(m => m.rowCount - m.nullKeys.get).sum)
+      case m: Min if m.column().toString == "version" =>
+        // the files' version TimeRanges (r19 — "oldest write"): exact
+        // because parquet min/max skip NULL versions, like MIN itself
+        ("MIN(version)", metas.flatMap(_.minVer)
+          .reduceOption(math.min(_: Long, _: Long)).map(java.lang.Long.valueOf).orNull)
+      case m: Max if m.column().toString == "version" =>
+        ("MAX(version)", metas.flatMap(_.maxVer)
+          .reduceOption(math.max(_: Long, _: Long)).map(java.lang.Long.valueOf).orNull)
       case m: Min if m.column().toString == "rowkey" =>
         ("MIN(rowkey)", metas.flatMap(_.minKey)
           .reduceOption((a, b) => GraftCell.UnsignedBytesOrd.min(a, b))
@@ -3204,36 +3251,61 @@ class GraftCellAggScan(path: String,
       case other => throw new IllegalStateException(s"unpushable agg $other")
     }
 
-  /** GROUPED metadata answer (r19 — `COUNT(*) GROUP BY family` from
-    * the manifest): the builder only pushes this when every live file
-    * is FAMILY-PURE (minFam == maxFam) with known nullFams, so each
-    * file contributes (rowCount − nullFams) to its family's group and
-    * nullFams to the NULL group. Output rows sorted (NULL first) for
-    * determinism; one row per family, zero data bytes at any size. */
+  /** GROUPED metadata answer (r19 — `COUNT(*) / MIN(version) /
+    * MAX(version) GROUP BY family` from the manifest): the builder
+    * only pushes this when every live file is FAMILY-PURE (minFam ==
+    * maxFam) with known nullFams, so each file contributes
+    * (rowCount − nullFams) to its family's group and nullFams to the
+    * NULL group; version extremes additionally required group-pure
+    * files outright (nullFams 0 or rowCount), so each file's version
+    * TimeRange belongs whole to exactly one group. Output rows sorted
+    * (NULL first) for determinism; one row per family, zero data bytes
+    * at any size. */
   private def groupedRows: Seq[Array[Any]] = {
-    val counts = scala.collection.mutable.LinkedHashMap
-      .empty[Option[String], Long]
+    final case class Acc(var n: Long = 0L,
+                         var minV: Option[Long] = None,
+                         var maxV: Option[Long] = None)
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Option[String], Acc]
+    def fold(f: Option[String], n: Long, m: CellFileMeta): Unit = {
+      val a = groups.getOrElseUpdate(f, Acc())
+      a.n += n
+      // only the group owning the WHOLE file may claim its TimeRange;
+      // the builder guarantees that whenever a version agg is pushed
+      if (n == m.rowCount) {
+        a.minV = (a.minV ++ m.minVer).reduceOption(math.min(_: Long, _: Long))
+        a.maxV = (a.maxV ++ m.maxVer).reduceOption(math.max(_: Long, _: Long))
+      }
+    }
     metas.foreach { m =>
       val nf = m.nullFams.getOrElse(
         throw new IllegalStateException(
           "graftcell: grouped-aggregate eligibility changed between " +
           "planning and execution"))
-      if (nf > 0)
-        counts(None) = counts.getOrElse(None, 0L) + nf
-      if (m.rowCount - nf > 0) {
-        val f = Some(new String(m.minFam.get,
-                                java.nio.charset.StandardCharsets.UTF_8))
-        counts(f) = counts.getOrElse(f, 0L) + (m.rowCount - nf)
-      }
+      if (nf > 0) fold(None, nf, m)
+      if (m.rowCount - nf > 0)
+        fold(Some(new String(m.minFam.get,
+               java.nio.charset.StandardCharsets.UTF_8)),
+             m.rowCount - nf, m)
     }
-    counts.toSeq.sortBy(_._1)
-      .map { case (f, n) => Array[Any](f.orNull, n) }
+    groups.toSeq.sortBy(_._1)
+      .map { case (f, a) =>
+        f.orNull +: agg.aggregateExpressions().map {
+          case _: CountStar => a.n: Any
+          case m: Min if m.column().toString == "version" =>
+            a.minV.map(java.lang.Long.valueOf).orNull
+          case m: Max if m.column().toString == "version" =>
+            a.maxV.map(java.lang.Long.valueOf).orNull
+          case other =>
+            throw new IllegalStateException(s"unpushable grouped agg $other")
+        }
+      }
   }
 
   override def readSchema(): StructType = {
-    val aggFields = answers.map {
-      case (n, _: java.lang.Long) => StructField(n, LongType, nullable = false)
-      case (n, _)                 => StructField(n, StringType)
+    val aggFields = fields.map { case (n, t) =>
+      // COUNT is never NULL; extremes may be (an empty included set)
+      StructField(n, t, nullable = n != "COUNT(*)")
     }
     if (!grouped) StructType(aggFields)
     else StructType(StructField("family", StringType) +: aggFields)

@@ -667,6 +667,84 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(byQual.collect()(0).getLong(1) == 19L)
   }
 
+  test("grouped metadata MIN/MAX(version) (r19): answered from per-file " +
+       "TimeRanges on group-pure files; a mixed null-family file refuses") {
+    import scala.collection.JavaConverters._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_gver_spec_").toString + "/t"
+    def rows(fam: String, ks: Seq[(String, Long)]) = s.createDataFrame(
+      ks.map { case (k, v) =>
+        org.apache.spark.sql.Row(k, fam, "q", v, s"v$k") }.asJava,
+      GraftCell.SCHEMA)
+    // one append per family → family-pure, nullFams = 0 everywhere
+    rows("d", Seq("a" -> 100L, "b" -> 300L, "c" -> 200L))
+      .write.format("graftcell").mode("append").save(store)
+    rows("m", Seq("a" -> 900L, "b" -> 50L))
+      .write.format("graftcell").mode("append").save(store)
+    val df = s.read.format("graftcell").load(store)
+      .groupBy(col("family"))
+      .agg(count(lit(1)).as("n"), min("version").as("mn"),
+           max("version").as("mx"))
+      .orderBy("family")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftCellAggScan") &&
+           plan.contains("PushedGroupBy: [family]") &&
+           plan.contains("MIN(version)") && plan.contains("MAX(version)"),
+      s"grouped version extremes not answered from manifests:\n$plan")
+    assert(df.collect().map(r =>
+             (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+             .toSeq ==
+           Seq(("d", 3L, 100L, 300L), ("m", 2L, 50L, 900L)))
+    // an ALL-NULL-family file is still group-pure: its TimeRange
+    // belongs whole to the NULL group
+    s.createDataFrame(
+      Seq(org.apache.spark.sql.Row("zz", null, "q", 77L, "vz")).asJava,
+      GraftCell.SCHEMA)
+      .write.format("graftcell").mode("append").save(store)
+    val withNull = s.read.format("graftcell").load(store)
+      .groupBy(col("family"))
+      .agg(min("version").as("mn"), max("version").as("mx"))
+      .orderBy("family")
+    assert(withNull.queryExecution.executedPlan.toString
+             .contains("PushedGroupBy: [family]"))
+    assert(withNull.collect().map(r =>
+             (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+           Seq((null, 77L, 77L), ("d", 100L, 300L), ("m", 50L, 900L)))
+    // a MIXED file (null-family AND family rows) keeps grouped COUNT
+    // (nullFams splits it exactly) but refuses version extremes — the
+    // file's one TimeRange spans two groups, neither extreme is
+    // attributable. Same rowkey so both rows provably share one file.
+    s.createDataFrame(
+      Seq(org.apache.spark.sql.Row("k1", "d", "q", 5L, "v1"),
+          org.apache.spark.sql.Row("k1", null, "q", 9999L, "v2")).asJava,
+      GraftCell.SCHEMA)
+      .write.format("graftcell").mode("append").save(store)
+    val mixedCnt = s.read.format("graftcell").load(store)
+      .groupBy(col("family")).agg(count(lit(1)).as("n"))
+    assert(mixedCnt.queryExecution.executedPlan.toString
+             .contains("PushedGroupBy: [family]"),
+      "grouped COUNT must survive a mixed file (nullFams splits it)")
+    val mixedVer = s.read.format("graftcell").load(store)
+      .groupBy(col("family")).agg(min("version").as("mn"))
+    assert(!mixedVer.queryExecution.executedPlan.toString
+             .contains("GraftCellAggScan"),
+      "grouped version extremes must refuse a mixed null-family file")
+    assert(mixedVer.orderBy("family").collect().map(r =>
+             (r.getString(0), r.getLong(1))).toSeq ==
+           Seq((null, 77L), ("d", 5L), ("m", 50L)),
+      "refused pushdown must still answer correctly via the scan")
+    // UNGROUPED MIN/MAX(version) answers from the global TimeRange
+    // fold (no purity requirement — there is only one group)
+    val ung = s.read.format("graftcell").load(store)
+      .agg(min("version").as("mn"), max("version").as("mx"))
+    val uplan = ung.queryExecution.executedPlan.toString
+    assert(uplan.contains("GraftCellAggScan") &&
+           uplan.contains("MIN(version)"),
+      s"ungrouped version extremes not answered from manifests:\n$uplan")
+    assert(ung.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+           Seq((5L, 9999L)))
+  }
+
   test("write path emits sorted, non-overlapping region files (declared layout)") {
     // RequiresDistributionAndOrdering evidence: after the connector
     // write, every committed file's footer [min,max] rowkey interval is
