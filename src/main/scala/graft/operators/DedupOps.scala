@@ -175,7 +175,126 @@ object DedupOps extends QueryModule {
     lbl.select(col("node").as("doc_id"), col("label").as("canonical"))
   }
 
+  /** `dedup_substring`'s span width / sampling stride / shared
+    * boilerplate (the fixture guarantees cross-doc duplicated spans
+    * exist: every doc_id % 5 == 0 doc carries the same tail). */
+  private[graft] val SUB_W = 40
+  private[graft] val SUB_S = 8
+  private[graft] val SUB_BOILER =
+    " this document includes the standard licensing boilerplate" +
+    " paragraph shared verbatim across the corpus for span dedup"
+
+  /** The `dedup_substring` core over any (doc_id, t) frame: every
+    * SUB_W-char span (all positions — alignment-free, so ANY duplicated
+    * passage of length >= SUB_W is detected, the ExactSubstr
+    * guarantee), counting per doc the spans occurring in >= 2 distinct
+    * docs. `dedup_winnow` is the sampled scale path. */
+  private[graft] def substringDupStats(d: DataFrame): DataFrame =
+    dupStatsOf(
+      d.filter(length(col("t")) >= SUB_W)
+        .select(col("doc_id"),
+          explode(expr(
+            s"transform(sequence(1, length(t) - ${SUB_W - 1})," +
+            s" i -> substring(t, i, $SUB_W))")).as("sh")))
+
+  /** WINNOWED span selection (Schleimer–Wilkerson–Aiken) over any
+    * (doc_id, t) frame — the sampled scale path: for every window of
+    * SUB_S consecutive span positions, select the position with the
+    * MINIMUM span fingerprint (md5; ties broken by position via a
+    * zero-padded position suffix INSIDE the compared string, so the
+    * choice is total and portable). Selection is CONTENT-DEFINED: the
+    * winner of a window depends only on the window's SUB_W+SUB_S−1
+    * chars, so two copies of a duplicated passage select the SAME
+    * relative positions wherever a whole selection window fits inside
+    * both copies — passages of length >= SUB_W + 2·(SUB_S−1) are
+    * guaranteed to contribute an identical sampled span to each copy
+    * REGARDLESS of alignment (the property a fixed-stride sample does
+    * NOT have: copies at different offsets mod S sample different
+    * relative spans). Density ~2/(SUB_S+1) of all positions, so the
+    * cross-doc shuffle shrinks ~4× here (and arbitrarily with larger
+    * SUB_S) while staying deterministic. Span generation + hashing +
+    * window minima all happen INSIDE one row via higher-order array
+    * functions — zero per-doc shuffle; only the selected spans leave
+    * the row. */
+  private[graft] def winnowDupStats(d: DataFrame): DataFrame =
+    dupStatsOf(
+      d.filter(length(col("t")) >= SUB_W)
+        // hps[i] = md5(span at i) ++ lpad(i): min() over a slice IS
+        // (fingerprint, position) lexicographic argmin, portably
+        .withColumn("hps", expr(
+          s"transform(sequence(1, length(t) - ${SUB_W - 1}), i -> " +
+          s"concat(md5(substring(t, i, $SUB_W)), lpad(cast(i as string), 12, '0')))"))
+        .select(col("doc_id"), col("t"),
+          explode(expr(
+            s"array_distinct(transform(sequence(1, size(hps)), k -> " +
+            s"array_min(slice(hps, k, $SUB_S))))")).as("sel"))
+        .select(col("doc_id"),
+          expr(s"substring(t, cast(substring(sel, 33, 12) as int), $SUB_W)")
+            .as("sh")))
+
+  private def dupStatsOf(sh: DataFrame): DataFrame = {
+    val nd = sh.groupBy("sh")
+      .agg(countDistinct("doc_id").as("ndocs"))
+    sh.join(nd, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .withColumn("dup_fraction",
+        st4(col("dup_spans").cast("double") / col("n_spans")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_substring" -> ((s, dir) => {
+      // SUBSTRING-LEVEL exact-duplicate detection (the Lee et al.
+      // "Deduplicating Training Data" ExactSubstr shape, re-expressed
+      // for Spark): instead of a suffix array, enumerate every
+      // fixed-width W-char span — ANY duplicated passage of length
+      // >= W is detected, alignment-free — and count, per doc, the
+      // spans that occur in >= 2 distinct docs. Three linear shuffles
+      // at any corpus size (span -> distinct-doc count; span join-back;
+      // per-doc fold); the quadratic suffix-array pass never happens.
+      // Spans shuffle as raw W-byte strings so DuckDB can replay the
+      // pipeline byte-for-byte; a production deployment hashes them to
+      // 8 bytes first (xxhash64 — collision-tolerant counting), and
+      // `dedup_winnow` below is the SAMPLED scale path that shrinks
+      // the shuffle ~4× more. Fixture: docs with doc_id % 5 == 0
+      // share a verbatim boilerplate tail (real corpora: license
+      // headers, nav chrome), so the duplicated-span class is provably
+      // non-empty; dup_fraction is the doc's removal signal.
+      substringDupStats(
+        T.load(s, dir, "documents")
+          .withColumn("t",
+            when(col("doc_id") % 5 === 0,
+                 concat(col("text"), lit(SUB_BOILER)))
+              .otherwise(col("text"))))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_winnow" -> ((s, dir) => {
+      // WINNOWING fingerprint selection (Schleimer–Wilkerson–Aiken,
+      // SIGMOD'03 — the MOSS algorithm) as dedup_substring's sampled
+      // scale path: per window of S consecutive span positions, keep
+      // the position with the minimum md5 fingerprint (position
+      // tie-break folded INTO the compared string, so selection is
+      // total and engine-portable). Content-defined anchors mean two
+      // copies of a passage select the SAME relative spans whatever
+      // their byte offsets — the guarantee fixed-stride sampling lacks
+      // — with ~2/(S+1) density, so the cross-doc shuffle carries ~4×
+      // fewer spans here and arbitrarily fewer at larger S. Span
+      // hashing and window minima run INSIDE each row via higher-order
+      // array functions (transform/slice/array_min): zero per-doc
+      // shuffle, no window Exchange — only selected spans leave the
+      // row. Same fixture and readback as dedup_substring; the spec
+      // pins the alignment guarantee on adversarially-offset copies.
+      winnowDupStats(
+        T.load(s, dir, "documents")
+          .withColumn("t",
+            when(col("doc_id") % 5 === 0,
+                 concat(col("text"), lit(SUB_BOILER)))
+              .otherwise(col("text"))))
+        .orderBy("doc_id")
+    }),
+
     "dedup_minhash_portable" -> ((s, dir) => {
       // MinHash-LSH with a fully ORACLE-CHECKED pipeline — the portable
       // twin of dedup_minhash (whose MLlib signatures can only be
@@ -462,6 +581,62 @@ object DedupOps extends QueryModule {
        WHERE jaccard(a.text, b.text) >= 0.9"""
 
   val oracles: Map[String, String] = Map(
+    "dedup_substring" ->
+      s"""WITH d AS (SELECT doc_id,
+                            CASE WHEN doc_id % 5 = 0
+                                 THEN text || '$SUB_BOILER'
+                                 ELSE text END AS t
+                     FROM documents),
+              sh AS (SELECT doc_id,
+                            unnest(list_transform(
+                              generate_series(1, len(t) - ${SUB_W - 1}),
+                              i -> substr(t, i, $SUB_W))) AS sh
+                     FROM d WHERE len(t) >= $SUB_W),
+              nd AS (SELECT sh, count(DISTINCT doc_id) AS ndocs
+                     FROM sh GROUP BY sh)
+          SELECT doc_id, count(*) AS n_spans,
+                 CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS dup_spans,
+                 ${st4s(
+                   "CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) " +
+                   "AS DOUBLE) / count(*)")} AS dup_fraction
+          FROM sh JOIN nd USING (sh)
+          GROUP BY doc_id ORDER BY doc_id""",
+
+    "dedup_winnow" ->
+      s"""WITH d AS (SELECT doc_id,
+                            CASE WHEN doc_id % 5 = 0
+                                 THEN text || '$SUB_BOILER'
+                                 ELSE text END AS t
+                     FROM documents),
+              p AS (SELECT doc_id, t,
+                           list_transform(
+                             generate_series(1, len(t) - ${SUB_W - 1}),
+                             i -> md5(substr(t, i, $SUB_W)) ||
+                                  lpad(CAST(i AS VARCHAR), 12, '0')) AS hps
+                    FROM d WHERE len(t) >= $SUB_W),
+              sel AS (SELECT doc_id, t,
+                             unnest(list_distinct(list_transform(
+                               generate_series(1, len(hps)),
+                               k -> list_aggregate(
+                                      list_slice(hps, k, k + ${SUB_S - 1}),
+                                      'min')))) AS sel
+                      FROM p),
+              sh AS (SELECT doc_id,
+                            substr(t, CAST(substr(sel, 33, 12) AS INT),
+                                   $SUB_W) AS sh
+                     FROM sel),
+              nd AS (SELECT sh, count(DISTINCT doc_id) AS ndocs
+                     FROM sh GROUP BY sh)
+          SELECT doc_id, count(*) AS n_spans,
+                 CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS dup_spans,
+                 ${st4s(
+                   "CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) " +
+                   "AS DOUBLE) / count(*)")} AS dup_fraction
+          FROM sh JOIN nd USING (sh)
+          GROUP BY doc_id ORDER BY doc_id""",
+
     "dedup_incremental" ->
       """WITH batch AS (
            SELECT doc_id + 1000000 AS new_id, text || ' batchmark' AS text

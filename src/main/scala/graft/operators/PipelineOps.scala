@@ -166,6 +166,42 @@ object PipelineOps extends QueryModule {
         .orderBy("lang")
     }),
 
+    "sample_temperature" -> ((s, dir) => {
+      // TEMPERATURE-scaled mixture resampling (r19) — the multilingual
+      // LLM-training rule "sample source i proportional to n_i^(1/T)"
+      // that keeps big domains from drowning small ones (T=2 here, the
+      // classic downsampling temperature): per source, keep
+      // kept_i = round(sqrt(5 · n_i)) docs, chosen as the kept_i
+      // smallest content-independent md5 priorities. EXACT cross-engine
+      // determinism by construction: IEEE sqrt is correctly rounded in
+      // both engines and round(sqrt(integer·5)) can never sit at a
+      // rounding boundary (sqrt of a non-square integer is irrational,
+      // and (k+0.5)² is never an integer), so no float-tie can flip a
+      // count. Plan: one partial-agg shuffle for the per-source counts,
+      // broadcast of the tiny source table back onto the ranked docs,
+      // one rank window per source. At 100 TB, cap the window with a
+      // constant upper bound first (rk <= max_kept) so WindowGroupLimit
+      // truncates below the exchange, then apply the per-source bound.
+      val d = T.load(s, dir, "documents")
+      val kept = d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_kept",
+          floor(sqrt(col("n_docs").cast("double") * 5.0) + 0.5)
+            .cast("long"))
+      val rk = row_number().over(
+        Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+      d.select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", rk)
+        .join(broadcast(kept), Seq("source"))
+        .filter(col("rk") <= col("n_kept"))
+        .groupBy("source")
+        .agg(max("n_docs").as("n_docs"),
+             count(lit(1)).as("n_kept"),
+             T.d(sum(T.dec(col("n_chars")))).as("sum_chars_kept"))
+        .orderBy("source")
+    }),
+
     "sample_stratified" -> ((s, dir) => {
       // Uniform k-per-stratum sample (the reservoir-sampling contract,
       // distributed): rank docs inside each language by a
@@ -370,6 +406,22 @@ object PipelineOps extends QueryModule {
                                WHEN 'es' THEN 'c000' WHEN 'fr' THEN '1999'
                                ELSE 'e000' END
           GROUP BY lang ORDER BY lang""",
+
+    "sample_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs,
+                           CAST(floor(sqrt(count(*) * 5.0) + 0.5)
+                                AS BIGINT) AS n_kept
+                    FROM documents GROUP BY source),
+              r AS (SELECT source, doc_id, n_chars,
+                           row_number() OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                      doc_id) AS rk
+                    FROM documents)
+         SELECT r.source, max(c.n_docs) AS n_docs, count(*) AS n_kept,
+                CAST(CAST(sum(CAST(r.n_chars AS DECIMAL(38,6)))
+                     AS STRING) AS DOUBLE) AS sum_chars_kept
+         FROM r JOIN c USING (source) WHERE r.rk <= c.n_kept
+         GROUP BY r.source ORDER BY source""",
 
     "sample_stratified" ->
       """SELECT lang, rk, doc_id, n_chars

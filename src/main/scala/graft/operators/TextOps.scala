@@ -61,31 +61,35 @@ object TextOps extends QueryModule {
         .orderBy("id_a", "id_b")
     }),
 
-    "text_lm_score" -> ((s, dir) => {
-      // Corpus-LM fluency score: each doc's average corpus frequency of
-      // its word bigrams — docs full of rare transitions score low (the
-      // cheap stand-in for perplexity-based quality filtering, no model
-      // needed). Bigram build is O(words) via one zip_with over shifted
-      // views; the corpus count table is vocab²-bounded (tiny next to
-      // the corpus) so the re-join broadcasts — at 100 TB the token
-      // stream shuffles once for the counts and never again. Counts are
-      // integers and the per-doc mean is an exact-decimal-sum / count,
-      // so the score is bit-stable across engines and partitionings.
-      val bi = T.load(s, dir, "documents")
-        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-        .filter(size(col("w")) >= 2)
-        .select(col("doc_id"),
-                explode(zip_with(col("w"),
-                                 slice(col("w"), lit(2), size(col("w"))),
-                                 (x, y) => concat(x, lit(" "), y))).as("bg"))
-        .filter(col("bg").isNotNull) // zip_with's trailing null pad
-      val counts = bi.groupBy("bg").agg(count(lit(1)).as("cnt"))
-      bi.join(broadcast(counts), "bg")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-             T.stable4(T.d(sum(T.dec(col("cnt")))) / count(lit(1)))
-               .as("lm_score"))
-        .orderBy("doc_id")
+    "text_lm_score" -> ((s, dir) => lmScores(s, dir).orderBy("doc_id")),
+
+    "text_quality_buckets" -> ((s, dir) => {
+      // CCNet-style QUALITY BUCKETS (r19): per language, rank docs by
+      // the corpus-LM fluency score and cut into tertiles —
+      // head/middle/tail, the classic perplexity-bucketed curation
+      // split (head feeds training, tail is dropped or down-weighted).
+      // One extra shuffle on lang over the lm_score pipeline; the
+      // ntile window per language is the same shape CCNet runs per
+      // (lang, shard). Readback = per-bucket doc counts + exact-decimal
+      // score envelope, all order-independent (bit-stable at any
+      // partitioning). Tie order (score desc, doc_id) is total, so the
+      // tertile assignment is deterministic cross-engine.
+      val scored = lmScores(s, dir)
+        .join(T.load(s, dir, "documents").select("doc_id", "lang"),
+              Seq("doc_id"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("lm_score").desc, col("doc_id"))
+      scored.withColumn("tert", ntile(3).over(w))
+        .withColumn("bucket",
+          when(col("tert") === 1, "head")
+            .when(col("tert") === 2, "middle").otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+             T.stable4(T.d(sum(T.dec(col("lm_score")))) / count(lit(1)))
+               .as("avg_score"),
+             min("lm_score").as("min_score"),
+             max("lm_score").as("max_score"))
+        .orderBy("lang", "bucket")
     }),
 
     "text_wordcount" -> ((s, dir) =>
@@ -374,24 +378,76 @@ object TextOps extends QueryModule {
         .orderBy(col("cnt").desc, col("bigram")).limit(20)),
   )
 
+  /** Corpus-LM fluency score: each doc's average corpus frequency of
+    * its word bigrams — docs full of rare transitions score low (the
+    * cheap stand-in for perplexity-based quality filtering, no model
+    * needed). Bigram build is O(words) via one zip_with over shifted
+    * views; the corpus count table is vocab²-bounded (tiny next to
+    * the corpus) so the re-join broadcasts — at 100 TB the token
+    * stream shuffles once for the counts and never again. Counts are
+    * integers and the per-doc mean is an exact-decimal-sum / count,
+    * so the score is bit-stable across engines and partitionings.
+    * Shared by `text_lm_score` (direct readback) and
+    * `text_quality_buckets` (per-lang tertile split). */
+  private def lmScores(s: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame = {
+    val bi = T.load(s, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+              explode(zip_with(col("w"),
+                               slice(col("w"), lit(2), size(col("w"))),
+                               (x, y) => concat(x, lit(" "), y))).as("bg"))
+      .filter(col("bg").isNotNull) // zip_with's trailing null pad
+    val counts = bi.groupBy("bg").agg(count(lit(1)).as("cnt"))
+    bi.join(broadcast(counts), "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           T.stable4(T.d(sum(T.dec(col("cnt")))) / count(lit(1)))
+             .as("lm_score"))
+  }
+
   private def dsum(inner: String) =
     s"CAST(CAST(sum(CAST($inner AS DECIMAL(38,6))) AS STRING) AS DOUBLE)"
 
+  /** The lm_score pipeline as DuckDB CTEs ending in
+    * `sc(doc_id, n_bigrams, lm_score)` — the oracle twin of
+    * [[lmScores]], shared by text_lm_score and text_quality_buckets. */
+  private lazy val lmScoreCtes =
+    s"""t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+              FROM documents),
+        b AS (SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i + 1])) AS bg
+              FROM t WHERE len(w) >= 2),
+        c AS (SELECT bg, count(*) AS cnt FROM b GROUP BY bg),
+        sc AS (SELECT doc_id, count(*) AS n_bigrams,
+                      ${graft.Tables.stable4Sql(
+                        s"${dsum("cnt")} / count(*)")} AS lm_score
+               FROM b JOIN c USING (bg)
+               GROUP BY doc_id)"""
+
   val oracles: Map[String, String] = Map(
     "text_lm_score" ->
-      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
-                     FROM documents),
-               b AS (SELECT doc_id,
-                            unnest(list_transform(
-                              generate_series(1, len(w) - 1),
-                              i -> w[i] || ' ' || w[i + 1])) AS bg
-                     FROM t WHERE len(w) >= 2),
-               c AS (SELECT bg, count(*) AS cnt FROM b GROUP BY bg)
-          SELECT doc_id, count(*) AS n_bigrams,
+      s"""WITH $lmScoreCtes
+          SELECT doc_id, n_bigrams, lm_score FROM sc ORDER BY doc_id""",
+
+    "text_quality_buckets" ->
+      s"""WITH $lmScoreCtes,
+              kb AS (SELECT d.lang, sc.lm_score,
+                            CASE ntile(3) OVER (PARTITION BY d.lang
+                                   ORDER BY sc.lm_score DESC, sc.doc_id)
+                              WHEN 1 THEN 'head'
+                              WHEN 2 THEN 'middle'
+                              ELSE 'tail' END AS bucket
+                     FROM sc JOIN documents d USING (doc_id))
+          SELECT lang, bucket, count(*) AS n_docs,
                  ${graft.Tables.stable4Sql(
-                   s"${dsum("cnt")} / count(*)")} AS lm_score
-          FROM b JOIN c USING (bg)
-          GROUP BY doc_id ORDER BY doc_id""",
+                   s"${dsum("lm_score")} / count(*)")} AS avg_score,
+                 min(lm_score) AS min_score,
+                 max(lm_score) AS max_score
+          FROM kb GROUP BY lang, bucket ORDER BY lang, bucket""",
 
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -29,6 +29,80 @@ class DedupSpec extends AnyFunSuite {
            s"missing=${expect -- pairs.toSet} extra=${pairs.toSet -- expect}")
   }
 
+  test("dedup_substring: any duplicated passage of length >= W is detected, " +
+       "alignment-free; W-1 is not") {
+    import spark.implicits._
+    val W = operators.DedupOps.SUB_W
+    val rnd = new scala.util.Random(42)
+    def filler(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    // a shared passage of EXACTLY W chars at different offsets in two
+    // otherwise-random docs, and a W-1 passage in two other docs
+    val passW = "Z" + filler(W - 2) + "Z"
+    val passW1 = "Y" + filler(W - 3) + "Y"
+    val docs = Seq(
+      (1L, filler(13) + passW + filler(150)),
+      (2L, filler(27) + passW + filler(90)),
+      (3L, filler(10) + passW1 + filler(150)),
+      (4L, filler(22) + passW1 + filler(90)),
+      (5L, filler(200))).toDF("doc_id", "t")
+    val got = operators.DedupOps.substringDupStats(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) >= 1 && got(2L) >= 1,
+           s"W-length passage must be detected in both copies: $got")
+    assert(got(3L) == 0 && got(4L) == 0 && got(5L) == 0,
+           s"passages shorter than W must not produce shared spans: $got")
+  }
+
+  test("dedup_winnow: content-defined anchors detect passages >= W + 2(S-1) " +
+       "at adversarial offsets; density shrinks vs full enumeration") {
+    import spark.implicits._
+    val W = operators.DedupOps.SUB_W
+    val S = operators.DedupOps.SUB_S
+    val rnd = new scala.util.Random(1234)
+    def filler(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val guaranteed = "Q" + filler(W + 2 * (S - 1) - 2) + "Q"
+    // offsets 13 and 27 differ mod S (S=8: 5 vs 3) — exactly the case
+    // a fixed-stride sample misses; winnowing must not
+    val docs = Seq(
+      (1L, filler(13) + guaranteed + filler(160)),
+      (2L, filler(27) + guaranteed + filler(120)),
+      (3L, filler(250))).toDF("doc_id", "t")
+    val win = operators.DedupOps.winnowDupStats(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = win.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 >= 1 && byId(2L)._3 >= 1,
+           s"winnow missed an adversarially-offset duplicated passage: ${win.toSeq}")
+    assert(byId(3L)._3 == 0, s"false positive on the random doc: ${win.toSeq}")
+    // sampling density: winnow selects ~2/(S+1) of positions
+    val full = operators.DedupOps.substringDupStats(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    win.foreach { case (id, nSpans, _) =>
+      assert(nSpans < full(id) / 2,
+        s"doc $id: winnow kept $nSpans of ${full(id)} spans — not a sample")
+    }
+  }
+
+  test("dedup_winnow flags a subset of dedup_substring's dup docs on the fixture " +
+       "(winnowed spans are a subset of all spans)") {
+    val winDup = SparkEntry.queries("dedup_winnow")(spark, sf)
+      .filter(col("dup_spans") > 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val fullDup = SparkEntry.queries("dedup_substring")(spark, sf)
+      .filter(col("dup_spans") > 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(winDup.nonEmpty, "fixture boilerplate class must be flagged")
+    assert(winDup.subsetOf(fullDup),
+           s"winnow flagged docs full enumeration did not: ${winDup -- fullDup}")
+    // the boilerplate class is fully detected by BOTH (its 119-char
+    // tail is far over the winnow guarantee length W + 2(S-1))
+    val boiler = SparkFixture.spark.read
+      .parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 5 === 0)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(boiler.subsetOf(winDup),
+           s"boilerplate docs missed by winnow: ${boiler -- winDup}")
+  }
+
   test("connectedComponents converges on a 30-node chain (diameter >> fixed-round reach)") {
     // A transitive chain 1~2~...~30 is the shape a fixed round count
     // silently splits; the fixpoint loop must label the whole chain with
