@@ -2206,6 +2206,79 @@ object CellConnector extends QueryModule {
                ORDER BY rowkey, qualifier""")
     }),
 
+    "sql_cell_call_repair" -> ((s, dir) => {
+      // CRASH-COMPLETION as a CONTRACT key (r19 — `CALL repair` was
+      // procedure+spec only): the fixture stages the EXACT state an
+      // interrupted group-replace commit leaves behind — the new batch
+      // dir is committed WITH its `_retire.json` naming the replaced
+      // generation's files, which still exist because the crash hit
+      // before the deletions. The key pins the whole protocol inline:
+      // (1) readers already exclude intent-listed files (the crash
+      // window never double-counts), (2) CALL repair completes exactly
+      // one intent and deletes exactly the victims, retiring the
+      // emptied generation, (3) a second CALL is a no-op (idempotent).
+      // Readback = the post-repair table, whose oracle is the same
+      // SQL the COMPLETED commit would have produced — repair must
+      // land the store on the commit's intended end state, nowhere
+      // else. Metadata-only driver work: O(intent files) deletions.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.events_rp")
+      s.sql("""CREATE TABLE graftcat.events_rp (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_rp SELECT * FROM graft_catalog_src")
+      val store = "/tmp/graft_catalog_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_rp"
+      val fc = graft.sources.cell.CellFooterCache
+      val gen1 = fc.committedDirs(store).toSet
+      // the generation a group-replace would retire
+      s.sql("""INSERT INTO graftcat.events_rp
+               SELECT rowkey, family, qualifier,
+                      version + 1000000 AS version, value
+               FROM graft_catalog_src WHERE rowkey >= '6' AND rowkey < '7'""")
+      val gen2 = (fc.committedDirs(store).toSet -- gen1).toSeq
+      assert(gen2.size == 1, s"expected one new generation, got $gen2")
+      // the replacing batch (committed) ...
+      s.sql("""INSERT INTO graftcat.events_rp
+               SELECT rowkey, family, qualifier,
+                      version + 2000000 AS version,
+                      concat(value, '+') AS value
+               FROM graft_catalog_src WHERE rowkey >= '6' AND rowkey < '7'""")
+      val gen3 = (fc.committedDirs(store).toSet -- gen1 -- gen2.toSet).toSeq
+      assert(gen3.size == 1, s"expected one replacing generation, got $gen3")
+      // ... carrying the intent the crash left pending: gen2's files
+      val victims = Option(new java.io.File(store, gen2.head).listFiles)
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getPath).toSeq.sorted
+      assert(victims.nonEmpty, "the retired generation must hold files")
+      graft.sources.cell.CellRetire.write(
+        new java.io.File(store, gen3.head), victims)
+      fc.invalidate(store)
+      // (1) the crash window reads complete-and-correct already:
+      // intent-listed files are excluded from planning
+      val preBand = s.sql(
+        """SELECT count(*) FROM graftcat.events_rp
+           WHERE version >= 1000000 AND version < 2000000""")
+        .collect()(0).getLong(0)
+      assert(preBand == 0L,
+        s"readers must exclude intent-listed files pre-repair ($preBand rows)")
+      // (2) repair completes the one intent, removing exactly gen2
+      val rep = s.sql("CALL graftcat.repair('events_rp')").collect()(0)
+      assert(rep.getLong(0) == 1L && rep.getLong(1) == victims.size.toLong,
+        s"repair must complete 1 intent / ${victims.size} files, got $rep")
+      assert(!fc.committedDirs(store).contains(gen2.head),
+        "the emptied generation must retire with its metadata")
+      // (3) idempotent
+      val again = s.sql("CALL graftcat.repair('events_rp')").collect()(0)
+      assert(again.getLong(0) == 0L && again.getLong(1) == 0L,
+        s"second repair must be a no-op, got $again")
+      s.sql("""SELECT * FROM graftcat.events_rp
+               ORDER BY rowkey, qualifier, version""")
+    }),
+
     "sql_cell_call_vacuum" -> ((s, dir) => {
       // HBase's CLEANER CHORES as one verb (r16; archive-aware r17) —
       // the FIX side of what hbck reports: the fixture constructs one
@@ -3110,6 +3183,19 @@ object CellConnector extends QueryModule {
     // intent and no corruption, so intents_completed = 0; r17: 'vpin'
     // survives compaction via the archive, only the dead pin drops,
     // and the one unpinned archived file is swept
+    // the post-repair table IS the interrupted commit's intended end
+    // state: base cells + the replacing batch, the retired generation
+    // gone — repair may land the store nowhere else
+    "sql_cell_call_repair" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM (
+            SELECT rowkey, family, qualifier, version, value FROM cells
+            UNION ALL
+            SELECT rowkey, family, qualifier,
+                   version + 2000000 AS version, value || '+' AS value
+            FROM cells WHERE rowkey >= '6' AND rowkey < '7')
+          ORDER BY rowkey, qualifier, version""",
+
     "sql_cell_call_vacuum" ->
       """SELECT CAST(0 AS BIGINT) AS intents_completed,
                 CAST(1 AS BIGINT) AS orphan_files_deleted,
