@@ -94,6 +94,35 @@ object CellConnector extends QueryModule {
     }
   }
 
+  /** Stage the GLOBAL-SECONDARY-INDEX fixture: base catalog table
+    * `graftcat.events_gi` (all event cells) + its (d, user_id) index
+    * `graftcat.events_gi_idx_uid` via `CALL build_index`. Idempotent
+    * (INSERT OVERWRITE + full index rebuild), shared by the build and
+    * probe keys. */
+  private def stageGiTable(s: org.apache.spark.sql.SparkSession,
+                           dir: String): Unit = {
+    registerCatalog(s, dir)
+    CellQueries.eventCells(s, dir)
+      .createOrReplaceTempView("graft_catalog_src")
+    s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_gi (
+               rowkey STRING, family STRING, qualifier STRING,
+               version BIGINT, value STRING) USING graftcell""")
+    s.sql("INSERT OVERWRITE graftcat.events_gi SELECT * FROM graft_catalog_src")
+    val r = s.sql(
+      "CALL graftcat.build_index('events_gi', 'uid', 'd', 'user_id')")
+      .collect()(0)
+    assert(r.getString(0) == "events_gi_idx_uid" && r.getLong(1) > 0L,
+      s"index build must report its table and a positive cell count: $r")
+    // the high-selectivity probe index (d, value) — region files
+    // bounded so value-prefix seeks stay sub-store on the fixture
+    val r2 = s.sql(
+      "CALL graftcat.build_index('events_gi', 'val', 'd', 'value', 400)")
+      .collect()(0)
+    assert(r2.getString(0) == "events_gi_idx_val" && r2.getLong(1) > 0L,
+      s"index build must report its table and a positive cell count: $r2")
+    ()
+  }
+
   /** Register the graftcell TableCatalog for this sf-dir's warehouse
     * (idempotent; catalogs load lazily on first `graftcat.` reference,
     * so setting the conf on a live session works). */
@@ -2206,6 +2235,74 @@ object CellConnector extends QueryModule {
                ORDER BY rowkey, qualifier""")
     }),
 
+    "sql_cell_call_build_index" -> ((s, dir) => {
+      // GLOBAL SECONDARY INDEX bulk build (r19 — the Phoenix
+      // `CREATE INDEX ... ASYNC` + IndexTool shape): `CALL build_index`
+      // materializes a VALUE-addressable twin of the base table's
+      // (d, user_id) column as its own catalog cell table — index
+      // rowkey = value ++ 0x00 ++ base rowkey (Phoenix's variable-
+      // length separator: value-prefix scans seek the index exactly
+      // like rowkey scans seek the base), value = the base rowkey (a
+      // covered back-pointer). One distributed pass through the
+      // connector (filter pushed, truncate-commit through the declared
+      // sorted HFile layout), so the index is born with the same
+      // per-file [min,max] stats and blooms as every region file —
+      // probe pruning IS the ordinary machinery. The provenance
+      // descriptor persists in TBLPROPERTIES and a rebuild with
+      // different (family, qualifier) REFUSES (spec-pinned): an index
+      // can never be silently repurposed. Readback = the whole index
+      // table, oracle-rebuilt in DuckDB.
+      stageGiTable(s, dir)
+      s.sql("""SELECT * FROM graftcat.events_gi_idx_uid
+               ORDER BY rowkey, version""")
+    }),
+
+    "cell_index_probe" -> ((s, dir) => {
+      // INDEX-ASSISTED point probe (r19): "all cells of the entities
+      // whose (d, value) column equals k" — unanswerable by rowkey
+      // math on the base
+      // table (the predicate is on a VALUE), so without the index it
+      // is a full scan + row filter. With it: (1) a value-prefix seek
+      // on the index (ordinary rowkey file pruning — the index IS
+      // rowkey-ordered by value), (2) the covered back-pointers come
+      // back as the probe's key set (the HBase client multiget call —
+      // driver-bounded at probe cardinality), (3) an IN-list multiget
+      // on the base, pruned per key by footer ranges + rowkey blooms.
+      // Inline plan assertions pin BOTH prunes (index scan < full
+      // index; base scan < full store). For probe sets too large to
+      // collect, the broadcast-join + runtime-filter path is the same
+      // machinery (DppProbeSpec / join_cell_broadcast); this key is
+      // the point-lookup shape. Oracle: the direct semi-join on the
+      // rebuild — the index must change the PLAN, never the answer.
+      stageGiTable(s, dir)
+      def planned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+        val m = "regionFiles: (\\d+)/(\\d+)".r
+          .findFirstMatchIn(df.queryExecution.executedPlan.toString).get
+        (m.group(1).toInt, m.group(2).toInt)
+      }
+      // probe the smallest indexed value (deterministic; as the
+      // index's FIRST prefix it provably lives in the first region
+      // file, so the seek's prune is layout-independent)
+      val probeVal = s.sql(
+        """SELECT min(value) FROM graftcat.events_gi
+           WHERE family = 'd' AND qualifier = 'value'""")
+        .collect()(0).getString(0)
+      val idxScan = s.table("graftcat.events_gi_idx_val")
+        .filter(col("rowkey").startsWith(probeVal + "\u0000"))
+        .select(col("value"))
+      val (ik, in) = planned(idxScan)
+      assert(in == 1 || (ik > 0 && ik < in),
+        s"index prefix seek must prune the index store: $ik/$in")
+      val keys = idxScan.collect().map(_.getString(0)).toSeq.sorted
+      assert(keys.nonEmpty, "probe value must exist in the fixture")
+      val probe = s.table("graftcat.events_gi")
+        .filter(col("rowkey").isin(keys: _*))
+      val (bk, bn) = planned(probe)
+      assert(keys.size >= bn || bk < bn,
+        s"multiget over ${keys.size} keys must prune base region files: $bk/$bn")
+      probe.orderBy("rowkey", "qualifier")
+    }),
+
     "sql_cell_call_repair" -> ((s, dir) => {
       // CRASH-COMPLETION as a CONTRACT key (r19 — `CALL repair` was
       // procedure+spec only): the fixture stages the EXACT state an
@@ -3183,6 +3280,31 @@ object CellConnector extends QueryModule {
     // intent and no corruption, so intents_completed = 0; r17: 'vpin'
     // survives compaction via the archive, only the dead pin drops,
     // and the one unpinned archived file is swept
+    // the index table rebuilt in SQL: one index cell per non-null
+    // (d, user_id) base cell, rowkey = value ++ 0x00 ++ base rowkey
+    "sql_cell_call_build_index" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT * FROM (
+            SELECT value || chr(0) || rowkey AS rowkey,
+                   'i' AS family, 'r' AS qualifier, version,
+                   rowkey AS value
+            FROM cells
+            WHERE family = 'd' AND qualifier = 'user_id'
+              AND rowkey IS NOT NULL AND value IS NOT NULL)
+          ORDER BY rowkey, version""",
+
+    // the index must change the PLAN, never the answer: the oracle is
+    // the direct value semi-join on the rebuild
+    "cell_index_probe" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+              keys AS (SELECT DISTINCT rowkey FROM cells
+                       WHERE family = 'd' AND qualifier = 'value'
+                         AND value = (SELECT min(value) FROM cells
+                                      WHERE family = 'd'
+                                        AND qualifier = 'value'))
+          SELECT c.* FROM cells c JOIN keys USING (rowkey)
+          ORDER BY rowkey, qualifier""",
+
     // the post-repair table IS the interrupted commit's intended end
     // state: base cells + the replacing batch, the retired generation
     // gone — repair may land the store nowhere else

@@ -117,7 +117,15 @@ class GraftCellCatalog extends TableCatalog
     * refused: a property that silently does nothing is a lie. */
   private val ALLOWED_PROPS =
     Set("ttl_micros", "tombstone", "max_versions", "buckets", "compression",
-        "delete_markers")
+        "delete_markers",
+        // r19 — GLOBAL SECONDARY INDEX provenance, written by
+        // `CALL build_index` (the Phoenix table-descriptor analog):
+        // which base table and (family, qualifier) this index covers.
+        // Load-bearing, not informational: a rebuild with a DIFFERENT
+        // (family, qualifier) is refused against them, so an index can
+        // never be silently repurposed while readers assume its old
+        // meaning.
+        "index.of", "index.family", "index.qualifier")
   // per-COLUMN-FAMILY policy keys (r17 — HBase's per-family descriptor;
   // r18 adds compression, r19 delete_markers): `family.<f>.ttl_micros`
   // / `.tombstone` / `.max_versions` / `.delete_markers` override the
@@ -225,6 +233,37 @@ class GraftCellCatalog extends TableCatalog
     if (marker(dest).exists()) throw new TableAlreadyExistsException(destIdent)
     dest.mkdirs()
     writeProps(dest, readProps(srcDir))
+    dest.getPath
+  }
+
+  /** Create-or-validate the destination table of a GLOBAL SECONDARY
+    * INDEX build (r19): marker-stamped like createTable with the
+    * index-provenance descriptor persisted. A fresh destination is
+    * created; an existing one must carry MATCHING provenance (same
+    * base table, family, qualifier) or the build refuses — rebuilds
+    * are sanctioned, silent repurposing is not. Returns the index
+    * store path. */
+  private[cell] def createIndexDest(baseTable: String, indexTable: String,
+                                    family: String, qualifier: String)
+      : String = {
+    val destIdent = indexTable.split(":", -1) match {
+      case Array(t)     => Identifier.of(Array.empty, t)
+      case Array(ns, t) => Identifier.of(Array(ns), t)
+      case _ => throw new IllegalArgumentException(
+        s"graftcell: bad table reference '$indexTable' (use 'table' or 'ns:table')")
+    }
+    val dest = dirOf(destIdent)
+    val want = Map("index.of" -> baseTable, "index.family" -> family,
+                   "index.qualifier" -> qualifier)
+    if (marker(dest).exists()) {
+      val have = readProps(dest).filter(_._1.startsWith("index."))
+      require(have == want,
+        s"graftcell: '$indexTable' exists with index descriptor $have — " +
+        s"refusing to rebuild it as $want (drop the table to repurpose)")
+    } else {
+      dest.mkdirs()
+      writeProps(dest, want)
+    }
     dest.getPath
   }
 

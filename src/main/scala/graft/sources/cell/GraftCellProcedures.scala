@@ -258,6 +258,42 @@ object GraftCellProcedures {
     }
   }
 
+  /** `build_index(table, index, family, qualifier)` — GLOBAL SECONDARY
+    * INDEX bulk build (r19, the Phoenix `CREATE INDEX ... ASYNC` +
+    * IndexTool shape): materializes `<table>_idx_<index>` as a
+    * catalog table whose rowkey is `value ++ 0x00 ++ base_rowkey` for
+    * every base cell of the given (family, qualifier), value = the
+    * base rowkey (covered back-pointer). The index-provenance
+    * descriptor persists in the new table's TBLPROPERTIES and a
+    * rebuild with different provenance REFUSES — an index can never be
+    * silently repurposed. Rebuild with matching arguments is a full
+    * deterministic overwrite. */
+  final class BuildIndex(catalog: GraftCellCatalog)
+      extends CellProcedure(catalog, "build_index") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType), p("index", StringType),
+      p("family", StringType), p("qualifier", StringType),
+      // the hbase.hregion.max.filesize analog for the index store
+      // (-1 = single region file per write partition)
+      pDefault("max_rows_per_file", LongType, "-1"))
+    override def description(): String =
+      "build (or rebuild) the global secondary index " +
+      "<table>_idx_<index> over one (family, qualifier) column"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val tableName = input.getUTF8String(0).toString
+      val idxName = s"${tableName}_idx_${input.getUTF8String(1)}"
+      val family = input.getUTF8String(2).toString
+      val qualifier = input.getUTF8String(3).toString
+      val idxStore = catalog.createIndexDest(
+        tableName, idxName, family, qualifier)
+      val n = GraftCellMaintenance.buildIndex(
+        SparkSession.active, store(input.getUTF8String(0)), idxStore,
+        family, qualifier,
+        if (input.isNullAt(4)) -1L else input.getLong(4))
+      summary("index_table" -> idxName, "indexed_cells" -> n)
+    }
+  }
+
   /** `list_snapshots(table)` — the HBase shell `list_snapshots`: one
     * row per snapshot manifest with its pinned-dir count and how many
     * pinned dirs a later compaction removed (missing > 0 ⇒ the
@@ -581,6 +617,7 @@ object GraftCellProcedures {
     "merge_regions" -> new MergeRegions(catalog),
     "normalize" -> new Normalize(catalog),
     "repair" -> new Repair(catalog),
+    "build_index" -> new BuildIndex(catalog),
     "bulkload" -> new Bulkload(catalog),
     "hbck" -> new Hbck(catalog),
     "upgrade_manifests" -> new UpgradeManifests(catalog),

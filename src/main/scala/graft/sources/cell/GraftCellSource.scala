@@ -2543,6 +2543,45 @@ object GraftCellMaintenance {
     * travel, and zero-footer planning hold STORE-WIDE — the documented
     * "legacy dirs rewrite in place" caveat has nothing left to apply
     * to. Idempotent; returns (dirs upgraded, files indexed). */
+  /** GLOBAL SECONDARY INDEX bulk build (r19 — the Phoenix
+    * global-index shape): materialize a VALUE-addressable twin of one
+    * (family, qualifier) column as its own cell store. Index cells:
+    * rowkey = `value ++ 0x00 ++ base_rowkey` (the Phoenix
+    * variable-length separator — value-prefix scans seek the index
+    * exactly like rowkey scans seek the base), family `i`, qualifier
+    * `r`, the base cell's version, and the BASE ROWKEY as the value —
+    * a covered back-pointer, so probe → base multiget needs no third
+    * hop. ONE distributed pass: connector read of the base (family +
+    * qualifier predicates pushed; NULL keys/values excluded — they are
+    * not seekable), projection, truncate-commit through the declared
+    * sorted HFile layout, so the index store carries the same tight
+    * per-file [min,max] stats and blooms every graftcell table gets —
+    * the probe's prefix prune IS the ordinary file-pruning machinery.
+    * Rebuild = same call again (overwrite; deterministic). At 100 TB
+    * this is Phoenix's ASYNC index MR build re-expressed as one Spark
+    * plan; incremental maintenance composes from the sinceSnapshot
+    * delta scan the same way `sql_cell_sync` replicates. Returns the
+    * indexed cell count (from the fresh manifest — no second pass). */
+  def buildIndex(spark: org.apache.spark.sql.SparkSession,
+                 baseStore: String, idxStore: String,
+                 family: String, qualifier: String,
+                 maxRowsPerFile: Long = -1L): Long = {
+    import org.apache.spark.sql.functions._
+    val w = spark.read.format("graftcell").load(baseStore)
+      .filter(col("family") === family && col("qualifier") === qualifier &&
+              col("rowkey").isNotNull && col("value").isNotNull)
+      .select(concat(col("value"), lit("\u0000"), col("rowkey")).as("rowkey"),
+              lit("i").as("family"), lit("r").as("qualifier"),
+              col("version"), col("rowkey").as("value"))
+      .write.format("graftcell").mode("overwrite")
+    // the hbase.hregion.max.filesize analog: bounds index region-file
+    // size so value-prefix seeks stay sub-file even on a small store
+    (if (maxRowsPerFile > 0) w.option("maxRowsPerFile", maxRowsPerFile)
+     else w).save(idxStore)
+    CellFooterCache.invalidate(idxStore)
+    CellFooterCache.filesOf(idxStore).map(_.rowCount).sum
+  }
+
   def upgradeManifests(spark: org.apache.spark.sql.SparkSession,
                        store: String): (Long, Long) = {
     val legacy = CellFooterCache.committedDirs(store).filter(d =>

@@ -667,6 +667,51 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(byQual.collect()(0).getLong(1) == 19L)
   }
 
+  test("build_index (r19): provenance descriptor persists, a mismatched " +
+       "rebuild refuses, a matching rebuild is idempotent") {
+    // the contract keys stage the fixture; this spec pins the verbs
+    SparkEntry.queries("sql_cell_call_build_index")(s, dir).collect()
+    val props = s.sql("SHOW TBLPROPERTIES graftcat.events_gi_idx_uid")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("index.of").contains("events_gi") &&
+           props.get("index.family").contains("d") &&
+           props.get("index.qualifier").contains("user_id"),
+      s"index provenance must persist in the descriptor: $props")
+    // repurposing the index to a different column refuses loudly
+    val e = intercept[Exception] {
+      s.sql("CALL graftcat.build_index('events_gi', 'uid', 'd', 'value')")
+        .collect()
+    }
+    assert(e.getMessage.contains("refusing to rebuild"),
+      s"mismatched rebuild must refuse: ${e.getMessage}")
+    // a matching rebuild is a full overwrite landing on the same rows
+    val before = s.table("graftcat.events_gi_idx_uid")
+      .orderBy("rowkey", "version").collect()
+    s.sql("CALL graftcat.build_index('events_gi', 'uid', 'd', 'user_id')")
+      .collect()
+    val after = s.table("graftcat.events_gi_idx_uid")
+      .orderBy("rowkey", "version").collect()
+    assert(before.sameElements(after), "rebuild must be idempotent")
+    // the index changes the plan, never the answer: probe result ==
+    // the direct value filter + semi join on the base table
+    val probed = SparkEntry.queries("cell_index_probe")(s, dir)
+      .collect().map(_.toString).sorted
+    val minVal = s.sql(
+      """SELECT min(value) FROM graftcat.events_gi
+         WHERE family = 'd' AND qualifier = 'value'""")
+      .collect()(0).getString(0)
+    val base = s.table("graftcat.events_gi")
+    val want = base.join(
+        base.filter(col("family") === "d" && col("qualifier") === "value" &&
+                    col("value") === minVal)
+          .select(col("rowkey").as("__rk")).distinct(),
+        col("rowkey") === col("__rk"), "left_semi")
+      .collect().map(_.toString).sorted
+    assert(probed.nonEmpty && probed.sameElements(want),
+      s"index-assisted probe diverged from the direct semi join: " +
+      s"${probed.length} vs ${want.length} rows")
+  }
+
   test("grouped metadata MIN/MAX(version) (r19): answered from per-file " +
        "TimeRanges on group-pure files; a mixed null-family file refuses") {
     import scala.collection.JavaConverters._
