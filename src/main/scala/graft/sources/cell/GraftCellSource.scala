@@ -1830,20 +1830,38 @@ object CellDeleteRewrite {
   def rewriteFile(file: String, filters: Array[Filter],
                   inPlace: Boolean): (String, Option[CellFileMeta]) = {
     val conf = new Configuration()
-    val fr = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(file), conf))
-    val msgType = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
     val target =
       if (inPlace) file
       else new java.io.File(new java.io.File(file).getParentFile,
         nextRewriteName(new java.io.File(file).getName)).getPath
     val tmpFile = new java.io.File(target + ".tmp")
     tmpFile.delete() // stale tmp from a failed earlier attempt
-    val reader = ParquetReader
-      .builder(new GroupReadSupport(), new Path(file))
-      .withConf(conf).build()
-    val writer = ExampleParquetWriter.builder(new Path(tmpFile.getPath))
-      .withConf(conf).withType(msgType)
+    // VECTORIZED decode (r19 — the last row-oriented rewrite reader):
+    // the scan's own columnar reader batches the victim file (the DML
+    // filter is evaluated here EXACTLY per row, so the scan-side
+    // residual-work rule does not apply), and survivors stream through
+    // the direct InternalRow write support — no parquet-example Group
+    // object tree on either side. The rewritten file takes the
+    // canonical cell message type (all graftcell region files share
+    // it; name-resolved reads are order-independent).
+    val cols = GraftCell.SCHEMA.fieldNames
+    val reader = new CellColumnarPartitionReader(
+      CellInputPartition(file, cols, cols, Array.empty, "",
+                         columnar = true))
+    val msgType = {
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      val b = Types.buildMessage()
+      GraftCell.SCHEMA.fields.foreach { f =>
+        if (f.name == "version") b.optional(INT64).named(f.name)
+        else b.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+      }
+      b.named("cell")
+    }
+    val writer = new CellParquetWriterBuilder(new Path(tmpFile.getPath),
+                                              msgType)
+      .withConf(conf)
       // the input's codec travels through the rewrite (r18 name tag)
       .withCompressionCodec(GraftCellCodecTag.of(file))
       .withBloomFilterEnabled("rowkey", true)
@@ -1868,52 +1886,59 @@ object CellDeleteRewrite {
     var nullFams = 0L
     val valueBloom = CellValueBloom.empty()
     val compiled = GraftCell.compileAll(filters)
+    val colIdx = cols.zipWithIndex.toMap
+    val vIdx = colIdx("version")
     try {
-      var g = reader.read()
-      while (g != null) {
-        val get = (c: String) => {
-          val gi = g.getType.getFieldIndex(c)
-          if (g.getFieldRepetitionCount(gi) == 0) null
-          else if (c == "version") java.lang.Long.valueOf(g.getLong(gi, 0))
-          else UTF8String.fromBytes(g.getBinary(gi, 0).getBytes)
+      while (reader.next()) {
+        val batch = reader.get()
+        val n = batch.numRows()
+        var r = 0
+        while (r < n) {
+          val row = batch.getRow(r)
+          val get = (c: String) => {
+            val i = colIdx(c)
+            if (row.isNullAt(i)) null
+            else if (i == vIdx) java.lang.Long.valueOf(row.getLong(i))
+            else row.getUTF8String(i)
+          }
+          val doomed = filters.nonEmpty && compiled.forall(f => f(get))
+          if (!doomed) {
+            writer.write(row); kept += 1
+            // min/max candidates CLONE their bytes: the batch's column
+            // memory is reused across batches, and an aliased extreme
+            // would silently mutate (updates are rare after warmup, so
+            // the clone is off the hot path)
+            def trackBin(col: String)(update: Array[Byte] => Unit): Unit = {
+              val i = colIdx(col)
+              if (!row.isNullAt(i)) update(row.getUTF8String(i).getBytes)
+            }
+            if (row.isNullAt(colIdx("rowkey"))) nullKeys += 1
+            if (row.isNullAt(colIdx("family"))) nullFams += 1
+            trackBin("rowkey") { kb =>
+              if (minKey == null || JArrays.compareUnsigned(kb, minKey) < 0) minKey = kb.clone()
+              if (maxKey == null || JArrays.compareUnsigned(kb, maxKey) > 0) maxKey = kb.clone()
+            }
+            trackBin("family") { kb =>
+              if (minFam == null || JArrays.compareUnsigned(kb, minFam) < 0) minFam = kb.clone()
+              if (maxFam == null || JArrays.compareUnsigned(kb, maxFam) > 0) maxFam = kb.clone()
+            }
+            trackBin("qualifier") { kb =>
+              if (minQual == null || JArrays.compareUnsigned(kb, minQual) < 0) minQual = kb.clone()
+              if (maxQual == null || JArrays.compareUnsigned(kb, maxQual) > 0) maxQual = kb.clone()
+            }
+            trackBin("value") { kb =>
+              if (minVal == null || JArrays.compareUnsigned(kb, minVal) < 0) minVal = kb.clone()
+              if (maxVal == null || JArrays.compareUnsigned(kb, maxVal) > 0) maxVal = kb.clone()
+              CellValueBloom.add(valueBloom, kb)
+            }
+            if (!row.isNullAt(vIdx)) {
+              val v = row.getLong(vIdx)
+              if (v < minVer) minVer = v
+              if (v > maxVer) maxVer = v
+            }
+          }
+          r += 1
         }
-        val doomed = filters.nonEmpty && compiled.forall(f => f(get))
-        if (!doomed) {
-          writer.write(g); kept += 1
-          def trackBin(col: String)(update: Array[Byte] => Unit): Unit = {
-            val i = g.getType.getFieldIndex(col)
-            if (g.getFieldRepetitionCount(i) > 0)
-              update(g.getBinary(i, 0).getBytes)
-          }
-          if (g.getFieldRepetitionCount(g.getType.getFieldIndex("rowkey")) == 0)
-            nullKeys += 1
-          if (g.getFieldRepetitionCount(g.getType.getFieldIndex("family")) == 0)
-            nullFams += 1
-          trackBin("rowkey") { kb =>
-            if (minKey == null || JArrays.compareUnsigned(kb, minKey) < 0) minKey = kb
-            if (maxKey == null || JArrays.compareUnsigned(kb, maxKey) > 0) maxKey = kb
-          }
-          trackBin("family") { kb =>
-            if (minFam == null || JArrays.compareUnsigned(kb, minFam) < 0) minFam = kb
-            if (maxFam == null || JArrays.compareUnsigned(kb, maxFam) > 0) maxFam = kb
-          }
-          trackBin("qualifier") { kb =>
-            if (minQual == null || JArrays.compareUnsigned(kb, minQual) < 0) minQual = kb
-            if (maxQual == null || JArrays.compareUnsigned(kb, maxQual) > 0) maxQual = kb
-          }
-          trackBin("value") { kb =>
-            if (minVal == null || JArrays.compareUnsigned(kb, minVal) < 0) minVal = kb
-            if (maxVal == null || JArrays.compareUnsigned(kb, maxVal) > 0) maxVal = kb
-            CellValueBloom.add(valueBloom, kb)
-          }
-          val vi = g.getType.getFieldIndex("version")
-          if (g.getFieldRepetitionCount(vi) > 0) {
-            val v = g.getLong(vi, 0)
-            if (v < minVer) minVer = v
-            if (v > maxVer) maxVer = v
-          }
-        }
-        g = reader.read()
       }
     } finally { reader.close(); writer.close() }
     if (kept == 0L) {

@@ -1300,7 +1300,7 @@ class CellConnectorSpec extends AnyFunSuite {
     // snapshot lifecycle: listProcedures, drop, and failure modes
     val procs = s.sql("SHOW PROCEDURES IN graftproc")
       .select("procedure_name").collect().map(_.getString(0)).sorted.toSeq
-    assert(procs == Seq("bulkload", "clone_snapshot", "compact",
+    assert(procs == Seq("build_index", "bulkload", "clone_snapshot", "compact",
                         "compact_minor", "drop_snapshot", "export_snapshot",
                         "hbck", "list_snapshots", "merge_regions",
                         "normalize", "rebucket", "repair",
