@@ -58,7 +58,13 @@ object Plans {
     "sql_cell_script_batch", "udtf_sql_table", "cell_connector_sample",
     "sql_exec_immediate",
     "cell_connector_fuzzy", "sql_cell_snapshot_archive",
-    "sql_cell_family_policy", "sql_cell_call_rebucket")
+    "sql_cell_family_policy", "sql_cell_call_rebucket",
+    // r19 additions: grouped metadata extremes (PushedGroupBy +
+    // MIN/MAX(version) from manifests), the index-assisted probe
+    // (prefix-seek + multiget plans), and the LLM-pipeline quartet
+    "cell_connector_count_family", "cell_connector_minmax_family",
+    "cell_index_probe", "dedup_substring", "dedup_winnow",
+    "sample_temperature", "text_quality_buckets")
 
   /** What to explain per key. `obs_metrics`' query RESULT is a 1-row
     * local relation of listener-delivered values; the plan worth

@@ -104,7 +104,12 @@ object CellConnector extends QueryModule {
     registerCatalog(s, dir)
     CellQueries.eventCells(s, dir)
       .createOrReplaceTempView("graft_catalog_src")
-    s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_gi (
+    // hermetic per run: the builds pin __idx_sync_* snapshots on the
+    // base, and INSERT OVERWRITE under a pin would archive the old
+    // generation every run — DROP wipes store, snapshots and archive
+    Seq("events_gi_idx_uid", "events_gi_idx_val", "events_gi")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS graftcat.$t"))
+    s.sql("""CREATE TABLE graftcat.events_gi (
                rowkey STRING, family STRING, qualifier STRING,
                version BIGINT, value STRING) USING graftcell""")
     s.sql("INSERT OVERWRITE graftcat.events_gi SELECT * FROM graft_catalog_src")
@@ -2303,6 +2308,51 @@ object CellConnector extends QueryModule {
       probe.orderBy("rowkey", "qualifier")
     }),
 
+    "sql_cell_call_sync_index" -> ((s, dir) => {
+      // INCREMENTAL index maintenance (r19 — the build_index lifecycle
+      // completed): build pins a SYNC SNAPSHOT of the base view it
+      // indexed; after new base appends, `CALL sync_index(t, name)`
+      // appends exactly the since-snapshot delta's index cells
+      // (O(delta) — the generations committed after the boundary,
+      // never the store) and advances the boundary. Provenance comes
+      // from the index's own descriptor — the two-argument call is
+      // sound because build_index persisted (family, qualifier).
+      // Inline pins: the delta sync counts exactly the new band's
+      // indexed cells; an immediate second sync is a no-op (0 cells,
+      // 0 generations). The refusal side (structural rewrite since the
+      // snapshot ⇒ rebuild required) is spec-pinned — it mutates the
+      // fixture. Own base table (events_si): key isolation, any
+      // execution order. Oracle: the index mapping over base ∪ delta.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.events_si_idx_uid")
+      s.sql("DROP TABLE IF EXISTS graftcat.events_si")
+      s.sql("""CREATE TABLE graftcat.events_si (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_si SELECT * FROM graft_catalog_src")
+      s.sql("CALL graftcat.build_index('events_si', 'uid', 'd', 'user_id')")
+        .collect()
+      // new base history: one appended generation ('8' band, shifted)
+      s.sql("""INSERT INTO graftcat.events_si
+               SELECT rowkey, family, qualifier,
+                      version + 3000000 AS version,
+                      concat(value, '#') AS value
+               FROM graft_catalog_src WHERE rowkey >= '8' AND rowkey < '9'""")
+      val r = s.sql("CALL graftcat.sync_index('events_si', 'uid')")
+        .collect()(0)
+      assert(r.getString(0) == "events_si_idx_uid" &&
+             r.getLong(1) > 0L && r.getLong(2) == 1L,
+        s"sync must append the one delta generation's cells: $r")
+      val again = s.sql("CALL graftcat.sync_index('events_si', 'uid')")
+        .collect()(0)
+      assert(again.getLong(1) == 0L && again.getLong(2) == 0L,
+        s"an immediate second sync must be a no-op: $again")
+      s.sql("""SELECT * FROM graftcat.events_si_idx_uid
+               ORDER BY rowkey, version""")
+    }),
+
     "sql_cell_call_repair" -> ((s, dir) => {
       // CRASH-COMPLETION as a CONTRACT key (r19 — `CALL repair` was
       // procedure+spec only): the fixture stages the EXACT state an
@@ -3304,6 +3354,26 @@ object CellConnector extends QueryModule {
                                         AND qualifier = 'value'))
           SELECT c.* FROM cells c JOIN keys USING (rowkey)
           ORDER BY rowkey, qualifier""",
+
+    // the post-sync index: the uid mapping over base ∪ the appended
+    // delta band — an incremental sync must land exactly where a full
+    // rebuild would
+    "sql_cell_call_sync_index" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+              all_cells AS (
+                SELECT rowkey, family, qualifier, version, value FROM cells
+                UNION ALL
+                SELECT rowkey, family, qualifier,
+                       version + 3000000 AS version, value || '#' AS value
+                FROM cells WHERE rowkey >= '8' AND rowkey < '9')
+          SELECT * FROM (
+            SELECT value || chr(0) || rowkey AS rowkey,
+                   'i' AS family, 'r' AS qualifier, version,
+                   rowkey AS value
+            FROM all_cells
+            WHERE family = 'd' AND qualifier = 'user_id'
+              AND rowkey IS NOT NULL AND value IS NOT NULL)
+          ORDER BY rowkey, version""",
 
     // the post-repair table IS the interrupted commit's intended end
     // state: base cells + the replacing batch, the retired generation

@@ -294,6 +294,44 @@ object GraftCellProcedures {
     }
   }
 
+  /** `sync_index(table, index)` — INCREMENTAL index maintenance
+    * (r19): append to `<table>_idx_<index>` exactly the base
+    * generations committed since the last build/sync (the
+    * `sinceSnapshot` delta — O(delta), never O(store)), then advance
+    * the sync snapshot. Provenance (family, qualifier) comes from the
+    * index table's own descriptor — the properties `build_index`
+    * persisted are what make the bare two-argument call sound.
+    * TOTAL-OR-LOUD: any structural rewrite of base history since the
+    * snapshot (compaction, split/merge, restore, DML rename) REFUSES
+    * with the rebuild verb named — a silent sync over rewritten
+    * history would strand stale index entries. */
+  final class SyncIndex(catalog: GraftCellCatalog)
+      extends CellProcedure(catalog, "sync_index") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(p("table", StringType), p("index", StringType))
+    override def description(): String =
+      "append the base table's since-last-sync delta to the index; " +
+      "refuses when base history was rewritten (rebuild required)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val tableName = input.getUTF8String(0).toString
+      val idxName = s"${tableName}_idx_${input.getUTF8String(1)}"
+      val idxStore = catalog.storeOf(idxName)
+      val props = catalog.propsOf(idxName)
+      def prov(k: String): String = props.getOrElse(k,
+        throw new IllegalArgumentException(
+          s"graftcell: '$idxName' carries no '$k' descriptor — not an " +
+          "index table built by CALL build_index"))
+      require(prov("index.of") == tableName,
+        s"graftcell: '$idxName' indexes '${prov("index.of")}', not " +
+        s"'$tableName'")
+      val (synced, deltaDirs) = GraftCellMaintenance.syncIndex(
+        SparkSession.active, store(input.getUTF8String(0)), idxStore,
+        prov("index.family"), prov("index.qualifier"))
+      summary("index_table" -> idxName, "synced_cells" -> synced,
+              "delta_generations" -> deltaDirs)
+    }
+  }
+
   /** `list_snapshots(table)` — the HBase shell `list_snapshots`: one
     * row per snapshot manifest with its pinned-dir count and how many
     * pinned dirs a later compaction removed (missing > 0 ⇒ the
@@ -618,6 +656,7 @@ object GraftCellProcedures {
     "normalize" -> new Normalize(catalog),
     "repair" -> new Repair(catalog),
     "build_index" -> new BuildIndex(catalog),
+    "sync_index" -> new SyncIndex(catalog),
     "bulkload" -> new Bulkload(catalog),
     "hbck" -> new Hbck(catalog),
     "upgrade_manifests" -> new UpgradeManifests(catalog),

@@ -2587,17 +2587,24 @@ object GraftCellMaintenance {
     * plan; incremental maintenance composes from the sinceSnapshot
     * delta scan the same way `sql_cell_sync` replicates. Returns the
     * indexed cell count (from the fresh manifest — no second pass). */
+  /** The SYNC SNAPSHOT a build pins on the base store: the exact view
+    * the index covers, and the boundary `syncIndex` reads its delta
+    * from. Named per index so several indexes sync independently. */
+  def idxSyncSnapshot(idxLeafName: String): String =
+    s"__idx_sync_$idxLeafName"
+
   def buildIndex(spark: org.apache.spark.sql.SparkSession,
                  baseStore: String, idxStore: String,
                  family: String, qualifier: String,
                  maxRowsPerFile: Long = -1L): Long = {
     import org.apache.spark.sql.functions._
-    val w = spark.read.format("graftcell").load(baseStore)
-      .filter(col("family") === family && col("qualifier") === qualifier &&
-              col("rowkey").isNotNull && col("value").isNotNull)
-      .select(concat(col("value"), lit("\u0000"), col("rowkey")).as("rowkey"),
-              lit("i").as("family"), lit("r").as("qualifier"),
-              col("version"), col("rowkey").as("value"))
+    // pin the view FIRST and index exactly it: the snapshot is then
+    // both the consistency proof (index == snapshot view, bit for bit)
+    // and the incremental boundary the next sync reads from
+    val snap = idxSyncSnapshot(new java.io.File(idxStore).getName)
+    GraftCellSnapshot.create(baseStore, snap)
+    val w = indexCellsOf(spark, baseStore, family, qualifier,
+                         Map("snapshot" -> snap))
       .write.format("graftcell").mode("overwrite")
     // the hbase.hregion.max.filesize analog: bounds index region-file
     // size so value-prefix seeks stay sub-file even on a small store
@@ -2605,6 +2612,78 @@ object GraftCellMaintenance {
      else w).save(idxStore)
     CellFooterCache.invalidate(idxStore)
     CellFooterCache.filesOf(idxStore).map(_.rowCount).sum
+  }
+
+  private def indexCellsOf(spark: org.apache.spark.sql.SparkSession,
+                           baseStore: String, family: String,
+                           qualifier: String,
+                           readOpts: Map[String, String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    readOpts.foldLeft(spark.read.format("graftcell")) {
+        case (r, (k, v)) => r.option(k, v) }
+      .load(baseStore)
+      .filter(col("family") === family && col("qualifier") === qualifier &&
+              col("rowkey").isNotNull && col("value").isNotNull)
+      .select(concat(col("value"), lit("\u0000"), col("rowkey")).as("rowkey"),
+              lit("i").as("family"), lit("r").as("qualifier"),
+              col("version"), col("rowkey").as("value"))
+  }
+
+  /** INCREMENTAL index maintenance (r19 — completes the build_index
+    * lifecycle): append to the index exactly the base generations
+    * committed since the last build/sync (the `sinceSnapshot` delta
+    * scan — O(delta), never O(store)), then advance the sync snapshot.
+    * TOTAL-OR-LOUD eligibility: the delta contract holds only while
+    * base history since the snapshot is APPEND-ONLY — any structural
+    * rewrite (compaction, split/merge, restore, DML group-replace or
+    * ranged-DELETE rename) would strand index entries pointing at
+    * rewritten history, so the sync REFUSES (with the rebuild verb
+    * named) when (a) any pinned dir/file of the sync snapshot is no
+    * longer live as pinned, or (b) the travel log records any event
+    * stamped after the snapshot's newest pinned generation. Legacy
+    * manifest-less dirs rewrite in place without logging — exactly the
+    * caveat class `upgrade_manifests` retires. Returns (cells synced,
+    * delta generations). */
+  def syncIndex(spark: org.apache.spark.sql.SparkSession,
+                baseStore: String, idxStore: String,
+                family: String, qualifier: String): (Long, Long) = {
+    val snap = idxSyncSnapshot(new java.io.File(idxStore).getName)
+    val pins = GraftCellSnapshot.pinned(baseStore, snap) // throws if absent
+    val live = CellFooterCache.committedDirs(baseStore).toSet
+    pins.foreach { case (d, names) =>
+      require(live.contains(d),
+        s"graftcell: sync_index found pinned generation '$d' gone — " +
+        "base history was rewritten since the last sync; rebuild the " +
+        "index (CALL build_index)")
+      names.foreach { ns =>
+        val nowLive = CellFooterCache
+          .filesUnder(baseStore, d)
+          .map(m => new java.io.File(m.path).getName).toSet
+        require(ns.subsetOf(nowLive),
+          s"graftcell: sync_index found pinned files of '$d' renamed " +
+          "or removed — base history was rewritten since the last " +
+          "sync; rebuild the index (CALL build_index)")
+      }
+    }
+    val pinnedMax = pins.keys
+      .map(CellManifest.commitStampOf(baseStore, _))
+      .maxOption.getOrElse(Long.MinValue)
+    val late = CellTravelLog.read(baseStore).filter(_.at > pinnedMax)
+    require(late.isEmpty,
+      s"graftcell: sync_index found ${late.size} structural rewrite " +
+      "event(s) after the sync snapshot — the append-only delta " +
+      "contract is broken; rebuild the index (CALL build_index)")
+    val deltaDirs = live -- pins.keySet
+    if (deltaDirs.isEmpty) return (0L, 0L)
+    val before = CellFooterCache.filesOf(idxStore).map(_.rowCount).sum
+    indexCellsOf(spark, baseStore, family, qualifier,
+                 Map("sinceSnapshot" -> snap))
+      .write.format("graftcell").mode("append").save(idxStore)
+    CellFooterCache.invalidate(idxStore)
+    val synced = CellFooterCache.filesOf(idxStore).map(_.rowCount).sum - before
+    GraftCellSnapshot.create(baseStore, snap) // advance the boundary
+    (synced, deltaDirs.size.toLong)
   }
 
   def upgradeManifests(spark: org.apache.spark.sql.SparkSession,

@@ -712,6 +712,49 @@ class CellConnectorSpec extends AnyFunSuite {
       s"${probed.length} vs ${want.length} rows")
   }
 
+  test("sync_index (r19): total-or-loud — structural rewrites since the " +
+       "sync snapshot refuse with the rebuild verb named") {
+    // the contract key stages events_si + its synced uid index
+    SparkEntry.queries("sql_cell_call_sync_index")(s, dir).collect()
+    // a compaction rewrites base history: pinned generations leave the
+    // live set and the travel log gains post-snapshot events — the
+    // append-only delta contract is broken, sync must refuse
+    s.sql("CALL graftcat.compact('events_si')").collect()
+    val e = intercept[Exception] {
+      s.sql("CALL graftcat.sync_index('events_si', 'uid')").collect()
+    }
+    assert(e.getMessage.contains("build_index"),
+      s"refusal must name the rebuild verb: ${e.getMessage}")
+    // a rebuild re-pins the compacted view; sync is then a clean no-op
+    s.sql("CALL graftcat.build_index('events_si', 'uid', 'd', 'user_id')")
+      .collect()
+    val r = s.sql("CALL graftcat.sync_index('events_si', 'uid')")
+      .collect()(0)
+    assert(r.getLong(1) == 0L && r.getLong(2) == 0L,
+      s"post-rebuild sync must be a no-op: $r")
+    // ... and a post-rebuild append syncs incrementally again
+    s.sql("""INSERT INTO graftcat.events_si
+             SELECT rowkey, family, qualifier,
+                    version + 9000000 AS version, value
+             FROM graft_catalog_src WHERE rowkey >= '9'""")
+    val r2 = s.sql("CALL graftcat.sync_index('events_si', 'uid')")
+      .collect()(0)
+    assert(r2.getLong(1) > 0L && r2.getLong(2) == 1L,
+      s"post-rebuild delta must sync: $r2")
+    // a table without index provenance refuses the bare call
+    s.sql("DROP TABLE IF EXISTS graftcat.plain_idx_p")
+    s.sql("""CREATE TABLE graftcat.plain_idx_p (
+               rowkey STRING, family STRING, qualifier STRING,
+               version BIGINT, value STRING) USING graftcell""")
+    val e2 = intercept[Exception] {
+      s.sql("CALL graftcat.sync_index('plain', 'p')").collect()
+    }
+    assert(e2.getMessage.contains("index.of") ||
+           e2.getMessage.contains("not an index table") ||
+           e2.getMessage.contains("descriptor"),
+      s"a provenance-less table must refuse sync: ${e2.getMessage}")
+  }
+
   test("grouped metadata MIN/MAX(version) (r19): answered from per-file " +
        "TimeRanges on group-pure files; a mixed null-family file refuses") {
     import scala.collection.JavaConverters._
@@ -1305,7 +1348,8 @@ class CellConnectorSpec extends AnyFunSuite {
                         "hbck", "list_snapshots", "merge_regions",
                         "normalize", "rebucket", "repair",
                         "restore_snapshot", "snapshot", "split_region",
-                        "upgrade_manifests", "vacuum", "verify_rep"),
+                        "sync_index", "upgrade_manifests", "vacuum",
+                        "verify_rep"),
            s"procedures: $procs")
     // repair on a healthy store is a no-op summary
     val rRow = s.sql("CALL graftproc.repair('t')").collect()
