@@ -1967,29 +1967,54 @@ object CellDeleteRewrite {
   }
 }
 
-/** Executor-side region-file SPLIT and MERGE rewrites (r16) — the
-  * post-hoc layout surgery of HBase's `split`/`merge_region` shell
-  * verbs, at the engine's region granularity (one region = one sorted
-  * parquet file). Both run as one Spark task per victim/run, stream
-  * rows (never materialize a file in memory), track exact manifest
-  * stats while writing, and hand their outputs to
+/** Executor-side region-file SPLIT and MERGE rewrites (r16;
+  * vectorized r19) — the post-hoc layout surgery of HBase's
+  * `split`/`merge_region` shell verbs, at the engine's region
+  * granularity (one region = one sorted parquet file). Both run as
+  * one Spark task per victim/run, decode through the scan's own
+  * columnar batch reader, stream rows (never materialize a file in
+  * memory), track exact manifest stats while writing through the
+  * direct InternalRow write support, and hand their outputs to
   * [[GraftCellMaintenance.publishReplacement]] for the crash-safe
   * retire-intent publish. */
 object CellRegionRewrite {
-  import org.apache.parquet.example.data.Group
-  import org.apache.parquet.hadoop.ParquetWriter
-  import org.apache.parquet.hadoop.example.ExampleParquetWriter
   import org.apache.parquet.hadoop.metadata.CompressionCodecName
-  import org.apache.parquet.schema.MessageType
+  import org.apache.spark.sql.vectorized.ColumnarBatch
 
-  /** Streaming stats-tracking writer (the CellDataWriter shape, over
-    * raw parquet Groups): rows pass through verbatim, min/max rowkey
-    * bytes and the version TimeRange are tracked exactly. */
-  private final class TrackedWriter(path: String, msgType: MessageType,
+  // positional layout of the canonical cell schema — the vectorized
+  // batches, the direct write support, and the stats tracker all
+  // agree on it
+  private val COLS = GraftCell.SCHEMA.fieldNames
+  private val K_IDX = 0 // rowkey
+  private val F_IDX = 1 // family
+  private val Q_IDX = 2 // qualifier
+  private val V_IDX = 3 // version
+  private val VAL_IDX = 4 // value
+
+  private def cellMsgType: org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val b = Types.buildMessage()
+    GraftCell.SCHEMA.fields.foreach { f =>
+      if (f.name == "version") b.optional(INT64).named(f.name)
+      else b.optional(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named(f.name)
+    }
+    b.named("cell")
+  }
+
+  /** Streaming stats-tracking writer (the CellDataWriter shape): rows
+    * pass through the direct InternalRow write support verbatim
+    * (r19 — no parquet-example Group tree), min/max key bytes and the
+    * version TimeRange are tracked exactly. Extreme candidates CLONE
+    * their bytes — the source batch memory is reused across batches
+    * and an aliased extreme would silently mutate (updates are rare
+    * after warmup, so the clone is off the hot path). */
+  private final class TrackedWriter(path: String,
       codec: CompressionCodecName = CompressionCodecName.SNAPPY) {
-    private val writer: ParquetWriter[Group] = ExampleParquetWriter
-      .builder(new Path(path))
-      .withConf(new Configuration()).withType(msgType)
+    private val msgType = cellMsgType
+    private val writer = new CellParquetWriterBuilder(new Path(path), msgType)
+      .withConf(new Configuration())
       .withCompressionCodec(codec)
       .withBloomFilterEnabled("rowkey", true)
       .withBloomFilterEnabled("value", true)
@@ -2010,38 +2035,32 @@ object CellRegionRewrite {
     private var nullFams = 0L
     private val valueBloom = CellValueBloom.empty()
 
-    def write(g: Group): Unit = {
-      writer.write(g)
+    def write(row: InternalRow): Unit = {
+      writer.write(row)
       rows += 1
-      def trackBin(col: String)(update: Array[Byte] => Unit): Unit = {
-        val i = g.getType.getFieldIndex(col)
-        if (g.getFieldRepetitionCount(i) > 0)
-          update(g.getBinary(i, 0).getBytes)
+      def trackBin(i: Int)(update: Array[Byte] => Unit): Unit =
+        if (!row.isNullAt(i)) update(row.getUTF8String(i).getBytes)
+      if (row.isNullAt(K_IDX)) nullKeys += 1
+      if (row.isNullAt(F_IDX)) nullFams += 1
+      trackBin(K_IDX) { kb =>
+        if (minKey == null || JArrays.compareUnsigned(kb, minKey) < 0) minKey = kb.clone()
+        if (maxKey == null || JArrays.compareUnsigned(kb, maxKey) > 0) maxKey = kb.clone()
       }
-      if (g.getFieldRepetitionCount(g.getType.getFieldIndex("rowkey")) == 0)
-        nullKeys += 1
-      if (g.getFieldRepetitionCount(g.getType.getFieldIndex("family")) == 0)
-        nullFams += 1
-      trackBin("rowkey") { kb =>
-        if (minKey == null || JArrays.compareUnsigned(kb, minKey) < 0) minKey = kb
-        if (maxKey == null || JArrays.compareUnsigned(kb, maxKey) > 0) maxKey = kb
+      trackBin(F_IDX) { kb =>
+        if (minFam == null || JArrays.compareUnsigned(kb, minFam) < 0) minFam = kb.clone()
+        if (maxFam == null || JArrays.compareUnsigned(kb, maxFam) > 0) maxFam = kb.clone()
       }
-      trackBin("family") { kb =>
-        if (minFam == null || JArrays.compareUnsigned(kb, minFam) < 0) minFam = kb
-        if (maxFam == null || JArrays.compareUnsigned(kb, maxFam) > 0) maxFam = kb
+      trackBin(Q_IDX) { kb =>
+        if (minQual == null || JArrays.compareUnsigned(kb, minQual) < 0) minQual = kb.clone()
+        if (maxQual == null || JArrays.compareUnsigned(kb, maxQual) > 0) maxQual = kb.clone()
       }
-      trackBin("qualifier") { kb =>
-        if (minQual == null || JArrays.compareUnsigned(kb, minQual) < 0) minQual = kb
-        if (maxQual == null || JArrays.compareUnsigned(kb, maxQual) > 0) maxQual = kb
-      }
-      trackBin("value") { kb =>
-        if (minVal == null || JArrays.compareUnsigned(kb, minVal) < 0) minVal = kb
-        if (maxVal == null || JArrays.compareUnsigned(kb, maxVal) > 0) maxVal = kb
+      trackBin(VAL_IDX) { kb =>
+        if (minVal == null || JArrays.compareUnsigned(kb, minVal) < 0) minVal = kb.clone()
+        if (maxVal == null || JArrays.compareUnsigned(kb, maxVal) > 0) maxVal = kb.clone()
         CellValueBloom.add(valueBloom, kb)
       }
-      val vi = g.getType.getFieldIndex("version")
-      if (g.getFieldRepetitionCount(vi) > 0) {
-        val v = g.getLong(vi, 0)
+      if (!row.isNullAt(V_IDX)) {
+        val v = row.getLong(V_IDX)
         if (v < minVer) minVer = v
         if (v > maxVer) maxVer = v
       }
@@ -2064,24 +2083,50 @@ object CellRegionRewrite {
     }
   }
 
-  private def openReader(file: String) = ParquetReader
-    .builder(new GroupReadSupport(), new Path(file))
-    .withConf(new Configuration()).build()
+  /** Pull-based row stream over the VECTORIZED batch reader (r19 —
+    * replaces the Group reader): `row` is the batch cursor, valid
+    * until THIS stream's next advance (the reader only swaps batch
+    * memory when its own stream advances past a batch); the cell-key
+    * components are snapshotted per advance so k-way heap comparisons
+    * never read a moved cursor. */
+  private final class CellRowStream(file: String) {
+    private val reader = new CellColumnarPartitionReader(
+      CellInputPartition(file, COLS, COLS, Array.empty, "",
+                         columnar = true))
+    private var batch: ColumnarBatch = _
+    private var n = 0
+    private var r = 0
+    var row: InternalRow = _
+    var kb: Array[Byte] = _
+    var fb: Array[Byte] = _
+    var qb: Array[Byte] = _
+    var verNull = true
+    var ver = 0L
 
-  private def fileSchema(file: String): MessageType = {
-    val fr = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(file), new Configuration()))
-    try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+    def advance(): Boolean = {
+      while (batch == null || r >= n) {
+        if (!reader.next()) { row = null; return false }
+        batch = reader.get(); n = batch.numRows(); r = 0
+      }
+      row = batch.getRow(r); r += 1
+      kb = if (row.isNullAt(K_IDX)) null else row.getUTF8String(K_IDX).getBytes
+      fb = if (row.isNullAt(F_IDX)) null else row.getUTF8String(F_IDX).getBytes
+      qb = if (row.isNullAt(Q_IDX)) null else row.getUTF8String(Q_IDX).getBytes
+      verNull = row.isNullAt(V_IDX)
+      ver = if (verNull) 0L else row.getLong(V_IDX)
+      true
+    }
+
+    def close(): Unit = reader.close()
   }
 
   /** SPLIT one region file at `splitKey`: rows with rowkey < key (and
     * null rowkeys — the write ordering is NULLS FIRST) to the `.lo`
-    * half, rows ≥ key to `.hi`. Input rows are sorted, outputs stay
+    * half, rows >= key to `.hi`. Input rows are sorted, outputs stay
     * sorted and non-overlapping by construction; an empty half is
     * dropped. */
   def splitFile(file: String, splitKey: Array[Byte],
                 tmpDir: String): Seq[CellFileMeta] = {
-    val msgType = fileSchema(file)
     // the halves keep the input's CODEC and re-carry its name tag at
     // tag position (after the .lo/.hi infix, so the tag parser matches
     // the final name); the bucket tag is deliberately dropped, as for
@@ -2090,20 +2135,16 @@ object CellRegionRewrite {
     val ctag = GraftCellCodecTag.tag(codec)
     val base = new java.io.File(file).getName.stripSuffix(".parquet")
       .replaceAll("(-z[A-Z0-9_]+)?(-b\\d+of\\d+)?$", "")
-    val lo = new TrackedWriter(s"$tmpDir/$base.lo$ctag.parquet", msgType, codec)
-    val hi = new TrackedWriter(s"$tmpDir/$base.hi$ctag.parquet", msgType, codec)
-    val reader = openReader(file)
+    val lo = new TrackedWriter(s"$tmpDir/$base.lo$ctag.parquet", codec)
+    val hi = new TrackedWriter(s"$tmpDir/$base.hi$ctag.parquet", codec)
+    val st = new CellRowStream(file)
     try {
-      var g = reader.read()
-      while (g != null) {
-        val ki = g.getType.getFieldIndex("rowkey")
-        val below =
-          g.getFieldRepetitionCount(ki) == 0 || // null rowkey: NULLS FIRST
-          JArrays.compareUnsigned(g.getBinary(ki, 0).getBytes, splitKey) < 0
-        if (below) lo.write(g) else hi.write(g)
-        g = reader.read()
+      while (st.advance()) {
+        val below = st.kb == null || // null rowkey: NULLS FIRST
+          JArrays.compareUnsigned(st.kb, splitKey) < 0
+        if (below) lo.write(st.row) else hi.write(st.row)
       }
-    } finally reader.close()
+    } finally st.close()
     Seq(lo, hi).flatMap(_.finish())
   }
 
@@ -2114,57 +2155,46 @@ object CellRegionRewrite {
     * ordering even when adjacent inputs share a boundary rowkey. */
   def mergeRun(files: Seq[String], outName: String,
                tmpDir: String): Option[CellFileMeta] = {
-    def bytesOf(g: Group, name: String): Array[Byte] = {
-      val i = g.getType.getFieldIndex(name)
-      if (g.getFieldRepetitionCount(i) == 0) null
-      else g.getBinary(i, 0).getBytes
-    }
     def cmpB(a: Array[Byte], b: Array[Byte]): Int =
       if (a == null && b == null) 0
       else if (a == null) -1
       else if (b == null) 1
       else JArrays.compareUnsigned(a, b)
-    def cmpG(a: Group, b: Group): Int = {
-      var c = cmpB(bytesOf(a, "rowkey"), bytesOf(b, "rowkey"))
-      if (c != 0) return c
-      c = cmpB(bytesOf(a, "family"), bytesOf(b, "family"))
-      if (c != 0) return c
-      c = cmpB(bytesOf(a, "qualifier"), bytesOf(b, "qualifier"))
-      if (c != 0) return c
-      val ai = a.getType.getFieldIndex("version")
-      val bi = b.getType.getFieldIndex("version")
-      val an = a.getFieldRepetitionCount(ai) == 0
-      val bn = b.getFieldRepetitionCount(bi) == 0
-      if (an && bn) 0
-      else if (an) -1
-      else if (bn) 1
-      else java.lang.Long.compare(a.getLong(ai, 0), b.getLong(bi, 0))
-    }
-    val msgType = fileSchema(files.head)
     // runs are codec-grouped (see mergeRegions); the merged file keeps
     // the run's codec and carries its name tag
     val codec = GraftCellCodecTag.of(files.head)
     val out = new TrackedWriter(
       s"$tmpDir/${outName.stripSuffix(".parquet")}" +
-        s"${GraftCellCodecTag.tag(codec)}.parquet", msgType, codec)
-    val readers = files.map(openReader)
+        s"${GraftCellCodecTag.tag(codec)}.parquet", codec)
+    val streams = files.map(new CellRowStream(_)).toArray
+    def cmpS(a: CellRowStream, b: CellRowStream): Int = {
+      var c = cmpB(a.kb, b.kb)
+      if (c != 0) return c
+      c = cmpB(a.fb, b.fb)
+      if (c != 0) return c
+      c = cmpB(a.qb, b.qb)
+      if (c != 0) return c
+      if (a.verNull && b.verNull) 0
+      else if (a.verNull) -1
+      else if (b.verNull) 1
+      else java.lang.Long.compare(a.ver, b.ver)
+    }
     try {
-      val heap = new java.util.PriorityQueue[(Group, Int)](
+      val heap = new java.util.PriorityQueue[Integer](
         math.max(1, files.size),
-        (x: (Group, Int), y: (Group, Int)) => {
-          val c = cmpG(x._1, y._1)
-          if (c != 0) c else Integer.compare(x._2, y._2)
+        (x: Integer, y: Integer) => {
+          val c = cmpS(streams(x), streams(y))
+          if (c != 0) c else Integer.compare(x, y)
         })
-      readers.zipWithIndex.foreach { case (r, i) =>
-        val g = r.read(); if (g != null) heap.add((g, i))
+      streams.zipWithIndex.foreach { case (st, i) =>
+        if (st.advance()) heap.add(i)
       }
       while (!heap.isEmpty) {
-        val (g, i) = heap.poll()
-        out.write(g)
-        val next = readers(i).read()
-        if (next != null) heap.add((next, i))
+        val i = heap.poll()
+        out.write(streams(i).row)
+        if (streams(i).advance()) heap.add(i)
       }
-    } finally readers.foreach(_.close())
+    } finally streams.foreach(_.close())
     out.finish()
   }
 }
