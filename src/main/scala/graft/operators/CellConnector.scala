@@ -998,13 +998,16 @@ object CellConnector extends QueryModule {
         .groupBy(col("family"))
         .agg(count(lit(1)).as("n_cells"),
              min("version").as("min_ver"),
-             max("version").as("max_ver"))
+             max("version").as("max_ver"),
+             min("rowkey").as("min_rk"),
+             max("rowkey").as("max_rk"))
         .orderBy("family")
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("GraftCellAggScan") &&
              plan.contains("PushedGroupBy: [family]") &&
-             plan.contains("MIN(version)") && plan.contains("MAX(version)"),
-        s"grouped version extremes not answered from manifests:\n$plan")
+             plan.contains("MIN(version)") && plan.contains("MAX(version)") &&
+             plan.contains("MIN(rowkey)") && plan.contains("MAX(rowkey)"),
+        s"grouped extremes not answered from manifests:\n$plan")
       df
     }),
 
@@ -3062,7 +3065,8 @@ object CellConnector extends QueryModule {
     "cell_connector_minmax_family" ->
       s"""WITH cells AS (${CellQueries.eventCellsSql})
           SELECT f.fam AS family, count(*) AS n_cells,
-                 min(version) AS min_ver, max(version) AS max_ver
+                 min(version) AS min_ver, max(version) AS max_ver,
+                 min(rowkey) AS min_rk, max(rowkey) AS max_rk
           FROM cells
           CROSS JOIN (VALUES ('d'), ('m'), ('x')) AS f(fam)
           GROUP BY f.fam ORDER BY family""",

@@ -3300,25 +3300,40 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
       case m: Max => m.column().toString == "version"
       case _ => false
     }
+    def rowkeyAgg(e: AggregateFunc): Boolean = e match {
+      case m: Min => m.column().toString == "rowkey"
+      case m: Max => m.column().toString == "rowkey"
+      case _ => false
+    }
     // a version extreme needs a known TimeRange on every row-bearing
     // file; None is indistinguishable from "legacy manifest" (refuse)
     def verStatsOk(ms: Seq[CellFileMeta]): Boolean =
       ms.filter(_.rowCount > 0)
         .forall(m => m.minVer.isDefined && m.maxVer.isDefined)
+    def keyStatsOk(ms: Seq[CellFileMeta]): Boolean =
+      ms.filter(_.rowCount > 0)
+        .forall(m => m.minKey.isDefined && m.maxKey.isDefined)
     val gExprs = agg.aggregateExpressions()
+    // grouped extremes (version or rowkey) attribute a file's stat
+    // range to ONE group, so the file must be GROUP-PURE OUTRIGHT
+    // (nullFams 0 or rowCount); grouped COUNT alone tolerates mixed
+    // files because nullFams splits the count exactly
+    val extremeAgg = (e: AggregateFunc) => versionAgg(e) || rowkeyAgg(e)
     val groupedOk = agg.groupByExpressions().length == 1 &&
       agg.groupByExpressions()(0).toString == "family" &&
       pushed.isEmpty &&
       gExprs.nonEmpty &&
-      gExprs.forall(e => e.isInstanceOf[CountStar] || versionAgg(e)) &&
+      gExprs.forall(e => e.isInstanceOf[CountStar] || extremeAgg(e)) &&
       metas.filter(_.rowCount > 0).forall(m =>
         m.nullFams.isDefined &&
         (m.nullFams.get == m.rowCount ||
          (m.minFam.isDefined && m.maxFam.isDefined &&
           JArrays.equals(m.minFam.get, m.maxFam.get)))) &&
-      (!gExprs.exists(versionAgg) ||
-       (verStatsOk(metas) && metas.filter(_.rowCount > 0).forall(m =>
-          m.nullFams.get == 0L || m.nullFams.get == m.rowCount)))
+      (!gExprs.exists(extremeAgg) ||
+       metas.filter(_.rowCount > 0).forall(m =>
+         m.nullFams.get == 0L || m.nullFams.get == m.rowCount)) &&
+      (!gExprs.exists(versionAgg) || verStatsOk(metas)) &&
+      (!gExprs.exists(rowkeyAgg) || keyStatsOk(metas))
     sample.isEmpty && // a sampled COUNT cannot come from manifest stats
     fuzzy.isEmpty && // fuzzy is row-level: stats cannot answer it
     included.isDefined &&
@@ -3437,17 +3452,24 @@ class GraftCellAggScan(path: String,
   private def groupedRows: Seq[Array[Any]] = {
     final case class Acc(var n: Long = 0L,
                          var minV: Option[Long] = None,
-                         var maxV: Option[Long] = None)
+                         var maxV: Option[Long] = None,
+                         var minK: Option[Array[Byte]] = None,
+                         var maxK: Option[Array[Byte]] = None)
     val groups = scala.collection.mutable.LinkedHashMap
       .empty[Option[String], Acc]
     def fold(f: Option[String], n: Long, m: CellFileMeta): Unit = {
       val a = groups.getOrElseUpdate(f, Acc())
       a.n += n
-      // only the group owning the WHOLE file may claim its TimeRange;
-      // the builder guarantees that whenever a version agg is pushed
+      // only the group owning the WHOLE file may claim its stat
+      // ranges; the builder guarantees that whenever an extreme agg
+      // is pushed
       if (n == m.rowCount) {
         a.minV = (a.minV ++ m.minVer).reduceOption(math.min(_: Long, _: Long))
         a.maxV = (a.maxV ++ m.maxVer).reduceOption(math.max(_: Long, _: Long))
+        a.minK = (a.minK ++ m.minKey)
+          .reduceOption(GraftCell.UnsignedBytesOrd.min(_, _))
+        a.maxK = (a.maxK ++ m.maxKey)
+          .reduceOption(GraftCell.UnsignedBytesOrd.max(_, _))
       }
     }
     metas.foreach { m =>
@@ -3469,6 +3491,12 @@ class GraftCellAggScan(path: String,
             a.minV.map(java.lang.Long.valueOf).orNull
           case m: Max if m.column().toString == "version" =>
             a.maxV.map(java.lang.Long.valueOf).orNull
+          case m: Min if m.column().toString == "rowkey" =>
+            a.minK.map(new String(_,
+              java.nio.charset.StandardCharsets.UTF_8)).orNull
+          case m: Max if m.column().toString == "rowkey" =>
+            a.maxK.map(new String(_,
+              java.nio.charset.StandardCharsets.UTF_8)).orNull
           case other =>
             throw new IllegalStateException(s"unpushable grouped agg $other")
         }

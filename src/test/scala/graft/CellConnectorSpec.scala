@@ -798,6 +798,18 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(withNull.collect().map(r =>
              (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
            Seq((null, 77L, 77L), ("d", 100L, 300L), ("m", 50L, 900L)))
+    // grouped MIN/MAX(rowkey) rides the same group-pure rule: each
+    // file's key range belongs whole to its one group
+    val keyExt = s.read.format("graftcell").load(store)
+      .groupBy(col("family"))
+      .agg(min("rowkey").as("mnk"), max("rowkey").as("mxk"))
+      .orderBy("family")
+    assert(keyExt.queryExecution.executedPlan.toString
+             .contains("PushedGroupBy: [family]"),
+      "grouped rowkey extremes must answer from manifests")
+    assert(keyExt.collect().map(r =>
+             (r.getString(0), r.getString(1), r.getString(2))).toSeq ==
+           Seq((null, "zz", "zz"), ("d", "a", "c"), ("m", "a", "b")))
     // a MIXED file (null-family AND family rows) keeps grouped COUNT
     // (nullFams splits it exactly) but refuses version extremes — the
     // file's one TimeRange spans two groups, neither extreme is
@@ -817,6 +829,11 @@ class CellConnectorSpec extends AnyFunSuite {
     assert(!mixedVer.queryExecution.executedPlan.toString
              .contains("GraftCellAggScan"),
       "grouped version extremes must refuse a mixed null-family file")
+    val mixedKey = s.read.format("graftcell").load(store)
+      .groupBy(col("family")).agg(max("rowkey").as("mx"))
+    assert(!mixedKey.queryExecution.executedPlan.toString
+             .contains("GraftCellAggScan"),
+      "grouped rowkey extremes must refuse a mixed null-family file")
     assert(mixedVer.orderBy("family").collect().map(r =>
              (r.getString(0), r.getLong(1))).toSeq ==
            Seq((null, 77L), ("d", 5L), ("m", 50L)),
