@@ -270,10 +270,30 @@ class ArchiveSpec extends AnyFunSuite {
                 s"with a non-loud error: $e")
           }
         }
+      // r19: the INDEX LIFECYCLE rides the same model. Invariant
+      // checked after EVERY op: the index table equals the mapping of
+      // the view at its last build/sync — base maintenance never
+      // touches it, and sync either lands it on the current view or
+      // refuses loudly naming the rebuild verb (never a silently
+      // wrong index).
+      val idxStore = s"$root/idx"
+      var idxView: Option[Set[(String, String)]] = None
+      def idxMapping(v: Set[(String, String)]): Set[(String, String)] =
+        v.map { case (k, value) => (value + "\u0000" + k, k) }
+      def readIdx(): Set[(String, String)] =
+        s.read.format("graftcell").load(idxStore)
+          .select("rowkey", "value").collect()
+          .map(x => (x.getString(0), x.getString(1))).toSet
+      def idxCheck(step: Int, what: String): Unit =
+        idxView.foreach { v =>
+          assert(readIdx() == idxMapping(v),
+            s"seed $seed step $step ($what): index diverged from the " +
+            "mapping of its last built/synced view")
+        }
       append() // never operate on an empty store
       viewAt(latestViewStamp()) = live
       (1 to 10).foreach { step =>
-        val op = rng.nextInt(8)
+        val op = rng.nextInt(10)
         val what = op match {
           case 0 => append(); "append"
           case 1 => GraftCellMaintenance.majorCompact(s, store); "major"
@@ -305,6 +325,28 @@ class ArchiveSpec extends AnyFunSuite {
                 org.apache.spark.sql.sources.GreaterThanOrEqual("rowkey", k)))
             live = live.filterNot(_._1 >= k)
             s"delete>=$k"
+          case 8 =>
+            // (re)build the global secondary index on (d, q): the
+            // index then covers exactly the current view
+            GraftCellMaintenance.buildIndex(s, store, idxStore, "d", "q")
+            idxView = Some(live); "build_index"
+          case 9 if idxView.isDefined =>
+            // sync is TOTAL-OR-LOUD: success lands the index on the
+            // current view; refusal must name the rebuild verb, and
+            // the rebuild must recover — no third outcome
+            scala.util.Try(GraftCellMaintenance.syncIndex(
+                s, store, idxStore, "d", "q")) match {
+              case scala.util.Success(_) =>
+                idxView = Some(live); "sync_index"
+              case scala.util.Failure(e) =>
+                assert(e.getMessage != null &&
+                       e.getMessage.contains("build_index"),
+                  s"seed $seed step $step: sync refusal must name the " +
+                  s"rebuild verb: $e")
+                GraftCellMaintenance.buildIndex(s, store, idxStore,
+                                                "d", "q")
+                idxView = Some(live); "sync_index refused -> rebuild"
+            }
           case _ => append(); "append"
         }
         assert(readSet(None) == live,
@@ -319,9 +361,13 @@ class ArchiveSpec extends AnyFunSuite {
         // splits, normalizes, restores, drops AND ranged DELETEs
         viewAt(latestViewStamp()) = live
         travelSweep(step, what)
+        idxCheck(step, what)
       }
-      // teardown: dropping every snapshot reclaims the whole archive
+      // teardown: dropping every snapshot (incl. the index's sync
+      // snapshot) reclaims the whole archive
       snaps.keys.toSeq.foreach(GraftCellSnapshot.drop(store, _))
+      GraftCellSnapshot.names(store).filter(_.startsWith("__idx_sync_"))
+        .foreach(GraftCellSnapshot.drop(store, _))
       assert(CellArchive.unreferenced(store) == 0L)
       assert(!CellArchive.root(store).exists(),
         s"seed $seed: archive must be empty once nothing pins it")
