@@ -232,7 +232,15 @@ object DedupOps extends QueryModule {
           expr(s"substring(t, cast(substring(sel, 33, 12) as int), $SUB_W)")
             .as("sh")))
 
-  private def dupStatsOf(sh: DataFrame): DataFrame = {
+  private def dupStatsOf(shRaw: DataFrame): DataFrame = {
+    // the span table feeds BOTH sides of its self-join (the distinct-doc
+    // counts and the per-doc join-back): materialize it once
+    // (localCheckpoint — the pair-graph memo pattern) instead of
+    // running the generation pipeline twice. Note the fixture reads
+    // documents from ONE parquet row group, so generation runs as one
+    // task here; at corpus scale the scan has thousands of row-group
+    // splits and the same plan parallelizes per split.
+    val sh = shRaw.localCheckpoint()
     val nd = sh.groupBy("sh")
       .agg(countDistinct("doc_id").as("ndocs"))
     sh.join(nd, "sh")
