@@ -84,12 +84,19 @@ object CellConnector extends QueryModule {
   private def stageFamStore(s: org.apache.spark.sql.SparkSession,
                             dir: String): String = {
     val path = storePath(dir) + "_fam"
-    stagedOnce(path, "_STAGED_COUNT_FAM") {
+    stagedOnce(path, "_STAGED_COUNT_FAM2") {
       val base = CellQueries.eventCells(s, dir)
+      // one append per (family, '5'-band side): files stay family-pure
+      // AND provably inside one side of the '5' boundary, so the
+      // grouped metadata keys can also answer REGION-ALIGNED band
+      // probes (cell_connector_count_family_range) from the manifest
       Seq("d", "m", "x").foreach { fam =>
-        base.select(col("rowkey"), lit(fam).as("family"),
+        Seq(col("rowkey") < "5", col("rowkey") >= "5").foreach { band =>
+          base.filter(band)
+            .select(col("rowkey"), lit(fam).as("family"),
                     col("qualifier"), col("version"), col("value"))
-          .write.format("graftcell").mode("append").save(path)
+            .write.format("graftcell").mode("append").save(path)
+        }
       }
     }
   }
@@ -1008,6 +1015,37 @@ object CellConnector extends QueryModule {
              plan.contains("MIN(version)") && plan.contains("MAX(version)") &&
              plan.contains("MIN(rowkey)") && plan.contains("MAX(rowkey)"),
         s"grouped extremes not answered from manifests:\n$plan")
+      df
+    }),
+
+    "cell_connector_count_family_range" -> ((s, dir) => {
+      // GROUPED metadata aggregate over a REGION-ALIGNED KEY BAND
+      // (r19 — the r16 aligned-filter arm composed with the grouped
+      // arm): `COUNT(*) / MIN(version) GROUP BY family WHERE rowkey >=
+      // '5'` is manifest-answerable when every live file is BOTH
+      // family-pure-outright AND provably fully inside or outside the
+      // band — count = rowCount − nullKeys per included file, folded
+      // into the file's one group; version extremes additionally need
+      // nullKeys == 0 (a NULL-rowkey row never satisfies the band, yet
+      // its version sits inside the file's TimeRange — the one leak
+      // whole-file stats cannot split). The per-family band count is
+      // the "how much of CF x lives in region band y" ops query, zero
+      // data bytes at any store size; a straddling file, mixed
+      // null-family file, or unknown stat refuses (spec-pinned) and
+      // the normal scan runs.
+      val path = stageFamStore(s, dir)
+      val df = s.read.format("graftcell").load(path)
+        .filter(col("rowkey") >= "5")
+        .groupBy(col("family"))
+        .agg(count(lit(1)).as("n_cells"),
+             min("version").as("min_ver"),
+             max("version").as("max_ver"))
+        .orderBy("family")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftCellAggScan") &&
+             plan.contains("PushedGroupBy: [family]") &&
+             plan.contains("GreaterThanOrEqual(rowkey,5"),
+        s"grouped band count not answered from manifests:\n$plan")
       df
     }),
 
@@ -3060,6 +3098,15 @@ object CellConnector extends QueryModule {
           SELECT f.fam AS family, count(*) AS n_cells
           FROM cells
           CROSS JOIN (VALUES ('d'), ('m'), ('x')) AS f(fam)
+          GROUP BY f.fam ORDER BY family""",
+
+    "cell_connector_count_family_range" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql})
+          SELECT f.fam AS family, count(*) AS n_cells,
+                 min(version) AS min_ver, max(version) AS max_ver
+          FROM cells
+          CROSS JOIN (VALUES ('d'), ('m'), ('x')) AS f(fam)
+          WHERE rowkey >= '5'
           GROUP BY f.fam ORDER BY family""",
 
     "cell_connector_minmax_family" ->

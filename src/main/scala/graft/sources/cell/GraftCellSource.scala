@@ -3317,23 +3317,35 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
     // grouped extremes (version or rowkey) attribute a file's stat
     // range to ONE group, so the file must be GROUP-PURE OUTRIGHT
     // (nullFams 0 or rowCount); grouped COUNT alone tolerates mixed
-    // files because nullFams splits the count exactly
+    // files because nullFams splits the count exactly — except under
+    // a pushed (region-aligned) rowkey filter, where the excluded
+    // NULL-rowkey rows are not attributable across a mixed file's two
+    // groups, so the filter also demands outright purity.
+    // A pushed rowkey filter admits one more subtlety: a NULL-rowkey
+    // row never satisfies it, yet its VERSION still sits inside the
+    // file's TimeRange — so version extremes under a filter require
+    // nullKeys == 0 per file (rowkey extremes are immune: key stats
+    // already exclude NULL keys, and every non-null key of an aligned
+    // file passes).
     val extremeAgg = (e: AggregateFunc) => versionAgg(e) || rowkeyAgg(e)
+    val gMetas = included.getOrElse(Seq.empty).filter(_.rowCount > 0)
     val groupedOk = agg.groupByExpressions().length == 1 &&
       agg.groupByExpressions()(0).toString == "family" &&
-      pushed.isEmpty &&
       gExprs.nonEmpty &&
       gExprs.forall(e => e.isInstanceOf[CountStar] || extremeAgg(e)) &&
-      metas.filter(_.rowCount > 0).forall(m =>
+      gMetas.forall(m =>
         m.nullFams.isDefined &&
         (m.nullFams.get == m.rowCount ||
          (m.minFam.isDefined && m.maxFam.isDefined &&
           JArrays.equals(m.minFam.get, m.maxFam.get)))) &&
-      (!gExprs.exists(extremeAgg) ||
-       metas.filter(_.rowCount > 0).forall(m =>
+      ((!gExprs.exists(extremeAgg) && pushed.isEmpty) ||
+       gMetas.forall(m =>
          m.nullFams.get == 0L || m.nullFams.get == m.rowCount)) &&
-      (!gExprs.exists(versionAgg) || verStatsOk(metas)) &&
-      (!gExprs.exists(rowkeyAgg) || keyStatsOk(metas))
+      (pushed.isEmpty || gMetas.forall(_.nullKeys.isDefined)) &&
+      (!gExprs.exists(versionAgg) ||
+       (verStatsOk(gMetas) &&
+        (pushed.isEmpty || gMetas.forall(_.nullKeys.contains(0L))))) &&
+      (!gExprs.exists(rowkeyAgg) || keyStatsOk(gMetas))
     sample.isEmpty && // a sampled COUNT cannot come from manifest stats
     fuzzy.isEmpty && // fuzzy is row-level: stats cannot answer it
     included.isDefined &&
@@ -3342,9 +3354,11 @@ class GraftCellScanBuilder(path: String, snapshot: Option[String] = None,
       gExprs.forall {
         case _: CountStar => true
         case m: Min if m.column().toString == "version" =>
-          verStatsOk(included.get)
+          verStatsOk(included.get) &&
+          (pushed.isEmpty || included.get.forall(_.nullKeys.contains(0L)))
         case m: Max if m.column().toString == "version" =>
-          verStatsOk(included.get)
+          verStatsOk(included.get) &&
+          (pushed.isEmpty || included.get.forall(_.nullKeys.contains(0L)))
         case m: Min => m.column().toString == "rowkey" &&
           included.get.forall(_.minKey.nonEmpty)
         case m: Max => m.column().toString == "rowkey" &&
@@ -3457,13 +3471,14 @@ class GraftCellAggScan(path: String,
                          var maxK: Option[Array[Byte]] = None)
     val groups = scala.collection.mutable.LinkedHashMap
       .empty[Option[String], Acc]
-    def fold(f: Option[String], n: Long, m: CellFileMeta): Unit = {
+    def fold(f: Option[String], n: Long, m: CellFileMeta,
+             owns: Boolean): Unit = {
       val a = groups.getOrElseUpdate(f, Acc())
       a.n += n
       // only the group owning the WHOLE file may claim its stat
-      // ranges; the builder guarantees that whenever an extreme agg
-      // is pushed
-      if (n == m.rowCount) {
+      // ranges; the builder guarantees ownership whenever an extreme
+      // agg is pushed (group-pure outright)
+      if (owns) {
         a.minV = (a.minV ++ m.minVer).reduceOption(math.min(_: Long, _: Long))
         a.maxV = (a.maxV ++ m.maxVer).reduceOption(math.max(_: Long, _: Long))
         a.minK = (a.minK ++ m.minKey)
@@ -3472,16 +3487,31 @@ class GraftCellAggScan(path: String,
           .reduceOption(GraftCell.UnsignedBytesOrd.max(_, _))
       }
     }
-    metas.foreach { m =>
-      val nf = m.nullFams.getOrElse(
-        throw new IllegalStateException(
-          "graftcell: grouped-aggregate eligibility changed between " +
-          "planning and execution"))
-      if (nf > 0) fold(None, nf, m)
-      if (m.rowCount - nf > 0)
+    metas.filter(_.rowCount > 0).foreach { m =>
+      val fail = () => throw new IllegalStateException(
+        "graftcell: grouped-aggregate eligibility changed between " +
+        "planning and execution")
+      val nf = m.nullFams.getOrElse(fail())
+      // under a pushed (aligned) rowkey filter, the file's NULL-rowkey
+      // rows never qualify; the builder guaranteed the file is
+      // group-pure outright, so the whole deduction lands in its one
+      // group
+      val nk = if (pushed.isEmpty) 0L else m.nullKeys.getOrElse(fail())
+      // a file whose every row is filtered out (all NULL rowkeys)
+      // contributes no rows and no stats — it must not conjure a group
+      if (m.rowCount - nk <= 0L) ()
+      else if (nf == m.rowCount) fold(None, m.rowCount - nk, m, owns = true)
+      else if (nf == 0L) {
         fold(Some(new String(m.minFam.get,
                java.nio.charset.StandardCharsets.UTF_8)),
-             m.rowCount - nf, m)
+             m.rowCount - nk, m, owns = true)
+      } else {
+        // mixed file: COUNT-only, unfiltered (builder-guaranteed)
+        fold(None, nf, m, owns = false)
+        fold(Some(new String(m.minFam.get,
+               java.nio.charset.StandardCharsets.UTF_8)),
+             m.rowCount - nf, m, owns = false)
+      }
     }
     groups.toSeq.sortBy(_._1)
       .map { case (f, a) =>

@@ -572,6 +572,7 @@ class CellConnectorSpec extends AnyFunSuite {
   }
 
   test("ungrouped COUNT/MIN/MAX are answered from footers (0 data bytes)") {
+    SparkEntry.queries("scan_cell_connector")(s, dir).queryExecution // stage
     val store = "/tmp/graft_cellstore_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     val df = s.read.format("graftcell").load(store)
       .agg(count(lit(1)).as("n"), min("rowkey").as("mn"),
@@ -848,6 +849,76 @@ class CellConnectorSpec extends AnyFunSuite {
       s"ungrouped version extremes not answered from manifests:\n$uplan")
     assert(ung.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
            Seq((5L, 9999L)))
+  }
+
+  test("grouped metadata aggregates over a REGION-ALIGNED band (r19): " +
+       "counts subtract nullKeys; straddles and version leaks refuse") {
+    import scala.collection.JavaConverters._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_gband_spec_").toString + "/t"
+    def put(fam: String, ks: Seq[(String, Long)]) = s.createDataFrame(
+      ks.map { case (k, v) =>
+        org.apache.spark.sql.Row(k, fam, "q", v, s"v$k") }.asJava,
+      GraftCell.SCHEMA)
+      .write.format("graftcell").mode("append").save(store)
+    // per-(family, band) appends: every file provably in/out of 'f'
+    put("d", Seq("a" -> 10L, "b" -> 20L, "e" -> 30L))
+    put("d", Seq("f" -> 40L, "j" -> 50L))
+    put("m", Seq("c" -> 60L))
+    put("m", Seq("g" -> 70L, "h" -> 15L))
+    val band = s.read.format("graftcell").load(store)
+      .filter(col("rowkey") >= "f")
+      .groupBy(col("family"))
+      .agg(count(lit(1)).as("n"), min("version").as("mn"))
+      .orderBy("family")
+    val plan = band.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftCellAggScan") &&
+           plan.contains("PushedGroupBy: [family]"),
+      s"aligned grouped band count must answer from manifests:\n$plan")
+    assert(band.collect().map(r =>
+             (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+           Seq(("d", 2L, 40L), ("m", 2L, 15L)))
+    // a bound INSIDE a file's span straddles it — refuse, scan answers
+    val straddle = s.read.format("graftcell").load(store)
+      .filter(col("rowkey") >= "b")
+      .groupBy(col("family")).agg(count(lit(1)).as("n"))
+    assert(!straddle.queryExecution.executedPlan.toString
+             .contains("GraftCellAggScan"),
+      "a straddling bound must refuse the grouped metadata answer")
+    assert(straddle.orderBy("family").collect().map(r =>
+             (r.getString(0), r.getLong(1))).toSeq ==
+           Seq(("d", 4L), ("m", 3L)))
+    // a NULL-rowkey row inside the band: COUNT pushes (nullKeys splits
+    // it exactly) but the filtered version extreme refuses — the null
+    // row's version sits in the file's TimeRange yet never qualifies
+    put("d", Seq((null, 5L), ("zz", 80L)))
+    val cnt = s.read.format("graftcell").load(store)
+      .filter(col("rowkey") >= "f")
+      .groupBy(col("family")).agg(count(lit(1)).as("n"))
+      .orderBy("family")
+    assert(cnt.queryExecution.executedPlan.toString
+             .contains("PushedGroupBy: [family]"),
+      "grouped band COUNT must survive a null-rowkey row (nullKeys)")
+    assert(cnt.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+           Seq(("d", 3L), ("m", 2L)))
+    val verLeak = s.read.format("graftcell").load(store)
+      .filter(col("rowkey") >= "f")
+      .groupBy(col("family")).agg(min("version").as("mn"))
+    assert(!verLeak.queryExecution.executedPlan.toString
+             .contains("GraftCellAggScan"),
+      "filtered version extremes must refuse files with null rowkeys")
+    assert(verLeak.orderBy("family").collect().map(r =>
+             (r.getString(0), r.getLong(1))).toSeq ==
+           Seq(("d", 40L), ("m", 15L)),
+      "the refused path must exclude the null-rowkey row's version")
+    // the UNGROUPED filtered version extreme refuses for the same
+    // reason (the null row's version 5 must never surface)
+    val ungrouped = s.read.format("graftcell").load(store)
+      .filter(col("rowkey") >= "f").agg(min("version").as("mn"))
+    assert(!ungrouped.queryExecution.executedPlan.toString
+             .contains("GraftCellAggScan"),
+      "ungrouped filtered version extremes must refuse null-rowkey files")
+    assert(ungrouped.collect()(0).getLong(0) == 15L)
   }
 
   test("write path emits sorted, non-overlapping region files (declared layout)") {
