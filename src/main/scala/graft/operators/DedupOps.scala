@@ -278,6 +278,50 @@ object DedupOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    "dedup_substring_prune" -> ((s, dir) => {
+      // ExactSubstr's REMOVAL accounting (the half dedup_substring's
+      // flagging leaves to the rewrite job): the duplicated W-char
+      // spans of a doc cover a char-interval UNION, and because every
+      // interval has the same width W, the union's length needs no
+      // list-fold — sort the duplicated start positions and each
+      // contributes min(next_pos − pos, W) chars (W for the last): one
+      // lead() window per doc, pure SQL in both engines. Readback =
+      // per-doc duplicated-span count, removed chars (the union), and
+      // the surviving char count — the exact budget a span-excision
+      // rewrite would free at corpus scale. Same three linear shuffles
+      // as dedup_substring plus one per-doc window.
+      val d = T.load(s, dir, "documents")
+        .withColumn("t",
+          when(col("doc_id") % 5 === 0,
+               concat(col("text"), lit(SUB_BOILER)))
+            .otherwise(col("text")))
+      val sh = d.filter(length(col("t")) >= SUB_W)
+        .select(col("doc_id"), length(col("t")).as("t_len"),
+          posexplode(expr(
+            s"transform(sequence(1, length(t) - ${SUB_W - 1})," +
+            s" i -> substring(t, i, $SUB_W))")))
+        .select(col("doc_id"), col("t_len"),
+                (col("pos") + 1).as("i"), col("col").as("sh"))
+        .localCheckpoint()
+      val nd = sh.groupBy("sh")
+        .agg(countDistinct("doc_id").as("ndocs"))
+      val dup = sh.join(nd, "sh").filter(col("ndocs") >= 2)
+      val w = Window.partitionBy("doc_id").orderBy("i")
+      dup
+        .withColumn("seg",
+          least(coalesce(lead(col("i"), 1).over(w) - col("i"),
+                         lit(SUB_W)), lit(SUB_W)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_spans"),
+             sum(col("seg")).as("removed_chars"),
+             max(col("t_len")).as("t_len"))
+        .withColumn("kept_chars", col("t_len") - col("removed_chars"))
+        .select(col("doc_id"), col("n_dup_spans"),
+                col("removed_chars").cast("long").as("removed_chars"),
+                col("kept_chars").cast("long").as("kept_chars"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_winnow" -> ((s, dir) => {
       // WINNOWING fingerprint selection (Schleimer–Wilkerson–Aiken,
       // SIGMOD'03 — the MOSS algorithm) as dedup_substring's sampled
@@ -610,6 +654,34 @@ object DedupOps extends QueryModule {
                    "AS DOUBLE) / count(*)")} AS dup_fraction
           FROM sh JOIN nd USING (sh)
           GROUP BY doc_id ORDER BY doc_id""",
+
+    "dedup_substring_prune" ->
+      s"""WITH d AS (SELECT doc_id,
+                            CASE WHEN doc_id % 5 = 0
+                                 THEN text || '$SUB_BOILER'
+                                 ELSE text END AS t
+                     FROM documents),
+              sh AS (SELECT doc_id, len(t) AS t_len,
+                            unnest(generate_series(1,
+                              len(t) - ${SUB_W - 1})) AS i,
+                            unnest(list_transform(
+                              generate_series(1, len(t) - ${SUB_W - 1}),
+                              j -> substr(t, j, $SUB_W))) AS sh
+                     FROM d WHERE len(t) >= $SUB_W),
+              nd AS (SELECT sh, count(DISTINCT doc_id) AS ndocs
+                     FROM sh GROUP BY sh),
+              dup AS (SELECT doc_id, t_len, i
+                      FROM sh JOIN nd USING (sh) WHERE ndocs >= 2),
+              seg AS (SELECT doc_id, t_len,
+                             least(coalesce(
+                               lead(i) OVER (PARTITION BY doc_id
+                                             ORDER BY i) - i,
+                               $SUB_W), $SUB_W) AS seg
+                      FROM dup)
+          SELECT doc_id, count(*) AS n_dup_spans,
+                 CAST(sum(seg) AS BIGINT) AS removed_chars,
+                 CAST(max(t_len) - sum(seg) AS BIGINT) AS kept_chars
+          FROM seg GROUP BY doc_id ORDER BY doc_id""",
 
     "dedup_winnow" ->
       s"""WITH d AS (SELECT doc_id,

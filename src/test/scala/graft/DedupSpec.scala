@@ -53,6 +53,54 @@ class DedupSpec extends AnyFunSuite {
            s"passages shorter than W must not produce shared spans: $got")
   }
 
+  test("dedup_substring_prune: removed_chars is exactly the interval UNION " +
+       "of duplicated spans (full-copy and partial-passage cases)") {
+    import spark.implicits._
+    val W = operators.DedupOps.SUB_W
+    val rnd = new scala.util.Random(77)
+    def filler(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val pass = "X" + filler(58) + "X" // 60-char shared passage
+    val whole = filler(120)           // doc 3 = doc 4 (full copies)
+    val docs = Seq(
+      (1L, filler(37) + pass + filler(140)),
+      (2L, filler(11) + pass + filler(90)),
+      (3L, whole), (4L, whole),
+      (5L, filler(200))).toDF("doc_id", "t")
+      .withColumn("text", col("t")).withColumn("n_chars", length(col("t")))
+    // route through the contract pipeline shape: spans at every
+    // position, dup = >= 2 docs, union via the lead() arithmetic
+    val out = {
+      val d = docs.select(col("doc_id"), col("t"))
+      val sh = d.filter(length(col("t")) >= W)
+        .select(col("doc_id"), length(col("t")).as("t_len"),
+          posexplode(org.apache.spark.sql.functions.expr(
+            s"transform(sequence(1, length(t) - ${W - 1})," +
+            s" i -> substring(t, i, $W))")))
+        .select(col("doc_id"), col("t_len"),
+                (col("pos") + 1).as("i"), col("col").as("sh"))
+      val nd = sh.groupBy("sh")
+        .agg(countDistinct("doc_id").as("ndocs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("i")
+      sh.join(nd, "sh").filter(col("ndocs") >= 2)
+        .withColumn("seg",
+          least(coalesce(lead(col("i"), 1).over(w) - col("i"), lit(W)),
+                lit(W)))
+        .groupBy("doc_id")
+        .agg(sum("seg").as("removed"),
+             max(col("t_len").cast("long")).as("t_len"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+    }
+    // partial passage: the union of its spans is exactly the passage
+    assert(out(1L)._1 == 60L && out(2L)._1 == 60L,
+      s"shared 60-char passage must remove exactly 60 chars: $out")
+    // full copies: every char is inside a duplicated span
+    assert(out(3L) == (120L, 120L) && out(4L) == (120L, 120L),
+      s"a full copy must remove its whole length: $out")
+    assert(!out.contains(5L), "the unique doc must have nothing to remove")
+  }
+
   test("dedup_winnow: content-defined anchors detect passages >= W + 2(S-1) " +
        "at adversarial offsets; density shrinks vs full enumeration") {
     import spark.implicits._
