@@ -63,7 +63,9 @@ object Plans {
     // MIN/MAX(version) from manifests), the index-assisted probe
     // (prefix-seek + multiget plans), and the LLM-pipeline quartet
     "cell_connector_count_family", "cell_connector_minmax_family",
+    "cell_connector_count_family_range",
     "cell_index_probe", "dedup_substring", "dedup_winnow",
+    "dedup_substring_prune",
     "sample_temperature", "text_quality_buckets")
 
   /** What to explain per key. `obs_metrics`' query RESULT is a 1-row
