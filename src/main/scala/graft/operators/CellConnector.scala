@@ -2394,6 +2394,22 @@ object CellConnector extends QueryModule {
                ORDER BY rowkey, version""")
     }),
 
+    "sql_cell_meta_indexes" -> ((s, dir) => {
+      // SHOW INDEXES as a metadata TABLE (r19 — the index lifecycle's
+      // observability face): `SELECT * FROM g.t.indexes` lists the
+      // warehouse's sibling tables whose descriptor says they index
+      // THIS table, with the observable sync state — manifest-folded
+      // row count (zero data bytes), delta_generations (what the next
+      // CALL sync_index would append) and rewritten_since_sync
+      // (exactly the predicate under which sync refuses and a rebuild
+      // is due). Fresh builds: both indexes report zero delta, no
+      // rewrite. Driver-side metadata at any store size, like every
+      // metadata table.
+      stageGiTable(s, dir)
+      s.sql("""SELECT * FROM graftcat.events_gi.indexes
+               ORDER BY index_table""")
+    }),
+
     "sql_cell_call_repair" -> ((s, dir) => {
       // CRASH-COMPLETION as a CONTRACT key (r19 — `CALL repair` was
       // procedure+spec only): the fixture stages the EXACT state an
@@ -3425,6 +3441,28 @@ object CellConnector extends QueryModule {
             WHERE family = 'd' AND qualifier = 'user_id'
               AND rowkey IS NOT NULL AND value IS NOT NULL)
           ORDER BY rowkey, version""",
+
+    // both freshly built indexes: full row counts (one index cell per
+    // non-null base cell of the indexed qualifier), zero delta, clean
+    "sql_cell_meta_indexes" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+              n AS (SELECT qualifier, count(*) AS n_rows FROM cells
+                    WHERE family = 'd' AND rowkey IS NOT NULL
+                      AND value IS NOT NULL
+                      AND qualifier IN ('user_id', 'value')
+                    GROUP BY qualifier)
+          SELECT * FROM (
+            SELECT 'events_gi_idx_uid' AS index_table, 'd' AS family,
+                   'user_id' AS qualifier,
+                   (SELECT n_rows FROM n WHERE qualifier = 'user_id')
+                     AS n_rows,
+                   CAST(0 AS BIGINT) AS delta_generations,
+                   CAST(0 AS INT) AS rewritten_since_sync
+            UNION ALL
+            SELECT 'events_gi_idx_val', 'd', 'value',
+                   (SELECT n_rows FROM n WHERE qualifier = 'value'),
+                   CAST(0 AS BIGINT), CAST(0 AS INT))
+          ORDER BY index_table""",
 
     // the post-repair table IS the interrupted commit's intended end
     // state: base cells + the replacing batch, the retired generation

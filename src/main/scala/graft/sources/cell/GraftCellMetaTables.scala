@@ -49,7 +49,7 @@ object GraftCellMeta {
   /** The recognized metadata-table names (the nested identifier's last
     * segment). */
   val KINDS: Set[String] = Set("files", "snapshots", "history",
-                               "travel_log")
+                               "travel_log", "indexes")
 
   /** One row per LIVE region file (committed dirs, retire intents
     * subtracted) — the persisted manifest stats verbatim: nullable
@@ -119,11 +119,31 @@ object GraftCellMeta {
     StructField("at", TimestampType, nullable = false),
     StructField("n_files", LongType, nullable = false)))
 
+  /** One row per GLOBAL SECONDARY INDEX of this table (r19 — SHOW
+    * INDEXES): the warehouse's sibling tables whose descriptor says
+    * `index.of == <this table>`, with the observable sync state —
+    * index row count (manifest fold, zero data bytes),
+    * `delta_generations` (base generations committed after the sync
+    * snapshot — what the next `CALL sync_index` would append), and
+    * `rewritten_since_sync` (1 when the snapshot's pins left the live
+    * view or the travel log records a later structural event — exactly
+    * the predicate under which sync REFUSES and a rebuild is needed).
+    * An operator reads index health from SQL before touching the
+    * verbs. */
+  val INDEXES_SCHEMA: StructType = StructType(Seq(
+    StructField("index_table", StringType, nullable = false),
+    StructField("family", StringType, nullable = false),
+    StructField("qualifier", StringType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("delta_generations", LongType, nullable = false),
+    StructField("rewritten_since_sync", IntegerType, nullable = false)))
+
   def schemaOf(kind: String): StructType = kind match {
     case "files"      => FILES_SCHEMA
     case "snapshots"  => SNAPSHOTS_SCHEMA
     case "history"    => HISTORY_SCHEMA
     case "travel_log" => TRAVEL_SCHEMA
+    case "indexes"    => INDEXES_SCHEMA
     case other => throw new IllegalArgumentException(
       s"graftcell: unknown metadata table '$other'")
   }
@@ -187,6 +207,57 @@ object GraftCellMeta {
         e.at, e.files.size.toLong)): InternalRow
     }.toArray
 
+  private val markerMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private[cell] def indexRows(store: String): Array[InternalRow] = {
+    import scala.jdk.CollectionConverters._
+    val storeDir = new java.io.File(store)
+    val tName = storeDir.getName
+    Option(storeDir.getParentFile.listFiles).getOrElse(Array.empty)
+      .filter(d => d.isDirectory &&
+                   new java.io.File(d, "_GRAFT_TABLE").exists())
+      .flatMap { d =>
+        val bytes = java.nio.file.Files.readAllBytes(
+          new java.io.File(d, "_GRAFT_TABLE").toPath)
+        val props =
+          if (bytes.isEmpty) Map.empty[String, String]
+          else markerMapper.readTree(bytes).properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        if (!props.get("index.of").contains(tName)) None
+        else {
+          val nRows = CellFooterCache.filesOf(d.getPath)
+            .map(_.rowCount).sum
+          val snap = GraftCellMaintenance.idxSyncSnapshot(d.getName)
+          val live = CellFooterCache.committedDirs(store).toSet
+          val (delta, rewritten) =
+            scala.util.Try(GraftCellSnapshot.pinned(store, snap)) match {
+              case scala.util.Success(pins) =>
+                val pinsOk = pins.forall { case (pd, names) =>
+                  live.contains(pd) && names.forall(_.subsetOf(
+                    CellFooterCache.filesUnder(store, pd)
+                      .map(m => new java.io.File(m.path).getName).toSet))
+                }
+                val pinnedMax = pins.keys
+                  .map(CellManifest.commitStampOf(store, _))
+                  .maxOption.getOrElse(Long.MinValue)
+                val late = CellTravelLog.read(store).exists(_.at > pinnedMax)
+                ((live -- pins.keySet).size.toLong, !pinsOk || late)
+              // no sync snapshot (dropped / pre-dating the lifecycle):
+              // the whole store is unsynced delta and a rebuild is due
+              case scala.util.Failure(_) => (live.size.toLong, true)
+            }
+          Some(new GenericInternalRow(Array[Any](
+            UTF8String.fromString(d.getName),
+            UTF8String.fromString(props.getOrElse("index.family", "")),
+            UTF8String.fromString(props.getOrElse("index.qualifier", "")),
+            nRows, delta, if (rewritten) 1 else 0)): InternalRow)
+        }
+      }
+      .sortBy(_.getUTF8String(0).toString)
+      .toArray
+  }
+
   private[cell] def historyRows(store: String): Array[InternalRow] = {
     val retired = CellRetire.retiredOf(store)
     val dirs = CellFooterCache.committedDirs(store)
@@ -230,6 +301,9 @@ class GraftCellMetaTable(store: String, kind: String)
       case "travel_log" =>
         GraftCellMetaLocalScan(GraftCellMeta.TRAVEL_SCHEMA,
           GraftCellMeta.travelRows(store), s"travel log of $store")
+      case "indexes" =>
+        GraftCellMetaLocalScan(GraftCellMeta.INDEXES_SCHEMA,
+          GraftCellMeta.indexRows(store), s"indexes of $store")
     }
 }
 

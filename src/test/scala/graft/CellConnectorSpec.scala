@@ -721,6 +721,13 @@ class CellConnectorSpec extends AnyFunSuite {
     // live set and the travel log gains post-snapshot events — the
     // append-only delta contract is broken, sync must refuse
     s.sql("CALL graftcat.compact('events_si')").collect()
+    // the indexes metadata table surfaces the broken state BEFORE any
+    // verb is attempted (r19 — SHOW INDEXES' health column)
+    val broken = s.sql(
+      "SELECT rewritten_since_sync FROM graftcat.events_si.indexes")
+      .collect()
+    assert(broken.length == 1 && broken(0).getInt(0) == 1,
+      s"g.t.indexes must report the rewrite: ${broken.toSeq}")
     val e = intercept[Exception] {
       s.sql("CALL graftcat.sync_index('events_si', 'uid')").collect()
     }
@@ -738,6 +745,13 @@ class CellConnectorSpec extends AnyFunSuite {
              SELECT rowkey, family, qualifier,
                     version + 9000000 AS version, value
              FROM graft_catalog_src WHERE rowkey >= '9'""")
+    // pre-sync, the metadata table counts the pending delta and stays
+    // clean (appends never break the contract)
+    val pending = s.sql(
+      """SELECT delta_generations, rewritten_since_sync
+         FROM graftcat.events_si.indexes""").collect()(0)
+    assert(pending.getLong(0) == 1L && pending.getInt(1) == 0,
+      s"g.t.indexes must count the pending append delta: $pending")
     val r2 = s.sql("CALL graftcat.sync_index('events_si', 'uid')")
       .collect()(0)
     assert(r2.getLong(1) > 0L && r2.getLong(2) == 1L,
