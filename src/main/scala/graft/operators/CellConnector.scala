@@ -2533,6 +2533,12 @@ object CellConnector extends QueryModule {
       java.nio.file.Files.write(
         new java.io.File(deadArch, "dead.parquet").toPath,
         Array.emptyByteArray)
+      // r19: an ORPHANED index-sync boundary — the snapshot a
+      // build_index pinned whose index table was since dropped (no
+      // sibling dir left); without reclamation it holds base archive
+      // history forever
+      graft.sources.cell.GraftCellSnapshot.create(
+        store, "__idx_sync_events_vc_idx_gone")
       graft.sources.cell.CellFooterCache.invalidate(store)
       s.sql("CALL graftcat.vacuum('events_vc', true)")
     }),
@@ -3482,6 +3488,7 @@ object CellConnector extends QueryModule {
                 CAST(1 AS BIGINT) AS orphan_files_deleted,
                 CAST(1 AS BIGINT) AS stale_tmp_dirs_deleted,
                 CAST(1 AS BIGINT) AS invalid_snapshots_dropped,
+                CAST(1 AS BIGINT) AS orphaned_index_syncs_dropped,
                 CAST(1 AS BIGINT) AS archived_files_reclaimed""",
 
     // diff counts derived from the same cell rebuild: the tilde makes

@@ -581,13 +581,14 @@ object GraftCellProcedures {
       "cleaner chores: complete pending retirements, delete orphan " +
       "files and stale tmp dirs, optionally drop invalidated snapshots"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val (intents, orphans, stale, snaps, archived) =
+      val (intents, orphans, stale, snaps, idxSyncs, archived) =
         GraftCellMaintenance.vacuum(
           store(input.getUTF8String(0)), input.getBoolean(1))
       summary("intents_completed" -> intents,
               "orphan_files_deleted" -> orphans,
               "stale_tmp_dirs_deleted" -> stale,
               "invalid_snapshots_dropped" -> snaps,
+              "orphaned_index_syncs_dropped" -> idxSyncs,
               "archived_files_reclaimed" -> archived)
     }
   }

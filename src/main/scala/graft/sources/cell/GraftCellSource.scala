@@ -2821,7 +2821,7 @@ object GraftCellMaintenance {
     * deleted, invalid snapshots dropped, archived files reclaimed). */
   def vacuum(store: String,
              dropInvalidSnapshots: Boolean)
-      : (Long, Long, Long, Long, Long) = {
+      : (Long, Long, Long, Long, Long, Long) = {
     val (intents, _) = CellRetire.repair(store)
     var orphans = 0L
     CellFooterCache.committedDirs(store).foreach { d =>
@@ -2849,12 +2849,29 @@ object GraftCellMaintenance {
           GraftCellSnapshot.drop(store, n, sweep = false) }
         dead.size.toLong
       }
+    // r19: ORPHANED INDEX-SYNC snapshots — `build_index` pins a
+    // `__idx_sync_<index>` snapshot on the base as the incremental
+    // boundary; dropping the index table (or deleting a path-mode
+    // index dir) leaves that pin behind, holding base archive history
+    // forever. Orphan = the snapshot's index DIRECTORY no longer
+    // exists next to the store (directory-existence only — path-mode
+    // indexes have no catalog marker and must not be misclassified).
+    // A live index's boundary is never touched.
+    val orphanedIdx = GraftCellSnapshot.names(store)
+      .filter(_.startsWith("__idx_sync_"))
+      .filter { n =>
+        val leaf = n.stripPrefix("__idx_sync_")
+        !new java.io.File(new java.io.File(store).getParentFile, leaf)
+          .isDirectory
+      }
+    orphanedIdx.foreach(GraftCellSnapshot.drop(store, _, sweep = false))
     // r17: the archive cleaner chore — reclaim archived files no
     // remaining snapshot pins (drop_snapshot sweeps too; this catches
     // manifests deleted out-of-band)
     val archiveReclaimed = CellArchive.sweep(store)
     CellFooterCache.invalidate(store)
-    (intents, orphans, staleTmp, droppedSnaps, archiveReclaimed)
+    (intents, orphans, staleTmp, droppedSnaps, orphanedIdx.size.toLong,
+     archiveReclaimed)
   }
 
   /** VERIFY REPLICATION — HBase's `VerifyReplication` job: a

@@ -3159,7 +3159,7 @@ class CellConnectorSpec extends AnyFunSuite {
     put("a" -> "1")
     put("b" -> "2")
     // a healthy store vacuums to all zeros (nothing to reclaim)
-    assert(GraftCellMaintenance.vacuum(store, true) == ((0L, 0L, 0L, 0L, 0L)))
+    assert(GraftCellMaintenance.vacuum(store, true) == ((0L, 0L, 0L, 0L, 0L, 0L)))
     // one reclaimable per class: a pending intent (group-replace
     // mid-window — its victim is already excluded from reads), an
     // orphan parquet in the SURVIVING dir, a stale stage dir, and a
@@ -3181,12 +3181,20 @@ class CellConnectorSpec extends AnyFunSuite {
     val before = readback()
     // without the flag: garbage reclaimed, the dead manifest KEPT
     // (dropping it is the operator's explicit opt-in)
-    assert(GraftCellMaintenance.vacuum(store, false) == ((1L, 1L, 1L, 0L, 0L)))
+    assert(GraftCellMaintenance.vacuum(store, false) == ((1L, 1L, 1L, 0L, 0L, 0L)))
     assert(GraftCellSnapshot.list(store).map(_._1) == Seq("gone"))
     // a VALID snapshot survives the flagged pass; only the dead drops
     GraftCellSnapshot.create(store, "keep")
-    assert(GraftCellMaintenance.vacuum(store, true) == ((0L, 0L, 0L, 1L, 0L)))
-    assert(GraftCellSnapshot.list(store).map(_._1) == Seq("keep"))
+    // r19: a LIVE index's sync boundary survives (its dir exists next
+    // to the store), an ORPHANED one (index dir gone) is reclaimed
+    new java.io.File(root, "store_idx_live").mkdirs()
+    GraftCellSnapshot.create(store, "__idx_sync_store_idx_live")
+    GraftCellSnapshot.create(store, "__idx_sync_store_idx_dropped")
+    assert(GraftCellMaintenance.vacuum(store, true) == ((0L, 0L, 0L, 1L, 1L, 0L)))
+    assert(GraftCellSnapshot.list(store).map(_._1) ==
+             Seq("__idx_sync_store_idx_live", "keep"),
+      "the live index boundary must survive; the orphan must drop")
+    GraftCellSnapshot.drop(store, "__idx_sync_store_idx_live")
     // converged: hbck reports clean (intent completion dropped the
     // emptied victim dir, so one dir remains), and the readback is
     // bit-identical to the pre-vacuum view — orphans were invisible,
