@@ -130,6 +130,44 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_winnow selection equals an independent JVM winnowing reference " +
+       "on seeded random docs (argmin-per-window, position tie-break)") {
+    import spark.implicits._
+    val W = operators.DedupOps.SUB_W
+    val S = operators.DedupOps.SUB_S
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    // reference: for every window of S consecutive positions, select
+    // the argmin of (md5(span) ++ zero-padded position); n_spans =
+    // distinct selections — the exact contract pipeline, re-derived
+    def refCount(t: String): Int = {
+      val n = t.length - W + 1
+      val hps = (1 to n).map(i =>
+        md5hex(t.substring(i - 1, i - 1 + W)) + f"$i%012d")
+      (1 to n).map(k => hps.slice(k - 1, math.min(k - 1 + S, n)).min)
+        .distinct.size
+    }
+    // docs WITH repeated content (halves repeat), so identical spans
+    // inside one doc exercise the md5-tie → position tie-break path
+    val rnd = new scala.util.Random(9001)
+    def filler(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(4)).toChar).mkString
+    val texts = (1L to 6L).map { id =>
+      val half = filler(60 + rnd.nextInt(120))
+      (id, if (id % 2 == 0) half + half else half + filler(80))
+    }
+    val got = operators.DedupOps.winnowDupStats(
+        texts.toDF("doc_id", "t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == refCount(t).toLong,
+        s"doc $id: winnow selected ${got(id)} spans, reference says " +
+        s"${refCount(t)}")
+    }
+  }
+
   test("dedup_winnow flags a subset of dedup_substring's dup docs on the fixture " +
        "(winnowed spans are a subset of all spans)") {
     val winDup = SparkEntry.queries("dedup_winnow")(spark, sf)
