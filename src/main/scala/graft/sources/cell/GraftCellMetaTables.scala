@@ -224,7 +224,11 @@ object GraftCellMeta {
           if (bytes.isEmpty) Map.empty[String, String]
           else markerMapper.readTree(bytes).properties().asScala
             .map(e => e.getKey -> e.getValue.asText()).toMap
-        if (!props.get("index.of").contains(tName)) None
+        // the descriptor records the table reference as the build verb
+        // received it ('t' or 'ns:t'); the sibling scan already scopes
+        // the namespace, so match on the table segment
+        if (!props.get("index.of")
+              .map(_.split(":", -1).last).contains(tName)) None
         else {
           val nRows = CellFooterCache.filesOf(d.getPath)
             .map(_.rowCount).sum

@@ -3234,6 +3234,53 @@ class CellConnectorSpec extends AnyFunSuite {
       "(incl. the null-safe NULL value)")
   }
 
+  test("index lifecycle on a NAMESPACED table (r19): build/sync/indexes " +
+       "resolve ns:table and land the index inside the namespace") {
+    import scala.collection.JavaConverters._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nsidx_spec_").toString
+    s.conf.set("spark.sql.catalog.graftni",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftni.root", root)
+    s.sql("CREATE NAMESPACE graftni.prod")
+    s.sql("""CREATE TABLE graftni.prod.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell""")
+    s.createDataFrame(
+      ('a' to 'e').map(c =>
+        org.apache.spark.sql.Row(c.toString, "d", "q", 1L, s"v$c")).asJava,
+      GraftCell.SCHEMA).createOrReplaceTempView("graft_nsidx_src")
+    s.sql("INSERT INTO graftni.prod.t SELECT * FROM graft_nsidx_src")
+    // build via the shell-style 'ns:table' reference: the index lands
+    // INSIDE the namespace, marker-stamped with provenance
+    val r = s.sql("CALL graftni.build_index('prod:t', 'v', 'd', 'q')")
+      .collect()(0)
+    assert(r.getString(0) == "prod:t_idx_v" && r.getLong(1) == 5L,
+      s"namespaced build summary: $r")
+    assert(new java.io.File(s"$root/prod/t_idx_v/_GRAFT_TABLE").exists(),
+      "the index table must live inside the namespace")
+    // the index is a normal namespaced table: seek it by value prefix
+    val hit = s.sql("""SELECT value FROM graftni.prod.t_idx_v
+                       WHERE rowkey LIKE 'vc%'""").collect()
+    assert(hit.length == 1 && hit(0).getString(0) == "c")
+    // g.ns.t.indexes resolves the 4-part identifier and reports the
+    // sibling-in-namespace index with a clean sync state
+    val meta = s.sql("SELECT * FROM graftni.prod.t.indexes").collect()
+    assert(meta.length == 1 &&
+           meta(0).getString(0) == "t_idx_v" &&
+           meta(0).getLong(3) == 5L && meta(0).getLong(4) == 0L &&
+           meta(0).getInt(5) == 0,
+      s"namespaced g.ns.t.indexes row: ${meta.toSeq}")
+    // sync after an append — the delta flows through the ns reference
+    s.sql("""INSERT INTO graftni.prod.t
+             SELECT rowkey, family, qualifier, version + 10, value
+             FROM graft_nsidx_src WHERE rowkey = 'a'""")
+    val r2 = s.sql("CALL graftni.sync_index('prod:t', 'v')").collect()(0)
+    assert(r2.getLong(1) == 1L && r2.getLong(2) == 1L,
+      s"namespaced sync summary: $r2")
+    assert(s.table("graftni.prod.t_idx_v").count() == 6L)
+  }
+
   test("namespaces: create_namespace / ns:table lifecycle, HBase-style (r16)") {
     val root = java.nio.file.Files.createTempDirectory("graft_ns_spec_").toString
     s.conf.set("spark.sql.catalog.graftns",
