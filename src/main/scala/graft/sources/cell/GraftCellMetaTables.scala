@@ -232,25 +232,18 @@ object GraftCellMeta {
         else {
           val nRows = CellFooterCache.filesOf(d.getPath)
             .map(_.rowCount).sum
-          val snap = GraftCellMaintenance.idxSyncSnapshot(d.getName)
-          val live = CellFooterCache.committedDirs(store).toSet
-          val (delta, rewritten) =
-            scala.util.Try(GraftCellSnapshot.pinned(store, snap)) match {
-              case scala.util.Success(pins) =>
-                val pinsOk = pins.forall { case (pd, names) =>
-                  live.contains(pd) && names.forall(_.subsetOf(
-                    CellFooterCache.filesUnder(store, pd)
-                      .map(m => new java.io.File(m.path).getName).toSet))
-                }
-                val pinnedMax = pins.keys
-                  .map(CellManifest.commitStampOf(store, _))
-                  .maxOption.getOrElse(Long.MinValue)
-                val late = CellTravelLog.read(store).exists(_.at > pinnedMax)
-                ((live -- pins.keySet).size.toLong, !pinsOk || late)
-              // no sync snapshot (dropped / pre-dating the lifecycle):
-              // the whole store is unsynced delta and a rebuild is due
-              case scala.util.Failure(_) => (live.size.toLong, true)
-            }
+          // the ONE shared sync-state predicate (ADVICE r19: this
+          // column and the sync verb's eligibility must never drift —
+          // both read GraftCellMaintenance.idxSyncState). Since r20
+          // `rewritten_since_sync = 1` no longer means "sync refuses"
+          // but "history was rewritten: the next sync takes the
+          // content-level path (or, with the boundary unreadable,
+          // refuses for a rebuild)".
+          val st = GraftCellMaintenance.idxSyncState(store, d.getPath)
+          val delta =
+            if (st.snapExists) st.deltaDirs.size.toLong
+            else CellFooterCache.committedDirs(store).size.toLong
+          val rewritten = !st.appendOnly
           Some(new GenericInternalRow(Array[Any](
             UTF8String.fromString(d.getName),
             UTF8String.fromString(props.getOrElse("index.family", "")),

@@ -294,24 +294,29 @@ object GraftCellProcedures {
     }
   }
 
-  /** `sync_index(table, index)` — INCREMENTAL index maintenance
-    * (r19): append to `<table>_idx_<index>` exactly the base
-    * generations committed since the last build/sync (the
-    * `sinceSnapshot` delta — O(delta), never O(store)), then advance
-    * the sync snapshot. Provenance (family, qualifier) comes from the
-    * index table's own descriptor — the properties `build_index`
-    * persisted are what make the bare two-argument call sound.
-    * TOTAL-OR-LOUD: any structural rewrite of base history since the
-    * snapshot (compaction, split/merge, restore, DML rename) REFUSES
-    * with the rebuild verb named — a silent sync over rewritten
-    * history would strand stale index entries. */
+  /** `sync_index(table, index)` — INCREMENTAL index maintenance (r19;
+    * survives structural rewrites r20): land `<table>_idx_<index>` on
+    * the base's current view. Append-only history since the boundary
+    * takes the dir-granular delta (O(delta), never O(store)); history
+    * rewritten by content-preserving maintenance (compaction,
+    * split/merge, restore — even DML) takes the CONTENT-LEVEL delta
+    * while the boundary snapshot still reads (anti-joins on the full
+    * cell identity: additions append, removals delete their entries) —
+    * r19 refused here and forced a full rebuild after every routine
+    * compaction. Provenance (family, qualifier) comes from the index
+    * table's own descriptor — the properties `build_index` persisted
+    * are what make the bare two-argument call sound. Still
+    * TOTAL-OR-LOUD: an unreadable boundary (pins resolving neither
+    * live nor archived) or an over-bound removal set REFUSES with the
+    * rebuild verb named — never a silent partial sync. */
   final class SyncIndex(catalog: GraftCellCatalog)
       extends CellProcedure(catalog, "sync_index") {
     override def parameters(): Array[ProcedureParameter] =
       Array(p("table", StringType), p("index", StringType))
     override def description(): String =
-      "append the base table's since-last-sync delta to the index; " +
-      "refuses when base history was rewritten (rebuild required)"
+      "land the index on the base's current view: dir-granular delta " +
+      "append when history is append-only, content-level delta across " +
+      "rewrites; refuses only when the boundary is unreadable"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val tableName = input.getUTF8String(0).toString
       val idxName = s"${tableName}_idx_${input.getUTF8String(1)}"
@@ -324,11 +329,13 @@ object GraftCellProcedures {
       require(prov("index.of") == tableName,
         s"graftcell: '$idxName' indexes '${prov("index.of")}', not " +
         s"'$tableName'")
-      val (synced, deltaDirs) = GraftCellMaintenance.syncIndex(
-        SparkSession.active, store(input.getUTF8String(0)), idxStore,
-        prov("index.family"), prov("index.qualifier"))
+      val (synced, deleted, deltaDirs, mode) = GraftCellMaintenance
+        .syncIndex(SparkSession.active, store(input.getUTF8String(0)),
+                   idxStore, prov("index.family"),
+                   prov("index.qualifier"))
       summary("index_table" -> idxName, "synced_cells" -> synced,
-              "delta_generations" -> deltaDirs)
+              "delta_generations" -> deltaDirs,
+              "deleted_cells" -> deleted, "mode" -> mode)
     }
   }
 

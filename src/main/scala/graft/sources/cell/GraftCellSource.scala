@@ -816,6 +816,17 @@ class GraftCellTable(path: String,
     s"graftcell.`$path`" + pinnedSnapshot.fold("")(n => s"@$n") +
       pinnedDirs.fold("")(ds => s"@ts[${ds.size} dirs]")
 
+  /** Planner-rule surface (r20 — [[graft.plans.IndexRoute]] consults
+    * these to decide whether a value-predicate read on this table can
+    * route through a global secondary index): the store path, whether
+    * this is the LIVE view (time-travel tables must never route — the
+    * index reflects the live view only), and the persisted descriptor
+    * properties. Read-only accessors; no behavior change. */
+  private[graft] def storePath: String = path
+  private[graft] def isLiveView: Boolean =
+    pinnedSnapshot.isEmpty && pinnedDirs.isEmpty
+  private[graft] def descriptorProps: Map[String, String] = tableProps
+
   private def requireLive(op: String): Unit =
     require(pinnedSnapshot.isEmpty && pinnedDirs.isEmpty,
       s"graftcell: $op is not allowed on a time-travel " +
@@ -1073,12 +1084,20 @@ object GraftCellSnapshot {
     * file NAMES visible to a batch reader right now (manifest entries
     * minus pending retire intents), as a v2 manifest. Atomic publish:
     * tmp file + rename, so a concurrent reader sees old or new
-    * manifest, never a torn one. Returns the pinned dirs. */
-  def create(store: String, name: String): Seq[String] = {
+    * manifest, never a torn one. `owner` (r20) records the ABSOLUTE
+    * path of the artifact this snapshot serves as a boundary for (an
+    * index store) — vacuum decides a boundary's orphanhood by whether
+    * that path still exists, never by name heuristics (ADVICE r19: a
+    * sibling dir that merely shares a leaf name must not keep a dead
+    * boundary alive, and a live non-sibling index must not lose its
+    * boundary). Returns the pinned dirs. */
+  def create(store: String, name: String,
+             owner: Option[String] = None): Seq[String] = {
     val retired = CellRetire.retiredOf(store)
     val dirs = CellFooterCache.committedDirs(store)
     val root = mapper.createObjectNode()
     root.put("v", 2)
+    owner.foreach(root.put("owner", _))
     val dnode = root.putObject("dirs")
     dirs.foreach { d =>
       val arr = dnode.putArray(d)
@@ -1116,6 +1135,34 @@ object GraftCellSnapshot {
   def drop(store: String, name: String, sweep: Boolean = true): Unit = {
     manifest(store, name).delete()
     if (sweep) CellArchive.sweep(store)
+    ()
+  }
+
+  /** The recorded owner path of a snapshot (r20 — index-sync
+    * boundaries record the index store they serve), or None for
+    * snapshots created without one (v1, or plain user snapshots). */
+  def ownerOf(store: String, name: String): Option[String] = {
+    val f = manifest(store, name)
+    if (!f.exists()) return None
+    val root = mapper.readTree(java.nio.file.Files.readAllBytes(f.toPath))
+    if (root.isArray || !root.has("owner")) None
+    else Some(root.get("owner").asText())
+  }
+
+  /** ATOMICALLY promote snapshot `tmpName` to `name` (replacing any
+    * existing manifest under `name`): the publish step of the
+    * pin-upper-bound-first sync protocol — the boundary never exists
+    * in a torn state, and a writer that committed between the delta
+    * scan and this promote lands AFTER the promoted boundary's pinned
+    * view, so the NEXT sync picks it up (the ADVICE r19 race: the old
+    * advance-by-re-pinning-live silently covered-but-never-indexed
+    * such a commit). */
+  def promote(store: String, tmpName: String, name: String): Unit = {
+    val src = manifest(store, tmpName)
+    require(src.exists(), s"graftcell: no snapshot '$tmpName' in $store")
+    java.nio.file.Files.move(src.toPath, manifest(store, name).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
@@ -2619,20 +2666,93 @@ object GraftCellMaintenance {
     * indexed cell count (from the fresh manifest — no second pass). */
   /** The SYNC SNAPSHOT a build pins on the base store: the exact view
     * the index covers, and the boundary `syncIndex` reads its delta
-    * from. Named per index so several indexes sync independently. */
-  def idxSyncSnapshot(idxLeafName: String): String =
-    s"__idx_sync_$idxLeafName"
+    * from. Keyed by the index store's leaf name PLUS a hash of its
+    * absolute path (ADVICE r19: two path-mode indexes of the same base
+    * whose directories merely share a leaf name must not share —
+    * and clobber — one boundary), so several indexes sync
+    * independently whatever their locations. */
+  def idxSyncSnapshot(idxStore: String): String = {
+    val abs = new java.io.File(idxStore).getAbsolutePath
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+    s"__idx_sync_${new java.io.File(idxStore).getName}_$h"
+  }
+
+  /** The ONE observable sync state of (base store, index store) —
+    * shared verbatim by `syncIndex` (mode selection / refusal),
+    * `g.t.indexes` (the `delta_generations` / `rewritten_since_sync`
+    * columns) and the `IndexRoute` planner rule (route only when the
+    * index provably covers the live view), so the health a user reads
+    * can never drift from the predicate the verbs act on (ADVICE r19).
+    *
+    *  - `snapExists`: the boundary snapshot is present (false ⇒ the
+    *    whole store is unsynced and a rebuild is due);
+    *  - `pinsOk`: every pinned generation/file is still live AS
+    *    PINNED (false ⇒ history was rewritten since the boundary);
+    *  - `lateEvents`: travel-log structural events stamped after the
+    *    boundary's newest pinned generation;
+    *  - `deltaDirs`: live generations the boundary does not pin (what
+    *    an append-only dir-granular sync would index);
+    *  - `missingPins`: pins resolving NEITHER live nor through the
+    *    archive (nonzero ⇒ the boundary view is no longer readable
+    *    and even a content-level sync must refuse). */
+  final case class IdxSyncState(snapExists: Boolean, pinsOk: Boolean,
+                                lateEvents: Long, deltaDirs: Set[String],
+                                missingPins: Long) {
+    /** Append-only since the boundary: the dir-granular delta is sound. */
+    def appendOnly: Boolean = snapExists && pinsOk && lateEvents == 0L
+    /** The index mirrors the live view exactly — a planner may route
+      * value predicates through it. */
+    def covered: Boolean = appendOnly && deltaDirs.isEmpty
+  }
+
+  def idxSyncState(store: String, idxStore: String): IdxSyncState = {
+    val snap = idxSyncSnapshot(idxStore)
+    val live = CellFooterCache.committedDirs(store).toSet
+    scala.util.Try(GraftCellSnapshot.pinned(store, snap)) match {
+      // no boundary (dropped / pre-dating the lifecycle): the whole
+      // store is unsynced delta and a rebuild is due
+      case scala.util.Failure(_) =>
+        IdxSyncState(snapExists = false, pinsOk = false, 0L, live, 0L)
+      case scala.util.Success(pins) =>
+        val pinsOk = pins.forall { case (d, names) =>
+          live.contains(d) && names.forall(_.subsetOf(
+            CellFooterCache.filesUnder(store, d)
+              .map(m => new java.io.File(m.path).getName).toSet))
+        }
+        val pinnedMax = pins.keys
+          .flatMap(d => scala.util.Try(
+            CellManifest.commitStampOf(store, d)).toOption)
+          .maxOption.getOrElse(Long.MinValue)
+        val late = CellTravelLog.read(store).count(_.at > pinnedMax).toLong
+        val missing = pins.keys.toSeq.map { d =>
+          val resolved = CellArchive.resolvePinned(store, d, pins(d))
+            .map(m => new java.io.File(m.path).getName).toSet
+          pins(d) match {
+            case Some(ns) => ns.count(!resolved.contains(_)).toLong
+            case None => if (resolved.nonEmpty || live.contains(d) ||
+                             CellArchive.dirOf(store, d).isDirectory) 0L
+                         else 1L
+          }
+        }.sum
+        IdxSyncState(snapExists = true, pinsOk, late,
+                     live -- pins.keySet, missing)
+    }
+  }
 
   def buildIndex(spark: org.apache.spark.sql.SparkSession,
                  baseStore: String, idxStore: String,
                  family: String, qualifier: String,
                  maxRowsPerFile: Long = -1L): Long = {
-    import org.apache.spark.sql.functions._
     // pin the view FIRST and index exactly it: the snapshot is then
     // both the consistency proof (index == snapshot view, bit for bit)
-    // and the incremental boundary the next sync reads from
-    val snap = idxSyncSnapshot(new java.io.File(idxStore).getName)
-    GraftCellSnapshot.create(baseStore, snap)
+    // and the incremental boundary the next sync reads from. The
+    // boundary records the index store as its OWNER (vacuum's
+    // orphanhood signal — path-identity, not name heuristics).
+    val snap = idxSyncSnapshot(idxStore)
+    GraftCellSnapshot.create(baseStore, snap,
+      Some(new java.io.File(idxStore).getAbsolutePath))
     val w = indexCellsOf(spark, baseStore, family, qualifier,
                          Map("snapshot" -> snap))
       .write.format("graftcell").mode("overwrite")
@@ -2644,10 +2764,14 @@ object GraftCellMaintenance {
     CellFooterCache.filesOf(idxStore).map(_.rowCount).sum
   }
 
-  private def indexCellsOf(spark: org.apache.spark.sql.SparkSession,
-                           baseStore: String, family: String,
-                           qualifier: String,
-                           readOpts: Map[String, String])
+  /** The INDEXABLE slice of a base view: the one (family, qualifier)
+    * column, nulls excluded (not seekable) — family/qualifier
+    * predicates push into the connector scan, so only the indexed
+    * column's cells ever leave the store. */
+  private def indexSourceOf(spark: org.apache.spark.sql.SparkSession,
+                            baseStore: String, family: String,
+                            qualifier: String,
+                            readOpts: Map[String, String])
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     readOpts.foldLeft(spark.read.format("graftcell")) {
@@ -2655,65 +2779,152 @@ object GraftCellMaintenance {
       .load(baseStore)
       .filter(col("family") === family && col("qualifier") === qualifier &&
               col("rowkey").isNotNull && col("value").isNotNull)
-      .select(concat(col("value"), lit("\u0000"), col("rowkey")).as("rowkey"),
-              lit("i").as("family"), lit("r").as("qualifier"),
-              col("version"), col("rowkey").as("value"))
   }
 
-  /** INCREMENTAL index maintenance (r19 — completes the build_index
-    * lifecycle): append to the index exactly the base generations
-    * committed since the last build/sync (the `sinceSnapshot` delta
-    * scan — O(delta), never O(store)), then advance the sync snapshot.
-    * TOTAL-OR-LOUD eligibility: the delta contract holds only while
-    * base history since the snapshot is APPEND-ONLY — any structural
-    * rewrite (compaction, split/merge, restore, DML group-replace or
-    * ranged-DELETE rename) would strand index entries pointing at
-    * rewritten history, so the sync REFUSES (with the rebuild verb
-    * named) when (a) any pinned dir/file of the sync snapshot is no
-    * longer live as pinned, or (b) the travel log records any event
-    * stamped after the snapshot's newest pinned generation. Legacy
-    * manifest-less dirs rewrite in place without logging — exactly the
-    * caveat class `upgrade_manifests` retires. Returns (cells synced,
-    * delta generations). */
+  /** Base cells → index cells: rowkey = value ++ 0x00 ++ base rowkey,
+    * value = the base rowkey (the covered back-pointer). */
+  private def toIndexCells(src: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    src.select(
+      concat(col("value"), lit("\u0000"), col("rowkey")).as("rowkey"),
+      lit("i").as("family"), lit("r").as("qualifier"),
+      col("version"), col("rowkey").as("value"))
+  }
+
+  private def indexCellsOf(spark: org.apache.spark.sql.SparkSession,
+                           baseStore: String, family: String,
+                           qualifier: String,
+                           readOpts: Map[String, String])
+      : org.apache.spark.sql.DataFrame =
+    toIndexCells(indexSourceOf(spark, baseStore, family, qualifier, readOpts))
+
+  /** How many index entries a content-level sync will delete via a
+    * driver-built predicate before refusing: the removal set rides an
+    * Or-chain filter into `deleteWhere`, so it must stay
+    * driver-bounded (a pure compaction removes nothing; DML touches
+    * the rows a statement touched). Beyond this, rebuild — at 100 TB
+    * a removal set this large means the base was largely rewritten
+    * and the rebuild's one distributed pass is the cheaper plan. */
+  private val IDX_SYNC_MAX_DELETES = 10000
+
+  /** INCREMENTAL index maintenance (r19; content-mode + race-free
+    * boundary r20 — completes the build_index lifecycle). Protocol:
+    *
+    *  1. Pin the delta's UPPER BOUND first (`<boundary>_next`): a base
+    *     generation committed between the delta scan and the boundary
+    *     advance lands AFTER the pinned bound and is the NEXT sync's
+    *     delta — the r19 order (scan, then re-pin live) silently
+    *     marked such a commit covered-but-never-indexed (ADVICE r19).
+    *  2. Append-only history since the boundary (every pin live as
+    *     pinned, no later travel-log event) ⇒ DIR-GRANULAR delta: read
+    *     `snapshot=next, sinceSnapshot=boundary` — O(delta), the
+    *     generations outside the boundary never re-read (mode
+    *     `delta`).
+    *  3. Structural rewrite since the boundary (compaction / split /
+    *     merge / restore / DML) ⇒ CONTENT-LEVEL delta while the
+    *     boundary view is still readable (its pins resolve live or
+    *     through the archive — true for every content-preserving
+    *     maintenance op, whose retired files the archive keeps for
+    *     exactly this pin): null-safe anti-joins of the two pinned
+    *     views on the full cell identity (rowkey, version, value) —
+    *     additions append, removals delete their index entries
+    *     (driver-bounded; see [[IDX_SYNC_MAX_DELETES]]). Only the
+    *     indexed (family, qualifier) column crosses the exchange —
+    *     pushed on both sides — so compute is O(indexed column) and
+    *     the index WRITE stays O(content delta): after a pure
+    *     compaction both anti-joins are empty and nothing is written
+    *     at all, where r19 refused and forced an O(column) rebuild
+    *     (mode `content`).
+    *  4. Boundary unreadable (pins resolve neither live nor archived)
+    *     ⇒ REFUSE with the rebuild verb named — never a silent
+    *     partial sync.
+    *  5. Atomically PROMOTE `_next` to the boundary name.
+    *
+    * Returns (cells appended, index entries deleted, delta
+    * generations, mode). */
   def syncIndex(spark: org.apache.spark.sql.SparkSession,
                 baseStore: String, idxStore: String,
-                family: String, qualifier: String): (Long, Long) = {
-    val snap = idxSyncSnapshot(new java.io.File(idxStore).getName)
-    val pins = GraftCellSnapshot.pinned(baseStore, snap) // throws if absent
-    val live = CellFooterCache.committedDirs(baseStore).toSet
-    pins.foreach { case (d, names) =>
-      require(live.contains(d),
-        s"graftcell: sync_index found pinned generation '$d' gone — " +
-        "base history was rewritten since the last sync; rebuild the " +
-        "index (CALL build_index)")
-      names.foreach { ns =>
-        val nowLive = CellFooterCache
-          .filesUnder(baseStore, d)
-          .map(m => new java.io.File(m.path).getName).toSet
-        require(ns.subsetOf(nowLive),
-          s"graftcell: sync_index found pinned files of '$d' renamed " +
-          "or removed — base history was rewritten since the last " +
-          "sync; rebuild the index (CALL build_index)")
-      }
+                family: String, qualifier: String)
+      : (Long, Long, Long, String) = {
+    import org.apache.spark.sql.functions._
+    val snap = idxSyncSnapshot(idxStore)
+    val st = idxSyncState(baseStore, idxStore)
+    require(st.snapExists,
+      s"graftcell: no sync snapshot '$snap' on $baseStore — rebuild " +
+      "the index (CALL build_index)")
+    val owner = Some(new java.io.File(idxStore).getAbsolutePath)
+    val next = snap + "_next"
+    GraftCellSnapshot.create(baseStore, next, owner)
+    def idxRows(): Long = {
+      CellFooterCache.invalidate(idxStore)
+      CellFooterCache.filesOf(idxStore).map(_.rowCount).sum
     }
-    val pinnedMax = pins.keys
-      .map(CellManifest.commitStampOf(baseStore, _))
-      .maxOption.getOrElse(Long.MinValue)
-    val late = CellTravelLog.read(baseStore).filter(_.at > pinnedMax)
-    require(late.isEmpty,
-      s"graftcell: sync_index found ${late.size} structural rewrite " +
-      "event(s) after the sync snapshot — the append-only delta " +
-      "contract is broken; rebuild the index (CALL build_index)")
-    val deltaDirs = live -- pins.keySet
-    if (deltaDirs.isEmpty) return (0L, 0L)
-    val before = CellFooterCache.filesOf(idxStore).map(_.rowCount).sum
-    indexCellsOf(spark, baseStore, family, qualifier,
-                 Map("sinceSnapshot" -> snap))
-      .write.format("graftcell").mode("append").save(idxStore)
-    CellFooterCache.invalidate(idxStore)
-    val synced = CellFooterCache.filesOf(idxStore).map(_.rowCount).sum - before
-    GraftCellSnapshot.create(baseStore, snap) // advance the boundary
-    (synced, deltaDirs.size.toLong)
+    if (st.appendOnly) {
+      val deltaDirs = GraftCellSnapshot.dirs(baseStore, next).toSet --
+        GraftCellSnapshot.dirs(baseStore, snap).toSet
+      if (deltaDirs.isEmpty) {
+        GraftCellSnapshot.drop(baseStore, next)
+        return (0L, 0L, 0L, "delta")
+      }
+      val before = idxRows()
+      indexCellsOf(spark, baseStore, family, qualifier,
+                   Map("snapshot" -> next, "sinceSnapshot" -> snap))
+        .write.format("graftcell").mode("append").save(idxStore)
+      val synced = idxRows() - before
+      GraftCellSnapshot.promote(baseStore, next, snap)
+      (synced, 0L, deltaDirs.size.toLong, "delta")
+    } else {
+      require(st.missingPins == 0L,
+        s"graftcell: sync_index found ${st.missingPins} pinned file(s) " +
+        "of the sync boundary resolving neither live nor archived — " +
+        "the boundary view is unreadable; rebuild the index " +
+        "(CALL build_index)")
+      def view(sn: String) = indexSourceOf(
+        spark, baseStore, family, qualifier, Map("snapshot" -> sn))
+        .select("rowkey", "version", "value")
+      val cur = view(next).as("c")
+      val old = view(snap).as("o")
+      val sameCell =
+        col("c.rowkey") <=> col("o.rowkey") &&
+        col("c.version") <=> col("o.version") &&
+        col("c.value") <=> col("o.value")
+      val before = idxRows()
+      toIndexCells(cur.join(old, sameCell, "left_anti"))
+        .write.format("graftcell").mode("append").save(idxStore)
+      val synced = idxRows() - before
+      // removals: cells of the boundary view gone from the live view —
+      // their index entries (rowkey = value ++ 0x00 ++ base rowkey, at
+      // the base cell's version) must go, or a probe would surface
+      // ghosts. Driver-bounded by construction (see the cap's doc).
+      val delRows = old.join(cur, sameCell, "left_anti")
+        .select(concat(col("o.value"), lit("\u0000"), col("o.rowkey"))
+                  .as("k"),
+                col("o.version"))
+        .limit(IDX_SYNC_MAX_DELETES + 1).collect()
+      require(delRows.length <= IDX_SYNC_MAX_DELETES,
+        s"graftcell: sync_index found more than $IDX_SYNC_MAX_DELETES " +
+        "removed cells since the boundary — rebuild the index " +
+        "(CALL build_index)")
+      if (delRows.nonEmpty) {
+        def orAll(fs: IndexedSeq[Filter]): Filter =
+          if (fs.length == 1) fs.head
+          else {
+            val (a, b) = fs.splitAt(fs.length / 2)
+            Or(orAll(a), orAll(b)) // balanced: eval recursion stays log n
+          }
+        val preds: IndexedSeq[Filter] = delRows.toIndexedSeq.map { r =>
+          val verEq: Filter =
+            if (r.isNullAt(1)) IsNull("version")
+            else EqualTo("version", r.getLong(1))
+          And(EqualTo("rowkey", r.getString(0)), verEq)
+        }
+        new GraftCellTable(idxStore).deleteWhere(Array(orAll(preds)))
+        CellFooterCache.invalidate(idxStore)
+      }
+      GraftCellSnapshot.promote(baseStore, next, snap)
+      (synced, delRows.length.toLong, st.deltaDirs.size.toLong, "content")
+    }
   }
 
   def upgradeManifests(spark: org.apache.spark.sql.SparkSession,
@@ -2849,20 +3060,29 @@ object GraftCellMaintenance {
           GraftCellSnapshot.drop(store, n, sweep = false) }
         dead.size.toLong
       }
-    // r19: ORPHANED INDEX-SYNC snapshots — `build_index` pins a
-    // `__idx_sync_<index>` snapshot on the base as the incremental
-    // boundary; dropping the index table (or deleting a path-mode
-    // index dir) leaves that pin behind, holding base archive history
-    // forever. Orphan = the snapshot's index DIRECTORY no longer
-    // exists next to the store (directory-existence only — path-mode
-    // indexes have no catalog marker and must not be misclassified).
-    // A live index's boundary is never touched.
+    // r19 (owner-identity r20): ORPHANED INDEX-SYNC snapshots —
+    // `build_index` pins a `__idx_sync_*` snapshot on the base as the
+    // incremental boundary; dropping the index table (or deleting a
+    // path-mode index dir) leaves that pin behind, holding base
+    // archive history forever. Orphanhood is decided by the OWNER
+    // PATH the boundary itself records (ADVICE r19: bare
+    // sibling-leaf existence both drops a live non-sibling index's
+    // boundary and lets an unrelated same-named sibling keep a dead
+    // one alive): orphan = the recorded index store is gone. Legacy
+    // ownerless boundaries keep the sibling-leaf heuristic. A
+    // transient `*_next` upper-bound pin (a crashed sync's leftover)
+    // is reclaimed with the same rule via its own recorded owner —
+    // the next sync recreates it.
     val orphanedIdx = GraftCellSnapshot.names(store)
       .filter(_.startsWith("__idx_sync_"))
       .filter { n =>
-        val leaf = n.stripPrefix("__idx_sync_")
-        !new java.io.File(new java.io.File(store).getParentFile, leaf)
-          .isDirectory
+        GraftCellSnapshot.ownerOf(store, n) match {
+          case Some(p) => !new java.io.File(p).isDirectory
+          case None =>
+            val leaf = n.stripPrefix("__idx_sync_")
+            !new java.io.File(new java.io.File(store).getParentFile, leaf)
+              .isDirectory
+        }
       }
     orphanedIdx.foreach(GraftCellSnapshot.drop(store, _, sweep = false))
     // r17: the archive cleaner chore — reclaim archived files no
