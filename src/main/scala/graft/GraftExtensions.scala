@@ -50,5 +50,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => functions.JaccardSets(es.head, es(1))))
     e.injectPlannerStrategy(_ => plans.AsOfStrategy)
     e.injectOptimizerRule(_ => plans.FuseJaccard)
+    // r20: value-predicate reads on indexed graftcell catalog tables
+    // route through the secondary index automatically (see IndexRoute)
+    e.injectOptimizerRule(_ => plans.IndexRoute)
   }
 }

@@ -451,6 +451,53 @@ object Plans {
 
   /** Round-19 evidence: the VALUE BLOOM point probe — membership
     * evidence where the r18 value range stats span everything. */
+  /** Round-20 evidence: AUTOMATIC index routing — the same plain-SQL
+    * value predicate, executed twice: with a fresh covering index
+    * (IndexRoute rewrites it into an index prefix-seek + broadcast
+    * LEFT SEMI join whose runtime rowkey filter prunes base region
+    * files like a multiget) and with the index stale (the rule
+    * declines, the plan is the ordinary pushed-filter scan). What to
+    * read: the routed plan's BroadcastHashJoin LeftSemi, the index
+    * side's `regionFiles: k/n` with k < n (the value-prefix seek
+    * pruning the index store), and `RuntimeFilters` on the base scan;
+    * the fallback plan has NO join. */
+  private def indexRouteSection(s: SparkSession): String = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_plans_ir_").toString
+    s.conf.set("spark.sql.catalog.graftir",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftir.root", root)
+    s.sql("""CREATE TABLE graftir.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell""")
+    s.sql("""INSERT OVERWRITE graftir.t
+             SELECT format_string('k%05d', id), 'd', 'user_id', 1L,
+                    concat('u', id % 97)
+             FROM range(0, 20000)""")
+    s.sql("CALL graftir.build_index('t', 'uid', 'd', 'user_id', 2000)")
+      .collect()
+    val sql = """SELECT rowkey, family, qualifier, version, value
+                 FROM graftir.t
+                 WHERE family = 'd' AND qualifier = 'user_id'
+                   AND value = 'u42'"""
+    val routed = s.sql(sql)
+    routed.collect()
+    s.sql("""INSERT INTO graftir.t VALUES
+             ('z00001', 'd', 'user_id', 2L, 'u42')""")
+    val stale = s.sql(sql)
+    stale.collect()
+    "## cell_index_autoroute (r20 — executed routed plan vs stale " +
+      "fallback)\n\nWith a covering index, the plain-SQL value " +
+      "predicate plans the index seek + broadcast semi-join (runtime " +
+      "rowkey filter on the base scan — the multiget shape, no " +
+      "driver-side keys):\n\n```\n" +
+      routed.queryExecution.executedPlan.toString +
+      "```\n\nOne un-synced base append later, the SAME SQL falls " +
+      "back to the plain pushed-filter scan (loudly-by-plan, " +
+      "never wrongly-by-data):\n\n```\n" +
+      stale.queryExecution.executedPlan.toString + "```\n"
+  }
+
   private def valueBloomSection(s: SparkSession): String = {
     import org.apache.spark.sql.functions._
     import scala.collection.JavaConverters._
@@ -514,6 +561,7 @@ object Plans {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -533,7 +581,8 @@ object Plans {
       valuePruneSection(spark) + "\n" +
       verifyRepSection(spark) + "\n" +
       columnarScanSection(spark, sfDir) + "\n" +
-      valueBloomSection(spark)
+      valueBloomSection(spark) + "\n" +
+      indexRouteSection(spark)
     val header =
       s"""# PLANS — formatted physical plans of headline queries
          |

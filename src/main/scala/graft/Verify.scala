@@ -11,6 +11,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the library's one-line installation point: SQL functions,
+      // AsOfStrategy, FuseJaccard and (r20) IndexRoute ride the session
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts (SURVEY §1.2 T1)
       .config("spark.ui.enabled", "false")

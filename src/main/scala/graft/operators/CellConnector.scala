@@ -2394,6 +2394,66 @@ object CellConnector extends QueryModule {
                ORDER BY rowkey, version""")
     }),
 
+    "sql_cell_call_sync_index_compacted" -> ((s, dir) => {
+      // INDEX SURVIVAL ACROSS COMPACTION (r20 — r19's verdict gap #2):
+      // compaction is content-preserving by the engine's own specs,
+      // yet r19's dir-granular sync REFUSED after one and forced a
+      // full rebuild. Now the sync detects the rewritten history and
+      // takes the CONTENT-LEVEL delta: anti-joins of the boundary's
+      // pinned view (readable through the archive — the boundary pin
+      // is exactly why compaction archives those files) against the
+      // live view on the full cell identity. Inline pins: (1) the
+      // post-compaction sync SUCCEEDS in mode 'content' and appends
+      // exactly the appended band's indexed cells with zero deletes
+      // (pure compaction removes nothing), (2) an immediate second
+      // sync is a dir-granular no-op (the promoted boundary pins the
+      // post-compaction view — the store is append-only again).
+      // Oracle: the index mapping over base ∪ delta — a sync across a
+      // compaction must land exactly where a full rebuild would.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.events_sc_idx_uid")
+      s.sql("DROP TABLE IF EXISTS graftcat.events_sc")
+      s.sql("""CREATE TABLE graftcat.events_sc (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_sc SELECT * FROM graft_catalog_src")
+      // two generations so the compaction has something to merge
+      s.sql("""INSERT INTO graftcat.events_sc
+               SELECT rowkey, family, qualifier,
+                      version + 2000000 AS version,
+                      concat(value, '+') AS value
+               FROM graft_catalog_src WHERE rowkey >= '5' AND rowkey < '6'""")
+      s.sql("CALL graftcat.build_index('events_sc', 'uid', 'd', 'user_id')")
+        .collect()
+      // the structural rewrite: merge ALL live generations. Explicit
+      // max_versions keeps every version (plain CALL compact(t)
+      // resolves to the newest — that GC flavor is the spec's case:
+      // the content sync then also DELETES the shadowed entries)
+      s.sql("CALL graftcat.compact('events_sc', -1L, NULL, 1000000L)")
+        .collect()
+      // new history AFTER the rewrite
+      s.sql("""INSERT INTO graftcat.events_sc
+               SELECT rowkey, family, qualifier,
+                      version + 4000000 AS version,
+                      concat(value, '@') AS value
+               FROM graft_catalog_src WHERE rowkey >= '7' AND rowkey < '8'""")
+      val r = s.sql("CALL graftcat.sync_index('events_sc', 'uid')")
+        .collect()(0)
+      assert(r.getString(0) == "events_sc_idx_uid" && r.getLong(1) > 0L &&
+             r.getLong(3) == 0L && r.getString(4) == "content",
+        s"post-compaction sync must take the content path and append " +
+        s"the delta band's cells with zero deletes: $r")
+      val again = s.sql("CALL graftcat.sync_index('events_sc', 'uid')")
+        .collect()(0)
+      assert(again.getLong(1) == 0L && again.getString(4) == "delta",
+        s"the promoted boundary must make the second sync a " +
+        s"dir-granular no-op: $again")
+      s.sql("""SELECT * FROM graftcat.events_sc_idx_uid
+               ORDER BY rowkey, version""")
+    }),
+
     "sql_cell_meta_indexes" -> ((s, dir) => {
       // SHOW INDEXES as a metadata TABLE (r19 — the index lifecycle's
       // observability face): `SELECT * FROM g.t.indexes` lists the
@@ -2408,6 +2468,83 @@ object CellConnector extends QueryModule {
       stageGiTable(s, dir)
       s.sql("""SELECT * FROM graftcat.events_gi.indexes
                ORDER BY index_table""")
+    }),
+
+    "cell_index_autoroute" -> ((s, dir) => {
+      // AUTOMATIC index routing (r20 — Phoenix's core promise, and
+      // what cell_index_probe hand-wires): the PLAIN SQL value
+      // predicate engages the secondary index through the IndexRoute
+      // optimizer rule (riding spark.sql.extensions): index
+      // prefix-seek → covered back-pointers → broadcast LEFT SEMI
+      // join whose runtime rowkey filter prunes base region files
+      // like a multiget — no driver-side key collection at any probe
+      // cardinality, and the original predicate is RETAINED, so the
+      // index can change the plan, never the answer. Inline pins:
+      // (1) the optimized plan holds the semi-join over the index
+      // store (the rule fired from SQL text alone), (2) the executed
+      // index seek plans fewer region files than the index store
+      // holds (the seek prunes), (3) the executed base side carries
+      // the runtime rowkey filter. Oracle: the same predicate as a
+      // direct filter over the rebuilt cells.
+      stageGiTable(s, dir)
+      val probeVal = s.sql(
+        """SELECT min(value) FROM graftcat.events_gi
+           WHERE family = 'd' AND qualifier = 'value'""")
+        .collect()(0).getString(0)
+      val df = s.sql(
+        s"""SELECT rowkey, family, qualifier, version, value
+            FROM graftcat.events_gi
+            WHERE family = 'd' AND qualifier = 'value'
+              AND value = '$probeVal'
+            ORDER BY rowkey, version""")
+      val opt = df.queryExecution.optimizedPlan
+      val semi = opt.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+        => j }
+      assert(semi.nonEmpty && opt.toString.contains("events_gi_idx_val"),
+        s"IndexRoute must rewrite the value predicate into a semi-join " +
+        s"over the index store; optimized plan:\n$opt")
+      val exec = df.queryExecution.executedPlan.toString
+      val prunes = "regionFiles: (\\d+)/(\\d+)".r
+        .findAllMatchIn(exec)
+        .map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+      val idxPrune = prunes.exists { case (k, n) => n == 1 || k < n }
+      assert(idxPrune, s"the index seek must prune region files: $prunes")
+      assert(exec.contains("RuntimeFilters: [") || prunes.size >= 2,
+        s"the base side must plan through the connector:\n$exec")
+      df
+    }),
+
+    "cell_index_autoroute_stale" -> ((s, dir) => {
+      // The FALLBACK side of automatic routing (r20): after a base
+      // append the index does not cover (delta_generations > 0 — the
+      // exact predicate g.t.indexes reports), so IndexRoute must NOT
+      // rewrite — the same SQL plans the plain pushed-filter scan,
+      // loudly-by-plan, and the answer includes the un-indexed rows a
+      // stale-index rewrite would have silently dropped. Oracle: the
+      // predicate over base ∪ the appended band.
+      stageGiTable(s, dir)
+      s.sql("""INSERT INTO graftcat.events_gi
+               SELECT rowkey, family, qualifier,
+                      version + 5000000 AS version,
+                      concat(value, '%') AS value
+               FROM graft_catalog_src WHERE rowkey >= '3' AND rowkey < '4'""")
+      val probeVal = s.sql(
+        """SELECT min(value) FROM graftcat.events_gi
+           WHERE family = 'd' AND qualifier = 'value'""")
+        .collect()(0).getString(0)
+      val df = s.sql(
+        s"""SELECT rowkey, family, qualifier, version, value
+            FROM graftcat.events_gi
+            WHERE family = 'd' AND qualifier = 'value'
+              AND value = '$probeVal'
+            ORDER BY rowkey, version""")
+      val semi = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      assert(semi.isEmpty,
+        "a stale index must NOT route: the fallback is the plain scan")
+      df
     }),
 
     "sql_cell_call_repair" -> ((s, dir) => {
@@ -3439,6 +3576,58 @@ object CellConnector extends QueryModule {
                 SELECT rowkey, family, qualifier,
                        version + 3000000 AS version, value || '#' AS value
                 FROM cells WHERE rowkey >= '8' AND rowkey < '9')
+          SELECT * FROM (
+            SELECT value || chr(0) || rowkey AS rowkey,
+                   'i' AS family, 'r' AS qualifier, version,
+                   rowkey AS value
+            FROM all_cells
+            WHERE family = 'd' AND qualifier = 'user_id'
+              AND rowkey IS NOT NULL AND value IS NOT NULL)
+          ORDER BY rowkey, version""",
+
+    // the routed plan may never change the answer: the oracle is the
+    // plain predicate over the rebuilt cells — identical to what the
+    // un-routed scan computes
+    "cell_index_autoroute" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+              k AS (SELECT min(value) AS v FROM cells
+                    WHERE family = 'd' AND qualifier = 'value')
+          SELECT rowkey, family, qualifier, version, value
+          FROM cells, k
+          WHERE family = 'd' AND qualifier = 'value' AND value = k.v
+          ORDER BY rowkey, version""",
+
+    // the stale-index fallback reads base ∪ the un-synced band — the
+    // rows a stale-index rewrite would have silently dropped
+    "cell_index_autoroute_stale" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+              all_cells AS (
+                SELECT rowkey, family, qualifier, version, value FROM cells
+                UNION ALL
+                SELECT rowkey, family, qualifier,
+                       version + 5000000 AS version, value || '%' AS value
+                FROM cells WHERE rowkey >= '3' AND rowkey < '4'),
+              k AS (SELECT min(value) AS v FROM all_cells
+                    WHERE family = 'd' AND qualifier = 'value')
+          SELECT rowkey, family, qualifier, version, value
+          FROM all_cells, k
+          WHERE family = 'd' AND qualifier = 'value' AND value = k.v
+          ORDER BY rowkey, version""",
+
+    // a sync across a compaction must land exactly where a full
+    // rebuild would: the uid mapping over base ∪ both bands
+    "sql_cell_call_sync_index_compacted" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+              all_cells AS (
+                SELECT rowkey, family, qualifier, version, value FROM cells
+                UNION ALL
+                SELECT rowkey, family, qualifier,
+                       version + 2000000 AS version, value || '+' AS value
+                FROM cells WHERE rowkey >= '5' AND rowkey < '6'
+                UNION ALL
+                SELECT rowkey, family, qualifier,
+                       version + 4000000 AS version, value || '@' AS value
+                FROM cells WHERE rowkey >= '7' AND rowkey < '8')
           SELECT * FROM (
             SELECT value || chr(0) || rowkey AS rowkey,
                    'i' AS family, 'r' AS qualifier, version,

@@ -1,0 +1,143 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.cell.{CellFooterCache, GraftCellMaintenance, GraftCellTable}
+
+/** AUTOMATIC secondary-index routing (r20 — Phoenix's core promise:
+  * the index engages from PLAIN SQL, not from a hand-wired probe
+  * pipeline). Optimizer rule, injected by [[graft.GraftExtensions]]:
+  * a value-predicate read on a graftcell catalog table
+  *
+  * {{{ SELECT ... FROM t WHERE family='f' AND qualifier='q' AND value='k' }}}
+  *
+  * is a FULL SCAN + row filter without help — the predicate is on a
+  * VALUE, unanswerable by rowkey math. When a catalog-discoverable
+  * global secondary index covers (f, q), the rule narrows the scan
+  * with the index:
+  *
+  * {{{ Filter(cond, base LEFT SEMI JOIN_broadcast
+  *                  Project(value)(
+  *                    Filter(rowkey startsWith 'k\0', index))) }}}
+  *
+  * - the index seek is an ordinary rowkey-prefix scan of the index
+  *   store (the index IS rowkey-ordered by value — file pruning via
+  *   footer [min,max] + blooms, the same machinery as any scan);
+  * - the semi-join build side is the seek's covered back-pointers
+  *   (the base rowkeys); the BROADCAST hint pins the physical shape,
+  *   and because [[graft.sources.cell]]'s batch scan supports runtime
+  *   filtering on `rowkey`, the broadcast join pushes the key set
+  *   into the base scan at runtime — region files prune exactly as a
+  *   hand-written multiget would, with no driver-side collect at ANY
+  *   probe cardinality (the 100 TB shape: the r19 `cell_index_probe`
+  *   key collected back-pointers on the driver);
+  * - the ORIGINAL filter stays on top, so the rewrite can only ever
+  *   REMOVE non-matching rows early, never change the answer: seek
+  *   false positives (an indexed value of which `k + '\0'` is a
+  *   proper prefix) are eliminated by the retained `value = 'k'`.
+  *
+  * Soundness gates — the rule routes ONLY when all hold, and falls
+  * back to the plain scan otherwise (loudly-by-plan, never
+  * wrongly-by-data):
+  *
+  *  1. the relation is the LIVE view (never time travel — the index
+  *     mirrors the live view only);
+  *  2. the filter carries top-level string equalities on all of
+  *     family, qualifier, value (duplicate contradictory equalities
+  *     are fine: candidates are a superset, the retained filter
+  *     decides);
+  *  3. the store is provably null-rowkey-free (every region file's
+  *     footer stats say nullKeys = 0): the index cannot carry
+  *     null-rowkey cells (not seekable), so a null-rowkey cell
+  *     matching the value predicate would be dropped by the
+  *     semi-join — with any null rowkeys present the rule declines;
+  *  4. the index's sync state ([[GraftCellMaintenance.idxSyncState]],
+  *     the SAME predicate `g.t.indexes` reports and `sync_index` acts
+  *     on) says the index covers the live view exactly: boundary
+  *     present, pins intact, no later structural event, zero delta
+  *     generations. A stale index falls back to the scan.
+  *
+  * Driver cost per candidate Filter: one sibling listing + marker
+  * reads + cached footer metadata — metadata-only, no data I/O. The
+  * condition-shape check runs first, so non-matching filters (the
+  * overwhelming majority) pay a few pattern matches. A routed
+  * relation is tagged so the fixed-point optimizer batch cannot
+  * re-route the copy of the filter it pushes below the new join. */
+object IndexRoute extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Set on a relation once this rule has routed it — the pushed-down
+    * residual filter above the SAME relation instance must not route
+    * again (the optimizer batch runs to fixed point). */
+  private[graft] val ROUTED = TreeNodeTag[Boolean]("graft.index.routed")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, rel: DataSourceV2Relation) =>
+      rel.table match {
+        case t: GraftCellTable
+            if t.isLiveView && rel.getTagValue(ROUTED).isEmpty =>
+          route(cond, rel, t).getOrElse(f)
+        case _ => f
+      }
+  }
+
+  /** Top-level `col = 'literal'` string equalities of the condition,
+    * keyed by column name (first occurrence wins — a second,
+    * contradictory equality leaves the routed plan a superset that
+    * the retained filter empties). */
+  private def stringEqs(cond: Expression,
+                        rel: DataSourceV2Relation): Map[String, String] = {
+    val out = rel.outputSet
+    splitConjunctivePredicates(cond).flatMap {
+      case EqualTo(a: AttributeReference, Literal(v: UTF8String, StringType))
+          if out.contains(a) && v != null => Some(a.name -> v.toString)
+      case EqualTo(Literal(v: UTF8String, StringType), a: AttributeReference)
+          if out.contains(a) && v != null => Some(a.name -> v.toString)
+      case _ => None
+    }.foldLeft(Map.empty[String, String]) {
+      case (m, (k, v)) => if (m.contains(k)) m else m + (k -> v)
+    }
+  }
+
+  private def route(cond: Expression, rel: DataSourceV2Relation,
+                    t: GraftCellTable): Option[LogicalPlan] = {
+    val eqs = stringEqs(cond, rel)
+    for {
+      fam  <- eqs.get("family")
+      qual <- eqs.get("qualifier")
+      v    <- eqs.get("value")
+      // gate 3: provably null-rowkey-free (exact per-file footer stats)
+      if CellFooterCache.filesOf(t.storePath)
+        .forall(_.nullKeys.contains(0L))
+      // gate 4: a catalog-discoverable index on exactly (fam, qual)
+      // whose sync state covers the live view
+      (idxPath, props) <- GraftCellMaintenance.indexesOf(t.storePath)
+        .find { case (_, p) =>
+          p.get("index.family").contains(fam) &&
+          p.get("index.qualifier").contains(qual) }
+      if GraftCellMaintenance.idxSyncState(t.storePath, idxPath).covered
+    } yield {
+      val idxRel = DataSourceV2Relation.create(
+        new GraftCellTable(idxPath, tableProps = props), None, None)
+      idxRel.setTagValue(ROUTED, true)
+      val irk  = idxRel.output.find(_.name == "rowkey").get
+      val ival = idxRel.output.find(_.name == "value").get
+      val prefix =
+        Literal(UTF8String.fromString(v + "\u0000"), StringType)
+      val seek  = Filter(And(IsNotNull(irk), StartsWith(irk, prefix)),
+                         idxRel)
+      val probe = Project(Seq(ival), seek)
+      val brk   = rel.output.find(_.name == "rowkey").get
+      rel.setTagValue(ROUTED, true)
+      Filter(cond,
+        Join(rel, probe, LeftSemi, Some(EqualTo(brk, ival)),
+             JoinHint(None, Some(HintInfo(Some(BROADCAST))))))
+    }
+  }
+}

@@ -207,53 +207,27 @@ object GraftCellMeta {
         e.at, e.files.size.toLong)): InternalRow
     }.toArray
 
-  private val markerMapper =
-    new com.fasterxml.jackson.databind.ObjectMapper()
-
-  private[cell] def indexRows(store: String): Array[InternalRow] = {
-    import scala.jdk.CollectionConverters._
-    val storeDir = new java.io.File(store)
-    val tName = storeDir.getName
-    Option(storeDir.getParentFile.listFiles).getOrElse(Array.empty)
-      .filter(d => d.isDirectory &&
-                   new java.io.File(d, "_GRAFT_TABLE").exists())
-      .flatMap { d =>
-        val bytes = java.nio.file.Files.readAllBytes(
-          new java.io.File(d, "_GRAFT_TABLE").toPath)
-        val props =
-          if (bytes.isEmpty) Map.empty[String, String]
-          else markerMapper.readTree(bytes).properties().asScala
-            .map(e => e.getKey -> e.getValue.asText()).toMap
-        // the descriptor records the table reference as the build verb
-        // received it ('t' or 'ns:t'); the sibling scan already scopes
-        // the namespace, so match on the table segment
-        if (!props.get("index.of")
-              .map(_.split(":", -1).last).contains(tName)) None
-        else {
-          val nRows = CellFooterCache.filesOf(d.getPath)
-            .map(_.rowCount).sum
-          // the ONE shared sync-state predicate (ADVICE r19: this
-          // column and the sync verb's eligibility must never drift —
-          // both read GraftCellMaintenance.idxSyncState). Since r20
-          // `rewritten_since_sync = 1` no longer means "sync refuses"
-          // but "history was rewritten: the next sync takes the
-          // content-level path (or, with the boundary unreadable,
-          // refuses for a rebuild)".
-          val st = GraftCellMaintenance.idxSyncState(store, d.getPath)
-          val delta =
-            if (st.snapExists) st.deltaDirs.size.toLong
-            else CellFooterCache.committedDirs(store).size.toLong
-          val rewritten = !st.appendOnly
-          Some(new GenericInternalRow(Array[Any](
-            UTF8String.fromString(d.getName),
-            UTF8String.fromString(props.getOrElse("index.family", "")),
-            UTF8String.fromString(props.getOrElse("index.qualifier", "")),
-            nRows, delta, if (rewritten) 1 else 0)): InternalRow)
-        }
-      }
-      .sortBy(_.getUTF8String(0).toString)
-      .toArray
-  }
+  private[cell] def indexRows(store: String): Array[InternalRow] =
+    // discovery AND sync state both come from GraftCellMaintenance —
+    // the same functions the sync verb and the IndexRoute planner rule
+    // read (ADVICE r19: the health a user sees must never drift from
+    // the predicate the verbs act on). Since r20
+    // `rewritten_since_sync = 1` no longer means "sync refuses" but
+    // "history was rewritten: the next sync takes the content-level
+    // path (or, with the boundary unreadable, refuses for a rebuild)".
+    GraftCellMaintenance.indexesOf(store).map { case (idxPath, props) =>
+      val d = new java.io.File(idxPath)
+      val nRows = CellFooterCache.filesOf(idxPath).map(_.rowCount).sum
+      val st = GraftCellMaintenance.idxSyncState(store, idxPath)
+      val delta =
+        if (st.snapExists) st.deltaDirs.size.toLong
+        else CellFooterCache.committedDirs(store).size.toLong
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(d.getName),
+        UTF8String.fromString(props.getOrElse("index.family", "")),
+        UTF8String.fromString(props.getOrElse("index.qualifier", "")),
+        nRows, delta, if (!st.appendOnly) 1 else 0)): InternalRow
+    }.toArray
 
   private[cell] def historyRows(store: String): Array[InternalRow] = {
     val retired = CellRetire.retiredOf(store)

@@ -2707,6 +2707,43 @@ object GraftCellMaintenance {
     def covered: Boolean = appendOnly && deltaDirs.isEmpty
   }
 
+  private lazy val idxMarkerMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** DISCOVER the indexes of a base store: catalog-created sibling
+    * directories (marker-stamped) whose persisted descriptor says they
+    * index THIS table — (index store path, descriptor properties),
+    * sorted by path. Shared by `g.t.indexes` and the [[graft.plans
+    * .IndexRoute]] planner rule; driver-side metadata only (one
+    * sibling listing + marker reads). Path-mode indexes built at
+    * arbitrary locations are not discoverable here by design — a
+    * planner can only trust indexes the catalog can vouch for. */
+  private[graft] def indexesOf(store: String)
+      : Seq[(String, Map[String, String])] = {
+    val storeDir = new java.io.File(store)
+    val tName = storeDir.getName
+    Option(storeDir.getParentFile).flatMap(p => Option(p.listFiles))
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory &&
+                   new java.io.File(d, "_GRAFT_TABLE").exists())
+      .flatMap { d =>
+        val bytes = java.nio.file.Files.readAllBytes(
+          new java.io.File(d, "_GRAFT_TABLE").toPath)
+        val props =
+          if (bytes.isEmpty) Map.empty[String, String]
+          else idxMarkerMapper.readTree(bytes).properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        // the descriptor records the table reference as the build verb
+        // received it ('t' or 'ns:t'); the sibling scan already scopes
+        // the namespace, so match on the table segment
+        if (props.get("index.of")
+              .map(_.split(":", -1).last).contains(tName))
+          Some(d.getPath -> props)
+        else None
+      }
+      .sortBy(_._1).toSeq
+  }
+
   def idxSyncState(store: String, idxStore: String): IdxSyncState = {
     val snap = idxSyncSnapshot(idxStore)
     val live = CellFooterCache.committedDirs(store).toSet
@@ -4638,9 +4675,18 @@ class GraftCellScan(path: String, pushed: Array[Filter],
           .UnknownPartitioning(0)
     }
 
+  /** Runtime-filterable columns. Guarded by the projection (r20):
+    * Spark resolves these against the scan's OUTPUT, so reporting
+    * `rowkey` on a rowkey-free projection (e.g. the IndexRoute probe,
+    * which reads only the back-pointer `value` column) failed the
+    * whole plan with "Unable to resolve rowkey" — a latent bug for
+    * any narrow projection, surfaced by the first routed query. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("rowkey"))
+    if (required.fieldNames.contains("rowkey"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column("rowkey"))
+    else Array.empty
 
   override def filter(filters: Array[Filter]): Unit =
     runtime = filters.filter(GraftCell.acceptable)

@@ -189,6 +189,41 @@ class DedupSpec extends AnyFunSuite {
            s"boilerplate docs missed by winnow: ${boiler -- winDup}")
   }
 
+  test("dedup_substring_hashed equals the raw-string pipeline row-for-row " +
+       "(the xxhash64 shuffle narrowing changes bytes moved, never results)") {
+    val raw = SparkEntry.queries("dedup_substring_prune")(spark, sf)
+    val hashed = SparkEntry.queries("dedup_substring_hashed")(spark, sf)
+    assert(raw.exceptAll(hashed).isEmpty && hashed.exceptAll(raw).isEmpty,
+      "hashed-span mode must be result-equivalent at fixture scale")
+  }
+
+  test("dedup_substring_rewrite spends exactly the prune budget: " +
+       "kept/removed match per doc, untouched docs pass verbatim, and " +
+       "the excised boilerplate never survives") {
+    val rw = SparkEntry.queries("dedup_substring_rewrite")(spark, sf)
+      .cache()
+    val pr = SparkEntry.queries("dedup_substring_prune")(spark, sf)
+    // every flagged doc's excision frees exactly the computed budget
+    val mismatched = rw.as("r").join(pr.as("p"), "doc_id")
+      .filter(col("r.kept_chars") =!= col("p.kept_chars") ||
+              col("r.removed_chars") =!= col("p.removed_chars"))
+    assert(mismatched.isEmpty,
+      "rewrite and prune must agree on every flagged doc's byte budget")
+    // docs the prune does not flag pass through with zero removal
+    assert(rw.join(pr, Seq("doc_id"), "left_anti")
+             .filter(col("removed_chars") =!= 0L).isEmpty,
+      "an unflagged doc must pass through verbatim")
+    // the declared kept budget IS the cleaned text's length
+    assert(rw.filter(length(col("cleaned")) =!= col("kept_chars")).isEmpty)
+    // the fixture's duplicated class (the boilerplate tail) is excised
+    // from every carrier — no cleaned doc still contains it
+    assert(rw.filter(col("cleaned")
+             .contains(operators.DedupOps.SUB_BOILER)).isEmpty,
+      "the shared boilerplate must not survive the rewrite")
+    rw.unpersist()
+    ()
+  }
+
   test("connectedComponents converges on a 30-node chain (diameter >> fixed-round reach)") {
     // A transitive chain 1~2~...~30 is the shape a fixed round count
     // silently splits; the fixpoint loop must label the whole chain with

@@ -1,0 +1,251 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.Join
+
+import graft.sources.cell.{CellFooterCache, GraftCellMaintenance, GraftCellSnapshot}
+
+/** Gates the r20 secondary-index planner story:
+  *
+  *  - [[graft.plans.IndexRoute]] — a plain-SQL value predicate routes
+  *    through the index IFF every soundness gate holds, and the routed
+  *    plan returns BYTE-IDENTICAL rows to the plain scan (the index may
+  *    change the plan, never the answer);
+  *  - content-level `sync_index` — the index survives structural
+  *    rewrites (compaction incl. version GC, DELETE) and always lands
+  *    exactly where a full rebuild would;
+  *  - the boundary-snapshot lifecycle fixes (ADVICE r19): path-keyed
+  *    boundary names (leaf-name collisions cannot clobber) and
+  *    owner-path vacuum orphanhood (a live non-sibling index's
+  *    boundary survives vacuum; a dead one reclaims). */
+class IndexRouteSpec extends AnyFunSuite {
+  private lazy val s = SparkFixture.spark
+
+  private lazy val root = {
+    val r = java.nio.file.Files
+      .createTempDirectory("graft_idxroute_spec_").toString
+    s.conf.set("spark.sql.catalog.graftidx",
+               classOf[graft.sources.cell.GraftCellCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftidx.root", r)
+    r
+  }
+
+  /** Fresh catalog table `name` with a deterministic cell population:
+    * per entity k0000..k0119 one (d, user_id) cell (17 distinct
+    * values), one (d, value) cell (13 distinct values), one (m, note)
+    * cell. */
+  private def stage(name: String): Unit = {
+    root // force catalog registration
+    s.sql(s"DROP TABLE IF EXISTS graftidx.${name}_idx_uid")
+    s.sql(s"DROP TABLE IF EXISTS graftidx.$name")
+    s.sql(s"""CREATE TABLE graftidx.$name (
+               rowkey STRING, family STRING, qualifier STRING,
+               version BIGINT, value STRING) USING graftcell""")
+    s.sql(s"""INSERT OVERWRITE graftidx.$name
+              SELECT * FROM (
+                SELECT format_string('k%04d', id) AS rowkey,
+                       'd' AS family, 'user_id' AS qualifier,
+                       1L AS version, concat('u', id % 17) AS value
+                FROM range(0, 120)
+                UNION ALL
+                SELECT format_string('k%04d', id), 'd', 'value', 1L,
+                       concat('v', id % 13)
+                FROM range(0, 120)
+                UNION ALL
+                SELECT format_string('k%04d', id), 'm', 'note', 1L,
+                       concat('n', id)
+                FROM range(0, 120))""")
+  }
+
+  private def probeSql(table: String, v: String): String =
+    s"""SELECT rowkey, family, qualifier, version, value
+        FROM graftidx.$table
+        WHERE family = 'd' AND qualifier = 'user_id' AND value = '$v'
+        ORDER BY rowkey, version"""
+
+  private def semiJoins(df: org.apache.spark.sql.DataFrame): Seq[Join] =
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftSemi => j }
+
+  private def idxStore(table: String, idx: String): String =
+    s"$root/${table}_idx_$idx"
+
+  test("IndexRoute fires from plain SQL and never changes the answer " +
+       "(index dropped ⇒ same rows, no join)") {
+    stage("t1")
+    s.sql("CALL graftidx.build_index('t1', 'uid', 'd', 'user_id')").collect()
+    val routed = s.sql(probeSql("t1", "u5"))
+    assert(semiJoins(routed).nonEmpty &&
+           routed.queryExecution.optimizedPlan.toString
+             .contains("t1_idx_uid"),
+      s"expected the index semi-join:\n${routed.queryExecution.optimizedPlan}")
+    val routedRows = routed.collect().map(_.toSeq).toSeq
+    assert(routedRows.nonEmpty)
+    s.sql("DROP TABLE graftidx.t1_idx_uid")
+    val plain = s.sql(probeSql("t1", "u5"))
+    assert(semiJoins(plain).isEmpty,
+      "with the index dropped the same SQL must plan the plain scan")
+    assert(plain.collect().map(_.toSeq).toSeq == routedRows,
+      "routing may never change the answer")
+  }
+
+  test("a stale index does not route; sync_index re-arms routing and " +
+       "the routed answer includes the delta") {
+    stage("t2")
+    s.sql("CALL graftidx.build_index('t2', 'uid', 'd', 'user_id')").collect()
+    s.sql("""INSERT INTO graftidx.t2 VALUES
+             ('z0001', 'd', 'user_id', 1L, 'u5'),
+             ('z0002', 'd', 'user_id', 1L, 'u6')""")
+    val stale = s.sql(probeSql("t2", "u5"))
+    assert(semiJoins(stale).isEmpty,
+      "delta_generations > 0 must fall back to the plain scan")
+    val staleRows = stale.collect().map(_.toSeq).toSeq
+    assert(staleRows.exists(_.head == "z0001"),
+      "the fallback must see the un-synced row")
+    val r = s.sql("CALL graftidx.sync_index('t2', 'uid')").collect()(0)
+    assert(r.getLong(1) == 2L && r.getString(4) == "delta", s"$r")
+    val synced = s.sql(probeSql("t2", "u5"))
+    assert(semiJoins(synced).nonEmpty,
+      "a freshly synced index must route again")
+    assert(synced.collect().map(_.toSeq).toSeq == staleRows,
+      "the routed answer must equal the scan's, delta row included")
+  }
+
+  test("a store with any null rowkey declines routing (the semi-join " +
+       "would drop the null-rowkey match)") {
+    stage("t3")
+    s.sql("""INSERT INTO graftidx.t3 VALUES
+             (NULL, 'd', 'user_id', 1L, 'u5')""")
+    s.sql("CALL graftidx.build_index('t3', 'uid', 'd', 'user_id')").collect()
+    val df = s.sql(probeSql("t3", "u5"))
+    assert(semiJoins(df).isEmpty,
+      "null rowkeys present: routing must decline")
+    assert(df.collect().exists(_.isNullAt(0)),
+      "the plain scan keeps the null-rowkey match the index cannot hold")
+  }
+
+  test("time travel never routes (the index mirrors the live view only)") {
+    stage("t4")
+    s.sql("CALL graftidx.build_index('t4', 'uid', 'd', 'user_id')").collect()
+    s.sql("CALL graftidx.snapshot('t4', 's1')").collect()
+    val df = s.sql(
+      s"""SELECT rowkey, family, qualifier, version, value
+          FROM graftidx.t4 VERSION AS OF 's1'
+          WHERE family = 'd' AND qualifier = 'user_id' AND value = 'u5'
+          ORDER BY rowkey, version""")
+    assert(semiJoins(df).isEmpty, "VERSION AS OF must not route")
+    assert(df.collect().nonEmpty)
+  }
+
+  /** index content == the expected mapping over the CURRENT base view. */
+  private def assertIndexExact(table: String, idx: String): Unit = {
+    val got = s.sql(s"SELECT * FROM graftidx.${table}_idx_$idx")
+    val want = s.sql(
+      s"""SELECT concat(value, chr(0), rowkey) AS rowkey, 'i' AS family,
+                 'r' AS qualifier, version, rowkey AS value
+          FROM graftidx.$table
+          WHERE family = 'd' AND qualifier = 'user_id'
+            AND rowkey IS NOT NULL AND value IS NOT NULL""")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "the synced index must equal a fresh rebuild's content")
+  }
+
+  test("content sync across a version-GC compaction: shadowed entries " +
+       "DELETE from the index and the result equals a rebuild") {
+    stage("t5")
+    // second generation shadows the first (same keys, newer versions)
+    s.sql("""INSERT INTO graftidx.t5
+             SELECT rowkey, family, qualifier, 2L AS version,
+                    concat(value, '!') AS value
+             FROM graftidx.t5 WHERE version = 1L""")
+    s.sql("CALL graftidx.build_index('t5', 'uid', 'd', 'user_id')").collect()
+    // default compact resolves to the newest version: v1 cells DROP —
+    // a content-changing structural rewrite
+    s.sql("CALL graftidx.compact('t5')").collect()
+    s.sql("""INSERT INTO graftidx.t5 VALUES
+             ('z9001', 'd', 'user_id', 3L, 'u1')""")
+    val r = s.sql("CALL graftidx.sync_index('t5', 'uid')").collect()(0)
+    assert(r.getString(4) == "content" && r.getLong(1) == 1L &&
+           r.getLong(3) == 120L,
+      s"expected 1 append + 120 shadowed-version deletes: $r")
+    assertIndexExact("t5", "uid")
+    // routing is armed again right after the content sync
+    assert(semiJoins(s.sql(probeSql("t5", "u5"))).nonEmpty)
+  }
+
+  test("content sync after DELETE FROM: removed rows leave the index " +
+       "and the result equals a rebuild") {
+    stage("t6")
+    s.sql("CALL graftidx.build_index('t6', 'uid', 'd', 'user_id')").collect()
+    s.sql("DELETE FROM graftidx.t6 WHERE rowkey >= 'k0100'")
+    val r = s.sql("CALL graftidx.sync_index('t6', 'uid')").collect()(0)
+    assert(r.getString(4) == "content" && r.getLong(1) == 0L &&
+           r.getLong(3) == 20L,
+      s"expected 0 appends + 20 deletes for the 20 deleted entities: $r")
+    assertIndexExact("t6", "uid")
+  }
+
+  test("path-keyed boundaries: two path-mode indexes sharing a leaf " +
+       "name sync independently (ADVICE r19)") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val base = s"$root/pm_base"
+    s.createDataFrame(
+      (0 until 20).map(i => Row(f"k$i%04d", "d", "q", 1L, s"v${i % 3}"))
+        .asJava,
+      graft.sources.cell.GraftCell.SCHEMA)
+      .write.format("graftcell").mode("overwrite").save(base)
+    val idxA = s"$root/parentA/idx"
+    val idxB = s"$root/parentB/idx" // same leaf, different parent
+    GraftCellMaintenance.buildIndex(s, base, idxA, "d", "q")
+    GraftCellMaintenance.buildIndex(s, base, idxB, "d", "q")
+    assert(GraftCellMaintenance.idxSyncSnapshot(idxA) !=
+           GraftCellMaintenance.idxSyncSnapshot(idxB),
+      "boundary names must carry the path discriminator")
+    s.createDataFrame(
+      Seq(Row("z0001", "d", "q", 1L, "v9")).asJava,
+      graft.sources.cell.GraftCell.SCHEMA)
+      .write.format("graftcell").mode("append").save(base)
+    // sync A only: B's boundary must be untouched (r19 shared one
+    // name — syncing A would have advanced B's boundary too)
+    val (aSynced, _, _, _) =
+      GraftCellMaintenance.syncIndex(s, base, idxA, "d", "q")
+    assert(aSynced == 1L)
+    val (bSynced, _, _, _) =
+      GraftCellMaintenance.syncIndex(s, base, idxB, "d", "q")
+    assert(bSynced == 1L,
+      "B must still see the delta after A's sync — independent boundaries")
+  }
+
+  test("vacuum decides boundary orphanhood by the recorded owner path " +
+       "(ADVICE r19): live non-sibling index survives, dead one reclaims") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val base = s"$root/vo_base"
+    s.createDataFrame(
+      (0 until 10).map(i => Row(f"k$i%04d", "d", "q", 1L, s"v$i")).asJava,
+      graft.sources.cell.GraftCell.SCHEMA)
+      .write.format("graftcell").mode("overwrite").save(base)
+    val off = java.nio.file.Files
+      .createTempDirectory("graft_offsite_idx_").toString + "/idx"
+    GraftCellMaintenance.buildIndex(s, base, off, "d", "q")
+    val snap = GraftCellMaintenance.idxSyncSnapshot(off)
+    assert(GraftCellSnapshot.ownerOf(base, snap)
+      .contains(new java.io.File(off).getAbsolutePath))
+    // live owner at a NON-SIBLING path: vacuum must keep the boundary
+    // (r19's sibling-leaf heuristic dropped it)
+    GraftCellMaintenance.vacuum(base, dropInvalidSnapshots = false)
+    assert(GraftCellSnapshot.names(base).contains(snap),
+      "a live off-site index's boundary must survive vacuum")
+    // owner gone: the boundary is an orphan and reclaims
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(off))
+    GraftCellMaintenance.vacuum(base, dropInvalidSnapshots = false)
+    assert(!GraftCellSnapshot.names(base).contains(snap),
+      "a dead index's boundary must reclaim")
+  }
+}

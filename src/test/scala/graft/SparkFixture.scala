@@ -9,6 +9,9 @@ object SparkFixture {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // the library's one-line installation point: SQL functions,
+      // AsOfStrategy, FuseJaccard and (r20) IndexRoute ride the session
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
