@@ -2454,6 +2454,81 @@ object CellConnector extends QueryModule {
                ORDER BY rowkey, version""")
     }),
 
+    "cell_index_composite" -> ((s, dir) => {
+      // COMPOSITE / COVERING index (r20 — Phoenix `CREATE INDEX ON
+      // t(user_id, event_type) INCLUDE (value)`): the cell model
+      // stores an entity's columns as separate cells, so the build
+      // first resolves each entity's ROW IMAGE (latest version per
+      // (rowkey, qualifier), max-value tie-break — total and
+      // engine-portable), then emits per entity one SEEK cell
+      // (rowkey = u ++ 0x00 ++ e ++ 0x00 ++ base_rk, value = the
+      // back-pointer) and one COVERED cell per non-null include
+      // column — a two-predicate probe is ONE prefix seek and a
+      // covered query never touches the base. Inline pins: (1) the
+      // two-predicate seek prunes the index store's region files,
+      // (2) the covered probe's (back-pointer, value) pairs equal the
+      // direct base computation — index only, zero base files.
+      // Maintenance is rebuild-only (sync refuses composites —
+      // spec-pinned). Oracle: the full row-image pivot rebuilt in SQL.
+      registerCatalog(s, dir)
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.events_ci_idx_uev")
+      s.sql("DROP TABLE IF EXISTS graftcat.events_ci")
+      s.sql("""CREATE TABLE graftcat.events_ci (
+                 rowkey STRING, family STRING, qualifier STRING,
+                 version BIGINT, value STRING) USING graftcell""")
+      s.sql("INSERT OVERWRITE graftcat.events_ci SELECT * FROM graft_catalog_src")
+      val r = s.sql(
+        """CALL graftcat.build_index('events_ci', 'uev', 'd',
+                                     'user_id,event_type', 400L, 'value')""")
+        .collect()(0)
+      assert(r.getString(0) == "events_ci_idx_uev" && r.getLong(1) > 0L,
+        s"composite build must report its table and cell count: $r")
+      // deterministic probe: the smallest (user_id, event_type) image
+      val p = s.sql(
+        """SELECT min(named_struct('u', u, 'e', e)) AS p FROM (
+             SELECT rowkey,
+                    max(CASE WHEN qualifier = 'user_id' THEN value END) AS u,
+                    max(CASE WHEN qualifier = 'event_type' THEN value END) AS e
+             FROM graftcat.events_ci WHERE family = 'd' GROUP BY rowkey)
+           WHERE u IS NOT NULL AND e IS NOT NULL""")
+        .collect()(0).getStruct(0)
+      val (u, e) = (p.getString(0), p.getString(1))
+      val prefix = u + "\u0000" + e + "\u0000"
+      val seek = s.table("graftcat.events_ci_idx_uev")
+        .filter(col("rowkey").startsWith(prefix))
+      val m = "regionFiles: (\\d+)/(\\d+)".r
+        .findFirstMatchIn(seek.queryExecution.executedPlan.toString).get
+      assert(m.group(2).toInt == 1 ||
+             m.group(1).toInt < m.group(2).toInt,
+        s"the two-predicate seek must prune index files: ${m.matched}")
+      // covered read: (back-pointer, included value) from the index
+      // ONLY, compared against the direct base computation
+      val fromIdx = seek
+        .groupBy("rowkey")
+        .agg(max(when(col("family") === "i", col("value"))).as("rk"),
+             max(when(col("family") === "c" &&
+                      col("qualifier") === "value", col("value")))
+               .as("v"))
+        .select("rk", "v").collect()
+        .map(x => (x.getString(0), x.getString(1))).toSet
+      val direct = s.sql(
+        s"""SELECT rowkey,
+                   max(CASE WHEN qualifier = 'value' THEN value END) AS v
+            FROM graftcat.events_ci WHERE family = 'd' GROUP BY rowkey
+            HAVING max(CASE WHEN qualifier = 'user_id' THEN value END)
+                     = '$u'
+               AND max(CASE WHEN qualifier = 'event_type' THEN value END)
+                     = '$e'""")
+        .collect().map(x => (x.getString(0), x.getString(1))).toSet
+      assert(fromIdx == direct && fromIdx.nonEmpty,
+        s"covered probe must equal the base computation: " +
+        s"idx=$fromIdx direct=$direct")
+      s.sql("""SELECT * FROM graftcat.events_ci_idx_uev
+               ORDER BY rowkey, family, qualifier""")
+    }),
+
     "sql_cell_meta_indexes" -> ((s, dir) => {
       // SHOW INDEXES as a metadata TABLE (r19 — the index lifecycle's
       // observability face): `SELECT * FROM g.t.indexes` lists the
@@ -3636,6 +3711,48 @@ object CellConnector extends QueryModule {
             WHERE family = 'd' AND qualifier = 'user_id'
               AND rowkey IS NOT NULL AND value IS NOT NULL)
           ORDER BY rowkey, version""",
+
+    // the composite index rebuilt in SQL: row image (latest version
+    // per (rowkey, qualifier), max-value tie-break), seek cells for
+    // complete key images + covered cells for non-null includes
+    "cell_index_composite" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+              src AS (SELECT rowkey, qualifier, version, value FROM cells
+                      WHERE family = 'd'
+                        AND qualifier IN ('user_id', 'event_type', 'value')
+                        AND rowkey IS NOT NULL AND version IS NOT NULL
+                        AND value IS NOT NULL),
+              vmax AS (SELECT rowkey, qualifier, max(version) AS vmax
+                       FROM src GROUP BY rowkey, qualifier),
+              latest AS (SELECT s.rowkey, s.qualifier, l.vmax,
+                                max(s.value) AS v
+                         FROM src s JOIN vmax l
+                           ON s.rowkey = l.rowkey
+                          AND s.qualifier = l.qualifier
+                          AND s.version = l.vmax
+                         GROUP BY s.rowkey, s.qualifier, l.vmax),
+              piv AS (SELECT rowkey AS rk,
+                        max(CASE WHEN qualifier = 'user_id' THEN v END) AS k1,
+                        max(CASE WHEN qualifier = 'event_type' THEN v END) AS k2,
+                        max(CASE WHEN qualifier = 'value' THEN v END) AS c1,
+                        greatest(
+                          max(CASE WHEN qualifier = 'user_id'
+                                   THEN vmax END),
+                          max(CASE WHEN qualifier = 'event_type'
+                                   THEN vmax END)) AS v_img
+                      FROM latest GROUP BY rowkey),
+              keyed AS (SELECT rk, c1, v_img,
+                               k1 || chr(0) || k2 || chr(0) || rk AS idx_rk
+                        FROM piv
+                        WHERE k1 IS NOT NULL AND k2 IS NOT NULL)
+          SELECT * FROM (
+            SELECT idx_rk AS rowkey, 'i' AS family, 'r' AS qualifier,
+                   v_img AS version, rk AS value
+            FROM keyed
+            UNION ALL
+            SELECT idx_rk, 'c', 'value', v_img, c1
+            FROM keyed WHERE c1 IS NOT NULL)
+          ORDER BY rowkey, family, qualifier""",
 
     // both freshly built indexes: full row counts (one index cell per
     // non-null base cell of the indexed qualifier), zero delta, clean

@@ -214,7 +214,9 @@ object DedupOps extends QueryModule {
     * duplicated-span count, interval-union removed chars, surviving
     * chars per doc. `hashed = true` is the PRODUCTION SHUFFLE mode
     * (r20): spans leave their row as xxhash64 longs (8 bytes) instead
-    * of raw SUB_W-char strings, cutting the exchange payload ~5× —
+    * of raw SUB_W-char strings — 5× narrower span payload, measured
+    * 1.67× on the pipeline's TOTAL shuffle at sf0.1 (the join-back and
+    * window exchanges dilute it; SEEKSCALE.md r20 section) —
     * identical results absent a 64-bit collision between distinct
     * spans (birthday-bounded ~1e-8 at fixture scale, and still ~0.03
     * at a 10^12-span corpus; the raw-string mode remains the

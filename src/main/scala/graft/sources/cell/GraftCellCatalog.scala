@@ -125,7 +125,9 @@ class GraftCellCatalog extends TableCatalog
         // (family, qualifier) is refused against them, so an index can
         // never be silently repurposed while readers assume its old
         // meaning.
-        "index.of", "index.family", "index.qualifier")
+        "index.of", "index.family", "index.qualifier",
+        // r20 — composite index covered columns (Phoenix INCLUDE)
+        "index.include")
   // per-COLUMN-FAMILY policy keys (r17 — HBase's per-family descriptor;
   // r18 adds compression, r19 delete_markers): `family.<f>.ttl_micros`
   // / `.tombstone` / `.max_versions` / `.delete_markers` override the
@@ -244,8 +246,8 @@ class GraftCellCatalog extends TableCatalog
     * are sanctioned, silent repurposing is not. Returns the index
     * store path. */
   private[cell] def createIndexDest(baseTable: String, indexTable: String,
-                                    family: String, qualifier: String)
-      : String = {
+                                    family: String, qualifier: String,
+                                    include: String = ""): String = {
     val destIdent = indexTable.split(":", -1) match {
       case Array(t)     => Identifier.of(Array.empty, t)
       case Array(ns, t) => Identifier.of(Array(ns), t)
@@ -254,7 +256,8 @@ class GraftCellCatalog extends TableCatalog
     }
     val dest = dirOf(destIdent)
     val want = Map("index.of" -> baseTable, "index.family" -> family,
-                   "index.qualifier" -> qualifier)
+                   "index.qualifier" -> qualifier) ++
+      (if (include.nonEmpty) Map("index.include" -> include) else Map.empty)
     if (marker(dest).exists()) {
       val have = readProps(dest).filter(_._1.startsWith("index."))
       require(have == want,

@@ -275,21 +275,42 @@ object GraftCellProcedures {
       p("family", StringType), p("qualifier", StringType),
       // the hbase.hregion.max.filesize analog for the index store
       // (-1 = single region file per write partition)
-      pDefault("max_rows_per_file", LongType, "-1"))
+      pDefault("max_rows_per_file", LongType, "-1"),
+      // r20 — COVERED columns of a COMPOSITE index (Phoenix INCLUDE):
+      // meaningful only with a comma-separated `qualifier` list
+      pDefault("include", StringType, "''"))
     override def description(): String =
       "build (or rebuild) the global secondary index " +
-      "<table>_idx_<index> over one (family, qualifier) column"
+      "<table>_idx_<index> over one (family, qualifier) column, or — " +
+      "with a comma-separated qualifier list and optional include " +
+      "columns — a composite/covering row-image index"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val tableName = input.getUTF8String(0).toString
       val idxName = s"${tableName}_idx_${input.getUTF8String(1)}"
       val family = input.getUTF8String(2).toString
       val qualifier = input.getUTF8String(3).toString
+      val include =
+        if (input.isNullAt(5)) "" else input.getUTF8String(5).toString
+      val keyQuals = qualifier.split(",", -1).map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val incQuals = include.split(",", -1).map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      require(keyQuals.nonEmpty, "graftcell: empty qualifier list")
+      require(keyQuals.size > 1 || incQuals.isEmpty,
+        "graftcell: include columns need a composite (multi-qualifier) " +
+        "index — a single-column index already covers the back-pointer")
       val idxStore = catalog.createIndexDest(
-        tableName, idxName, family, qualifier)
-      val n = GraftCellMaintenance.buildIndex(
-        SparkSession.active, store(input.getUTF8String(0)), idxStore,
-        family, qualifier,
-        if (input.isNullAt(4)) -1L else input.getLong(4))
+        tableName, idxName, family, qualifier, include)
+      val maxRows = if (input.isNullAt(4)) -1L else input.getLong(4)
+      val n =
+        if (keyQuals.size == 1)
+          GraftCellMaintenance.buildIndex(
+            SparkSession.active, store(input.getUTF8String(0)), idxStore,
+            family, keyQuals.head, maxRows)
+        else
+          GraftCellMaintenance.buildCompositeIndex(
+            SparkSession.active, store(input.getUTF8String(0)), idxStore,
+            family, keyQuals, incQuals, maxRows)
       summary("index_table" -> idxName, "indexed_cells" -> n)
     }
   }
@@ -329,6 +350,13 @@ object GraftCellProcedures {
       require(prov("index.of") == tableName,
         s"graftcell: '$idxName' indexes '${prov("index.of")}', not " +
         s"'$tableName'")
+      // r20: composite/covering indexes are rebuild-only — a composite
+      // entry MOVES when any key column of its row image changes, so
+      // neither the dir-granular nor the content-level single-column
+      // delta contract composes (see buildCompositeIndex's scaladoc)
+      require(!prov("index.qualifier").contains(","),
+        s"graftcell: '$idxName' is a composite index — incremental " +
+        "sync does not apply; rebuild it (CALL build_index)")
       val (synced, deleted, deltaDirs, mode) = GraftCellMaintenance
         .syncIndex(SparkSession.active, store(input.getUTF8String(0)),
                    idxStore, prov("index.family"),

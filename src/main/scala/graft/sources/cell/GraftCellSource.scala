@@ -2801,6 +2801,93 @@ object GraftCellMaintenance {
     CellFooterCache.filesOf(idxStore).map(_.rowCount).sum
   }
 
+  /** COMPOSITE / COVERING index bulk build (r20 — the Phoenix
+    * `CREATE INDEX ON t(q1, q2) INCLUDE (q3)` shape): the cell model
+    * stores an entity's columns as SEPARATE cells, so a multi-column
+    * key first needs the entity's ROW IMAGE — per (rowkey, qualifier)
+    * the LATEST cell (max version; ties broken by max value, so the
+    * image is total and engine-portable), pivoted to one row per
+    * entity. Entities with every KEY part non-null emit:
+    *
+    *  - the seek cell: rowkey = `v1 ++ 0x00 ++ v2 ++ ... ++ 0x00 ++
+    *    base_rowkey`, family `i`, qualifier `r`, value = the base
+    *    rowkey (the back-pointer) — a two-predicate probe is ONE
+    *    prefix seek;
+    *  - one COVERED cell per non-null INCLUDE column: family `c`,
+    *    qualifier = the included qualifier, value = its image value —
+    *    a covered query never touches the base at all.
+    *
+    * All cells carry the image version (max over the key columns) —
+    * the row-image timestamp. ONE distributed pass: pushed
+    * family/qualifier-IN scan → two-stage latest resolution (max
+    * version per (rowkey, qualifier), then max value at that version)
+    * → pivot → union of seek + covered projections, truncate-commit
+    * through the declared sorted HFile layout. Maintenance is
+    * REBUILD-ONLY (spec-pinned refusal): a composite entry moves when
+    * ANY of its key columns changes, so the single-column delta
+    * contract does not compose — Phoenix mutates such indexes through
+    * per-row coprocessor hooks, which is a different machine from
+    * batch delta sync. Returns the indexed cell count. */
+  def buildCompositeIndex(spark: org.apache.spark.sql.SparkSession,
+                          baseStore: String, idxStore: String,
+                          family: String, keyQuals: Seq[String],
+                          includeQuals: Seq[String],
+                          maxRowsPerFile: Long = -1L): Long = {
+    import org.apache.spark.sql.functions._
+    require(keyQuals.size >= 2,
+      "graftcell: a composite index needs at least two key qualifiers")
+    val all = (keyQuals ++ includeQuals).distinct
+    val snap = idxSyncSnapshot(idxStore)
+    GraftCellSnapshot.create(baseStore, snap,
+      Some(new java.io.File(idxStore).getAbsolutePath))
+    val src = spark.read.format("graftcell").option("snapshot", snap)
+      .load(baseStore)
+      .filter(col("family") === family && col("qualifier").isin(all: _*) &&
+              col("rowkey").isNotNull && col("version").isNotNull &&
+              col("value").isNotNull)
+    // row image: latest version per (rowkey, qualifier), max value on
+    // a version tie — two aggregations, both map-side partial
+    val vmax = src.groupBy("rowkey", "qualifier")
+      .agg(max("version").as("vmax")).as("m")
+    val latest = src.as("s").join(vmax,
+        col("s.rowkey") === col("m.rowkey") &&
+        col("s.qualifier") === col("m.qualifier") &&
+        col("s.version") === col("m.vmax"))
+      .select(col("s.rowkey").as("rowkey"),
+              col("s.qualifier").as("qualifier"),
+              col("m.vmax").as("vmax"), col("s.value").as("value"))
+      .groupBy("rowkey", "qualifier", "vmax")
+      .agg(max("value").as("v"))
+    def pick(q: String, c: String) =
+      max(when(col("qualifier") === q, col(c))).as(s"${c}_$q")
+    val piv = latest.groupBy("rowkey")
+      .agg(pick(all.head, "v"),
+           (all.tail.map(pick(_, "v")) ++
+            keyQuals.map(pick(_, "vmax"))): _*)
+    val keyed = piv
+      .filter(keyQuals.map(q => col(s"v_$q").isNotNull).reduce(_ && _))
+      .withColumn("idx_rk",
+        concat(keyQuals.flatMap(q =>
+          Seq(col(s"v_$q"), lit("\u0000"))) :+ col("rowkey"): _*))
+      .withColumn("v_img",
+        greatest(keyQuals.map(q => col(s"vmax_$q")): _*))
+    val seekCells = keyed.select(
+      col("idx_rk").as("rowkey"), lit("i").as("family"),
+      lit("r").as("qualifier"), col("v_img").as("version"),
+      col("rowkey").as("value"))
+    val covered = includeQuals.map(q =>
+      keyed.filter(col(s"v_$q").isNotNull).select(
+        col("idx_rk").as("rowkey"), lit("c").as("family"),
+        lit(q).as("qualifier"), col("v_img").as("version"),
+        col(s"v_$q").as("value")))
+    val w = covered.foldLeft(seekCells)(_ union _)
+      .write.format("graftcell").mode("overwrite")
+    (if (maxRowsPerFile > 0) w.option("maxRowsPerFile", maxRowsPerFile)
+     else w).save(idxStore)
+    CellFooterCache.invalidate(idxStore)
+    CellFooterCache.filesOf(idxStore).map(_.rowCount).sum
+  }
+
   /** The INDEXABLE slice of a base view: the one (family, qualifier)
     * column, nulls excluded (not seekable) — family/qualifier
     * predicates push into the connector scan, so only the indexed

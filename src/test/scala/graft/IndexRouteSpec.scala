@@ -56,6 +56,10 @@ class IndexRouteSpec extends AnyFunSuite {
                 UNION ALL
                 SELECT format_string('k%04d', id), 'm', 'note', 1L,
                        concat('n', id)
+                FROM range(0, 120)
+                UNION ALL
+                SELECT format_string('k%04d', id), 'd', 'score', 1L,
+                       concat('s', id % 7)
                 FROM range(0, 120))""")
   }
 
@@ -217,6 +221,51 @@ class IndexRouteSpec extends AnyFunSuite {
       GraftCellMaintenance.syncIndex(s, base, idxB, "d", "q")
     assert(bSynced == 1L,
       "B must still see the delta after A's sync — independent boundaries")
+  }
+
+  test("composite index: the row image resolves to the LATEST cell per " +
+       "key column, and incremental sync refuses (rebuild-only)") {
+    stage("t7")
+    // a newer user_id for one entity: the composite entry must MOVE to
+    // the new key prefix, and the old image must not linger
+    s.sql("""INSERT INTO graftidx.t7 VALUES
+             ('k0001', 'd', 'user_id', 9L, 'uNEW')""")
+    s.sql("""CALL graftidx.build_index('t7', 'us', 'd',
+                                       'user_id,score', -1L, 'value')""")
+      .collect()
+    val k1 = s.sql(
+      """SELECT rowkey FROM graftidx.t7_idx_us
+         WHERE family = 'i' AND value = 'k0001'""").collect()
+    assert(k1.length == 1 &&
+           k1(0).getString(0).startsWith("uNEW\u0000s1\u0000"),
+      s"the image must use the latest user_id: ${k1.toSeq}")
+    // covered cells carry the image version and the included value
+    val cov = s.sql(
+      """SELECT version, value FROM graftidx.t7_idx_us
+         WHERE family = 'c' AND rowkey LIKE 'uNEW%'""").collect()
+    assert(cov.length == 1 && cov(0).getLong(0) == 9L &&
+           cov(0).getString(1) == "v1",
+      s"covered cell must carry the image version + include value: " +
+      s"${cov.toSeq}")
+    // rebuild-only maintenance: sync refuses composites loudly
+    s.sql("""INSERT INTO graftidx.t7 VALUES
+             ('z0001', 'd', 'user_id', 1L, 'u0')""")
+    val e = intercept[Exception] {
+      s.sql("CALL graftidx.sync_index('t7', 'us')").collect()
+    }
+    assert(e.getMessage.contains("composite") &&
+           e.getMessage.contains("build_index"),
+      s"composite sync must refuse naming the rebuild verb: $e")
+  }
+
+  test("include columns without a composite key refuse (a single-column " +
+       "index already covers the back-pointer)") {
+    stage("t8")
+    val e = intercept[Exception] {
+      s.sql("""CALL graftidx.build_index('t8', 'bad', 'd', 'user_id',
+                                         -1L, 'score')""").collect()
+    }
+    assert(e.getMessage.contains("composite"), s"$e")
   }
 
   test("vacuum decides boundary orphanhood by the recorded owner path " +
