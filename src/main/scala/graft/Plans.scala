@@ -417,11 +417,14 @@ object Plans {
       df.queryExecution.executedPlan.toString + "```\n"
   }
 
-  /** Round-19 evidence: the VECTORIZED connector scan. A filter-free
-    * full-store pass decodes ColumnarBatches (`batched: true` in the
-    * scan description; `ColumnarToRow` feeding WholeStageCodegen in
-    * the plan), while a filtered seek keeps the exact row reader
-    * (`batched: false`) — the scan-level uniformity rule. */
+  /** Round-19 evidence, widened r20: the VECTORIZED connector scan.
+    * A filter-free full-store pass decodes ColumnarBatches
+    * (`batched: true` in the scan description; `ColumnarToRow` feeding
+    * WholeStageCodegen in the plan); since r20 a FILTERED seek is
+    * batched too — the filtering columnar reader re-checks the pushed
+    * predicate exactly against the decoded batch, so seek-shaped
+    * plans (the connector's signature workload) get the vectorized
+    * decode instead of dropping to the parquet-example row reader. */
   private def columnarScanSection(s: SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.functions._
     import graft.operators.CellConnector
@@ -443,10 +446,11 @@ object Plans {
       "WholeStageCodegen — the decode path every compaction read,\n" +
       "verify_rep side, SPJ fact join and COW DML rewrite now uses:\n\n" +
       "```\n" + fullPlan + "```\n\n" +
-      "The filtered seek keeps the exact row reader (`batched: false`)\n" +
-      "— pushed filters are claimed, so the reader must re-check them\n" +
-      "exactly; those are the pruning-dominated plans where decode\n" +
-      "bandwidth is not the cost:\n\n```\n" + seekPlan + "```\n"
+      "The filtered seek is ALSO `batched: true` since r20: pushed\n" +
+      "filters are claimed by the scan, so the filtering columnar\n" +
+      "reader re-checks them exactly per decoded row and compacts the\n" +
+      "survivors into fresh batches — vectorized decode on the\n" +
+      "seek-shaped plans too:\n\n```\n" + seekPlan + "```\n"
   }
 
   /** Round-19 evidence: the VALUE BLOOM point probe — membership

@@ -713,29 +713,42 @@ class CellConnectorSpec extends AnyFunSuite {
       s"${probed.length} vs ${want.length} rows")
   }
 
-  test("sync_index (r19): total-or-loud — structural rewrites since the " +
-       "sync snapshot refuse with the rebuild verb named") {
+  test("sync_index across a structural rewrite (r19 refused; r20 takes " +
+       "the content-level delta and lands on the rebuild's view)") {
     // the contract key stages events_si + its synced uid index
     SparkEntry.queries("sql_cell_call_sync_index")(s, dir).collect()
     // a compaction rewrites base history: pinned generations leave the
     // live set and the travel log gains post-snapshot events — the
-    // append-only delta contract is broken, sync must refuse
+    // dir-granular append-only delta contract is broken
     s.sql("CALL graftcat.compact('events_si')").collect()
-    // the indexes metadata table surfaces the broken state BEFORE any
-    // verb is attempted (r19 — SHOW INDEXES' health column)
+    // the indexes metadata table surfaces the rewrite BEFORE any verb
+    // is attempted (r19 — SHOW INDEXES' health column; since r20 it
+    // means "the next sync takes the content path", not "sync refuses")
     val broken = s.sql(
       "SELECT rewritten_since_sync FROM graftcat.events_si.indexes")
       .collect()
     assert(broken.length == 1 && broken(0).getInt(0) == 1,
       s"g.t.indexes must report the rewrite: ${broken.toSeq}")
-    val e = intercept[Exception] {
-      s.sql("CALL graftcat.sync_index('events_si', 'uid')").collect()
-    }
-    assert(e.getMessage.contains("build_index"),
-      s"refusal must name the rebuild verb: ${e.getMessage}")
-    // a rebuild re-pins the compacted view; sync is then a clean no-op
+    // r20: the sync SUCCEEDS via the content-level delta. This
+    // default compaction resolves to max_versions=1, so the '8'-band
+    // entities whose uid cells existed at TWO versions (base +
+    // the '#'-suffixed sync band) lose the older one — the content
+    // sync must DELETE exactly those index entries and append nothing
+    val r0 = s.sql("CALL graftcat.sync_index('events_si', 'uid')")
+      .collect()(0)
+    assert(r0.getString(4) == "content" && r0.getLong(1) == 0L &&
+           r0.getLong(3) > 0L,
+      s"post-compaction sync must take the content path and delete " +
+      s"the GC'd versions' entries: $r0")
+    // ... landing the index exactly where a rebuild would (bit-exact)
+    val synced = s.table("graftcat.events_si_idx_uid")
+      .orderBy("rowkey", "version").collect()
     s.sql("CALL graftcat.build_index('events_si', 'uid', 'd', 'user_id')")
       .collect()
+    val rebuilt = s.table("graftcat.events_si_idx_uid")
+      .orderBy("rowkey", "version").collect()
+    assert(synced.sameElements(rebuilt),
+      "content sync must land exactly on the rebuild's view")
     val r = s.sql("CALL graftcat.sync_index('events_si', 'uid')")
       .collect()(0)
     assert(r.getLong(1) == 0L && r.getLong(2) == 0L,
