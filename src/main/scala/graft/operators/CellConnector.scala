@@ -2591,6 +2591,38 @@ object CellConnector extends QueryModule {
       df
     }),
 
+    "cell_index_autoroute_in" -> ((s, dir) => {
+      // IN-LIST index routing (r20): `value IN (k1, k2)` routes as a
+      // MULTI-SEEK — one prefix disjunct per member on the index
+      // (HBase's MultiRowRangeFilter shape, which the connector
+      // prunes as the union of per-disjunct survivors), same
+      // broadcast semi-join + retained filter as the equality form.
+      // Bounded: lists past 64 members fall back to the scan (the
+      // seek's pruning value is gone). Probe = the index's min and
+      // max indexed values — deterministic, and spanning the store so
+      // the multi-seek provably touches more than one region file
+      // class. Oracle: the IN predicate over the rebuilt cells.
+      stageGiTable(s, dir)
+      val mm = s.sql(
+        """SELECT min(value), max(value) FROM graftcat.events_gi
+           WHERE family = 'd' AND qualifier = 'value'""").collect()(0)
+      val (lo, hi) = (mm.getString(0), mm.getString(1))
+      val df = s.sql(
+        s"""SELECT rowkey, family, qualifier, version, value
+            FROM graftcat.events_gi
+            WHERE family = 'd' AND qualifier = 'value'
+              AND value IN ('$lo', '$hi')
+            ORDER BY rowkey, version""")
+      val opt = df.queryExecution.optimizedPlan
+      val semi = opt.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+        => j }
+      assert(semi.nonEmpty && opt.toString.contains("events_gi_idx_val"),
+        s"an IN-list value predicate must route through the index:\n$opt")
+      df
+    }),
+
     "cell_index_autoroute_stale" -> ((s, dir) => {
       // The FALLBACK side of automatic routing (r20): after a base
       // append the index does not cover (delta_generations > 0 — the
@@ -3670,6 +3702,17 @@ object CellConnector extends QueryModule {
           SELECT rowkey, family, qualifier, version, value
           FROM cells, k
           WHERE family = 'd' AND qualifier = 'value' AND value = k.v
+          ORDER BY rowkey, version""",
+
+    // the multi-seek IN form: same answer contract as the equality
+    "cell_index_autoroute_in" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+              k AS (SELECT min(value) AS lo, max(value) AS hi FROM cells
+                    WHERE family = 'd' AND qualifier = 'value')
+          SELECT rowkey, family, qualifier, version, value
+          FROM cells, k
+          WHERE family = 'd' AND qualifier = 'value'
+            AND value IN (k.lo, k.hi)
           ORDER BY rowkey, version""",
 
     // the stale-index fallback reads base ∪ the un-synced band — the

@@ -49,10 +49,12 @@ import graft.sources.cell.{CellFooterCache, GraftCellMaintenance, GraftCellTable
   *
   *  1. the relation is the LIVE view (never time travel — the index
   *     mirrors the live view only);
-  *  2. the filter carries top-level string equalities on all of
-  *     family, qualifier, value (duplicate contradictory equalities
-  *     are fine: candidates are a superset, the retained filter
-  *     decides);
+  *  2. the filter carries top-level string equalities on family and
+  *     qualifier, plus a value equality OR a bounded value IN-list
+  *     (≤ [[MAX_IN_SEEKS]] members — each becomes one prefix-seek
+  *     disjunct, the index-side MultiRowRangeFilter shape); duplicate
+  *     contradictory predicates are fine: candidates are a superset,
+  *     the retained filter decides;
   *  3. the store is provably null-rowkey-free (every region file's
   *     footer stats say nullKeys = 0): the index cannot carry
   *     null-rowkey cells (not seekable), so a null-rowkey cell
@@ -105,13 +107,47 @@ object IndexRoute extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** Longest an IN-list may be and still route: each member becomes a
+    * prefix-seek disjunct the index scan prunes by (the connector
+    * unions per-disjunct file survivors), so the plan grows linearly
+    * with the list. Past this, the seek's pruning value is gone and
+    * the plain scan is the honest plan. */
+  private val MAX_IN_SEEKS = 64
+
+  /** The value-column seek set: ONE top-level value conjunct — an
+    * equality (one seek) or a bounded IN-list (a multi-seek, HBase's
+    * MultiRowRangeFilter shape on the index). Sound as the semi-join
+    * build for the WHOLE condition: a row matching every conjunct
+    * matches this one, so its back-pointer is in the seek's result —
+    * candidates are a superset and the retained filter exacts. */
+  private def valueSeeks(cond: Expression,
+                         rel: DataSourceV2Relation): Option[Seq[String]] = {
+    val out = rel.outputSet
+    def isValue(a: AttributeReference) =
+      out.contains(a) && a.name == "value"
+    splitConjunctivePredicates(cond).flatMap {
+      case EqualTo(a: AttributeReference, Literal(v: UTF8String, StringType))
+          if isValue(a) && v != null => Some(Seq(v.toString))
+      case EqualTo(Literal(v: UTF8String, StringType), a: AttributeReference)
+          if isValue(a) && v != null => Some(Seq(v.toString))
+      case In(a: AttributeReference, vs)
+          if isValue(a) && vs.nonEmpty && vs.length <= MAX_IN_SEEKS &&
+             vs.forall {
+               case Literal(u: UTF8String, StringType) => u != null
+               case _                                  => false
+             } =>
+        Some(vs.map { case Literal(u: UTF8String, _) => u.toString })
+      case _ => None
+    }.headOption
+  }
+
   private def route(cond: Expression, rel: DataSourceV2Relation,
                     t: GraftCellTable): Option[LogicalPlan] = {
     val eqs = stringEqs(cond, rel)
     for {
       fam  <- eqs.get("family")
       qual <- eqs.get("qualifier")
-      v    <- eqs.get("value")
+      vs   <- valueSeeks(cond, rel)
       // gate 3: provably null-rowkey-free (exact per-file footer stats)
       if CellFooterCache.filesOf(t.storePath)
         .forall(_.nullKeys.contains(0L))
@@ -128,9 +164,11 @@ object IndexRoute extends Rule[LogicalPlan] with PredicateHelper {
       idxRel.setTagValue(ROUTED, true)
       val irk  = idxRel.output.find(_.name == "rowkey").get
       val ival = idxRel.output.find(_.name == "value").get
-      val prefix =
-        Literal(UTF8String.fromString(v + "\u0000"), StringType)
-      val seek  = Filter(And(IsNotNull(irk), StartsWith(irk, prefix)),
+      val prefixes = vs.map(v =>
+        StartsWith(irk,
+          Literal(UTF8String.fromString(v + "\u0000"), StringType))
+          : Expression)
+      val seek  = Filter(And(IsNotNull(irk), prefixes.reduce(Or)),
                          idxRel)
       val probe = Project(Seq(ival), seek)
       val brk   = rel.output.find(_.name == "rowkey").get

@@ -95,6 +95,35 @@ class IndexRouteSpec extends AnyFunSuite {
       "routing may never change the answer")
   }
 
+  test("an IN-list value predicate routes as a multi-seek and never " +
+       "changes the answer; an over-bound list falls back") {
+    stage("t1b")
+    s.sql("CALL graftidx.build_index('t1b', 'uid', 'd', 'user_id')")
+      .collect()
+    def q(vals: Seq[String]) = s.sql(
+      s"""SELECT rowkey, family, qualifier, version, value
+          FROM graftidx.t1b
+          WHERE family = 'd' AND qualifier = 'user_id'
+            AND value IN (${vals.map(v => s"'$v'").mkString(", ")})
+          ORDER BY rowkey, version""")
+    val routed = q(Seq("u3", "u11"))
+    assert(semiJoins(routed).nonEmpty, "a 2-member IN must route")
+    val routedRows = routed.collect().map(_.toSeq).toSeq
+    assert(routedRows.nonEmpty)
+    s.sql("DROP TABLE graftidx.t1b_idx_uid")
+    val plain = q(Seq("u3", "u11"))
+    assert(semiJoins(plain).isEmpty)
+    assert(plain.collect().map(_.toSeq).toSeq == routedRows,
+      "IN routing may never change the answer")
+    // over-bound list: > 64 members must NOT route (rebuild the index
+    // first so the decline is the LIST's doing, not the missing index)
+    s.sql("CALL graftidx.build_index('t1b', 'uid', 'd', 'user_id')")
+      .collect()
+    val big = q((0 until 70).map(i => s"u$i"))
+    assert(semiJoins(big).isEmpty,
+      "an over-bound IN-list must fall back to the plain scan")
+  }
+
   test("a stale index does not route; sync_index re-arms routing and " +
        "the routed answer includes the delta") {
     stage("t2")
