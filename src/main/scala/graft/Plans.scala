@@ -66,7 +66,14 @@ object Plans {
     "cell_connector_count_family_range",
     "cell_index_probe", "dedup_substring", "dedup_winnow",
     "dedup_substring_prune",
-    "sample_temperature", "text_quality_buckets")
+    "sample_temperature", "text_quality_buckets",
+    // r20 additions: the index as a planner citizen (routed semi-join
+    // from plain SQL — equality and IN multi-seek forms), the
+    // composite/covering row-image index, the content-level sync
+    // across a compaction, and ExactSubstr's hashed-shuffle + rewrite
+    "cell_index_autoroute", "cell_index_autoroute_in",
+    "cell_index_composite", "sql_cell_call_sync_index_compacted",
+    "dedup_substring_hashed", "dedup_substring_rewrite")
 
   /** What to explain per key. `obs_metrics`' query RESULT is a 1-row
     * local relation of listener-delivered values; the plan worth
@@ -490,16 +497,18 @@ object Plans {
              ('z00001', 'd', 'user_id', 2L, 'u42')""")
     val stale = s.sql(sql)
     stale.collect()
+    // the seek literal embeds the 0x00 separator — rendered as \0 so
+    // PLANS.md stays a text file
+    def txt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString.replace("\u0000", "\\0")
     "## cell_index_autoroute (r20 — executed routed plan vs stale " +
       "fallback)\n\nWith a covering index, the plain-SQL value " +
       "predicate plans the index seek + broadcast semi-join (runtime " +
       "rowkey filter on the base scan — the multiget shape, no " +
-      "driver-side keys):\n\n```\n" +
-      routed.queryExecution.executedPlan.toString +
+      "driver-side keys):\n\n```\n" + txt(routed) +
       "```\n\nOne un-synced base append later, the SAME SQL falls " +
       "back to the plain pushed-filter scan (loudly-by-plan, " +
-      "never wrongly-by-data):\n\n```\n" +
-      stale.queryExecution.executedPlan.toString + "```\n"
+      "never wrongly-by-data):\n\n```\n" + txt(stale) + "```\n"
   }
 
   private def valueBloomSection(s: SparkSession): String = {
@@ -682,7 +691,10 @@ object Plans {
          |also reports per-query failures (`n_fail`/`failed`) so a crash
          |can never score as fast.
          |""".stripMargin
-    Files.writeString(Paths.get("PLANS.md"), header + "\n" + body)
+    // index-seek literals embed the 0x00 key separator — render as \0
+    // so PLANS.md stays a text file whatever sections carry them
+    Files.writeString(Paths.get("PLANS.md"),
+      (header + "\n" + body).replace("\u0000", "\\0"))
     println(s"[plans] wrote PLANS.md (${headline.size} queries)")
     spark.stop()
   }
