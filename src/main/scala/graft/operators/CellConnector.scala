@@ -2623,6 +2623,41 @@ object CellConnector extends QueryModule {
       df
     }),
 
+    "cell_index_autoroute_prefix" -> ((s, dir) => {
+      // VALUE-PREFIX index routing (r20 — the highest-leverage routed
+      // form): `value LIKE 'p%'` is the probe NOTHING else bounds — a
+      // point probe already prunes via the per-file and parquet
+      // row-group value BLOOMS, but a RANGE over a high-cardinality
+      // value column defeats range stats (per-file [min,max] spans)
+      // and blooms (point-only), so the indexless plan is a genuine
+      // full scan + row filter. The rule turns it into ONE
+      // unterminated rowkey-prefix seek on the index (the index IS
+      // value-ordered) feeding the same broadcast semi-join; the
+      // retained LIKE exacts. RouteScale measures this shape flat
+      // across store growth while the dropped twin tracks the store.
+      // Probe prefix = the first 4 chars of the min indexed value
+      // (deterministic; nonempty by fixture).
+      stageGiTable(s, dir)
+      val pfx = s.sql(
+        """SELECT substring(min(value), 1, 4) FROM graftcat.events_gi
+           WHERE family = 'd' AND qualifier = 'value'""")
+        .collect()(0).getString(0)
+      val df = s.sql(
+        s"""SELECT rowkey, family, qualifier, version, value
+            FROM graftcat.events_gi
+            WHERE family = 'd' AND qualifier = 'value'
+              AND value LIKE '$pfx%'
+            ORDER BY rowkey, version""")
+      val opt = df.queryExecution.optimizedPlan
+      val semi = opt.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+        => j }
+      assert(semi.nonEmpty && opt.toString.contains("events_gi_idx_val"),
+        s"a value-prefix predicate must route through the index:\n$opt")
+      df
+    }),
+
     "cell_index_autoroute_stale" -> ((s, dir) => {
       // The FALLBACK side of automatic routing (r20): after a base
       // append the index does not cover (delta_generations > 0 — the
@@ -3713,6 +3748,18 @@ object CellConnector extends QueryModule {
           FROM cells, k
           WHERE family = 'd' AND qualifier = 'value'
             AND value IN (k.lo, k.hi)
+          ORDER BY rowkey, version""",
+
+    // the prefix form: the same answer as the plain LIKE over the
+    // rebuilt cells — the routed range seek may only change the plan
+    "cell_index_autoroute_prefix" ->
+      s"""WITH cells AS (${CellQueries.eventCellsSql}),
+              k AS (SELECT substr(min(value), 1, 4) AS p FROM cells
+                    WHERE family = 'd' AND qualifier = 'value')
+          SELECT rowkey, family, qualifier, version, value
+          FROM cells, k
+          WHERE family = 'd' AND qualifier = 'value'
+            AND value LIKE p || '%'
           ORDER BY rowkey, version""",
 
     // the stale-index fallback reads base ∪ the un-synced band — the

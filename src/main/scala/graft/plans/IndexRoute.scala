@@ -114,31 +114,55 @@ object IndexRoute extends Rule[LogicalPlan] with PredicateHelper {
     * the plain scan is the honest plan. */
   private val MAX_IN_SEEKS = 64
 
-  /** The value-column seek set: ONE top-level value conjunct — an
-    * equality (one seek) or a bounded IN-list (a multi-seek, HBase's
-    * MultiRowRangeFilter shape on the index). Sound as the semi-join
-    * build for the WHOLE condition: a row matching every conjunct
-    * matches this one, so its back-pointer is in the seek's result —
-    * candidates are a superset and the retained filter exacts. */
+  /** The value-column seek set as RAW index-rowkey prefixes: ONE
+    * top-level value conjunct —
+    *
+    *  - an equality (one seek: `v ++ 0x00` — the separator terminates
+    *    the value, so longer values sharing the prefix cannot ride);
+    *  - a bounded IN-list (a multi-seek, HBase's MultiRowRangeFilter
+    *    shape on the index);
+    *  - a value PREFIX — `value LIKE 'p%'` / startsWith (r20's
+    *    highest-leverage form: a point probe is already bounded by
+    *    the per-file and parquet row-group value blooms, but NOTHING
+    *    else prunes a RANGE over a high-cardinality value column —
+    *    range stats span, blooms are point-only — so the indexless
+    *    plan is a genuine full scan; the index turns it into one
+    *    UNTERMINATED rowkey-prefix seek, exactly IndexScale's
+    *    measured O(matches) case).
+    *
+    * Sound as the semi-join build for the WHOLE condition: a row
+    * matching every conjunct matches this one, so its back-pointer is
+    * in the seek's result — candidates are a superset and the
+    * retained filter exacts. Equality/IN are preferred over a prefix
+    * (tighter seeks) when both appear. */
   private def valueSeeks(cond: Expression,
                          rel: DataSourceV2Relation): Option[Seq[String]] = {
     val out = rel.outputSet
     def isValue(a: AttributeReference) =
       out.contains(a) && a.name == "value"
-    splitConjunctivePredicates(cond).flatMap {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val exact = conjuncts.flatMap {
       case EqualTo(a: AttributeReference, Literal(v: UTF8String, StringType))
-          if isValue(a) && v != null => Some(Seq(v.toString))
+          if isValue(a) && v != null => Some(Seq(v.toString + "\u0000"))
       case EqualTo(Literal(v: UTF8String, StringType), a: AttributeReference)
-          if isValue(a) && v != null => Some(Seq(v.toString))
+          if isValue(a) && v != null => Some(Seq(v.toString + "\u0000"))
       case In(a: AttributeReference, vs)
           if isValue(a) && vs.nonEmpty && vs.length <= MAX_IN_SEEKS &&
              vs.forall {
                case Literal(u: UTF8String, StringType) => u != null
                case _                                  => false
              } =>
-        Some(vs.map { case Literal(u: UTF8String, _) => u.toString })
+        Some(vs.map { case Literal(u: UTF8String, _) =>
+          u.toString + "\u0000" })
       case _ => None
     }.headOption
+    exact.orElse(conjuncts.flatMap {
+      case StartsWith(a: AttributeReference,
+                      Literal(p: UTF8String, StringType))
+          if isValue(a) && p != null && p.numBytes() > 0 =>
+        Some(Seq(p.toString))
+      case _ => None
+    }.headOption)
   }
 
   private def route(cond: Expression, rel: DataSourceV2Relation,
@@ -165,8 +189,7 @@ object IndexRoute extends Rule[LogicalPlan] with PredicateHelper {
       val irk  = idxRel.output.find(_.name == "rowkey").get
       val ival = idxRel.output.find(_.name == "value").get
       val prefixes = vs.map(v =>
-        StartsWith(irk,
-          Literal(UTF8String.fromString(v + "\u0000"), StringType))
+        StartsWith(irk, Literal(UTF8String.fromString(v), StringType))
           : Expression)
       val seek  = Filter(And(IsNotNull(irk), prefixes.reduce(Or)),
                          idxRel)

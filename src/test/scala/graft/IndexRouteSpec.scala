@@ -124,6 +124,32 @@ class IndexRouteSpec extends AnyFunSuite {
       "an over-bound IN-list must fall back to the plain scan")
   }
 
+  test("a value-prefix predicate (LIKE 'p%') routes as one unterminated " +
+       "seek and never changes the answer; equality outranks it") {
+    stage("t1c")
+    s.sql("CALL graftidx.build_index('t1c', 'uid', 'd', 'user_id')")
+      .collect()
+    def q = s.sql(
+      """SELECT rowkey, family, qualifier, version, value
+         FROM graftidx.t1c
+         WHERE family = 'd' AND qualifier = 'user_id'
+           AND value LIKE 'u1%'
+         ORDER BY rowkey, version""")
+    val routed = q
+    assert(semiJoins(routed).nonEmpty, "a LIKE prefix must route")
+    // u1% matches u1, u10..u16: the seek is UNTERMINATED — longer
+    // values sharing the prefix must be candidates too
+    val routedRows = routed.collect().map(_.toSeq).toSeq
+    assert(routedRows.map(_(4)).distinct.toSet ==
+           Set("u1", "u10", "u11", "u12", "u13", "u14", "u15", "u16"),
+      s"the prefix seek must cover every matching value: " +
+      s"${routedRows.map(_(4)).distinct}")
+    s.sql("DROP TABLE graftidx.t1c_idx_uid")
+    assert(semiJoins(q).isEmpty)
+    assert(q.collect().map(_.toSeq).toSeq == routedRows,
+      "prefix routing may never change the answer")
+  }
+
   test("a stale index does not route; sync_index re-arms routing and " +
        "the routed answer includes the delta") {
     stage("t2")
