@@ -72,6 +72,7 @@ object Plans {
     // composite/covering row-image index, the content-level sync
     // across a compaction, and ExactSubstr's hashed-shuffle + rewrite
     "cell_index_autoroute", "cell_index_autoroute_in",
+    "cell_index_autoroute_prefix",
     "cell_index_composite", "sql_cell_call_sync_index_compacted",
     "dedup_substring_hashed", "dedup_substring_rewrite")
 

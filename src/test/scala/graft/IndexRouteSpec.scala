@@ -323,6 +323,32 @@ class IndexRouteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("composite"), s"$e")
   }
 
+  test("routing engages on NAMESPACED tables (sibling-in-namespace " +
+       "discovery matches the descriptor's ns:t reference)") {
+    root
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftidx.prod")
+    s.sql("DROP TABLE IF EXISTS graftidx.prod.t_idx_uid")
+    s.sql("DROP TABLE IF EXISTS graftidx.prod.t")
+    s.sql("""CREATE TABLE graftidx.prod.t (rowkey STRING, family STRING,
+             qualifier STRING, version BIGINT, value STRING)
+             USING graftcell""")
+    s.sql("""INSERT OVERWRITE graftidx.prod.t
+             SELECT format_string('k%04d', id), 'd', 'user_id', 1L,
+                    concat('u', id % 9)
+             FROM range(0, 90)""")
+    s.sql("CALL graftidx.build_index('prod:t', 'uid', 'd', 'user_id')")
+      .collect()
+    val df = s.sql(
+      """SELECT rowkey, version, value FROM graftidx.prod.t
+         WHERE family = 'd' AND qualifier = 'user_id' AND value = 'u4'
+         ORDER BY rowkey""")
+    assert(semiJoins(df).nonEmpty &&
+           df.queryExecution.optimizedPlan.toString.contains("t_idx_uid"),
+      s"a namespaced indexed table must route:" +
+      s"\n${df.queryExecution.optimizedPlan}")
+    assert(df.collect().length == 10)
+  }
+
   test("vacuum decides boundary orphanhood by the recorded owner path " +
        "(ADVICE r19): live non-sibling index survives, dead one reclaims") {
     import org.apache.spark.sql.Row
