@@ -465,14 +465,14 @@ object Plans {
     * evidence where the r18 value range stats span everything. */
   /** Round-20 evidence: AUTOMATIC index routing — the same plain-SQL
     * value predicate, executed twice: with a fresh covering index
-    * (IndexRoute rewrites it into an index prefix-seek + broadcast
-    * LEFT SEMI join whose runtime rowkey filter prunes base region
-    * files like a multiget) and with the index stale (the rule
+    * (IndexRoute answers it COVERED: one index prefix-seek, every
+    * output column reconstructed from the index row, the base store
+    * absent from the plan) and with the index stale (the rule
     * declines, the plan is the ordinary pushed-filter scan). What to
-    * read: the routed plan's BroadcastHashJoin LeftSemi, the index
-    * side's `regionFiles: k/n` with k < n (the value-prefix seek
-    * pruning the index store), and `RuntimeFilters` on the base scan;
-    * the fallback plan has NO join. */
+    * read: the routed plan's SINGLE GraftCellScan over the _idx_
+    * store with `regionFiles: k/n`, k < n (the value-prefix seek
+    * pruning), the reconstruction Project above it; the fallback
+    * plan scans the base instead. */
   private def indexRouteSection(s: SparkSession): String = {
     val root = java.nio.file.Files
       .createTempDirectory("graft_plans_ir_").toString
@@ -504,9 +504,9 @@ object Plans {
       df.queryExecution.executedPlan.toString.replace("\u0000", "\\0")
     "## cell_index_autoroute (r20 — executed routed plan vs stale " +
       "fallback)\n\nWith a covering index, the plain-SQL value " +
-      "predicate plans the index seek + broadcast semi-join (runtime " +
-      "rowkey filter on the base scan — the multiget shape, no " +
-      "driver-side keys):\n\n```\n" + txt(routed) +
+      "predicate is answered COVERED — one index prefix-seek, every " +
+      "column reconstructed from the index row, the base store " +
+      "nowhere in the plan:\n\n```\n" + txt(routed) +
       "```\n\nOne un-synced base append later, the SAME SQL falls " +
       "back to the plain pushed-filter scan (loudly-by-plan, " +
       "never wrongly-by-data):\n\n```\n" + txt(stale) + "```\n"

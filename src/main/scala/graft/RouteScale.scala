@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Round-20 evidence harness for AUTOMATIC index routing: the SAME
   * plain SQL value-predicate probe, measured with the index present
-  * (IndexRoute rewrites it into the index prefix-seek + broadcast
-  * semi-join with a runtime rowkey filter on the base) and with the
+  * (IndexRoute answers it COVERED — one index prefix-seek, every
+  * output column reconstructed from the index row, the base never
+  * touched) and with the
   * index dropped (the honest fallback: a full scan + row filter).
   * The fixture must defeat EVERY other pruning layer or the twin is
   * secretly a seek too: per-file value [min,max] spans the md5 space
@@ -88,15 +89,15 @@ object RouteScale {
               AND value LIKE 'v000000%'""")
       // sanity: the rule fired (semi-join present), then is gone
       val routedPlan = sql.queryExecution.optimizedPlan.toString
-      assert(routedPlan.contains("Join LeftSemi"),
-        s"expected the routed plan:\n$routedPlan")
+      assert(routedPlan.contains("_idx_"),
+        s"expected the routed (covered) plan:\n$routedPlan")
       val (tRouted, n) = minOf3(sql.count())
       val executed = sql
       executed.collect()
       val routedKn = idxKn(executed)
       spark.sql(s"DROP TABLE graftroute.${t}_idx_q")
       assert(!sql.queryExecution.optimizedPlan.toString
-        .contains("Join LeftSemi"), "drop must un-route")
+        .contains("_idx_"), "drop must un-route")
       val (tPlain, n2) = minOf3(sql.count())
       val plain = sql
       plain.collect()

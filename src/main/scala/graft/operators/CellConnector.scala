@@ -2549,18 +2549,18 @@ object CellConnector extends QueryModule {
       // AUTOMATIC index routing (r20 — Phoenix's core promise, and
       // what cell_index_probe hand-wires): the PLAIN SQL value
       // predicate engages the secondary index through the IndexRoute
-      // optimizer rule (riding spark.sql.extensions): index
-      // prefix-seek → covered back-pointers → broadcast LEFT SEMI
-      // join whose runtime rowkey filter prunes base region files
-      // like a multiget — no driver-side key collection at any probe
-      // cardinality, and the original predicate is RETAINED, so the
+      // optimizer rule (riding spark.sql.extensions), and because
+      // every output column reconstructs from the index row alone
+      // (rowkey = back-pointer, version carried, family/qualifier =
+      // the literals, value = the seek prefix recovered by exact
+      // length arithmetic), the plan is a COVERED ANSWER: one index
+      // prefix-seek, the base table never touched — with the FULL
+      // original predicate re-evaluated on the reconstruction, so the
       // index can change the plan, never the answer. Inline pins:
-      // (1) the optimized plan holds the semi-join over the index
-      // store (the rule fired from SQL text alone), (2) the executed
-      // index seek plans fewer region files than the index store
-      // holds (the seek prunes), (3) the executed base side carries
-      // the runtime rowkey filter. Oracle: the same predicate as a
-      // direct filter over the rebuilt cells.
+      // (1) the executed plan scans ONLY the index store (exactly one
+      // connector scan, no join, no base path), (2) the seek plans
+      // fewer region files than the index store holds. Oracle: the
+      // same predicate as a direct filter over the rebuilt cells.
       stageGiTable(s, dir)
       val probeVal = s.sql(
         """SELECT min(value) FROM graftcat.events_gi
@@ -2572,22 +2572,15 @@ object CellConnector extends QueryModule {
             WHERE family = 'd' AND qualifier = 'value'
               AND value = '$probeVal'
             ORDER BY rowkey, version""")
-      val opt = df.queryExecution.optimizedPlan
-      val semi = opt.collect {
-        case j: org.apache.spark.sql.catalyst.plans.logical.Join
-            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
-        => j }
-      assert(semi.nonEmpty && opt.toString.contains("events_gi_idx_val"),
-        s"IndexRoute must rewrite the value predicate into a semi-join " +
-        s"over the index store; optimized plan:\n$opt")
       val exec = df.queryExecution.executedPlan.toString
-      val prunes = "regionFiles: (\\d+)/(\\d+)".r
-        .findAllMatchIn(exec)
-        .map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
-      val idxPrune = prunes.exists { case (k, n) => n == 1 || k < n }
-      assert(idxPrune, s"the index seek must prune region files: $prunes")
-      assert(exec.contains("RuntimeFilters: [") || prunes.size >= 2,
-        s"the base side must plan through the connector:\n$exec")
+      val scans = "GraftCellScan path=(\\S+?),".r
+        .findAllMatchIn(exec).map(_.group(1)).toSeq
+      assert(scans.length == 1 && scans.head.endsWith("events_gi_idx_val"),
+        s"the covered answer must scan ONLY the index store: $scans\n$exec")
+      val m = "regionFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(exec).get
+      assert(m.group(2).toInt == 1 ||
+             m.group(1).toInt < m.group(2).toInt,
+        s"the index seek must prune region files: ${m.matched}")
       df
     }),
 
@@ -2613,13 +2606,13 @@ object CellConnector extends QueryModule {
             WHERE family = 'd' AND qualifier = 'value'
               AND value IN ('$lo', '$hi')
             ORDER BY rowkey, version""")
-      val opt = df.queryExecution.optimizedPlan
-      val semi = opt.collect {
-        case j: org.apache.spark.sql.catalyst.plans.logical.Join
-            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
-        => j }
-      assert(semi.nonEmpty && opt.toString.contains("events_gi_idx_val"),
-        s"an IN-list value predicate must route through the index:\n$opt")
+      val scansIn = "GraftCellScan path=(\\S+?),".r
+        .findAllMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1)).toSeq
+      assert(scansIn.length == 1 &&
+             scansIn.head.endsWith("events_gi_idx_val"),
+        s"an IN-list value predicate must answer from the index " +
+        s"alone: $scansIn")
       df
     }),
 
@@ -2648,13 +2641,13 @@ object CellConnector extends QueryModule {
             WHERE family = 'd' AND qualifier = 'value'
               AND value LIKE '$pfx%'
             ORDER BY rowkey, version""")
-      val opt = df.queryExecution.optimizedPlan
-      val semi = opt.collect {
-        case j: org.apache.spark.sql.catalyst.plans.logical.Join
-            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
-        => j }
-      assert(semi.nonEmpty && opt.toString.contains("events_gi_idx_val"),
-        s"a value-prefix predicate must route through the index:\n$opt")
+      val scansP = "GraftCellScan path=(\\S+?),".r
+        .findAllMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1)).toSeq
+      assert(scansP.length == 1 &&
+             scansP.head.endsWith("events_gi_idx_val"),
+        s"a value-prefix predicate must answer from the index " +
+        s"alone: $scansP")
       df
     }),
 
@@ -2682,10 +2675,10 @@ object CellConnector extends QueryModule {
             WHERE family = 'd' AND qualifier = 'value'
               AND value = '$probeVal'
             ORDER BY rowkey, version""")
-      val semi = df.queryExecution.optimizedPlan.collect {
-        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
-      assert(semi.isEmpty,
-        "a stale index must NOT route: the fallback is the plain scan")
+      val planStale = df.queryExecution.optimizedPlan.toString
+      assert(!planStale.contains("_idx_"),
+        s"a stale index must NOT route: the fallback is the plain " +
+        s"scan\n$planStale")
       df
     }),
 

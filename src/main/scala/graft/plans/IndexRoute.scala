@@ -9,7 +9,7 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sources.cell.{CellFooterCache, GraftCellMaintenance, GraftCellTable}
+import graft.sources.cell.{CellFooterCache, GraftCell, GraftCellMaintenance, GraftCellTable}
 
 /** AUTOMATIC secondary-index routing (r20 — Phoenix's core promise:
   * the index engages from PLAIN SQL, not from a hand-wired probe
@@ -20,28 +20,42 @@ import graft.sources.cell.{CellFooterCache, GraftCellMaintenance, GraftCellTable
   *
   * is a FULL SCAN + row filter without help — the predicate is on a
   * VALUE, unanswerable by rowkey math. When a catalog-discoverable
-  * global secondary index covers (f, q), the rule narrows the scan
-  * with the index:
+  * global secondary index covers (f, q), the rule answers from the
+  * index. Two forms, chosen per query:
+  *
+  * COVERED (the default — Phoenix's covered query): every base
+  * column reconstructs from the index row alone (rowkey = the
+  * back-pointer, version carried, family/qualifier = the predicate's
+  * literals, value = the seek prefix of the index rowkey, recovered
+  * EXACTLY by length arithmetic), so the whole subtree rewrites to
+  *
+  * {{{ Project(reconstruction)(
+  *       Filter(cond remapped)(
+  *         Filter(rowkey startsWith seek, index))) }}}
+  *
+  * — ONE index prefix-seek, no join, the base store never touched
+  * (RouteScale measures it flat at O(matches) across 32× store
+  * growth while the indexless twin tracks the store). Output
+  * attributes keep their original exprIds, so parents are untouched,
+  * and the FULL original condition re-evaluates on the
+  * reconstruction — a fabricated row cannot survive it.
+  *
+  * SEMI-JOIN (the fallback — when the output needs a metadata column
+  * the index cannot reconstruct, or the condition is
+  * non-deterministic and must keep evaluating over base rows):
   *
   * {{{ Filter(cond, base LEFT SEMI JOIN_broadcast
   *                  Project(value)(
-  *                    Filter(rowkey startsWith 'k\0', index))) }}}
+  *                    Filter(rowkey startsWith seek, index))) }}}
   *
-  * - the index seek is an ordinary rowkey-prefix scan of the index
-  *   store (the index IS rowkey-ordered by value — file pruning via
-  *   footer [min,max] + blooms, the same machinery as any scan);
-  * - the semi-join build side is the seek's covered back-pointers
-  *   (the base rowkeys); the BROADCAST hint pins the physical shape,
-  *   and because [[graft.sources.cell]]'s batch scan supports runtime
-  *   filtering on `rowkey`, the broadcast join pushes the key set
-  *   into the base scan at runtime — region files prune exactly as a
-  *   hand-written multiget would, with no driver-side collect at ANY
-  *   probe cardinality (the 100 TB shape: the r19 `cell_index_probe`
-  *   key collected back-pointers on the driver);
-  * - the ORIGINAL filter stays on top, so the rewrite can only ever
-  *   REMOVE non-matching rows early, never change the answer: seek
-  *   false positives (an indexed value of which `k + '\0'` is a
-  *   proper prefix) are eliminated by the retained `value = 'k'`.
+  * — the broadcast build side is the seek's back-pointers, and
+  * because [[graft.sources.cell]]'s batch scan supports runtime
+  * filtering on `rowkey`, the join pushes the key set into the base
+  * scan at runtime: region files prune exactly as a hand-written
+  * multiget would, with no driver-side collect at ANY probe
+  * cardinality (the r19 `cell_index_probe` key collected
+  * back-pointers on the driver). The original filter stays on top,
+  * so seek false positives die on it.
   *
   * Soundness gates — the rule routes ONLY when all hold, and falls
   * back to the plain scan otherwise (loudly-by-plan, never
@@ -188,17 +202,64 @@ object IndexRoute extends Rule[LogicalPlan] with PredicateHelper {
       idxRel.setTagValue(ROUTED, true)
       val irk  = idxRel.output.find(_.name == "rowkey").get
       val ival = idxRel.output.find(_.name == "value").get
+      val iver = idxRel.output.find(_.name == "version").get
       val prefixes = vs.map(v =>
         StartsWith(irk, Literal(UTF8String.fromString(v), StringType))
           : Expression)
       val seek  = Filter(And(IsNotNull(irk), prefixes.reduce(Or)),
                          idxRel)
-      val probe = Project(Seq(ival), seek)
-      val brk   = rel.output.find(_.name == "rowkey").get
-      rel.setTagValue(ROUTED, true)
-      Filter(cond,
-        Join(rel, probe, LeftSemi, Some(EqualTo(brk, ival)),
-             JoinHint(None, Some(HintInfo(Some(BROADCAST))))))
+      val dataCols = GraftCell.SCHEMA.fieldNames.toSet
+      val coverable =
+        cond.deterministic &&
+        cond.references.forall(a => dataCols.contains(a.name)) &&
+        rel.output.forall(a => dataCols.contains(a.name))
+      if (coverable) {
+        // COVERED ANSWER (the Phoenix covered-query shape): every
+        // output column reconstructs from the index row ALONE, so the
+        // base table is never touched — the plan is one index seek.
+        // rowkey = the back-pointer; version rides the index cell;
+        // family/qualifier = the predicate's literals; value = the
+        // seek prefix of the index rowkey, recovered EXACTLY as
+        // substring(idx_rk, 1, len(idx_rk) − len(back_pointer) − 1)
+        // (idx_rk = value ++ 0x00 ++ rowkey, so the arithmetic is
+        // unambiguous even when values or rowkeys embed the
+        // separator). Sound because the index is row-for-row the
+        // (family, qualifier) slice of the base under the covered
+        // sync state, and the FULL original condition re-evaluates on
+        // the reconstruction (a fabricated or stale row cannot
+        // survive it any more than a scanned one). Output attributes
+        // keep their original exprIds, so any parent operator is
+        // untouched. The semi-join below remains the fallback when
+        // the output needs a metadata column (not in the index) or
+        // the condition is non-deterministic (its evaluation basis
+        // must stay the base rows).
+        val recon: Map[String, Expression] = Map(
+          "rowkey"    -> ival,
+          "version"   -> iver,
+          "family"    -> Literal(UTF8String.fromString(fam), StringType),
+          "qualifier" -> Literal(UTF8String.fromString(qual), StringType),
+          "value"     -> Substring(irk, Literal(1),
+            Subtract(Length(irk), Add(Length(ival), Literal(1)))))
+        // substitute by ATTRIBUTE IDENTITY (the base relation's
+        // exprIds), never by name — the replacements are themselves
+        // index attributes named rowkey/value, and a name-keyed
+        // rewrite would recurse into its own output
+        val baseIds = rel.outputSet
+        val remapped = cond.transform {
+          case a: AttributeReference if baseIds.contains(a) =>
+            recon(a.name)
+        }
+        Project(
+          rel.output.map(a => Alias(recon(a.name), a.name)(exprId = a.exprId)),
+          Filter(remapped, seek))
+      } else {
+        val probe = Project(Seq(ival), seek)
+        val brk   = rel.output.find(_.name == "rowkey").get
+        rel.setTagValue(ROUTED, true)
+        Filter(cond,
+          Join(rel, probe, LeftSemi, Some(EqualTo(brk, ival)),
+               JoinHint(None, Some(HintInfo(Some(BROADCAST))))))
+      }
     }
   }
 }

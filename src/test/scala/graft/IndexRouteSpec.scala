@@ -2,9 +2,6 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import org.apache.spark.sql.catalyst.plans.LeftSemi
-import org.apache.spark.sql.catalyst.plans.logical.Join
-
 import graft.sources.cell.{CellFooterCache, GraftCellMaintenance, GraftCellSnapshot}
 
 /** Gates the r20 secondary-index planner story:
@@ -69,9 +66,11 @@ class IndexRouteSpec extends AnyFunSuite {
         WHERE family = 'd' AND qualifier = 'user_id' AND value = '$v'
         ORDER BY rowkey, version"""
 
-  private def semiJoins(df: org.apache.spark.sql.DataFrame): Seq[Join] =
-    df.queryExecution.optimizedPlan.collect {
-      case j: Join if j.joinType == LeftSemi => j }
+  /** Routed = the optimized plan references an index store (since the
+    * covered rewrite there is no join to look for — the plan IS one
+    * index seek); unrouted = no index store appears anywhere. */
+  private def routedPlan(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.toString.contains("_idx_")
 
   private def idxStore(table: String, idx: String): String =
     s"$root/${table}_idx_$idx"
@@ -81,15 +80,15 @@ class IndexRouteSpec extends AnyFunSuite {
     stage("t1")
     s.sql("CALL graftidx.build_index('t1', 'uid', 'd', 'user_id')").collect()
     val routed = s.sql(probeSql("t1", "u5"))
-    assert(semiJoins(routed).nonEmpty &&
-           routed.queryExecution.optimizedPlan.toString
+    assert(routed.queryExecution.optimizedPlan.toString
              .contains("t1_idx_uid"),
-      s"expected the index semi-join:\n${routed.queryExecution.optimizedPlan}")
+      s"expected the covered index answer:" +
+      s"\n${routed.queryExecution.optimizedPlan}")
     val routedRows = routed.collect().map(_.toSeq).toSeq
     assert(routedRows.nonEmpty)
     s.sql("DROP TABLE graftidx.t1_idx_uid")
     val plain = s.sql(probeSql("t1", "u5"))
-    assert(semiJoins(plain).isEmpty,
+    assert(!routedPlan(plain),
       "with the index dropped the same SQL must plan the plain scan")
     assert(plain.collect().map(_.toSeq).toSeq == routedRows,
       "routing may never change the answer")
@@ -107,12 +106,12 @@ class IndexRouteSpec extends AnyFunSuite {
             AND value IN (${vals.map(v => s"'$v'").mkString(", ")})
           ORDER BY rowkey, version""")
     val routed = q(Seq("u3", "u11"))
-    assert(semiJoins(routed).nonEmpty, "a 2-member IN must route")
+    assert(routedPlan(routed), "a 2-member IN must route")
     val routedRows = routed.collect().map(_.toSeq).toSeq
     assert(routedRows.nonEmpty)
     s.sql("DROP TABLE graftidx.t1b_idx_uid")
     val plain = q(Seq("u3", "u11"))
-    assert(semiJoins(plain).isEmpty)
+    assert(!routedPlan(plain))
     assert(plain.collect().map(_.toSeq).toSeq == routedRows,
       "IN routing may never change the answer")
     // over-bound list: > 64 members must NOT route (rebuild the index
@@ -120,7 +119,7 @@ class IndexRouteSpec extends AnyFunSuite {
     s.sql("CALL graftidx.build_index('t1b', 'uid', 'd', 'user_id')")
       .collect()
     val big = q((0 until 70).map(i => s"u$i"))
-    assert(semiJoins(big).isEmpty,
+    assert(!routedPlan(big),
       "an over-bound IN-list must fall back to the plain scan")
   }
 
@@ -136,7 +135,7 @@ class IndexRouteSpec extends AnyFunSuite {
            AND value LIKE 'u1%'
          ORDER BY rowkey, version""")
     val routed = q
-    assert(semiJoins(routed).nonEmpty, "a LIKE prefix must route")
+    assert(routedPlan(routed), "a LIKE prefix must route")
     // u1% matches u1, u10..u16: the seek is UNTERMINATED — longer
     // values sharing the prefix must be candidates too
     val routedRows = routed.collect().map(_.toSeq).toSeq
@@ -145,7 +144,7 @@ class IndexRouteSpec extends AnyFunSuite {
       s"the prefix seek must cover every matching value: " +
       s"${routedRows.map(_(4)).distinct}")
     s.sql("DROP TABLE graftidx.t1c_idx_uid")
-    assert(semiJoins(q).isEmpty)
+    assert(!routedPlan(q))
     assert(q.collect().map(_.toSeq).toSeq == routedRows,
       "prefix routing may never change the answer")
   }
@@ -158,7 +157,7 @@ class IndexRouteSpec extends AnyFunSuite {
              ('z0001', 'd', 'user_id', 1L, 'u5'),
              ('z0002', 'd', 'user_id', 1L, 'u6')""")
     val stale = s.sql(probeSql("t2", "u5"))
-    assert(semiJoins(stale).isEmpty,
+    assert(!routedPlan(stale),
       "delta_generations > 0 must fall back to the plain scan")
     val staleRows = stale.collect().map(_.toSeq).toSeq
     assert(staleRows.exists(_.head == "z0001"),
@@ -166,7 +165,7 @@ class IndexRouteSpec extends AnyFunSuite {
     val r = s.sql("CALL graftidx.sync_index('t2', 'uid')").collect()(0)
     assert(r.getLong(1) == 2L && r.getString(4) == "delta", s"$r")
     val synced = s.sql(probeSql("t2", "u5"))
-    assert(semiJoins(synced).nonEmpty,
+    assert(routedPlan(synced),
       "a freshly synced index must route again")
     assert(synced.collect().map(_.toSeq).toSeq == staleRows,
       "the routed answer must equal the scan's, delta row included")
@@ -179,7 +178,7 @@ class IndexRouteSpec extends AnyFunSuite {
              (NULL, 'd', 'user_id', 1L, 'u5')""")
     s.sql("CALL graftidx.build_index('t3', 'uid', 'd', 'user_id')").collect()
     val df = s.sql(probeSql("t3", "u5"))
-    assert(semiJoins(df).isEmpty,
+    assert(!routedPlan(df),
       "null rowkeys present: routing must decline")
     assert(df.collect().exists(_.isNullAt(0)),
       "the plain scan keeps the null-rowkey match the index cannot hold")
@@ -194,7 +193,7 @@ class IndexRouteSpec extends AnyFunSuite {
           FROM graftidx.t4 VERSION AS OF 's1'
           WHERE family = 'd' AND qualifier = 'user_id' AND value = 'u5'
           ORDER BY rowkey, version""")
-    assert(semiJoins(df).isEmpty, "VERSION AS OF must not route")
+    assert(!routedPlan(df), "VERSION AS OF must not route")
     assert(df.collect().nonEmpty)
   }
 
@@ -231,7 +230,7 @@ class IndexRouteSpec extends AnyFunSuite {
       s"expected 1 append + 120 shadowed-version deletes: $r")
     assertIndexExact("t5", "uid")
     // routing is armed again right after the content sync
-    assert(semiJoins(s.sql(probeSql("t5", "u5"))).nonEmpty)
+    assert(routedPlan(s.sql(probeSql("t5", "u5"))))
   }
 
   test("content sync after DELETE FROM: removed rows leave the index " +
@@ -342,8 +341,8 @@ class IndexRouteSpec extends AnyFunSuite {
       """SELECT rowkey, version, value FROM graftidx.prod.t
          WHERE family = 'd' AND qualifier = 'user_id' AND value = 'u4'
          ORDER BY rowkey""")
-    assert(semiJoins(df).nonEmpty &&
-           df.queryExecution.optimizedPlan.toString.contains("t_idx_uid"),
+    assert(df.queryExecution.optimizedPlan.toString
+             .contains("t_idx_uid"),
       s"a namespaced indexed table must route:" +
       s"\n${df.queryExecution.optimizedPlan}")
     assert(df.collect().length == 10)
