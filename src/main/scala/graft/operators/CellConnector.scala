@@ -2588,8 +2588,9 @@ object CellConnector extends QueryModule {
       // IN-LIST index routing (r20): `value IN (k1, k2)` routes as a
       // MULTI-SEEK — one prefix disjunct per member on the index
       // (HBase's MultiRowRangeFilter shape, which the connector
-      // prunes as the union of per-disjunct survivors), same
-      // broadcast semi-join + retained filter as the equality form.
+      // prunes as the union of per-disjunct survivors), answered
+      // COVERED like the equality form (the seek's rows reconstruct
+      // the output; the remapped predicate exacts).
       // Bounded: lists past 64 members fall back to the scan (the
       // seek's pruning value is gone). Probe = the index's min and
       // max indexed values — deterministic, and spanning the store so
