@@ -149,6 +149,42 @@ class IndexRouteSpec extends AnyFunSuite {
       "prefix routing may never change the answer")
   }
 
+  test("the semi-join fallback: a metadata-column output and a " +
+       "non-deterministic condition decline the covered answer but " +
+       "still route through the index") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    stage("t1d")
+    s.sql("CALL graftidx.build_index('t1d', 'uid', 'd', 'user_id')")
+      .collect()
+    def joins(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    // _region_file is not reconstructable from the index: the rewrite
+    // must keep the base scan and narrow it with the semi-join
+    val meta = s.sql(
+      """SELECT rowkey, value, _region_file FROM graftidx.t1d
+         WHERE family = 'd' AND qualifier = 'user_id' AND value = 'u5'
+         ORDER BY rowkey""")
+    assert(routedPlan(meta) && joins(meta).nonEmpty,
+      s"metadata output must take the SEMI-JOIN route:" +
+      s"\n${meta.queryExecution.optimizedPlan}")
+    val rows = meta.collect()
+    assert(rows.nonEmpty && rows.forall(!_.isNullAt(2)),
+      "the fallback must deliver the real region-file provenance")
+    // a non-deterministic condition must keep evaluating on base rows
+    val nd = s.sql(
+      """SELECT rowkey, value FROM graftidx.t1d
+         WHERE family = 'd' AND qualifier = 'user_id' AND value = 'u5'
+           AND rand() < 2.0
+         ORDER BY rowkey""")
+    assert(routedPlan(nd) && joins(nd).nonEmpty,
+      s"a non-deterministic condition must take the SEMI-JOIN route:" +
+      s"\n${nd.queryExecution.optimizedPlan}")
+    // rand() < 2.0 is always true: the answer is the full match set
+    assert(nd.collect().map(_.getString(0)).toSeq ==
+           rows.map(_.getString(0)).toSeq,
+      "the semi-join fallback may never change the answer")
+  }
+
   test("a stale index does not route; sync_index re-arms routing and " +
        "the routed answer includes the delta") {
     stage("t2")
