@@ -103,17 +103,26 @@ object CellConnector extends QueryModule {
 
   /** Stage the GLOBAL-SECONDARY-INDEX fixture: base catalog table
     * `graftcat.events_gi` (all event cells) + its (d, user_id) index
-    * `graftcat.events_gi_idx_uid` via `CALL build_index`. Idempotent
-    * (INSERT OVERWRITE + full index rebuild), shared by the build and
-    * probe keys. */
+    * `graftcat.events_gi_idx_uid` via `CALL build_index`. Staged ONCE
+    * per warehouse behind a marker (r21 — guide §1: the six consumer
+    * keys only READ the fixture, so each invocation re-paying the two
+    * store writes + two index builds measured staging, not the
+    * operator; the one key that mutated it, `cell_index_autoroute_
+    * stale`, now stages its own table). The body is idempotent (DROP +
+    * CREATE + INSERT OVERWRITE + full rebuilds), so a crash before the
+    * marker lands simply restages — the stageSpjTables convention. */
   private def stageGiTable(s: org.apache.spark.sql.SparkSession,
                            dir: String): Unit = {
     registerCatalog(s, dir)
+    val marker = new java.io.File(
+      "/tmp/graft_catalog_" + dir.replaceAll("[^A-Za-z0-9.]", "_"),
+      "_GI_STAGED")
+    if (marker.exists()) return
     CellQueries.eventCells(s, dir)
       .createOrReplaceTempView("graft_catalog_src")
-    // hermetic per run: the builds pin __idx_sync_* snapshots on the
+    // hermetic restage: the builds pin __idx_sync_* snapshots on the
     // base, and INSERT OVERWRITE under a pin would archive the old
-    // generation every run — DROP wipes store, snapshots and archive
+    // generation — DROP wipes store, snapshots and archive
     Seq("events_gi_idx_uid", "events_gi_idx_val", "events_gi")
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS graftcat.$t"))
     s.sql("""CREATE TABLE graftcat.events_gi (
@@ -132,6 +141,7 @@ object CellConnector extends QueryModule {
       .collect()(0)
     assert(r2.getString(0) == "events_gi_idx_val" && r2.getLong(1) > 0L,
       s"index build must report its table and a positive cell count: $r2")
+    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
     ()
   }
 
@@ -147,17 +157,27 @@ object CellConnector extends QueryModule {
   }
 
   /** Stage the metadata-table fixture `graftcat.events_meta` — shared
-    * by the three `sql_cell_meta_*` keys, RE-STAGED each run (the
-    * OVERWRITE resets the commit history to exactly two generations):
-    * overwrite (generation 1, all event cells) → snapshot s1 → append
+    * by the three `sql_cell_meta_*` keys, staged ONCE per warehouse
+    * behind a marker (r21 — the consumers only READ the meta tables,
+    * and the keys' declared columns are layout-independent, so
+    * re-paying the two generations + two snapshots per invocation
+    * measured staging, not the metadata scan): DROP (hermetic: resets
+    * the commit history to exactly two generations) → overwrite
+    * (generation 1, all event cells) → snapshot s1 → append
     * (generation 2, the '6' band re-inserted with shifted versions) →
-    * snapshot s2. Same deterministic shape as the list_snapshots key. */
+    * snapshot s2. Same deterministic shape as the list_snapshots key.
+    * Idempotent from the DROP, so a crash before the marker restages. */
   private def stageMetaTable(s: org.apache.spark.sql.SparkSession,
                              dir: String): Unit = {
     registerCatalog(s, dir)
+    val marker = new java.io.File(
+      "/tmp/graft_catalog_" + dir.replaceAll("[^A-Za-z0-9.]", "_"),
+      "_META_STAGED")
+    if (marker.exists()) return
     CellQueries.eventCells(s, dir)
       .createOrReplaceTempView("graft_catalog_src")
-    s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_meta (
+    s.sql("DROP TABLE IF EXISTS graftcat.events_meta")
+    s.sql("""CREATE TABLE graftcat.events_meta (
                rowkey STRING, family STRING, qualifier STRING,
                version BIGINT, value STRING) USING graftcell""")
     s.sql("INSERT OVERWRITE graftcat.events_meta SELECT * FROM graft_catalog_src")
@@ -168,6 +188,7 @@ object CellConnector extends QueryModule {
                     concat(value, '~') AS value
              FROM graft_catalog_src WHERE rowkey >= '6' AND rowkey < '7'""")
     s.sql("CALL graftcat.snapshot('events_meta', 's2')")
+    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
     ()
   }
 
@@ -2310,22 +2331,35 @@ object CellConnector extends QueryModule {
       // table (the predicate is on a VALUE), so without the index it
       // is a full scan + row filter. With it: (1) a value-prefix seek
       // on the index (ordinary rowkey file pruning — the index IS
-      // rowkey-ordered by value), (2) the covered back-pointers come
-      // back as the probe's key set (the HBase client multiget call —
-      // driver-bounded at probe cardinality), (3) an IN-list multiget
-      // on the base, pruned per key by footer ranges + rowkey blooms.
-      // Inline plan assertions pin BOTH prunes (index scan < full
-      // index; base scan < full store). For probe sets too large to
-      // collect, the broadcast-join + runtime-filter path is the same
-      // machinery (DppProbeSpec / join_cell_broadcast); this key is
-      // the point-lookup shape. Oracle: the direct semi-join on the
-      // rebuild — the index must change the PLAN, never the answer.
+      // rowkey-ordered by value), (2) the covered back-pointers flow
+      // into the base scan as a BROADCAST SEMI-JOIN whose build side
+      // delivers the key set as a RUNTIME filter
+      // (SupportsRuntimeFiltering — the DppProbeSpec machinery, the
+      // same shape IndexRoute's fallback plans). r21 (VERDICT r20
+      // "what's wrong" #1): this replaces the r19 driver-side
+      // collect + isin — at 100 TB a hot value is millions of keys
+      // and the old shape was a driver OOM; now no back-pointer ever
+      // passes through the driver at ANY probe cardinality. Inline
+      // pins: the index seek prunes index region files (plan-time),
+      // and the executed probe plan carries the injected
+      // dynamicpruningexpression on rowkey (the runtime prune).
+      // Oracle: the direct semi-join on the rebuild — the index must
+      // change the PLAN, never the answer.
       stageGiTable(s, dir)
       def planned(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
         val m = "regionFiles: (\\d+)/(\\d+)".r
           .findFirstMatchIn(df.queryExecution.executedPlan.toString).get
         (m.group(1).toInt, m.group(2).toInt)
       }
+      // the DPP benefit heuristic is sized for TB-scale scans; at
+      // fixture scale it must be told pruning pays (DppProbeSpec's
+      // note — at production scale the scan's own post-pruning
+      // reported statistics make the case and the defaults stand)
+      s.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      s.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio",
+        "100.0")
       // probe the smallest indexed value (deterministic; as the
       // index's FIRST prefix it provably lives in the first region
       // file, so the seek's prune is layout-independent)
@@ -2334,18 +2368,25 @@ object CellConnector extends QueryModule {
            WHERE family = 'd' AND qualifier = 'value'""")
         .collect()(0).getString(0)
       val idxScan = s.table("graftcat.events_gi_idx_val")
-        .filter(col("rowkey").startsWith(probeVal + "\u0000"))
+        .filter(col("rowkey").startsWith(probeVal + " "))
         .select(col("value"))
       val (ik, in) = planned(idxScan)
       assert(in == 1 || (ik > 0 && ik < in),
         s"index prefix seek must prune the index store: $ik/$in")
-      val keys = idxScan.collect().map(_.getString(0)).toSeq.sorted
-      assert(keys.nonEmpty, "probe value must exist in the fixture")
+      // the prefix predicate pushes WHOLLY into the index scan, which
+      // leaves the build side with no logical Filter for the DPP
+      // selectivity check to see — retain a tautological comparison
+      // (length >= 0 over already-non-null back-pointers; zero rows
+      // change) so Spark's PartitionPruning rule recognizes the build
+      // side as filtered and injects the runtime rowkey filter
+      val keys = idxScan.select(col("value").as("__rk"))
+        .filter(length(col("__rk")) >= 0)
       val probe = s.table("graftcat.events_gi")
-        .filter(col("rowkey").isin(keys: _*))
-      val (bk, bn) = planned(probe)
-      assert(keys.size >= bn || bk < bn,
-        s"multiget over ${keys.size} keys must prune base region files: $bk/$bn")
+        .join(broadcast(keys), col("rowkey") === col("__rk"), "left_semi")
+      val exec = probe.queryExecution.executedPlan.toString
+      assert(exec.contains("dynamicpruningexpression(rowkey"),
+        s"the back-pointer set must reach the base scan as a runtime " +
+        s"filter (never a driver collect):\n$exec")
       probe.orderBy("rowkey", "qualifier")
     }),
 
@@ -2470,15 +2511,25 @@ object CellConnector extends QueryModule {
       // direct base computation — index only, zero base files.
       // Maintenance is rebuild-only (sync refuses composites —
       // spec-pinned). Oracle: the full row-image pivot rebuilt in SQL.
+      // r21: the BASE table (read-only input) stages once behind a
+      // marker; the composite BUILD — the key's verb — still executes
+      // per invocation (a matching rebuild is a full overwrite landing
+      // on the same rows, spec-pinned idempotent), as do both probes.
       registerCatalog(s, dir)
-      CellQueries.eventCells(s, dir)
-        .createOrReplaceTempView("graft_catalog_src")
-      s.sql("DROP TABLE IF EXISTS graftcat.events_ci_idx_uev")
-      s.sql("DROP TABLE IF EXISTS graftcat.events_ci")
-      s.sql("""CREATE TABLE graftcat.events_ci (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_ci SELECT * FROM graft_catalog_src")
+      val ciMarker = new java.io.File(
+        "/tmp/graft_catalog_" + dir.replaceAll("[^A-Za-z0-9.]", "_"),
+        "_CI_STAGED")
+      if (!ciMarker.exists()) {
+        CellQueries.eventCells(s, dir)
+          .createOrReplaceTempView("graft_ci_src")
+        s.sql("DROP TABLE IF EXISTS graftcat.events_ci_idx_uev")
+        s.sql("DROP TABLE IF EXISTS graftcat.events_ci")
+        s.sql("""CREATE TABLE graftcat.events_ci (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell""")
+        s.sql("INSERT OVERWRITE graftcat.events_ci SELECT * FROM graft_ci_src")
+        java.nio.file.Files.write(ciMarker.toPath, Array.emptyByteArray)
+      }
       val r = s.sql(
         """CALL graftcat.build_index('events_ci', 'uev', 'd',
                                      'user_id,event_type', 400L, 'value')""")
@@ -2659,20 +2710,41 @@ object CellConnector extends QueryModule {
       // rewrite — the same SQL plans the plain pushed-filter scan,
       // loudly-by-plan, and the answer includes the un-indexed rows a
       // stale-index rewrite would have silently dropped. Oracle: the
-      // predicate over base ∪ the appended band.
-      stageGiTable(s, dir)
-      s.sql("""INSERT INTO graftcat.events_gi
-               SELECT rowkey, family, qualifier,
-                      version + 5000000 AS version,
-                      concat(value, '%') AS value
-               FROM graft_catalog_src WHERE rowkey >= '3' AND rowkey < '4'""")
+      // predicate over base ∪ the appended band. r21: OWN staged-once
+      // table (events_ars) — the stale state (base + val index +
+      // post-build append) is the FIXTURE here, stable once staged, so
+      // the key no longer mutates the shared events_gi fixture (which
+      // forced every GI consumer to restage per invocation); the probe
+      // + no-route plan pin still run per invocation.
+      registerCatalog(s, dir)
+      val marker = new java.io.File(
+        "/tmp/graft_catalog_" + dir.replaceAll("[^A-Za-z0-9.]", "_"),
+        "_ARS_STAGED")
+      if (!marker.exists()) {
+        CellQueries.eventCells(s, dir)
+          .createOrReplaceTempView("graft_ars_src")
+        Seq("events_ars_idx_val", "events_ars")
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS graftcat.$t"))
+        s.sql("""CREATE TABLE graftcat.events_ars (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell""")
+        s.sql("INSERT OVERWRITE graftcat.events_ars SELECT * FROM graft_ars_src")
+        s.sql("CALL graftcat.build_index('events_ars', 'val', 'd', 'value', 400)")
+          .collect()
+        s.sql("""INSERT INTO graftcat.events_ars
+                 SELECT rowkey, family, qualifier,
+                        version + 5000000 AS version,
+                        concat(value, '%') AS value
+                 FROM graft_ars_src WHERE rowkey >= '3' AND rowkey < '4'""")
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
       val probeVal = s.sql(
-        """SELECT min(value) FROM graftcat.events_gi
+        """SELECT min(value) FROM graftcat.events_ars
            WHERE family = 'd' AND qualifier = 'value'""")
         .collect()(0).getString(0)
       val df = s.sql(
         s"""SELECT rowkey, family, qualifier, version, value
-            FROM graftcat.events_gi
+            FROM graftcat.events_ars
             WHERE family = 'd' AND qualifier = 'value'
               AND value = '$probeVal'
             ORDER BY rowkey, version""")

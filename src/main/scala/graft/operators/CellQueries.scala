@@ -11,7 +11,7 @@ object CellQueries extends QueryModule {
   /** events with props parsed into a nested struct — exercises the
     * recursive (dotted-path) branch of the flatten. */
   private def eventsNested(s: org.apache.spark.sql.SparkSession, dir: String) =
-    T.events(s, dir)
+    T.fanout(T.events(s, dir), col("event_id"))
       .withColumn("props", from_json(col("props"),
         org.apache.spark.sql.types.StructType.fromDDL("k INT")))
       .select(col("event_id"), col("ts_us"), col("user_id"),
@@ -29,14 +29,15 @@ object CellQueries extends QueryModule {
     * and the DuckDB oracle rebuilds the same leaves from the same row.
     *
     * Local-bench note: events.parquet is ONE 2 MB row group, and a row
-    * group is parquet's atomic split — so the ~14-leaf explode runs in
-    * a single task here regardless of cores (≈5 s at sf0.1). Not a plan
-    * flaw: at production scale the scan has thousands of row-group
-    * splits and the same shuffle-free plan parallelizes per split;
-    * forcing a pre-explode repartition would add an input-sized shuffle
-    * at 100 TB just to flatter the fixture. */
+    * group is parquet's atomic split — so without help the ~14-leaf
+    * explode runs in a single task here regardless of cores (≈5 s at
+    * sf0.1; RowGroupProbe measured the unchanged plan 5× faster at 16
+    * splits). `T.fanout` spreads the NARROW pre-explode rows across
+    * the cores only when the scan has fewer splits than parallelism —
+    * at 100 TB the scan has thousands of row-group splits and no
+    * shuffle is added (guide §2: scale-adaptive partitioning). */
   private def nestedDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    T.events(s, dir).select(
+    T.fanout(T.events(s, dir), col("event_id")).select(
       col("event_id"), col("ts_us"),
       struct(
         col("user_id"),
@@ -68,7 +69,9 @@ object CellQueries extends QueryModule {
       eventCells(s, dir).orderBy("rowkey", "qualifier")),
 
     "sink_cells_arrays" -> ((s, dir) =>
-      CellFlatten.flatten(T.load(s, dir, "embeddings"), col("vec_id"), "e",
+      CellFlatten.flatten(T.fanout(T.load(s, dir, "embeddings"),
+                                   col("vec_id")),
+                          col("vec_id"), "e",
                           lit(0L), exclude = Set("vec_id"))
         .orderBy("rowkey", "qualifier")),
 
@@ -87,7 +90,7 @@ object CellQueries extends QueryModule {
       // holds scalars (attrs.<event_type>, attrs.uid), one holds a
       // nested array value (marr.a[j]) to exercise recursion below a
       // map entry.
-      val m = T.events(s, dir).select(
+      val m = T.fanout(T.events(s, dir), col("event_id")).select(
         col("event_id"), col("ts_us"),
         map(col("event_type"), col("value"),
             lit("uid"), col("user_id").cast("double")).as("attrs"),
@@ -111,7 +114,7 @@ object CellQueries extends QueryModule {
       // cells directly from the base columns (proving the DYNAMIC path
       // reproduces the statically-known leaves).
       CellFlatten.flattenVariant(
-        T.events(s, dir).select(
+        T.fanout(T.events(s, dir), col("event_id")).select(
           col("event_id").cast("string").as("rowkey"),
           col("ts_us").as("version"),
           parse_json(to_json(struct(
@@ -135,7 +138,7 @@ object CellQueries extends QueryModule {
       // emits NO JSON-text fallback cells; the oracle rebuilds every
       // leaf from the base columns.
       CellFlatten.flattenVariant(
-        T.events(s, dir).select(
+        T.fanout(T.events(s, dir), col("event_id")).select(
           col("event_id").cast("string").as("rowkey"),
           col("ts_us").as("version"),
           parse_json(to_json(struct(
@@ -157,7 +160,7 @@ object CellQueries extends QueryModule {
       // dynamic twin of pipeline_e2e_v2 — proving the engine runs the
       // full ingest→cells→analytics pipeline without a schema anywhere.
       CellFlatten.flattenVariant(
-        T.events(s, dir).select(
+        T.fanout(T.events(s, dir), col("event_id")).select(
           col("event_id").cast("string").as("rowkey"),
           col("ts_us").as("version"),
           parse_json(to_json(struct(

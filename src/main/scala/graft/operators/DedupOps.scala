@@ -201,7 +201,7 @@ object DedupOps extends QueryModule {
     * once (localCheckpoint — it feeds both sides of its own
     * self-join). */
   private def spanTable(d: DataFrame): DataFrame =
-    d.filter(length(col("t")) >= SUB_W)
+    T.fanout(d, col("doc_id")).filter(length(col("t")) >= SUB_W)
       .select(col("doc_id"), length(col("t")).as("t_len"),
         posexplode(expr(
           s"transform(sequence(1, length(t) - ${SUB_W - 1})," +
@@ -252,7 +252,7 @@ object DedupOps extends QueryModule {
     * docs. `dedup_winnow` is the sampled scale path. */
   private[graft] def substringDupStats(d: DataFrame): DataFrame =
     dupStatsOf(
-      d.filter(length(col("t")) >= SUB_W)
+      T.fanout(d, col("doc_id")).filter(length(col("t")) >= SUB_W)
         .select(col("doc_id"),
           explode(expr(
             s"transform(sequence(1, length(t) - ${SUB_W - 1})," +
@@ -279,7 +279,7 @@ object DedupOps extends QueryModule {
     * the row. */
   private[graft] def winnowDupStats(d: DataFrame): DataFrame =
     dupStatsOf(
-      d.filter(length(col("t")) >= SUB_W)
+      T.fanout(d, col("doc_id")).filter(length(col("t")) >= SUB_W)
         // hps[i] = md5(span at i) ++ lpad(i): min() over a slice IS
         // (fingerprint, position) lexicographic argmin, portably
         .withColumn("hps", expr(
@@ -460,7 +460,7 @@ object DedupOps extends QueryModule {
       // exactly re-scored with the fused merge-pass Jaccard. Rows,
       // schema and every hashed value check against DuckDB.
       val K = 12; val R = 2; val B = K / R
-      val docs = T.load(s, dir, "documents")
+      val docs = T.fanout(T.load(s, dir, "documents"), col("doc_id"))
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         // shingling feeds the signature pipeline (via both self-join
@@ -517,7 +517,7 @@ object DedupOps extends QueryModule {
       // merge inside graft_jaccard becomes primitive long compares with
       // zero allocation — the candidate space is ~80× the corpus here,
       // so per-pair constants dominate the key's cost.
-      val feat = T.load(s, dir, "documents")
+      val feat = T.fanout(T.load(s, dir, "documents"), col("doc_id"))
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("lang"), expr("n_chars div 64").as("n_chars"),
                 col("doc_id"),
@@ -545,7 +545,7 @@ object DedupOps extends QueryModule {
       // pairs, so per-shingle fan-out is ≤ C(5,2) and the pair space is
       // linear in the posting list, never quadratic in the corpus.
       // Exact containment rescoring runs on candidates only.
-      val feat = T.load(s, dir, "documents")
+      val feat = T.fanout(T.load(s, dir, "documents"), col("doc_id"))
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), shingles(col("text")).as("feat"))
         // the shingle computation feeds BOTH posting legs of the
@@ -577,7 +577,7 @@ object DedupOps extends QueryModule {
     }),
 
     "dedup_simhash" -> ((s, dir) => {
-      val tok = T.load(s, dir, "documents")
+      val tok = T.fanout(T.load(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), col("lang"),
                 explode(split(lower(col("text")), " ")).as("t"))
         .withColumn("th", conv(substring(md5(col("t")), 1, 15), 16, 10)

@@ -50,7 +50,7 @@ object TextOps extends QueryModule {
       // quadratic block, and hot blocks (> cap rows) are spread over k²/2
       // reducer cells by DedupOps.skewSafeSelfPairs (salted sub-blocking —
       // identical pairs, no single-reducer O(B²) hotspot).
-      val feat = T.load(s, dir, "documents")
+      val feat = T.fanout(T.load(s, dir, "documents"), col("doc_id"))
         .select(col("lang"), col("n_chars"), col("doc_id"),
                 array_sort(array_distinct(split(col("text"), ""))).as("feat"))
       val j = graft.functions.JaccardSets.jac(s, "f_a", "f_b")
@@ -99,7 +99,7 @@ object TextOps extends QueryModule {
         .orderBy(col("cnt").desc, col("token")).limit(20)),
 
     "text_tfidf" -> ((s, dir) => {
-      val docs = T.load(s, dir, "documents")
+      val docs = T.fanout(T.load(s, dir, "documents"), col("doc_id"))
       val tok = docs.select(col("doc_id"),
                             explode(split(lower(col("text")), " ")).as("term"))
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -122,7 +122,7 @@ object TextOps extends QueryModule {
       // lang form the profile; each doc classifies to the profile with
       // the highest token-set Jaccard. The profile table is tiny and
       // broadcast; the corpus side never shuffles for scoring.
-      val tok = T.load(s, dir, "documents")
+      val tok = T.fanout(T.load(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), col("lang"),
                 explode(split(lower(col("text")), " ")).as("t"))
       val prof = tok.groupBy("lang", "t").agg(count(lit(1)).as("cnt"))
@@ -193,7 +193,7 @@ object TextOps extends QueryModule {
       // separator arithmetic. In a production pipeline the table comes
       // from a pair-counting training pass; here it is pinned so the
       // DuckDB oracle replays the exact merges.
-      val d = T.load(s, dir, "documents")
+      val d = T.fanout(T.load(s, dir, "documents"), col("doc_id"))
       val norm = trim(regexp_replace(lower(coalesce(col("text"), lit(""))),
                                      "[^a-z]+", " "))
       val sym = regexp_replace(norm, "(.)", "|$1|")
@@ -315,7 +315,7 @@ object TextOps extends QueryModule {
       // stream is filtered down to actual hits (rare) inside the scan
       // stage, and only the surviving hits pay the distinct/agg shuffle
       // — at 100 TB the expensive stream never shuffles at all.
-      val d = T.load(s, dir, "documents")
+      val d = T.fanout(T.load(s, dir, "documents"), col("doc_id"))
       def shingles(df: org.apache.spark.sql.DataFrame) = df
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 4)
@@ -341,7 +341,7 @@ object TextOps extends QueryModule {
       // order-insensitive twin over the sorted distinct token set).
       // Token values derive from md5 hex — the only hash both engines
       // share — kept under 2^32 so every fold step stays exact.
-      val d = T.load(s, dir, "documents")
+      val d = T.fanout(T.load(s, dir, "documents"), col("doc_id"))
       def hv(t: Column): Column =
         conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1000003L
       val w = split(lower(col("text")), " ")
@@ -391,7 +391,7 @@ object TextOps extends QueryModule {
     * `text_quality_buckets` (per-lang tertile split). */
   private def lmScores(s: org.apache.spark.sql.SparkSession,
                        dir: String): org.apache.spark.sql.DataFrame = {
-    val bi = T.load(s, dir, "documents")
+    val bi = T.fanout(T.load(s, dir, "documents"), col("doc_id"))
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"),

@@ -189,12 +189,19 @@ object IndexRoute extends Rule[LogicalPlan] with PredicateHelper {
       // gate 3: provably null-rowkey-free (exact per-file footer stats)
       if CellFooterCache.filesOf(t.storePath)
         .forall(_.nullKeys.contains(0L))
-      // gate 4: a catalog-discoverable index on exactly (fam, qual)
-      // whose sync state covers the live view
+      // gate 4: a catalog-discoverable SINGLE-COLUMN index on exactly
+      // (fam, qual) whose sync state covers the live view. A COMPOSITE
+      // index persists the comma-joined qualifier list in the same
+      // property (sync_index's own discriminator) and its rowkey
+      // layout (v1 ++ 0x00 ++ v2 ++ ... ++ rk) does NOT match the
+      // single-column seek/reconstruction arithmetic — so a base
+      // qualifier literally containing a comma must never route
+      // through a same-named composite (ADVICE r20 medium).
       (idxPath, props) <- GraftCellMaintenance.indexesOf(t.storePath)
         .find { case (_, p) =>
           p.get("index.family").contains(fam) &&
-          p.get("index.qualifier").contains(qual) }
+          p.get("index.qualifier")
+            .exists(q => q == qual && !q.contains(",")) }
       if GraftCellMaintenance.idxSyncState(t.storePath, idxPath).covered
     } yield {
       val idxRel = DataSourceV2Relation.create(

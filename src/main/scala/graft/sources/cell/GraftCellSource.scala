@@ -2727,19 +2727,26 @@ object GraftCellMaintenance {
       .filter(d => d.isDirectory &&
                    new java.io.File(d, "_GRAFT_TABLE").exists())
       .flatMap { d =>
-        val bytes = java.nio.file.Files.readAllBytes(
-          new java.io.File(d, "_GRAFT_TABLE").toPath)
-        val props =
-          if (bytes.isEmpty) Map.empty[String, String]
-          else idxMarkerMapper.readTree(bytes).properties().asScala
-            .map(e => e.getKey -> e.getValue.asText()).toMap
-        // the descriptor records the table reference as the build verb
-        // received it ('t' or 'ns:t'); the sibling scan already scopes
-        // the namespace, so match on the table segment
-        if (props.get("index.of")
-              .map(_.split(":", -1).last).contains(tName))
-          Some(d.getPath -> props)
-        else None
+        // a corrupt / partially-written sibling marker must degrade to
+        // "not an index", never fail planning of an unrelated query on
+        // the base table (ADVICE r20 low: IndexRoute calls this on
+        // every candidate Filter, so ANY bad neighbor used to throw
+        // during optimization)
+        scala.util.Try {
+          val bytes = java.nio.file.Files.readAllBytes(
+            new java.io.File(d, "_GRAFT_TABLE").toPath)
+          val props =
+            if (bytes.isEmpty) Map.empty[String, String]
+            else idxMarkerMapper.readTree(bytes).properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap
+          // the descriptor records the table reference as the build verb
+          // received it ('t' or 'ns:t'); the sibling scan already scopes
+          // the namespace, so match on the table segment
+          if (props.get("index.of")
+                .map(_.split(":", -1).last).contains(tName))
+            Some(d.getPath -> props)
+          else None
+        }.toOption.flatten
       }
       .sortBy(_._1).toSeq
   }
@@ -2787,6 +2794,10 @@ object GraftCellMaintenance {
     // and the incremental boundary the next sync reads from. The
     // boundary records the index store as its OWNER (vacuum's
     // orphanhood signal — path-identity, not name heuristics).
+    // A legacy r19-named boundary for this index is adopted first, so
+    // the create below REPLACES it instead of leaving it pinning base
+    // archive history forever (ADVICE r20 low).
+    adoptLegacyBoundary(baseStore, idxStore)
     val snap = idxSyncSnapshot(idxStore)
     GraftCellSnapshot.create(baseStore, snap,
       Some(new java.io.File(idxStore).getAbsolutePath))
@@ -2967,11 +2978,31 @@ object GraftCellMaintenance {
     *
     * Returns (cells appended, index entries deleted, delta
     * generations, mode). */
+  /** ADOPT an r19-era legacy boundary (`__idx_sync_<leaf>`, no path
+    * hash) for this index: rename it to the current path-keyed name so
+    * the sync lifecycle RESUMES instead of forcing a full rebuild, and
+    * so the legacy pin cannot linger unreclaimed next to the new-name
+    * boundary a rebuild would have created (ADVICE r20 low). Only a
+    * boundary whose recorded owner IS this index (or an ownerless
+    * legacy pin) is adopted. */
+  private def adoptLegacyBoundary(baseStore: String,
+                                  idxStore: String): Unit = {
+    val cur = idxSyncSnapshot(idxStore)
+    val legacy = s"__idx_sync_${new java.io.File(idxStore).getName}"
+    if (legacy != cur &&
+        !new java.io.File(baseStore, s"_snapshot_$cur.json").exists() &&
+        new java.io.File(baseStore, s"_snapshot_$legacy.json").exists() &&
+        GraftCellSnapshot.ownerOf(baseStore, legacy)
+          .forall(_ == new java.io.File(idxStore).getAbsolutePath))
+      GraftCellSnapshot.promote(baseStore, legacy, cur)
+  }
+
   def syncIndex(spark: org.apache.spark.sql.SparkSession,
                 baseStore: String, idxStore: String,
                 family: String, qualifier: String)
       : (Long, Long, Long, String) = {
     import org.apache.spark.sql.functions._
+    adoptLegacyBoundary(baseStore, idxStore)
     val snap = idxSyncSnapshot(idxStore)
     val st = idxSyncState(baseStore, idxStore)
     require(st.snapExists,
@@ -2984,20 +3015,65 @@ object GraftCellMaintenance {
       CellFooterCache.invalidate(idxStore)
       CellFooterCache.filesOf(idxStore).map(_.rowCount).sum
     }
+    // IDEMPOTENT APPEND (ADVICE r20 medium): append-then-promote is two
+    // non-atomic steps, and a crash between them left the boundary at
+    // the old pin — the retry recomputed the SAME delta and appended it
+    // AGAIN, silently duplicating index entries behind a covered state.
+    // The append now stages under an INTENT marker (the repo's
+    // crash-completion `repair` pattern) recording the delta's identity
+    // and the index's committed dirs + row count as of just before the
+    // append: a retry that finds the intent for the SAME delta with the
+    // dir set since grown knows the previous append committed — it
+    // skips the append, finishes the protocol (deletes are idempotent,
+    // promote is atomic) and reports the completed append's counts. An
+    // intent for a DIFFERENT delta is stale (a crash after the promote)
+    // and is ignored/overwritten.
+    val intentFile = new java.io.File(idxStore, "_sync_intent.json")
+    def readIntent(): Option[(String, Set[String], Long)] =
+      if (!intentFile.exists()) None
+      else scala.util.Try {
+        val n = idxMarkerMapper.readTree(
+          java.nio.file.Files.readAllBytes(intentFile.toPath))
+        (n.get("delta").asText(),
+         n.get("dirs").elements().asScala.map(_.asText()).toSet,
+         n.get("rows").asLong())
+      }.toOption
+    def writeIntent(key: String, dirs: Set[String], rows: Long): Unit = {
+      val n = idxMarkerMapper.createObjectNode()
+      n.put("delta", key); n.put("rows", rows)
+      val arr = n.putArray("dirs"); dirs.toSeq.sorted.foreach(arr.add)
+      java.nio.file.Files.write(intentFile.toPath,
+        idxMarkerMapper.writeValueAsBytes(n))
+      ()
+    }
+    def appendOnce(key: String,
+                   cells: => org.apache.spark.sql.DataFrame): Long = {
+      CellFooterCache.invalidate(idxStore)
+      val dirsNow = CellFooterCache.committedDirs(idxStore).toSet
+      val rowsNow = CellFooterCache.filesOf(idxStore).map(_.rowCount).sum
+      readIntent() match {
+        case Some((k, d0, r0)) if k == key && d0 != dirsNow =>
+          rowsNow - r0 // the crashed attempt's append already committed
+        case _ =>
+          writeIntent(key, dirsNow, rowsNow)
+          cells.write.format("graftcell").mode("append").save(idxStore)
+          idxRows() - rowsNow
+      }
+    }
+    def finish[T](r: T): T = { intentFile.delete(); r }
     if (st.appendOnly) {
       val deltaDirs = GraftCellSnapshot.dirs(baseStore, next).toSet --
         GraftCellSnapshot.dirs(baseStore, snap).toSet
       if (deltaDirs.isEmpty) {
         GraftCellSnapshot.drop(baseStore, next)
-        return (0L, 0L, 0L, "delta")
+        return finish((0L, 0L, 0L, "delta"))
       }
-      val before = idxRows()
-      indexCellsOf(spark, baseStore, family, qualifier,
-                   Map("snapshot" -> next, "sinceSnapshot" -> snap))
-        .write.format("graftcell").mode("append").save(idxStore)
-      val synced = idxRows() - before
+      val synced = appendOnce(
+        "delta|" + deltaDirs.toSeq.sorted.mkString(","),
+        indexCellsOf(spark, baseStore, family, qualifier,
+                     Map("snapshot" -> next, "sinceSnapshot" -> snap)))
       GraftCellSnapshot.promote(baseStore, next, snap)
-      (synced, 0L, deltaDirs.size.toLong, "delta")
+      finish((synced, 0L, deltaDirs.size.toLong, "delta"))
     } else {
       require(st.missingPins == 0L,
         s"graftcell: sync_index found ${st.missingPins} pinned file(s) " +
@@ -3007,29 +3083,60 @@ object GraftCellMaintenance {
       def view(sn: String) = indexSourceOf(
         spark, baseStore, family, qualifier, Map("snapshot" -> sn))
         .select("rowkey", "version", "value")
-      val cur = view(next).as("c")
-      val old = view(snap).as("o")
+      // MULTIPLICITY-AWARE content compare (ADVICE r20 low): the store
+      // enforces no uniqueness, and a set-semantics anti-join collapsed
+      // exact duplicate cells — a second identical copy added since the
+      // boundary was never appended, so a COVERED routed query returned
+      // fewer duplicate rows than the plain scan. Compare per-identity
+      // COUNTS on both pinned views: the count GROWTH appends that many
+      // copies; a count reaching zero deletes the entry (as before); a
+      // PARTIAL shrink of a duplicated identity refuses loudly — group
+      // DML deletes every copy of an identity, so the partial form is
+      // inexpressible and the rebuild is the honest plan.
+      val curC = view(next).groupBy("rowkey", "version", "value")
+        .agg(count(lit(1)).as("nc")).as("c")
+      val oldC = view(snap).groupBy("rowkey", "version", "value")
+        .agg(count(lit(1)).as("no")).as("o")
       val sameCell =
         col("c.rowkey") <=> col("o.rowkey") &&
         col("c.version") <=> col("o.version") &&
         col("c.value") <=> col("o.value")
-      val before = idxRows()
-      toIndexCells(cur.join(old, sameCell, "left_anti"))
-        .write.format("graftcell").mode("append").save(idxStore)
-      val synced = idxRows() - before
-      // removals: cells of the boundary view gone from the live view —
-      // their index entries (rowkey = value ++ 0x00 ++ base rowkey, at
-      // the base cell's version) must go, or a probe would surface
-      // ghosts. Driver-bounded by construction (see the cap's doc).
-      val delRows = old.join(cur, sameCell, "left_anti")
-        .select(concat(col("o.value"), lit("\u0000"), col("o.rowkey"))
-                  .as("k"),
-                col("o.version"))
+      val j = curC.join(oldC, sameCell, "full_outer")
+        .select(coalesce(col("c.rowkey"), col("o.rowkey")).as("rowkey"),
+                coalesce(col("c.version"), col("o.version")).as("version"),
+                coalesce(col("c.value"), col("o.value")).as("value"),
+                coalesce(col("nc"), lit(0L)).as("nc"),
+                coalesce(col("no"), lit(0L)).as("no"))
+        .localCheckpoint() // feeds both the delete and the append legs
+      // removals first (driver-bounded, and the multiplicity refusal
+      // must fire BEFORE the append mutates the index): identities of
+      // the boundary view gone from the live view — their index entries
+      // (rowkey = value ++ 0x00 ++ base rowkey, at the base cell's
+      // version) must go, or a probe would surface ghosts.
+      val delRows = j.filter(col("no") > col("nc"))
+        .select(concat(col("value"), lit(" "), col("rowkey")).as("k"),
+                col("version"), col("nc"))
         .limit(IDX_SYNC_MAX_DELETES + 1).collect()
       require(delRows.length <= IDX_SYNC_MAX_DELETES,
         s"graftcell: sync_index found more than $IDX_SYNC_MAX_DELETES " +
         "removed cells since the boundary — rebuild the index " +
         "(CALL build_index)")
+      require(delRows.forall(_.getLong(2) == 0L),
+        "graftcell: sync_index found an exact-duplicate cell whose " +
+        "multiplicity SHRANK but did not vanish since the boundary — " +
+        "a group delete cannot remove only some copies of an identity; " +
+        "rebuild the index (CALL build_index)")
+      val synced = appendOnce(
+        "content|" + GraftCellSnapshot.dirs(baseStore, next)
+          .sorted.mkString(","),
+        j.filter(col("nc") > col("no"))
+          .select(col("rowkey"), col("version"), col("value"),
+                  explode(sequence(lit(1L), col("nc") - col("no")))
+                    .as("copy"))
+          .select(
+            concat(col("value"), lit(" "), col("rowkey")).as("rowkey"),
+            lit("i").as("family"), lit("r").as("qualifier"),
+            col("version"), col("rowkey").as("value")))
       if (delRows.nonEmpty) {
         def orAll(fs: IndexedSeq[Filter]): Filter =
           if (fs.length == 1) fs.head
@@ -3047,7 +3154,8 @@ object GraftCellMaintenance {
         CellFooterCache.invalidate(idxStore)
       }
       GraftCellSnapshot.promote(baseStore, next, snap)
-      (synced, delRows.length.toLong, st.deltaDirs.size.toLong, "content")
+      finish((synced, delRows.length.toLong,
+              st.deltaDirs.size.toLong, "content"))
     }
   }
 
@@ -3205,7 +3313,16 @@ object GraftCellMaintenance {
           case None =>
             val leaf = n.stripPrefix("__idx_sync_")
             !new java.io.File(new java.io.File(store).getParentFile, leaf)
-              .isDirectory
+              .isDirectory ||
+            // ADVICE r20 low: an ownerless LEGACY-named boundary is
+            // superseded once a path-keyed boundary for the same leaf
+            // exists (a rebuild/sync created or adopted it) — without
+            // this the stale legacy pin holds base archive history for
+            // as long as the index directory lives
+            GraftCellSnapshot.names(store).exists(m =>
+              m.startsWith(n + "_") && m.length == n.length + 9 &&
+              m.drop(n.length + 1).forall(c =>
+                c.isDigit || ('a' to 'f').contains(c)))
         }
       }
     orphanedIdx.foreach(GraftCellSnapshot.drop(store, _, sweep = false))
