@@ -145,6 +145,79 @@ object CellConnector extends QueryModule {
     ()
   }
 
+  /** PROTO-COPY fixture staging (r21 — guide §1.4: time the verb, not
+    * the staging): `stage` runs ONCE per /tmp lifetime to materialize
+    * the fixture table(s) through the normal catalog path, then their
+    * directories are snapshotted file-for-file into a PROTOTYPE outside
+    * the warehouse (so sibling discovery — g.t.indexes, IndexRoute —
+    * never sees it); every later invocation restores the working
+    * directories from the prototype by plain file copy. The restored
+    * state is byte-identical to the freshly staged one (descriptor,
+    * manifests, snapshots, region-file layout and all), so the key's
+    * declared MUTATING verb — the CALL / DML under test, which still
+    * executes on every invocation — always runs against the exact same
+    * pristine fixture without re-paying the fixture's distributed
+    * staging writes. Crash-safe the stagedOnce way: a crash mid-stage
+    * leaves no marker and restages from scratch (stage bodies are
+    * DROP/OVERWRITE-idempotent); a crash mid-restore re-wipes and
+    * re-copies on the next invocation. */
+  private def protoTables(s: org.apache.spark.sql.SparkSession,
+                          dir: String, tag: String,
+                          tables: Seq[String])(stage: => Unit): Unit = {
+    registerCatalog(s, dir)
+    val wtag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val wh = new java.io.File(s"/tmp/graft_catalog_$wtag")
+    val proto = new java.io.File(s"/tmp/graft_proto_$wtag/$tag")
+    val marker = new java.io.File(proto, "_PROTO_READY")
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles).getOrElse(Array.empty).foreach(wipe)
+      f.delete(); ()
+    }
+    def copy(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      Option(src.listFiles).getOrElse(Array.empty).foreach { f =>
+        val d = new java.io.File(dst, f.getName)
+        if (f.isDirectory) copy(f, d)
+        else if (f.getName != "_PROTO_READY") {
+          java.nio.file.Files.copy(f.toPath, d.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        }
+      }
+    }
+    if (!marker.exists()) {
+      wipe(proto); proto.mkdirs()
+      stage
+      tables.foreach(t =>
+        copy(new java.io.File(wh, t), new java.io.File(proto, t)))
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      ()
+    } else {
+      tables.foreach { t =>
+        val work = new java.io.File(wh, t)
+        wipe(work)
+        copy(new java.io.File(proto, t), work)
+        graft.sources.cell.CellFooterCache.invalidate(work.getPath)
+      }
+    }
+  }
+
+  /** The commonest fixture: `graftcat.<table>` holding exactly the
+    * event cells as one pristine OVERWRITE generation — proto-copied
+    * (see [[protoTables]]) for keys whose verb then mutates it. */
+  private def pristineEventsTable(s: org.apache.spark.sql.SparkSession,
+                                  dir: String, table: String): Unit =
+    protoTables(s, dir, table, Seq(table)) {
+      CellQueries.eventCells(s, dir)
+        .createOrReplaceTempView("graft_catalog_src")
+      s.sql(s"DROP TABLE IF EXISTS graftcat.$table")
+      s.sql(s"""CREATE TABLE graftcat.$table (
+                  rowkey STRING, family STRING, qualifier STRING,
+                  version BIGINT, value STRING) USING graftcell""")
+      s.sql(s"INSERT OVERWRITE graftcat.$table SELECT * FROM graft_catalog_src")
+      ()
+    }
+
   /** Register the graftcell TableCatalog for this sf-dir's warehouse
     * (idempotent; catalogs load lazily on first `graftcat.` reference,
     * so setting the conf on a live session works). */
@@ -776,15 +849,10 @@ object CellConnector extends QueryModule {
       // (all-rows-matched files are simply removed). Two deletes: a
       // pure rowkey range (the region-seek path) and a qualifier+range
       // conjunction (exact per-row rewrite inside survivors).
-      // INSERT OVERWRITE resets the table each run, so the
-      // delete-on-top is idempotent for the gate.
-      registerCatalog(s, dir)
-      CellQueries.eventCells(s, dir)
-        .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_del (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_del SELECT * FROM graft_catalog_src")
+      // Proto-copy reset (r21): the table restores to the pristine
+      // overwrite state before each run, so the DELETEs — the verb —
+      // execute per invocation without re-paying the staging write.
+      pristineEventsTable(s, dir, "events_del")
       s.sql("DELETE FROM graftcat.events_del WHERE rowkey >= '3' AND rowkey < '5'")
       s.sql("""DELETE FROM graftcat.events_del
                WHERE qualifier = 'value' AND rowkey >= '9'""")
@@ -798,14 +866,8 @@ object CellConnector extends QueryModule {
       // row (no pruning, by design — the paired write truncate-
       // replaces the table), Spark applies the SET as a conditional
       // projection, and one commit swaps the new generation in.
-      // INSERT OVERWRITE resets the table each run (idempotent gate).
-      registerCatalog(s, dir)
-      CellQueries.eventCells(s, dir)
-        .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_upd (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_upd SELECT * FROM graft_catalog_src")
+      // Proto-copy reset per run (r21); the UPDATE is the timed verb.
+      pristineEventsTable(s, dir, "events_upd")
       s.sql("""UPDATE graftcat.events_upd
                SET value = concat(value, '*')
                WHERE rowkey >= '2' AND rowkey < '3'""")
@@ -820,13 +882,11 @@ object CellConnector extends QueryModule {
       // whole thing is one copy-on-write commit. Source = updated
       // versions for the '4' band plus brand-new 'zz_'-prefixed
       // rowkeys, so both MERGE arms execute.
-      registerCatalog(s, dir)
+      // Proto-copy reset per run (r21); the MERGE is the timed verb
+      // (its source view derives from the event cells per run too).
+      pristineEventsTable(s, dir, "events_mrg")
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_mrg (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_mrg SELECT * FROM graft_catalog_src")
       s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_merge_src AS
                SELECT rowkey, family, qualifier,
                       version + 1000000 AS version,
@@ -863,14 +923,11 @@ object CellConnector extends QueryModule {
       // Source bands: fresh puts ('3'), STALE puts ('5' — matched, no
       // arm fires, row survives verbatim), deletes ('7' value cells),
       // deletes of absent rows (zz_ prefix, dropped), new inserts
-      // (new_ prefix). INSERT OVERWRITE resets the table per run.
-      registerCatalog(s, dir)
+      // (new_ prefix). Proto-copy reset per run (r21); the conditional
+      // MERGE is the timed verb.
+      pristineEventsTable(s, dir, "events_cas")
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_cas (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_cas SELECT * FROM graft_catalog_src")
       s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_cas_src AS
                SELECT rowkey, family, qualifier,
                       version + 1000000 AS version,
@@ -919,13 +976,10 @@ object CellConnector extends QueryModule {
       // (forces deletes), the '4' band rewritten (forces updates), and
       // a zz_ band added (forces inserts) — so the table afterwards IS
       // the source view, which is exactly what the oracle states.
-      registerCatalog(s, dir)
+      // Proto-copy reset per run (r21); the full MERGE is the verb.
+      pristineEventsTable(s, dir, "events_sync")
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_sync (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_sync SELECT * FROM graft_catalog_src")
       s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_sync_src AS
                SELECT rowkey, family, qualifier,
                       CASE WHEN rowkey >= '4' AND rowkey < '5'
@@ -957,14 +1011,12 @@ object CellConnector extends QueryModule {
       // the live table keeps growing. Re-staged each run: overwrite →
       // snapshot 's1' → append the '6' band rewrite — the snapshot
       // read returns the BASE cells only, whatever the live table
-      // holds (idempotent for the gate).
-      registerCatalog(s, dir)
+      // holds. Proto-copy reset per run (r21): the snapshot + append +
+      // travel read — the verb sequence — still run per invocation on
+      // the restored pristine table.
+      pristineEventsTable(s, dir, "events_tt")
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_tt (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_tt SELECT * FROM graft_catalog_src")
       graft.sources.cell.GraftCellSnapshot.create(
         "/tmp/graft_catalog_" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
           "/events_tt", "s1")
@@ -1147,13 +1199,11 @@ object CellConnector extends QueryModule {
       // pure metadata operation, whatever the wall clock was — so the
       // key is deterministic and idempotent for the gate while the
       // stamps themselves are real clock values.
-      registerCatalog(s, dir)
+      // r21: proto-copy reset — the pristine fixture restores by
+      // file copy; the verb(s) below still execute per invocation
+      pristineEventsTable(s, dir, "events_tts")
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_tts (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_tts SELECT * FROM graft_catalog_src")
       val store = "/tmp/graft_catalog_" +
         dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_tts"
       val t1 = graft.sources.cell.CellFooterCache.committedDirs(store)
@@ -1191,13 +1241,11 @@ object CellConnector extends QueryModule {
       // scale: the log is O(retirements) small lines, the pinned read
       // plans archived manifests like live ones — zero data bytes
       // moved for the whole flow.
-      registerCatalog(s, dir)
+      // r21: proto-copy reset — the pristine fixture restores by
+      // file copy; the verb(s) below still execute per invocation
+      pristineEventsTable(s, dir, "events_tta")
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_tta (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_tta SELECT * FROM graft_catalog_src")
       val store = "/tmp/graft_catalog_" +
         dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_tta"
       // re-staged each run: the previous run's snapshot must not keep
@@ -1234,13 +1282,11 @@ object CellConnector extends QueryModule {
       // GC fixture; here the pure major-compact path). Re-staged each
       // run: INSERT OVERWRITE resets the table, so the key is
       // idempotent for the gate.
-      registerCatalog(s, dir)
+      // r21: proto-copy reset — the pristine fixture restores by
+      // file copy; the verb(s) below still execute per invocation
+      pristineEventsTable(s, dir, "events_proc")
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_proc (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_proc SELECT * FROM graft_catalog_src")
       s.sql("""INSERT INTO graftcat.events_proc
                SELECT rowkey, family, qualifier,
                       version + 1000000 AS version,
@@ -1258,13 +1304,11 @@ object CellConnector extends QueryModule {
       // `VERSION AS OF` reads the pinned generation — the whole
       // snapshot lifecycle from SQL. Re-staged each run (the CALL
       // re-pins the freshly overwritten base generation).
-      registerCatalog(s, dir)
+      // r21: proto-copy reset — the pristine fixture restores by
+      // file copy; the verb(s) below still execute per invocation
+      pristineEventsTable(s, dir, "events_procsnap")
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_procsnap (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_procsnap SELECT * FROM graft_catalog_src")
       s.sql("CALL graftcat.snapshot('events_procsnap', 's1')")
       s.sql("""INSERT INTO graftcat.events_procsnap
                SELECT rowkey, family, qualifier,
@@ -1288,13 +1332,11 @@ object CellConnector extends QueryModule {
       // source after cloning). The source is corrupted AFTER the
       // snapshot here, and the clone reads back the clean generation
       // — oracle = plain rebuild. Re-staged each run (DROP + clone).
-      registerCatalog(s, dir)
+      // r21: proto-copy reset — the pristine fixture restores by
+      // file copy; the verb(s) below still execute per invocation
+      pristineEventsTable(s, dir, "events_cl")
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_cl (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_cl SELECT * FROM graft_catalog_src")
       s.sql("CALL graftcat.snapshot('events_cl', 'base')")
       s.sql("""INSERT INTO graftcat.events_cl
                SELECT rowkey, family, qualifier,
@@ -1316,20 +1358,24 @@ object CellConnector extends QueryModule {
       // band) compacted under max_versions=2 keeps exactly the two
       // newest of each cell — the middle era survives for the band,
       // the oldest is GC'd. Oracle = rank ≤ 2 over the same union.
-      registerCatalog(s, dir)
-      CellQueries.eventCells(s, dir)
-        .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_mv (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell
-               TBLPROPERTIES ('max_versions' = '2')""")
-      s.sql("INSERT OVERWRITE graftcat.events_mv SELECT * FROM graft_catalog_src")
-      Seq(1000000L, 2000000L).foreach { bump =>
-        s.sql(s"""INSERT INTO graftcat.events_mv
-                  SELECT rowkey, family, qualifier,
-                         version + $bump AS version,
-                         concat(value, '+') AS value
-                  FROM graft_catalog_src WHERE rowkey >= '5'""")
+      // r21: the three-generation store is the fixture — proto-copied;
+      // the retention compaction (the verb) executes per invocation
+      protoTables(s, dir, "events_mv", Seq("events_mv")) {
+        CellQueries.eventCells(s, dir)
+          .createOrReplaceTempView("graft_catalog_src")
+        s.sql("DROP TABLE IF EXISTS graftcat.events_mv")
+        s.sql("""CREATE TABLE graftcat.events_mv (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell
+                 TBLPROPERTIES ('max_versions' = '2')""")
+        s.sql("INSERT OVERWRITE graftcat.events_mv SELECT * FROM graft_catalog_src")
+        Seq(1000000L, 2000000L).foreach { bump =>
+          s.sql(s"""INSERT INTO graftcat.events_mv
+                    SELECT rowkey, family, qualifier,
+                           version + $bump AS version,
+                           concat(value, '+') AS value
+                    FROM graft_catalog_src WHERE rowkey >= '5'""")
+        }
       }
       s.sql("CALL graftcat.compact('events_mv')")
       s.sql("""SELECT * FROM graftcat.events_mv
@@ -1344,13 +1390,11 @@ object CellConnector extends QueryModule {
       // either side plan half the bytes without re-loading the table.
       // Content must be byte-identical through the surgery — the
       // oracle is the plain rebuild. Re-staged each run.
-      registerCatalog(s, dir)
+      // r21: proto-copy reset — the pristine fixture restores by
+      // file copy; the verb(s) below still execute per invocation
+      pristineEventsTable(s, dir, "events_split")
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_split (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_split SELECT * FROM graft_catalog_src")
       s.sql("CALL graftcat.split_region('events_split', '5')")
       s.sql("""SELECT * FROM graftcat.events_split
                ORDER BY rowkey, qualifier""")
@@ -1364,13 +1408,11 @@ object CellConnector extends QueryModule {
       // and with it manifest size and planning fan-out. Split + merge
       // round-trip must preserve content exactly — oracle = plain
       // rebuild. Re-staged each run.
-      registerCatalog(s, dir)
+      // r21: proto-copy reset — the pristine fixture restores by
+      // file copy; the verb(s) below still execute per invocation
+      pristineEventsTable(s, dir, "events_merge")
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_merge (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_merge SELECT * FROM graft_catalog_src")
       s.sql("CALL graftcat.split_region('events_merge', '3')")
       s.sql("CALL graftcat.split_region('events_merge', '6')")
       s.sql("CALL graftcat.merge_regions('events_merge', 1073741824)")
@@ -1394,13 +1436,11 @@ object CellConnector extends QueryModule {
       // (their summed bytes exceed the merge bound by construction).
       // Content must be byte-identical through all three passes —
       // oracle = the plain rebuild. Re-staged each run.
-      registerCatalog(s, dir)
+      // r21: proto-copy reset — the pristine fixture restores by
+      // file copy; the verb(s) below still execute per invocation
+      pristineEventsTable(s, dir, "events_norm")
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_norm (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_norm SELECT * FROM graft_catalog_src")
       s.sql("CALL graftcat.normalize('events_norm', 1)")
       s.sql("CALL graftcat.normalize('events_norm', 1073741824)")
       s.sql("CALL graftcat.normalize('events_norm')")
@@ -1419,13 +1459,11 @@ object CellConnector extends QueryModule {
       // corrupting every region file first). Band A is loaded and
       // truncated away; the readback is the post-truncate band alone —
       // the oracle. INSERT OVERWRITE re-arms the fixture every run.
-      registerCatalog(s, dir)
+      // r21: proto-copy reset — the pristine fixture restores by
+      // file copy; the verb(s) below still execute per invocation
+      pristineEventsTable(s, dir, "events_trunc")
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_trunc (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_trunc SELECT * FROM graft_catalog_src")
       s.sql("TRUNCATE TABLE graftcat.events_trunc")
       s.sql("""INSERT INTO graftcat.events_trunc
                SELECT rowkey, family, qualifier, version,
@@ -1447,21 +1485,26 @@ object CellConnector extends QueryModule {
       // the GC knobs come from the persisted properties; the oracle is
       // the same GC model, so property-driven compaction must land
       // byte-identically on argument-driven compaction's result.
-      registerCatalog(s, dir)
-      CellQueries.eventCells(s, dir)
-        .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_props (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell
-               TBLPROPERTIES ('ttl_micros' = '864000000000',
-                              'tombstone' = '__TOMBSTONE__')""")
-      s.sql("INSERT OVERWRITE graftcat.events_props SELECT * FROM graft_catalog_src")
-      s.sql("""INSERT INTO graftcat.events_props
-               SELECT rowkey, family, 'value' AS qualifier,
-                      version + 1000000 AS version,
-                      '__TOMBSTONE__' AS value
-               FROM graft_catalog_src
-               WHERE qualifier = 'event_type' AND value = 'error'""")
+      // r21: base + tombstone generation is the fixture — proto-copied;
+      // the property-driven compaction (the verb) runs per invocation
+      protoTables(s, dir, "events_props", Seq("events_props")) {
+        CellQueries.eventCells(s, dir)
+          .createOrReplaceTempView("graft_catalog_src")
+        s.sql("DROP TABLE IF EXISTS graftcat.events_props")
+        s.sql("""CREATE TABLE graftcat.events_props (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell
+                 TBLPROPERTIES ('ttl_micros' = '864000000000',
+                                'tombstone' = '__TOMBSTONE__')""")
+        s.sql("INSERT OVERWRITE graftcat.events_props SELECT * FROM graft_catalog_src")
+        s.sql("""INSERT INTO graftcat.events_props
+                 SELECT rowkey, family, 'value' AS qualifier,
+                        version + 1000000 AS version,
+                        '__TOMBSTONE__' AS value
+                 FROM graft_catalog_src
+                 WHERE qualifier = 'event_type' AND value = 'error'""")
+        ()
+      }
       s.sql("CALL graftcat.compact('events_props')")
       s.sql("""SELECT * FROM graftcat.events_props
                ORDER BY rowkey, qualifier""")
@@ -1482,14 +1525,19 @@ object CellConnector extends QueryModule {
       // rebuckets to 8, and reads the content back — layout surgery is
       // content-neutral, so the oracle is the plain rebuild; the spec
       // pins the layout half (SPJ working at the new n, old tags gone).
-      registerCatalog(s, dir)
-      CellQueries.eventCells(s, dir)
-        .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_rb (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell
-               TBLPROPERTIES ('buckets' = '4')""")
-      s.sql("INSERT OVERWRITE graftcat.events_rb SELECT * FROM graft_catalog_src")
+      // r21: the 4-bucket table is the fixture — proto-copied; the
+      // rebucket rewrite (the verb) executes per invocation
+      protoTables(s, dir, "events_rb", Seq("events_rb")) {
+        CellQueries.eventCells(s, dir)
+          .createOrReplaceTempView("graft_catalog_src")
+        s.sql("DROP TABLE IF EXISTS graftcat.events_rb")
+        s.sql("""CREATE TABLE graftcat.events_rb (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell
+                 TBLPROPERTIES ('buckets' = '4')""")
+        s.sql("INSERT OVERWRITE graftcat.events_rb SELECT * FROM graft_catalog_src")
+        ()
+      }
       s.sql("CALL graftcat.rebucket('events_rb', 8)")
       s.sql("""SELECT * FROM graftcat.events_rb
                ORDER BY rowkey, qualifier""")
@@ -1508,25 +1556,30 @@ object CellConnector extends QueryModule {
       // distributed rewrite, two retention outcomes — the plan is the
       // same single window shuffle; the policy is a codegen'd literal
       // map lookup per row, no extra shuffle or join.
-      registerCatalog(s, dir)
-      CellQueries.eventCells(s, dir)
-        .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_fam (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell
-               TBLPROPERTIES ('ttl_micros' = '1500',
-                              'family.audit.ttl_micros' = '864000000000',
-                              'family.audit.max_versions' = '2')""")
-      s.sql("""INSERT OVERWRITE graftcat.events_fam
-               SELECT rowkey, f.family, qualifier,
-                      CAST(1000 AS BIGINT) AS version, value
-               FROM graft_catalog_src
-               LATERAL VIEW explode(array('hot', 'audit')) f AS family""")
-      s.sql("""INSERT INTO graftcat.events_fam
-               SELECT rowkey, f.family, qualifier,
-                      CAST(2000000 AS BIGINT) AS version, value || '~'
-               FROM graft_catalog_src
-               LATERAL VIEW explode(array('hot', 'audit')) f AS family""")
+      // r21: the dual-family two-era store is the fixture —
+      // proto-copied; the policy compaction (the verb) runs per run
+      protoTables(s, dir, "events_fam", Seq("events_fam")) {
+        CellQueries.eventCells(s, dir)
+          .createOrReplaceTempView("graft_catalog_src")
+        s.sql("DROP TABLE IF EXISTS graftcat.events_fam")
+        s.sql("""CREATE TABLE graftcat.events_fam (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell
+                 TBLPROPERTIES ('ttl_micros' = '1500',
+                                'family.audit.ttl_micros' = '864000000000',
+                                'family.audit.max_versions' = '2')""")
+        s.sql("""INSERT OVERWRITE graftcat.events_fam
+                 SELECT rowkey, f.family, qualifier,
+                        CAST(1000 AS BIGINT) AS version, value
+                 FROM graft_catalog_src
+                 LATERAL VIEW explode(array('hot', 'audit')) f AS family""")
+        s.sql("""INSERT INTO graftcat.events_fam
+                 SELECT rowkey, f.family, qualifier,
+                        CAST(2000000 AS BIGINT) AS version, value || '~'
+                 FROM graft_catalog_src
+                 LATERAL VIEW explode(array('hot', 'audit')) f AS family""")
+        ()
+      }
       s.sql("CALL graftcat.compact('events_fam')")
       s.sql("""SELECT * FROM graftcat.events_fam
                ORDER BY rowkey, family, qualifier, version""")
@@ -1549,29 +1602,34 @@ object CellConnector extends QueryModule {
       // marker and all older versions gone, exactly HBase. Same single
       // window shuffle; the marker ceiling is a second window function
       // over the same partition key (one Exchange).
-      registerCatalog(s, dir)
-      CellQueries.eventCells(s, dir)
-        .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_dm (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell
-               TBLPROPERTIES ('tombstone' = '__DEL__',
-                              'max_versions' = '2',
-                              'family.hba.delete_markers' = 'hide-all-older')""")
-      // ONE overwrite staging the whole version history (4 separate
-      // INSERT commits would pay 4 write shuffles for fixture content
-      // a single statement expresses)
-      s.sql("""INSERT OVERWRITE graftcat.events_dm
-               SELECT rowkey, f.family, qualifier,
-                      CAST(v.ver AS BIGINT) AS version,
-                      CASE v.ver WHEN 1000 THEN value
-                                 WHEN 2000 THEN value || '~'
-                                 WHEN 3000 THEN '__DEL__'
-                                 ELSE value || '+' END AS value
-               FROM graft_catalog_src
-               LATERAL VIEW explode(array('cur', 'hba')) f AS family
-               LATERAL VIEW explode(array(1000, 2000, 3000, 4000)) v AS ver
-               WHERE v.ver < 4000 OR rowkey >= '5'""")
+      // r21: the full version history is the fixture — proto-copied;
+      // the marker-aware compaction (the verb) runs per invocation
+      protoTables(s, dir, "events_dm", Seq("events_dm")) {
+        CellQueries.eventCells(s, dir)
+          .createOrReplaceTempView("graft_catalog_src")
+        s.sql("DROP TABLE IF EXISTS graftcat.events_dm")
+        s.sql("""CREATE TABLE graftcat.events_dm (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell
+                 TBLPROPERTIES ('tombstone' = '__DEL__',
+                                'max_versions' = '2',
+                                'family.hba.delete_markers' = 'hide-all-older')""")
+        // ONE overwrite staging the whole version history (4 separate
+        // INSERT commits would pay 4 write shuffles for fixture content
+        // a single statement expresses)
+        s.sql("""INSERT OVERWRITE graftcat.events_dm
+                 SELECT rowkey, f.family, qualifier,
+                        CAST(v.ver AS BIGINT) AS version,
+                        CASE v.ver WHEN 1000 THEN value
+                                   WHEN 2000 THEN value || '~'
+                                   WHEN 3000 THEN '__DEL__'
+                                   ELSE value || '+' END AS value
+                 FROM graft_catalog_src
+                 LATERAL VIEW explode(array('cur', 'hba')) f AS family
+                 LATERAL VIEW explode(array(1000, 2000, 3000, 4000)) v AS ver
+                 WHERE v.ver < 4000 OR rowkey >= '5'""")
+        ()
+      }
       s.sql("CALL graftcat.compact('events_dm')")
       s.sql("""SELECT * FROM graftcat.events_dm
                ORDER BY rowkey, family, qualifier, version""")
@@ -1589,13 +1647,11 @@ object CellConnector extends QueryModule {
       // scale: restore is pure metadata + orphan deletion. The SELECT
       // afterwards must equal the pre-corruption cells — the oracle is
       // the plain rebuild. Re-staged each run (INSERT OVERWRITE).
-      registerCatalog(s, dir)
+      // r21: proto-copy reset — the pristine fixture restores by
+      // file copy; the verb(s) below still execute per invocation
+      pristineEventsTable(s, dir, "events_rst")
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_rst (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_rst SELECT * FROM graft_catalog_src")
       s.sql("CALL graftcat.snapshot('events_rst', 'good')")
       s.sql("""INSERT INTO graftcat.events_rst
                SELECT rowkey, family, qualifier,
@@ -1621,13 +1677,11 @@ object CellConnector extends QueryModule {
       // reports ZERO missing) → restore 'keep' → the table reads the
       // pinned generation exactly. The oracle is the plain rebuild —
       // byte-identical to pre-corruption, pre-compaction content.
-      registerCatalog(s, dir)
+      // r21: proto-copy reset — the pristine fixture restores by
+      // file copy; the verb(s) below still execute per invocation
+      pristineEventsTable(s, dir, "events_ar")
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_ar (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_ar SELECT * FROM graft_catalog_src")
       s.sql("CALL graftcat.snapshot('events_ar', 'keep')")
       s.sql("""INSERT INTO graftcat.events_ar
                SELECT rowkey, family, qualifier,
@@ -1663,13 +1717,11 @@ object CellConnector extends QueryModule {
       // at any scale: the isolation costs one hard link per retired
       // pinned file. Re-staged each run (INSERT OVERWRITE) so the key
       // is idempotent for the gate.
-      registerCatalog(s, dir)
+      // r21: proto-copy reset — the pristine fixture restores by
+      // file copy; the verb(s) below still execute per invocation
+      pristineEventsTable(s, dir, "events_mvcc")
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_mvcc (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_mvcc SELECT * FROM graft_catalog_src")
       s.sql("CALL graftcat.snapshot('events_mvcc', 'iso')")
       s.sql("DELETE FROM graftcat.events_mvcc WHERE rowkey >= '9'")
       s.sql("""UPDATE graftcat.events_mvcc
@@ -1698,19 +1750,24 @@ object CellConnector extends QueryModule {
       // byte-identical to the rebuild (codecs change encoding, never
       // content — spec-pinned in the parquet footers). Re-staged each
       // run; idempotent for the gate.
-      registerCatalog(s, dir)
-      CellQueries.eventCells(s, dir)
-        .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_zip (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell
-               TBLPROPERTIES('compression'='ZSTD',
-                             'family.audit.compression'='GZIP')""")
-      s.sql("""INSERT OVERWRITE graftcat.events_zip
-               SELECT * FROM graft_catalog_src
-               UNION ALL
-               SELECT rowkey, 'audit' AS family, qualifier, version, value
-               FROM graft_catalog_src""")
+      // r21: the dual-family codec store is the fixture — proto-copied;
+      // the codec-faithful compaction (the verb) runs per invocation
+      protoTables(s, dir, "events_zip", Seq("events_zip")) {
+        CellQueries.eventCells(s, dir)
+          .createOrReplaceTempView("graft_catalog_src")
+        s.sql("DROP TABLE IF EXISTS graftcat.events_zip")
+        s.sql("""CREATE TABLE graftcat.events_zip (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell
+                 TBLPROPERTIES('compression'='ZSTD',
+                               'family.audit.compression'='GZIP')""")
+        s.sql("""INSERT OVERWRITE graftcat.events_zip
+                 SELECT * FROM graft_catalog_src
+                 UNION ALL
+                 SELECT rowkey, 'audit' AS family, qualifier, version, value
+                 FROM graft_catalog_src""")
+        ()
+      }
       s.sql("CALL graftcat.compact('events_zip')")
       s.sql("""SELECT * FROM graftcat.events_zip
                ORDER BY rowkey, family, qualifier""")
@@ -1723,13 +1780,11 @@ object CellConnector extends QueryModule {
       // multi-row procedure result (LocalScan), deterministic here by
       // construction: overwrite (1 dir) → snapshot s1 → append (2
       // dirs) → snapshot s2. Re-staged each run.
-      registerCatalog(s, dir)
+      // r21: proto-copy reset — the pristine fixture restores by
+      // file copy; the verb(s) below still execute per invocation
+      pristineEventsTable(s, dir, "events_ls")
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_ls (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_ls SELECT * FROM graft_catalog_src")
       s.sql("CALL graftcat.snapshot('events_ls', 's1')")
       s.sql("""INSERT INTO graftcat.events_ls
                SELECT rowkey, family, qualifier,
@@ -1797,14 +1852,10 @@ object CellConnector extends QueryModule {
       // the table readback; the oracle rebuilds the same end state
       // relationally. Control-flow semantics (FOR over a query,
       // IF/LEAVE, variable scoping) are spec-pinned in SqlSurfaceSpec.
-      registerCatalog(s, dir)
       s.conf.set("spark.sql.scripting.enabled", "true")
-      CellQueries.eventCells(s, dir)
-        .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_script (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_script SELECT * FROM graft_catalog_src")
+      // r21: proto-copy reset — the script's banded DELETEs (the verb)
+      // still execute per invocation on the restored pristine table
+      pristineEventsTable(s, dir, "events_script")
       s.sql("""
         BEGIN
           DECLARE band INT DEFAULT 0;
@@ -1987,21 +2038,26 @@ object CellConnector extends QueryModule {
       // reads the layout-independent projection: event kinds and
       // per-kind counts are fixed by the statement sequence whatever
       // the parallelism; dirs, stamps, and file counts are not.
-      registerCatalog(s, dir)
-      CellQueries.eventCells(s, dir)
-        .createOrReplaceTempView("graft_catalog_src")
-      s.sql("DROP TABLE IF EXISTS graftcat.events_tlog")
-      s.sql("""CREATE TABLE graftcat.events_tlog (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_tlog SELECT * FROM graft_catalog_src")
-      s.sql("CALL graftcat.snapshot('events_tlog', 'keep')")
-      s.sql("""INSERT INTO graftcat.events_tlog
-               SELECT rowkey, family, qualifier,
-                      version + 1000000 AS version, value
-               FROM graft_catalog_src WHERE rowkey >= '6' AND rowkey < '7'""")
-      s.sql(s"CALL graftcat.compact_minor('events_tlog', ${Long.MaxValue}L)")
-      s.sql("CALL graftcat.restore_snapshot('events_tlog', 'keep')")
+      // r21: the whole structural-history construction is the fixture —
+      // proto-copied (the travel log it leaves behind is exactly what
+      // the metadata read below replays); the readback runs per run
+      protoTables(s, dir, "events_tlog", Seq("events_tlog")) {
+        CellQueries.eventCells(s, dir)
+          .createOrReplaceTempView("graft_catalog_src")
+        s.sql("DROP TABLE IF EXISTS graftcat.events_tlog")
+        s.sql("""CREATE TABLE graftcat.events_tlog (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell""")
+        s.sql("INSERT OVERWRITE graftcat.events_tlog SELECT * FROM graft_catalog_src")
+        s.sql("CALL graftcat.snapshot('events_tlog', 'keep')")
+        s.sql("""INSERT INTO graftcat.events_tlog
+                 SELECT rowkey, family, qualifier,
+                        version + 1000000 AS version, value
+                 FROM graft_catalog_src WHERE rowkey >= '6' AND rowkey < '7'""")
+        s.sql(s"CALL graftcat.compact_minor('events_tlog', ${Long.MaxValue}L)")
+        s.sql("CALL graftcat.restore_snapshot('events_tlog', 'keep')")
+        ()
+      }
       s.sql("""SELECT event, CAST(count(*) AS BIGINT) AS n_events
                FROM graftcat.events_tlog.travel_log
                GROUP BY event ORDER BY event""")
@@ -2071,13 +2127,11 @@ object CellConnector extends QueryModule {
       // each run (the previous export is wiped first — `_SUCCESS` is
       // the completed-export marker the procedure refuses to
       // overwrite).
-      registerCatalog(s, dir)
+      // r21: proto-copy reset — the pristine fixture restores by
+      // file copy; the verb(s) below still execute per invocation
+      pristineEventsTable(s, dir, "events_exp")
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_exp (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_exp SELECT * FROM graft_catalog_src")
       s.sql("CALL graftcat.snapshot('events_exp', 'bak')")
       s.sql("""INSERT INTO graftcat.events_exp
                SELECT rowkey, family, qualifier,
@@ -2107,13 +2161,11 @@ object CellConnector extends QueryModule {
       // standalone readable store of exactly its window: the readback
       // here probes the export and must contain generation 2 ONLY —
       // not the base (before s1), not the junk committed after s2.
-      registerCatalog(s, dir)
+      // r21: proto-copy reset — the pristine fixture restores by
+      // file copy; the verb(s) below still execute per invocation
+      pristineEventsTable(s, dir, "events_expi")
       CellQueries.eventCells(s, dir)
         .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_expi (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_expi SELECT * FROM graft_catalog_src")
       s.sql("CALL graftcat.snapshot('events_expi', 'b1')")
       s.sql("""INSERT INTO graftcat.events_expi
                SELECT rowkey, family, qualifier,
@@ -2152,15 +2204,28 @@ object CellConnector extends QueryModule {
       // cell set, half inserted, half adopted. Re-staged per run
       // (INSERT OVERWRITE resets both tables; the export dest is
       // wiped first).
-      registerCatalog(s, dir)
-      CellQueries.eventCells(s, dir)
-        .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_bl (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("""INSERT OVERWRITE graftcat.events_bl
-               SELECT * FROM graft_catalog_src WHERE rowkey >= '6'""")
-      s.sql("CALL graftcat.snapshot('events_bl', 'ship')")
+      // r21: the source table + its shipped snapshot + the receiving
+      // table are the fixture — proto-copied; the export (re-shipping
+      // the backup) and the bulkload adoption (the verb) run per
+      // invocation against the restored pristine pair
+      protoTables(s, dir, "bl_fixture", Seq("events_bl", "events_bl2")) {
+        CellQueries.eventCells(s, dir)
+          .createOrReplaceTempView("graft_catalog_src")
+        s.sql("DROP TABLE IF EXISTS graftcat.events_bl")
+        s.sql("DROP TABLE IF EXISTS graftcat.events_bl2")
+        s.sql("""CREATE TABLE graftcat.events_bl (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell""")
+        s.sql("""INSERT OVERWRITE graftcat.events_bl
+                 SELECT * FROM graft_catalog_src WHERE rowkey >= '6'""")
+        s.sql("CALL graftcat.snapshot('events_bl', 'ship')")
+        s.sql("""CREATE TABLE graftcat.events_bl2 (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell""")
+        s.sql("""INSERT OVERWRITE graftcat.events_bl2
+                 SELECT * FROM graft_catalog_src WHERE rowkey < '6'""")
+        ()
+      }
       val dest = "/tmp/graft_bulkload_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
       def rec(f: java.io.File): Unit = {
         Option(f.listFiles).getOrElse(Array.empty).foreach(rec)
@@ -2169,11 +2234,6 @@ object CellConnector extends QueryModule {
       rec(new java.io.File(dest))
       graft.sources.cell.CellFooterCache.invalidate(dest)
       s.sql(s"CALL graftcat.export_snapshot('events_bl', 'ship', '$dest')")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_bl2 (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("""INSERT OVERWRITE graftcat.events_bl2
-               SELECT * FROM graft_catalog_src WHERE rowkey < '6'""")
       s.sql(s"CALL graftcat.bulkload('events_bl2', '$dest')")
       s.sql("SELECT * FROM graftcat.events_bl2")
         .orderBy("rowkey", "qualifier")
@@ -2199,51 +2259,52 @@ object CellConnector extends QueryModule {
       // before anyone pays a refused query). Healthy dimensions stay
       // zero (pending intents). Every count is layout-independent —
       // deterministic under any shuffle-partition count.
-      registerCatalog(s, dir)
-      CellQueries.eventCells(s, dir)
-        .createOrReplaceTempView("graft_catalog_src")
-      // hermetic per run: the key EMITS archive/snapshot counts, so a
-      // previous run's archived generations (released when the fixture
-      // re-creates its snapshot) must not accumulate across runs —
-      // DROP wipes the store dir including _archive and manifests
-      s.sql("DROP TABLE IF EXISTS graftcat.events_hb")
-      s.sql("""CREATE TABLE graftcat.events_hb (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_hb SELECT * FROM graft_catalog_src")
-      s.sql("CALL graftcat.snapshot('events_hb', 'hpin')")
-      s.sql("""INSERT INTO graftcat.events_hb
-               SELECT rowkey, family, qualifier,
-                      version + 1000000 AS version, value
-               FROM graft_catalog_src WHERE rowkey >= '6'""")
-      // compaction collapses to ONE live generation; 'hpin''s pinned
-      // generations move to _archive/ and the snapshot STAYS VALID
-      s.sql("CALL graftcat.compact('events_hb')")
-      val store = "/tmp/graft_catalog_" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_hb"
-      val d = graft.sources.cell.CellFooterCache.committedDirs(store)
-      assert(d.size == 1, s"expected one compacted dir, got $d")
-      val dirFile = new java.io.File(store, d.head)
-      // missing: delete the lexicographically-first manifest-listed file
-      val listed = graft.sources.cell.CellManifest.read(dirFile).get.files
-        .map(m => new java.io.File(m.path).getName).sorted
-      new java.io.File(dirFile, listed.head).delete()
-      // orphan: a disk parquet the manifest does not list
-      java.nio.file.Files.write(
-        new java.io.File(dirFile, "zz_orphan.parquet").toPath,
-        Array.emptyByteArray)
-      // invalid: a pin resolving neither live nor archived
-      graft.sources.cell.GraftCellSnapshot.createPinned(
-        store, "gone", Seq("batch_nonexistent"))
-      // unreferenced archived: a file in the archive nothing pins
-      val deadArch = new java.io.File(store, "_archive/batch_dead")
-      deadArch.mkdirs()
-      java.nio.file.Files.write(
-        new java.io.File(deadArch, "dead.parquet").toPath,
-        Array.emptyByteArray)
-      // stale tmp: a crashed maintenance op's leavings
-      new java.io.File(store, "_tmp_hbck_crash").mkdirs()
-      graft.sources.cell.CellFooterCache.invalidate(store)
+      // r21: the constructed anomaly set is the fixture — proto-copied
+      // (DROP-first stage keeps counts hermetic, now by byte-identical
+      // restore); CALL hbck (the report-only verb) runs per invocation
+      protoTables(s, dir, "events_hb", Seq("events_hb")) {
+        CellQueries.eventCells(s, dir)
+          .createOrReplaceTempView("graft_catalog_src")
+        s.sql("DROP TABLE IF EXISTS graftcat.events_hb")
+        s.sql("""CREATE TABLE graftcat.events_hb (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell""")
+        s.sql("INSERT OVERWRITE graftcat.events_hb SELECT * FROM graft_catalog_src")
+        s.sql("CALL graftcat.snapshot('events_hb', 'hpin')")
+        s.sql("""INSERT INTO graftcat.events_hb
+                 SELECT rowkey, family, qualifier,
+                        version + 1000000 AS version, value
+                 FROM graft_catalog_src WHERE rowkey >= '6'""")
+        // compaction collapses to ONE live generation; 'hpin''s pinned
+        // generations move to _archive/ and the snapshot STAYS VALID
+        s.sql("CALL graftcat.compact('events_hb')")
+        val store = "/tmp/graft_catalog_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_hb"
+        val d = graft.sources.cell.CellFooterCache.committedDirs(store)
+        assert(d.size == 1, s"expected one compacted dir, got $d")
+        val dirFile = new java.io.File(store, d.head)
+        // missing: delete the lexicographically-first manifest-listed file
+        val listed = graft.sources.cell.CellManifest.read(dirFile).get.files
+          .map(m => new java.io.File(m.path).getName).sorted
+        new java.io.File(dirFile, listed.head).delete()
+        // orphan: a disk parquet the manifest does not list
+        java.nio.file.Files.write(
+          new java.io.File(dirFile, "zz_orphan.parquet").toPath,
+          Array.emptyByteArray)
+        // invalid: a pin resolving neither live nor archived
+        graft.sources.cell.GraftCellSnapshot.createPinned(
+          store, "gone", Seq("batch_nonexistent"))
+        // unreferenced archived: a file in the archive nothing pins
+        val deadArch = new java.io.File(store, "_archive/batch_dead")
+        deadArch.mkdirs()
+        java.nio.file.Files.write(
+          new java.io.File(deadArch, "dead.parquet").toPath,
+          Array.emptyByteArray)
+        // stale tmp: a crashed maintenance op's leavings
+        new java.io.File(store, "_tmp_hbck_crash").mkdirs()
+        graft.sources.cell.CellFooterCache.invalidate(store)
+        ()
+      }
       s.sql("CALL graftcat.hbck('events_hb')")
     }),
 
@@ -2262,21 +2323,25 @@ object CellConnector extends QueryModule {
       // guarantee a legacy store never had), and the live view reads
       // the post-DELETE band. At 100 TB the upgrade is one footer-read
       // task per file, zero data rows moved, run once per store ever.
-      registerCatalog(s, dir)
+      // r21: the manifest-less legacy layout is the fixture —
+      // proto-copied (the verb's DELETE mutates the store, so each
+      // invocation restores the pristine legacy state by file copy);
+      // the upgrade + MVCC protocol below runs per invocation
       val src = CellQueries.eventCells(s, dir)
-      src.createOrReplaceTempView("graft_catalog_src")
-      // hermetic per run: DELETE mutates the store, so re-stage
-      s.sql("DROP TABLE IF EXISTS graftcat.events_upg")
-      s.sql("""CREATE TABLE graftcat.events_upg (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
       val store = "/tmp/graft_catalog_" +
         dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_upg"
-      src.withColumn("region", substring(col("rowkey"), 1, 1))
-        .repartition(col("region"))
-        .sortWithinPartitions("region", "rowkey", "family", "qualifier")
-        .write.mode("append").partitionBy("region").parquet(store)
-      graft.sources.cell.CellFooterCache.invalidate(store)
+      protoTables(s, dir, "events_upg", Seq("events_upg")) {
+        s.sql("DROP TABLE IF EXISTS graftcat.events_upg")
+        s.sql("""CREATE TABLE graftcat.events_upg (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell""")
+        src.withColumn("region", substring(col("rowkey"), 1, 1))
+          .repartition(col("region"))
+          .sortWithinPartitions("region", "rowkey", "family", "qualifier")
+          .write.mode("append").partitionBy("region").parquet(store)
+        graft.sources.cell.CellFooterCache.invalidate(store)
+        ()
+      }
       val before = s.sql("CALL graftcat.hbck('events_upg')").collect()(0)
       assert(before.getAs[Long]("legacy_dirs") > 0,
         s"fixture must start manifest-less: $before")
@@ -2318,8 +2383,17 @@ object CellConnector extends QueryModule {
       // descriptor persists in TBLPROPERTIES and a rebuild with
       // different (family, qualifier) REFUSES (spec-pinned): an index
       // can never be silently repurposed. Readback = the whole index
-      // table, oracle-rebuilt in DuckDB.
+      // table, oracle-rebuilt in DuckDB. r21: the base table stages
+      // once (read-only input), but the BUILD — this key's verb —
+      // still executes per invocation as a matching REBUILD (a full
+      // overwrite landing on the same rows, spec-pinned idempotent),
+      // so the bench keeps timing the build's distributed pass.
       stageGiTable(s, dir)
+      val rb = s.sql(
+        "CALL graftcat.build_index('events_gi', 'uid', 'd', 'user_id')")
+        .collect()(0)
+      assert(rb.getString(0) == "events_gi_idx_uid" && rb.getLong(1) > 0L,
+        s"index rebuild must report its table and a positive cell count: $rb")
       s.sql("""SELECT * FROM graftcat.events_gi_idx_uid
                ORDER BY rowkey, version""")
     }),
@@ -2405,23 +2479,30 @@ object CellConnector extends QueryModule {
       // snapshot ⇒ rebuild required) is spec-pinned — it mutates the
       // fixture. Own base table (events_si): key isolation, any
       // execution order. Oracle: the index mapping over base ∪ delta.
-      registerCatalog(s, dir)
-      CellQueries.eventCells(s, dir)
-        .createOrReplaceTempView("graft_catalog_src")
-      s.sql("DROP TABLE IF EXISTS graftcat.events_si_idx_uid")
-      s.sql("DROP TABLE IF EXISTS graftcat.events_si")
-      s.sql("""CREATE TABLE graftcat.events_si (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_si SELECT * FROM graft_catalog_src")
-      s.sql("CALL graftcat.build_index('events_si', 'uid', 'd', 'user_id')")
-        .collect()
-      // new base history: one appended generation ('8' band, shifted)
-      s.sql("""INSERT INTO graftcat.events_si
-               SELECT rowkey, family, qualifier,
-                      version + 3000000 AS version,
-                      concat(value, '#') AS value
-               FROM graft_catalog_src WHERE rowkey >= '8' AND rowkey < '9'""")
+      // r21: the whole PRE-SYNC state (base + built index + the
+      // appended delta band) is the fixture — proto-copied, so the
+      // sync verbs below execute per invocation against the exact
+      // staged state without re-paying the staging writes.
+      protoTables(s, dir, "si_fixture",
+                  Seq("events_si", "events_si_idx_uid")) {
+        CellQueries.eventCells(s, dir)
+          .createOrReplaceTempView("graft_catalog_src")
+        s.sql("DROP TABLE IF EXISTS graftcat.events_si_idx_uid")
+        s.sql("DROP TABLE IF EXISTS graftcat.events_si")
+        s.sql("""CREATE TABLE graftcat.events_si (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell""")
+        s.sql("INSERT OVERWRITE graftcat.events_si SELECT * FROM graft_catalog_src")
+        s.sql("CALL graftcat.build_index('events_si', 'uid', 'd', 'user_id')")
+          .collect()
+        // new base history: one appended generation ('8' band, shifted)
+        s.sql("""INSERT INTO graftcat.events_si
+                 SELECT rowkey, family, qualifier,
+                        version + 3000000 AS version,
+                        concat(value, '#') AS value
+                 FROM graft_catalog_src WHERE rowkey >= '8' AND rowkey < '9'""")
+        ()
+      }
       val r = s.sql("CALL graftcat.sync_index('events_si', 'uid')")
         .collect()(0)
       assert(r.getString(0) == "events_si_idx_uid" &&
@@ -2451,35 +2532,41 @@ object CellConnector extends QueryModule {
       // post-compaction view — the store is append-only again).
       // Oracle: the index mapping over base ∪ delta — a sync across a
       // compaction must land exactly where a full rebuild would.
-      registerCatalog(s, dir)
-      CellQueries.eventCells(s, dir)
-        .createOrReplaceTempView("graft_catalog_src")
-      s.sql("DROP TABLE IF EXISTS graftcat.events_sc_idx_uid")
-      s.sql("DROP TABLE IF EXISTS graftcat.events_sc")
-      s.sql("""CREATE TABLE graftcat.events_sc (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_sc SELECT * FROM graft_catalog_src")
-      // two generations so the compaction has something to merge
-      s.sql("""INSERT INTO graftcat.events_sc
-               SELECT rowkey, family, qualifier,
-                      version + 2000000 AS version,
-                      concat(value, '+') AS value
-               FROM graft_catalog_src WHERE rowkey >= '5' AND rowkey < '6'""")
-      s.sql("CALL graftcat.build_index('events_sc', 'uid', 'd', 'user_id')")
-        .collect()
-      // the structural rewrite: merge ALL live generations. Explicit
-      // max_versions keeps every version (plain CALL compact(t)
-      // resolves to the newest — that GC flavor is the spec's case:
-      // the content sync then also DELETES the shadowed entries)
-      s.sql("CALL graftcat.compact('events_sc', -1L, NULL, 1000000L)")
-        .collect()
-      // new history AFTER the rewrite
-      s.sql("""INSERT INTO graftcat.events_sc
-               SELECT rowkey, family, qualifier,
-                      version + 4000000 AS version,
-                      concat(value, '@') AS value
-               FROM graft_catalog_src WHERE rowkey >= '7' AND rowkey < '8'""")
+      // r21: the whole PRE-SYNC state (two generations + built index +
+      // compaction + post-rewrite band) is the fixture — proto-copied;
+      // the content-mode sync verbs below execute per invocation.
+      protoTables(s, dir, "sc_fixture",
+                  Seq("events_sc", "events_sc_idx_uid")) {
+        CellQueries.eventCells(s, dir)
+          .createOrReplaceTempView("graft_catalog_src")
+        s.sql("DROP TABLE IF EXISTS graftcat.events_sc_idx_uid")
+        s.sql("DROP TABLE IF EXISTS graftcat.events_sc")
+        s.sql("""CREATE TABLE graftcat.events_sc (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell""")
+        s.sql("INSERT OVERWRITE graftcat.events_sc SELECT * FROM graft_catalog_src")
+        // two generations so the compaction has something to merge
+        s.sql("""INSERT INTO graftcat.events_sc
+                 SELECT rowkey, family, qualifier,
+                        version + 2000000 AS version,
+                        concat(value, '+') AS value
+                 FROM graft_catalog_src WHERE rowkey >= '5' AND rowkey < '6'""")
+        s.sql("CALL graftcat.build_index('events_sc', 'uid', 'd', 'user_id')")
+          .collect()
+        // the structural rewrite: merge ALL live generations. Explicit
+        // max_versions keeps every version (plain CALL compact(t)
+        // resolves to the newest — that GC flavor is the spec's case:
+        // the content sync then also DELETES the shadowed entries)
+        s.sql("CALL graftcat.compact('events_sc', -1L, NULL, 1000000L)")
+          .collect()
+        // new history AFTER the rewrite
+        s.sql("""INSERT INTO graftcat.events_sc
+                 SELECT rowkey, family, qualifier,
+                        version + 4000000 AS version,
+                        concat(value, '@') AS value
+                 FROM graft_catalog_src WHERE rowkey >= '7' AND rowkey < '8'""")
+        ()
+      }
       val r = s.sql("CALL graftcat.sync_index('events_sc', 'uid')")
         .collect()(0)
       assert(r.getString(0) == "events_sc_idx_uid" && r.getLong(1) > 0L &&
@@ -2770,42 +2857,53 @@ object CellConnector extends QueryModule {
       // SQL the COMPLETED commit would have produced — repair must
       // land the store on the commit's intended end state, nowhere
       // else. Metadata-only driver work: O(intent files) deletions.
-      registerCatalog(s, dir)
-      CellQueries.eventCells(s, dir)
-        .createOrReplaceTempView("graft_catalog_src")
-      s.sql("DROP TABLE IF EXISTS graftcat.events_rp")
-      s.sql("""CREATE TABLE graftcat.events_rp (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_rp SELECT * FROM graft_catalog_src")
+      // r21: the staged CRASH STATE is the fixture — proto-copied;
+      // CALL repair (the verb) and its protocol pins run per invocation
       val store = "/tmp/graft_catalog_" +
         dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_rp"
       val fc = graft.sources.cell.CellFooterCache
-      val gen1 = fc.committedDirs(store).toSet
-      // the generation a group-replace would retire
-      s.sql("""INSERT INTO graftcat.events_rp
-               SELECT rowkey, family, qualifier,
-                      version + 1000000 AS version, value
-               FROM graft_catalog_src WHERE rowkey >= '6' AND rowkey < '7'""")
-      val gen2 = (fc.committedDirs(store).toSet -- gen1).toSeq
-      assert(gen2.size == 1, s"expected one new generation, got $gen2")
-      // the replacing batch (committed) ...
-      s.sql("""INSERT INTO graftcat.events_rp
-               SELECT rowkey, family, qualifier,
-                      version + 2000000 AS version,
-                      concat(value, '+') AS value
-               FROM graft_catalog_src WHERE rowkey >= '6' AND rowkey < '7'""")
-      val gen3 = (fc.committedDirs(store).toSet -- gen1 -- gen2.toSet).toSeq
-      assert(gen3.size == 1, s"expected one replacing generation, got $gen3")
-      // ... carrying the intent the crash left pending: gen2's files
-      val victims = Option(new java.io.File(store, gen2.head).listFiles)
-        .getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map(_.getPath).toSeq.sorted
-      assert(victims.nonEmpty, "the retired generation must hold files")
-      graft.sources.cell.CellRetire.write(
-        new java.io.File(store, gen3.head), victims)
-      fc.invalidate(store)
+      protoTables(s, dir, "events_rp", Seq("events_rp")) {
+        CellQueries.eventCells(s, dir)
+          .createOrReplaceTempView("graft_catalog_src")
+        s.sql("DROP TABLE IF EXISTS graftcat.events_rp")
+        s.sql("""CREATE TABLE graftcat.events_rp (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell""")
+        s.sql("INSERT OVERWRITE graftcat.events_rp SELECT * FROM graft_catalog_src")
+        val gen1 = fc.committedDirs(store).toSet
+        // the generation a group-replace would retire
+        s.sql("""INSERT INTO graftcat.events_rp
+                 SELECT rowkey, family, qualifier,
+                        version + 1000000 AS version, value
+                 FROM graft_catalog_src WHERE rowkey >= '6' AND rowkey < '7'""")
+        val g2 = (fc.committedDirs(store).toSet -- gen1).toSeq
+        assert(g2.size == 1, s"expected one new generation, got $g2")
+        // the replacing batch (committed) ...
+        s.sql("""INSERT INTO graftcat.events_rp
+                 SELECT rowkey, family, qualifier,
+                        version + 2000000 AS version,
+                        concat(value, '+') AS value
+                 FROM graft_catalog_src WHERE rowkey >= '6' AND rowkey < '7'""")
+        val g3 = (fc.committedDirs(store).toSet -- gen1 -- g2.toSet).toSeq
+        assert(g3.size == 1, s"expected one replacing generation, got $g3")
+        // ... carrying the intent the crash left pending: gen2's files
+        val vs = Option(new java.io.File(store, g2.head).listFiles)
+          .getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(_.getPath).toSeq.sorted
+        assert(vs.nonEmpty, "the retired generation must hold files")
+        graft.sources.cell.CellRetire.write(
+          new java.io.File(store, g3.head), vs)
+        fc.invalidate(store)
+      }
+      // re-derive the crash state's shape from the restored store: the
+      // pending intent's victim list IS gen2's file set
+      val victims = graft.sources.cell.CellRetire.retiredOf(store)
+        .toSeq.sorted
+      assert(victims.nonEmpty, "the fixture must carry a pending intent")
+      val gen2 = victims.map(p => new java.io.File(p).getParentFile.getName)
+        .distinct
+      assert(gen2.size == 1, s"expected one retired generation, got $gen2")
       // (1) the crash window reads complete-and-correct already:
       // intent-listed files are excluded from planning
       val preBand = s.sql(
@@ -2841,50 +2939,52 @@ object CellConnector extends QueryModule {
       // covers the repair-first path) — both dimensions stay zero.
       // Metadata-only driver work: zero data bytes at any store size,
       // and every count is layout-independent.
-      registerCatalog(s, dir)
-      CellQueries.eventCells(s, dir)
-        .createOrReplaceTempView("graft_catalog_src")
-      // hermetic per run: the key EMITS archive/snapshot counts, so a
-      // previous run's archived generations (released when the fixture
-      // re-creates its snapshot) must not accumulate across runs —
-      // DROP wipes the store dir including _archive and manifests
-      s.sql("DROP TABLE IF EXISTS graftcat.events_vc")
-      s.sql("""CREATE TABLE graftcat.events_vc (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_vc SELECT * FROM graft_catalog_src")
-      s.sql("CALL graftcat.snapshot('events_vc', 'vpin')")
-      s.sql("""INSERT INTO graftcat.events_vc
-               SELECT rowkey, family, qualifier,
-                      version + 1000000 AS version, value
-               FROM graft_catalog_src WHERE rowkey >= '6'""")
-      // compaction archives 'vpin''s generations; the snapshot LIVES
-      s.sql("CALL graftcat.compact('events_vc')")
-      val store = "/tmp/graft_catalog_" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_vc"
-      val d = graft.sources.cell.CellFooterCache.committedDirs(store)
-      assert(d.size == 1, s"expected one compacted dir, got $d")
-      java.nio.file.Files.write(
-        new java.io.File(new java.io.File(store, d.head),
-                         "zz_orphan.parquet").toPath,
-        Array.emptyByteArray)
-      new java.io.File(store, "_tmp_vacuum_crash").mkdirs()
-      // a dead pin (drop-eligible) + an unpinned archived file
-      // (sweep-eligible) — the two classes the flagged pass reclaims
-      graft.sources.cell.GraftCellSnapshot.createPinned(
-        store, "gone", Seq("batch_nonexistent"))
-      val deadArch = new java.io.File(store, "_archive/batch_dead")
-      deadArch.mkdirs()
-      java.nio.file.Files.write(
-        new java.io.File(deadArch, "dead.parquet").toPath,
-        Array.emptyByteArray)
-      // r19: an ORPHANED index-sync boundary — the snapshot a
-      // build_index pinned whose index table was since dropped (no
-      // sibling dir left); without reclamation it holds base archive
-      // history forever
-      graft.sources.cell.GraftCellSnapshot.create(
-        store, "__idx_sync_events_vc_idx_gone")
-      graft.sources.cell.CellFooterCache.invalidate(store)
+      // r21: the staged anomaly set is the fixture — proto-copied (the
+      // DROP-first stage keeps counts hermetic exactly as before, now
+      // by byte-identical restore); CALL vacuum (the verb) runs per
+      // invocation and reclaims the same classes every time
+      protoTables(s, dir, "events_vc", Seq("events_vc")) {
+        CellQueries.eventCells(s, dir)
+          .createOrReplaceTempView("graft_catalog_src")
+        s.sql("DROP TABLE IF EXISTS graftcat.events_vc")
+        s.sql("""CREATE TABLE graftcat.events_vc (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell""")
+        s.sql("INSERT OVERWRITE graftcat.events_vc SELECT * FROM graft_catalog_src")
+        s.sql("CALL graftcat.snapshot('events_vc', 'vpin')")
+        s.sql("""INSERT INTO graftcat.events_vc
+                 SELECT rowkey, family, qualifier,
+                        version + 1000000 AS version, value
+                 FROM graft_catalog_src WHERE rowkey >= '6'""")
+        // compaction archives 'vpin''s generations; the snapshot LIVES
+        s.sql("CALL graftcat.compact('events_vc')")
+        val store = "/tmp/graft_catalog_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_vc"
+        val d = graft.sources.cell.CellFooterCache.committedDirs(store)
+        assert(d.size == 1, s"expected one compacted dir, got $d")
+        java.nio.file.Files.write(
+          new java.io.File(new java.io.File(store, d.head),
+                           "zz_orphan.parquet").toPath,
+          Array.emptyByteArray)
+        new java.io.File(store, "_tmp_vacuum_crash").mkdirs()
+        // a dead pin (drop-eligible) + an unpinned archived file
+        // (sweep-eligible) — the two classes the flagged pass reclaims
+        graft.sources.cell.GraftCellSnapshot.createPinned(
+          store, "gone", Seq("batch_nonexistent"))
+        val deadArch = new java.io.File(store, "_archive/batch_dead")
+        deadArch.mkdirs()
+        java.nio.file.Files.write(
+          new java.io.File(deadArch, "dead.parquet").toPath,
+          Array.emptyByteArray)
+        // r19: an ORPHANED index-sync boundary — the snapshot a
+        // build_index pinned whose index table was since dropped (no
+        // sibling dir left); without reclamation it holds base archive
+        // history forever
+        graft.sources.cell.GraftCellSnapshot.create(
+          store, "__idx_sync_events_vc_idx_gone")
+        graft.sources.cell.CellFooterCache.invalidate(store)
+        ()
+      }
       s.sql("CALL graftcat.vacuum('events_vc', true)")
     }),
 
@@ -2899,26 +2999,33 @@ object CellConnector extends QueryModule {
       // NULL||'~' stays NULL and null-safe-matches), a version-shifted
       // extra band exists only in the replica, and the '<6' band
       // matches verbatim. Nothing is only-in-primary.
-      registerCatalog(s, dir)
-      CellQueries.eventCells(s, dir)
-        .createOrReplaceTempView("graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_vr (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.events_vr SELECT * FROM graft_catalog_src")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.events_vr2 (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("""INSERT OVERWRITE graftcat.events_vr2
-               SELECT * FROM graft_catalog_src WHERE rowkey < '6'
-               UNION ALL
-               SELECT rowkey, family, qualifier, version,
-                      value || '~' AS value
-               FROM graft_catalog_src WHERE rowkey >= '6'
-               UNION ALL
-               SELECT rowkey, family, qualifier,
-                      version + 5000000 AS version, value
-               FROM graft_catalog_src WHERE rowkey < '2'""")
+      // r21: BOTH tables (primary + the three-way-diverged replica) are
+      // the fixture — proto-copied; the distributed diff (the verb)
+      // runs per invocation
+      protoTables(s, dir, "vr_fixture", Seq("events_vr", "events_vr2")) {
+        CellQueries.eventCells(s, dir)
+          .createOrReplaceTempView("graft_catalog_src")
+        s.sql("DROP TABLE IF EXISTS graftcat.events_vr")
+        s.sql("DROP TABLE IF EXISTS graftcat.events_vr2")
+        s.sql("""CREATE TABLE graftcat.events_vr (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell""")
+        s.sql("INSERT OVERWRITE graftcat.events_vr SELECT * FROM graft_catalog_src")
+        s.sql("""CREATE TABLE graftcat.events_vr2 (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell""")
+        s.sql("""INSERT OVERWRITE graftcat.events_vr2
+                 SELECT * FROM graft_catalog_src WHERE rowkey < '6'
+                 UNION ALL
+                 SELECT rowkey, family, qualifier, version,
+                        value || '~' AS value
+                 FROM graft_catalog_src WHERE rowkey >= '6'
+                 UNION ALL
+                 SELECT rowkey, family, qualifier,
+                        version + 5000000 AS version, value
+                 FROM graft_catalog_src WHERE rowkey < '2'""")
+        ()
+      }
       s.sql("CALL graftcat.verify_rep('events_vr', 'events_vr2')")
     }),
 
@@ -2933,14 +3040,20 @@ object CellConnector extends QueryModule {
       // ('archive:events_ns'). Pure metadata, like everything in the
       // catalog: a namespace costs one subdir + one marker at any
       // table count.
-      registerCatalog(s, dir)
-      CellQueries.eventCells(s, dir)
-        .createOrReplaceTempView("graft_catalog_src")
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.archive")
-      s.sql("""CREATE TABLE IF NOT EXISTS graftcat.archive.events_ns (
-                 rowkey STRING, family STRING, qualifier STRING,
-                 version BIGINT, value STRING) USING graftcell""")
-      s.sql("INSERT OVERWRITE graftcat.archive.events_ns SELECT * FROM graft_catalog_src")
+      // r21: the namespaced table is the fixture — proto-copied (the
+      // per-run snapshot re-pin mutates the store dir); the ns-
+      // addressed CALL + namespaced SELECT (the verbs) run per run
+      protoTables(s, dir, "ns_events", Seq("archive/events_ns")) {
+        CellQueries.eventCells(s, dir)
+          .createOrReplaceTempView("graft_catalog_src")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.archive")
+        s.sql("DROP TABLE IF EXISTS graftcat.archive.events_ns")
+        s.sql("""CREATE TABLE graftcat.archive.events_ns (
+                   rowkey STRING, family STRING, qualifier STRING,
+                   version BIGINT, value STRING) USING graftcell""")
+        s.sql("INSERT OVERWRITE graftcat.archive.events_ns SELECT * FROM graft_catalog_src")
+        ()
+      }
       // the admin surface reaches namespaced tables ('ns:table')
       s.sql("CALL graftcat.snapshot('archive:events_ns', 'ns_keep')")
       s.sql("""SELECT rowkey, qualifier, value
