@@ -2617,9 +2617,15 @@ object CellConnector extends QueryModule {
         s.sql("INSERT OVERWRITE graftcat.events_ci SELECT * FROM graft_ci_src")
         java.nio.file.Files.write(ciMarker.toPath, Array.emptyByteArray)
       }
+      // maxRowsPerFile 4000 (r21; was 400): the bound exists so the
+      // two-predicate seek provably prunes region files, which needs
+      // files > 1 at the gate SFs — it does NOT need 500+ files at
+      // sf0.1, where the per-invocation build paid one parquet writer +
+      // footer read per 400 rows (layout only; the indexed CONTENT and
+      // every assert are file-count-independent)
       val r = s.sql(
         """CALL graftcat.build_index('events_ci', 'uev', 'd',
-                                     'user_id,event_type', 400L, 'value')""")
+                                     'user_id,event_type', 4000L, 'value')""")
         .collect()(0)
       assert(r.getString(0) == "events_ci_idx_uev" && r.getLong(1) > 0L,
         s"composite build must report its table and cell count: $r")

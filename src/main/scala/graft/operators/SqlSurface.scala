@@ -181,7 +181,7 @@ object SqlSurface extends QueryModule {
                       AS DECIMAL(38,6))
           FROM graft_rcte_seq WHERE i = 1
           UNION ALL
-          SELECT s.cust, s.i,
+          SELECT /*+ BROADCAST(w) */ s.cust, s.i,
                  CAST(least(CAST($RCTE_CAP AS DECIMAL(38,6)),
                             greatest(CAST(0 AS DECIMAL(38,6)),
                                      w.bal + s.delta))

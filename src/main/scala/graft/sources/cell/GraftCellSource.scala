@@ -2857,25 +2857,22 @@ object GraftCellMaintenance {
               col("rowkey").isNotNull && col("version").isNotNull &&
               col("value").isNotNull)
     // row image: latest version per (rowkey, qualifier), max value on
-    // a version tie — two aggregations, both map-side partial
-    val vmax = src.groupBy("rowkey", "qualifier")
-      .agg(max("version").as("vmax")).as("m")
-    val latest = src.as("s").join(vmax,
-        col("s.rowkey") === col("m.rowkey") &&
-        col("s.qualifier") === col("m.qualifier") &&
-        col("s.version") === col("m.vmax"))
-      .select(col("s.rowkey").as("rowkey"),
-              col("s.qualifier").as("qualifier"),
-              col("m.vmax").as("vmax"), col("s.value").as("value"))
-      .groupBy("rowkey", "qualifier", "vmax")
-      .agg(max("value").as("v"))
-    def pick(q: String, c: String) =
-      max(when(col("qualifier") === q, col(c))).as(s"${c}_$q")
-    val piv = latest.groupBy("rowkey")
-      .agg(pick(all.head, "v"),
-           (all.tail.map(pick(_, "v")) ++
-            keyQuals.map(pick(_, "vmax"))): _*)
-    val keyed = piv
+    // a version tie. r21 (guide §2.4): lexicographic max over the
+    // (version, value) STRUCT is exactly max-version-then-max-value,
+    // and folding it per qualifier INTO the pivot makes the whole
+    // image resolution ONE map-side-partial aggregation — the r20
+    // shape was agg + self-join + agg + pivot (three exchanges of the
+    // indexed slice); this is one exchange, same image, bit for bit.
+    def pick(q: String) =
+      max(when(col("qualifier") === q,
+               struct(col("version"), col("value")))).as(s"lv_$q")
+    val piv = src.groupBy("rowkey")
+      .agg(pick(all.head), all.tail.map(pick): _*)
+    val named = all.foldLeft(piv) { (df, q) =>
+      df.withColumn(s"v_$q", col(s"lv_$q.value"))
+        .withColumn(s"vmax_$q", col(s"lv_$q.version"))
+    }
+    val keyed = named
       .filter(keyQuals.map(q => col(s"v_$q").isNotNull).reduce(_ && _))
       .withColumn("idx_rk",
         concat(keyQuals.flatMap(q =>

@@ -413,4 +413,175 @@ class IndexRouteSpec extends AnyFunSuite {
     assert(!GraftCellSnapshot.names(base).contains(snap),
       "a dead index's boundary must reclaim")
   }
+  test("content sync is MULTIPLICITY-aware (r21, ADVICE r20): an exact " +
+       "duplicate copy added since the boundary is appended") {
+    stage("t9")
+    s.sql("CALL graftidx.build_index('t9', 'uid', 'd', 'user_id')").collect()
+    // a SECOND identical copy of one indexed cell (same rowkey,
+    // version, value — the store enforces no uniqueness)
+    s.sql("""INSERT INTO graftidx.t9
+             SELECT rowkey, family, qualifier, version, value
+             FROM graftidx.t9
+             WHERE rowkey = 'k0003' AND family = 'd'
+               AND qualifier = 'user_id'""")
+    // keep-all compaction: a structural rewrite that preserves BOTH
+    // copies, forcing the content-level delta path
+    s.sql("CALL graftidx.compact('t9', -1L, NULL, 1000000L)").collect()
+    val r = s.sql("CALL graftidx.sync_index('t9', 'uid')").collect()(0)
+    assert(r.getString(4) == "content" && r.getLong(1) == 1L &&
+           r.getLong(3) == 0L,
+      s"the duplicate copy must append through the content sync: $r")
+    assertIndexExact("t9", "uid") // exceptAll = multiset equality
+    val nIdx = s.sql(
+      """SELECT count(*) FROM graftidx.t9_idx_uid
+         WHERE value = 'k0003'""").collect()(0).getLong(0)
+    assert(nIdx == 2L, s"both copies must be indexed, got $nIdx")
+  }
+
+  test("content sync REFUSES a partial multiplicity shrink (r21): group " +
+       "DML cannot remove only some copies of an identity") {
+    stage("t10")
+    s.sql("""INSERT INTO graftidx.t10
+             SELECT rowkey, family, qualifier, version, value
+             FROM graftidx.t10
+             WHERE rowkey = 'k0004' AND family = 'd'
+               AND qualifier = 'user_id'""")
+    s.sql("CALL graftidx.build_index('t10', 'uid', 'd', 'user_id')")
+      .collect()
+    // DEFAULT compact keeps one row per cell key: the duplicated
+    // identity shrinks 2 -> 1 (still present) — inexpressible as a
+    // group delete, so the sync must refuse toward a rebuild
+    s.sql("CALL graftidx.compact('t10')").collect()
+    val e = intercept[Exception] {
+      s.sql("CALL graftidx.sync_index('t10', 'uid')").collect()
+    }
+    assert(e.getMessage.contains("SHRANK") &&
+           e.getMessage.contains("build_index"),
+      s"partial shrink must refuse loudly: ${e.getMessage}")
+    // the rebuild it names re-arms the lifecycle
+    s.sql("CALL graftidx.build_index('t10', 'uid', 'd', 'user_id')")
+      .collect()
+    assertIndexExact("t10", "uid")
+  }
+
+  test("sync append is crash-idempotent (r21, ADVICE r20): a retry after " +
+       "append-committed-but-promote-lost completes without duplicating") {
+    stage("t11")
+    s.sql("CALL graftidx.build_index('t11', 'uid', 'd', 'user_id')")
+      .collect()
+    s.sql("INSERT INTO graftidx.t11 VALUES ('z9100', 'd', 'user_id', 3L, 'u1')")
+    val base = s"$root/t11"
+    val idx = idxStore("t11", "uid")
+    val snap = GraftCellMaintenance.idxSyncSnapshot(idx)
+    val boundaryFile = new java.io.File(base, s"_snapshot_$snap.json")
+    val boundaryBytes =
+      java.nio.file.Files.readAllBytes(boundaryFile.toPath)
+    CellFooterCache.invalidate(idx)
+    val d0 = CellFooterCache.committedDirs(idx).toSet
+    val r0 = CellFooterCache.filesOf(idx).map(_.rowCount).sum
+    val deltaDirs = CellFooterCache.committedDirs(base).toSet --
+      GraftCellSnapshot.dirs(base, snap).toSet
+    // the REAL sync: appends the delta and promotes the boundary
+    val real = s.sql("CALL graftidx.sync_index('t11', 'uid')").collect()(0)
+    assert(real.getLong(1) == 1L, s"fixture sync must append 1: $real")
+    CellFooterCache.invalidate(idx)
+    val r1 = CellFooterCache.filesOf(idx).map(_.rowCount).sum
+    // CRAFT the crash state the old code turned into silent duplicates:
+    // boundary back at the pre-sync pin, the append already committed,
+    // and the intent marker (which the crash left behind) in place
+    java.nio.file.Files.write(boundaryFile.toPath, boundaryBytes)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = m.createObjectNode()
+    n.put("delta", "delta|" + deltaDirs.toSeq.sorted.mkString(","))
+    n.put("rows", r0)
+    val arr = n.putArray("dirs"); d0.toSeq.sorted.foreach(arr.add)
+    java.nio.file.Files.write(
+      new java.io.File(idx, "_sync_intent.json").toPath,
+      m.writeValueAsBytes(n))
+    // the RETRY: must detect the committed append, skip it, promote,
+    // and report the completed append's count
+    val retry = s.sql("CALL graftidx.sync_index('t11', 'uid')").collect()(0)
+    assert(retry.getLong(1) == r1 - r0,
+      s"retry must report the completed append, not re-run it: $retry")
+    CellFooterCache.invalidate(idx)
+    val r2 = CellFooterCache.filesOf(idx).map(_.rowCount).sum
+    assert(r2 == r1, s"retry must not duplicate index entries: $r2 != $r1")
+    assert(!new java.io.File(idx, "_sync_intent.json").exists(),
+      "a completed sync must clear its intent")
+    assertIndexExact("t11", "uid")
+    // and the boundary advanced: the next sync is a no-op
+    val again = s.sql("CALL graftidx.sync_index('t11', 'uid')").collect()(0)
+    assert(again.getLong(1) == 0L, s"boundary must have promoted: $again")
+  }
+
+  test("an r19-era legacy-named boundary is ADOPTED on sync (r21, ADVICE " +
+       "r20): the lifecycle resumes instead of forcing a rebuild") {
+    stage("t12")
+    s.sql("CALL graftidx.build_index('t12', 'uid', 'd', 'user_id')")
+      .collect()
+    val base = s"$root/t12"
+    val idx = idxStore("t12", "uid")
+    val cur = GraftCellMaintenance.idxSyncSnapshot(idx)
+    val legacy = s"__idx_sync_${new java.io.File(idx).getName}"
+    // demote the boundary to its r19 name (no path hash)
+    java.nio.file.Files.move(
+      new java.io.File(base, s"_snapshot_$cur.json").toPath,
+      new java.io.File(base, s"_snapshot_$legacy.json").toPath)
+    s.sql("INSERT INTO graftidx.t12 VALUES ('z9200', 'd', 'user_id', 3L, 'u2')")
+    val r = s.sql("CALL graftidx.sync_index('t12', 'uid')").collect()(0)
+    assert(r.getString(4) == "delta" && r.getLong(1) == 1L,
+      s"adoption must let the sync resume delta-granular: $r")
+    assert(!GraftCellSnapshot.names(base).contains(legacy),
+      "the adopted legacy boundary must not linger")
+    assertIndexExact("t12", "uid")
+  }
+
+  test("vacuum reclaims an ownerless legacy-named boundary once a " +
+       "path-keyed one exists for the same leaf (r21, ADVICE r20)") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val base = s"$root/vl_base"
+    s.createDataFrame(
+      (0 until 10).map(i => Row(f"k$i%04d", "d", "q", 1L, s"v$i")).asJava,
+      graft.sources.cell.GraftCell.SCHEMA)
+      .write.format("graftcell").mode("overwrite").save(base)
+    val idx = s"$root/vl_base_idx_q"
+    GraftCellMaintenance.buildIndex(s, base, idx, "d", "q")
+    val cur = GraftCellMaintenance.idxSyncSnapshot(idx)
+    val legacy = s"__idx_sync_${new java.io.File(idx).getName}"
+    // an ownerless r19 leftover NEXT TO the live path-keyed boundary:
+    // its sibling index dir exists, so the old heuristic kept it forever
+    GraftCellSnapshot.create(base, legacy)
+    GraftCellMaintenance.vacuum(base, dropInvalidSnapshots = false)
+    val names = GraftCellSnapshot.names(base)
+    assert(!names.contains(legacy),
+      s"the superseded legacy boundary must reclaim: $names")
+    assert(names.contains(cur),
+      s"the live path-keyed boundary must survive: $names")
+  }
+
+  test("a composite index never routes a literally-comma-qualified " +
+       "single-column predicate (r21, ADVICE r20)") {
+    stage("t13")
+    // base cells whose QUALIFIER is literally the comma-joined string a
+    // composite descriptor persists (commas are legal in qualifiers)
+    s.sql("""INSERT INTO graftidx.t13 VALUES
+             ('k0001', 'd', 'user_id,score', 5L, 'vx'),
+             ('k0002', 'd', 'user_id,score', 5L, 'vy')""")
+    s.sql("""CALL graftidx.build_index('t13', 'us', 'd',
+                                       'user_id,score', 400L, 'score')""")
+      .collect()
+    val df = s.sql(
+      """SELECT rowkey, family, qualifier, version, value
+         FROM graftidx.t13
+         WHERE family = 'd' AND qualifier = 'user_id,score'
+           AND value = 'vx'
+         ORDER BY rowkey, version""")
+    assert(!routedPlan(df),
+      "a composite index's rowkey layout cannot answer a single-column " +
+      s"probe: ${df.queryExecution.optimizedPlan}")
+    val got = df.collect().map(_.toSeq)
+    assert(got.length == 1 && got(0)(0) == "k0001",
+      s"the plain scan must answer exactly: ${got.toSeq}")
+  }
 }
