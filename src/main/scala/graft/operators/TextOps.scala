@@ -122,7 +122,11 @@ object TextOps extends QueryModule {
       // lang form the profile; each doc classifies to the profile with
       // the highest token-set Jaccard. The profile table is tiny and
       // broadcast; the corpus side never shuffles for scoring.
-      val tok = T.fanout(T.load(s, dir, "documents"), col("doc_id"))
+      // no fanout here (r21): measured CONSISTENTLY slower with it
+      // (0.91 -> 1.53 s across two full runs) — the key is two small
+      // aggregations and a broadcast probe, so the added exchange of
+      // the full docs costs more than the parallel explode saves
+      val tok = T.load(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
                 explode(split(lower(col("text")), " ")).as("t"))
       val prof = tok.groupBy("lang", "t").agg(count(lit(1)).as("cnt"))
